@@ -1,0 +1,203 @@
+"""Genomic metadata model + JSON sidecar persistence.
+
+Mirrors the reference's driver-resident metadata (SURVEY.md §1.1):
+SequenceDictionary (reference: models/SequenceDictionary.scala:114),
+ReadGroupDictionary (models/ReadGroupDictionary.scala:59), samples,
+processing-step lineage and VCF header lines. The reference persists
+these as Avro sidecars next to Parquet (GenomicDataset.scala:475-487);
+we persist a single ``_metadata.json`` sidecar — driver-side only,
+no data-path cost.
+
+Union semantics (reference: GenomicDataset.scala:449-507): merging two
+datasets unions their dictionaries, dropping exact duplicates and
+failing on conflicting definitions of the same name.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field, replace
+
+SIDECAR_NAME = "_metadata.json"
+
+
+@dataclass(frozen=True)
+class Reference:
+    """One contig of the reference genome (a SequenceDictionary entry)."""
+
+    name: str
+    length: int | None = None
+    index: int | None = None
+    md5: str | None = None
+    url: str | None = None
+    species: str | None = None
+
+
+@dataclass(frozen=True)
+class ReadGroup:
+    id: str
+    sampleId: str | None = None
+    library: str | None = None
+    platform: str | None = None
+    platformUnit: str | None = None
+    sequencingCenter: str | None = None
+    description: str | None = None
+    runDateEpoch: int | None = None
+    flowOrder: str | None = None
+    keySequence: str | None = None
+    predictedMedianInsertSize: int | None = None
+
+
+@dataclass(frozen=True)
+class Sample:
+    id: str
+    name: str | None = None
+    attributes: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class ProcessingStep:
+    id: str
+    programName: str | None = None
+    commandLine: str | None = None
+    previousId: str | None = None
+    description: str | None = None
+    version: str | None = None
+
+
+class SequenceDictionary:
+    """Ordered contig dictionary with index-based sort support."""
+
+    def __init__(self, references: list[Reference] | None = None):
+        refs = list(references or [])
+        # assign indices in order when absent (reference behavior: contigs
+        # carry an ordering index used by position sorts)
+        self.references: list[Reference] = [
+            r if r.index is not None else replace(r, index=i) for i, r in enumerate(refs)
+        ]
+        self._by_name = {r.name: r for r in self.references}
+
+    def __len__(self) -> int:
+        return len(self.references)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._by_name
+
+    def __getitem__(self, name: str) -> Reference:
+        return self._by_name[name]
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, SequenceDictionary) and self.references == other.references
+
+    def index_map(self) -> dict[str, int]:
+        """contig name → sort index (for index-ordered genome sorts)."""
+        return {r.name: (r.index if r.index is not None else i) for i, r in enumerate(self.references)}
+
+    def total_length(self) -> int:
+        return sum(r.length or 0 for r in self.references)
+
+    def union(self, other: SequenceDictionary) -> SequenceDictionary:
+        merged = list(self.references)
+        names = {r.name for r in merged}
+        for r in other.references:
+            if r.name not in names:
+                # re-index appended contigs to keep indices unique
+                merged.append(replace(r, index=len(merged)))
+                names.add(r.name)
+            else:
+                mine = self._by_name[r.name]
+                if mine.length is not None and r.length is not None and mine.length != r.length:
+                    raise ValueError(
+                        f"conflicting lengths for contig {r.name}: {mine.length} vs {r.length}"
+                    )
+        return SequenceDictionary(merged)
+
+    @staticmethod
+    def empty() -> SequenceDictionary:
+        return SequenceDictionary([])
+
+
+def _merge_unique(a: list, b: list, key) -> list:
+    out = list(a)
+    seen = {key(x) for x in a}
+    for x in b:
+        if key(x) not in seen:
+            out.append(x)
+            seen.add(key(x))
+    return out
+
+
+@dataclass
+class GenomicMetadata:
+    """All driver-side metadata for one GenomicFrame."""
+
+    references: SequenceDictionary = field(default_factory=SequenceDictionary.empty)
+    read_groups: list[ReadGroup] = field(default_factory=list)
+    samples: list[Sample] = field(default_factory=list)
+    processing_steps: list[ProcessingStep] = field(default_factory=list)
+    header_lines: list[str] = field(default_factory=list)  # VCF header lines (raw strings)
+    kind: str | None = None  # schema registry key, e.g. "alignment"
+
+    def merge(self, other: GenomicMetadata) -> GenomicMetadata:
+        """Union-merge for dataset unions (GenomicDataset.scala:490-507)."""
+        return GenomicMetadata(
+            references=self.references.union(other.references),
+            read_groups=_merge_unique(self.read_groups, other.read_groups, lambda g: g.id),
+            samples=_merge_unique(self.samples, other.samples, lambda s: s.id),
+            processing_steps=_merge_unique(
+                self.processing_steps, other.processing_steps, lambda p: p.id
+            ),
+            header_lines=_merge_unique(self.header_lines, other.header_lines, lambda h: h),
+            kind=self.kind or other.kind,
+        )
+
+    def with_processing_step(self, step: ProcessingStep) -> GenomicMetadata:
+        meta = self.copy()
+        meta.processing_steps = [*self.processing_steps, step]
+        return meta
+
+    def copy(self) -> GenomicMetadata:
+        return GenomicMetadata(
+            references=SequenceDictionary(self.references.references),
+            read_groups=list(self.read_groups),
+            samples=list(self.samples),
+            processing_steps=list(self.processing_steps),
+            header_lines=list(self.header_lines),
+            kind=self.kind,
+        )
+
+    # --- sidecar IO -------------------------------------------------------
+    def to_dict(self) -> dict:
+        return {
+            "references": [asdict(r) for r in self.references.references],
+            "readGroups": [asdict(g) for g in self.read_groups],
+            "samples": [asdict(s) for s in self.samples],
+            "processingSteps": [asdict(p) for p in self.processing_steps],
+            "headerLines": list(self.header_lines),
+            "kind": self.kind,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> GenomicMetadata:
+        return GenomicMetadata(
+            references=SequenceDictionary([Reference(**r) for r in d.get("references", [])]),
+            read_groups=[ReadGroup(**g) for g in d.get("readGroups", [])],
+            samples=[Sample(**s) for s in d.get("samples", [])],
+            processing_steps=[ProcessingStep(**p) for p in d.get("processingSteps", [])],
+            header_lines=list(d.get("headerLines", [])),
+            kind=d.get("kind"),
+        )
+
+    def save(self, dataset_path: str) -> None:
+        os.makedirs(dataset_path, exist_ok=True)
+        with open(os.path.join(dataset_path, SIDECAR_NAME), "w") as f:
+            json.dump(self.to_dict(), f, indent=1, sort_keys=True)
+
+    @staticmethod
+    def load(dataset_path: str) -> GenomicMetadata:
+        p = os.path.join(dataset_path, SIDECAR_NAME)
+        if not os.path.exists(p):
+            return GenomicMetadata()
+        with open(p) as f:
+            return GenomicMetadata.from_dict(json.load(f))

@@ -1,0 +1,275 @@
+"""Interval-overlap (region) joins — the heart of the engine.
+
+The reference exposes 11 join variants across two physical families
+(broadcast: ds/TreeRegionJoin.scala:32-137; shuffle sort-merge sweep:
+ds/ShuffleRegionJoin.scala:35-493) behind 40+ overloads
+(GenomicDataset.scala:1108-2917). This module re-expresses ALL of them
+as ONE parameterized DataFrame builder:
+
+    binned equi-join prefilter + exact overlap predicate + first-bin dedupe
+
+Scale design (the reason this beats a naive theta join at 100 TB):
+a raw overlap condition compiles to BroadcastNestedLoopJoin or a
+cartesian product under Catalyst. Instead we key BOTH sides by
+``(referenceName, floor(pos / bin_size))`` exploded over every bin the
+interval covers, letting Catalyst run an ordinary shuffle/sort-merge (or
+broadcast-hash) equi-join on the bin key, then apply the exact overlap
+predicate, and keep each matched pair only in the FIRST bin both
+intervals cover — a stateless dedupe that avoids a distinct() shuffle.
+This is the DataFrame analogue of the reference's GenomeBins
+copartitioning + per-partition sweep line (ds/GenomeBins.scala:31-75,
+ShuffleRegionJoin.scala:60-88), but it inherits AQE skew splitting,
+whole-stage codegen, and spillable joins for free.
+
+Outer variants recover unmatched rows with a null-safe anti-join against
+the matched side and null-extend; group variants aggregate hit lists
+with ``collect_list(struct(...))`` (semantics per
+ShuffleRegionJoin.scala:143-335, TreeRegionJoin.scala:94-137).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default bin width in base pairs; ~1 Mbp mirrors the reference's
+#: partitioned-Parquet bin convention (GenomicDataset.scala:380-394)
+DEFAULT_BIN_SIZE = 1_000_000
+
+_HOW = {"inner", "left_outer", "right_outer", "full_outer"}
+_GROUP = {None, "left", "right"}
+
+
+def _bins(start: Column, end: Column, bin_size: int) -> Column:
+    """All bin ids covered by the half-open interval [start, end)."""
+    first = F.floor(start / F.lit(float(bin_size)))
+    # greatest() guards degenerate (empty) intervals from descending sequences
+    last = F.greatest(first, F.floor((end - 1) / F.lit(float(bin_size))))
+    return F.sequence(first, last)
+
+
+def _null_safe_anti(df: DataFrame, keys: DataFrame, cols: list[str]) -> DataFrame:
+    """df rows whose projection on ``cols`` appears nowhere in ``keys``.
+
+    Null-safe: the schemas here are nullable-everything (SURVEY.md §1.2),
+    so plain ``=`` would leak null-keyed rows through an anti-join.
+    Keys are renamed before joining — ``keys`` derives from ``df``
+    (self-join lineage), and fresh names sidestep ambiguous resolution.
+    """
+    keyed = keys.select([F.col(c).alias(f"__k_{c}") for c in cols])
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        cond = e if cond is None else (cond & e)
+    return df.join(keyed, cond, "left_anti")
+
+
+def _orderable(dtype) -> bool:
+    """True when sort_array can order values of this type (no maps)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return False
+    if isinstance(dtype, ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
+def _collect_hits(hit: Column, schema, cols: list[str]) -> Column:
+    """collect_list(struct), sorted for determinism when orderable."""
+    agg = F.collect_list(hit)
+    if all(_orderable(schema[c].dataType) for c in cols):
+        agg = F.sort_array(agg)
+    return agg
+
+
+def region_join(
+    left: DataFrame,
+    right: DataFrame,
+    how: str = "inner",
+    group: str | None = None,
+    flank: int = 0,
+    bin_size: int = DEFAULT_BIN_SIZE,
+    broadcast: str | None = None,
+    left_region: tuple[str, str, str] = ("referenceName", "start", "end"),
+    right_region: tuple[str, str, str] = ("referenceName", "start", "end"),
+    suffixes: tuple[str, str] = ("", "_r"),
+    group_col: str = "hits",
+) -> DataFrame:
+    """One builder for all 11 reference join variants.
+
+    Variant mapping (reference name → arguments):
+
+    - broadcastRegionJoin                        → how=inner, broadcast="left"
+    - rightOuterBroadcastRegionJoin              → how=right_outer, broadcast="left"
+    - broadcastRegionJoinAndGroupByRight         → group="right", broadcast="left"
+    - rightOuterBroadcastRegionJoinAndGroupByRight → group="right", how=right_outer, broadcast="left"
+    - shuffleRegionJoin                          → how=inner
+    - rightOuterShuffleRegionJoin                → how=right_outer
+    - leftOuterShuffleRegionJoin                 → how=left_outer
+    - leftOuterShuffleRegionJoinAndGroupByLeft   → group="left", how=left_outer
+    - fullOuterShuffleRegionJoin                 → how=full_outer
+    - shuffleRegionJoinAndGroupByLeft            → group="left"
+    - rightOuterShuffleRegionJoinAndGroupByLeft  → group="left", how=right_outer
+
+    ``flank`` pads the LEFT regions before matching
+    (GenomicDataset.scala:1821-1850). Overlap itself is strand-blind
+    intersection on the same contig (ReferenceRegion.scala:671-681).
+
+    Output schema: all left columns (suffix[0] applied on collisions),
+    then all right columns (suffix[1] on collisions); group variants
+    replace the grouped side's columns with ``group_col:
+    array<struct<...>>`` sorted for determinism.
+    """
+    if how not in _HOW:
+        raise ValueError(f"how must be one of {_HOW}, got {how!r}")
+    if group not in _GROUP:
+        raise ValueError(f"group must be one of {_GROUP}, got {group!r}")
+    if group == "left" and how in {"left_outer", "full_outer"}:
+        # grouping by left: "left outer" means keep unmatched lefts with
+        # empty hit lists — handled below via include_empty
+        pass
+
+    l_ref, l_start, l_end = left_region
+    r_ref, r_start, r_end = right_region
+
+    # Disambiguate every column up front; restore names at the end.
+    lcols = left.columns
+    rcols = right.columns
+    lmap = {c: f"__l_{c}" for c in lcols}
+    rmap = {c: f"__r_{c}" for c in rcols}
+    ldf = left.select([F.col(c).alias(lmap[c]) for c in lcols])
+    rdf = right.select([F.col(c).alias(rmap[c]) for c in rcols])
+
+    ls, le = F.col(lmap[l_start]) - F.lit(flank), F.col(lmap[l_end]) + F.lit(flank)
+    rs, re_ = F.col(rmap[r_start]), F.col(rmap[r_end])
+
+    lb = ldf.withColumn("__bin", F.explode(_bins(ls, le, bin_size)))
+    rb = rdf.withColumn("__bin", F.explode(_bins(rs, re_, bin_size)))
+    if broadcast == "left":
+        lb = F.broadcast(lb)
+    elif broadcast == "right":
+        rb = F.broadcast(rb)
+
+    overlap = (
+        F.col(lmap[l_ref]).eqNullSafe(F.col(rmap[r_ref]))
+        & F.col(lmap[l_ref]).isNotNull()
+        & (ls < re_)
+        & (rs < le)
+    )
+    pair_first_bin = F.floor(F.greatest(ls, rs) / F.lit(float(bin_size)))
+    cond = (
+        (F.col(lmap[l_ref]) == F.col(rmap[r_ref]))
+        & (lb["__bin"] == rb["__bin"])
+        & (ls < re_)
+        & (rs < le)
+        & (lb["__bin"] == pair_first_bin)
+    )
+    matched = lb.join(rb, cond, "inner").drop("__bin")
+    _ = overlap  # (kept for documentation parity; cond embeds it)
+
+    def restore(df: DataFrame, with_right: bool = True, with_left: bool = True) -> DataFrame:
+        out = []
+        if with_left:
+            for c in lcols:
+                name = c + suffixes[0] if (c in rcols and with_right and suffixes[0]) else c
+                out.append(F.col(lmap[c]).alias(name))
+        if with_right:
+            for c in rcols:
+                name = c + suffixes[1] if (c in lcols and with_left) else c
+                out.append(F.col(rmap[c]).alias(name))
+        return df.select(out)
+
+    if group is None:
+        if how == "inner":
+            return restore(matched)
+        parts = [matched]
+        if how in {"left_outer", "full_outer"}:
+            anti_l = _null_safe_anti(ldf, matched.select(*[lmap[c] for c in lcols]).distinct(), [lmap[c] for c in lcols])
+            for c in rcols:
+                anti_l = anti_l.withColumn(rmap[c], F.lit(None).cast(right.schema[c].dataType))
+            parts.append(anti_l)
+        if how in {"right_outer", "full_outer"}:
+            anti_r = _null_safe_anti(rdf, matched.select(*[rmap[c] for c in rcols]).distinct(), [rmap[c] for c in rcols])
+            for c in lcols:
+                anti_r = anti_r.withColumn(lmap[c], F.lit(None).cast(left.schema[c].dataType))
+            parts.append(anti_r)
+        allcols = [*lmap.values(), *rmap.values()]
+        out = parts[0].select(allcols)
+        for p in parts[1:]:
+            out = out.unionByName(p.select(allcols))
+        return restore(out)
+
+    if group == "left":
+        hit = F.struct(*[F.col(rmap[c]).alias(c) for c in rcols])
+        grouped = matched.groupBy(*[lmap[c] for c in lcols]).agg(
+            _collect_hits(hit, right.schema, rcols).alias(group_col)
+        )
+        if how in {"left_outer", "full_outer", "right_outer"}:
+            if how in {"left_outer", "full_outer"}:
+                # unmatched lefts with empty hit lists
+                anti_l = _null_safe_anti(ldf, grouped.select(*[lmap[c] for c in lcols]), [lmap[c] for c in lcols])
+                anti_l = anti_l.withColumn(group_col, F.array().cast(grouped.schema[group_col].dataType))
+                grouped = grouped.unionByName(anti_l.select(grouped.columns))
+            if how in {"right_outer", "full_outer"}:
+                # unmatched rights as (null left, single-hit list)
+                # (reference: RightOuterShuffleRegionJoinAndGroupByLeft,
+                # ShuffleRegionJoin.scala:297-335)
+                anti_r = _null_safe_anti(rdf, matched.select(*[rmap[c] for c in rcols]).distinct(), [rmap[c] for c in rcols])
+                anti_r = anti_r.withColumn(group_col, F.array(hit))
+                for c in lcols:
+                    anti_r = anti_r.withColumn(lmap[c], F.lit(None).cast(left.schema[c].dataType))
+                grouped = grouped.unionByName(anti_r.select(grouped.columns))
+        out = grouped.select(
+            *[F.col(lmap[c]).alias(c) for c in lcols], F.col(group_col)
+        )
+        return out
+
+    # group == "right": (Iterable[T], U) keyed by right rows
+    hit = F.struct(*[F.col(lmap[c]).alias(c) for c in lcols])
+    grouped = matched.groupBy(*[rmap[c] for c in rcols]).agg(
+        _collect_hits(hit, left.schema, lcols).alias(group_col)
+    )
+    if how in {"right_outer", "full_outer"}:
+        # all rights, empty iterable when unmatched
+        # (reference: RightOuterTreeRegionJoin, TreeRegionJoin.scala:137)
+        anti_r = _null_safe_anti(rdf, grouped.select(*[rmap[c] for c in rcols]), [rmap[c] for c in rcols])
+        anti_r = anti_r.withColumn(group_col, F.array().cast(grouped.schema[group_col].dataType))
+        grouped = grouped.unionByName(anti_r.select(grouped.columns))
+    return grouped.select(F.col(group_col), *[F.col(rmap[c]).alias(c) for c in rcols])
+
+
+def naive_region_join(
+    left: DataFrame,
+    right: DataFrame,
+    flank: int = 0,
+    left_region: tuple[str, str, str] = ("referenceName", "start", "end"),
+    right_region: tuple[str, str, str] = ("referenceName", "start", "end"),
+    suffixes: tuple[str, str] = ("", "_r"),
+) -> DataFrame:
+    """Reference implementation: raw theta join (cartesian + predicate).
+
+    O(n·m) — exists ONLY as the property-test oracle for
+    :func:`region_join`; never use at scale.
+    """
+    l_ref, l_start, l_end = left_region
+    r_ref, r_start, r_end = right_region
+    lcols, rcols = left.columns, right.columns
+    ldf = left.select([F.col(c).alias(f"__l_{c}") for c in lcols])
+    rdf = right.select([F.col(c).alias(f"__r_{c}") for c in rcols])
+    cond = (
+        (F.col(f"__l_{l_ref}") == F.col(f"__r_{r_ref}"))
+        & ((F.col(f"__l_{l_start}") - F.lit(flank)) < F.col(f"__r_{r_end}"))
+        & (F.col(f"__r_{r_start}") < (F.col(f"__l_{l_end}") + F.lit(flank)))
+    )
+    out = ldf.join(rdf, cond, "inner")
+    sel = []
+    for c in lcols:
+        name = c + suffixes[0] if (c in rcols and suffixes[0]) else c
+        sel.append(F.col(f"__l_{c}").alias(name))
+    for c in rcols:
+        name = c + suffixes[1] if c in lcols else c
+        sel.append(F.col(f"__r_{c}").alias(name))
+    return out.select(sel)

@@ -1,0 +1,197 @@
+"""Property tests: the binned region join must equal the naive theta join.
+
+Mirrors the reference's join suites (InnerShuffleRegionJoinSuite,
+OuterRegionJoinSuite, InnerTreeRegionJoinSuite, ...): every variant is
+checked against the O(n·m) oracle on interval tables crafted to hit bin
+boundaries, duplicates, adjacency (end==start must NOT match), null
+contigs (must never match), and flank padding.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from adam_spark.operators.region_join import naive_region_join, region_join
+
+SCHEMA = StructType(
+    [
+        StructField("referenceName", StringType(), True),
+        StructField("start", LongType(), True),
+        StructField("end", LongType(), True),
+        StructField("id", LongType(), False),
+    ]
+)
+
+BIN = 100  # tiny bins so intervals span many bins
+
+
+def _intervals(spark, n, seed, max_pos=2000, max_len=350, with_nulls=True):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        if with_nulls and rng.random() < 0.05:
+            rows.append((None, None, None, i))
+            continue
+        ref = rng.choice(["chr1", "chr2"])
+        start = rng.randrange(0, max_pos)
+        length = rng.randrange(1, max_len)
+        rows.append((ref, start, start + length, i))
+    # exact duplicates + adjacency edge
+    rows.append(("chr1", 100, 200, n))
+    rows.append(("chr1", 100, 200, n + 1))
+    rows.append(("chr1", 200, 300, n + 2))  # adjacent to [100,200): no overlap
+    # interval exactly on a bin boundary
+    rows.append(("chr1", BIN, 2 * BIN, n + 3))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _collect(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    left = _intervals(spark, 60, seed=1).cache()
+    right = _intervals(spark, 80, seed=2).cache()
+    return left, right
+
+
+@pytest.mark.parametrize("flank", [0, 75])
+def test_inner_equals_naive(tables, flank):
+    left, right = tables
+    got = region_join(left, right, how="inner", flank=flank, bin_size=BIN)
+    want = naive_region_join(left, right, flank=flank)
+    assert _collect(got) == _collect(want)
+
+
+def test_broadcast_inner_equals_naive(tables):
+    left, right = tables
+    got = region_join(left, right, how="inner", broadcast="left", bin_size=BIN)
+    want = naive_region_join(left, right)
+    assert _collect(got) == _collect(want)
+
+
+def test_left_outer(tables):
+    left, right = tables
+    got = region_join(left, right, how="left_outer", bin_size=BIN)
+    inner = naive_region_join(left, right)
+    matched_left_ids = {r["id"] for r in inner.select("id").distinct().collect()}
+    want = _collect(inner) + [
+        (r["referenceName"], r["start"], r["end"], r["id"], None, None, None, None)
+        for r in left.collect()
+        if r["id"] not in matched_left_ids
+    ]
+    assert _collect(got) == sorted(want, key=repr)
+
+
+def test_right_outer(tables):
+    left, right = tables
+    got = region_join(left, right, how="right_outer", bin_size=BIN)
+    inner = naive_region_join(left, right)
+    matched_right_ids = {r["id_r"] for r in inner.select("id_r").distinct().collect()}
+    want = _collect(inner) + [
+        (None, None, None, None, r["referenceName"], r["start"], r["end"], r["id"])
+        for r in right.collect()
+        if r["id"] not in matched_right_ids
+    ]
+    assert _collect(got) == sorted(want, key=repr)
+
+
+def test_full_outer(tables):
+    left, right = tables
+    got = region_join(left, right, how="full_outer", bin_size=BIN)
+    inner = naive_region_join(left, right)
+    ml = {r["id"] for r in inner.select("id").distinct().collect()}
+    mr = {r["id_r"] for r in inner.select("id_r").distinct().collect()}
+    want = (
+        _collect(inner)
+        + [
+            (r["referenceName"], r["start"], r["end"], r["id"], None, None, None, None)
+            for r in left.collect()
+            if r["id"] not in ml
+        ]
+        + [
+            (None, None, None, None, r["referenceName"], r["start"], r["end"], r["id"])
+            for r in right.collect()
+            if r["id"] not in mr
+        ]
+    )
+    assert _collect(got) == sorted(want, key=repr)
+
+
+def test_group_by_left(tables):
+    left, right = tables
+    got = region_join(left, right, group="left", bin_size=BIN)
+    rows = got.collect()
+    inner = naive_region_join(left, right).collect()
+    from collections import defaultdict
+
+    want = defaultdict(set)
+    for r in inner:
+        want[r["id"]].add(r["id_r"])
+    assert {r["id"] for r in rows} == set(want)
+    for r in rows:
+        assert {h["id"] for h in r["hits"]} == want[r["id"]]
+        # deterministic ordering (sort_array natural order; hits never null)
+        assert [tuple(h) for h in r["hits"]] == sorted(tuple(h) for h in r["hits"])
+
+
+def test_left_outer_group_by_left(tables):
+    left, right = tables
+    got = region_join(left, right, group="left", how="left_outer", bin_size=BIN)
+    rows = got.collect()
+    assert {r["id"] for r in rows} == {r["id"] for r in left.collect()}
+    empty = [r for r in rows if len(r["hits"]) == 0]
+    assert len(empty) > 0  # nulls + non-overlapping rows exist in fixture
+
+
+def test_right_outer_group_by_left(tables):
+    """Unmatched rights appear as (null left, single-hit list)."""
+    left, right = tables
+    got = region_join(left, right, group="left", how="right_outer", bin_size=BIN)
+    inner = naive_region_join(left, right)
+    mr = {r["id_r"] for r in inner.select("id_r").distinct().collect()}
+    unmatched = [r for r in got.collect() if r["id"] is None]
+    assert {r["hits"][0]["id"] for r in unmatched} == {
+        r["id"] for r in right.collect() if r["id"] not in mr
+    }
+    for r in unmatched:
+        assert len(r["hits"]) == 1
+
+
+def test_group_by_right(tables):
+    left, right = tables
+    got = region_join(left, right, group="right", broadcast="left", bin_size=BIN)
+    inner = naive_region_join(left, right).collect()
+    from collections import defaultdict
+
+    want = defaultdict(set)
+    for r in inner:
+        want[r["id_r"]].add(r["id"])
+    rows = got.collect()
+    assert {r["id"] for r in rows} == set(want)
+    for r in rows:
+        assert {h["id"] for h in r["hits"]} == want[r["id"]]
+
+
+def test_right_outer_group_by_right(tables):
+    left, right = tables
+    got = region_join(left, right, group="right", how="right_outer", bin_size=BIN)
+    rows = got.collect()
+    assert {r["id"] for r in rows} == {r["id"] for r in right.collect()}
+
+
+def test_no_null_contig_matches(tables):
+    left, right = tables
+    got = region_join(left, right, how="inner", bin_size=BIN)
+    assert got.where(F.col("referenceName").isNull()).count() == 0
+
+
+def test_large_bin_size(tables):
+    """bin_size larger than the coordinate space → single-bin fallback."""
+    left, right = tables
+    got = region_join(left, right, how="inner", bin_size=10_000_000)
+    want = naive_region_join(left, right)
+    assert _collect(got) == _collect(want)
