@@ -19,7 +19,9 @@ import json
 import os
 from dataclasses import asdict, dataclass, field, replace
 
-SIDECAR_NAME = "_metadata.json"
+# NOTE: must not be named "_metadata*" — Parquet reserves that for its
+# summary files and Spark would try to parse the sidecar as Parquet
+SIDECAR_NAME = "_genomic_metadata.json"
 
 
 @dataclass(frozen=True)

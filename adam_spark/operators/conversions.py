@@ -1,0 +1,260 @@
+"""Type-conversion operators between dataset kinds.
+
+Complete inventory per SURVEY.md §2.5 "Type-conversion operators"
+(reference file:line cited per function). All are select / explode /
+groupBy+collect_list reshapes — pure Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from adam_spark import schemas
+
+
+# --- alignments ↔ fragments ----------------------------------------------
+def alignments_to_fragments(alignments: DataFrame) -> DataFrame:
+    """groupBy(readName) → nested Fragment
+    (reference: AlignmentDataset.toFragments :473, SingleReadBucket.scala:64-193)."""
+    aln_struct = F.struct(*[F.col(f.name) for f in schemas.ALIGNMENT.fields])
+    return (
+        alignments.groupBy(F.col("readName").alias("name"))
+        .agg(
+            F.max("insertSize").alias("insertSize"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("readInFragment").alias("_k"), aln_struct.alias("a"))
+                ),
+                # comparator on the key only: the alignment struct holds a
+                # map column, which Spark cannot order natively
+                lambda x, y: F.when(x["_k"] < y["_k"], -1)
+                .when(x["_k"] > y["_k"], 1)
+                .otherwise(0),
+            ).alias("__sorted"),
+        )
+        .select(
+            "name",
+            "insertSize",
+            F.transform(F.col("__sorted"), lambda s: s["a"]).alias("alignments"),
+        )
+    )
+
+
+def fragments_to_alignments(fragments: DataFrame) -> DataFrame:
+    """explode(alignments)
+    (reference: FragmentDataset.toAlignments :351-366)."""
+    return fragments.select(F.explode("alignments").alias("a")).select("a.*")
+
+
+# --- alignments → reads ---------------------------------------------------
+def alignments_to_reads(alignments: DataFrame) -> DataFrame:
+    """Project the unaligned-read fields
+    (reference: AlignmentDataset.toReads :485)."""
+    return alignments.select(
+        F.col("readName").alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit("DNA").alias("alphabet"),
+        "sequence",
+        F.length("sequence").cast("long").alias("length"),
+        "qualityScores",
+        F.lit(None).cast("string").alias("qualityScoreVariant"),
+        F.col("readGroupSampleId").alias("sampleId"),
+        "attributes",
+    )
+
+
+# --- reads ↔ sequences / slices ------------------------------------------
+def reads_to_sequences(reads: DataFrame) -> DataFrame:
+    """(reference: ReadDataset.toSequences :315)."""
+    return reads.select(
+        "name", "description", "alphabet", "sequence", "length", "sampleId", "attributes"
+    )
+
+
+def sequences_to_reads(sequences: DataFrame) -> DataFrame:
+    """(reference: SequenceDataset.toReads :410)."""
+    return sequences.select(
+        "name",
+        "description",
+        "alphabet",
+        "sequence",
+        "length",
+        F.lit(None).cast("string").alias("qualityScores"),
+        F.lit(None).cast("string").alias("qualityScoreVariant"),
+        "sampleId",
+        "attributes",
+    )
+
+
+def sequences_to_slices(sequences: DataFrame) -> DataFrame:
+    """Whole-sequence slices (index 0 of 1)
+    (reference: SequenceDataset.toSlices :433)."""
+    return sequences.select(
+        "name",
+        "description",
+        "alphabet",
+        "sequence",
+        F.lit(0).cast("long").alias("start"),
+        F.col("length").alias("end"),
+        F.lit("INDEPENDENT").alias("strand"),
+        "length",
+        F.col("length").alias("totalLength"),
+        F.lit(0).alias("index"),
+        F.lit(1).alias("slices"),
+        "sampleId",
+        "attributes",
+    )
+
+
+def slice_sequences(sequences: DataFrame, maximum_length: int) -> DataFrame:
+    """Window sequences into fixed-size slices
+    (reference: SequenceDataset.slice :306-407). posexplode over window
+    starts + substring — no UDF."""
+    step = maximum_length
+    slices = sequences.select(
+        "name",
+        "description",
+        "alphabet",
+        "sampleId",
+        "attributes",
+        F.col("length").alias("totalLength"),
+        F.col("sequence").alias("__seq"),
+        F.posexplode(
+            F.expr(f"transform(sequence(0, cast(greatest(ceil(length(__seq) / {step}) - 1, 0) as int)), i -> i * {step})")
+        ).alias("index", "start"),
+    )
+    return slices.select(
+        "name",
+        "description",
+        "alphabet",
+        F.expr(f"substring(__seq, start + 1, {step})").alias("sequence"),
+        F.col("start").cast("long"),
+        F.least(F.col("start") + step, F.col("totalLength")).cast("long").alias("end"),
+        F.lit("INDEPENDENT").alias("strand"),
+        (F.least(F.col("start") + step, F.col("totalLength")) - F.col("start"))
+        .cast("long")
+        .alias("length"),
+        "totalLength",
+        F.col("index").cast("int"),
+        F.expr(f"cast(ceil(totalLength / {step}) as int)").alias("slices"),
+        "sampleId",
+        "attributes",
+    )
+
+
+def merge_slices(slices: DataFrame) -> DataFrame:
+    """Stitch adjacent slices back into sequences
+    (reference: SliceDataset.merge :291). groupBy(name) +
+    order-preserving concat via sort_array over (start, sequence)."""
+    return (
+        slices.groupBy("name")
+        .agg(
+            F.first("description", ignorenulls=True).alias("description"),
+            F.first("alphabet", ignorenulls=True).alias("alphabet"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("start"), F.col("sequence").alias("s")))
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("sequence"),
+            F.max("totalLength").alias("length"),
+            F.first("sampleId", ignorenulls=True).alias("sampleId"),
+            F.first("attributes", ignorenulls=True).alias("attributes"),
+        )
+        .select(
+            "name", "description", "alphabet", "sequence", "length", "sampleId", "attributes"
+        )
+    )
+
+
+# --- features ↔ coverage --------------------------------------------------
+def features_to_coverage(features: DataFrame) -> DataFrame:
+    """(reference: FeatureDataset.toCoverage :302/:351-358 — score → count)."""
+    return features.select(
+        "referenceName",
+        "start",
+        "end",
+        F.col("score").cast("double").alias("count"),
+        F.col("sampleId").alias("optSampleId")
+        if "sampleId" in features.columns
+        else F.lit(None).cast("string").alias("optSampleId"),
+    )
+
+
+def coverage_to_features(coverage: DataFrame) -> DataFrame:
+    """(reference: CoverageDataset.toFeatures :355)."""
+    out = coverage.select(
+        F.lit(None).cast("string").alias("featureId"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("string").alias("featureType"),
+        "referenceName",
+        "start",
+        "end",
+        F.lit(None).cast("string").alias("strand"),
+        F.lit(None).cast("int").alias("phase"),
+        F.lit(None).cast("int").alias("frame"),
+        F.col("count").cast("double").alias("score"),
+        F.lit(None).cast("string").alias("geneId"),
+        F.lit(None).cast("string").alias("transcriptId"),
+        F.lit(None).cast("string").alias("exonId"),
+        F.lit(None).cast("string").alias("proteinId"),
+        F.lit(None).cast("array<string>").alias("parentIds"),
+        F.lit(None).cast("array<string>").alias("dbxrefs"),
+        F.lit(None).cast("array<string>").alias("ontologyTerms"),
+        F.lit(None).cast("boolean").alias("circular"),
+        F.lit(None).cast("map<string,string>").alias("attributes"),
+    )
+    return out
+
+
+# --- genotypes → variants → variant contexts ------------------------------
+_SITE_COLS = ["referenceName", "start", "end", "referenceAllele", "alternateAllele"]
+
+
+def genotypes_to_variants(genotypes: DataFrame, dedupe: bool = True) -> DataFrame:
+    """Project the nested variant; optionally dropDuplicates on the five
+    site columns (reference: GenotypeDataset.toVariants :408-442)."""
+    v = genotypes.select("variant.*")
+    if dedupe:
+        v = v.dropDuplicates(_SITE_COLS)
+    return v
+
+
+def genotypes_to_variant_contexts(genotypes: DataFrame) -> DataFrame:
+    """Square off per-sample rows into site rows
+    (reference: GenotypeDataset.toVariantContexts :386-398)."""
+    g = F.struct(*[F.col(f.name) for f in schemas.GENOTYPE.fields])
+    return (
+        genotypes.groupBy(
+            "referenceName", "start", "end", F.col("variant").alias("variant")
+        )
+        .agg(F.collect_list(g).alias("genotypes"))
+        .select("referenceName", "start", "end", "variant", "genotypes")
+    )
+
+
+def variants_to_variant_contexts(variants: DataFrame) -> DataFrame:
+    """(reference: VariantDataset.toVariantContexts :349)."""
+    v = F.struct(*[F.col(f.name) for f in schemas.VARIANT.fields])
+    return variants.select(
+        "referenceName",
+        "start",
+        "end",
+        v.alias("variant"),
+        F.lit(None).cast(schemas.VARIANT_CONTEXT["genotypes"].dataType).alias("genotypes"),
+    )
+
+
+def variant_contexts_to_genotypes(vcs: DataFrame) -> DataFrame:
+    """(reference: VariantContextDataset.toGenotypes :325)."""
+    return vcs.select(F.explode("genotypes").alias("g")).select("g.*")
+
+
+def variant_contexts_to_variants(vcs: DataFrame) -> DataFrame:
+    """(reference: VariantContextDataset.toVariants :336)."""
+    return vcs.select("variant.*")

@@ -1,0 +1,100 @@
+"""Genome sorts and repartitioning.
+
+Reference: GenomicDataset.scala:635-753 (sort / sortLexicographically),
+AlignmentDataset.scala:999-1067 (read-name and position sorts with
+unmapped-last hacks), GenomicDataset.scala:577-604 (evenlyRepartition).
+
+Scale note: every global sort here is ``repartitionByRange`` + local
+sort under the hood (Spark orderBy), i.e. a range-partition shuffle
+with sampled bounds — the exact replacement for the reference's
+partition-map machinery; downstream operators rely on Catalyst
+``outputOrdering``/AQE instead of ADAM's optPartitionMap metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from adam_spark.core.metadata import SequenceDictionary
+
+
+def _index_expr(references: SequenceDictionary) -> Column:
+    """contig name → dictionary index as a Catalyst CASE expression.
+
+    The dictionary is driver-side and tiny (~dozens of contigs), so it
+    compiles into the plan as a literal map — no join, no broadcast.
+    """
+    m = references.index_map()
+    expr = F.lit(None).cast("int")
+    for name, idx in m.items():
+        expr = F.when(F.col("referenceName") == F.lit(name), F.lit(idx)).otherwise(expr)
+    return expr
+
+
+def sort(df: DataFrame, references: SequenceDictionary, drop_unmapped: bool = True) -> DataFrame:
+    """Global sort by (reference index, start)
+    (reference: GenomicDataset.sort, :635-687). Records on contigs
+    absent from the dictionary (or unmapped) are dropped, mirroring the
+    default STRICT/LENIENT stringency behavior."""
+    idx = _index_expr(references)
+    out = df.withColumn("__refIdx", idx)
+    if drop_unmapped:
+        out = out.where(F.col("__refIdx").isNotNull() & F.col("start").isNotNull())
+    return out.orderBy("__refIdx", "start").drop("__refIdx")
+
+
+def sort_lexicographically(df: DataFrame) -> DataFrame:
+    """Global sort by (referenceName, start)
+    (reference: sortLexicographically, :697-753)."""
+    return df.where(F.col("referenceName").isNotNull()).orderBy("referenceName", "start")
+
+
+def sort_by_read_name(df: DataFrame) -> DataFrame:
+    """orderBy(readName, readInFragment)
+    (reference: AlignmentDataset.sortByReadName, :999-1003)."""
+    return df.orderBy("readName", "readInFragment")
+
+
+def sort_by_reference_position(df: DataFrame) -> DataFrame:
+    """Position sort with unmapped reads LAST, ordered by read name —
+    the reference implements this with a tilde-prefixed-name hack
+    (AlignmentDataset.scala:1016-1040); a composite sort key expresses
+    it directly."""
+    return df.orderBy(
+        _true_last(F.col("readMapped")),
+        F.when(F.col("readMapped").eqNullSafe(F.lit(True)), F.col("referenceName")).otherwise(
+            F.col("readName")
+        ),
+        F.col("start"),
+    )
+
+
+def sort_by_reference_position_and_index(
+    df: DataFrame, references: SequenceDictionary
+) -> DataFrame:
+    """Same, but contigs ordered by dictionary index
+    (reference: AlignmentDataset.scala:1042-1067)."""
+    idx = _index_expr(references)
+    return df.orderBy(
+        _true_last(F.col("readMapped")),
+        F.when(F.col("readMapped").eqNullSafe(F.lit(True)), idx).otherwise(F.lit(2**31 - 1)),
+        F.when(~F.col("readMapped").eqNullSafe(F.lit(True)), F.col("readName")),
+        F.col("start"),
+    )
+
+
+def _true_last(c: Column) -> Column:
+    # mapped (true) sorts first, unmapped/null last
+    return F.when(c.eqNullSafe(F.lit(True)), F.lit(0)).otherwise(F.lit(1))
+
+
+def evenly_repartition(df: DataFrame, partitions: int, sort_cols: list[str] | None = None) -> DataFrame:
+    """Equalize rows per partition while preserving a sort
+    (reference: evenlyRepartition, GenomicDataset.scala:577-604 — done
+    there with zipWithIndex + a manual partitioner; repartitionByRange
+    on the sort key is the Catalyst-native equivalent)."""
+    cols = sort_cols or ["referenceName", "start"]
+    return df.repartitionByRange(partitions, *[F.col(c) for c in cols]).sortWithinPartitions(
+        *[F.col(c) for c in cols]
+    )

@@ -34,5 +34,9 @@ def get_spark(app_name: str = "adam-spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("ADAM_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # permissive expression semantics (Spark 3-style): the data model is
+        # nullable-everything with no invariants, so out-of-range accesses and
+        # unparseable casts must yield null, not runtime errors
+        .config("spark.sql.ansi.enabled", "false")
     )
     return builder.getOrCreate()

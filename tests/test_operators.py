@@ -1,0 +1,127 @@
+"""flagstat, k-mers, sorts, filters, conversions, duplicate marking."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from adam_spark.operators import filters
+from adam_spark.operators.conversions import (
+    alignments_to_fragments,
+    fragments_to_alignments,
+)
+from adam_spark.operators.flagstat import flagstat
+from adam_spark.operators.kmers import count_kmers
+from adam_spark.operators.mark_duplicates import mark_duplicates
+from adam_spark.operators.sorts import sort, sort_by_reference_position
+from tests.genomic_fixtures import make_sequence_dictionary
+
+
+def test_flagstat_counts(fixtures):
+    aln = fixtures.alignments().df
+    rows = {r["qcFailed"]: r for r in flagstat(aln).collect()}
+    raw = aln.collect()
+    for qc in [False, True]:
+        sub = [r for r in raw if bool(r["failedVendorQualityChecks"]) == qc]
+        got = rows[qc]
+        assert got["total"] == len(sub)
+        assert got["mapped"] == sum(1 for r in sub if r["readMapped"])
+        assert got["paired"] == sum(1 for r in sub if r["readPaired"])
+        assert got["read1"] == sum(1 for r in sub if r["readPaired"] and r["readInFragment"] == 0)
+        assert got["properlyPaired"] == sum(1 for r in sub if r["properPair"])
+        assert got["singleton"] == sum(
+            1 for r in sub if r["readMapped"] and not r["mateMapped"] and r["readPaired"]
+        )
+
+
+def test_count_kmers_vs_oracle(fixtures, spark):
+    aln = fixtures.alignments().df.limit(50)
+    k = 4
+    got = {r["kmer"]: r["count"] for r in count_kmers(aln, k).collect()}
+    want = Counter()
+    for r in aln.collect():
+        s = r["sequence"]
+        for i in range(len(s) - k + 1):
+            want[s[i : i + k]] += 1
+    assert got == dict(want)
+
+
+def test_sort_unmapped_dropped(fixtures):
+    aln = fixtures.alignments()
+    out = sort(aln.df, make_sequence_dictionary()).collect()
+    assert all(r["referenceName"] is not None for r in out)
+    # chr1 < chr2 < chrM by index; within contig ascending start
+    seen = [(r["referenceName"], r["start"]) for r in out]
+    order = {"chr1": 0, "chr2": 1, "chrM": 2}
+    assert seen == sorted(seen, key=lambda t: (order[t[0]], t[1]))
+
+
+def test_sort_by_reference_position_unmapped_last(fixtures):
+    aln = fixtures.alignments()
+    out = sort_by_reference_position(aln.df).collect()
+    mapped_flags = [bool(r["readMapped"]) for r in out]
+    # once we see an unmapped read, no mapped reads follow
+    if False in mapped_flags:
+        first_unmapped = mapped_flags.index(False)
+        assert all(not m for m in mapped_flags[first_unmapped:])
+
+
+def test_filters(fixtures):
+    aln = fixtures.alignments().df
+    assert filters.filter_by_mapping_quality(aln, 30).where(
+        F.col("mappingQuality") < 30
+    ).count() == 0
+    assert filters.filter_unaligned_reads(aln).count() == aln.where("readMapped").count()
+    assert (
+        filters.filter_to_read_groups(aln, ["rg1"]).count()
+        == aln.where("readGroupId = 'rg1'").count()
+    )
+    # view filter: -f 0x1 (paired) ∩ -F 0x4 (mapped)
+    v = filters.view_filter(aln, match_all_bits=0x1, mismatch_all_bits=0x4)
+    assert v.count() == aln.where("readPaired AND readMapped").count()
+
+
+def test_fragment_roundtrip(fixtures):
+    aln = fixtures.alignments().df
+    frags = alignments_to_fragments(aln)
+    assert frags.count() == aln.select("readName").distinct().count()
+    back = fragments_to_alignments(frags)
+    assert back.count() == aln.count()
+    a = sorted((r["readName"], r["readInFragment"], r["start"]) for r in aln.collect())
+    b = sorted((r["readName"], r["readInFragment"], r["start"]) for r in back.collect())
+    assert a == b
+    # nested alignments are ordered by readInFragment
+    for r in frags.limit(20).collect():
+        rifs = [a["readInFragment"] for a in r["alignments"]]
+        assert rifs == sorted(rifs)
+
+
+def test_mark_duplicates(fixtures):
+    aln = fixtures.alignments().df
+    marked = mark_duplicates(aln, {"rg1": "lib1", "rg2": None})
+    assert marked.count() == aln.count()
+    rows = marked.collect()
+    # fixture forces groups of 3 pairs sharing a 5' start (k % 50 < 6 →
+    # same start0 per pair-of-pairs); at least one duplicate must exist
+    dup_names = {r["readName"] for r in rows if r["duplicateRead"]}
+    assert len(dup_names) > 0
+    # duplicates are marked per-fragment: both reads of a pair agree
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r["readName"], set()).add(bool(r["duplicateRead"]))
+    for name, flags in by_name.items():
+        assert len(flags) == 1, f"fragment {name} has mixed duplicate flags"
+    # unmapped fragments never marked
+    for r in rows:
+        if not r["readMapped"] and not r["readPaired"]:
+            assert not r["duplicateRead"]
+    # within each competing group, exactly the best-scoring fragment survives:
+    # verify no group is fully marked
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for r in rows:
+        if r["readMapped"] and r["readInFragment"] == 0:
+            groups[(r["referenceName"], r["start"])].add((r["readName"], r["duplicateRead"]))
+    for g, members in groups.items():
+        if len(members) > 1 and any(d for _, d in members):
+            assert any(not d for _, d in members), f"group {g} fully marked"
