@@ -1,0 +1,259 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — all
+expressed with built-in Catalyst expressions (no Python UDFs in the hot
+path) so they vectorize and scale.
+
+Portability note: every hash here is ``md5`` over strings, which yields
+identical lowercase hex in Spark and in the DuckDB correctness oracle —
+minhashes are the lexicographic MIN of per-seed md5 hex strings, a
+standard trick that keeps the whole pipeline engine-agnostic and
+deterministic (no RNG, no JVM-specific hashing).
+
+Scale design:
+- tokenize/shingle once, explode, hash per (token, seed) — the seed
+  dimension is a generated column, so the shuffle key space is
+  (token-space × seeds), uniformly distributed;
+- LSH banding turns all-pairs similarity into an equi-join on
+  (band_index, band_hash) — Catalyst shuffle-hash join, AQE-skew-safe;
+- candidate pairs are verified with exact Jaccard BEFORE emission, so
+  recall loss is the only approximation (tunable via bands × rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (portable to DuckDB)."""
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles, space-joined."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact-content dedup on a canonical fingerprint.
+
+    Fingerprint = md5 of the lower-cased raw text. Output: one row per
+    input with (id, fingerprint, canonical_id, is_duplicate) where
+    canonical_id is the group's min id — the classic keep-first policy.
+    """
+    fp = F.md5(F.lower(F.col(text_col)))
+    keyed = df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        keyed.withColumn("canonical_id", F.min("id").over(w))
+        .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
+        .select("id", "fingerprint", "canonical_id", "is_duplicate")
+    )
+
+
+#: Mersenne prime for the universal-hash family
+_MH_P = 2_147_483_647
+
+
+def _mh_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod P."""
+    import random
+
+    rng = random.Random(42)
+    return [(rng.randrange(1, _MH_P), rng.randrange(0, _MH_P)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """(id, signature array<long>) via a universal hash family.
+
+    One base hash per shingle (md5 → 28-bit int), then the i-th hash is
+    ``(a_i·h + b_i) mod P`` — derived arithmetically, so the plan is:
+    explode shingles → ONE groupBy(id) with ``num_hashes`` min()
+    aggregates (map-side combinable). The signature width is a column
+    dimension, never a shuffle dimension; shuffle volume is one row per
+    document regardless of num_hashes.
+    """
+    consts = _mh_constants(num_hashes)
+    ex = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("sh"))
+    h0 = F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("long")
+    ex = ex.withColumn("h0", h0)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h0") + F.lit(b), F.lit(_MH_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    per_id = ex.groupBy("id").agg(*aggs)
+    return per_id.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_bands(signatures: DataFrame, bands: int) -> DataFrame:
+    """(id, band, band_hash): hash each signature band for bucketing."""
+    sig_len_expr = F.size("signature")
+    rows_per_band = (sig_len_expr / F.lit(bands)).cast("int")
+    return signatures.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("signature"),
+    ).select(
+        "id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.col("signature"),
+                        F.col("band") * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ).alias("band_hash"),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_ngram: int = 1,
+    num_hashes: int = 128,
+    bands: int = 64,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    With bands=64 × rows=2, P(miss | J≥0.8) ≈ (1−0.8²)^64 ≈ 4e−29 —
+    recall is effectively exact at the default threshold.
+    """
+    sh = word_ngrams(F.col(text_col), shingle_ngram) if shingle_ngram > 1 else distinct_tokens(
+        F.col(text_col)
+    )
+    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.repartition(shuffle_parts).select(F.col(id_col).alias("id"), sh.alias("sh"))
+    sigs = minhash_signatures(base, "id", F.col("sh"), num_hashes)
+    bandsdf = lsh_bands(sigs, bands)
+    a = bandsdf.select(F.col("id").alias("id_a"), "band", "band_hash")
+    b = bandsdf.select(F.col("id").alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (the brute-force oracle path).
+
+    O(n²) on document count — correct at any scale factor but meant for
+    validation and small corpora; the scale path is
+    :func:`minhash_lsh_pairs`. Implemented as an inverted-index join on
+    shared shingles (not a cartesian product), so cost is bounded by
+    co-occurrence, mirroring a posting-list self-join.
+    """
+    sh = word_ngrams(F.col(text_col), ngram) if ngram > 1 else distinct_tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    posts = base.select("id", F.explode("sh").alias("tok"), F.size("sh").alias("n"))
+    pa = posts.select(F.col("id").alias("id_a"), "tok", F.col("n").alias("n_a"))
+    pb = posts.select(F.col("id").alias("id_b"), "tok", F.col("n").alias("n_b"))
+    inter = (
+        pa.join(pb, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprints from token md5s (engine-portable).
+
+    For bit j: take the j-th bit of each token's md5 (hex-nibble
+    arithmetic), sum ±1 over the document's distinct tokens, bit is 1
+    when the sum is positive. Returns (id, simhash long).
+    """
+    toks = df.select(F.col(id_col).alias("id"), F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
+    h = toks.withColumn("h", F.md5("tok"))
+    bit_cols = []
+    for j in range(bits):
+        nibble_idx = j // 4 + 1  # 1-based hex char position
+        bit_in_nibble = j % 4
+        nibble = F.conv(F.substring(F.col("h"), nibble_idx, 1), 16, 10).cast("int")
+        bit = F.floor(nibble / F.lit(2**bit_in_nibble)) % 2
+        bit_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = h.groupBy("id").agg(*bit_cols)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_duplicates(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Documents sharing a simhash fingerprint (candidate near-dups)."""
+    fps = simhash(df, id_col, text_col, bits)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("simhash")
+    return (
+        fps.withColumn("canonical_id", F.min("id").over(w))
+        .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
+        .select("id", "simhash", "canonical_id", "is_duplicate")
+    )

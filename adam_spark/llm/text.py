@@ -1,0 +1,116 @@
+"""Text analysis operators: language ID, quality scoring, token stats,
+document fingerprinting.
+
+All pure Catalyst expressions (regexp/array built-ins) — no UDFs — so
+they run JVM-side at scan speed and have exact DuckDB-SQL equivalents
+for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from adam_spark.llm.dedup import distinct_tokens, tokens
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "zu", "den", "von", "ist"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un"],
+    "zh": ["de5", "le5", "shi4", "zai4", "you3", "wo3", "ta1", "men5"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count of word-piece units matched by a
+    simple regex (runs of letters ≤4 chars count 1, longer words count
+    ceil(len/4)), plus punctuation/digit singles — a deterministic
+    approximation of subword tokenizer output length."""
+    toks = tokens(F.lower(text))
+    per_tok = F.transform(
+        toks,
+        lambda t: F.ceil(F.length(F.regexp_replace(t, "[^a-z0-9]", "")) / F.lit(4.0)).cast("long")
+        + F.length(F.regexp_replace(t, "[a-z0-9]", "")).cast("long"),
+    )
+    return F.aggregate(per_tok, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punctuation_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[\.,;:!\?'\"\(\)\[\]\{\}-]", ""))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards texts
+    with reasonable length, word diversity, and low punctuation noise —
+    the shape of C4/Gopher-style quality filters, deterministic."""
+    toks = tokens(text)
+    n = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    length_ok = F.least(n / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(1.0) - punctuation_ratio(text) * 5, F.lit(0.0))
+    return F.round(length_ok * 0.4 + diversity * 0.4 + punct_penalty * 0.2, 6)
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-vote language guess: the language whose stopword list
+    hits the most tokens; ties and zero-hit documents → 'und'."""
+    toks = tokens(F.lower(text))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        improved = hits > best_hits
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(improved, hits).otherwise(best_hits)
+    return best_lang
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set — stable under token reordering (a rolling-hash
+    analogue that is engine-portable)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(F.lower(text)))))
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per document with the full stats battery."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        F.size(distinct_tokens(t)).alias("n_distinct_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(punctuation_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_guess"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,133 @@
+"""LLM-pipeline operators on the real testdata documents/embeddings."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from adam_spark.llm.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from adam_spark.llm.multimodal import extract_features, sample_frames, MEDIA
+from adam_spark.llm.similarity import cosine_topk, cosine_topk_numpy, ivf_topk
+from adam_spark.llm.text import text_profile
+from adam_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_minhash_lsh_equals_bruteforce(docs):
+    lsh = minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
+    brute = ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+    a = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in lsh.collect())
+    b = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in brute.collect())
+    assert len(b) > 0, "fixture should contain near-duplicate docs at J>=0.8"
+    assert a == b
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs, "doc_id").collect()
+    assert len(out) == docs.count()
+    # canonical is the min id of its group and never a duplicate itself
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r["fingerprint"], []).append(r)
+    for fp, rows in by_fp.items():
+        canon = min(r["id"] for r in rows)
+        for r in rows:
+            assert r["canonical_id"] == canon
+            assert r["is_duplicate"] == (r["id"] != canon)
+
+
+def test_simhash_groups_subset_of_high_jaccard(docs):
+    out = simhash_duplicates(docs, "doc_id").collect()
+    assert len(out) == docs.count()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["simhash"], set()).add(r["id"])
+    assert all(0 <= r["simhash"] < 2**16 for r in out)
+
+
+def test_text_profile_oracle(docs):
+    rows = text_profile(docs).orderBy("id").limit(30).collect()
+    raw = {r["doc_id"]: r["text"] for r in docs.limit(200).collect()}
+    for r in rows:
+        t = raw[r["id"]]
+        toks = [x for x in t.split(" ") if x]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct_tokens"] == len(set(toks))
+        assert r["n_chars"] == len(t)
+        assert abs(r["mean_word_len"] - sum(map(len, toks)) / len(toks)) < 1e-6
+
+
+def test_cosine_topk_matches_numpy(embs):
+    queries = embs.where(F.col("vec_id") < 5)
+    got = cosine_topk(embs, queries, k=5).collect()
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in embs.collect()}
+    for qid in range(5):
+        q = mat[qid]
+        sims = sorted(
+            (
+                (-(q @ v) / (np.linalg.norm(q) * np.linalg.norm(v)), nid)
+                for nid, v in mat.items()
+                if nid != qid
+            ),
+        )[:5]
+        want = [nid for _, nid in sims]
+        rows = sorted((r for r in got if r["query_id"] == qid), key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in rows] == want
+
+
+def test_cosine_topk_numpy_path_matches(embs):
+    queries = [(r["vec_id"], list(r["embedding"])) for r in embs.where("vec_id < 5").collect()]
+    got_np = cosine_topk_numpy(embs, queries, k=5).collect()
+    got_df = cosine_topk(embs, embs.where("vec_id < 5"), k=5).collect()
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in got_np)
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in got_df)
+    assert a == b
+
+
+def test_ivf_recall(embs):
+    exact = cosine_topk(embs, embs.where("vec_id < 10"), k=5).collect()
+    approx = ivf_topk(embs, embs.where("vec_id < 10"), k=5, n_centroids=8, n_probe=4).collect()
+    ex = {}
+    ap = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) > 0.5  # probing half the buckets
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (1, "image", "image/fake", bytes([1, 2, 3, 9, 9]), 4, 4, None, None),
+        (2, "video", "video/fake", bytes(range(100)), 16, 16, 3500, None),
+        (3, "audio", "audio/fake", None, None, None, 2000, 16000),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    feats = {r["asset_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert feats[1]["n_bytes"] == 5
+    assert abs(sum(feats[1]["feature"]) - 1.0) < 1e-6
+    assert feats[3]["n_bytes"] == 0
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert [(r["frame_idx"], r["ts_ms"]) for r in frames] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+    from adam_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")
