@@ -32,6 +32,22 @@ def _f(name: str, dtype, nullable: bool = True) -> StructField:
     return StructField(name, dtype, nullable)
 
 
+def conform(df, schema: StructType):
+    """Project ``df`` onto ``schema``: present columns are cast, missing
+    columns become typed nulls. The nullable-everything model (SURVEY §1.2)
+    makes this safe for every record type."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
 _ATTRS = MapType(StringType(), StringType(), True)
 
 # --- Alignment (reference: converters/AlignmentConverter.scala) -----------

@@ -1,0 +1,196 @@
+"""SAM text format: load/save as a DataFrame pipeline.
+
+The reference ingests SAM/BAM/CRAM via hadoop-bam (ADAMContext.loadBam
+:2041-2111) and exports via htsjdk (AlignmentDataset.saveAsSam
+:810-997). Binary BAM/CRAM needs native codecs not present here, so
+this engine treats SAM text as the interchange format (a `samtools
+view` away from BAM) and Parquet as the native storage; the header
+(@SQ/@RG/@PG) maps to the metadata sidecar both ways.
+
+Flag decoding follows the SAM spec bit-for-bit (matches the boolean
+columns the reference's AlignmentConverter sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adam_spark import schemas
+from adam_spark.core.genomic_frame import GenomicFrame
+from adam_spark.core.metadata import (
+    GenomicMetadata,
+    ReadGroup,
+    Reference,
+    SequenceDictionary,
+)
+from adam_spark.operators.filters import sam_flags
+
+
+def _ref_len(col_name: str):
+    """Reference-consumed length of a CIGAR column (M/D/N/=/X ops)."""
+    return F.aggregate(
+        F.expr(
+            f"transform(regexp_extract_all({col_name}, '(\\\\d+)[MDN=X]', 1), x -> cast(x as long))"
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+
+
+def load_sam(spark: SparkSession, path: str) -> GenomicFrame:
+    raw = spark.read.text(path)
+    body = raw.where(~F.col("value").startswith("@") & (F.length(F.trim("value")) > 0))
+    t = F.split(F.col("value"), "\t")
+
+    mapped = F.col("flag").bitwiseAND(F.lit(0x4)) == 0
+    parsed = body.select(
+        F.element_at(t, 1).alias("readName"),
+        F.element_at(t, 2).cast("int").alias("flag"),
+        F.when(F.element_at(t, 3) == "*", None).otherwise(F.element_at(t, 3)).alias("rname"),
+        F.element_at(t, 4).cast("long").alias("pos1"),
+        F.element_at(t, 5).cast("int").alias("mapq"),
+        F.when(F.element_at(t, 6) == "*", None).otherwise(F.element_at(t, 6)).alias("cigar"),
+        F.element_at(t, 7).alias("rnext"),
+        F.element_at(t, 8).cast("long").alias("pnext1"),
+        F.element_at(t, 9).cast("long").alias("tlen"),
+        F.when(F.element_at(t, 10) == "*", None).otherwise(F.element_at(t, 10)).alias("sequence"),
+        F.when(F.element_at(t, 11) == "*", None).otherwise(F.element_at(t, 11)).alias(
+            "qualityScores"
+        ),
+        F.when(
+            F.size(t) > 11,
+            F.map_from_entries(
+                F.transform(
+                    F.slice(t, 12, 10_000),
+                    # TAG:TYPE:VALUE → key=TAG, value="TYPE:VALUE"
+                    lambda x: F.struct(
+                        F.substring_index(x, ":", 1).alias("k"),
+                        F.substring(x, 4, 1_000_000).alias("v"),
+                    ),
+                )
+            ),
+        ).alias("attributes"),
+    )
+    b = lambda bit: F.col("flag").bitwiseAND(F.lit(bit)) != 0  # noqa: E731
+    df = parsed.select(
+        F.when(b(0x4), None).otherwise(F.col("rname")).alias("referenceName"),
+        F.when(b(0x4) | (F.col("pos1") == 0), None)
+        .otherwise(F.col("pos1") - 1)
+        .alias("start"),
+        F.when(b(0x4) | (F.col("pos1") == 0), None)
+        .otherwise(F.col("pos1") - 1 + _ref_len("cigar"))
+        .alias("end"),
+        F.when(b(0x4), None).otherwise(F.col("mapq")).alias("mappingQuality"),
+        "readName",
+        "sequence",
+        "qualityScores",
+        "cigar",
+        b(0x1).alias("readPaired"),
+        b(0x2).alias("properPair"),
+        (~b(0x4)).alias("readMapped"),
+        F.when(b(0x1), ~b(0x8)).otherwise(F.lit(None).cast("boolean")).alias("mateMapped"),
+        b(0x200).alias("failedVendorQualityChecks"),
+        b(0x400).alias("duplicateRead"),
+        b(0x10).alias("readNegativeStrand"),
+        F.when(b(0x1), b(0x20)).otherwise(F.lit(None).cast("boolean")).alias(
+            "mateNegativeStrand"
+        ),
+        (~b(0x100) & ~b(0x800)).alias("primaryAlignment"),
+        b(0x100).alias("secondaryAlignment"),
+        b(0x800).alias("supplementaryAlignment"),
+        F.col("attributes").getItem("MD").alias("mismatchingPositions"),
+        F.col("attributes").getItem("RG").alias("readGroupId"),
+        F.when(b(0x1) & ~b(0x8) & (F.col("pnext1") > 0), F.col("pnext1") - 1).alias(
+            "mateAlignmentStart"
+        ),
+        F.when(
+            b(0x1) & ~b(0x8),
+            F.when(F.col("rnext") == "=", F.col("rname")).otherwise(
+                F.when(F.col("rnext") == "*", None).otherwise(F.col("rnext"))
+            ),
+        ).alias("mateReferenceName"),
+        F.when(F.col("tlen") != 0, F.col("tlen")).alias("insertSize"),
+        F.when(b(0x40), 0).when(b(0x80), 1).otherwise(0).alias("readInFragment"),
+        "attributes",
+    )
+    df = schemas.conform(df, schemas.ALIGNMENT)
+
+    meta = _header_metadata(raw)
+    return GenomicFrame(df, meta)
+
+
+def _header_metadata(raw: DataFrame) -> GenomicMetadata:
+    hdr = [r["value"] for r in raw.where(F.col("value").startswith("@")).collect()]
+    refs, rgs = [], []
+    for line in hdr:
+        parts = line.split("\t")
+        fields = dict(kv.split(":", 1) for kv in parts[1:] if ":" in kv)
+        if parts[0] == "@SQ" and "SN" in fields:
+            refs.append(
+                Reference(
+                    name=fields["SN"],
+                    length=int(fields["LN"]) if "LN" in fields else None,
+                    md5=fields.get("M5"),
+                )
+            )
+        elif parts[0] == "@RG" and "ID" in fields:
+            rgs.append(
+                ReadGroup(
+                    id=fields["ID"],
+                    sampleId=fields.get("SM"),
+                    library=fields.get("LB"),
+                    platform=fields.get("PL"),
+                    platformUnit=fields.get("PU"),
+                    sequencingCenter=fields.get("CN"),
+                )
+            )
+    return GenomicMetadata(
+        references=SequenceDictionary(refs), read_groups=rgs, kind="alignment"
+    )
+
+
+def save_sam(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
+    """Alignments → SAM text with reconstructed flags + header."""
+    df = schemas.conform(gf.df, schemas.ALIGNMENT)
+    flags = sam_flags(df)
+    line = F.concat_ws(
+        "\t",
+        F.coalesce(F.col("readName"), F.lit("*")),
+        flags.cast("string"),
+        F.coalesce(F.col("referenceName"), F.lit("*")),
+        F.coalesce((F.col("start") + 1).cast("string"), F.lit("0")),
+        F.coalesce(F.col("mappingQuality").cast("string"), F.lit("0")),
+        F.coalesce(F.col("cigar"), F.lit("*")),
+        F.coalesce(
+            F.when(
+                F.col("mateReferenceName").eqNullSafe(F.col("referenceName")), F.lit("=")
+            ).otherwise(F.col("mateReferenceName")),
+            F.lit("*"),
+        ),
+        F.coalesce((F.col("mateAlignmentStart") + 1).cast("string"), F.lit("0")),
+        F.coalesce(F.col("insertSize").cast("string"), F.lit("0")),
+        F.coalesce(F.col("sequence"), F.lit("*")),
+        F.coalesce(F.col("qualityScores"), F.lit("*")),
+    ).alias("value")
+    body = df.select(line)
+    header = ["@HD\tVN:1.6\tSO:unsorted"]
+    for r in gf.meta.references.references:
+        header.append(f"@SQ\tSN:{r.name}" + (f"\tLN:{r.length}" if r.length else ""))
+    for g in gf.meta.read_groups:
+        rg = f"@RG\tID:{g.id}"
+        if g.sampleId:
+            rg += f"\tSM:{g.sampleId}"
+        if g.library:
+            rg += f"\tLB:{g.library}"
+        if g.platform:
+            rg += f"\tPL:{g.platform}"
+        header.append(rg)
+    hdr_df = df.sparkSession.createDataFrame([(h,) for h in header], "value string")
+    out = (
+        hdr_df.select(F.lit(0).alias("__o"), "value")
+        .unionByName(body.select(F.lit(1).alias("__o"), "value"))
+    )
+    if single_file:
+        out = out.coalesce(1).sortWithinPartitions("__o")
+    out.select("value").write.text(path)

@@ -1,0 +1,116 @@
+"""Round-trip tests for text-format sources (SAM, BED/GTF/GFF3/NarrowPeak/
+IntervalList), mirroring the reference's load→save→reload equivalence suites
+(AlignmentDatasetSuite.scala:313, FeatureDatasetSuite round trips)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adam_spark.sources import features_io, sam
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_sam_round_trip(spark, fixtures, tmp_path):
+    gf = fixtures.alignments()
+    out = str(tmp_path / "out.sam")
+    sam.save_sam(gf, out)
+    back = sam.load_sam(spark, out)
+
+    cols = [
+        "readName",
+        "referenceName",
+        "start",
+        "end",
+        "mappingQuality",
+        "cigar",
+        "sequence",
+        "qualityScores",
+        "readPaired",
+        "readMapped",
+        "readNegativeStrand",
+        "duplicateRead",
+        "readInFragment",
+    ]
+    assert _rows(back.df, *cols) == _rows(gf.df, *cols)
+    # header metadata survives
+    assert [r.name for r in back.meta.references.references] == [
+        r.name for r in gf.meta.references.references
+    ]
+    assert sorted(g.id for g in back.meta.read_groups) == ["rg1", "rg2"]
+
+
+def test_sam_end_from_cigar(spark, tmp_path):
+    """end = start + reference-consumed cigar length (M/D/N/=/X)."""
+    lines = [
+        "@SQ\tSN:chr1\tLN:1000",
+        "r1\t0\tchr1\t11\t60\t10M2D5M3I7M\t*\t0\t0\t" + "A" * 25 + "\t" + "I" * 25,
+    ]
+    p = tmp_path / "t.sam"
+    p.write_text("\n".join(lines) + "\n")
+    row = sam.load_sam(spark, str(p)).df.collect()[0]
+    assert row["start"] == 10
+    assert row["end"] == 10 + (10 + 2 + 5 + 7)
+    assert row["readMapped"] is True
+
+
+def test_bed_round_trip(spark, fixtures, tmp_path):
+    gf = fixtures.features()
+    out = str(tmp_path / "out.bed")
+    features_io.save_bed(gf, out)
+    back = features_io.load_bed(spark, str(out))
+    cols = ["referenceName", "start", "end", "score", "strand"]
+    assert _rows(back.df, *cols) == _rows(gf.df, *cols)
+
+
+def test_gtf_round_trip(spark, fixtures, tmp_path):
+    gf = fixtures.features()
+    out = str(tmp_path / "out.gtf")
+    features_io.save_gtf(gf, out)
+    back = features_io.load_gtf(spark, str(out))
+    cols = ["referenceName", "start", "end", "featureType", "geneId", "strand"]
+    assert _rows(back.df, *cols) == _rows(gf.df, *cols)
+
+
+def test_gff3_round_trip(spark, fixtures, tmp_path):
+    gf = fixtures.features()
+    out = str(tmp_path / "out.gff3")
+    features_io.save_gff3(gf, out)
+    back = features_io.load_gff3(spark, str(out))
+    cols = ["referenceName", "start", "end", "featureType", "featureId", "strand"]
+    assert _rows(back.df, *cols) == _rows(gf.df, *cols)
+    # Parent= lists survive
+    n_parents = gf.df.where(F.size("parentIds") > 0).count()
+    assert back.df.where(F.size("parentIds") > 0).count() == n_parents
+
+
+def test_narrowpeak_round_trip(spark, fixtures, tmp_path):
+    gf = fixtures.features()
+    out = str(tmp_path / "out.narrowPeak")
+    features_io.save_narrowpeak(gf, out)
+    back = features_io.load_narrowpeak(spark, str(out))
+    cols = ["referenceName", "start", "end", "strand"]
+    assert _rows(back.df, *cols) == _rows(gf.df, *cols)
+
+
+def test_interval_list_round_trip(spark, fixtures, tmp_path):
+    gf = fixtures.features()
+    out = str(tmp_path / "out.interval_list")
+    features_io.save_interval_list(gf, out)
+    back = features_io.load_interval_list(spark, str(out))
+    cols = ["referenceName", "start", "end", "strand"]
+    assert _rows(back.df, *cols) == _rows(gf.df, *cols)
+    # @SQ header → sequence dictionary
+    assert [r.name for r in back.meta.references.references] == ["chr1", "chr2", "chrM"]
+
+
+def test_gtf_coordinate_convention(spark, tmp_path):
+    """GTF is 1-based closed on disk; internal is 0-based half-open."""
+    p = tmp_path / "t.gtf"
+    p.write_text('chr1\tsrc\tgene\t101\t200\t.\t+\t.\tgene_id "g1";\n')
+    row = features_io.load_gtf(spark, str(p)).df.collect()[0]
+    assert (row["start"], row["end"]) == (100, 200)
+    assert row["geneId"] == "g1"
+    assert row["strand"] == "FORWARD"
