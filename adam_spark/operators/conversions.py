@@ -112,7 +112,7 @@ def slice_sequences(sequences: DataFrame, maximum_length: int) -> DataFrame:
     (reference: SequenceDataset.slice :306-407). posexplode over window
     starts + substring — no UDF."""
     step = maximum_length
-    slices = sequences.select(
+    base = sequences.select(
         "name",
         "description",
         "alphabet",
@@ -120,6 +120,15 @@ def slice_sequences(sequences: DataFrame, maximum_length: int) -> DataFrame:
         "attributes",
         F.col("length").alias("totalLength"),
         F.col("sequence").alias("__seq"),
+    )
+    slices = base.select(
+        "name",
+        "description",
+        "alphabet",
+        "sampleId",
+        "attributes",
+        "totalLength",
+        "__seq",
         F.posexplode(
             F.expr(f"transform(sequence(0, cast(greatest(ceil(length(__seq) / {step}) - 1, 0) as int)), i -> i * {step})")
         ).alias("index", "start"),

@@ -1,0 +1,119 @@
+"""FASTA source/sink as a DataFrame pipeline.
+
+The reference parses FASTA with driver-shipped converters
+(converters/FastaConverters.scala, ~301 LoC; loaders
+ADAMContext.loadFastaDna/Rna/Protein:3904-3926, slice variant :4066) and
+writes with SequenceDataset.saveAsFasta (SequenceDataset.scala:508,
+line-wrap 60).
+
+Relational re-expression: number lines per file, mark ``>`` header
+lines, assign each line the running count of headers (a window
+cumulative sum) as its record id, then assemble each record with an
+order-preserving ``sort_array(collect_list(struct(lineno, line)))``.
+One shuffle per load; no Python UDFs. Ordering relies on the same
+split-order property as fastq.py (validated there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from adam_spark import schemas
+from adam_spark.core.genomic_frame import GenomicFrame
+from adam_spark.core.metadata import GenomicMetadata, Reference, SequenceDictionary
+
+
+def load_fasta_sequences(
+    spark: SparkSession, path: str, alphabet: str = "DNA"
+) -> GenomicFrame:
+    """FASTA → SEQUENCE records (ADAMContext.loadFastaDna:3904)."""
+    w = Window.partitionBy("file").orderBy("mid")
+    lines = (
+        spark.read.text(path)
+        .where(F.length(F.trim("value")) > 0)
+        .select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("mid"),
+            F.trim(F.col("value")).alias("line"),
+        )
+        .withColumn("lineno", F.row_number().over(w))
+        .withColumn("is_hdr", F.col("line").startswith(">"))
+        .withColumn("rec", F.sum(F.col("is_hdr").cast("int")).over(w))
+        .where(F.col("rec") > 0)  # tolerate leading junk before first '>'
+    )
+    assembled = lines.groupBy("file", "rec").agg(
+        F.max(F.when(F.col("is_hdr"), F.col("line"))).alias("header"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_hdr"),
+                            F.struct(F.col("lineno"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "",
+        ).alias("sequence"),
+    )
+    hdr = F.regexp_replace(F.col("header"), "^>", "")
+    df = assembled.select(
+        F.substring_index(hdr, " ", 1).alias("name"),
+        F.when(
+            F.instr(hdr, " ") > 0,
+            F.expr("substring(regexp_replace(header, '^>', ''), instr(regexp_replace(header, '^>', ''), ' ') + 1)"),
+        ).alias("description"),
+        F.lit(alphabet).alias("alphabet"),
+        F.upper(F.col("sequence")).alias("sequence"),
+        F.length("sequence").cast("long").alias("length"),
+    )
+    return GenomicFrame(
+        schemas.conform(df, schemas.SEQUENCE), GenomicMetadata(kind="sequence")
+    )
+
+
+def load_fasta_slices(
+    spark: SparkSession, path: str, maximum_length: int = 10_000
+) -> GenomicFrame:
+    """FASTA → fixed-size SLICE records (ADAMContext.loadFastaDna(maximumLength):4066)."""
+    from adam_spark.operators.conversions import slice_sequences
+
+    seqs = load_fasta_sequences(spark, path)
+    df = slice_sequences(seqs.df, maximum_length)
+    return GenomicFrame(
+        schemas.conform(df, schemas.SLICE), GenomicMetadata(kind="slice")
+    )
+
+
+def create_references(gf: GenomicFrame) -> SequenceDictionary:
+    """Sequence dictionary from loaded sequences
+    (SequenceDataset.createReferences:460) — a small driver collect."""
+    rows = gf.df.select("name", "length").collect()
+    return SequenceDictionary(
+        [Reference(name=r["name"], length=r["length"]) for r in rows]
+    )
+
+
+def save_fasta(
+    gf: GenomicFrame, path: str, line_width: int = 60, single_file: bool = False
+) -> None:
+    """Sequences/slices → FASTA, line-wrapped (SequenceDataset.scala:508)."""
+    header = F.concat(
+        F.lit(">"),
+        F.col("name"),
+        F.when(F.col("description").isNotNull(), F.concat(F.lit(" "), F.col("description"))).otherwise(""),
+    )
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.length("sequence") - 1) / line_width)),
+            lambda i: F.substring(
+                F.col("sequence"), (i * line_width + 1).cast("int"), line_width
+            ),
+        ),
+        "\n",
+    )
+    df = gf.df.select(F.concat_ws("\n", header, wrapped).alias("value"))
+    (df.coalesce(1) if single_file else df).write.text(path)

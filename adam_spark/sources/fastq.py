@@ -1,0 +1,200 @@
+"""FASTQ sources/sinks as DataFrame line-stitching pipelines.
+
+The reference reads FASTQ through custom Hadoop input formats
+(adam-core/src/main/java/org/bdgenomics/adam/io/*.java; loaders
+ADAMContext.scala:2468-2660) and writes via AlignmentDataset.saveAsFastq
+(AlignmentDataset.scala:1394-1666). Here the 4-line record structure is
+re-assembled relationally: read lines, number them per file, group by
+``record = line_number div 4``, pivot the 4 positions into columns.
+
+Ordering note: line numbering uses ``monotonically_increasing_id`` which
+follows Spark's file-split ordering (splits of one file are generated in
+offset order and packed into ascending partition indices). Structure is
+validated — every stitched record must have ``@``-prefixed name line and
+``+`` separator — so a mis-ordered input fails loudly instead of
+producing garbage. Gzipped FASTQ (the common case) is unsplittable and
+therefore always safely ordered.
+
+At 100 TB: one shuffle (groupBy record id, partial-agg combinable) per
+load; everything stays in whole-stage codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from adam_spark import schemas
+from adam_spark.core.genomic_frame import GenomicFrame
+from adam_spark.core.metadata import GenomicMetadata
+
+#: READ plus the pairing column (the reference models pairing via
+#: Fragment grouping; we keep it inline for save_paired_fastq)
+_READ_PAIRED = schemas.StructType(
+    list(schemas.READ.fields)
+    + [schemas.StructField("readInFragment", schemas.IntegerType(), True)]
+)
+
+
+def _numbered_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Lines with a per-file 0-based line number."""
+    w = Window.partitionBy("file").orderBy("mid")
+    return (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("mid"),
+            "value",
+        )
+        .withColumn("lineno", F.row_number().over(w) - 1)
+    )
+
+
+def _stitch(lines: DataFrame, group_size: int) -> DataFrame:
+    """Group ``group_size`` consecutive lines into one row with columns
+    l0..l{group_size-1}; validates FASTQ structure."""
+    pos = F.col("lineno") % group_size
+    rec = (F.col("lineno") / group_size).cast("long")
+    grouped = (
+        lines.select("file", rec.alias("rec"), pos.alias("pos"), "value")
+        .groupBy("file", "rec")
+        .agg(
+            *[
+                F.max(F.when(F.col("pos") == i, F.col("value"))).alias(f"l{i}")
+                for i in range(group_size)
+            ]
+        )
+    )
+    for i in range(0, group_size, 4):
+        grouped = grouped.where(
+            F.col(f"l{i}").startswith("@") & F.col(f"l{i + 2}").startswith("+")
+        )
+    return grouped
+
+
+def _record(name_line, seq_line, qual_line, read_in_fragment):
+    """FASTQ record columns → READ-schema columns."""
+    full = F.regexp_replace(name_line, "^@", "")
+    return [
+        # strip trailing /1 /2 pair suffix, keep first token as name
+        F.regexp_replace(F.substring_index(full, " ", 1), "/[12]$", "").alias("name"),
+        F.when(F.instr(full, " ") > 0, F.substring_index(full, " ", -1)).alias(
+            "description"
+        ),
+        F.lit("DNA").alias("alphabet"),
+        seq_line.alias("sequence"),
+        F.length(seq_line).cast("long").alias("length"),
+        qual_line.alias("qualityScores"),
+        F.lit("FASTQ_SANGER").alias("qualityScoreVariant"),
+        F.lit(read_in_fragment).cast("int").alias("readInFragment"),
+    ]
+
+
+def load_unpaired_fastq(spark: SparkSession, path: str) -> GenomicFrame:
+    """FASTQ → reads (reference: ADAMContext.loadUnpairedFastq:2594)."""
+    g = _stitch(_numbered_lines(spark, path), 4)
+    df = g.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0))
+    return GenomicFrame(schemas.conform(df, _READ_PAIRED), GenomicMetadata(kind="read"))
+
+
+def load_interleaved_fastq(spark: SparkSession, path: str) -> GenomicFrame:
+    """8-line groups → r1/r2 pairs (ADAMContext.loadInterleavedFastq:2468)."""
+    g = _stitch(_numbered_lines(spark, path), 8)
+    r1 = g.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0))
+    r2 = g.select(*_record(F.col("l4"), F.col("l5"), F.col("l7"), 1))
+    df = r1.unionByName(r2)
+    return GenomicFrame(schemas.conform(df, _READ_PAIRED), GenomicMetadata(kind="read"))
+
+
+def load_paired_fastq(spark: SparkSession, path1: str, path2: str) -> GenomicFrame:
+    """Two parallel FASTQ files → union with readInFragment 0/1
+    (ADAMContext.loadPairedFastq:2539)."""
+    g1 = _stitch(_numbered_lines(spark, path1), 4)
+    g2 = _stitch(_numbered_lines(spark, path2), 4)
+    r1 = g1.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0))
+    r2 = g2.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 1))
+    df = r1.unionByName(r2)
+    return GenomicFrame(schemas.conform(df, _READ_PAIRED), GenomicMetadata(kind="read"))
+
+
+def load_fastq_alignments(spark: SparkSession, path: str, path2: str | None = None) -> GenomicFrame:
+    """FASTQ → unaligned ALIGNMENT records, the shape the reference's
+    ``loadFastq`` returns (ADAMContext.scala:2505-2538)."""
+    gf = (
+        load_paired_fastq(spark, path, path2)
+        if path2
+        else load_unpaired_fastq(spark, path)
+    )
+    df = gf.df.select(
+        F.col("name").alias("readName"),
+        "sequence",
+        "qualityScores",
+        F.lit(False).alias("readMapped"),
+        F.lit(path2 is not None).alias("readPaired"),
+        F.col("readInFragment"),
+    )
+    return GenomicFrame(
+        schemas.conform(df, schemas.ALIGNMENT), GenomicMetadata(kind="alignment")
+    )
+
+
+def save_fastq(
+    gf: GenomicFrame,
+    path: str,
+    sort_by_name: bool = False,
+    write_suffixes: bool = False,
+    single_file: bool = False,
+) -> None:
+    """Reads/alignments → FASTQ text (AlignmentDataset.saveAsFastq:1394;
+    ``write_suffixes`` mirrors the reference's writeSuffixes flag)."""
+    df = gf.df
+    name_col = F.col("readName") if "readName" in df.columns else F.col("name")
+    rif = (
+        F.coalesce(F.col("readInFragment"), F.lit(0))
+        if "readInFragment" in df.columns
+        else F.lit(0)
+    )
+    suffix = (
+        F.when(rif == 0, "/1").otherwise("/2") if write_suffixes else F.lit("")
+    )
+    out = df.select(
+        name_col.alias("__name"),
+        rif.alias("__rif"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("@"), name_col, suffix),
+            F.col("sequence"),
+            F.lit("+"),
+            F.coalesce(F.col("qualityScores"), F.repeat(F.lit("B"), F.length("sequence"))),
+        ).alias("value"),
+    )
+    if sort_by_name:
+        out = out.orderBy("__name", "__rif")
+    out = out.select("value")
+    (out.coalesce(1) if single_file else out).write.text(path)
+
+
+def save_paired_fastq(gf: GenomicFrame, path1: str, path2: str) -> None:
+    """Split pairs to two files, name-sorted so r1/r2 line up
+    (AlignmentDataset.saveAsPairedFastq:1468)."""
+    df = gf.df
+    name_col = F.col("readName") if "readName" in df.columns else F.col("name")
+    for rif, path, suffix in ((0, path1, "/1"), (1, path2, "/2")):
+        part = (
+            df.where(F.coalesce(F.col("readInFragment"), F.lit(0)) == rif)
+            .select(
+                name_col.alias("__name"),
+                F.concat_ws(
+                    "\n",
+                    F.concat(F.lit("@"), name_col, F.lit(suffix)),
+                    F.col("sequence"),
+                    F.lit("+"),
+                    F.coalesce(
+                        F.col("qualityScores"), F.repeat(F.lit("B"), F.length("sequence"))
+                    ),
+                ).alias("value"),
+            )
+            .orderBy("__name")
+            .select("value")
+        )
+        part.coalesce(1).write.text(path)
