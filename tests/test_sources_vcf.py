@@ -1,0 +1,135 @@
+"""VCF load/save tests mirroring the reference's VariantContextConverter
+behaviors (multiallelic splitting, GT/AD/DP/GQ/PL parsing, filters,
+header round-trip)."""
+
+import os
+
+import pytest
+
+from adam_spark.sources import vcf as vcf_io
+
+VCF = """##fileformat=VCFv4.3
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+##INFO=<ID=AF,Number=A,Type=Float,Description="Allele freq">
+##INFO=<ID=DB,Number=0,Type=Flag,Description="dbSNP">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Depths">
+##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">
+##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="GQ">
+##FORMAT=<ID=PL,Number=G,Type=Integer,Description="PL">
+##contig=<ID=chr1,length=248956422>
+##contig=<ID=chr2,length=242193529>
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA001\tNA002
+chr1\t100\trs1\tA\tG\t50.5\tPASS\tDP=30;AF=0.5;DB\tGT:AD:DP:GQ:PL\t0/1:12,18:30:99:450,0,400\t0|0:20,0:20:60:0,60,600
+chr1\t200\t.\tC\tT,G\t10\tq10;s50\tDP=40;AF=0.25,0.1\tGT:AD:DP:GQ\t1/2:10,20,10:40:30\t./.:.:.:.
+chr2\t300\t.\tTTA\tT\t.\t.\tDP=15\tGT:AD:DP:GQ\t1|1:1,14:15:45\t0/0:15,0:15:50
+"""
+
+
+@pytest.fixture()
+def vcf_path(tmp_path):
+    f = tmp_path / "test.vcf"
+    f.write_text(VCF)
+    return str(f)
+
+
+def test_header_metadata(spark, vcf_path):
+    gf = vcf_io.load_vcf(spark, vcf_path)
+    assert [r.name for r in gf.meta.references.references] == ["chr1", "chr2"]
+    assert gf.meta.references["chr1"].length == 248956422
+    assert [s.id for s in gf.meta.samples] == ["NA001", "NA002"]
+    assert any(h.startswith("##INFO=<ID=DP") for h in gf.meta.header_lines)
+
+
+def test_sites_and_multiallelic_split(spark, vcf_path):
+    gf = vcf_io.load_vcf(spark, vcf_path)
+    rows = gf.df.orderBy("referenceName", "start", "variant.alternateAllele").collect()
+    # 1 + 2 (split) + 1 = 4 context rows
+    assert len(rows) == 4
+    r1 = rows[0]
+    assert r1["start"] == 99 and r1["end"] == 100
+    assert r1["variant"]["referenceAllele"] == "A"
+    assert r1["variant"]["alternateAllele"] == "G"
+    assert r1["variant"]["quality"] == 50.5
+    assert r1["variant"]["filtersPassed"] is True
+    assert r1["variant"]["splitFromMultiAllelic"] is False
+    assert r1["variant"]["annotation"]["readDepth"] == 30
+    assert r1["variant"]["annotation"]["alleleFrequency"] == 0.5
+    assert r1["variant"]["annotation"]["dbSnp"] is True
+    assert r1["variant"]["names"] == ["rs1"]
+    # multiallelic C→T / C→G
+    m = [r for r in rows if r["start"] == 199]
+    assert len(m) == 2
+    assert {r["variant"]["alternateAllele"] for r in m} == {"T", "G"}
+    assert all(r["variant"]["splitFromMultiAllelic"] for r in m)
+    assert all(r["variant"]["filtersPassed"] is False for r in m)
+    assert m[0]["variant"]["filtersFailed"] == ["q10", "s50"]
+    afs = {r["variant"]["alternateAllele"]: r["variant"]["annotation"]["alleleFrequency"] for r in m}
+    assert afs == {"T": 0.25, "G": pytest.approx(0.1)}
+    # deletion TTA→T spans 3 ref bases
+    d = [r for r in rows if r["referenceName"] == "chr2"][0]
+    assert d["start"] == 299 and d["end"] == 302
+    assert d["variant"]["quality"] is None
+    assert d["variant"]["filtersApplied"] is False
+
+
+def test_genotypes(spark, vcf_path):
+    gf = vcf_io.load_vcf_genotypes(spark, vcf_path)
+    rows = gf.df.collect()
+    assert len(rows) == 8  # 4 context rows × 2 samples
+    by = {(r["start"], r["sampleId"], r["variant"]["alternateAllele"]): r for r in rows}
+    g = by[(99, "NA001", "G")]
+    assert g["alleles"] == ["REF", "ALT"]
+    assert g["referenceReadDepth"] == 12 and g["alternateReadDepth"] == 18
+    assert g["readDepth"] == 30 and g["genotypeQuality"] == 99
+    assert g["phased"] is False
+    assert g["genotypeLikelihoods"] == [-45.0, 0.0, -40.0]
+    g2 = by[(99, "NA002", "G")]
+    assert g2["alleles"] == ["REF", "REF"] and g2["phased"] is True
+    # multiallelic: sample1 is 1/2 → for alt T (index 1): ALT + OTHER_ALT
+    gm = by[(199, "NA001", "T")]
+    assert gm["alleles"] == ["ALT", "OTHER_ALT"]
+    assert gm["splitFromMultiAllelic"] is True
+    assert gm["alternateReadDepth"] == 20
+    gm2 = by[(199, "NA001", "G")]
+    assert gm2["alleles"] == ["OTHER_ALT", "ALT"]
+    assert gm2["alternateReadDepth"] == 10
+    # no-call
+    nc = by[(199, "NA002", "T")]
+    assert nc["alleles"] == ["NO_CALL", "NO_CALL"]
+    assert nc["readDepth"] is None
+    hom = by[(299, "NA001", "T")]
+    assert hom["alleles"] == ["ALT", "ALT"] and hom["phased"] is True
+
+
+def test_variants_projection(spark, vcf_path):
+    gf = vcf_io.load_vcf_variants(spark, vcf_path)
+    assert gf.df.count() == 4
+    assert gf.df.schema["referenceName"].dataType.typeName() == "string"
+    assert gf.kind == "variant"
+
+
+def test_vcf_roundtrip(spark, vcf_path, tmp_path):
+    gf = vcf_io.load_vcf(spark, vcf_path)
+    out = os.path.join(str(tmp_path), "out.vcf")
+    vcf_io.save_vcf(gf, out)
+    back = vcf_io.load_vcf(spark, out)
+    assert back.df.count() == 4
+    assert [s.id for s in back.meta.samples] == ["NA001", "NA002"]
+    assert back.meta.references["chr2"].length == 242193529
+    rows = {
+        (r["start"], r["variant"]["alternateAllele"]): r for r in back.df.collect()
+    }
+    r1 = rows[(99, "G")]
+    assert r1["variant"]["quality"] == 50.5
+    assert r1["variant"]["annotation"]["readDepth"] == 30
+    g = {g["sampleId"]: g for g in r1["genotypes"]}
+    assert g["NA001"]["alleles"] == ["REF", "ALT"]
+    assert g["NA001"]["referenceReadDepth"] == 12
+    assert g["NA002"]["phased"] is True
+    # file-level sanity: sorted body, single file
+    files = [f for f in os.listdir(out) if f.startswith("part")]
+    assert len(files) == 1
+    text = open(os.path.join(out, files[0])).read()
+    lines = [l for l in text.splitlines() if not l.startswith("#")]
+    assert [l.split("\t")[1] for l in lines] == ["100", "200", "200", "300"]
