@@ -1,0 +1,202 @@
+"""Tests for quality binning, left-normalization, MD tagging, and BQSR
+(reference suites: BinQualitiesSuite, NormalizationUtilsSuite,
+MdTagSuite/MDTaggingSuite, BaseQualityRecalibrationSuite,
+CycleCovariateSuite, DinucCovariateSuite)."""
+
+import pytest
+
+from adam_spark.functions import cigar as C
+from adam_spark.operators import bqsr, md_tagging, quality
+
+
+# --- pure cigar/MD unit tests (no spark) ----------------------------------
+def test_parse_and_lengths():
+    assert C.parse_cigar("3M1I4M") == [(3, "M"), (1, "I"), (4, "M")]
+    assert C.cigar_read_length("3M1I4M2S") == 10
+    assert C.cigar_reference_length("3M1I4M2S") == 7
+    assert C.cigar_reference_length("5M2D5M") == 12
+    assert C.parse_cigar("*") == []
+
+
+def test_aligned_pairs():
+    pairs = C.aligned_pairs("2M1I2M", 100)
+    assert [(p.read_idx, p.ref_pos) for p in pairs] == [
+        (0, 100), (1, 101), (3, 102), (4, 103),
+    ]
+    pairs = C.aligned_pairs("2S3M", 50)
+    assert [(p.read_idx, p.ref_pos) for p in pairs] == [(2, 50), (3, 51), (4, 52)]
+
+
+def test_walk_md_and_mismatches():
+    w = C.walk_md("10A5^AC6")
+    assert w.mismatch_aligned == [10]
+    assert w.mismatch_ref_bases == ["A"]
+    assert w.deletions == [(16, "AC")]
+    # mismatch at aligned idx 1 of 4M at start 0
+    assert C.mismatch_read_offsets("4M", "1T2") == [1]
+    # with leading soft clip, read offset shifts
+    assert C.mismatch_read_offsets("2S4M", "1T2") == [3]
+
+
+def test_reference_from_read():
+    # read ACGT vs ref ACCT (mismatch at idx 2, ref C)
+    assert C.reference_from_read("4M", "2C1", "ACGT") == "ACCT"
+    # deletion: read ACGT = 2M2D2M, ref = AC + TT + GT
+    assert C.reference_from_read("2M2D2M", "2^TT2", "ACGT") == "ACTTGT"
+
+
+def test_md_from_reference():
+    md, mm = C.md_from_reference("4M", "ACGT", "ACCT")
+    assert md == "2C1" and mm == 1
+    md, mm = C.md_from_reference("2M2D2M", "ACGT", "ACTTGT")
+    assert md == "2^TT2" and mm == 0
+    md, mm = C.md_from_reference("2S3M", "TTACG", "ACG")
+    assert md == "3" and mm == 0
+    md, mm = C.md_from_reference("2M1I2M", "ACTGT", "ACGT")
+    assert md == "4" and mm == 0
+
+
+def test_left_align_indel():
+    # GGCCCC with insert of C: 4M1I1M, preceding CCC repeats → shift left 2
+    # seq = G G C C C C ; cigar 4M1I1M ; variant = read[4] = 'C'
+    assert C.left_align_indel("4M1I1M", "GGCCCC", None) == "2M1I3M"
+    # no indel → unchanged
+    assert C.left_align_indel("5M", "ACGTA", None) == "5M"
+    # two indels → unchanged
+    assert C.left_align_indel("2M1I2M1D2M", "ACGTACG", "4^T2") == "2M1I2M1D2M"
+    # deletion with MD: seq AATT ref AATTTT? cigar 2M2D2M md 2^TT2
+    # ref = AA TT TT; deleted TT preceded by read AA → no shift
+    assert C.left_align_indel("2M2D2M", "AATT", "2^TT2") == "2M2D2M"
+    # deletion shiftable: seq ATTT, cigar 2M1D2M, md 2^T2 → ref ATTTT
+    # variant 'T' preceded by read 'AT' → shift 1
+    assert C.left_align_indel("2M1D2M", "ATTT", "2^T2") == "1M1D3M"
+
+
+# --- covariates -----------------------------------------------------------
+def test_cycles():
+    assert bqsr._cycles(4, False, 0) == [1, 2, 3, 4]
+    assert bqsr._cycles(4, False, 1) == [-1, -2, -3, -4]
+    assert bqsr._cycles(4, True, 0) == [4, 3, 2, 1]
+    assert bqsr._cycles(4, True, 1) == [-4, -3, -2, -1]
+
+
+def test_dinucs():
+    assert bqsr._dinucs("ACGT", False) == ["NN", "AC", "CG", "GT"]
+    # negative strand: complement = TGCA; dinuc[i] = (comp[i+1], comp[i])
+    assert bqsr._dinucs("ACGT", True) == ["GT", "CG", "AC", "NN"]
+    assert bqsr._dinucs("ANGT", False) == ["NN", "NN", "NN", "GT"]
+
+
+# --- spark operators ------------------------------------------------------
+@pytest.fixture()
+def reads_df(spark):
+    rows = [
+        # perfect match to ref AAAACCCCGGGGTTTT at 0..16
+        dict(referenceName="chr1", start=0, end=8, readName="r1", sequence="AAAACCCC",
+             qualityScores="IIIIIIII", cigar="8M", readMapped=True, primaryAlignment=True,
+             duplicateRead=False, mappingQuality=60, readNegativeStrand=False,
+             readInFragment=0, readGroupId="rg1", mismatchingPositions="8",
+             failedVendorQualityChecks=False, originalQualityScores=None),
+        # one mismatch at offset 2 (read G, ref A)
+        dict(referenceName="chr1", start=0, end=8, readName="r2", sequence="AAGACCCC",
+             qualityScores="IIIIIIII", cigar="8M", readMapped=True, primaryAlignment=True,
+             duplicateRead=False, mappingQuality=60, readNegativeStrand=False,
+             readInFragment=0, readGroupId="rg1", mismatchingPositions="2A5",
+             failedVendorQualityChecks=False, originalQualityScores=None),
+        # unmapped
+        dict(referenceName=None, start=None, end=None, readName="r3", sequence="ACGT",
+             qualityScores="IIII", cigar=None, readMapped=False, primaryAlignment=True,
+             duplicateRead=False, mappingQuality=None, readNegativeStrand=False,
+             readInFragment=0, readGroupId="rg1", mismatchingPositions=None,
+             failedVendorQualityChecks=False, originalQualityScores=None),
+    ]
+    schema = (
+        "referenceName string, start long, end long, readName string, "
+        "sequence string, qualityScores string, cigar string, readMapped boolean, "
+        "primaryAlignment boolean, duplicateRead boolean, mappingQuality int, "
+        "readNegativeStrand boolean, readInFragment int, readGroupId string, "
+        "mismatchingPositions string, failedVendorQualityChecks boolean, "
+        "originalQualityScores string"
+    )
+    return spark.createDataFrame([tuple(r.values()) for r in rows], schema)
+
+
+def test_bin_quality_scores(spark, reads_df):
+    out = quality.bin_quality_scores(reads_df, ["0,20,10", "20,94,30"])
+    rows = {r["readName"]: r for r in out.collect()}
+    # 'I' = phred 40 → bin to 30 → '?'
+    assert rows["r1"]["qualityScores"] == "?" * 8
+    assert rows["r3"]["qualityScores"] == "?" * 4
+
+
+def test_bin_validation():
+    with pytest.raises(ValueError):
+        quality.bin_quality_scores(None, ["0,20,10", "10,30,15"])  # overlap
+    with pytest.raises(ValueError):
+        quality.bin_quality_scores(None, ["0,20,25"])  # value outside bin
+
+
+def test_left_normalize_indels(spark):
+    rows = [
+        dict(referenceName="chr1", start=0, end=6, readName="a", sequence="GGCCCC",
+             qualityScores="IIIIII", cigar="4M1I1M", readMapped=True,
+             mismatchingPositions="5"),
+        dict(referenceName="chr1", start=0, end=4, readName="b", sequence="ACGT",
+             qualityScores="IIII", cigar="4M", readMapped=True,
+             mismatchingPositions="4"),
+    ]
+    schema = (
+        "referenceName string, start long, end long, readName string, "
+        "sequence string, qualityScores string, cigar string, readMapped boolean, "
+        "mismatchingPositions string"
+    )
+    out = quality.left_normalize_indels(
+        spark.createDataFrame([tuple(r.values()) for r in rows], schema)
+    )
+    got = {r["readName"]: r["cigar"] for r in out.collect()}
+    assert got == {"a": "2M1I3M", "b": "4M"}
+
+
+def test_md_tagging(spark, reads_df):
+    ref = {"chr1": "AAAACCCCGGGGTTTT"}
+    # overwrite r2's tag after corrupting it
+    import pyspark.sql.functions as F
+
+    corrupted = reads_df.withColumn("mismatchingPositions", F.lit(None).cast("string"))
+    out = md_tagging.compute_mismatching_positions(corrupted, ref)
+    rows = {r["readName"]: r["mismatchingPositions"] for r in out.collect()}
+    assert rows["r1"] == "8"
+    assert rows["r2"] == "2A5"
+    assert rows["r3"] is None
+
+
+def test_bqsr_observe_and_recalibrate(spark, reads_df):
+    obs = bqsr.observe_covariates(reads_df).collect()
+    assert len(obs) > 0
+    total = sum(r["total"] for r in obs)
+    assert total == 16  # two usable reads × 8 bases
+    mm = sum(r["mismatches"] for r in obs)
+    assert mm == 1
+    # the mismatching base is cycle 3, dinuc AG
+    bad = [r for r in obs if r["mismatches"] > 0]
+    assert len(bad) == 1 and bad[0]["cycle"] == 3 and bad[0]["dinuc"] == "AG"
+
+    table = bqsr.build_recalibration_table([r.asDict() for r in obs])
+    assert all(0 <= v <= bqsr.MAX_QUAL for v in table.values())
+
+    out = bqsr.recalibrate_base_qualities(reads_df).collect()
+    rows = {r["readName"]: r for r in out}
+    # usable reads got originalQualityScores preserved + rewritten quals
+    assert rows["r1"]["originalQualityScores"] == "IIIIIIII"
+    assert len(rows["r1"]["qualityScores"]) == 8
+    # unmapped read untouched
+    assert rows["r3"]["qualityScores"] == "IIII"
+    assert rows["r3"]["originalQualityScores"] is None
+
+
+def test_bqsr_known_sites_masking(spark, reads_df):
+    snps = spark.createDataFrame([dict(referenceName="chr1", start=2)])
+    obs = bqsr.observe_covariates(reads_df, known_snps=snps).collect()
+    total = sum(r["total"] for r in obs)
+    assert total == 14  # offset 2 of both reads masked
+    assert sum(r["mismatches"] for r in obs) == 0  # the mismatch was at the SNP
