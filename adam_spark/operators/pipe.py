@@ -1,0 +1,305 @@
+"""The ``pipe`` operator: run an external tool over genome-binned data.
+
+Mirrors GenomicDataset.pipe (GenomicDataset.scala:786-917): partition
+records into genome bins (GenomeBins :806-835), pad each bin by
+``flank`` so boundary-spanning analyses see context, run one subprocess
+per bin feeding records in a text format (InFormatter :875-883), parse
+stdout back into records (OutFormatter), and drop flank-duplicated
+outputs by keeping only rows whose start falls inside the bin's own
+span (:897-916). ``$0``..``$N`` tokens in the command expand to shipped
+file paths (:95-121).
+
+Spark mapping: ``groupBy(bin).applyInPandas`` — one Arrow-batched
+subprocess per bin, records sorted by position within the bin. Bins are
+global-genome coordinates (contig offsets from the sequence dictionary)
+so bin count ≈ requested parallelism regardless of contig skew.
+"""
+
+from __future__ import annotations
+
+import os
+import shlex
+import subprocess
+import threading
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from adam_spark import schemas
+from adam_spark.core.genomic_frame import GenomicFrame
+
+# --- text formatters (InFormatter/OutFormatter analogues) -----------------
+
+
+def _sam_header(meta) -> list[str]:
+    lines = ["@HD\tVN:1.6\tSO:coordinate"]
+    for r in meta.references.references:
+        lines.append(f"@SQ\tSN:{r.name}" + (f"\tLN:{r.length}" if r.length else ""))
+    for g in meta.read_groups:
+        lines.append(f"@RG\tID:{g.id}" + (f"\tSM:{g.sampleId}" if g.sampleId else ""))
+    return lines
+
+
+def _sam_flag(row: dict) -> int:
+    f = 0
+    if row.get("readPaired"):
+        f |= 0x1
+    if row.get("properPair"):
+        f |= 0x2
+    if not row.get("readMapped"):
+        f |= 0x4
+    if row.get("readPaired") and row.get("mateMapped") is False:
+        f |= 0x8
+    if row.get("readNegativeStrand"):
+        f |= 0x10
+    if row.get("mateNegativeStrand"):
+        f |= 0x20
+    if row.get("readPaired") and row.get("readInFragment") == 0:
+        f |= 0x40
+    if row.get("readPaired") and row.get("readInFragment") == 1:
+        f |= 0x80
+    if row.get("secondaryAlignment"):
+        f |= 0x100
+    if row.get("failedVendorQualityChecks"):
+        f |= 0x200
+    if row.get("duplicateRead"):
+        f |= 0x400
+    if row.get("supplementaryAlignment"):
+        f |= 0x800
+    return f
+
+
+def _n(v):
+    """NaN/None-safe accessor (pandas to_dict yields NaN for nulls)."""
+    try:
+        if v is None or pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def _sam_in(row: dict) -> str:
+    mate_ref = _n(row.get("mateReferenceName"))
+    rnext = "=" if mate_ref and mate_ref == _n(row.get("referenceName")) else (mate_ref or "*")
+    start = _n(row.get("start"))
+    mate_start = _n(row.get("mateAlignmentStart"))
+    return "\t".join(
+        [
+            _n(row.get("readName")) or "*",
+            str(_sam_flag(row)),
+            _n(row.get("referenceName")) or "*",
+            str(int(start) + 1 if start is not None else 0),
+            str(int(_n(row.get("mappingQuality")) or 0)),
+            _n(row.get("cigar")) or "*",
+            rnext,
+            str(int(mate_start) + 1 if mate_start is not None else 0),
+            str(int(_n(row.get("insertSize")) or 0)),
+            _n(row.get("sequence")) or "*",
+            _n(row.get("qualityScores")) or "*",
+        ]
+    )
+
+
+def _sam_out(line: str) -> dict | None:
+    if not line or line.startswith("@"):
+        return None
+    t = line.rstrip("\n").split("\t")
+    if len(t) < 11:
+        return None
+    flag = int(t[1])
+    mapped = not (flag & 0x4)
+    start = int(t[3]) - 1 if t[3] != "0" else None
+    from adam_spark.functions.cigar import cigar_reference_length
+
+    return {
+        "readName": t[0] if t[0] != "*" else None,
+        "referenceName": t[2] if (mapped and t[2] != "*") else None,
+        "start": start if mapped else None,
+        "end": (start + cigar_reference_length(t[5])) if (mapped and t[5] != "*" and start is not None) else None,
+        "mappingQuality": int(t[4]) if mapped else None,
+        "cigar": t[5] if t[5] != "*" else None,
+        "sequence": t[9] if t[9] != "*" else None,
+        "qualityScores": t[10] if t[10] != "*" else None,
+        "readPaired": bool(flag & 0x1),
+        "properPair": bool(flag & 0x2),
+        "readMapped": mapped,
+        "mateMapped": (not (flag & 0x8)) if (flag & 0x1) else None,
+        "readNegativeStrand": bool(flag & 0x10),
+        "mateNegativeStrand": bool(flag & 0x20) if (flag & 0x1) else None,
+        "primaryAlignment": not (flag & 0x100) and not (flag & 0x800),
+        "secondaryAlignment": bool(flag & 0x100),
+        "supplementaryAlignment": bool(flag & 0x800),
+        "failedVendorQualityChecks": bool(flag & 0x200),
+        "duplicateRead": bool(flag & 0x400),
+        "readInFragment": 0 if (flag & 0x40) else (1 if (flag & 0x80) else 0),
+    }
+
+
+def _bed_in(row: dict) -> str:
+    score = _n(row.get("score"))
+    return "\t".join(
+        [
+            _n(row.get("referenceName")) or ".",
+            str(int(_n(row.get("start")) or 0)),
+            str(int(_n(row.get("end")) or 0)),
+            _n(row.get("name")) or ".",
+            str(score) if score is not None else ".",
+            {"FORWARD": "+", "REVERSE": "-"}.get(_n(row.get("strand")), "."),
+        ]
+    )
+
+
+def _bed_out(line: str) -> dict | None:
+    if not line or line.startswith(("#", "track", "browser")):
+        return None
+    t = line.rstrip("\n").split("\t")
+    if len(t) < 3:
+        return None
+    strand = {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT"}.get(
+        t[5] if len(t) > 5 else ".", None
+    )
+    return {
+        "referenceName": t[0],
+        "start": int(t[1]),
+        "end": int(t[2]),
+        "name": t[3] if len(t) > 3 and t[3] != "." else None,
+        "score": float(t[4]) if len(t) > 4 and t[4] != "." else None,
+        "strand": strand,
+    }
+
+
+FORMATTERS: dict[str, tuple[Callable, Callable, object, Callable | None]] = {
+    # name -> (format_row, parse_line, out_schema, header_fn)
+    "sam": (_sam_in, _sam_out, schemas.ALIGNMENT, _sam_header),
+    "bed": (_bed_in, _bed_out, schemas.FEATURE, None),
+}
+
+
+def _run_subprocess(
+    cmd: list[str], lines: Iterable[str], env: dict | None, timeout: float | None
+) -> list[str]:
+    proc = subprocess.Popen(
+        cmd,
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        env={**os.environ, **(env or {})},
+        text=True,
+    )
+
+    def _feed():
+        try:
+            for line in lines:
+                proc.stdin.write(line + "\n")
+            proc.stdin.close()
+        except BrokenPipeError:
+            pass
+
+    t = threading.Thread(target=_feed, daemon=True)
+    t.start()
+    try:
+        out = proc.stdout.read()
+    finally:
+        rc = proc.wait(timeout=timeout)
+    if rc != 0:
+        raise RuntimeError(f"piped command {cmd!r} exited with {rc}")
+    return out.splitlines()
+
+
+def pipe(
+    gf: GenomicFrame,
+    cmd: str | list[str],
+    in_format: str = "sam",
+    out_format: str | None = None,
+    flank: int = 0,
+    partitions: int | None = None,
+    environment: dict | None = None,
+    timeout: float | None = None,
+    files: list[str] | None = None,
+) -> GenomicFrame:
+    """Run ``cmd`` once per genome bin over the formatted records."""
+    out_format = out_format or in_format
+    fmt_row, _, _, header_fn = FORMATTERS[in_format]
+    _, parse_line, out_schema, _ = FORMATTERS[out_format]
+
+    cmd_list = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)
+    # $0..$N token substitution for shipped files (GenomicDataset.scala:95-121)
+    if files:
+        sub = {f"${i}": f for i, f in enumerate(files)}
+        sub["$root"] = os.path.dirname(files[0]) if files else ""
+        cmd_list = [sub.get(tok, tok) for tok in cmd_list]
+
+    df = gf.df
+    n_bins = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # global-genome bin layout from the sequence dictionary
+    refs = gf.meta.references.references
+    offsets: dict[str, int] = {}
+    total = 0
+    for r in refs:
+        offsets[r.name] = total
+        total += r.length or 0
+    if total == 0:
+        # no dictionary: fall back to per-contig bins
+        offsets = {}
+        bin_size = None
+    else:
+        bin_size = max(1, (total + n_bins - 1) // n_bins)
+
+    header = header_fn(gf.meta) if header_fn else []
+    meta = gf.meta
+
+    if bin_size is not None:
+        off_map = F.create_map(
+            *[x for name, off in offsets.items() for x in (F.lit(name), F.lit(off))]
+        )
+        gpos = off_map.getItem(F.col("referenceName")) + F.col("start")
+        gend = off_map.getItem(F.col("referenceName")) + F.col("end")
+        lo = F.floor((gpos - F.lit(flank)) / bin_size).cast("int")
+        hi = F.floor((gend - 1 + F.lit(flank)) / bin_size).cast("int")
+        binned = df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(F.greatest(lo, F.lit(0)), F.greatest(hi, F.lit(0)))
+            ),
+        )
+    else:
+        binned = df.withColumn(
+            "__bin", F.abs(F.hash(F.col("referenceName"))) % F.lit(n_bins)
+        )
+
+    out_fields = [f.name for f in out_schema.fields]
+    result_schema = out_schema
+
+    bin_size_b = bin_size
+    offsets_b = offsets
+    keep_all = bin_size is None or flank == 0
+
+    def _run_bin(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (bin_id,) = key
+        pdf = pdf.sort_values(
+            ["referenceName", "start"], na_position="last", kind="mergesort"
+        )
+        rows = pdf.to_dict("records")
+        lines = header + [fmt_row(r) for r in rows]
+        out_lines = _run_subprocess(cmd_list, lines, environment, timeout)
+        parsed = [p for p in (parse_line(l) for l in out_lines) if p is not None]
+        if not keep_all:
+            lo_pos = bin_id * bin_size_b
+            hi_pos = lo_pos + bin_size_b
+
+            def _own(p):
+                if p.get("referenceName") is None or p.get("start") is None:
+                    return True
+                g = offsets_b.get(p["referenceName"], 0) + p["start"]
+                return lo_pos <= g < hi_pos
+
+            parsed = [p for p in parsed if _own(p)]
+        out = pd.DataFrame(parsed, columns=out_fields, dtype=object)
+        return out.where(pd.notna(out), None)
+
+    piped = binned.groupBy("__bin").applyInPandas(_run_bin, schema=result_schema)
+    new_meta = meta.copy()
+    new_meta.kind = {"sam": "alignment", "bed": "feature"}.get(out_format, meta.kind)
+    return GenomicFrame(piped, new_meta)

@@ -1,0 +1,91 @@
+"""pipe() operator tests (reference: GenomicDataset.pipe, piping suites
+with cat/tee-style commands over SAM/BED streams)."""
+
+import pytest
+
+from adam_spark.core.genomic_frame import GenomicFrame
+from adam_spark.core.metadata import GenomicMetadata, Reference, SequenceDictionary
+from adam_spark.operators.pipe import pipe
+from adam_spark import schemas
+
+
+@pytest.fixture()
+def aligned_gf(spark):
+    rows = []
+    for i in range(100):
+        start = i * 100
+        rows.append(
+            ("chr1" if i % 2 == 0 else "chr2", start, start + 50, f"r{i}",
+             "ACGT" * 10, "I" * 40, "40M", True, True, False, 60, False, 0,
+             None, None, False, None)
+        )
+    schema = (
+        "referenceName string, start long, end long, readName string, "
+        "sequence string, qualityScores string, cigar string, readMapped boolean, "
+        "primaryAlignment boolean, duplicateRead boolean, mappingQuality int, "
+        "readNegativeStrand boolean, readInFragment int, readGroupId string, "
+        "mismatchingPositions string, failedVendorQualityChecks boolean, "
+        "originalQualityScores string"
+    )
+    df = schemas.conform(spark.createDataFrame(rows, schema), schemas.ALIGNMENT)
+    meta = GenomicMetadata(
+        references=SequenceDictionary(
+            [Reference(name="chr1", length=10000), Reference(name="chr2", length=10000)]
+        ),
+        kind="alignment",
+    )
+    return GenomicFrame(df, meta)
+
+
+def test_pipe_cat_identity(aligned_gf):
+    """cat = identity: every record survives the SAM round-trip."""
+    out = pipe(aligned_gf, "cat", in_format="sam", partitions=4)
+    assert out.df.count() == 100
+    got = {r["readName"]: r for r in out.df.collect()}
+    assert got["r0"]["start"] == 0 and got["r0"]["end"] == 40
+    assert got["r3"]["referenceName"] == "chr2"
+    assert got["r3"]["sequence"] == "ACGT" * 10
+    assert got["r3"]["mappingQuality"] == 60
+
+
+def test_pipe_flank_dedup(aligned_gf):
+    """With flank padding, boundary records are sent to both bins but
+    appear once in the output."""
+    out = pipe(aligned_gf, "cat", in_format="sam", partitions=8, flank=500)
+    assert out.df.count() == 100
+    assert out.df.select("readName").distinct().count() == 100
+
+
+def test_pipe_grep_filter(aligned_gf):
+    """A filtering command drops records."""
+    out = pipe(aligned_gf, ["grep", "-v", "chr2"], in_format="sam", partitions=2)
+    rows = out.df.collect()
+    assert 0 < len(rows) == 50
+    assert all(r["referenceName"] == "chr1" for r in rows)
+
+
+def test_pipe_bed(spark):
+    rows = [("chr1", 10, 20, "f1", 5.0, "FORWARD"), ("chr1", 30, 40, "f2", None, None)]
+    df = schemas.conform(
+        spark.createDataFrame(
+            rows, "referenceName string, start long, end long, name string, score double, strand string"
+        ),
+        schemas.FEATURE,
+    )
+    gf = GenomicFrame(
+        df,
+        GenomicMetadata(
+            references=SequenceDictionary([Reference(name="chr1", length=1000)]),
+            kind="feature",
+        ),
+    )
+    out = pipe(gf, "cat", in_format="bed", partitions=2)
+    got = {r["name"]: r for r in out.df.collect()}
+    assert len(got) == 2
+    assert got["f1"]["start"] == 10 and got["f1"]["strand"] == "FORWARD"
+    assert got["f2"]["score"] is None
+
+
+def test_pipe_command_failure(aligned_gf):
+    with pytest.raises(Exception):
+        pipe(aligned_gf, ["false"], in_format="sam", partitions=2).df.count()
