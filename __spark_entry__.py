@@ -382,7 +382,7 @@ def _ij(how: str, flank: int = 0, broadcast: str | None = None):
             _intervals_r(spark, sf),
             how=how,
             flank=flank,
-            bin_size=500,
+            bin_size=64,
             broadcast=broadcast,
         )
 
@@ -399,7 +399,7 @@ FROM L {join} JOIN R ON {_OVERLAP.format(flank=flank)}
 
 def interval_join_group_left(spark: SparkSession, sf: str) -> DataFrame:
     j = region_join(
-        _intervals_l(spark, sf), _intervals_r(spark, sf), group="left", bin_size=500
+        _intervals_l(spark, sf), _intervals_r(spark, sf), group="left", bin_size=64
     )
     return j.select(
         "referenceName",

@@ -96,6 +96,11 @@ def minhash_signatures(
     """
     consts = _mh_constants(num_hashes)
     ex = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("sh"))
+    # hash-partition the exploded tokens by id BEFORE the heavy per-token
+    # hashing: (a) spreads the num_hashes×tokens compute across all cores
+    # even when the source is one small file split, (b) pre-aligns the
+    # groupBy(id) so the aggregation itself needs no second shuffle.
+    ex = ex.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
     h0 = F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("long")
     ex = ex.withColumn("h0", h0)
     aggs = [
@@ -148,6 +153,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 64,
     threshold: float = 0.8,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
 
@@ -158,8 +164,7 @@ def minhash_lsh_pairs(
     sh = word_ngrams(F.col(text_col), shingle_ngram) if shingle_ngram > 1 else distinct_tokens(
         F.col(text_col)
     )
-    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = df.repartition(shuffle_parts).select(F.col(id_col).alias("id"), sh.alias("sh"))
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     sigs = minhash_signatures(base, "id", F.col("sh"), num_hashes)
     bandsdf = lsh_bands(sigs, bands)
     a = bandsdf.select(F.col("id").alias("id_a"), "band", "band_hash")
@@ -170,12 +175,26 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # candidate rows are slim (two ids) so AQE coalesces them into very few
+    # partitions, but each row then does O(|doc|) array work in the verify
+    # stage — rebalance by CPU cost, not bytes.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a"
+    )
+    # verification: |A∩B| once, |A∪B| by arithmetic (no union allocation).
+    # The shingle side is one row per document; broadcast_verify=True pins a
+    # broadcast join so the big candidate stream never shuffles — right up to
+    # ~100M-token corpora. At larger scale pass False and let AQE plan the
+    # shuffle join.
+    sized = base.withColumn("n", F.size("sh"))
+    maybe_bc = F.broadcast if broadcast_verify else (lambda x: x)
+    sh_a = sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    sh_b = sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(maybe_bc(sh_a), "id_a")
+        .join(maybe_bc(sh_b), "id_b")
+        .withColumn("jaccard", inter / (F.col("n_a") + F.col("n_b") - inter))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -229,6 +248,9 @@ def simhash(
     when the sum is positive. Returns (id, simhash long).
     """
     toks = df.select(F.col(id_col).alias("id"), F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
+    # spread per-token hashing across cores and pre-align the groupBy
+    # (same rationale as minhash_signatures)
+    toks = toks.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
     h = toks.withColumn("h", F.md5("tok"))
     bit_cols = []
     for j in range(bits):
