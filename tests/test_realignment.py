@@ -1,0 +1,132 @@
+"""Indel realignment tests (reference: RealignIndelsSuite,
+IndelRealignmentTargetSuite — artificial reads around a known indel
+get realigned onto the consensus)."""
+
+import pytest
+
+from adam_spark.operators import realignment as ra
+
+REF = "AAAAACCCCCGGGGGTTTTTACGTACGTACGTAAAACCCCGGGG"  # 44 bp reference
+
+
+def _read(name, start, seq, cigar, md, mapq=40):
+    return dict(
+        referenceName="chr1",
+        start=start,
+        end=start + ra.cigar_reference_length(cigar),
+        readName=name,
+        sequence=seq,
+        qualityScores="I" * len(seq),
+        cigar=cigar,
+        readMapped=True,
+        mismatchingPositions=md,
+        mappingQuality=mapq,
+        duplicateRead=False,
+        primaryAlignment=True,
+    )
+
+
+SCHEMA = (
+    "referenceName string, start long, end long, readName string, sequence string, "
+    "qualityScores string, cigar string, readMapped boolean, mismatchingPositions string, "
+    "mappingQuality int, duplicateRead boolean, primaryAlignment boolean"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([tuple(r.values()) for r in rows], SCHEMA)
+
+
+def test_read_evidence_extraction():
+    s, e = ra._read_evidence("4M2D4M", "4^CC4", 100, 500)
+    assert (104, 106) in list(zip(s, e))  # deletion span
+    s, e = ra._read_evidence("4M2I4M", "8", 100, 500)
+    assert (104, 105) in list(zip(s, e))  # insertion point
+    s, e = ra._read_evidence("8M", "3G4", 100, 500)
+    assert (103, 104) in list(zip(s, e))  # mismatch point
+
+
+def test_find_targets_merging(spark):
+    rows = [
+        _read("a", 10, "ACGTACGT", "4M2D4M", "4^CC4"),
+        _read("b", 12, "ACGTACGT", "2M2D6M", "2^CC6"),  # same deletion
+        _read("c", 30, "ACGTACGT", "8M", "8"),  # clean
+    ]
+    t = ra.find_realignment_targets(_df(spark, rows)).collect()
+    assert len(t) == 1
+    assert t[0]["referenceName"] == "chr1" and t[0]["start"] == 14 and t[0]["end"] == 16
+
+
+def test_local_reference_and_consensus():
+    rows = [
+        _read("a", 0, "AAAAACCCCC", "10M", "10"),
+        _read("b", 10, "GGGGGTTTTT", "10M", "10"),
+    ]
+    ref = ra._local_reference(rows, 0, 20)
+    assert ref == "AAAAACCCCCGGGGGTTTTT"
+    cons = ra._consensus_candidates([_read("c", 2, "AAACC", "3M2D2M", "3^CC2")], 0, 10)
+    assert cons == [(5, "D", 2, "")]
+
+
+def test_sweep():
+    import numpy as np
+
+    seq = b"ACGT"
+    quals = np.array([30, 30, 30, 30])
+    score, off = ra._sweep(seq, quals, b"TTACGTTT", 999)
+    assert score == 0 and off == 2
+    # no better placement than original score 0 → -1
+    score, off = ra._sweep(seq, quals, b"GGGGGGGG", 0)
+    assert off == -1 and score == 0
+
+
+def test_realign_shifts_mismatched_reads(spark):
+    """Reads carrying a 2-bp deletion + reads aligned WITHOUT the
+    deletion (showing mismatches) get pulled onto the consensus."""
+    # true sample: REF with positions 20..22 deleted ("AC" removed at 20)
+    # covering reads over REF[10:30]:
+    donor = REF[:20] + REF[22:]
+    rows = []
+    # 3 reads that were aligned WITH the deletion in their cigar (all
+    # genuinely straddle the deletion point at reference coord 20)
+    for i, st in enumerate((12, 13, 14)):
+        seq = donor[st : st + 10]
+        before = 20 - st
+        cig = f"{before}M2D{10 - before}M"
+        md = f"{before}^{REF[20:22]}{10 - before}"
+        rows.append(_read(f"del{i}", st, seq, cig, md))
+    # 2 reads aligned naively as 10M (no deletion) — they show mismatches;
+    # their true placements fit inside the read-derived local reference
+    for i, st in enumerate((11, 13)):
+        seq = donor[st : st + 10]
+        ref_slice = REF[st : st + 10]
+        from adam_spark.functions.cigar import md_from_reference
+
+        md, nmm = md_from_reference("10M", seq, ref_slice)
+        assert nmm > 0
+        rows.append(_read(f"mis{i}", st, seq, "10M", md))
+    df = _df(spark, rows)
+    out = ra.realign_indels(df, lod_threshold=0.5)
+    got = {r["readName"]: r for r in out.collect()}
+    assert len(got) == 5
+    # the naive reads must now carry the deletion and higher mapq
+    for nm in ("mis0", "mis1"):
+        assert "2D" in got[nm]["cigar"], got[nm]["cigar"]
+        assert got[nm]["mappingQuality"] == 50
+        # MD recomputed against the original reference: deletion bases AC
+        assert "^AC" in got[nm]["mismatchingPositions"]
+    # deletion-carrying reads keep the deletion in their alignment
+    for nm in ("del0", "del1", "del2"):
+        assert "2D" in got[nm]["cigar"]
+
+
+def test_realign_leaves_clean_reads_alone(spark):
+    rows = [
+        _read("a", 0, REF[0:10], "10M", "10"),
+        _read("b", 5, REF[5:15], "10M", "10"),
+        _read("c", 10, REF[10:20], "10M", "10"),
+    ]
+    out = ra.realign_indels(_df(spark, rows))
+    got = {r["readName"]: r for r in out.collect()}
+    assert len(got) == 3
+    assert all(got[n]["cigar"] == "10M" and got[n]["mappingQuality"] == 40 for n in got)
