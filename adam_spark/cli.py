@@ -1,0 +1,220 @@
+"""Command-line layer mirroring adam-cli (ADAMMain.scala:28-67).
+
+Commands compose the library exactly like the reference's CLI composes
+adam-core: ``transform_alignments`` is the pipeline driver
+(TransformAlignments.scala:45-653 flag set, core subset), plus
+flagstat, coverage, count_kmers, view, transform_features,
+transform_variants. Run via ``python -m adam_spark <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from adam_spark import get_spark
+
+    return get_spark(f"adam_spark {args.command}")
+
+
+def _cmd_transform_alignments(args) -> int:
+    from adam_spark import context as ctx
+    from adam_spark.operators import filters as flt
+    from adam_spark.operators.mark_duplicates import mark_duplicates
+    from adam_spark.operators import sorts
+    from adam_spark.operators.quality import bin_quality_scores, left_normalize_indels
+
+    spark = _spark(args)
+    gf = ctx.load_alignments(spark, args.input)
+    df = gf.df
+    if args.min_mapping_quality is not None:
+        df = flt.filter_by_mapping_quality(df, args.min_mapping_quality)
+    if args.filter_duplicates:
+        df = flt.filter_duplicate_reads(df)
+    if args.mark_duplicate_reads:
+        df = mark_duplicates(df, {g.id: (g.library or g.id) for g in gf.meta.read_groups})
+    if args.recalibrate_base_qualities:
+        from adam_spark.operators.bqsr import recalibrate_base_qualities
+
+        known = None
+        if args.known_snps:
+            known = ctx.load_variants(spark, args.known_snps).df
+        df = recalibrate_base_qualities(df, known)
+    if args.realign_indels:
+        from adam_spark.operators.realignment import realign_indels
+
+        df = realign_indels(df)
+    if args.left_normalize_indels:
+        df = left_normalize_indels(df)
+    if args.bin_quality_scores:
+        df = bin_quality_scores(df, args.bin_quality_scores.split(";"))
+    if args.sort_by_read_name:
+        df = sorts.sort_by_read_name(df)
+    elif args.sort_by_reference_position:
+        df = sorts.sort_by_reference_position(df)
+    out = gf.__class__(df, gf.meta)
+    if args.partition_size:
+        ctx.save(out, args.output, partition_size=args.partition_size)
+    else:
+        ctx.save(out, args.output, single_file=not args.sharded)
+    return 0
+
+
+def _cmd_flagstat(args) -> int:
+    from adam_spark import context as ctx
+    from adam_spark.operators.flagstat import flagstat
+
+    spark = _spark(args)
+    gf = ctx.load_alignments(spark, args.input)
+    for row in flagstat(gf.df).collect():
+        for k, v in row.asDict().items():
+            print(f"{k}\t{v}")
+    return 0
+
+
+def _cmd_coverage(args) -> int:
+    from adam_spark import context as ctx
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.operators.coverage import collapse_coverage, to_coverage
+
+    spark = _spark(args)
+    gf = ctx.load_alignments(spark, args.input)
+    cov = to_coverage(gf.df)
+    if args.collapse:
+        cov = collapse_coverage(cov)
+    meta = gf.meta.copy()
+    meta.kind = "coverage"
+    ctx.save(GenomicFrame(cov, meta), args.output, mode="overwrite")
+    return 0
+
+
+def _cmd_count_kmers(args) -> int:
+    from adam_spark import context as ctx
+    from adam_spark.operators.kmers import count_kmers
+
+    spark = _spark(args)
+    gf = ctx.load_alignments(spark, args.input)
+    counts = count_kmers(gf.df, args.kmer_length)
+    counts.select(
+        F.concat_ws("\t", F.col("kmer"), F.col("count"))
+    ).write.mode("overwrite").text(args.output)
+    return 0
+
+
+def _cmd_view(args) -> int:
+    from adam_spark import context as ctx
+    from adam_spark.operators.filters import view_filter
+
+    spark = _spark(args)
+    gf = ctx.load_alignments(spark, args.input)
+    df = view_filter(
+        gf.df,
+        match_all_bits=args.f,
+        mismatch_all_bits=args.F,
+        match_some_bits=args.g,
+        mismatch_some_bits=args.G,
+    )
+    if args.count:
+        print(df.count())
+    elif args.output:
+        ctx.save(gf.__class__(df, gf.meta), args.output)
+    else:
+        for line in df.limit(args.limit).collect():
+            print(line)
+    return 0
+
+
+def _cmd_transform_features(args) -> int:
+    from adam_spark import context as ctx
+
+    spark = _spark(args)
+    gf = ctx.load_features(spark, args.input)
+    ctx.save(gf, args.output, single_file=not args.sharded)
+    return 0
+
+
+def _cmd_transform_variants(args) -> int:
+    from adam_spark import context as ctx
+
+    spark = _spark(args)
+    gf = ctx.load_variant_contexts(spark, args.input)
+    ctx.save(gf, args.output, single_file=not args.sharded)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="adam_spark", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ta = sub.add_parser("transform_alignments", help="alignment pipeline driver")
+    ta.add_argument("input")
+    ta.add_argument("output")
+    ta.add_argument("-mark_duplicate_reads", dest="mark_duplicate_reads", action="store_true")
+    ta.add_argument("-recalibrate_base_qualities", dest="recalibrate_base_qualities", action="store_true")
+    ta.add_argument("-known_snps", dest="known_snps", default=None)
+    ta.add_argument("-realign_indels", dest="realign_indels", action="store_true")
+    ta.add_argument("-left_normalize_indels", dest="left_normalize_indels", action="store_true")
+    ta.add_argument("-bin_quality_scores", dest="bin_quality_scores", default=None,
+                    help="semicolon-separated low,high,value bins")
+    ta.add_argument("-min_mapping_quality", dest="min_mapping_quality", type=int, default=None)
+    ta.add_argument("-filter_duplicates", dest="filter_duplicates", action="store_true")
+    ta.add_argument("-sort_by_read_name", dest="sort_by_read_name", action="store_true")
+    ta.add_argument("-sort_by_reference_position", dest="sort_by_reference_position", action="store_true")
+    ta.add_argument("-partition_size", dest="partition_size", type=int, default=None,
+                    help="write partitioned parquet with this bin size")
+    ta.add_argument("-sharded", dest="sharded", action="store_true")
+    ta.set_defaults(fn=_cmd_transform_alignments)
+
+    fs = sub.add_parser("flagstat", help="samtools-flagstat counters")
+    fs.add_argument("input")
+    fs.set_defaults(fn=_cmd_flagstat)
+
+    cv = sub.add_parser("coverage", help="alignments -> per-base coverage")
+    cv.add_argument("input")
+    cv.add_argument("output")
+    cv.add_argument("-collapse", dest="collapse", action="store_true")
+    cv.set_defaults(fn=_cmd_coverage)
+
+    km = sub.add_parser("count_kmers", help="k-mer counts to text")
+    km.add_argument("input")
+    km.add_argument("output")
+    km.add_argument("kmer_length", type=int)
+    km.set_defaults(fn=_cmd_count_kmers)
+
+    vw = sub.add_parser("view", help="samtools-view flag filters")
+    vw.add_argument("input")
+    vw.add_argument("-f", type=int, default=None, help="match all flag bits")
+    vw.add_argument("-F", type=int, default=None, help="mismatch all flag bits")
+    vw.add_argument("-g", type=int, default=None, help="match some flag bits")
+    vw.add_argument("-G", type=int, default=None, help="mismatch some flag bits")
+    vw.add_argument("-c", dest="count", action="store_true", help="print count only")
+    vw.add_argument("-o", dest="output", default=None)
+    vw.add_argument("-limit", dest="limit", type=int, default=20)
+    vw.set_defaults(fn=_cmd_view)
+
+    tf = sub.add_parser("transform_features", help="feature format conversion")
+    tf.add_argument("input")
+    tf.add_argument("output")
+    tf.add_argument("-sharded", dest="sharded", action="store_true")
+    tf.set_defaults(fn=_cmd_transform_features)
+
+    tv = sub.add_parser("transform_variants", help="variant format conversion")
+    tv.add_argument("input")
+    tv.add_argument("output")
+    tv.add_argument("-sharded", dest="sharded", action="store_true")
+    tv.set_defaults(fn=_cmd_transform_variants)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

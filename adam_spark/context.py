@@ -1,0 +1,178 @@
+"""ADAMContext-equivalent entry points: extension-sniffing loaders and
+polymorphic saves.
+
+Mirrors the reference's dispatchers (ADAMContext.loadAlignments:3643,
+loadFeatures:3432, loadVariants:3589, loadGenotypes:3555,
+loadSequences:3991, loadVariantContexts:2870, loadCoverage:3118,
+loadSequenceDictionary:3519) and the per-type ``save`` dispatch
+(AlignmentDataset.save:635, FeatureDataset.save:505). Extension rules
+follow the reference; everything else is treated as (partitioned)
+Parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from adam_spark.core.genomic_frame import GenomicFrame
+from adam_spark.core.metadata import GenomicMetadata, Reference, SequenceDictionary
+from adam_spark.sources import fasta as _fasta
+from adam_spark.sources import fastq as _fastq
+from adam_spark.sources import features_io as _feat
+from adam_spark.sources import parquet as _parquet
+from adam_spark.sources import sam as _sam
+from adam_spark.sources import vcf as _vcf
+
+
+def _has_ext(path: str, *exts: str) -> bool:
+    base = path.rstrip("/").lower()
+    if base.endswith((".gz", ".bz2", ".bgz")):
+        base = base.rsplit(".", 1)[0]
+    return base.endswith(tuple(e.lower() for e in exts))
+
+
+def _load_parquet(spark: SparkSession, path: str, kind: str) -> GenomicFrame:
+    if _parquet.is_partitioned(path):
+        return _parquet.load_partitioned_parquet(spark, path, kind=kind)
+    return _parquet.load_parquet(spark, path, kind=kind)
+
+
+def load_alignments(
+    spark: SparkSession, path: str, path2: str | None = None
+) -> GenomicFrame:
+    """SAM text / FASTQ / Parquet → alignments (ADAMContext.loadAlignments)."""
+    if _has_ext(path, ".sam"):
+        return _sam.load_sam(spark, path)
+    if _has_ext(path, ".fq", ".fastq", ".ifq"):
+        return _fastq.load_fastq_alignments(spark, path, path2)
+    return _load_parquet(spark, path, "alignment")
+
+
+def load_features(spark: SparkSession, path: str) -> GenomicFrame:
+    if _has_ext(path, ".bed"):
+        return _feat.load_bed(spark, path)
+    if _has_ext(path, ".gtf", ".gff"):
+        return _feat.load_gtf(spark, path)
+    if _has_ext(path, ".gff3"):
+        return _feat.load_gff3(spark, path)
+    if _has_ext(path, ".narrowpeak", ".broadpeak"):
+        return _feat.load_narrowpeak(spark, path)
+    if _has_ext(path, ".interval_list"):
+        return _feat.load_interval_list(spark, path)
+    return _load_parquet(spark, path, "feature")
+
+
+def load_coverage(spark: SparkSession, path: str) -> GenomicFrame:
+    """Any feature source viewed as coverage (ADAMContext.loadCoverage:
+    score → count)."""
+    gf = load_features(spark, path)
+    if gf.kind == "coverage":
+        return gf
+    df = gf.df.select(
+        "referenceName",
+        "start",
+        "end",
+        F.coalesce(F.col("score"), F.lit(1.0)).cast("double").alias("count"),
+        F.col("sampleId").alias("optSampleId")
+        if "sampleId" in gf.df.columns
+        else F.lit(None).cast("string").alias("optSampleId"),
+    )
+    meta = gf.meta.copy()
+    meta.kind = "coverage"
+    return GenomicFrame(df, meta)
+
+
+def load_variants(spark: SparkSession, path: str) -> GenomicFrame:
+    if _has_ext(path, ".vcf"):
+        return _vcf.load_vcf_variants(spark, path)
+    return _load_parquet(spark, path, "variant")
+
+
+def load_genotypes(spark: SparkSession, path: str) -> GenomicFrame:
+    if _has_ext(path, ".vcf"):
+        return _vcf.load_vcf_genotypes(spark, path)
+    return _load_parquet(spark, path, "genotype")
+
+
+def load_variant_contexts(spark: SparkSession, path: str) -> GenomicFrame:
+    if _has_ext(path, ".vcf"):
+        return _vcf.load_vcf(spark, path)
+    return _load_parquet(spark, path, "variant_context")
+
+
+def load_sequences(spark: SparkSession, path: str, alphabet: str = "DNA") -> GenomicFrame:
+    if _has_ext(path, ".fa", ".fasta"):
+        return _fasta.load_fasta_sequences(spark, path, alphabet)
+    return _load_parquet(spark, path, "sequence")
+
+
+def load_slices(
+    spark: SparkSession, path: str, maximum_length: int = 10_000
+) -> GenomicFrame:
+    if _has_ext(path, ".fa", ".fasta"):
+        return _fasta.load_fasta_slices(spark, path, maximum_length)
+    return _load_parquet(spark, path, "slice")
+
+
+def load_reads(spark: SparkSession, path: str) -> GenomicFrame:
+    if _has_ext(path, ".fq", ".fastq"):
+        return _fastq.load_unpaired_fastq(spark, path)
+    return _load_parquet(spark, path, "read")
+
+
+def load_sequence_dictionary(path: str) -> SequenceDictionary:
+    """.dict (SAM header), .genome/.txt (name<TAB>length) dictionaries
+    (ADAMContext.loadSequenceDictionary:3519) — driver-side read."""
+    refs: list[Reference] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("@HD"):
+                continue
+            if line.startswith("@SQ"):
+                fields = dict(
+                    kv.split(":", 1) for kv in line.split("\t")[1:] if ":" in kv
+                )
+                if "SN" in fields:
+                    refs.append(
+                        Reference(
+                            name=fields["SN"],
+                            length=int(fields["LN"]) if "LN" in fields else None,
+                            md5=fields.get("M5"),
+                        )
+                    )
+            elif "\t" in line and not line.startswith("@"):
+                name, length = line.split("\t")[:2]
+                refs.append(Reference(name=name, length=int(length)))
+    return SequenceDictionary(refs)
+
+
+def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> None:
+    """Polymorphic save by extension (reference ``save`` dispatch)."""
+    if _has_ext(path, ".sam"):
+        _sam.save_sam(gf, path, single_file=single_file)
+    elif _has_ext(path, ".fq", ".fastq"):
+        _fastq.save_fastq(gf, path, single_file=single_file, **kwargs)
+    elif _has_ext(path, ".bed"):
+        _feat.save_bed(gf, path, single_file=single_file)
+    elif _has_ext(path, ".gtf"):
+        _feat.save_gtf(gf, path, single_file=single_file)
+    elif _has_ext(path, ".gff3"):
+        _feat.save_gff3(gf, path, single_file=single_file)
+    elif _has_ext(path, ".narrowpeak"):
+        _feat.save_narrowpeak(gf, path, single_file=single_file)
+    elif _has_ext(path, ".interval_list"):
+        _feat.save_interval_list(gf, path, single_file=single_file)
+    elif _has_ext(path, ".vcf"):
+        _vcf.save_vcf(gf, path, single_file=single_file)
+    elif _has_ext(path, ".fa", ".fasta"):
+        _fasta.save_fasta(gf, path, single_file=single_file, **kwargs)
+    else:
+        partition_size = kwargs.get("partition_size")
+        if partition_size:
+            _parquet.save_partitioned_parquet(gf, path, partition_size=partition_size)
+        else:
+            _parquet.save_parquet(gf, path, mode=kwargs.get("mode", "error"))

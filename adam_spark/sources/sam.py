@@ -40,6 +40,15 @@ def _ref_len(col_name: str):
 
 def load_sam(spark: SparkSession, path: str) -> GenomicFrame:
     raw = spark.read.text(path)
+    df = sam_lines_to_alignments(raw)
+    meta = _header_metadata(raw)
+    return GenomicFrame(df, meta)
+
+
+def sam_lines_to_alignments(raw: DataFrame) -> DataFrame:
+    """Parse a DataFrame of raw SAM text lines (column ``value``) into
+    ALIGNMENT rows. Works on batch AND streaming DataFrames — the
+    parse is stateless per line."""
     body = raw.where(~F.col("value").startswith("@") & (F.length(F.trim("value")) > 0))
     t = F.split(F.col("value"), "\t")
 
@@ -114,10 +123,7 @@ def load_sam(spark: SparkSession, path: str) -> GenomicFrame:
         F.when(b(0x40), 0).when(b(0x80), 1).otherwise(0).alias("readInFragment"),
         "attributes",
     )
-    df = schemas.conform(df, schemas.ALIGNMENT)
-
-    meta = _header_metadata(raw)
-    return GenomicFrame(df, meta)
+    return schemas.conform(df, schemas.ALIGNMENT)
 
 
 def _header_metadata(raw: DataFrame) -> GenomicMetadata:

@@ -1,0 +1,94 @@
+"""Structured Streaming ingestion & incremental aggregation.
+
+The reference has NO streaming surface (SURVEY §2.11) — this is the
+engine's native extension: the same relational parsers run as
+Structured Streaming pipelines because they are stateless per line.
+
+- :func:`stream_sam_directory` — watch a directory for SAM shards
+  (the shape an aligner emits) and parse them incrementally.
+- :func:`stream_to_partitioned_parquet` — continuous append into the
+  SAME (referenceName, positionBin) layout batch queries read, so
+  downstream region-pruned queries see data as it lands.
+- :func:`streaming_bin_coverage` — incremental per-bin read-count
+  aggregation (update mode) — the streaming analogue of
+  aggregated_coverage.
+- :func:`stream_events` / :func:`streaming_event_counts` — generic
+  watermarked windowed counts for the events table shape, showing the
+  watermark + window pattern for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adam_spark.sources.parquet import DEFAULT_PARTITION_SIZE
+from adam_spark.sources.sam import sam_lines_to_alignments
+
+
+def stream_sam_directory(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming ALIGNMENT rows from SAM text files landing in ``path``."""
+    raw = spark.readStream.format("text").load(path)
+    return sam_lines_to_alignments(raw)
+
+
+def stream_to_partitioned_parquet(
+    alignments: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_size: int = DEFAULT_PARTITION_SIZE,
+):
+    """Continuous append into the partitioned layout
+    (saveAsPartitionedParquet's streaming twin). Returns the query."""
+    binned = alignments.withColumn(
+        "positionBin", F.floor(F.col("start") / F.lit(float(partition_size)))
+    )
+    return (
+        binned.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("referenceName", "positionBin")
+        .outputMode("append")
+        .start()
+    )
+
+
+def streaming_bin_coverage(
+    alignments: DataFrame, bp_per_bin: int = 1000
+) -> DataFrame:
+    """Incremental read counts per (referenceName, bin) — run with
+    outputMode('update') or ('complete')."""
+    return (
+        alignments.where(F.col("readMapped"))
+        .groupBy(
+            "referenceName",
+            F.floor(F.col("start") / F.lit(float(bp_per_bin))).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("reads"))
+    )
+
+
+def stream_events(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Streaming scan of parquet/json event shards with a timestamp col."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_event_counts(
+    events: DataFrame,
+    timestamp_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window counts (late data beyond the
+    watermark is dropped; append-mode emits only finalized windows)."""
+    return (
+        events.withWatermark(timestamp_col, watermark_delay)
+        .groupBy(F.window(F.col(timestamp_col), window_duration), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )

@@ -1,0 +1,110 @@
+"""CLI end-to-end tests (reference: adam-cli suites —
+TransformAlignmentsSuite, FlagStatSuite, ViewSuite)."""
+
+import os
+
+import pytest
+
+from adam_spark.cli import main
+
+SAM = """@HD\tVN:1.6\tSO:coordinate
+@SQ\tSN:chr1\tLN:10000
+@RG\tID:rg1\tSM:s1\tLB:lib1
+r1\t99\tchr1\t100\t60\t10M\t=\t200\t110\tACGTACGTAC\tIIIIIIIIII\tRG:Z:rg1
+r1\t147\tchr1\t200\t60\t10M\t=\t100\t-110\tACGTACGTAC\tIIIIIIIIII\tRG:Z:rg1
+r2\t99\tchr1\t100\t60\t10M\t=\t200\t110\tACGTACGTAC\tBBBBBBBBBB\tRG:Z:rg1
+r2\t147\tchr1\t200\t60\t10M\t=\t100\t-110\tACGTACGTAC\tBBBBBBBBBB\tRG:Z:rg1
+r3\t0\tchr1\t500\t30\t10M\t*\t0\t0\tTTTTGGGGCC\tIIIIIIIIII
+r4\t4\t*\t0\t0\t*\t*\t0\t0\tAAAACCCC\tIIIIIIII
+"""
+
+
+@pytest.fixture()
+def sam_path(tmp_path):
+    f = tmp_path / "in.sam"
+    f.write_text(SAM)
+    return str(f)
+
+
+def test_transform_alignments_mark_dups_roundtrip(spark, sam_path, tmp_path):
+    out = str(tmp_path / "out.sam")
+    rc = main(
+        [
+            "transform_alignments",
+            sam_path,
+            out,
+            "-mark_duplicate_reads",
+            "-sort_by_reference_position",
+        ]
+    )
+    assert rc == 0
+    from adam_spark.sources.sam import load_sam
+
+    gf = load_sam(spark, out)
+    rows = {(r["readName"], r["readInFragment"]): r for r in gf.df.collect()}
+    assert len(rows) == 6
+    # r1/r2 are position duplicates; the higher-quality pair (r1, 'I'
+    # quals) survives, r2 is flagged
+    assert rows[("r2", 0)]["duplicateRead"] is True
+    assert rows[("r1", 0)]["duplicateRead"] is False
+
+
+def test_transform_alignments_to_parquet(spark, sam_path, tmp_path):
+    out = str(tmp_path / "out.adam")
+    rc = main(["transform_alignments", sam_path, out, "-partition_size", "1000"])
+    assert rc == 0
+    from adam_spark.sources.parquet import is_partitioned, load_partitioned_parquet
+
+    assert is_partitioned(out)
+    gf = load_partitioned_parquet(spark, out, regions=[("chr1", 0, 300)])
+    assert gf.df.count() == 4  # r3 at 499 and unmapped r4 pruned
+    assert gf.meta.references["chr1"].length == 10000
+
+
+def test_flagstat_cli(spark, sam_path, capsys):
+    rc = main(["flagstat", sam_path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "total" in out
+
+
+def test_view_count(spark, sam_path, capsys):
+    rc = main(["view", sam_path, "-f", "64", "-c"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().endswith("2")  # two first-of-pair reads
+
+
+def test_coverage_cli(spark, sam_path, tmp_path):
+    out = str(tmp_path / "cov.adam")
+    rc = main(["coverage", sam_path, out, "-collapse"])
+    assert rc == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    cov = load_parquet(spark, out)
+    rows = {(r["start"], r["end"]): r["count"] for r in cov.df.collect()}
+    assert rows[(99, 109)] == 2.0  # r1+r2 overlap (r2 dup but unmarked here)
+
+
+def test_count_kmers_cli(spark, sam_path, tmp_path):
+    out = str(tmp_path / "kmers")
+    rc = main(["count_kmers", sam_path, out, "4"])
+    assert rc == 0
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part"):
+            lines += open(os.path.join(out, f)).read().splitlines()
+    counts = dict(l.split("\t") for l in lines)
+    assert counts["ACGT"] >= "1"
+
+
+def test_transform_features_bed_to_gff3(spark, tmp_path):
+    bed = tmp_path / "in.bed"
+    bed.write_text("chr1\t10\t20\tfeat1\t5.0\t+\n")
+    out = str(tmp_path / "out.gff3")
+    rc = main(["transform_features", str(bed), out])
+    assert rc == 0
+    from adam_spark.sources.features_io import load_gff3
+
+    gf = load_gff3(spark, out)
+    r = gf.df.collect()[0]
+    assert r["start"] == 10 and r["end"] == 20

@@ -1,0 +1,109 @@
+"""Structured Streaming tests: SAM shards land in a directory and flow
+into the partitioned layout + incremental coverage."""
+
+import os
+import time
+
+from adam_spark import streaming as st
+from adam_spark.sources.parquet import FLAG_FILE
+
+SAM_SHARD_1 = (
+    "r1\t0\tchr1\t100\t60\t10M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII\n"
+    "r2\t0\tchr1\t1500\t60\t10M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII\n"
+)
+SAM_SHARD_2 = (
+    "r3\t0\tchr2\t300\t60\t10M\t*\t0\t0\tTTTTGGGGCC\tIIIIIIIIII\n"
+    "r4\t4\t*\t0\t0\t*\t*\t0\t0\tAAAACCCC\tIIIIIIII\n"
+)
+
+
+def test_stream_sam_to_partitioned_parquet(spark, tmp_path):
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir)
+    (indir / "shard1.sam").write_text(SAM_SHARD_1)
+
+    alignments = st.stream_sam_directory(spark, str(indir))
+    assert alignments.isStreaming
+    q = st.stream_to_partitioned_parquet(
+        alignments, outdir, ckpt, partition_size=1000
+    )
+    try:
+        q.processAllAvailable()
+        (indir / "shard2.sam").write_text(SAM_SHARD_2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(outdir)
+    assert got.count() == 4
+    bins = {
+        (r["referenceName"], r["positionBin"])
+        for r in got.select("referenceName", "positionBin").distinct().collect()
+    }
+    assert ("chr1", 0) in bins and ("chr1", 1) in bins and ("chr2", 0) in bins
+    # unmapped read: null partition values land in HIVE_DEFAULT_PARTITION
+    # batch loader interop: mark the layout and read it back region-pruned
+    with open(os.path.join(outdir, FLAG_FILE), "w") as f:
+        f.write("1000")
+    from adam_spark.sources.parquet import load_partitioned_parquet
+    from adam_spark.core.metadata import GenomicMetadata
+
+    GenomicMetadata(kind="alignment").save(outdir)
+    gf = load_partitioned_parquet(spark, outdir, regions=[("chr1", 0, 200)])
+    assert [r["readName"] for r in gf.df.collect()] == ["r1"]
+
+
+def test_streaming_bin_coverage(spark, tmp_path):
+    indir = tmp_path / "in"
+    os.makedirs(indir)
+    (indir / "s.sam").write_text(SAM_SHARD_1 + SAM_SHARD_2)
+    alignments = st.stream_sam_directory(spark, str(indir))
+    cov = st.streaming_bin_coverage(alignments, bp_per_bin=1000)
+    q = (
+        cov.writeStream.format("memory")
+        .queryName("cov_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["referenceName"], r["bin"]): r["reads"]
+            for r in spark.sql("select * from cov_test").collect()
+        }
+    finally:
+        q.stop()
+    assert rows == {("chr1", 0): 1, ("chr1", 1): 1, ("chr2", 0): 1}
+
+
+def test_streaming_event_counts(spark, tmp_path):
+    import datetime
+
+    src = str(tmp_path / "events")
+    rows = [
+        (1, "click", datetime.datetime(2026, 1, 1, 10, 15)),
+        (2, "click", datetime.datetime(2026, 1, 1, 10, 45)),
+        (3, "error", datetime.datetime(2026, 1, 1, 11, 5)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    df.write.parquet(src)
+    ev = st.stream_events(spark, src, df.schema)
+    counts = st.streaming_event_counts(ev, "ts", "1 hour", "2 hours")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("ev_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["event_type"]): r["n"]
+            for r in spark.sql("select * from ev_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("2026-01-01 10:00:00", "click")] == 2
+    assert got[("2026-01-01 11:00:00", "error")] == 1
