@@ -687,6 +687,182 @@ ORDER BY id_a, id_b
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# round-1 additions: ngram dedup, IVF ANN, mark-duplicates, coverage
+# flatten/downsample, fragment grouping
+# --------------------------------------------------------------------------
+
+
+def dedup_ngram_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from adam_spark.llm.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), "doc_id", ngram=2, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+_NGRAM_SQL = """
+WITH base AS (SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+bg AS (SELECT id, list_distinct([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS s
+       FROM base WHERE len(t) >= 2),
+posts AS (SELECT id, UNNEST(s) AS tok, len(s) AS n FROM bg),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+                 COUNT(*) AS i
+          FROM posts a JOIN posts b ON a.tok = b.tok AND a.id < b.id
+          GROUP BY a.id, b.id, a.n, b.n)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) AS jaccard
+FROM inter WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from adam_spark.llm.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return (
+        ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+asg AS (SELECT * FROM (
+          SELECT e.vec_id AS neighbor_id, e.v AS cvec, cent.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, cent.cv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                   cent.cent_id) AS r
+          FROM e CROSS JOIN cent) WHERE r = 1),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+probes AS (SELECT * FROM (
+          SELECT q.vec_id AS query_id, q.v AS qvec, cent.cent_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_dot_product(q.v, cent.cv)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                   cent.cent_id) AS r
+          FROM q CROSS JOIN cent) WHERE r <= 4),
+scored AS (SELECT p.query_id, a.neighbor_id,
+                  list_dot_product(p.qvec, a.cvec)
+                    / (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.cvec, a.cvec))) AS sim
+           FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+           WHERE p.query_id != a.neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _markdup_alignments(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-end alignment frame from orders; ~12 reads share each 5'
+    site so duplicate competition is exercised."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        F.expr("'r' || cast(o_orderkey as string)").alias("readName"),
+        F.expr("'c' || cast(o_orderkey % 4 as string)").alias("referenceName"),
+        F.expr("(o_orderkey * 13) % 5000 + 100").alias("start"),
+        F.expr(
+            "(o_orderkey * 13) % 5000 + 100 + CASE WHEN o_orderkey % 7 = 0 THEN 45 ELSE 50 END"
+        ).alias("end"),
+        F.expr("CASE WHEN o_orderkey % 7 = 0 THEN '5S45M' ELSE '50M' END").alias("cigar"),
+        F.expr("o_orderkey % 3 = 0").alias("readNegativeStrand"),
+        F.expr("repeat(chr(43 + o_orderkey % 30), 50)").alias("qualityScores"),
+        F.lit(True).alias("readMapped"),
+        F.lit(True).alias("primaryAlignment"),
+        F.lit(False).alias("secondaryAlignment"),
+        F.lit(False).alias("supplementaryAlignment"),
+        F.lit(False).alias("readPaired"),
+        F.lit(None).cast("string").alias("readGroupId"),
+        F.lit(None).cast("int").alias("readInFragment"),
+    )
+
+
+def mark_duplicates_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from adam_spark.operators.mark_duplicates import mark_duplicates
+
+    df = mark_duplicates(_markdup_alignments(spark, sf))
+    return df.select("readName", "duplicateRead").orderBy("readName")
+
+
+_MARKDUP_SQL = """
+WITH a AS (SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS readName,
+         'c' || CAST(o_orderkey % 4 AS VARCHAR) AS ref,
+         (o_orderkey * 13) % 5000 + 100 AS start,
+         (o_orderkey * 13) % 5000 + 100 + CASE WHEN o_orderkey % 7 = 0 THEN 45 ELSE 50 END AS "end",
+         CASE WHEN o_orderkey % 7 = 0 THEN 5 ELSE 0 END AS lead,
+         o_orderkey % 3 = 0 AS neg,
+         -- phred of repeated char chr(43 + k%30) = 10 + k%30; counted when >= 15
+         CASE WHEN 10 + o_orderkey % 30 >= 15 THEN 50 * (10 + o_orderkey % 30) ELSE 0 END AS score
+       FROM orders),
+k AS (SELECT readName, score,
+         ref, CASE WHEN neg THEN "end" ELSE start - lead END AS fp,
+         CASE WHEN neg THEN 'R' ELSE 'F' END AS strand
+      FROM a),
+m AS (SELECT readName,
+         row_number() OVER (PARTITION BY ref, fp, strand ORDER BY score DESC, readName) AS rn
+      FROM k)
+SELECT readName, rn > 1 AS duplicateRead FROM m ORDER BY readName
+"""
+
+
+def coverage_flatten_bin(spark: SparkSession, sf: str) -> DataFrame:
+    from adam_spark.operators.coverage import downsample_coverage, flatten_coverage
+
+    cov = _cov_intervals(spark, sf)
+    return downsample_coverage(flatten_coverage(cov), 10).select(
+        "referenceName", "start", "end", "count"
+    )
+
+
+_COV_FLATTEN_SQL = f"""
+WITH iv AS ({_COV_SQL}),
+pb AS (SELECT referenceName, count, UNNEST(range(start, "end")) AS pos FROM iv)
+SELECT referenceName, pos AS start, pos + 1 AS "end", count
+FROM pb WHERE pos % 10 = 0
+"""
+
+
+def fragments_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Exercises alignments_to_fragments: 2 reads per fragment name,
+    then stats read back OUT of the nested alignments array."""
+    from adam_spark.operators.conversions import alignments_to_fragments
+    from adam_spark import schemas as _schemas
+
+    o = load_table(spark, sf, "orders")
+    aln = _schemas.conform(
+        o.select(
+            F.expr("'f' || cast(o_orderkey div 2 as string)").alias("readName"),
+            F.expr("cast(o_orderkey % 2 as int)").alias("readInFragment"),
+            F.expr("cast((o_orderkey * 11) % 900 as bigint)").alias("insertSize"),
+        ),
+        _schemas.ALIGNMENT,
+    )
+    frags = alignments_to_fragments(aln)
+    return frags.select(
+        "name",
+        "insertSize",
+        F.size("alignments").alias("n_reads"),
+        F.element_at("alignments", 1)["readInFragment"].alias("first_rif"),
+    ).orderBy("name")
+
+
+_FRAGMENTS_SQL = """
+SELECT 'f' || CAST(o_orderkey // 2 AS VARCHAR) AS name,
+       MAX(CAST((o_orderkey * 11) % 900 AS BIGINT)) AS insertSize,
+       COUNT(*) AS n_reads,
+       MIN(CAST(o_orderkey % 2 AS INT)) AS first_rif
+FROM orders GROUP BY o_orderkey // 2 ORDER BY name
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -720,6 +896,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_docs": text_profile_docs,
         "similarity_topk": similarity_topk,
         "embedding_near_dup": embedding_near_dup,
+        "dedup_ngram_docs": dedup_ngram_docs,
+        "ann_ivf_topk": ann_ivf_topk,
+        "mark_duplicates_orders": mark_duplicates_orders,
+        "coverage_flatten_bin": coverage_flatten_bin,
+        "fragments_group": fragments_group,
     }
 
 
@@ -746,5 +927,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_docs": _simhash_sql(),
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
+        "dedup_ngram_docs": _NGRAM_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
+        "mark_duplicates_orders": _MARKDUP_SQL,
+        "coverage_flatten_bin": _COV_FLATTEN_SQL,
+        "fragments_group": _FRAGMENTS_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
     }

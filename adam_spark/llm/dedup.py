@@ -36,15 +36,16 @@ def distinct_tokens(text: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles, space-joined."""
+    """Distinct word n-gram shingles, space-joined. Documents with
+    fewer than ``n`` tokens yield an empty array (guard needed because
+    ``sequence(1, 0)`` would count DOWN, not produce empty)."""
     toks = tokens(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-            ),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -39,6 +39,10 @@ HEADLINE = [
     "text_profile_docs",
     "similarity_topk",
     "embedding_near_dup",
+    # dedup_ngram_docs stays correctness-only: it is the documented
+    # brute-force validation path; minhash is the scale path benched here
+    "ann_ivf_topk",
+    "mark_duplicates_orders",
 ]
 
 
