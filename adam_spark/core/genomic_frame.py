@@ -142,3 +142,85 @@ class GenomicFrame:
             df = df.unionByName(o.df, allowMissingColumns=True)
             meta = meta.merge(o.meta)
         return GenomicFrame(df, meta)
+
+    # --- operator bindings (reference-style ergonomics) -------------------
+    def region_join(
+        self,
+        other: GenomicFrame,
+        how: str = "inner",
+        group: str | None = None,
+        flank: int = 0,
+        broadcast: str | None = None,
+        **kwargs,
+    ) -> GenomicFrame:
+        """All 11 reference join variants (see operators.region_join)."""
+        from adam_spark.operators.region_join import region_join as _rj
+
+        df = _rj(
+            self.df, other.df, how=how, group=group, flank=flank,
+            broadcast=broadcast, **kwargs,
+        )
+        return GenomicFrame(df, self.meta.merge(other.meta))
+
+    def broadcast_region_join(self, other: GenomicFrame, **kw) -> GenomicFrame:
+        return self.region_join(other, broadcast="left", **kw)
+
+    def shuffle_region_join(self, other: GenomicFrame, **kw) -> GenomicFrame:
+        return self.region_join(other, **kw)
+
+    def sort(self) -> GenomicFrame:
+        """Global (reference-index, start) sort (GenomicDataset.sort:635)."""
+        from adam_spark.operators.sorts import sort as _sort
+
+        return self.transform_df(lambda df: _sort(df, self.meta.references))
+
+    def sort_lexicographically(self) -> GenomicFrame:
+        from adam_spark.operators.sorts import sort_lexicographically as _s
+
+        return self.transform_df(_s)
+
+    def to_coverage(self) -> GenomicFrame:
+        from adam_spark.operators.coverage import to_coverage as _cov
+
+        out = GenomicFrame(_cov(self.df), self.meta.copy())
+        out.meta.kind = "coverage"
+        return out
+
+    def flagstat(self):
+        from adam_spark.operators.flagstat import flagstat as _fs
+
+        return _fs(self.df)
+
+    def count_kmers(self, k: int):
+        from adam_spark.operators.kmers import count_kmers as _ck
+
+        return _ck(self.df, k)
+
+    def mark_duplicates(self) -> GenomicFrame:
+        from adam_spark.operators.mark_duplicates import mark_duplicates as _md
+
+        lib = {g.id: (g.library or g.id) for g in self.meta.read_groups}
+        return self.transform_df(lambda df: _md(df, lib))
+
+    def recalibrate_base_qualities(
+        self, known_snps: GenomicFrame | None = None, min_acceptable_quality: int = 5
+    ) -> GenomicFrame:
+        from adam_spark.operators.bqsr import recalibrate_base_qualities as _bq
+
+        snps = known_snps.df if known_snps is not None else None
+        return self.transform_df(lambda df: _bq(df, snps, min_acceptable_quality))
+
+    def realign_indels(self, **kw) -> GenomicFrame:
+        from adam_spark.operators.realignment import realign_indels as _ri
+
+        return self.transform_df(lambda df: _ri(df, **kw))
+
+    def pipe(self, cmd, **kw) -> GenomicFrame:
+        from adam_spark.operators.pipe import pipe as _pipe
+
+        return _pipe(self, cmd, **kw)
+
+    def save(self, path: str, **kw) -> None:
+        from adam_spark import context as _ctx
+
+        _ctx.save(self, path, **kw)

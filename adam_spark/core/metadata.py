@@ -159,6 +159,75 @@ class GenomicMetadata:
         meta.processing_steps = [*self.processing_steps, step]
         return meta
 
+    # --- VCF header-line surface (VCFSupportingGenomicDataset,
+    # GenomicDataset.scala:3497-3757; Python mirror ds.py:628-848) ------
+    def _with_header_line(self, line: str) -> GenomicMetadata:
+        meta = self.copy()
+        if line not in meta.header_lines:
+            meta.header_lines = [*meta.header_lines, line]
+        return meta
+
+    def add_filter_header_line(self, fid: str, description: str) -> GenomicMetadata:
+        return self._with_header_line(
+            f'##FILTER=<ID={fid},Description="{description}">'
+        )
+
+    def add_scalar_format_header_line(
+        self, fid: str, description: str, fmt_type: str = "Float"
+    ) -> GenomicMetadata:
+        return self._with_header_line(
+            f'##FORMAT=<ID={fid},Number=1,Type={fmt_type},Description="{description}">'
+        )
+
+    def add_fixed_array_format_header_line(
+        self, fid: str, count: int, description: str, fmt_type: str = "Float"
+    ) -> GenomicMetadata:
+        return self._with_header_line(
+            f'##FORMAT=<ID={fid},Number={count},Type={fmt_type},Description="{description}">'
+        )
+
+    def add_genotype_array_format_header_line(
+        self, fid: str, description: str, fmt_type: str = "Float"
+    ) -> GenomicMetadata:
+        return self._with_header_line(
+            f'##FORMAT=<ID={fid},Number=G,Type={fmt_type},Description="{description}">'
+        )
+
+    def add_alternate_allele_array_format_header_line(
+        self, fid: str, description: str, fmt_type: str = "Float"
+    ) -> GenomicMetadata:
+        return self._with_header_line(
+            f'##FORMAT=<ID={fid},Number=A,Type={fmt_type},Description="{description}">'
+        )
+
+    def add_scalar_info_header_line(
+        self, iid: str, description: str, info_type: str = "Float"
+    ) -> GenomicMetadata:
+        return self._with_header_line(
+            f'##INFO=<ID={iid},Number=1,Type={info_type},Description="{description}">'
+        )
+
+    def add_fixed_array_info_header_line(
+        self, iid: str, count: int, description: str, info_type: str = "Float"
+    ) -> GenomicMetadata:
+        return self._with_header_line(
+            f'##INFO=<ID={iid},Number={count},Type={info_type},Description="{description}">'
+        )
+
+    def add_alternate_allele_array_info_header_line(
+        self, iid: str, description: str, info_type: str = "Float"
+    ) -> GenomicMetadata:
+        return self._with_header_line(
+            f'##INFO=<ID={iid},Number=A,Type={info_type},Description="{description}">'
+        )
+
+    def add_all_alleles_array_info_header_line(
+        self, iid: str, description: str, info_type: str = "Float"
+    ) -> GenomicMetadata:
+        return self._with_header_line(
+            f'##INFO=<ID={iid},Number=R,Type={info_type},Description="{description}">'
+        )
+
     def copy(self) -> GenomicMetadata:
         return GenomicMetadata(
             references=SequenceDictionary(self.references.references),

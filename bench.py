@@ -52,6 +52,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else 0.1
     spark = get_spark("adam-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen path so the first query's number measures the
+    # query, not session init; file listing/footers stay measured per query
+    from pyspark.sql import functions as F
+
+    spark.range(1_000).select(F.sum("id")).collect()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
