@@ -267,3 +267,26 @@ def variant_contexts_to_genotypes(vcs: DataFrame) -> DataFrame:
 def variant_contexts_to_variants(vcs: DataFrame) -> DataFrame:
     """(reference: VariantContextDataset.toVariants :336)."""
     return vcs.select("variant.*")
+
+
+def reassemble_read_pairs(
+    first_of_pair: DataFrame, second_of_pair: DataFrame
+) -> DataFrame:
+    """Re-pair two unpaired read sets by readName
+    (reference: AlignmentDataset.reassembleReadPairs:1668-1750, used to
+    re-join r1/r2 after a pipe() stage split them). Inner join on name;
+    readInFragment forced to 0/1 and readPaired set on both sides."""
+    from pyspark.sql import functions as F
+
+    def _side(df: DataFrame, rif: int) -> DataFrame:
+        return df.withColumn("readInFragment", F.lit(rif)).withColumn(
+            "readPaired", F.lit(True)
+        )
+
+    r1 = _side(first_of_pair, 0)
+    r2 = _side(second_of_pair, 1)
+    names = r1.select("readName").intersect(r2.select("readName"))
+    return (
+        r1.join(names, "readName", "inner")
+        .unionByName(r2.join(names, "readName", "inner"))
+    )

@@ -80,3 +80,19 @@ def test_genomic_frame_bindings(spark):
     assert jb.df.count() == 2  # a and b matched, grouped
     sorted_gf = l.sort_lexicographically()
     assert [r["id"] for r in sorted_gf.df.collect()] == ["a", "b", "c"]
+
+
+def test_reassemble_read_pairs(spark):
+    from adam_spark.operators.conversions import reassemble_read_pairs
+
+    r1 = spark.createDataFrame(
+        [("a", "ACGT"), ("b", "TTTT"), ("orphan", "GG")], "readName string, sequence string"
+    )
+    r2 = spark.createDataFrame([("a", "CCCC"), ("b", "AAAA")], "readName string, sequence string")
+    out = reassemble_read_pairs(r1, r2)
+    rows = out.collect()
+    assert len(rows) == 4  # orphan dropped (no mate)
+    assert all(r["readPaired"] for r in rows)
+    assert {(r["readName"], r["readInFragment"]) for r in rows} == {
+        ("a", 0), ("a", 1), ("b", 0), ("b", 1),
+    }
