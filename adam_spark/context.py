@@ -123,6 +123,14 @@ def load_reads(spark: SparkSession, path: str) -> GenomicFrame:
     return _load_parquet(spark, path, "read")
 
 
+def load_reference_file(path: str):
+    """Random-access reference genome — .2bit or (indexed) FASTA
+    (ADAMContext.loadReferenceFile:3492)."""
+    from adam_spark.sources.reference_file import load_reference_file as _lrf
+
+    return _lrf(path)
+
+
 def load_sequence_dictionary(path: str) -> SequenceDictionary:
     """.dict (SAM header), .genome/.txt (name<TAB>length) dictionaries
     (ADAMContext.loadSequenceDictionary:3519) — driver-side read."""
