@@ -154,3 +154,21 @@ def mark_duplicates(alignments: DataFrame, library_by_rg: dict[str, str] | None 
         ),
     )
     return out.drop("__isDup", "__lib", "__rg", "__mappedPrimary", "__fp", "__strand", "__score")
+
+
+def mark_duplicate_fragments(
+    fragments: DataFrame, library_by_rg: dict[str, str] | None = None
+) -> DataFrame:
+    """Duplicate marking for Fragment datasets
+    (reference: FragmentDataset.markDuplicates :369): explode the
+    nested alignments, mark, regroup. When the input is already
+    fragment-grouped this trades the reference's saved first shuffle
+    for one regroup — same asymptotics, one operator."""
+    from adam_spark.operators.conversions import (
+        alignments_to_fragments,
+        fragments_to_alignments,
+    )
+
+    aln = fragments_to_alignments(fragments)
+    marked = mark_duplicates(aln, library_by_rg)
+    return alignments_to_fragments(marked.select(*aln.columns))

@@ -125,3 +125,27 @@ def test_mark_duplicates(fixtures):
     for g, members in groups.items():
         if len(members) > 1 and any(d for _, d in members):
             assert any(not d for _, d in members), f"group {g} fully marked"
+
+
+def test_mark_duplicate_fragments(spark):
+    from adam_spark import schemas
+    from adam_spark.operators.conversions import alignments_to_fragments
+    from adam_spark.operators.mark_duplicates import mark_duplicate_fragments
+
+    rows = []
+    for name, start, q in [("a", 100, "I"), ("b", 100, "B"), ("c", 500, "I")]:
+        rows.append(
+            (name, "chr1", start, start + 50, "50M", False, q * 50, True, True,
+             False, False, False, 0)
+        )
+    sch = (
+        "readName string, referenceName string, start long, end long, cigar string, "
+        "readNegativeStrand boolean, qualityScores string, readMapped boolean, "
+        "primaryAlignment boolean, secondaryAlignment boolean, supplementaryAlignment boolean, "
+        "readPaired boolean, readInFragment int"
+    )
+    aln = schemas.conform(spark.createDataFrame(rows, sch), schemas.ALIGNMENT)
+    out = mark_duplicate_fragments(alignments_to_fragments(aln))
+    got = {r["name"]: [a["duplicateRead"] for a in r["alignments"]] for r in out.collect()}
+    # a and b share the 5' site; a has the higher quality sum, b is the dup
+    assert got == {"a": [False], "b": [True], "c": [False]}
