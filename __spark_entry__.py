@@ -863,6 +863,41 @@ FROM orders GROUP BY o_orderkey // 2 ORDER BY name
 """
 
 
+
+
+def coverage_from_reads(spark: SparkSession, sf: str) -> DataFrame:
+    """AlignmentDataset.toCoverage on an alignment-shaped frame: per-base
+    depth via the events/prefix-sum method, run-length collapsed."""
+    from adam_spark.operators.coverage import to_coverage
+
+    reads = load_table(spark, sf, "lineitem").where(F.expr("l_orderkey % 20 = 0")).select(
+        F.expr("'c' || cast(l_orderkey % 4 as string)").alias("referenceName"),
+        F.expr("(l_orderkey * 3) % 3000").alias("start"),
+        F.expr("(l_orderkey * 3) % 3000 + 20 + (l_partkey % 30)").alias("end"),
+        F.lit(True).alias("readMapped"),
+        F.lit(None).cast("string").alias("readGroupSampleId"),
+    )
+    return to_coverage(reads, collapse=True).select(
+        "referenceName", "start", "end", "count"
+    )
+
+
+_COVERAGE_FROM_READS_SQL = """
+WITH reads AS (
+  SELECT 'c' || CAST(l_orderkey % 4 AS VARCHAR) AS ref,
+         (l_orderkey * 3) % 3000 AS s,
+         (l_orderkey * 3) % 3000 + 20 + (l_partkey % 30) AS e
+  FROM lineitem WHERE l_orderkey % 20 = 0),
+pb AS (SELECT ref, UNNEST(range(s, e)) AS pos FROM reads),
+depth AS (SELECT ref, pos, CAST(COUNT(*) AS DOUBLE) AS cnt FROM pb GROUP BY ref, pos),
+runs AS (SELECT ref, pos, cnt,
+           pos - row_number() OVER (PARTITION BY ref, cnt ORDER BY pos) AS grp
+         FROM depth)
+SELECT ref AS referenceName, MIN(pos) AS start, MAX(pos) + 1 AS "end", cnt AS count
+FROM runs GROUP BY ref, cnt, grp
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -900,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "mark_duplicates_orders": mark_duplicates_orders,
         "coverage_flatten_bin": coverage_flatten_bin,
+        "coverage_from_reads": coverage_from_reads,
         "fragments_group": fragments_group,
     }
 
@@ -931,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ANN_IVF_SQL,
         "mark_duplicates_orders": _MARKDUP_SQL,
         "coverage_flatten_bin": _COV_FLATTEN_SQL,
+        "coverage_from_reads": _COVERAGE_FROM_READS_SQL,
         "fragments_group": _FRAGMENTS_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
     }

@@ -31,6 +31,7 @@ HEADLINE = [
     "interval_join_group_left",
     "interval_join_flank_broadcast",
     "coverage_collapse",
+    "coverage_from_reads",
     "flagstat_events",
     "kmer_count_docs",
     "dedup_exact_docs",
