@@ -146,6 +146,14 @@ def _cmd_transform_variants(args) -> int:
     return 0
 
 
+def _cmd_merge_shards(args) -> int:
+    from adam_spark.sources.merge import merge_shards
+
+    n = merge_shards(args.input, args.output, header_path=args.header)
+    print(f"merged {n} shards into {args.output}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="adam_spark", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -201,6 +209,12 @@ def build_parser() -> argparse.ArgumentParser:
     tf.add_argument("output")
     tf.add_argument("-sharded", dest="sharded", action="store_true")
     tf.set_defaults(fn=_cmd_transform_features)
+
+    ms = sub.add_parser("merge_shards", help="concatenate sharded text output")
+    ms.add_argument("input", help="shard directory (part-* files)")
+    ms.add_argument("output", help="merged single file")
+    ms.add_argument("-header", dest="header", default=None, help="header file to prepend")
+    ms.set_defaults(fn=_cmd_merge_shards)
 
     tv = sub.add_parser("transform_variants", help="variant format conversion")
     tv.add_argument("input")

@@ -76,6 +76,11 @@ class GenomicFrame:
         """Escape hatch to plain Spark SQL (GenomicDataset.scala:147-149)."""
         return self.df
 
+    def project(self, *fields: str) -> GenomicFrame:
+        """Column projection (reference: Projection(fields...),
+        projections/Projection.scala:27-45) — Catalyst prunes the scan."""
+        return GenomicFrame(self.df.select(*fields), self.meta.copy())
+
     def transform_df(self, fn: Callable[[DataFrame], DataFrame]) -> GenomicFrame:
         """Apply an arbitrary DataFrame function, keeping metadata
         (reference: transformDataFrame, GenomicDataset.scala:509-530)."""

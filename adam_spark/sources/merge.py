@@ -1,0 +1,41 @@
+"""Shard merging: concatenate a sharded text/SAM/VCF output directory
+into one file.
+
+Mirrors util/FileMerger.scala:35-238 + the MergeShards CLI
+(adam-cli/MergeShards.scala): driver-side filesystem concat of
+``part-*`` shards in lexicographic order, with an optional header file
+prepended — the post-step after a sharded ``save_*`` when a single
+interchange file is required. Buffered copy, never loads a shard fully
+into memory.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+
+def merge_shards(
+    shard_dir: str,
+    output_path: str,
+    header_path: str | None = None,
+    buffer_size: int = 4 * 1024 * 1024,
+) -> int:
+    """Concatenate ``part-*`` files under ``shard_dir`` into
+    ``output_path``. Returns the number of shards merged."""
+    shards = sorted(
+        p
+        for p in glob.glob(os.path.join(shard_dir, "part-*"))
+        if not p.endswith((".crc", "_SUCCESS"))
+    )
+    if not shards:
+        raise FileNotFoundError(f"no part-* shards under {shard_dir}")
+    with open(output_path, "wb") as out:
+        if header_path:
+            with open(header_path, "rb") as hf:
+                shutil.copyfileobj(hf, out, buffer_size)
+        for p in shards:
+            with open(p, "rb") as fh:
+                shutil.copyfileobj(fh, out, buffer_size)
+    return len(shards)

@@ -108,3 +108,28 @@ def test_transform_features_bed_to_gff3(spark, tmp_path):
     gf = load_gff3(spark, out)
     r = gf.df.collect()[0]
     assert r["start"] == 10 and r["end"] == 20
+
+
+def test_merge_shards(spark, tmp_path):
+    from adam_spark.sources.merge import merge_shards
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "part-00000").write_text("line1\n")
+    (d / "part-00001").write_text("line2\n")
+    (d / "_SUCCESS").write_text("")
+    hdr = tmp_path / "header.txt"
+    hdr.write_text("@HD\tVN:1.6\n")
+    out = str(tmp_path / "merged.sam")
+    rc = main(["merge_shards", str(d), out, "-header", str(hdr)])
+    assert rc == 0
+    assert open(out).read() == "@HD\tVN:1.6\nline1\nline2\n"
+
+
+def test_projection(spark, sam_path):
+    from adam_spark.sources.sam import load_sam
+
+    gf = load_sam(spark, sam_path)
+    p = gf.project("referenceName", "start", "end")
+    assert p.df.columns == ["referenceName", "start", "end"]
+    assert p.meta.references["chr1"].length == 10000
