@@ -321,3 +321,21 @@ def recalibrate_base_qualities(
     ).withColumn(
         "qualityScores", F.when(usable, new_quals).otherwise(F.col("qualityScores"))
     )
+
+
+def observation_table_csv(observations: list[dict]) -> str:
+    """GATK-compatible CSV of the covariate table
+    (ObservationTable.toCSV, ObservationTable.scala:37-51): one row per
+    covariate bin with total/mismatch counts and the Laplace-smoothed
+    empirical quality."""
+    lines = ["ReadGroup,ReportedQ,CycleStart,Dinuc,TotalCount,MismatchCount,EmpiricalQ"]
+    for o in sorted(
+        observations,
+        key=lambda r: (str(r["readGroupId"]), r["quality"], r["cycle"], r["dinuc"]),
+    ):
+        emp = -10.0 * math.log10((1.0 + o["mismatches"]) / (2.0 + o["total"]))
+        lines.append(
+            f'{o["readGroupId"]},{o["quality"]},{o["cycle"]},{o["dinuc"]},'
+            f'{o["total"]},{o["mismatches"]},{int(round(emp))}'
+        )
+    return "\n".join(lines)

@@ -200,3 +200,18 @@ def test_bqsr_known_sites_masking(spark, reads_df):
     total = sum(r["total"] for r in obs)
     assert total == 14  # offset 2 of both reads masked
     assert sum(r["mismatches"] for r in obs) == 0  # the mismatch was at the SNP
+
+
+def test_observation_table_csv():
+    csv = bqsr.observation_table_csv(
+        [
+            dict(readGroupId="rg1", quality=30, cycle=1, dinuc="AC",
+                 total=100, mismatches=1, expectedErrors=0.1),
+            dict(readGroupId="rg1", quality=20, cycle=2, dinuc="GT",
+                 total=50, mismatches=5, expectedErrors=0.5),
+        ]
+    )
+    lines = csv.splitlines()
+    assert lines[0].startswith("ReadGroup,ReportedQ")
+    assert lines[1] == "rg1,20,2,GT,50,5,9"  # -10*log10(6/52) = 9.38 -> 9
+    assert lines[2] == "rg1,30,1,AC,100,1,17"
