@@ -898,6 +898,78 @@ FROM runs GROUP BY ref, cnt, grp
 """
 
 
+
+
+def union_features(spark: SparkSession, sf: str) -> DataFrame:
+    """GenomicFrame.union with metadata union-merge: two feature sets
+    derived from part and supplier."""
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import GenomicMetadata
+
+    a = load_table(spark, sf, "part").select(
+        F.expr("'c' || cast(p_partkey % 3 as string)").alias("referenceName"),
+        F.expr("(p_partkey * 17) % 4000").alias("start"),
+        F.expr("(p_partkey * 17) % 4000 + 25").alias("end"),
+        F.expr("'part_' || cast(p_partkey as string)").alias("name"),
+    )
+    b = load_table(spark, sf, "supplier").select(
+        F.expr("'c' || cast(s_suppkey % 3 as string)").alias("referenceName"),
+        F.expr("(s_suppkey * 29) % 4000").alias("start"),
+        F.expr("(s_suppkey * 29) % 4000 + 40").alias("end"),
+        F.expr("'supp_' || cast(s_suppkey as string)").alias("name"),
+    )
+    gf = GenomicFrame(a, GenomicMetadata(kind="feature")).union(
+        GenomicFrame(b, GenomicMetadata(kind="feature"))
+    )
+    return gf.df.orderBy("name")
+
+
+_UNION_SQL = """
+SELECT 'c' || CAST(p_partkey % 3 AS VARCHAR) AS referenceName,
+       (p_partkey * 17) % 4000 AS start,
+       (p_partkey * 17) % 4000 + 25 AS "end",
+       'part_' || CAST(p_partkey AS VARCHAR) AS name
+FROM part
+UNION ALL
+SELECT 'c' || CAST(s_suppkey % 3 AS VARCHAR),
+       (s_suppkey * 29) % 4000,
+       (s_suppkey * 29) % 4000 + 40,
+       'supp_' || CAST(s_suppkey AS VARCHAR)
+FROM supplier
+ORDER BY name
+"""
+
+
+def slice_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """SequenceDataset.slice semantics on the documents table (text as
+    the sequence): fixed 100-char windows."""
+    from adam_spark.operators.conversions import slice_sequences
+
+    seqs = load_table(spark, sf, "documents").select(
+        F.expr("cast(doc_id as string)").alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit("DNA").alias("alphabet"),
+        F.col("text").alias("sequence"),
+        F.length("text").cast("long").alias("length"),
+        F.lit(None).cast("string").alias("sampleId"),
+        F.lit(None).cast("map<string,string>").alias("attributes"),
+    )
+    return slice_sequences(seqs, 100).select(
+        "name", "index", "start", "end", "length", "slices"
+    ).orderBy("name", "index")
+
+
+_SLICE_DOCS_SQL = """
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS name, length(text) AS n FROM documents),
+idx AS (SELECT name, n, UNNEST(range(0, CAST(ceil(n / 100.0) AS BIGINT))) AS i FROM d)
+SELECT name, CAST(i AS INT) AS index, i * 100 AS start,
+       LEAST(i * 100 + 100, n) AS "end",
+       LEAST(i * 100 + 100, n) - i * 100 AS length,
+       CAST(ceil(n / 100.0) AS INT) AS slices
+FROM idx ORDER BY name, index
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -937,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_flatten_bin": coverage_flatten_bin,
         "coverage_from_reads": coverage_from_reads,
         "fragments_group": fragments_group,
+        "union_features": union_features,
+        "slice_docs": slice_docs,
     }
 
 
@@ -969,5 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage_flatten_bin": _COV_FLATTEN_SQL,
         "coverage_from_reads": _COVERAGE_FROM_READS_SQL,
         "fragments_group": _FRAGMENTS_SQL,
+        "union_features": _UNION_SQL,
+        "slice_docs": _SLICE_DOCS_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
     }
