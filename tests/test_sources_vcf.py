@@ -133,3 +133,25 @@ def test_vcf_roundtrip(spark, vcf_path, tmp_path):
     text = open(os.path.join(out, files[0])).read()
     lines = [l for l in text.splitlines() if not l.startswith("#")]
     assert [l.split("\t")[1] for l in lines] == ["100", "200", "200", "300"]
+
+
+def test_sites_only_vcf(spark, tmp_path):
+    """Sites-only VCF (no FORMAT/sample columns) round-trips."""
+    text = (
+        "##fileformat=VCFv4.3\n"
+        "##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tG\t50\tPASS\tDP=10\n"
+        "chr1\t200\t.\tC\tT,G\t30\tPASS\t.\n"
+    )
+    p = tmp_path / "sites.vcf"
+    p.write_text(text)
+    gf = vcf_io.load_vcf(spark, str(p))
+    rows = gf.df.collect()
+    assert len(rows) == 3  # multiallelic split
+    assert all(r["genotypes"] is None for r in rows)
+    assert gf.meta.samples == []
+    out = str(tmp_path / "out.vcf")
+    vcf_io.save_vcf(gf, out)
+    assert vcf_io.load_vcf(spark, out).df.count() == 3
+    assert vcf_io.load_vcf_genotypes(spark, str(p)).df.count() == 0
