@@ -970,6 +970,36 @@ FROM idx ORDER BY name, index
 """
 
 
+
+
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: documents' text bytes as opaque media blobs
+    → mapInPandas feature extraction (deterministic fake decoder — real
+    codecs absent in this environment; plumbing/schema/batching real).
+    Rows-only check: no SQL oracle (binary mapInPandas kernel)."""
+    from adam_spark.llm.multimodal import extract_features
+
+    media = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "utf-8").alias("data"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.size("feature").alias("n_dims"),
+        F.expr(
+            "array_position(feature, array_max(feature))"
+        ).cast("int").alias("top_bucket"),
+    ).orderBy("asset_id")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1011,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fragments_group": fragments_group,
         "union_features": union_features,
         "slice_docs": slice_docs,
+        "multimodal_features": multimodal_features,
     }
 
 
