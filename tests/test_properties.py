@@ -1,0 +1,165 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 notes it has none).
+
+Pure-Python properties run hundreds of random cases; Spark-backed
+properties batch many random rows into a single job per example with a
+small example budget.
+"""
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from adam_spark.functions import cigar as C
+
+BASES = "ACGT"
+
+
+# --- CIGAR/MD round-trip properties (pure python, fast) -------------------
+
+seq_st = st.text(alphabet=BASES, min_size=1, max_size=60)
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_md_roundtrip_recovers_reference(data):
+    """md_from_reference ∘ reference_from_read == identity on the
+    reference slice, for reads with matches/mismatches/deletions."""
+    rng = random.Random(data.draw(st.integers(0, 2**32)))
+    ref = "".join(rng.choice(BASES) for _ in range(rng.randint(5, 60)))
+    # build a read aligned at 0: point mutations + optional deletion
+    n_del = rng.randint(0, 1) if len(ref) > 10 else 0
+    if n_del:
+        dpos = rng.randint(2, len(ref) - 4)
+        dlen = rng.randint(1, 2)
+        read = list(ref[:dpos] + ref[dpos + dlen :])
+        cigar = f"{dpos}M{dlen}D{len(ref) - dpos - dlen}M"
+    else:
+        read = list(ref)
+        cigar = f"{len(ref)}M"
+    for i in range(len(read)):
+        if rng.random() < 0.15:
+            read[i] = rng.choice(BASES.replace(read[i], ""))
+    read = "".join(read)
+
+    md, n_mm = C.md_from_reference(cigar, read, ref)
+    assert n_mm == sum(
+        1
+        for ab in C.aligned_pairs(cigar, 0)
+        if read[ab.read_idx] != ref[ab.ref_pos]
+    )
+    recovered = C.reference_from_read(cigar, md, read)
+    assert recovered == ref
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_left_align_preserves_lengths(data):
+    """left_align_indel never changes read length or reference span."""
+    rng = random.Random(data.draw(st.integers(0, 2**32)))
+    read_len = rng.randint(6, 40)
+    seq = "".join(rng.choice(BASES) for _ in range(read_len))
+    kind = rng.choice(["I", "D", "none"])
+    if kind == "I":
+        m1 = rng.randint(1, read_len - 3)
+        ilen = rng.randint(1, min(3, read_len - m1 - 1))
+        m2 = read_len - m1 - ilen
+        cigar = f"{m1}M{ilen}I{m2}M"
+        md = None
+    elif kind == "D":
+        m1 = rng.randint(1, read_len - 2)
+        dlen = rng.randint(1, 3)
+        m2 = read_len - m1
+        cigar = f"{m1}M{dlen}D{m2}M"
+        md = f"{m1}^{''.join(rng.choice(BASES) for _ in range(dlen))}{m2}"
+    else:
+        cigar = f"{read_len}M"
+        md = str(read_len)
+    out = C.left_align_indel(cigar, seq, md)
+    assert C.cigar_read_length(out) == C.cigar_read_length(cigar)
+    assert C.cigar_reference_length(out) == C.cigar_reference_length(cigar)
+
+
+@given(st.data())
+@settings(max_examples=100, deadline=None)
+def test_aligned_pairs_monotone(data):
+    """aligned_pairs is strictly increasing in both coordinates."""
+    rng = random.Random(data.draw(st.integers(0, 2**32)))
+    parts = []
+    for _ in range(rng.randint(1, 6)):
+        parts.append(f"{rng.randint(1, 9)}{rng.choice('MIDNS')}")
+    cigar = "".join(parts)
+    pairs = C.aligned_pairs(cigar, rng.randint(0, 1000))
+    for a, b in zip(pairs, pairs[1:]):
+        assert b.read_idx > a.read_idx
+        assert b.ref_pos > a.ref_pos
+
+
+# --- Spark-backed properties (few examples, big batches) ------------------
+
+
+@pytest.mark.usefixtures("spark")
+@given(seed=st.integers(0, 2**31))
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+def test_region_join_equals_naive(spark, seed):
+    """Binned region_join == cross join + overlap predicate, on random
+    interval sets (the §2.4 correctness property)."""
+    from adam_spark.operators.region_join import region_join
+    import pyspark.sql.functions as F
+
+    rng = random.Random(seed)
+    def gen(n, tag):
+        rows = []
+        for i in range(n):
+            ref = f"c{rng.randint(0, 2)}"
+            s = rng.randint(0, 500)
+            e = s + rng.randint(1, 80)
+            rows.append((ref, s, e, f"{tag}{i}"))
+        return spark.createDataFrame(
+            rows, "referenceName string, start long, end long, id string"
+        )
+
+    l, r = gen(120, "l"), gen(150, "r")
+    flank = rng.choice([0, 10])
+    joined = region_join(l, r, how="inner", flank=flank, bin_size=rng.choice([16, 64, 1000]))
+    got = {(x["id"], x["id_r"]) for x in joined.collect()}
+    la, rb = l.alias("a"), r.alias("b")
+    naive = (
+        la.crossJoin(rb)
+        .where(
+            (F.col("a.referenceName") == F.col("b.referenceName"))
+            & (F.col("a.start") - flank < F.col("b.end"))
+            & (F.col("b.start") < F.col("a.end") + flank)
+        )
+        .select(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
+    )
+    want = {(x["x"], x["y"]) for x in naive.collect()}
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@given(seed=st.integers(0, 2**31))
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+def test_coverage_depth_equals_bruteforce(spark, seed):
+    """events-method coverage == per-base brute force on random reads."""
+    from adam_spark.operators.coverage import to_coverage, flatten_coverage
+    import collections
+
+    rng = random.Random(seed)
+    rows = []
+    truth = collections.Counter()
+    for i in range(200):
+        s = rng.randint(0, 300)
+        e = s + rng.randint(1, 50)
+        rows.append(("c1", s, e, True, None))
+        for p in range(s, e):
+            truth[p] += 1
+    df = spark.createDataFrame(
+        rows,
+        "referenceName string, start long, end long, readMapped boolean, readGroupSampleId string",
+    )
+    cov = to_coverage(df, collapse=False)
+    got = {r["start"]: r["count"] for r in cov.collect()}
+    assert got == {p: float(c) for p, c in truth.items()}
