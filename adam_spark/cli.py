@@ -146,6 +146,16 @@ def _cmd_transform_variants(args) -> int:
     return 0
 
 
+def _cmd_print(args) -> int:
+    """PrintADAM parity: show the first rows of any dataset."""
+    from adam_spark.sources.parquet import load_parquet
+
+    spark = _spark(args)
+    gf = load_parquet(spark, args.input)
+    gf.df.show(args.limit, truncate=not args.full)
+    return 0
+
+
 def _cmd_merge_shards(args) -> int:
     from adam_spark.sources.merge import merge_shards
 
@@ -209,6 +219,12 @@ def build_parser() -> argparse.ArgumentParser:
     tf.add_argument("output")
     tf.add_argument("-sharded", dest="sharded", action="store_true")
     tf.set_defaults(fn=_cmd_transform_features)
+
+    pr = sub.add_parser("print", help="show the first rows of a dataset")
+    pr.add_argument("input")
+    pr.add_argument("-limit", dest="limit", type=int, default=20)
+    pr.add_argument("-full", dest="full", action="store_true", help="untruncated columns")
+    pr.set_defaults(fn=_cmd_print)
 
     ms = sub.add_parser("merge_shards", help="concatenate sharded text output")
     ms.add_argument("input", help="shard directory (part-* files)")

@@ -133,3 +133,11 @@ def test_projection(spark, sam_path):
     p = gf.project("referenceName", "start", "end")
     assert p.df.columns == ["referenceName", "start", "end"]
     assert p.meta.references["chr1"].length == 10000
+
+
+def test_print_cli(spark, sam_path, tmp_path, capsys):
+    out = str(tmp_path / "a.adam")
+    assert main(["transform_alignments", sam_path, out]) == 0
+    assert main(["print", out, "-limit", "3"]) == 0
+    text = capsys.readouterr().out
+    assert "readName" in text
