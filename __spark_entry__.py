@@ -1000,6 +1000,35 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+
+
+def doc_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (k=8 char-grams, window=4) over documents."""
+    from adam_spark.llm.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        load_table(spark, sf, "documents"), "doc_id", "text", k=8, window=4
+    ).orderBy("id", "fingerprint")
+
+
+_WINNOW_SQL = """
+WITH d AS (SELECT doc_id AS id, lower(text) AS t FROM documents),
+g AS (SELECT id, t, length(t) - 7 AS ng FROM d),
+pos AS (SELECT id, ng, t, UNNEST(range(1, ng + 1)) AS i FROM g WHERE ng >= 1),
+h AS (SELECT id, i, ng,
+        ('0x' || substr(md5(substr(t, CAST(i AS INT), 8)), 1, 7))::BIGINT AS hv
+      FROM pos),
+winmin AS (SELECT id, ng, i,
+        MIN(hv) OVER (PARTITION BY id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      FROM h)
+SELECT DISTINCT id, m AS fingerprint FROM winmin WHERE ng >= 4 AND i <= ng - 3
+UNION
+SELECT id, MIN(hv) AS fingerprint FROM h WHERE ng BETWEEN 1 AND 3 GROUP BY id
+ORDER BY id, fingerprint
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1042,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_features": union_features,
         "slice_docs": slice_docs,
         "multimodal_features": multimodal_features,
+        "doc_winnowing": doc_winnowing,
     }
 
 
@@ -1076,5 +1106,6 @@ def oracle_sql() -> dict[str, str]:
         "fragments_group": _FRAGMENTS_SQL,
         "union_features": _UNION_SQL,
         "slice_docs": _SLICE_DOCS_SQL,
+        "doc_winnowing": _WINNOW_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
     }

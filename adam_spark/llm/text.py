@@ -114,3 +114,44 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         language_id(t).alias("lang_guess"),
         doc_fingerprint(t).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every k-gram of the normalized text, slide a ``window`` over
+    the hash sequence, keep each window's minimum — the classic
+    plagiarism/near-dup fingerprint set, guaranteed to share hashes
+    with any overlapping match of length ≥ k + window − 1.
+
+    Relational: k-gram hashes via transform over positions (md5 → int,
+    the engine-portable rolling-hash stand-in), window minima via
+    array_min over slices, distinct per document. One row per
+    (id, fingerprint); no UDFs, no shuffle before the final distinct.
+    """
+    norm = F.lower(F.col(text_col))
+    n_grams = F.length(norm) - F.lit(k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k)), 1, 7), 16, 10).cast(
+            "long"
+        ),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    fps = F.when(n_grams >= window, F.array_distinct(mins)).otherwise(
+        F.when(n_grams >= 1, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fingerprint"))
+        .distinct()
+    )

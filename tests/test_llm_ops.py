@@ -131,3 +131,30 @@ def test_multimodal_features(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"x")
+
+
+def test_winnowing_fingerprints(spark):
+    from adam_spark.llm.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely unrelated text with other words"),
+            (4, "ab"),  # shorter than k -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(df, k=8, window=4)
+    by = {}
+    for r in fp.collect():
+        by.setdefault(r["id"], set()).add(r["fingerprint"])
+    assert by[1] == by[2]  # identical docs -> identical fingerprint sets
+    assert not (by[1] & by[3])  # unrelated docs share nothing (w.h.p.)
+    assert 4 not in by
+    # guarantee: any substring of length >= k+window-1 shares a fingerprint
+    df2 = spark.createDataFrame(
+        [(5, "xxxx the quick brown fox jumps yyyy")], "doc_id long, text string"
+    )
+    fp2 = {r["fingerprint"] for r in winnowing_fingerprints(df2, k=8, window=4).collect()}
+    assert by[1] & fp2
