@@ -98,3 +98,28 @@ def evenly_repartition(df: DataFrame, partitions: int, sort_cols: list[str] | No
     return df.repartitionByRange(partitions, *[F.col(c) for c in cols]).sortWithinPartitions(
         *[F.col(c) for c in cols]
     )
+
+
+def repartition_by_genome(
+    df: DataFrame,
+    references: SequenceDictionary,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Genome-aware range partitioning (the reference's
+    GenomicPositionPartitioner / GenomicRegionPartitioner family,
+    ds/GenomicPartitioners.scala:39-224): records laid out by global
+    genome coordinate (contig index from the sequence dictionary, then
+    start), unmapped records last. Downstream per-partition work then
+    sees contiguous genome ranges — the layout every genome-ordered
+    scan and the partitioned writer want."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    idx = _index_expr(references)
+    key_idx = F.coalesce(idx, F.lit(2**31 - 1))  # unmapped → last
+    key_pos = F.coalesce(F.col("start"), F.lit(2**62))
+    return (
+        df.withColumn("__gidx", key_idx)
+        .withColumn("__gpos", key_pos)
+        .repartitionByRange(n, "__gidx", "__gpos")
+        .sortWithinPartitions("__gidx", "__gpos")
+        .drop("__gidx", "__gpos")
+    )

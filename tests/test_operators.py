@@ -149,3 +149,21 @@ def test_mark_duplicate_fragments(spark):
     got = {r["name"]: [a["duplicateRead"] for a in r["alignments"]] for r in out.collect()}
     # a and b share the 5' site; a has the higher quality sum, b is the dup
     assert got == {"a": [False], "b": [True], "c": [False]}
+
+
+def test_repartition_by_genome(spark):
+    from adam_spark import Reference, SequenceDictionary
+    from adam_spark.operators.sorts import repartition_by_genome
+
+    refs = SequenceDictionary(
+        [Reference(name="chr1", length=1000), Reference(name="chr2", length=1000)]
+    )
+    rows = [("chr2", 500), ("chr1", 10), (None, None), ("chr1", 900), ("chr2", 1)]
+    df = spark.createDataFrame(rows, "referenceName string, start long")
+    out = repartition_by_genome(df, refs, partitions=2)
+    parts = out.rdd.glom().collect()
+    flat = [(r["referenceName"], r["start"]) for p in parts for r in p]
+    # globally genome-ordered across partitions, unmapped last
+    assert flat == [
+        ("chr1", 10), ("chr1", 900), ("chr2", 1), ("chr2", 500), (None, None),
+    ]
