@@ -1029,6 +1029,237 @@ ORDER BY id, fingerprint
 """
 
 
+def sort_reads_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """sortByReferencePosition semantics made hash-observable: rank
+    every read by the operator's composite key (mapped first by
+    (referenceName, start), unmapped last by readName — the reference's
+    tilde-name hack, AlignmentDataset.scala:1016-1040). The single-
+    partition Window here is the oracle-observability shim; the
+    operator itself is a range-partitioned global orderBy."""
+    from pyspark.sql import Window
+
+    from adam_spark.operators.sorts import reference_position_sort_keys
+
+    reads = load_table(spark, sf, "customer").select(
+        F.expr("'r' || cast(c_custkey as string)").alias("readName"),
+        F.expr("c_custkey % 10 != 0").alias("readMapped"),
+        F.expr(
+            "case when c_custkey % 10 != 0 then 'c' || cast(c_custkey % 6 as string) end"
+        ).alias("referenceName"),
+        F.expr("case when c_custkey % 10 != 0 then (c_custkey * 13) % 9000 end").alias(
+            "start"
+        ),
+    )
+    w = Window.orderBy(*reference_position_sort_keys(reads), F.col("readName"))
+    return (
+        reads.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("readName", "rank")
+        .orderBy("readName")
+    )
+
+
+_SORT_RANK_SQL = """
+WITH r AS (SELECT 'r' || CAST(c_custkey AS VARCHAR) AS readName,
+         c_custkey % 10 <> 0 AS mapped,
+         CASE WHEN c_custkey % 10 <> 0 THEN 'c' || CAST(c_custkey % 6 AS VARCHAR) END AS ref,
+         CASE WHEN c_custkey % 10 <> 0 THEN (c_custkey * 13) % 9000 END AS s
+       FROM customer)
+SELECT readName,
+       row_number() OVER (ORDER BY CASE WHEN mapped THEN 0 ELSE 1 END,
+                          CASE WHEN mapped THEN ref ELSE readName END,
+                          s NULLS FIRST, readName) AS rank
+FROM r ORDER BY readName
+"""
+
+
+def variant_contexts_sites(spark: SparkSession, sf: str) -> DataFrame:
+    """GenotypeDataset.toVariantContexts (:386-398): square per-sample
+    genotype rows into site rows; observable as per-site genotype count
+    + sorted sample roster."""
+    from adam_spark import schemas
+    from adam_spark.operators.conversions import genotypes_to_variant_contexts
+
+    g = load_table(spark, sf, "customer").select(
+        F.expr("'c' || cast((c_custkey div 5) % 3 as string)").alias("referenceName"),
+        F.expr("((c_custkey div 5) * 19) % 8000").alias("start"),
+        F.expr("((c_custkey div 5) * 19) % 8000 + 1").alias("end"),
+        F.expr("'s' || cast(c_custkey % 5 as string)").alias("sampleId"),
+    )
+    vcs = genotypes_to_variant_contexts(schemas.conform(g, schemas.GENOTYPE))
+    return vcs.select(
+        "referenceName",
+        "start",
+        "end",
+        F.size("genotypes").cast("long").alias("n_genotypes"),
+        F.concat_ws(
+            ",", F.array_sort(F.transform("genotypes", lambda x: x["sampleId"]))
+        ).alias("samples"),
+    ).orderBy("referenceName", "start")
+
+
+_VARIANT_CONTEXTS_SQL = """
+WITH g AS (SELECT 'c' || CAST((c_custkey // 5) % 3 AS VARCHAR) AS referenceName,
+         ((c_custkey // 5) * 19) % 8000 AS start,
+         ((c_custkey // 5) * 19) % 8000 + 1 AS "end",
+         's' || CAST(c_custkey % 5 AS VARCHAR) AS sampleId
+       FROM customer)
+SELECT referenceName, start, "end", COUNT(*) AS n_genotypes,
+       string_agg(sampleId, ',' ORDER BY sampleId) AS samples
+FROM g GROUP BY referenceName, start, "end"
+ORDER BY referenceName, start
+"""
+
+
+def language_id_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-vote language ID over documents, histogrammed."""
+    from adam_spark.llm.text import language_id
+
+    return (
+        load_table(spark, sf, "documents")
+        .select(language_id(F.col("text")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+def _language_id_sql() -> str:
+    from adam_spark.llm.text import STOPWORDS
+
+    hit_exprs = []
+    for lang in sorted(STOPWORDS):
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hit_exprs.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x))) AS h_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    mx = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    # first language (sorted order) reaching the max wins — matches the
+    # strict-improvement loop in adam_spark.llm.text.language_id
+    case = f"CASE WHEN {mx} = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lg} = {mx} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           FROM documents),
+h AS (SELECT {', '.join(hit_exprs)} FROM t),
+v AS (SELECT {case} AS lang FROM h)
+SELECT lang, COUNT(*) AS n_docs FROM v GROUP BY lang ORDER BY lang
+"""
+
+
+def overlap_filter_features(spark: SparkSession, sf: str) -> DataFrame:
+    """filterByOverlappingRegions (GenomicDataset.scala:1034-1081): the
+    OR-of-overlaps predicate, pushed into the Parquet scan by Catalyst."""
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import GenomicMetadata
+
+    feats = load_table(spark, sf, "part").select(
+        F.expr("'c' || cast(p_partkey % 3 as string)").alias("referenceName"),
+        F.expr("(p_partkey * 17) % 4000").alias("start"),
+        F.expr("(p_partkey * 17) % 4000 + 25").alias("end"),
+        F.expr("'part_' || cast(p_partkey as string)").alias("name"),
+    )
+    gf = GenomicFrame(feats, GenomicMetadata(kind="feature")).filter_by_overlapping_regions(
+        [("c0", 500, 900), ("c2", 3000, 3500)]
+    )
+    return gf.df.orderBy("name")
+
+
+_OVERLAP_FILTER_SQL = """
+WITH f AS (SELECT 'c' || CAST(p_partkey % 3 AS VARCHAR) AS referenceName,
+         (p_partkey * 17) % 4000 AS start,
+         (p_partkey * 17) % 4000 + 25 AS "end",
+         'part_' || CAST(p_partkey AS VARCHAR) AS name
+       FROM part)
+SELECT referenceName, start, "end", name FROM f
+WHERE (referenceName = 'c0' AND start < 900 AND "end" > 500)
+   OR (referenceName = 'c2' AND start < 3500 AND "end" > 3000)
+ORDER BY name
+"""
+
+
+def view_flags_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """samtools-view flag-bit algebra (adam-cli/View.scala:31-148):
+    -f 0x1 (paired) -F 0x400 (not duplicate) -g 0x30 (either strand
+    flag set), emitting the reconstructed 12-bit flag word."""
+    from adam_spark.operators.filters import sam_flags, view_filter
+
+    reads = load_table(spark, sf, "orders").select(
+        F.expr("'r' || cast(o_orderkey as string)").alias("readName"),
+        F.lit(True).alias("readPaired"),
+        F.expr("o_orderkey % 3 = 0").alias("properPair"),
+        F.expr("o_orderkey % 10 != 0").alias("readMapped"),
+        F.expr("o_orderkey % 7 != 0").alias("mateMapped"),
+        F.expr("o_orderkey % 2 = 0").alias("readNegativeStrand"),
+        F.expr("o_orderkey % 5 = 0").alias("mateNegativeStrand"),
+        F.expr("cast(o_orderkey % 2 as int)").alias("readInFragment"),
+        F.lit(False).alias("secondaryAlignment"),
+        F.expr("o_orderkey % 13 = 0").alias("failedVendorQualityChecks"),
+        F.expr("o_orderkey % 11 = 0").alias("duplicateRead"),
+        F.lit(False).alias("supplementaryAlignment"),
+    )
+    kept = view_filter(
+        reads, match_all_bits=0x1, mismatch_all_bits=0x400, match_some_bits=0x30
+    )
+    return kept.select(
+        "readName", sam_flags(kept).cast("long").alias("flags")
+    ).orderBy("readName")
+
+
+_VIEW_FLAGS_SQL = """
+WITH r AS (SELECT o_orderkey AS k, 'r' || CAST(o_orderkey AS VARCHAR) AS readName
+       FROM orders),
+f AS (SELECT readName,
+         1
+         + CASE WHEN k % 3 = 0 THEN 2 ELSE 0 END
+         + CASE WHEN k % 10 = 0 THEN 4 ELSE 0 END
+         + CASE WHEN k % 7 = 0 THEN 8 ELSE 0 END
+         + CASE WHEN k % 2 = 0 THEN 16 ELSE 0 END
+         + CASE WHEN k % 5 = 0 THEN 32 ELSE 0 END
+         + CASE WHEN k % 2 = 0 THEN 64 ELSE 128 END
+         + CASE WHEN k % 13 = 0 THEN 512 ELSE 0 END
+         + CASE WHEN k % 11 = 0 THEN 1024 ELSE 0 END AS flags
+      FROM r)
+SELECT readName, CAST(flags AS BIGINT) AS flags FROM f
+WHERE (flags & 1) = 1 AND (flags & 1024) = 0 AND (flags & 48) <> 0
+ORDER BY readName
+"""
+
+
+def pipe_features_cat(spark: SparkSession, sf: str) -> DataFrame:
+    """pipe() (GenomicDataset.scala:786-917): run an external command
+    (identity `cat`) over genome-binned BED-formatted features and parse
+    stdout back into rows. Rows-only check by design — subprocess
+    round-trips are not SQL-expressible."""
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import (
+        GenomicMetadata,
+        Reference,
+        SequenceDictionary,
+    )
+    from adam_spark.operators.pipe import pipe
+    from adam_spark import schemas
+
+    feats = load_table(spark, sf, "part").select(
+        F.expr("'c' || cast(p_partkey % 3 as string)").alias("referenceName"),
+        F.expr("(p_partkey * 17) % 4000").alias("start"),
+        F.expr("(p_partkey * 17) % 4000 + 25").alias("end"),
+        F.expr("'part_' || cast(p_partkey as string)").alias("name"),
+    )
+    gf = GenomicFrame(
+        schemas.conform(feats, schemas.FEATURE),
+        GenomicMetadata(
+            references=SequenceDictionary(
+                [Reference(name=f"c{i}", length=4100) for i in range(3)]
+            ),
+            kind="feature",
+        ),
+    )
+    out = pipe(gf, "cat", in_format="bed", partitions=8)
+    return out.df.select("referenceName", "start", "end", "name").orderBy("name")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1072,6 +1303,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_docs": slice_docs,
         "multimodal_features": multimodal_features,
         "doc_winnowing": doc_winnowing,
+        "sort_reads_rank": sort_reads_rank,
+        "variant_contexts_sites": variant_contexts_sites,
+        "language_id_docs": language_id_docs,
+        "overlap_filter_features": overlap_filter_features,
+        "view_flags_orders": view_flags_orders,
+        "pipe_features_cat": pipe_features_cat,
     }
 
 
@@ -1108,4 +1345,9 @@ def oracle_sql() -> dict[str, str]:
         "slice_docs": _SLICE_DOCS_SQL,
         "doc_winnowing": _WINNOW_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "sort_reads_rank": _SORT_RANK_SQL,
+        "variant_contexts_sites": _VARIANT_CONTEXTS_SQL,
+        "language_id_docs": _language_id_sql(),
+        "overlap_filter_features": _OVERLAP_FILTER_SQL,
+        "view_flags_orders": _VIEW_FLAGS_SQL,
     }

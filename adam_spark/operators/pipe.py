@@ -274,7 +274,11 @@ def pipe(
 
     bin_size_b = bin_size
     offsets_b = offsets
-    keep_all = bin_size is None or flank == 0
+    # The own-bin output filter must run even at flank=0: a record whose
+    # span crosses a bin boundary is copied into every bin it overlaps
+    # (context for the subprocess), and only the copy starting inside
+    # the bin may emit output (reference: GenomicDataset.scala:897-916).
+    keep_all = bin_size is None
 
     def _run_bin(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (bin_id,) = key

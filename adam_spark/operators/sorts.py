@@ -56,18 +56,25 @@ def sort_by_read_name(df: DataFrame) -> DataFrame:
     return df.orderBy("readName", "readInFragment")
 
 
-def sort_by_reference_position(df: DataFrame) -> DataFrame:
-    """Position sort with unmapped reads LAST, ordered by read name —
-    the reference implements this with a tilde-prefixed-name hack
-    (AlignmentDataset.scala:1016-1040); a composite sort key expresses
-    it directly."""
-    return df.orderBy(
+def reference_position_sort_keys(df: DataFrame) -> list[Column]:
+    """The composite sort key of :func:`sort_by_reference_position`,
+    exposed so rank/contract queries can order by exactly the
+    operator's keys."""
+    return [
         _true_last(F.col("readMapped")),
         F.when(F.col("readMapped").eqNullSafe(F.lit(True)), F.col("referenceName")).otherwise(
             F.col("readName")
         ),
         F.col("start"),
-    )
+    ]
+
+
+def sort_by_reference_position(df: DataFrame) -> DataFrame:
+    """Position sort with unmapped reads LAST, ordered by read name —
+    the reference implements this with a tilde-prefixed-name hack
+    (AlignmentDataset.scala:1016-1040); a composite sort key expresses
+    it directly."""
+    return df.orderBy(*reference_position_sort_keys(df))
 
 
 def sort_by_reference_position_and_index(
