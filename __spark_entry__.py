@@ -1260,6 +1260,269 @@ def pipe_features_cat(spark: SparkSession, sf: str) -> DataFrame:
     return out.df.select("referenceName", "start", "end", "name").orderBy("name")
 
 
+_QUAL_CHARS = "concat({})".format(
+    ", ".join(f"chr(cast(33 + (k * {i}) % 94 as int))" for i in range(1, 7))
+)
+
+
+def quality_binning_reads(spark: SparkSession, sf: str) -> DataFrame:
+    """binQualityScores (ds/read/BinQualities.scala:112-203): remap each
+    Phred char through validated non-overlapping bins — one JVM
+    translate() per read."""
+    from adam_spark.operators.quality import bin_quality_scores
+
+    reads = load_table(spark, sf, "orders").select(
+        F.expr("'r' || cast(o_orderkey as string)").alias("readName"),
+        F.expr(_QUAL_CHARS.replace("k", "o_orderkey")).alias("qualityScores"),
+    )
+    return bin_quality_scores(
+        reads, ["0,20,10", "20,40,30", "40,94,50"]
+    ).orderBy("readName")
+
+
+def _quality_binning_sql() -> str:
+    from adam_spark.operators.quality import (
+        PHRED_OFFSET,
+        QualityScoreBin,
+        _validate_bins,
+    )
+
+    bins = [QualityScoreBin.parse(b) for b in ["0,20,10", "20,40,30", "40,94,50"]]
+    _validate_bins(bins)
+    src, dst = [], []
+    for phred in range(94):
+        for b in bins:
+            if b.low <= phred < b.high and phred != b.value:
+                src.append(chr(phred + PHRED_OFFSET))
+                dst.append(chr(b.value + PHRED_OFFSET))
+                break
+    esc = lambda s: s.replace("'", "''")
+    return f"""
+WITH r AS (SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS readName,
+         {_QUAL_CHARS.replace("k", "o_orderkey")} AS qual
+       FROM orders)
+SELECT readName, translate(qual, '{esc("".join(src))}', '{esc("".join(dst))}') AS qualityScores
+FROM r ORDER BY readName
+"""
+
+
+def genotype_filters_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Genotype domain-filter chain (GenotypeDataset.scala:468-566):
+    filtersPassed ∧ genotypeQuality≥20 ∧ readDepth≥10 ∧
+    alternateReadDepth≥5 ∧ not-all-NO_CALL, with null-safe boolean
+    semantics (null filtersPassed drops the row)."""
+    from adam_spark.operators import filters as flt
+
+    g = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.expr(
+            "case when c_custkey % 13 = 0 then cast(null as boolean) "
+            "else c_custkey % 4 != 0 end"
+        ).alias("filtersPassed"),
+        F.expr("cast((c_custkey * 3) % 80 as int)").alias("genotypeQuality"),
+        F.expr("cast(c_custkey % 60 as int)").alias("readDepth"),
+        F.expr("cast((c_custkey * 5) % 30 as int)").alias("alternateReadDepth"),
+        F.expr(
+            "case when c_custkey % 9 = 0 then array('NO_CALL', 'NO_CALL') "
+            "else array('REF', 'ALT') end"
+        ).alias("alleles"),
+    )
+    out = flt.filter_to_filters_passed(g)
+    out = flt.filter_by_genotype_quality(out, 20)
+    out = flt.filter_by_read_depth(out, 10)
+    out = flt.filter_by_alternate_read_depth(out, 5)
+    out = flt.filter_no_calls(out)
+    return out.select(
+        "id", "genotypeQuality", "readDepth", "alternateReadDepth"
+    ).orderBy("id")
+
+
+_GENOTYPE_FILTERS_SQL = """
+SELECT c_custkey AS id,
+       CAST((c_custkey * 3) % 80 AS INT) AS genotypeQuality,
+       CAST(c_custkey % 60 AS INT) AS readDepth,
+       CAST((c_custkey * 5) % 30 AS INT) AS alternateReadDepth
+FROM customer
+WHERE c_custkey % 13 <> 0 AND c_custkey % 4 <> 0
+  AND (c_custkey * 3) % 80 >= 20
+  AND c_custkey % 60 >= 10
+  AND (c_custkey * 5) % 30 >= 5
+  AND c_custkey % 9 <> 0
+ORDER BY id
+"""
+
+
+def variants_dedup_sites(spark: SparkSession, sf: str) -> DataFrame:
+    """GenotypeDataset.toVariants(dedupe=true) (:408-442): project the
+    nested variant struct, dropDuplicates on the five site columns.
+    Every variant field derives from the site key, so the kept row is
+    deterministic."""
+    from adam_spark.operators.conversions import genotypes_to_variants
+
+    g = load_table(spark, sf, "customer").select(
+        F.expr(
+            "named_struct("
+            "'referenceName', 'c' || cast((c_custkey div 7) % 4 as string), "
+            "'start', ((c_custkey div 7) * 11) % 5000, "
+            "'end', ((c_custkey div 7) * 11) % 5000 + 1, "
+            "'referenceAllele', substring('ACGT', 1 + cast((c_custkey div 7) % 4 as int), 1), "
+            "'alternateAllele', substring('ACGT', 1 + cast(((c_custkey div 7) * 3) % 4 as int), 1))"
+        ).alias("variant"),
+        F.expr("'s' || cast(c_custkey % 5 as string)").alias("sampleId"),
+    )
+    return genotypes_to_variants(g, dedupe=True).orderBy(
+        "referenceName", "start", "referenceAllele", "alternateAllele"
+    )
+
+
+_VARIANTS_DEDUP_SQL = """
+SELECT DISTINCT
+       'c' || CAST((c_custkey // 7) % 4 AS VARCHAR) AS referenceName,
+       ((c_custkey // 7) * 11) % 5000 AS start,
+       ((c_custkey // 7) * 11) % 5000 + 1 AS "end",
+       substring('ACGT', 1 + CAST((c_custkey // 7) % 4 AS INT), 1) AS referenceAllele,
+       substring('ACGT', 1 + CAST(((c_custkey // 7) * 3) % 4 AS INT), 1) AS alternateAllele
+FROM customer
+ORDER BY referenceName, start, referenceAllele, alternateAllele
+"""
+
+
+def reassemble_pairs_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """reassembleReadPairs (AlignmentDataset.scala:1668-1750): inner
+    re-pair of two unpaired read sets by readName after a pipe() split;
+    readInFragment forced to 0/1, readPaired set."""
+    from adam_spark.operators.conversions import reassemble_read_pairs
+
+    base = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("'r' || cast(o_orderkey as string)").alias("readName"),
+    )
+    r1 = base.where(F.expr("k % 3 != 0")).select(
+        "readName", F.expr("(k * 3) % 1000").alias("start")
+    )
+    r2 = base.where(F.expr("k % 4 != 0")).select(
+        "readName", F.expr("(k * 7) % 1000").alias("start")
+    )
+    return (
+        reassemble_read_pairs(r1, r2)
+        .select("readName", "readInFragment", "start", "readPaired")
+        .orderBy("readName", "readInFragment")
+    )
+
+
+_REASSEMBLE_SQL = """
+WITH o AS (SELECT o_orderkey AS k, 'r' || CAST(o_orderkey AS VARCHAR) AS readName
+       FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 4 <> 0)
+SELECT readName, 0 AS readInFragment, (k * 3) % 1000 AS start, true AS readPaired FROM o
+UNION ALL
+SELECT readName, 1 AS readInFragment, (k * 7) % 1000 AS start, true AS readPaired FROM o
+ORDER BY readName, readInFragment
+"""
+
+
+def interval_join_group_right(spark: SparkSession, sf: str) -> DataFrame:
+    """rightOuterBroadcastRegionJoinAndGroupByRight
+    (GenomicDataset.scala:1596-1790, TreeRegionJoin.scala:137): all
+    right rows keyed with the list of overlapping left rows — empty
+    list when unmatched. Broadcasts the (smaller) left side."""
+    j = region_join(
+        _intervals_l(spark, sf),
+        _intervals_r(spark, sf),
+        group="right",
+        how="right_outer",
+        broadcast="left",
+        bin_size=64,
+    )
+    return j.select(
+        "referenceName",
+        "start",
+        "end",
+        "id",
+        F.size("hits").cast("long").alias("n_hits"),
+        F.when(
+            F.size("hits") > 0,
+            F.expr("aggregate(hits, cast(0 as long), (a, h) -> a + h.id)"),
+        ).alias("sum_hit_ids"),
+    )
+
+
+_IJ_GROUP_RIGHT_SQL = f"""
+WITH L AS ({_L_SQL}), R0 AS ({_R_SQL}),
+R AS (SELECT *, row_number() OVER () AS rid FROM R0)
+SELECT R.referenceName, R.start, R."end", R.id,
+       COUNT(L.id) AS n_hits, SUM(L.id) AS sum_hit_ids
+FROM R LEFT JOIN L ON {_OVERLAP.format(flank=0)}
+GROUP BY R.rid, 1, 2, 3, 4
+"""
+
+
+_BQSR_SEQ = "concat({})".format(
+    ", ".join(f"substring('ACGT', 1 + cast((k * {i}) % 4 as int), 1)" for i in range(1, 9))
+)
+_BQSR_QUAL = "concat({})".format(
+    ", ".join(f"chr(cast(33 + (k * {i}) % 50 as int))" for i in range(1, 9))
+)
+
+
+def bqsr_observation_table(spark: SparkSession, sf: str) -> DataFrame:
+    """BQSR pass 1 (BaseQualityRecalibration.scala:58-116): per-base
+    (readGroup, quality, cycle, dinuc) covariate observation over
+    forward-strand 8M reads with one MD-tag mismatch each, aggregated
+    to the observation table. The pandas-UDF cigar/MD walk is the
+    engine path; the oracle regenerates per-base rows in SQL."""
+    from adam_spark.operators.bqsr import observe_covariates
+
+    reads = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("'rg' || cast(o_orderkey % 3 as string)").alias("readGroupId"),
+        F.lit("c1").alias("referenceName"),
+        F.expr("o_orderkey % 1000").alias("start"),
+        F.lit("8M").alias("cigar"),
+        F.expr("cast(o_orderkey % 8 as string) || 'A' || cast(7 - o_orderkey % 8 as string)")
+        .alias("mismatchingPositions"),
+        F.expr(_BQSR_SEQ.replace("k", "o_orderkey")).alias("sequence"),
+        F.expr(_BQSR_QUAL.replace("k", "o_orderkey")).alias("qualityScores"),
+        F.lit(True).alias("readMapped"),
+        F.lit(True).alias("primaryAlignment"),
+        F.lit(False).alias("duplicateRead"),
+        F.lit(False).alias("readNegativeStrand"),
+        F.lit(60).alias("mappingQuality"),
+        F.lit(0).alias("readInFragment"),
+    )
+    obs = observe_covariates(reads)
+    return obs.select(
+        "readGroupId",
+        "quality",
+        "cycle",
+        "dinuc",
+        F.col("total").cast("long").alias("total"),
+        F.col("mismatches").cast("long").alias("mismatches"),
+        F.round("expectedErrors", 6).alias("expectedErrors"),
+    ).orderBy("readGroupId", "quality", "cycle", "dinuc")
+
+
+_BQSR_OBS_SQL = f"""
+WITH r AS (SELECT o_orderkey AS k,
+         'rg' || CAST(o_orderkey % 3 AS VARCHAR) AS readGroupId,
+         {_BQSR_SEQ} AS seq,
+         {_BQSR_QUAL} AS qual,
+         k % 8 AS mm_off
+       FROM orders),
+b AS (SELECT readGroupId,
+         ascii(substring(qual, i + 1, 1)) - 33 AS quality,
+         i + 1 AS cycle,
+         CASE WHEN i = 0 THEN 'NN'
+              ELSE substring(seq, i, 1) || substring(seq, i + 1, 1) END AS dinuc,
+         CASE WHEN i = CAST(mm_off AS INT) THEN 1 ELSE 0 END AS mismatch
+      FROM r, range(0, 8) t(i))
+SELECT readGroupId, quality, cycle, dinuc,
+       COUNT(*) AS total, SUM(mismatch) AS mismatches,
+       round(SUM(pow(10.0, -quality / 10.0)), 6) AS expectedErrors
+FROM b GROUP BY 1, 2, 3, 4
+ORDER BY readGroupId, quality, cycle, dinuc
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1309,6 +1572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_filter_features": overlap_filter_features,
         "view_flags_orders": view_flags_orders,
         "pipe_features_cat": pipe_features_cat,
+        "quality_binning_reads": quality_binning_reads,
+        "genotype_filters_battery": genotype_filters_battery,
+        "variants_dedup_sites": variants_dedup_sites,
+        "reassemble_pairs_orders": reassemble_pairs_orders,
+        "interval_join_group_right": interval_join_group_right,
+        "bqsr_observation_table": bqsr_observation_table,
     }
 
 
@@ -1350,4 +1619,10 @@ def oracle_sql() -> dict[str, str]:
         "language_id_docs": _language_id_sql(),
         "overlap_filter_features": _OVERLAP_FILTER_SQL,
         "view_flags_orders": _VIEW_FLAGS_SQL,
+        "quality_binning_reads": _quality_binning_sql(),
+        "genotype_filters_battery": _GENOTYPE_FILTERS_SQL,
+        "variants_dedup_sites": _VARIANTS_DEDUP_SQL,
+        "reassemble_pairs_orders": _REASSEMBLE_SQL,
+        "interval_join_group_right": _IJ_GROUP_RIGHT_SQL,
+        "bqsr_observation_table": _BQSR_OBS_SQL,
     }

@@ -96,12 +96,17 @@ def minhash_signatures(
     document regardless of num_hashes.
     """
     consts = _mh_constants(num_hashes)
-    ex = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("sh"))
-    # hash-partition the exploded tokens by id BEFORE the heavy per-token
-    # hashing: (a) spreads the num_hashes×tokens compute across all cores
-    # even when the source is one small file split, (b) pre-aligns the
-    # groupBy(id) so the aggregation itself needs no second shuffle.
-    ex = ex.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    # hash-partition the DOCUMENTS by id before exploding: (a) spreads
+    # the num_hashes×tokens compute across all cores even when the
+    # source is one small file split, (b) pre-aligns the groupBy(id) —
+    # hash partitioning on id survives the narrow explode, so the
+    # aggregation needs no second shuffle, and (c) the shuffle moves one
+    # slim row per document instead of one row per token (the id is not
+    # repeated per token on the wire) — the difference between shuffling
+    # documents and shuffling the token stream at corpus scale.
+    keyed = df.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
+    keyed = keyed.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    ex = keyed.select("id", F.explode("__sh").alias("sh"))
     h0 = F.conv(F.substring(F.md5("sh"), 1, 7), 16, 10).cast("long")
     ex = ex.withColumn("h0", h0)
     aggs = [
@@ -252,10 +257,11 @@ def simhash(
     arithmetic), sum ±1 over the document's distinct tokens, bit is 1
     when the sum is positive. Returns (id, simhash long).
     """
-    toks = df.select(F.col(id_col).alias("id"), F.explode(distinct_tokens(F.col(text_col))).alias("tok"))
-    # spread per-token hashing across cores and pre-align the groupBy
-    # (same rationale as minhash_signatures)
-    toks = toks.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    # repartition documents (not exploded tokens) by id — same shuffle-
+    # volume rationale as minhash_signatures
+    keyed = df.select(F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("__t"))
+    keyed = keyed.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    toks = keyed.select("id", F.explode("__t").alias("tok"))
     h = toks.withColumn("h", F.md5("tok"))
     bit_cols = []
     for j in range(bits):

@@ -142,6 +142,16 @@ def region_join(
     rmap = {c: f"__r_{c}" for c in rcols}
     ldf = left.select([F.col(c).alias(lmap[c]) for c in lcols])
     rdf = right.select([F.col(c).alias(rmap[c]) for c in rcols])
+    # The group variants aggregate per input RECORD, not per distinct
+    # tuple — the reference probes once per row (TreeRegionJoin.scala:
+    # 46-66), so two identical records each yield one output row. A
+    # unique row id keeps duplicates apart through the groupBy; it is
+    # assigned before the bin-explode (narrow, no shuffle, +8 bytes per
+    # row) and dropped from the output.
+    if group == "left":
+        ldf = ldf.withColumn("__lrid", F.monotonically_increasing_id())
+    elif group == "right":
+        rdf = rdf.withColumn("__rrid", F.monotonically_increasing_id())
 
     ls, le = F.col(lmap[l_start]) - F.lit(flank), F.col(lmap[l_end]) + F.lit(flank)
     rs, re_ = F.col(rmap[r_start]), F.col(rmap[r_end])
@@ -204,7 +214,7 @@ def region_join(
 
     if group == "left":
         hit = F.struct(*[F.col(rmap[c]).alias(c) for c in rcols])
-        grouped = matched.groupBy(*[lmap[c] for c in lcols]).agg(
+        grouped = matched.groupBy("__lrid", *[lmap[c] for c in lcols]).agg(
             _collect_hits(hit, right.schema, rcols).alias(group_col)
         )
         if how in {"left_outer", "full_outer", "right_outer"}:
@@ -219,6 +229,7 @@ def region_join(
                 # ShuffleRegionJoin.scala:297-335)
                 anti_r = _null_safe_anti(rdf, matched.select(*[rmap[c] for c in rcols]).distinct(), [rmap[c] for c in rcols])
                 anti_r = anti_r.withColumn(group_col, F.array(hit))
+                anti_r = anti_r.withColumn("__lrid", F.lit(None).cast("long"))
                 for c in lcols:
                     anti_r = anti_r.withColumn(lmap[c], F.lit(None).cast(left.schema[c].dataType))
                 grouped = grouped.unionByName(anti_r.select(grouped.columns))
@@ -229,7 +240,7 @@ def region_join(
 
     # group == "right": (Iterable[T], U) keyed by right rows
     hit = F.struct(*[F.col(lmap[c]).alias(c) for c in lcols])
-    grouped = matched.groupBy(*[rmap[c] for c in rcols]).agg(
+    grouped = matched.groupBy("__rrid", *[rmap[c] for c in rcols]).agg(
         _collect_hits(hit, left.schema, lcols).alias(group_col)
     )
     if how in {"right_outer", "full_outer"}:
