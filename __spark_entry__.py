@@ -1523,6 +1523,184 @@ ORDER BY readGroupId, quality, cycle, dinuc
 """
 
 
+import random as _random
+
+#: deterministic 200 bp contig shared by the MD-tagging query and its
+#: oracle (embedded as a SQL literal — both engines slice the same text)
+_md_rng = _random.Random(7)
+_MD_CONTIG = "".join(_md_rng.choice("ACGT") for _ in range(200))
+
+
+def md_tagging_reads(spark: SparkSession, sf: str) -> DataFrame:
+    """computeMismatchingPositions (ds/read/MDTagging.scala:27-106,
+    models/MdTag.scala:46-611): recompute MD tags against a broadcast
+    reference. Reads are 10M with exactly one substitution at offset
+    k%10, so the MD tag closes to '{o}{refBase}{9-o}' — which is what
+    the oracle emits from the same embedded contig."""
+    from adam_spark.operators.md_tagging import compute_mismatching_positions
+
+    c = _MD_CONTIG
+    reads = load_table(spark, sf, "orders").select(
+        F.expr("'r' || cast(o_orderkey as string)").alias("readName"),
+        F.lit("c1").alias("referenceName"),
+        F.expr("o_orderkey % 150").alias("start"),
+        F.lit("10M").alias("cigar"),
+        F.expr(
+            f"concat(substring('{c}', o_orderkey % 150 + 1, o_orderkey % 10), "
+            f"translate(substring('{c}', o_orderkey % 150 + o_orderkey % 10 + 1, 1), 'ACGT', 'CGTA'), "
+            f"substring('{c}', o_orderkey % 150 + o_orderkey % 10 + 2, 9 - o_orderkey % 10))"
+        ).alias("sequence"),
+        F.lit(True).alias("readMapped"),
+        F.lit(None).cast("string").alias("mismatchingPositions"),
+    )
+    tagged = compute_mismatching_positions(reads, {"c1": c})
+    return tagged.select("readName", "mismatchingPositions").orderBy("readName")
+
+
+_MD_TAGGING_SQL = f"""
+SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS readName,
+       CAST(o_orderkey % 10 AS VARCHAR)
+       || substring('{_MD_CONTIG}', CAST(o_orderkey % 150 + o_orderkey % 10 + 1 AS INT), 1)
+       || CAST(9 - o_orderkey % 10 AS VARCHAR) AS mismatchingPositions
+FROM orders ORDER BY readName
+"""
+
+
+def left_normalize_cigars(spark: SparkSession, sf: str) -> DataFrame:
+    """leftNormalizeIndels (AlignmentDataset.scala:1777-1803,
+    NormalizationUtils.scala:30-118): shift a single insertion left
+    while the base preceding it equals the variant's last base. Reads
+    are built as A^(4-j) G^j [GG] AAAA with cigar 4M2I4M, so the
+    insertion shifts left exactly j bases → (4-j)M2I(4+j)M."""
+    from adam_spark.operators.quality import left_normalize_indels
+
+    reads = load_table(spark, sf, "orders").select(
+        F.expr("'r' || cast(o_orderkey as string)").alias("readName"),
+        F.lit(True).alias("readMapped"),
+        F.lit("4M2I4M").alias("cigar"),
+        F.expr(
+            "repeat('A', cast(4 - o_orderkey % 4 as int)) || "
+            "repeat('G', cast(o_orderkey % 4 as int)) || 'GG' || 'AAAA'"
+        ).alias("sequence"),
+        F.lit(None).cast("string").alias("mismatchingPositions"),
+    )
+    return left_normalize_indels(reads).select("readName", "cigar").orderBy("readName")
+
+
+_LEFT_NORMALIZE_SQL = """
+SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS readName,
+       CAST(4 - o_orderkey % 4 AS VARCHAR) || 'M2I'
+       || CAST(4 + o_orderkey % 4 AS VARCHAR) || 'M' AS cigar
+FROM orders ORDER BY readName
+"""
+
+
+def slices_merge_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """SliceDataset.merge (:291): stitch adjacent slices back into
+    sequences. Documents ≥160 chars are cut into three adjacent 50-char
+    slices which merge back to the first 150 chars."""
+    from adam_spark.operators.conversions import merge_slices
+
+    docs = load_table(spark, sf, "documents").where(F.col("n_chars") >= 160)
+    slices = docs.select(
+        F.expr("'d' || cast(doc_id as string)").alias("name"),
+        F.explode(F.expr("sequence(0, 2)")).alias("i"),
+        F.col("text"),
+    ).select(
+        "name",
+        F.lit(None).cast("string").alias("description"),
+        F.lit("DNA").alias("alphabet"),
+        F.expr("substring(text, cast(i * 50 + 1 as int), 50)").alias("sequence"),
+        (F.col("i") * 50).alias("start"),
+        F.lit(150).cast("long").alias("totalLength"),
+        F.lit(None).cast("string").alias("sampleId"),
+        F.lit(None).cast("map<string,string>").alias("attributes"),
+    )
+    return merge_slices(slices).select("name", "sequence", "length").orderBy("name")
+
+
+_SLICES_MERGE_SQL = """
+SELECT 'd' || CAST(doc_id AS VARCHAR) AS name,
+       substring(text, 1, 150) AS sequence,
+       CAST(150 AS BIGINT) AS length
+FROM documents WHERE n_chars >= 160
+ORDER BY name
+"""
+
+
+def realign_indels_reads(spark: SparkSession, sf: str) -> DataFrame:
+    """realignIndels end-to-end (ds/read/realignment/RealignIndels.scala
+    :35-745): deletion-carrying reads define the consensus; reads
+    naively aligned 10M across the deletion site (7 mismatches) sweep
+    onto the consensus (3M2D7M, MD recomputed, mapq +10); clean reads
+    away from the target are untouched. All three read classes derive
+    from the shared 200 bp contig, so the realigned output is closed-
+    form and oracle-checkable."""
+    from adam_spark.functions.cigar import md_from_reference
+    from adam_spark.operators.realignment import realign_indels
+
+    c = _MD_CONTIG
+    del_seq = c[114:118] + c[120:128]
+    mis_seq = c[115:118] + c[120:127]
+    mis_md, _ = md_from_reference("10M", mis_seq, c[115:125])
+    reads = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("'r' || cast(o_orderkey as string)").alias("readName"),
+        F.lit("c1").alias("referenceName"),
+        F.expr(
+            "case when o_orderkey % 3 = 0 then o_orderkey % 100 "
+            "when o_orderkey % 3 = 1 then 114 else 115 end"
+        ).cast("long").alias("start"),
+        F.expr(
+            "case when o_orderkey % 3 = 0 then o_orderkey % 100 + 10 "
+            "when o_orderkey % 3 = 1 then 128 else 125 end"
+        ).cast("long").alias("end"),
+        F.expr(
+            f"case when o_orderkey % 3 = 0 then substring('{c}', cast(o_orderkey % 100 + 1 as int), 10) "
+            f"when o_orderkey % 3 = 1 then '{del_seq}' else '{mis_seq}' end"
+        ).alias("sequence"),
+        F.expr(
+            "case when o_orderkey % 3 = 1 then repeat('I', 12) else repeat('I', 10) end"
+        ).alias("qualityScores"),
+        F.expr(
+            "case when o_orderkey % 3 = 0 then '10M' "
+            "when o_orderkey % 3 = 1 then '4M2D8M' else '10M' end"
+        ).alias("cigar"),
+        F.lit(True).alias("readMapped"),
+        F.expr(
+            f"case when o_orderkey % 3 = 0 then '10' "
+            f"when o_orderkey % 3 = 1 then '4^{c[118:120]}8' else '{mis_md}' end"
+        ).alias("mismatchingPositions"),
+        F.lit(40).alias("mappingQuality"),
+        F.lit(False).alias("duplicateRead"),
+        F.lit(True).alias("primaryAlignment"),
+    )
+    out = realign_indels(reads)
+    return out.select(
+        "readName", "start", "end", "cigar", "mappingQuality", "mismatchingPositions"
+    ).orderBy("readName")
+
+
+def _realign_sql() -> str:
+    from adam_spark.functions.cigar import md_from_reference
+
+    c = _MD_CONTIG
+    return f"""
+SELECT 'r' || CAST(o_orderkey AS VARCHAR) AS readName,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 100
+            WHEN o_orderkey % 3 = 1 THEN 114 ELSE 115 END AS start,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 100 + 10
+            WHEN o_orderkey % 3 = 1 THEN 128 ELSE 127 END AS "end",
+       CASE WHEN o_orderkey % 3 = 0 THEN '10M'
+            WHEN o_orderkey % 3 = 1 THEN '4M2D8M' ELSE '3M2D7M' END AS cigar,
+       CASE WHEN o_orderkey % 3 = 0 THEN 40 ELSE 50 END AS mappingQuality,
+       CASE WHEN o_orderkey % 3 = 0 THEN '10'
+            WHEN o_orderkey % 3 = 1 THEN '4^{c[118:120]}8'
+            ELSE '3^{c[118:120]}7' END AS mismatchingPositions
+FROM orders ORDER BY readName
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1578,6 +1756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reassemble_pairs_orders": reassemble_pairs_orders,
         "interval_join_group_right": interval_join_group_right,
         "bqsr_observation_table": bqsr_observation_table,
+        "md_tagging_reads": md_tagging_reads,
+        "left_normalize_cigars": left_normalize_cigars,
+        "slices_merge_docs": slices_merge_docs,
+        "realign_indels_reads": realign_indels_reads,
     }
 
 
@@ -1625,4 +1807,8 @@ def oracle_sql() -> dict[str, str]:
         "reassemble_pairs_orders": _REASSEMBLE_SQL,
         "interval_join_group_right": _IJ_GROUP_RIGHT_SQL,
         "bqsr_observation_table": _BQSR_OBS_SQL,
+        "md_tagging_reads": _MD_TAGGING_SQL,
+        "left_normalize_cigars": _LEFT_NORMALIZE_SQL,
+        "slices_merge_docs": _SLICES_MERGE_SQL,
+        "realign_indels_reads": _realign_sql(),
     }
