@@ -1701,6 +1701,130 @@ FROM orders ORDER BY readName
 """
 
 
+def partitioned_parquet_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """saveAsPartitionedParquet + loadPartitionedParquet
+    (GenomicDataset.scala:380-394, ADAMContext.scala:2439-2466): write
+    the Hive layout partitioned by (referenceName, positionBin), then
+    load region-pruned — Catalyst prunes partition directories before
+    opening a file, plus the exact overlap predicate with the
+    reference's −1 lookback bin. The oracle filters the same rows from
+    the source table directly."""
+    import os
+
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import GenomicMetadata
+    from adam_spark.sources.parquet import (
+        load_partitioned_parquet,
+        save_partitioned_parquet,
+    )
+
+    feats = load_table(spark, sf, "part").select(
+        F.expr("'c' || cast(p_partkey % 3 as string)").alias("referenceName"),
+        F.expr("(p_partkey * 17) % 4000").alias("start"),
+        F.expr("(p_partkey * 17) % 4000 + 25").alias("end"),
+        F.expr("'part_' || cast(p_partkey as string)").alias("name"),
+    )
+    sfname = os.path.basename(os.path.normpath(sf))
+    path = os.path.join("spark-warehouse", f"contract_partitioned_{sfname}")
+    save_partitioned_parquet(
+        GenomicFrame(feats, GenomicMetadata(kind="feature")),
+        path,
+        partition_size=1000,
+        mode="overwrite",
+    )
+    gf = load_partitioned_parquet(
+        spark, path, regions=[("c0", 500, 900), ("c2", 3000, 3500)]
+    )
+    return gf.df.select("referenceName", "start", "end", "name").orderBy("name")
+
+
+_PARTITIONED_PRUNE_SQL = """
+WITH f AS (SELECT 'c' || CAST(p_partkey % 3 AS VARCHAR) AS referenceName,
+         (p_partkey * 17) % 4000 AS start,
+         (p_partkey * 17) % 4000 + 25 AS "end",
+         'part_' || CAST(p_partkey AS VARCHAR) AS name
+       FROM part)
+SELECT referenceName, start, "end", name FROM f
+WHERE (referenceName = 'c0' AND start < 900 AND "end" > 500)
+   OR (referenceName = 'c2' AND start < 3500 AND "end" > 3000)
+ORDER BY name
+"""
+
+
+def bqsr_recalibrate_reads(spark: SparkSession, sf: str) -> DataFrame:
+    """Full BQSR cycle (BaseQualityRecalibration.scala:58-370):
+    observe covariates → invert the hierarchical recalibration table
+    (driver-side, Laplace-smoothed GATK walk) → rewrite every usable
+    base's quality char. Same synthetic reads as the observation-table
+    query; the oracle replays the whole Bayesian walk in SQL (the
+    quality_delta term telescopes, so offset = ln((1+mm_q)/(2+n_q)))."""
+    from adam_spark.operators.bqsr import recalibrate_base_qualities
+
+    reads = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("'r' || cast(o_orderkey as string)").alias("readName"),
+        F.expr("'rg' || cast(o_orderkey % 3 as string)").alias("readGroupId"),
+        F.lit("c1").alias("referenceName"),
+        F.expr("o_orderkey % 1000").alias("start"),
+        F.lit("8M").alias("cigar"),
+        F.expr("cast(o_orderkey % 8 as string) || 'A' || cast(7 - o_orderkey % 8 as string)")
+        .alias("mismatchingPositions"),
+        F.expr(_BQSR_SEQ.replace("k", "o_orderkey")).alias("sequence"),
+        F.expr(_BQSR_QUAL.replace("k", "o_orderkey")).alias("qualityScores"),
+        F.lit(True).alias("readMapped"),
+        F.lit(True).alias("primaryAlignment"),
+        F.lit(False).alias("duplicateRead"),
+        F.lit(False).alias("readNegativeStrand"),
+        F.lit(60).alias("mappingQuality"),
+        F.lit(0).alias("readInFragment"),
+        F.lit(None).cast("string").alias("originalQualityScores"),
+    )
+    out = recalibrate_base_qualities(reads)
+    return out.select("readName", "qualityScores").orderBy("readName")
+
+
+_BQSR_RECAL_SQL = f"""
+WITH r AS (SELECT o_orderkey AS k,
+         'rg' || CAST(o_orderkey % 3 AS VARCHAR) AS rg,
+         {_BQSR_SEQ} AS seq,
+         {_BQSR_QUAL} AS qual,
+         k % 8 AS mm_off
+       FROM orders),
+b AS (SELECT k, rg,
+         i,
+         ascii(substring(qual, i + 1, 1)) - 33 AS q,
+         i + 1 AS cy,
+         CASE WHEN i = 0 THEN 'NN'
+              ELSE substring(seq, i, 1) || substring(seq, i + 1, 1) END AS dn,
+         CASE WHEN i = CAST(mm_off AS INT) THEN 1 ELSE 0 END AS mismatch
+      FROM r, range(0, 8) t(i)),
+obs AS (SELECT rg, q, cy, dn, COUNT(*) AS t, SUM(mismatch) AS mm
+        FROM b GROUP BY 1, 2, 3, 4),
+byq AS (SELECT rg, q, SUM(t) AS qt, SUM(mm) AS qmm FROM obs GROUP BY rg, q),
+bycy AS (SELECT rg, q, cy, SUM(t) AS ct, SUM(mm) AS cmm FROM obs GROUP BY rg, q, cy),
+bydn AS (SELECT rg, q, dn, SUM(t) AS dt, SUM(mm) AS dmm FROM obs GROUP BY rg, q, dn),
+tab AS (SELECT obs.rg, obs.q, obs.cy, obs.dn,
+          LEAST(CAST(round(-10.0 * log10(exp(
+            LEAST(0.0, GREATEST(ln(0.00001),
+              ln((1.0 + qmm) / (2.0 + qt))
+              + (ln((1.0 + cmm) / (2.0 + ct)) - ln((1.0 + qmm) / (2.0 + qt)))
+              + (ln((1.0 + dmm) / (2.0 + dt)) - ln((1.0 + qmm) / (2.0 + qt)))
+            ))
+          ))) AS INT), 50) AS newq
+        FROM obs
+        JOIN byq ON obs.rg = byq.rg AND obs.q = byq.q
+        JOIN bycy ON obs.rg = bycy.rg AND obs.q = bycy.q AND obs.cy = bycy.cy
+        JOIN bydn ON obs.rg = bydn.rg AND obs.q = bydn.q AND obs.dn = bydn.dn),
+nb AS (SELECT b.k, b.i,
+         CASE WHEN b.q < 5 THEN b.q ELSE tab.newq END AS outq
+       FROM b JOIN tab ON b.rg = tab.rg AND b.q = tab.q
+                      AND b.cy = tab.cy AND b.dn = tab.dn)
+SELECT 'r' || CAST(k AS VARCHAR) AS readName,
+       string_agg(chr(CAST(outq + 33 AS INT)), '' ORDER BY i) AS qualityScores
+FROM nb GROUP BY k ORDER BY readName
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1760,6 +1884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_normalize_cigars": left_normalize_cigars,
         "slices_merge_docs": slices_merge_docs,
         "realign_indels_reads": realign_indels_reads,
+        "partitioned_parquet_prune": partitioned_parquet_prune,
+        "bqsr_recalibrate_reads": bqsr_recalibrate_reads,
     }
 
 
@@ -1811,4 +1937,6 @@ def oracle_sql() -> dict[str, str]:
         "left_normalize_cigars": _LEFT_NORMALIZE_SQL,
         "slices_merge_docs": _SLICES_MERGE_SQL,
         "realign_indels_reads": _realign_sql(),
+        "partitioned_parquet_prune": _PARTITIONED_PRUNE_SQL,
+        "bqsr_recalibrate_reads": _BQSR_RECAL_SQL,
     }

@@ -380,15 +380,34 @@ def realign_indels(
         "__t_id",
         F.concat_ws(":", F.col("__t_ref"), F.col("__t_start"), F.col("__t_end")),
     )
-    reads_keyed = reads.withColumn("__row_id", F.monotonically_increasing_id())
+    # Bin both sides so the read→target mapping compiles to a
+    # BroadcastHashJoin on (referenceName, bin) instead of a broadcast
+    # nested loop — the DataFrame analogue of the reference's broadcast
+    # binary search (RealignIndels.scala:79-180): per read, probe only
+    # the targets in its bins, not the whole target list. Reads
+    # straddling a bin boundary appear once per bin; the leftmost-
+    # target row_number below collapses them back to one row.
+    from adam_spark.operators.region_join import _bins
+
+    bin_size = max(max_target_size, 1)
+    reads_keyed = reads.withColumn(
+        "__row_id", F.monotonically_increasing_id()
+    ).withColumn(
+        "__bin", F.explode(_bins(F.col("start"), F.col("end"), bin_size))
+    )
+    t_binned = t.withColumn(
+        "__bin", F.explode(_bins(F.col("__t_start"), F.col("__t_end"), bin_size))
+    )
     joined = reads_keyed.join(
-        F.broadcast(t),
+        F.broadcast(t_binned),
         (F.col("referenceName") == F.col("__t_ref"))
+        & (reads_keyed["__bin"] == t_binned["__bin"])
         & (F.col("start") < F.col("__t_end"))
         & (F.col("__t_start") < F.col("end")),
         "left",
-    )
-    # leftmost target per read (TargetOrdering)
+    ).drop("__bin")
+    # leftmost target per read (TargetOrdering); also collapses the
+    # per-bin duplicates of both matched pairs and unmatched reads
     order_w = Window.partitionBy("__row_id").orderBy(
         F.col("__t_start").asc_nulls_last()
     )
