@@ -2,9 +2,11 @@
 
 Commands compose the library exactly like the reference's CLI composes
 adam-core: ``transform_alignments`` is the pipeline driver
-(TransformAlignments.scala:45-653 flag set, core subset), plus
-flagstat, coverage, count_kmers, view, transform_features,
-transform_variants. Run via ``python -m adam_spark <command> ...``.
+(TransformAlignments.scala:45-653 flag set, core subset). All 15
+reference commands are mirrored: count_kmers, count_slice_kmers,
+transform_{alignments,features,genotypes,sequences,slices,variants,
+fragments}, merge_shards, coverage, adam2fastq, print, flagstat, view.
+Run via ``python -m adam_spark <command> ...``.
 """
 
 from __future__ import annotations
@@ -146,6 +148,81 @@ def _cmd_transform_variants(args) -> int:
     return 0
 
 
+def _cmd_count_slice_kmers(args) -> int:
+    from adam_spark import context as ctx
+    from adam_spark.operators.kmers import count_kmers
+
+    spark = _spark(args)
+    gf = ctx.load_slices(spark, args.input)
+    counts = count_kmers(gf.df, args.kmer_length)
+    counts.select(
+        F.concat_ws("\t", F.col("kmer"), F.col("count"))
+    ).write.mode("overwrite").text(args.output)
+    return 0
+
+
+def _cmd_transform_genotypes(args) -> int:
+    from adam_spark import context as ctx
+
+    spark = _spark(args)
+    gf = ctx.load_genotypes(spark, args.input)
+    ctx.save(gf, args.output, single_file=not args.sharded)
+    return 0
+
+
+def _cmd_transform_sequences(args) -> int:
+    from adam_spark import context as ctx
+
+    spark = _spark(args)
+    gf = ctx.load_sequences(spark, args.input)
+    ctx.save(gf, args.output, single_file=not args.sharded)
+    return 0
+
+
+def _cmd_transform_slices(args) -> int:
+    from adam_spark import context as ctx
+
+    spark = _spark(args)
+    gf = ctx.load_slices(spark, args.input, maximum_length=args.maximum_length)
+    ctx.save(gf, args.output, single_file=not args.sharded)
+    return 0
+
+
+def _cmd_transform_fragments(args) -> int:
+    from adam_spark import context as ctx
+
+    spark = _spark(args)
+    gf = ctx.load_fragments(spark, args.input)
+    if args.load_as_alignments:
+        from adam_spark.core.genomic_frame import GenomicFrame
+        from adam_spark.operators.conversions import fragments_to_alignments
+
+        meta = gf.meta.copy()
+        meta.kind = "alignment"
+        gf = GenomicFrame(fragments_to_alignments(gf.df), meta)
+    ctx.save(gf, args.output, single_file=not args.sharded)
+    return 0
+
+
+def _cmd_adam2fastq(args) -> int:
+    from adam_spark import context as ctx
+    from adam_spark.sources.fastq import save_fastq, save_paired_fastq
+
+    spark = _spark(args)
+    gf = ctx.load_alignments(spark, args.input)
+    if args.output2:
+        save_paired_fastq(gf, args.output, args.output2)
+    else:
+        save_fastq(
+            gf,
+            args.output,
+            sort_by_name=args.sort_by_name,
+            write_suffixes=args.write_suffixes,
+            single_file=True,
+        )
+    return 0
+
+
 def _cmd_print(args) -> int:
     """PrintADAM parity: show the first rows of any dataset."""
     from adam_spark.sources.parquet import load_parquet
@@ -219,6 +296,46 @@ def build_parser() -> argparse.ArgumentParser:
     tf.add_argument("output")
     tf.add_argument("-sharded", dest="sharded", action="store_true")
     tf.set_defaults(fn=_cmd_transform_features)
+
+    ck = sub.add_parser("count_slice_kmers", help="k-mer counts over slices")
+    ck.add_argument("input")
+    ck.add_argument("output")
+    ck.add_argument("kmer_length", type=int)
+    ck.set_defaults(fn=_cmd_count_slice_kmers)
+
+    tg = sub.add_parser("transform_genotypes", help="genotype format conversion")
+    tg.add_argument("input")
+    tg.add_argument("output")
+    tg.add_argument("-sharded", dest="sharded", action="store_true")
+    tg.set_defaults(fn=_cmd_transform_genotypes)
+
+    ts = sub.add_parser("transform_sequences", help="sequence format conversion")
+    ts.add_argument("input")
+    ts.add_argument("output")
+    ts.add_argument("-sharded", dest="sharded", action="store_true")
+    ts.set_defaults(fn=_cmd_transform_sequences)
+
+    tl = sub.add_parser("transform_slices", help="slice format conversion")
+    tl.add_argument("input")
+    tl.add_argument("output")
+    tl.add_argument("-maximum_length", dest="maximum_length", type=int, default=10_000)
+    tl.add_argument("-sharded", dest="sharded", action="store_true")
+    tl.set_defaults(fn=_cmd_transform_slices)
+
+    tfr = sub.add_parser("transform_fragments", help="fragment format conversion")
+    tfr.add_argument("input")
+    tfr.add_argument("output")
+    tfr.add_argument("-load_as_alignments", dest="load_as_alignments", action="store_true")
+    tfr.add_argument("-sharded", dest="sharded", action="store_true")
+    tfr.set_defaults(fn=_cmd_transform_fragments)
+
+    a2f = sub.add_parser("adam2fastq", help="alignments -> FASTQ")
+    a2f.add_argument("input")
+    a2f.add_argument("output")
+    a2f.add_argument("output2", nargs="?", default=None, help="r2 path for paired output")
+    a2f.add_argument("-sort_by_name", dest="sort_by_name", action="store_true")
+    a2f.add_argument("-write_suffixes", dest="write_suffixes", action="store_true")
+    a2f.set_defaults(fn=_cmd_adam2fastq)
 
     pr = sub.add_parser("print", help="show the first rows of a dataset")
     pr.add_argument("input")

@@ -117,6 +117,19 @@ def load_slices(
     return _load_parquet(spark, path, "slice")
 
 
+def load_fragments(spark: SparkSession, path: str) -> GenomicFrame:
+    """Fragment Parquet, or any alignment source regrouped by read name
+    (ADAMContext.loadFragments:3702)."""
+    if _has_ext(path, ".sam", ".bam"):
+        from adam_spark.operators.conversions import alignments_to_fragments
+
+        gf = load_alignments(spark, path)
+        meta = gf.meta.copy()
+        meta.kind = "fragment"
+        return GenomicFrame(alignments_to_fragments(gf.df), meta)
+    return _load_parquet(spark, path, "fragment")
+
+
 def load_reads(spark: SparkSession, path: str) -> GenomicFrame:
     if _has_ext(path, ".fq", ".fastq"):
         return _fastq.load_unpaired_fastq(spark, path)

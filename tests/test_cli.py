@@ -141,3 +141,52 @@ def test_print_cli(spark, sam_path, tmp_path, capsys):
     assert main(["print", out, "-limit", "3"]) == 0
     text = capsys.readouterr().out
     assert "readName" in text
+
+
+def test_adam2fastq(spark, sam_path, tmp_path):
+    out = str(tmp_path / "out.fq")
+    rc = main(["adam2fastq", sam_path, out, "-sort_by_name", "-write_suffixes"])
+    assert rc == 0
+    text = open(os.path.join(out, os.listdir(out)[0])).read() if os.path.isdir(out) else open(out).read()
+    assert text.startswith("@r1/1\n")
+    assert text.count("@r") == 6
+
+
+def test_transform_fragments_roundtrip(spark, sam_path, tmp_path):
+    frag = str(tmp_path / "frags.adam")
+    rc = main(["transform_fragments", sam_path, frag])
+    assert rc == 0
+    out = str(tmp_path / "aligned.adam")
+    rc = main(["transform_fragments", frag, out, "-load_as_alignments"])
+    assert rc == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    gf = load_parquet(spark, out)
+    assert gf.df.count() == 6
+
+
+def test_count_slice_kmers(spark, tmp_path):
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">chr1 test\nACGTACGTAC\nGTACGTACGT\n")
+    out = str(tmp_path / "kmers.txt")
+    rc = main(["count_slice_kmers", str(fa), out, "4"])
+    assert rc == 0
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            lines += open(os.path.join(out, f)).read().splitlines()
+    counts = dict(l.split("\t") for l in lines)
+    assert int(counts["ACGT"]) >= 4
+
+
+def test_transform_sequences(spark, tmp_path):
+    fa = tmp_path / "seqs.fa"
+    fa.write_text(">s1\nACGTACGT\n>s2\nTTTTGGGG\n")
+    out = str(tmp_path / "seqs.adam")
+    rc = main(["transform_sequences", str(fa), out])
+    assert rc == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    gf = load_parquet(spark, out)
+    rows = {r["name"]: r["sequence"] for r in gf.df.collect()}
+    assert rows == {"s1": "ACGTACGT", "s2": "TTTTGGGG"}
