@@ -1825,6 +1825,68 @@ FROM nb GROUP BY k ORDER BY readName
 """
 
 
+def coverage_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """CoverageDataset.coverage(bpPerBin) (:382-393): flatten intervals
+    to per-base rows, keep bin-boundary positions only."""
+    from adam_spark.operators.coverage import downsample_coverage
+
+    cov = _cov_intervals(spark, sf)
+    return downsample_coverage(cov, 8).select(
+        "referenceName", "start", "end", "count"
+    ).orderBy("referenceName", "start", "count")
+
+
+_COVERAGE_DOWNSAMPLE_SQL = f"""
+WITH iv AS ({_COV_SQL}),
+pb AS (SELECT referenceName, UNNEST(range(start, "end")) AS pos, count FROM iv)
+SELECT referenceName, pos AS start, pos + 1 AS "end", count
+FROM pb WHERE pos % 8 = 0
+ORDER BY referenceName, start, count
+"""
+
+
+def slices_flank_adjacent(spark: SparkSession, sf: str) -> DataFrame:
+    """SliceDataset.flankAdjacent (FlankSlices.scala:29): stitch
+    ``flank`` bases of context from adjacent slices across boundaries —
+    the prepass that lets pipe() subprocesses see across slice edges.
+    Documents ≥160 chars are cut into three adjacent 50-char slices;
+    flanked sequences/coordinates close over substring arithmetic."""
+    from adam_spark.operators.slices import flank_adjacent_slices
+
+    docs = load_table(spark, sf, "documents").where(F.col("n_chars") >= 160)
+    slices = docs.select(
+        F.expr("'d' || cast(doc_id as string)").alias("name"),
+        F.explode(F.expr("sequence(0, 2)")).alias("i"),
+        F.col("text"),
+    ).select(
+        "name",
+        F.expr("substring(text, cast(i * 50 + 1 as int), 50)").alias("sequence"),
+        (F.col("i") * 50).cast("long").alias("start"),
+        (F.col("i") * 50 + 50).cast("long").alias("end"),
+    )
+    out = flank_adjacent_slices(slices, 5)
+    return out.select("name", "start", "end", "sequence").orderBy("name", "start")
+
+
+_SLICES_FLANK_SQL = """
+WITH d AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS name, text
+       FROM documents WHERE n_chars >= 160),
+s AS (SELECT name, i,
+         substring(text, CAST(i * 50 + 1 AS INT), 50) AS seq,
+         CAST(i * 50 AS BIGINT) AS start,
+         CAST(i * 50 + 50 AS BIGINT) AS "end",
+         text
+      FROM d, range(0, 3) t(i))
+SELECT name,
+       CASE WHEN i = 0 THEN start ELSE start - 5 END AS start,
+       CASE WHEN i = 2 THEN "end" ELSE "end" + 5 END AS "end",
+       CASE WHEN i = 0 THEN seq || substring(text, 51, 5)
+            WHEN i = 1 THEN substring(text, 46, 5) || seq || substring(text, 101, 5)
+            ELSE substring(text, 96, 5) || seq END AS sequence
+FROM s ORDER BY name, start
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1886,6 +1948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realign_indels_reads": realign_indels_reads,
         "partitioned_parquet_prune": partitioned_parquet_prune,
         "bqsr_recalibrate_reads": bqsr_recalibrate_reads,
+        "coverage_downsample": coverage_downsample,
+        "slices_flank_adjacent": slices_flank_adjacent,
     }
 
 
@@ -1939,4 +2003,6 @@ def oracle_sql() -> dict[str, str]:
         "realign_indels_reads": _realign_sql(),
         "partitioned_parquet_prune": _PARTITIONED_PRUNE_SQL,
         "bqsr_recalibrate_reads": _BQSR_RECAL_SQL,
+        "coverage_downsample": _COVERAGE_DOWNSAMPLE_SQL,
+        "slices_flank_adjacent": _SLICES_FLANK_SQL,
     }

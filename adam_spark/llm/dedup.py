@@ -265,24 +265,42 @@ def simhash(
     arithmetic), sum ±1 over the document's distinct tokens, bit is 1
     when the sum is positive. Returns (id, simhash long).
     """
-    # repartition documents (not exploded tokens) by id — same shuffle-
-    # volume rationale as minhash_signatures
+    # One array fold per document (same zero-shuffle design as
+    # minhash_signatures): the accumulator carries the ``bits`` running
+    # ±1 sums; the final fingerprint assembles sign bits. The
+    # repartition spreads documents across cores when the source is a
+    # single file split.
     keyed = df.select(F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("__t"))
     keyed = keyed.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
-    toks = keyed.select("id", F.explode("__t").alias("tok"))
-    h = toks.withColumn("h", F.md5("tok"))
-    bit_cols = []
-    for j in range(bits):
-        nibble_idx = j // 4 + 1  # 1-based hex char position
-        bit_in_nibble = j % 4
-        nibble = F.conv(F.substring(F.col("h"), nibble_idx, 1), 16, 10).cast("int")
-        bit = F.floor(nibble / F.lit(2**bit_in_nibble)) % 2
-        bit_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
-    sums = h.groupBy("id").agg(*bit_cols)
-    fp = F.lit(0).cast("long")
-    for j in range(bits):
-        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return sums.select("id", fp.alias("simhash"))
+
+    sums = F.aggregate(
+        F.transform(F.col("__t"), lambda t: F.md5(t)),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, j: s
+            + F.floor(
+                F.conv(F.substring(h, (j / 4).cast("int") + 1, 1), 16, 10).cast("long")
+                / F.pow(F.lit(2.0), (j % 4).cast("double")).cast("long")
+            )
+            % 2
+            * 2
+            - 1,
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            sums,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, j: F.when(
+                s > 0, F.pow(F.lit(2.0), j.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return keyed.where(F.size("__t") > 0).select("id", fp.alias("simhash"))
 
 
 def simhash_duplicates(
