@@ -26,6 +26,15 @@ def get_spark(app_name: str = "adam-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # split small local files finely so narrow pipelines (broadcast
+        # joins, per-row folds) use every core even on MB-scale inputs;
+        # on a real cluster the input is split-rich and this knob is
+        # neutral — override via ADAM_SPARK_MAX_PARTITION_BYTES
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("ADAM_SPARK_MAX_PARTITION_BYTES", str(1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         # the driver's testdata parquet carries TIMESTAMP(NANOS), which the
         # Spark reader rejects by default; read as long and convert (values
         # are microsecond-aligned, so the conversion is lossless)
