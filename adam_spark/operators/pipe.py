@@ -171,10 +171,207 @@ def _bed_out(line: str) -> dict | None:
     }
 
 
-FORMATTERS: dict[str, tuple[Callable, Callable, object, Callable | None]] = {
-    # name -> (format_row, parse_line, out_schema, header_fn)
-    "sam": (_sam_in, _sam_out, schemas.ALIGNMENT, _sam_header),
-    "bed": (_bed_in, _bed_out, schemas.FEATURE, None),
+def _fastq_in(row: dict) -> str:
+    name = _n(row.get("readName")) or _n(row.get("name")) or "*"
+    seq = _n(row.get("sequence")) or ""
+    qual = _n(row.get("qualityScores")) or "B" * len(seq)
+    return f"@{name}\n{seq}\n+\n{qual}"
+
+
+def _fastq_out_block(lines: list[str]) -> list[dict]:
+    """4-line FASTQ records → READ rows (reference FASTQ piping:
+    interleaved_fastq_sample*.ifq golden tests)."""
+    out = []
+    rec: list[str] = []
+    for line in lines:
+        if not line:
+            continue
+        rec.append(line.rstrip("\n"))
+        if len(rec) == 4:
+            name = rec[0][1:] if rec[0].startswith("@") else rec[0]
+            out.append(
+                {
+                    "name": name.split(" ")[0] or None,
+                    "sequence": rec[1] or None,
+                    "length": len(rec[1]),
+                    "qualityScores": rec[3] or None,
+                    "alphabet": "DNA",
+                }
+            )
+            rec = []
+    return out
+
+
+def _gff3_in(row: dict) -> str:
+    score = _n(row.get("score"))
+    attrs = []
+    if _n(row.get("featureId")):
+        attrs.append(f"ID={row['featureId']}")
+    if _n(row.get("name")):
+        attrs.append(f"Name={row['name']}")
+    return "\t".join(
+        [
+            _n(row.get("referenceName")) or ".",
+            _n(row.get("source")) or ".",
+            _n(row.get("featureType")) or ".",
+            str(int(_n(row.get("start")) or 0) + 1),
+            str(int(_n(row.get("end")) or 0)),
+            str(score) if score is not None else ".",
+            {"FORWARD": "+", "REVERSE": "-"}.get(_n(row.get("strand")), "."),
+            ".",
+            ";".join(attrs) or ".",
+        ]
+    )
+
+
+def _gff3_out(line: str) -> dict | None:
+    if not line or line.startswith("#"):
+        return None
+    t = line.rstrip("\n").split("\t")
+    if len(t) < 8:
+        return None
+    attrs = {}
+    if len(t) > 8 and t[8] != ".":
+        for kv in t[8].split(";"):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                attrs[k.strip()] = v.strip()
+    return {
+        "referenceName": t[0] if t[0] != "." else None,
+        "source": t[1] if t[1] != "." else None,
+        "featureType": t[2] if t[2] != "." else None,
+        "start": int(t[3]) - 1,
+        "end": int(t[4]),
+        "score": float(t[5]) if t[5] != "." else None,
+        "strand": {"+": "FORWARD", "-": "REVERSE"}.get(t[6]),
+        "featureId": attrs.get("ID"),
+        "name": attrs.get("Name"),
+    }
+
+
+def _narrowpeak_in(row: dict) -> str:
+    score = _n(row.get("score"))
+    return "\t".join(
+        [
+            _n(row.get("referenceName")) or ".",
+            str(int(_n(row.get("start")) or 0)),
+            str(int(_n(row.get("end")) or 0)),
+            _n(row.get("name")) or ".",
+            str(int(score)) if score is not None else "0",
+            {"FORWARD": "+", "REVERSE": "-"}.get(_n(row.get("strand")), "."),
+            "-1",
+            "-1",
+            "-1",
+            "-1",
+        ]
+    )
+
+
+def _narrowpeak_out(line: str) -> dict | None:
+    d = _bed_out(line)
+    return d
+
+
+def _vcf_header(meta) -> list[str]:
+    lines = ["##fileformat=VCFv4.2"]
+    for r in meta.references.references:
+        lines.append(
+            f"##contig=<ID={r.name}" + (f",length={r.length}>" if r.length else ">")
+        )
+    lines.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    return lines
+
+
+def _vcf_in(row: dict) -> str:
+    names = _n(row.get("names"))
+    qual = _n(row.get("quality"))
+    applied = _n(row.get("filtersApplied"))
+    passed = _n(row.get("filtersPassed"))
+    filt = "." if not applied else ("PASS" if passed else "FAIL")
+    return "\t".join(
+        [
+            _n(row.get("referenceName")) or ".",
+            str(int(_n(row.get("start")) or 0) + 1),
+            ";".join(names) if names is not None and len(names) else ".",
+            _n(row.get("referenceAllele")) or ".",
+            _n(row.get("alternateAllele")) or ".",
+            str(qual) if qual is not None else ".",
+            filt,
+            ".",
+        ]
+    )
+
+
+def _vcf_out(line: str) -> dict | None:
+    if not line or line.startswith("#"):
+        return None
+    t = line.rstrip("\n").split("\t")
+    if len(t) < 8:
+        return None
+    ref = t[3] if t[3] != "." else None
+    return {
+        "referenceName": t[0] if t[0] != "." else None,
+        "start": int(t[1]) - 1,
+        "end": int(t[1]) - 1 + (len(ref) if ref else 1),
+        "names": t[2].split(";") if t[2] != "." else None,
+        "referenceAllele": ref,
+        "alternateAllele": t[4] if t[4] != "." else None,
+        "quality": float(t[5]) if t[5] != "." else None,
+        "filtersApplied": t[6] != ".",
+        "filtersPassed": t[6] == "PASS" if t[6] != "." else None,
+    }
+
+
+def _fasta_in(row: dict) -> str:
+    name = _n(row.get("name")) or "*"
+    desc = _n(row.get("description"))
+    header = f">{name}" + (f" {desc}" if desc else "")
+    seq = _n(row.get("sequence")) or ""
+    wrapped = "\n".join(seq[i : i + 60] for i in range(0, len(seq), 60)) or ""
+    return f"{header}\n{wrapped}" if wrapped else header
+
+
+def _fasta_out_block(lines: list[str]) -> list[dict]:
+    out = []
+    name, desc, chunks = None, None, []
+
+    def flush():
+        if name is not None:
+            seq = "".join(chunks)
+            out.append(
+                {
+                    "name": name,
+                    "description": desc,
+                    "sequence": seq or None,
+                    "length": len(seq),
+                    "alphabet": "DNA",
+                }
+            )
+
+    for line in lines:
+        line = line.rstrip("\n")
+        if line.startswith(">"):
+            flush()
+            head = line[1:].split(" ", 1)
+            name, desc, chunks = head[0], head[1] if len(head) > 1 else None, []
+        elif line:
+            chunks.append(line)
+    flush()
+    return out
+
+
+FORMATTERS: dict[str, tuple] = {
+    # name -> (format_row, parse_line_or_None, parse_block_or_None,
+    #          out_schema, header_fn_or_None, out_kind)
+    # (reference formatter inventory: SURVEY §2.9 — SAM/BAM, FASTQ,
+    #  VCF, BED/GTF/GFF3/NarrowPeak, FASTA)
+    "sam": (_sam_in, _sam_out, None, schemas.ALIGNMENT, _sam_header, "alignment"),
+    "bed": (_bed_in, _bed_out, None, schemas.FEATURE, None, "feature"),
+    "gff3": (_gff3_in, _gff3_out, None, schemas.FEATURE, None, "feature"),
+    "narrowpeak": (_narrowpeak_in, _narrowpeak_out, None, schemas.FEATURE, None, "feature"),
+    "fastq": (_fastq_in, None, _fastq_out_block, schemas.READ, None, "read"),
+    "vcf": (_vcf_in, _vcf_out, None, schemas.VARIANT, _vcf_header, "variant"),
+    "fasta": (_fasta_in, None, _fasta_out_block, schemas.SEQUENCE, None, "sequence"),
 }
 
 
@@ -221,8 +418,8 @@ def pipe(
 ) -> GenomicFrame:
     """Run ``cmd`` once per genome bin over the formatted records."""
     out_format = out_format or in_format
-    fmt_row, _, _, header_fn = FORMATTERS[in_format]
-    _, parse_line, out_schema, _ = FORMATTERS[out_format]
+    fmt_row, _, _, _, header_fn, _ = FORMATTERS[in_format]
+    _, parse_line, parse_block, out_schema, _, out_kind = FORMATTERS[out_format]
 
     cmd_list = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)
     # $0..$N token substitution for shipped files (GenomicDataset.scala:95-121)
@@ -265,9 +462,16 @@ def pipe(
             ),
         )
     else:
-        binned = df.withColumn(
-            "__bin", F.abs(F.hash(F.col("referenceName"))) % F.lit(n_bins)
-        )
+        # no genome bin layout: spread by contig when locatable, else by
+        # record identity (unlocatable kinds — reads/sequences — have no
+        # flank semantics, so any even spread is correct)
+        if "referenceName" in df.columns:
+            key = F.abs(F.hash(F.col("referenceName")))
+        elif "name" in df.columns:
+            key = F.abs(F.hash(F.col("name")))
+        else:
+            key = F.monotonically_increasing_id()
+        binned = df.withColumn("__bin", key % F.lit(n_bins))
 
     out_fields = [f.name for f in out_schema.fields]
     result_schema = out_schema
@@ -282,13 +486,16 @@ def pipe(
 
     def _run_bin(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (bin_id,) = key
-        pdf = pdf.sort_values(
-            ["referenceName", "start"], na_position="last", kind="mergesort"
-        )
+        sort_cols = [c for c in ("referenceName", "start", "name") if c in pdf.columns]
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols, na_position="last", kind="mergesort")
         rows = pdf.to_dict("records")
         lines = header + [fmt_row(r) for r in rows]
         out_lines = _run_subprocess(cmd_list, lines, environment, timeout)
-        parsed = [p for p in (parse_line(l) for l in out_lines) if p is not None]
+        if parse_block is not None:
+            parsed = parse_block(out_lines)
+        else:
+            parsed = [p for p in (parse_line(l) for l in out_lines) if p is not None]
         if not keep_all:
             lo_pos = bin_id * bin_size_b
             hi_pos = lo_pos + bin_size_b
@@ -305,5 +512,5 @@ def pipe(
 
     piped = binned.groupBy("__bin").applyInPandas(_run_bin, schema=result_schema)
     new_meta = meta.copy()
-    new_meta.kind = {"sam": "alignment", "bed": "feature"}.get(out_format, meta.kind)
+    new_meta.kind = out_kind or meta.kind
     return GenomicFrame(piped, new_meta)

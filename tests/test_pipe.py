@@ -89,3 +89,68 @@ def test_pipe_bed(spark):
 def test_pipe_command_failure(aligned_gf):
     with pytest.raises(Exception):
         pipe(aligned_gf, ["false"], in_format="sam", partitions=2).df.count()
+
+
+def test_pipe_fastq_roundtrip(aligned_gf):
+    out = pipe(aligned_gf, "cat", in_format="fastq", out_format="fastq", partitions=2)
+    rows = {r["name"]: r for r in out.df.collect()}
+    assert len(rows) == 100
+    assert rows["r7"]["sequence"] == "ACGT" * 10
+    assert rows["r7"]["qualityScores"] == "I" * 40
+    assert rows["r7"]["length"] == 40
+
+
+def test_pipe_gff3_roundtrip(spark):
+    rows = [("chr1", 100, 200, "f1", "exon", "src", 5.0, "FORWARD"),
+            ("chr1", 300, 400, "f2", "gene", "src", None, "REVERSE")]
+    df = spark.createDataFrame(
+        rows,
+        "referenceName string, start long, end long, featureId string, "
+        "featureType string, source string, score double, strand string",
+    )
+    gf = GenomicFrame(
+        schemas.conform(df, schemas.FEATURE),
+        GenomicMetadata(
+            references=SequenceDictionary([Reference(name="chr1", length=1000)]),
+            kind="feature",
+        ),
+    )
+    out = pipe(gf, "cat", in_format="gff3", partitions=2)
+    got = {r["featureId"]: r for r in out.df.collect()}
+    assert got["f1"]["start"] == 100 and got["f1"]["end"] == 200
+    assert got["f1"]["score"] == 5.0 and got["f1"]["strand"] == "FORWARD"
+    assert got["f2"]["featureType"] == "gene" and got["f2"]["strand"] == "REVERSE"
+
+
+def test_pipe_vcf_roundtrip(spark):
+    rows = [("chr1", 100, 101, "A", "T", 50.0), ("chr1", 500, 501, "G", "C", None)]
+    df = spark.createDataFrame(
+        rows,
+        "referenceName string, start long, end long, referenceAllele string, "
+        "alternateAllele string, quality double",
+    )
+    gf = GenomicFrame(
+        schemas.conform(df, schemas.VARIANT),
+        GenomicMetadata(
+            references=SequenceDictionary([Reference(name="chr1", length=1000)]),
+            kind="variant",
+        ),
+    )
+    out = pipe(gf, "cat", in_format="vcf", partitions=2)
+    got = {r["start"]: r for r in out.df.collect()}
+    assert got[100]["referenceAllele"] == "A" and got[100]["alternateAllele"] == "T"
+    assert got[100]["quality"] == 50.0
+    assert got[500]["quality"] is None
+
+
+def test_pipe_fasta_roundtrip(spark):
+    rows = [("s1", "ACGT" * 40), ("s2", "TTTT")]
+    df = spark.createDataFrame(rows, "name string, sequence string")
+    gf = GenomicFrame(
+        schemas.conform(df, schemas.SEQUENCE),
+        GenomicMetadata(kind="sequence"),
+    )
+    out = pipe(gf, "cat", in_format="fasta", partitions=2)
+    got = {r["name"]: r for r in out.df.collect()}
+    assert got["s1"]["sequence"] == "ACGT" * 40  # 160 bp: crosses the 60-wrap
+    assert got["s2"]["length"] == 4
