@@ -72,6 +72,65 @@ def _per_alt(imap: Column, key: str, ai: Column) -> Column:
     return F.element_at(F.split(imap.getItem(key), ","), (ai + 1).cast("int"))
 
 
+def _nonempty(c: Column) -> Column:
+    return F.when(c != F.lit(""), c)
+
+
+def _frac_pos(elem: Column, part: int) -> Column:
+    """Numerator (part=0, taking an interval's start) or denominator
+    (part=1) of a SnpEff 'x/y' fraction, null when absent
+    (TranscriptEffectConverter.parseFraction:104-115)."""
+    tokens = F.split(elem, "/")
+    if part == 0:
+        return _nonempty(F.element_at(F.split(F.element_at(tokens, 1), "-"), 1)).cast("int")
+    return F.when(F.size(tokens) >= 2, _nonempty(F.element_at(tokens, 2)).cast("int"))
+
+
+def _transcript_effects(imap: Column, alt: Column) -> Column:
+    """VCF INFO 'ANN' → array<TranscriptEffect>, matched to this row's
+    alternate allele (TranscriptEffectConverter.scala:134-233): each
+    comma-separated entry is ≥16 pipe-separated fields; entries with
+    fewer fields are dropped (LENIENT stringency), empty subfields are
+    null, '&'-joined lists split, fractions split on '/'."""
+    def _one(entry: Column) -> Column:
+        f = F.split(entry, r"\|", -1)
+
+        def g(i: int) -> Column:  # 0-based field accessor, '' → null
+            return _nonempty(F.element_at(f, i + 1))
+
+        amp = lambda c: F.when(
+            c.isNotNull(), F.filter(F.split(c, "&"), lambda x: x != F.lit(""))
+        )
+        return F.struct(
+            g(0).alias("alternateAllele"),
+            amp(g(1)).alias("effects"),
+            g(3).alias("geneName"),
+            g(4).alias("geneId"),
+            g(5).alias("featureType"),
+            g(6).alias("featureId"),
+            g(7).alias("biotype"),
+            _frac_pos(F.element_at(f, 9), 0).alias("rank"),
+            _frac_pos(F.element_at(f, 9), 1).alias("total"),
+            g(9).alias("transcriptHgvs"),
+            g(10).alias("proteinHgvs"),
+            _frac_pos(F.element_at(f, 12), 0).alias("cdnaPosition"),
+            _frac_pos(F.element_at(f, 12), 1).alias("cdnaLength"),
+            _frac_pos(F.element_at(f, 13), 0).alias("cdsPosition"),
+            _frac_pos(F.element_at(f, 13), 1).alias("cdsLength"),
+            _frac_pos(F.element_at(f, 14), 0).alias("proteinPosition"),
+            _frac_pos(F.element_at(f, 14), 1).alias("proteinLength"),
+            g(14).cast("int").alias("distance"),
+            amp(g(15)).alias("messages"),
+        )
+
+    entries = F.split(imap.getItem("ANN"), ",")
+    parsed = F.transform(
+        F.filter(entries, lambda e: F.size(F.split(e, r"\|", -1)) >= 16), _one
+    )
+    matched = F.filter(parsed, lambda te: te["alternateAllele"].eqNullSafe(alt))
+    return F.when(imap.getItem("ANN").isNotNull() & (F.size(matched) > 0), matched)
+
+
 def _variant_struct(ai: Column, n_alts: Column) -> Column:
     """VARIANT-schema struct from parsed line columns + alt index."""
     imap = F.col("__imap")
@@ -92,8 +151,8 @@ def _variant_struct(ai: Column, n_alts: Column) -> Column:
         imap.getItem("VALIDATED").isNotNull().alias("validated"),
         imap.getItem("1000G").isNotNull().alias("thousandGenomes"),
         imap.getItem("SOMATIC").isNotNull().alias("somatic"),
-        _tnull(schemas.ArrayType(schemas.TRANSCRIPT_EFFECT)).alias("transcriptEffects"),
-        F.map_filter(imap, lambda k, v: ~k.isin("AA", "AC", "AF", "CIGAR", "DP")).alias(
+        _transcript_effects(imap, F.col("__alt")).alias("transcriptEffects"),
+        F.map_filter(imap, lambda k, v: ~k.isin("AA", "AC", "AF", "CIGAR", "DP", "ANN")).alias(
             "attributes"
         ),
     )
@@ -320,6 +379,44 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     v = F.col("variant")
     ann = v["annotation"]
 
+    def _frac_str(pos: Column, length: Column) -> Column:
+        return F.when(
+            pos.isNotNull() & length.isNotNull(),
+            F.concat(pos.cast("string"), F.lit("/"), length.cast("string")),
+        ).otherwise(F.coalesce(pos.cast("string"), F.lit("")))
+
+    ann_field = F.when(
+        ann["transcriptEffects"].isNotNull() & (F.size(ann["transcriptEffects"]) > 0),
+        F.concat(
+            F.lit("ANN="),
+            F.array_join(
+                F.transform(
+                    ann["transcriptEffects"],
+                    lambda te: F.concat_ws(
+                        "|",
+                        F.coalesce(te["alternateAllele"], F.lit("")),
+                        F.array_join(F.coalesce(te["effects"], F.array().cast("array<string>")), "&"),
+                        F.lit(""),  # annotationImpact: not modeled (SnpEff extra)
+                        F.coalesce(te["geneName"], F.lit("")),
+                        F.coalesce(te["geneId"], F.lit("")),
+                        F.coalesce(te["featureType"], F.lit("")),
+                        F.coalesce(te["featureId"], F.lit("")),
+                        F.coalesce(te["biotype"], F.lit("")),
+                        _frac_str(te["rank"], te["total"]),
+                        F.coalesce(te["transcriptHgvs"], F.lit("")),
+                        F.coalesce(te["proteinHgvs"], F.lit("")),
+                        _frac_str(te["cdnaPosition"], te["cdnaLength"]),
+                        _frac_str(te["cdsPosition"], te["cdsLength"]),
+                        _frac_str(te["proteinPosition"], te["proteinLength"]),
+                        F.coalesce(te["distance"].cast("string"), F.lit("")),
+                        F.array_join(F.coalesce(te["messages"], F.array().cast("array<string>")), "&"),
+                    ),
+                ),
+                ",",
+            ),
+        ),
+    )
+
     info_parts = F.concat_ws(
         ";",
         F.when(ann["alleleCount"].isNotNull(), F.concat(F.lit("AC="), ann["alleleCount"])),
@@ -327,6 +424,7 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
             ann["alleleFrequency"].isNotNull(), F.concat(F.lit("AF="), ann["alleleFrequency"])
         ),
         F.when(ann["readDepth"].isNotNull(), F.concat(F.lit("DP="), ann["readDepth"])),
+        ann_field,
         F.array_join(
             F.transform(
                 F.map_entries(F.coalesce(ann["attributes"], F.create_map())),

@@ -155,3 +155,60 @@ def test_sites_only_vcf(spark, tmp_path):
     vcf_io.save_vcf(gf, out)
     assert vcf_io.load_vcf(spark, out).df.count() == 3
     assert vcf_io.load_vcf_genotypes(spark, str(p)).df.count() == 0
+
+
+def test_transcript_effects_ann(spark, tmp_path):
+    """INFO ANN → TranscriptEffect structs matched on alternate allele
+    (TranscriptEffectConverter.scala:134-233)."""
+    ann1 = "T|missense_variant&stop_gained|MODERATE|GENE1|ENSG1|transcript|ENST1|protein_coding|1/3|c.1A>T|p.K1*|10/100|20/200|30/300|42|M1&M2"
+    ann2 = "G|synonymous_variant|LOW|GENE2|ENSG2|transcript|ENST2|protein_coding|||||||5|"
+    vcf = tmp_path / "ann.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        f"chr1\t100\t.\tA\tT,G\t50\tPASS\tANN={ann1},{ann2}\n"
+    )
+    gf = vcf_io.load_vcf(spark, str(vcf))
+    rows = {r["variant"]["alternateAllele"]: r["variant"] for r in gf.df.collect()}
+    te_t = rows["T"]["annotation"]["transcriptEffects"]
+    assert len(te_t) == 1
+    te = te_t[0]
+    assert te["effects"] == ["missense_variant", "stop_gained"]
+    assert te["geneName"] == "GENE1" and te["geneId"] == "ENSG1"
+    assert te["featureId"] == "ENST1" and te["biotype"] == "protein_coding"
+    assert te["rank"] == 1 and te["total"] == 3
+    assert te["transcriptHgvs"] == "c.1A>T" and te["proteinHgvs"] == "p.K1*"
+    assert te["cdnaPosition"] == 10 and te["cdnaLength"] == 100
+    assert te["cdsPosition"] == 20 and te["cdsLength"] == 200
+    assert te["proteinPosition"] == 30 and te["proteinLength"] == 300
+    assert te["distance"] == 42
+    assert te["messages"] == ["M1", "M2"]
+    te_g = rows["G"]["annotation"]["transcriptEffects"]
+    assert len(te_g) == 1 and te_g[0]["geneName"] == "GENE2"
+    assert te_g[0]["rank"] is None and te_g[0]["messages"] is None
+    # ANN consumed, not duplicated into attributes
+    assert "ANN" not in (rows["T"]["annotation"]["attributes"] or {})
+
+
+def test_ann_roundtrip(spark, tmp_path):
+    """ANN survives load → save → load (written back from
+    transcriptEffects, VariantContextConverter ANN emission)."""
+    ann1 = "T|missense_variant|MODERATE|GENE1|ENSG1|transcript|ENST1|protein_coding|1/3|c.1A>T||10/100|20/200|30/300|42|"
+    src = tmp_path / "ann_rt.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        "##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        f"chr1\t100\t.\tA\tT\t50\tPASS\tANN={ann1}\n"
+    )
+    gf = vcf_io.load_vcf(spark, str(src))
+    out = str(tmp_path / "out.vcf")
+    vcf_io.save_vcf(gf, out)
+    gf2 = vcf_io.load_vcf(spark, out)
+    te = gf2.df.collect()[0]["variant"]["annotation"]["transcriptEffects"][0]
+    assert te["geneName"] == "GENE1"
+    assert te["effects"] == ["missense_variant"]
+    assert te["rank"] == 1 and te["total"] == 3
+    assert te["cdsPosition"] == 20 and te["cdsLength"] == 200
+    assert te["distance"] == 42
