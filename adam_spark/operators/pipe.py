@@ -360,6 +360,69 @@ def _fasta_out_block(lines: list[str]) -> list[dict]:
     return out
 
 
+def _frag_reads(row: dict) -> list[dict]:
+    """First ≤2 alignments of a fragment, in readInFragment order
+    (Tab5InFormatter.scala:62-76: 'More than two reads … taking first 2')."""
+    aligns = row.get("alignments")
+    reads = [] if aligns is None else list(aligns)
+    reads.sort(key=lambda r: (r.get("readInFragment") or 0))
+    return reads[:2]
+
+
+def _trim_suffix(name: str | None) -> str:
+    n = name or "*"
+    return n[:-2] if n.endswith(("/1", "/2")) else n
+
+
+def _read_sq(r: dict) -> tuple[str, str]:
+    seq = _n(r.get("sequence")) or ""
+    qual = _n(r.get("qualityScores")) or "B" * len(seq)
+    return seq, qual
+
+
+def _tab5_in(row: dict) -> str:
+    """Bowtie tab5: unpaired '[name]\\t[seq]\\t[qual]'; paired
+    '[name]\\t[seq1]\\t[qual1]\\t[seq2]\\t[qual2]' with the first
+    read's suffix-trimmed name (Tab5InFormatter.scala:44-80)."""
+    reads = _frag_reads(row)
+    if not reads:
+        return ""
+    name = _trim_suffix(_n(row.get("name")) or _n(reads[0].get("readName")))
+    parts = [name]
+    for r in reads:
+        seq, qual = _read_sq(r)
+        parts += [seq, qual]
+    return "\t".join(parts)
+
+
+def _tab6_in(row: dict) -> str:
+    """Bowtie tab6: '[name1]\\t[seq1]\\t[qual1]\\t[name2]\\t[seq2]\\t
+    [qual2]' with /1,/2 suffixes (Tab6InFormatter.scala)."""
+    reads = _frag_reads(row)
+    if not reads:
+        return ""
+    base = _trim_suffix(_n(row.get("name")) or _n(reads[0].get("readName")))
+    parts = []
+    for i, r in enumerate(reads):
+        seq, qual = _read_sq(r)
+        name = f"{base}/{i + 1}" if len(reads) == 2 else base
+        parts += [name, seq, qual]
+    return "\t".join(parts)
+
+
+def _ifq_in(row: dict) -> str:
+    """Interleaved FASTQ: r1 then r2 4-line records with /1,/2
+    suffixes (InterleavedFASTQInFormatter.scala)."""
+    reads = _frag_reads(row)
+    base = _trim_suffix(_n(row.get("name")) or (_n(reads[0].get("readName")) if reads else "*"))
+    blocks = []
+    for i, r in enumerate(reads):
+        seq, qual = _read_sq(r)
+        suffix = f"/{i + 1}" if len(reads) == 2 else ""
+        blocks.append(f"@{base}{suffix}\n{seq}\n+\n{qual}")
+    return "\n".join(blocks)
+
+
 FORMATTERS: dict[str, tuple] = {
     # name -> (format_row, parse_line_or_None, parse_block_or_None,
     #          out_schema, header_fn_or_None, out_kind)
@@ -372,6 +435,11 @@ FORMATTERS: dict[str, tuple] = {
     "fastq": (_fastq_in, None, _fastq_out_block, schemas.READ, None, "read"),
     "vcf": (_vcf_in, _vcf_out, None, schemas.VARIANT, _vcf_header, "variant"),
     "fasta": (_fasta_in, None, _fasta_out_block, schemas.SEQUENCE, None, "sequence"),
+    # fragment in-formatters (input-only, like the reference's — piped
+    # INTO aligners; results come back as SAM via out_format="sam")
+    "tab5": (_tab5_in, None, None, schemas.FRAGMENT, None, "fragment"),
+    "tab6": (_tab6_in, None, None, schemas.FRAGMENT, None, "fragment"),
+    "ifq": (_ifq_in, None, None, schemas.FRAGMENT, None, "fragment"),
 }
 
 
@@ -420,6 +488,11 @@ def pipe(
     out_format = out_format or in_format
     fmt_row, _, _, _, header_fn, _ = FORMATTERS[in_format]
     _, parse_line, parse_block, out_schema, _, out_kind = FORMATTERS[out_format]
+    if parse_line is None and parse_block is None:
+        raise ValueError(
+            f"format {out_format!r} is input-only (no parser); pass "
+            "out_format='sam' (or another parseable format) for the results"
+        )
 
     cmd_list = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)
     # $0..$N token substitution for shipped files (GenomicDataset.scala:95-121)

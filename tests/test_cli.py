@@ -147,7 +147,11 @@ def test_adam2fastq(spark, sam_path, tmp_path):
     out = str(tmp_path / "out.fq")
     rc = main(["adam2fastq", sam_path, out, "-sort_by_name", "-write_suffixes"])
     assert rc == 0
-    text = open(os.path.join(out, os.listdir(out)[0])).read() if os.path.isdir(out) else open(out).read()
+    if os.path.isdir(out):
+        part = [f for f in os.listdir(out) if f.startswith("part-")][0]
+        text = open(os.path.join(out, part)).read()
+    else:
+        text = open(out).read()
     assert text.startswith("@r1/1\n")
     assert text.count("@r") == 6
 

@@ -154,3 +154,56 @@ def test_pipe_fasta_roundtrip(spark):
     got = {r["name"]: r for r in out.df.collect()}
     assert got["s1"]["sequence"] == "ACGT" * 40  # 160 bp: crosses the 60-wrap
     assert got["s2"]["length"] == 4
+
+
+def test_fragment_in_formatters():
+    """tab5/tab6/ifq line formats (Tab5InFormatter.scala:44-80 etc.)."""
+    from adam_spark.operators.pipe import _ifq_in, _tab5_in, _tab6_in
+
+    frag = {
+        "name": "f1/1",
+        "alignments": [
+            {"readName": "f1", "readInFragment": 1, "sequence": "TTTT", "qualityScores": "JJJJ"},
+            {"readName": "f1", "readInFragment": 0, "sequence": "ACGT", "qualityScores": "IIII"},
+        ],
+    }
+    assert _tab5_in(frag) == "f1\tACGT\tIIII\tTTTT\tJJJJ"
+    assert _tab6_in(frag) == "f1/1\tACGT\tIIII\tf1/2\tTTTT\tJJJJ"
+    assert _ifq_in(frag) == "@f1/1\nACGT\n+\nIIII\n@f1/2\nTTTT\n+\nJJJJ"
+    single = {"name": "u1", "alignments": [{"sequence": "GG", "qualityScores": None}]}
+    assert _tab5_in(single) == "u1\tGG\tBB"
+    assert _ifq_in(single) == "@u1\nGG\n+\nBB"
+
+
+def test_pipe_tab5_to_bed(spark):
+    """Fragments piped as tab5 into an awk 'aligner' that emits BED."""
+    rows = [
+        ("f1", [("ACGT", "IIII", 0), ("TTTT", "JJJJ", 1)]),
+        ("f2", [("CCCC", "EEEE", 0)]),
+    ]
+    data = [
+        (name, [{"sequence": s, "qualityScores": q, "readInFragment": i} for s, q, i in reads])
+        for name, reads in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "name string, alignments array<struct<sequence string, qualityScores string, readInFragment int>>",
+    )
+    gf = GenomicFrame(df, GenomicMetadata(kind="fragment"))
+    out = pipe(
+        gf,
+        ["awk", "-F", "\t", '{print "chr1\t0\t" length($2) "\t" $1}'],
+        in_format="tab5",
+        out_format="bed",
+        partitions=2,
+    )
+    got = {r["name"]: r for r in out.df.collect()}
+    assert got["f1"]["end"] == 4 and got["f2"]["end"] == 4
+    assert out.meta.kind == "feature"
+
+
+def test_pipe_input_only_format_rejected(spark):
+    df = spark.createDataFrame([("f1", [])], "name string, alignments array<struct<sequence string>>")
+    gf = GenomicFrame(df, GenomicMetadata(kind="fragment"))
+    with pytest.raises(ValueError, match="input-only"):
+        pipe(gf, "cat", in_format="tab5")
