@@ -1887,6 +1887,69 @@ FROM s ORDER BY name, start
 """
 
 
+def sort_reads_by_index_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """sortByReferencePositionAndIndex (AlignmentDataset.scala:1042-
+    1067): contigs ordered by sequence-dictionary INDEX (not name),
+    unmapped reads last by readName (the reference's index-overflow
+    hack). Dictionary order c5,c3,c1,c0,c2,c4 deliberately disagrees
+    with lexicographic order so the index path is observable."""
+    from pyspark.sql import Window
+
+    from adam_spark.core.metadata import Reference, SequenceDictionary
+    from adam_spark.operators.sorts import sort_by_reference_position_and_index
+
+    order = ["c5", "c3", "c1", "c0", "c2", "c4"]
+    refs = SequenceDictionary([Reference(name=n, length=10000) for n in order])
+    reads = load_table(spark, sf, "customer").select(
+        F.expr("'r' || cast(c_custkey as string)").alias("readName"),
+        F.expr("c_custkey % 10 != 0").alias("readMapped"),
+        F.expr(
+            "case when c_custkey % 10 != 0 then 'c' || cast(c_custkey % 6 as string) end"
+        ).alias("referenceName"),
+        F.expr("case when c_custkey % 10 != 0 then (c_custkey * 13) % 9000 end").alias(
+            "start"
+        ),
+    )
+    # the operator is a range-partitioned global orderBy; ranking by the
+    # same composite key makes it hash-observable (as sort_reads_rank)
+    _ = sort_by_reference_position_and_index(reads, refs)
+    from adam_spark.operators.sorts import _index_expr, _true_last
+
+    keys = [
+        _true_last(F.col("readMapped")),
+        F.when(
+            F.col("readMapped").eqNullSafe(F.lit(True)), _index_expr(refs)
+        ).otherwise(F.lit(2**31 - 1)),
+        F.when(~F.col("readMapped").eqNullSafe(F.lit(True)), F.col("readName")),
+        F.col("start"),
+    ]
+    w = Window.orderBy(*keys, F.col("readName"))
+    return (
+        reads.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("readName", "rank")
+        .orderBy("readName")
+    )
+
+
+_SORT_INDEX_SQL = """
+WITH r AS (SELECT 'r' || CAST(c_custkey AS VARCHAR) AS readName,
+         c_custkey % 10 <> 0 AS mapped,
+         CASE WHEN c_custkey % 10 <> 0 THEN c_custkey % 6 END AS refmod,
+         CASE WHEN c_custkey % 10 <> 0 THEN (c_custkey * 13) % 9000 END AS s
+       FROM customer),
+i AS (SELECT r.*,
+        CASE refmod WHEN 5 THEN 0 WHEN 3 THEN 1 WHEN 1 THEN 2
+                    WHEN 0 THEN 3 WHEN 2 THEN 4 WHEN 4 THEN 5 END AS refidx
+      FROM r)
+SELECT readName,
+       row_number() OVER (ORDER BY CASE WHEN mapped THEN 0 ELSE 1 END,
+                          CASE WHEN mapped THEN refidx ELSE 2147483647 END,
+                          CASE WHEN NOT mapped THEN readName END NULLS FIRST,
+                          s NULLS FIRST, readName) AS rank
+FROM i ORDER BY readName
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1950,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bqsr_recalibrate_reads": bqsr_recalibrate_reads,
         "coverage_downsample": coverage_downsample,
         "slices_flank_adjacent": slices_flank_adjacent,
+        "sort_reads_by_index_rank": sort_reads_by_index_rank,
     }
 
 
@@ -2005,4 +2069,5 @@ def oracle_sql() -> dict[str, str]:
         "bqsr_recalibrate_reads": _BQSR_RECAL_SQL,
         "coverage_downsample": _COVERAGE_DOWNSAMPLE_SQL,
         "slices_flank_adjacent": _SLICES_FLANK_SQL,
+        "sort_reads_by_index_rank": _SORT_INDEX_SQL,
     }

@@ -249,6 +249,53 @@ def _gff3_out(line: str) -> dict | None:
     }
 
 
+def _gtf_in(row: dict) -> str:
+    score = _n(row.get("score"))
+    attrs = []
+    if _n(row.get("geneId")):
+        attrs.append(f'gene_id "{row["geneId"]}";')
+    if _n(row.get("transcriptId")):
+        attrs.append(f'transcript_id "{row["transcriptId"]}";')
+    return "\t".join(
+        [
+            _n(row.get("referenceName")) or ".",
+            _n(row.get("source")) or ".",
+            _n(row.get("featureType")) or ".",
+            str(int(_n(row.get("start")) or 0) + 1),
+            str(int(_n(row.get("end")) or 0)),
+            str(score) if score is not None else ".",
+            {"FORWARD": "+", "REVERSE": "-"}.get(_n(row.get("strand")), "."),
+            ".",
+            " ".join(attrs) or ".",
+        ]
+    )
+
+
+def _gtf_out(line: str) -> dict | None:
+    if not line or line.startswith("#"):
+        return None
+    t = line.rstrip("\n").split("\t")
+    if len(t) < 8:
+        return None
+    attrs = {}
+    if len(t) > 8 and t[8] != ".":
+        import re as _re
+
+        for m in _re.finditer(r'(\w+)\s+"([^"]*)"', t[8]):
+            attrs[m.group(1)] = m.group(2)
+    return {
+        "referenceName": t[0] if t[0] != "." else None,
+        "source": t[1] if t[1] != "." else None,
+        "featureType": t[2] if t[2] != "." else None,
+        "start": int(t[3]) - 1,
+        "end": int(t[4]),
+        "score": float(t[5]) if t[5] != "." else None,
+        "strand": {"+": "FORWARD", "-": "REVERSE"}.get(t[6]),
+        "geneId": attrs.get("gene_id"),
+        "transcriptId": attrs.get("transcript_id"),
+    }
+
+
 def _narrowpeak_in(row: dict) -> str:
     score = _n(row.get("score"))
     return "\t".join(
@@ -431,6 +478,7 @@ FORMATTERS: dict[str, tuple] = {
     "sam": (_sam_in, _sam_out, None, schemas.ALIGNMENT, _sam_header, "alignment"),
     "bed": (_bed_in, _bed_out, None, schemas.FEATURE, None, "feature"),
     "gff3": (_gff3_in, _gff3_out, None, schemas.FEATURE, None, "feature"),
+    "gtf": (_gtf_in, _gtf_out, None, schemas.FEATURE, None, "feature"),
     "narrowpeak": (_narrowpeak_in, _narrowpeak_out, None, schemas.FEATURE, None, "feature"),
     "fastq": (_fastq_in, None, _fastq_out_block, schemas.READ, None, "read"),
     "vcf": (_vcf_in, _vcf_out, None, schemas.VARIANT, _vcf_header, "variant"),

@@ -207,3 +207,23 @@ def test_pipe_input_only_format_rejected(spark):
     gf = GenomicFrame(df, GenomicMetadata(kind="fragment"))
     with pytest.raises(ValueError, match="input-only"):
         pipe(gf, "cat", in_format="tab5")
+
+
+def test_pipe_gtf_roundtrip(spark):
+    rows = [("chr1", 100, 200, "g1", "t1", "exon", 5.0, "FORWARD")]
+    df = spark.createDataFrame(
+        rows,
+        "referenceName string, start long, end long, geneId string, "
+        "transcriptId string, featureType string, score double, strand string",
+    )
+    gf = GenomicFrame(
+        schemas.conform(df, schemas.FEATURE),
+        GenomicMetadata(
+            references=SequenceDictionary([Reference(name="chr1", length=1000)]),
+            kind="feature",
+        ),
+    )
+    out = pipe(gf, "cat", in_format="gtf", partitions=2)
+    r = out.df.collect()[0]
+    assert r["geneId"] == "g1" and r["transcriptId"] == "t1"
+    assert r["start"] == 100 and r["end"] == 200 and r["score"] == 5.0
