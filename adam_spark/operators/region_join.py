@@ -97,6 +97,7 @@ def region_join(
     right_region: tuple[str, str, str] = ("referenceName", "start", "end"),
     suffixes: tuple[str, str] = ("", "_r"),
     group_col: str = "hits",
+    large_span_bins: int = 512,
 ) -> DataFrame:
     """One builder for all 11 reference join variants.
 
@@ -156,19 +157,33 @@ def region_join(
     ls, le = F.col(lmap[l_start]) - F.lit(flank), F.col(lmap[l_end]) + F.lit(flank)
     rs, re_ = F.col(rmap[r_start]), F.col(rmap[r_end])
 
-    lb = ldf.withColumn("__bin", F.explode(_bins(ls, le, bin_size)))
-    rb = rdf.withColumn("__bin", F.explode(_bins(rs, re_, bin_size)))
+    overlap = (
+        (F.col(lmap[l_ref]) == F.col(rmap[r_ref]))
+        & (ls < re_)
+        & (rs < le)
+    )
+
+    # WIDE-INTERVAL side channel: an interval spanning w bins explodes
+    # into w rows, so a chromosome-scale annotation (250 Mbp at 64 bp
+    # bins ≈ 4M copies) would melt the bin join. Intervals wider than
+    # ``large_span_bins`` bins are rare by nature (whole-contig spans),
+    # so they bypass the bin explode: broadcast the wide rows and join
+    # on the exact overlap predicate. The three branches partition the
+    # pair space — (wide-left × any-right), (narrow-left × wide-right),
+    # (narrow × narrow via bins) — so no pair is seen twice.
+    wide = F.lit(large_span_bins) * F.lit(bin_size)
+    l_is_wide = (le - ls) > wide
+    r_is_wide = (re_ - rs) > wide
+    l_narrow, l_wide = ldf.where(~l_is_wide), ldf.where(l_is_wide)
+    r_narrow, r_wide = rdf.where(~r_is_wide), rdf.where(r_is_wide)
+
+    lb = l_narrow.withColumn("__bin", F.explode(_bins(ls, le, bin_size)))
+    rb = r_narrow.withColumn("__bin", F.explode(_bins(rs, re_, bin_size)))
     if broadcast == "left":
         lb = F.broadcast(lb)
     elif broadcast == "right":
         rb = F.broadcast(rb)
 
-    overlap = (
-        F.col(lmap[l_ref]).eqNullSafe(F.col(rmap[r_ref]))
-        & F.col(lmap[l_ref]).isNotNull()
-        & (ls < re_)
-        & (rs < le)
-    )
     pair_first_bin = F.floor(F.greatest(ls, rs) / F.lit(float(bin_size)))
     cond = (
         (F.col(lmap[l_ref]) == F.col(rmap[r_ref]))
@@ -178,7 +193,8 @@ def region_join(
         & (lb["__bin"] == pair_first_bin)
     )
     matched = lb.join(rb, cond, "inner").drop("__bin")
-    _ = overlap  # (kept for documentation parity; cond embeds it)
+    matched = matched.unionByName(F.broadcast(l_wide).join(rdf, overlap, "inner"))
+    matched = matched.unionByName(l_narrow.join(F.broadcast(r_wide), overlap, "inner"))
 
     def restore(df: DataFrame, with_right: bool = True, with_left: bool = True) -> DataFrame:
         out = []

@@ -195,3 +195,50 @@ def test_large_bin_size(tables):
     got = region_join(left, right, how="inner", bin_size=10_000_000)
     want = naive_region_join(left, right)
     assert _collect(got) == _collect(want)
+
+
+@pytest.fixture(scope="module")
+def wide_tables(spark):
+    """Tables salted with chromosome-scale intervals that exceed the
+    wide-interval routing threshold (large_span_bins × bin_size)."""
+    left = _intervals(spark, 40, seed=3).collect()
+    right = _intervals(spark, 50, seed=4).collect()
+    # wide rows: span >> 4 bins × BIN (the test threshold)
+    wide_l = [("chr1", 0, 100_000, 900), ("chr2", 10, 90_000, 901)]
+    wide_r = [("chr1", 50, 200_000, 950), ("chr3", 0, 80_000, 951)]
+    ldf = spark.createDataFrame([tuple(r) for r in left] + wide_l, SCHEMA)
+    rdf = spark.createDataFrame([tuple(r) for r in right] + wide_r, SCHEMA)
+    return ldf.cache(), rdf.cache()
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer", "right_outer", "full_outer"])
+def test_wide_interval_routing_equals_naive(wide_tables, how):
+    left, right = wide_tables
+    got = region_join(left, right, how=how, bin_size=BIN, large_span_bins=4)
+    inner = naive_region_join(left, right)
+    if how == "inner":
+        assert _collect(got) == _collect(inner)
+    else:
+        # outer rows: total = inner + unmatched sides
+        n_inner = inner.count()
+        lm = inner.select("id").distinct().count()
+        rm = inner.select("id_r").distinct().count()
+        extra = 0
+        if how in ("left_outer", "full_outer"):
+            extra += left.count() - lm
+        if how in ("right_outer", "full_outer"):
+            extra += right.count() - rm
+        assert got.count() == n_inner + extra
+
+
+def test_wide_interval_group_left_equals_naive(wide_tables):
+    left, right = wide_tables
+    got = region_join(left, right, group="left", bin_size=BIN, large_span_bins=4)
+    inner = naive_region_join(left, right).collect()
+    from collections import defaultdict
+
+    want = defaultdict(set)
+    for r in inner:
+        want[r["id"]].add(r["id_r"])
+    got_rows = {r["id"]: {h["id"] for h in r["hits"]} for r in got.collect()}
+    assert got_rows == dict(want)
