@@ -171,7 +171,9 @@ def region_join(
     # on the exact overlap predicate. The three branches partition the
     # pair space — (wide-left × any-right), (narrow-left × wide-right),
     # (narrow × narrow via bins) — so no pair is seen twice.
-    wide = F.lit(large_span_bins) * F.lit(bin_size)
+    # product computed in Python: a Column int×int product would wrap at
+    # 2^31 and silently route every interval through the wide branch
+    wide = F.lit(int(large_span_bins) * int(bin_size)).cast("long")
     l_is_wide = (le - ls) > wide
     r_is_wide = (re_ - rs) > wide
     l_narrow, l_wide = ldf.where(~l_is_wide), ldf.where(l_is_wide)
