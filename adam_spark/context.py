@@ -43,9 +43,13 @@ def _load_parquet(spark: SparkSession, path: str, kind: str) -> GenomicFrame:
 def load_alignments(
     spark: SparkSession, path: str, path2: str | None = None
 ) -> GenomicFrame:
-    """SAM text / FASTQ / Parquet → alignments (ADAMContext.loadAlignments)."""
+    """SAM/BAM / FASTQ / Parquet → alignments (ADAMContext.loadAlignments)."""
     if _has_ext(path, ".sam"):
         return _sam.load_sam(spark, path)
+    if _has_ext(path, ".bam"):
+        from adam_spark.sources.bam import load_bam
+
+        return load_bam(spark, path)
     if _has_ext(path, ".fq", ".fastq", ".ifq"):
         return _fastq.load_fastq_alignments(spark, path, path2)
     return _load_parquet(spark, path, "alignment")
@@ -175,6 +179,10 @@ def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> Non
     """Polymorphic save by extension (reference ``save`` dispatch)."""
     if _has_ext(path, ".sam"):
         _sam.save_sam(gf, path, single_file=single_file)
+    elif _has_ext(path, ".bam"):
+        from adam_spark.sources.bam import save_bam
+
+        save_bam(gf, path)
     elif _has_ext(path, ".fq", ".fastq"):
         _fastq.save_fastq(gf, path, single_file=single_file, **kwargs)
     elif _has_ext(path, ".bed"):

@@ -2,9 +2,10 @@
 
 The reference ingests SAM/BAM/CRAM via hadoop-bam (ADAMContext.loadBam
 :2041-2111) and exports via htsjdk (AlignmentDataset.saveAsSam
-:810-997). Binary BAM/CRAM needs native codecs not present here, so
-this engine treats SAM text as the interchange format (a `samtools
-view` away from BAM) and Parquet as the native storage; the header
+:810-997). This engine parses SAM text relationally (this module) and
+implements BAM natively in `sources/bam.py` (pure-Python BGZF + record
+codec sharing this module's column mapping); CRAM needs reference-
+based codecs not present here and stays external. The header
 (@SQ/@RG/@PG) maps to the metadata sidecar both ways.
 
 Flag decoding follows the SAM spec bit-for-bit (matches the boolean
@@ -108,8 +109,12 @@ def sam_lines_to_alignments(raw: DataFrame) -> DataFrame:
         (~b(0x100) & ~b(0x800)).alias("primaryAlignment"),
         b(0x100).alias("secondaryAlignment"),
         b(0x800).alias("supplementaryAlignment"),
-        F.col("attributes").getItem("MD").alias("mismatchingPositions"),
-        F.col("attributes").getItem("RG").alias("readGroupId"),
+        # attribute values carry their "TYPE:" prefix; the typed columns
+        # hold the bare value
+        F.substring(F.col("attributes").getItem("MD"), 3, 1_000_000).alias(
+            "mismatchingPositions"
+        ),
+        F.substring(F.col("attributes").getItem("RG"), 3, 1_000_000).alias("readGroupId"),
         F.when(b(0x1) & ~b(0x8) & (F.col("pnext1") > 0), F.col("pnext1") - 1).alias(
             "mateAlignmentStart"
         ),
@@ -156,10 +161,28 @@ def _header_metadata(raw: DataFrame) -> GenomicMetadata:
     )
 
 
-def save_sam(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
-    """Alignments → SAM text with reconstructed flags + header."""
-    df = schemas.conform(gf.df, schemas.ALIGNMENT)
+def sam_body_lines(df: DataFrame) -> DataFrame:
+    """ALIGNMENT rows → one-column (``value``) SAM body lines,
+    including optional tags: MD/RG re-emitted from their typed columns
+    (authoritative — operators update them), every other attribute
+    passed through as TAG:TYPE:VALUE."""
+    df = schemas.conform(df, schemas.ALIGNMENT)
     flags = sam_flags(df)
+    other_tags = F.array_join(
+        F.transform(
+            F.map_entries(
+                F.map_filter(
+                    F.coalesce(
+                        F.col("attributes"),
+                        F.lit(None).cast("map<string,string>"),
+                    ),
+                    lambda k, v: ~k.isin("MD", "RG"),
+                )
+            ),
+            lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+        ),
+        "\t",
+    )
     line = F.concat_ws(
         "\t",
         F.coalesce(F.col("readName"), F.lit("*")),
@@ -178,12 +201,24 @@ def save_sam(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         F.coalesce(F.col("insertSize").cast("string"), F.lit("0")),
         F.coalesce(F.col("sequence"), F.lit("*")),
         F.coalesce(F.col("qualityScores"), F.lit("*")),
+        F.when(
+            F.col("mismatchingPositions").isNotNull(),
+            F.concat(F.lit("MD:Z:"), F.col("mismatchingPositions")),
+        ),
+        F.when(
+            F.col("readGroupId").isNotNull(),
+            F.concat(F.lit("RG:Z:"), F.col("readGroupId")),
+        ),
+        F.when(other_tags != "", other_tags),
     ).alias("value")
-    body = df.select(line)
+    return df.select(line)
+
+
+def sam_header_lines(meta: GenomicMetadata) -> list[str]:
     header = ["@HD\tVN:1.6\tSO:unsorted"]
-    for r in gf.meta.references.references:
+    for r in meta.references.references:
         header.append(f"@SQ\tSN:{r.name}" + (f"\tLN:{r.length}" if r.length else ""))
-    for g in gf.meta.read_groups:
+    for g in meta.read_groups:
         rg = f"@RG\tID:{g.id}"
         if g.sampleId:
             rg += f"\tSM:{g.sampleId}"
@@ -192,6 +227,14 @@ def save_sam(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         if g.platform:
             rg += f"\tPL:{g.platform}"
         header.append(rg)
+    return header
+
+
+def save_sam(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
+    """Alignments → SAM text with reconstructed flags + header."""
+    df = schemas.conform(gf.df, schemas.ALIGNMENT)
+    body = sam_body_lines(df)
+    header = sam_header_lines(gf.meta)
     hdr_df = df.sparkSession.createDataFrame([(h,) for h in header], "value string")
     out = (
         hdr_df.select(F.lit(0).alias("__o"), "value")
