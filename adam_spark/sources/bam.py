@@ -197,6 +197,17 @@ def load_bam(spark: SparkSession, path: str) -> GenomicFrame:
     return load_sam(spark, stage)
 
 
+def load_indexed_bam(
+    spark: SparkSession, path: str, regions: list[tuple[str, int, int]]
+) -> GenomicFrame:
+    """Region-filtered BAM load (reference: ADAMContext.loadIndexedBam
+    :2125-2308, .bai-driven). Staging already decodes the container
+    once, so the query-time equivalent is the staged scan plus the
+    overlap predicate — the same plan shape the reference's partitioned
+    layout produces, with the predicate pushed into the staged scan."""
+    return load_bam(spark, path).filter_by_overlapping_regions(regions)
+
+
 # --- encode ----------------------------------------------------------------
 _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 

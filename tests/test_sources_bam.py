@@ -102,3 +102,13 @@ def test_bam_cli_end_to_end(spark, sam_path, tmp_path):
     rows = {(r["readName"], r["readInFragment"]): r for r in gf.df.collect()}
     assert len(rows) == 4
     assert rows[("r2", 0)]["duplicateRead"] is False
+
+
+def test_load_indexed_bam(spark, sam_path, tmp_path):
+    gf = load_sam(spark, sam_path)
+    bam = str(tmp_path / "idx.bam")
+    save_bam(gf, bam)
+    from adam_spark.sources.bam import load_indexed_bam
+
+    hits = load_indexed_bam(spark, bam, [("chr1", 0, 150)])
+    assert [r["readName"] for r in hits.df.collect()] == ["r1"]
