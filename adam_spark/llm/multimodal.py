@@ -96,6 +96,55 @@ def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataF
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), True),
+        StructField("data", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Image rows → resized binary (Arrow-batched mapInPandas).
+
+    A real implementation would decode with PIL and re-encode; the
+    deterministic fake keeps the plumbing honest — output bytes derive
+    from the input bytes and requested dims, so round-trip tests can
+    assert on them."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = r["data"]
+                if data is None:
+                    rows.append((r["asset_id"], None, width, height))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "image codecs unavailable in this environment; "
+                        "use fake=True or plug in PIL"
+                    )
+                # fake resize: resample the byte stream to width*height
+                n = max(1, len(data))
+                out = bytes(
+                    data[(i * n) // (width * height)] for i in range(width * height)
+                )
+                rows.append((r["asset_id"], out, width, height))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "data", "width", "height"]
+            )
+
+    return media.where(F.col("media_type") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video rows → frame-sample plan (asset_id, frame_idx, ts_ms).
 

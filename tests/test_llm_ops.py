@@ -158,3 +158,20 @@ def test_winnowing_fingerprints(spark):
     )
     fp2 = {r["fingerprint"] for r in winnowing_fingerprints(df2, k=8, window=4).collect()}
     assert by[1] & fp2
+
+
+def test_multimodal_resize(spark):
+    from adam_spark.llm.multimodal import MEDIA, resize_images
+
+    rows = [
+        (1, "image", "image/png", bytes(range(100)), 10, 10, None, None),
+        (2, "video", "video/mp4", b"\x00" * 50, None, None, 5000, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA)
+    out = resize_images(df, 4, 4).collect()
+    assert len(out) == 1  # video row filtered
+    r = out[0]
+    assert r["width"] == 4 and r["height"] == 4
+    assert len(r["data"]) == 16
+    # deterministic: resampled from the source bytes
+    assert resize_images(df, 4, 4).collect()[0]["data"] == r["data"]
