@@ -21,10 +21,11 @@ copartitioning + per-partition sweep line (ds/GenomeBins.scala:31-75,
 ShuffleRegionJoin.scala:60-88), but it inherits AQE skew splitting,
 whole-stage codegen, and spillable joins for free.
 
-Outer variants recover unmatched rows with a null-safe anti-join against
-the matched side and null-extend; group variants aggregate hit lists
-with ``collect_list(struct(...))`` (semantics per
-ShuffleRegionJoin.scala:143-335, TreeRegionJoin.scala:94-137).
+Outer and group variants are single-pass: each probe row carries an
+8-byte row id through the binned join, and the outer side re-joins the
+matched pairs (or the per-id ``collect_list(struct(...))`` hit lists)
+on that id — unmatched rows null-extend / get empty lists (semantics
+per ShuffleRegionJoin.scala:143-335, TreeRegionJoin.scala:94-137).
 """
 
 from __future__ import annotations
@@ -46,22 +47,6 @@ def _bins(start: Column, end: Column, bin_size: int) -> Column:
     # greatest() guards degenerate (empty) intervals from descending sequences
     last = F.greatest(first, F.floor((end - 1) / F.lit(float(bin_size))))
     return F.sequence(first, last)
-
-
-def _null_safe_anti(df: DataFrame, keys: DataFrame, cols: list[str]) -> DataFrame:
-    """df rows whose projection on ``cols`` appears nowhere in ``keys``.
-
-    Null-safe: the schemas here are nullable-everything (SURVEY.md §1.2),
-    so plain ``=`` would leak null-keyed rows through an anti-join.
-    Keys are renamed before joining — ``keys`` derives from ``df``
-    (self-join lineage), and fresh names sidestep ambiguous resolution.
-    """
-    keyed = keys.select([F.col(c).alias(f"__k_{c}") for c in cols])
-    cond = None
-    for c in cols:
-        e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
-        cond = e if cond is None else (cond & e)
-    return df.join(keyed, cond, "left_anti")
 
 
 def _orderable(dtype) -> bool:
@@ -128,11 +113,6 @@ def region_join(
         raise ValueError(f"how must be one of {_HOW}, got {how!r}")
     if group not in _GROUP:
         raise ValueError(f"group must be one of {_GROUP}, got {group!r}")
-    if group == "left" and how in {"left_outer", "full_outer"}:
-        # grouping by left: "left outer" means keep unmatched lefts with
-        # empty hit lists — handled below via include_empty
-        pass
-
     l_ref, l_start, l_end = left_region
     r_ref, r_start, r_end = right_region
 
@@ -143,15 +123,23 @@ def region_join(
     rmap = {c: f"__r_{c}" for c in rcols}
     ldf = left.select([F.col(c).alias(lmap[c]) for c in lcols])
     rdf = right.select([F.col(c).alias(rmap[c]) for c in rcols])
-    # The group variants aggregate per input RECORD, not per distinct
-    # tuple — the reference probes once per row (TreeRegionJoin.scala:
-    # 46-66), so two identical records each yield one output row. A
-    # unique row id keeps duplicates apart through the groupBy; it is
-    # assigned before the bin-explode (narrow, no shuffle, +8 bytes per
-    # row) and dropped from the output.
-    if group == "left":
+    # Row ids serve two purposes: (1) group variants aggregate per input
+    # RECORD, not per distinct tuple — the reference probes once per row
+    # (TreeRegionJoin.scala:46-66), so two identical records each yield
+    # one output row, and the id keeps duplicates apart through the
+    # groupBy; (2) outer variants re-join the matched pairs to their
+    # source side on the 8-byte id instead of a null-safe wide-tuple
+    # anti-join. Assignment is narrow (no shuffle, +8 bytes/row) and the
+    # id never reaches the output. The id branches into two subtrees of
+    # the same plan; monotonically_increasing_id is deterministic given
+    # a fixed partition layout, which holds for the scan-rooted lineages
+    # our loaders produce — callers joining freshly-shuffled inputs with
+    # nondeterministic row order should persist() them first.
+    need_lrid = group == "left" or how in {"left_outer", "full_outer"}
+    need_rrid = group == "right" or how in {"right_outer", "full_outer"}
+    if need_lrid:
         ldf = ldf.withColumn("__lrid", F.monotonically_increasing_id())
-    elif group == "right":
+    if need_rrid:
         rdf = rdf.withColumn("__rrid", F.monotonically_increasing_id())
 
     ls, le = F.col(lmap[l_start]) - F.lit(flank), F.col(lmap[l_end]) + F.lit(flank)
@@ -213,61 +201,85 @@ def region_join(
     if group is None:
         if how == "inner":
             return restore(matched)
-        parts = [matched]
-        if how in {"left_outer", "full_outer"}:
-            anti_l = _null_safe_anti(ldf, matched.select(*[lmap[c] for c in lcols]).distinct(), [lmap[c] for c in lcols])
-            for c in rcols:
-                anti_l = anti_l.withColumn(rmap[c], F.lit(None).cast(right.schema[c].dataType))
-            parts.append(anti_l)
-        if how in {"right_outer", "full_outer"}:
-            anti_r = _null_safe_anti(rdf, matched.select(*[rmap[c] for c in rcols]).distinct(), [rmap[c] for c in rcols])
-            for c in lcols:
-                anti_r = anti_r.withColumn(lmap[c], F.lit(None).cast(left.schema[c].dataType))
-            parts.append(anti_r)
+        # One-sided outers run the interval join ONCE: re-join the outer
+        # side to the matched pairs on its 8-byte row id (left join ⇒
+        # per-hit rows for matched records, one null-extended row for
+        # unmatched ones). The previous inner+anti+union shape executed
+        # the whole binned join twice — the anti-join's pruned
+        # projection defeats ReuseExchange — which doubles the dominant
+        # cost at any scale.
+        if how == "left_outer":
+            hits_r = matched.select("__lrid", *[rmap[c] for c in rcols])
+            return restore(ldf.join(hits_r, "__lrid", "left"))
+        if how == "right_outer":
+            hits_l = matched.select("__rrid", *[lmap[c] for c in lcols])
+            return restore(rdf.join(hits_l, "__rrid", "left"))
+        # full outer: the left half reuses the single-pass shape; only
+        # the unmatched-rights channel needs a second (column-pruned)
+        # pass over the matched ids
+        hits_r = matched.select("__lrid", "__rrid", *[rmap[c] for c in rcols])
+        out_l = ldf.join(hits_r, "__lrid", "left")
+        anti_r = rdf.join(matched.select("__rrid").distinct(), "__rrid", "left_anti")
+        for c in lcols:
+            anti_r = anti_r.withColumn(lmap[c], F.lit(None).cast(left.schema[c].dataType))
         allcols = [*lmap.values(), *rmap.values()]
-        out = parts[0].select(allcols)
-        for p in parts[1:]:
-            out = out.unionByName(p.select(allcols))
-        return restore(out)
+        return restore(out_l.select(allcols).unionByName(anti_r.select(allcols)))
 
+    # Group variants: aggregate ONLY (row id, hit struct) — the slimmest
+    # possible groupBy shuffle — then equi-join the hit lists back to
+    # the source side on the 8-byte id. Compared with grouping the full
+    # matched rows, the probed side's columns never ride the aggregate
+    # exchange, and the interval join executes exactly once (the old
+    # anti-join channels re-ran it with a pruned projection that
+    # defeated ReuseExchange). Inner-flavored variants use an inner id
+    # join (matched probes only); outer flavors use a left join whose
+    # null hit lists become empty arrays.
     if group == "left":
         hit = F.struct(*[F.col(rmap[c]).alias(c) for c in rcols])
-        grouped = matched.groupBy("__lrid", *[lmap[c] for c in lcols]).agg(
+        agg = matched.groupBy("__lrid").agg(
             _collect_hits(hit, right.schema, rcols).alias(group_col)
         )
-        if how in {"left_outer", "full_outer", "right_outer"}:
-            if how in {"left_outer", "full_outer"}:
-                # unmatched lefts with empty hit lists
-                anti_l = _null_safe_anti(ldf, grouped.select(*[lmap[c] for c in lcols]), [lmap[c] for c in lcols])
-                anti_l = anti_l.withColumn(group_col, F.array().cast(grouped.schema[group_col].dataType))
-                grouped = grouped.unionByName(anti_l.select(grouped.columns))
-            if how in {"right_outer", "full_outer"}:
-                # unmatched rights as (null left, single-hit list)
-                # (reference: RightOuterShuffleRegionJoinAndGroupByLeft,
-                # ShuffleRegionJoin.scala:297-335)
-                anti_r = _null_safe_anti(rdf, matched.select(*[rmap[c] for c in rcols]).distinct(), [rmap[c] for c in rcols])
-                anti_r = anti_r.withColumn(group_col, F.array(hit))
-                anti_r = anti_r.withColumn("__lrid", F.lit(None).cast("long"))
-                for c in lcols:
-                    anti_r = anti_r.withColumn(lmap[c], F.lit(None).cast(left.schema[c].dataType))
-                grouped = grouped.unionByName(anti_r.select(grouped.columns))
-        out = grouped.select(
+        if how in {"left_outer", "full_outer"}:
+            # all lefts, empty hit list when unmatched
+            out = ldf.join(agg, "__lrid", "left").withColumn(
+                group_col,
+                F.coalesce(
+                    F.col(group_col), F.array().cast(agg.schema[group_col].dataType)
+                ),
+            )
+        else:
+            out = ldf.join(agg, "__lrid", "inner")
+        if how in {"right_outer", "full_outer"}:
+            # unmatched rights as (null left, single-hit list)
+            # (reference: RightOuterShuffleRegionJoinAndGroupByLeft,
+            # ShuffleRegionJoin.scala:297-335)
+            anti_r = rdf.join(
+                matched.select("__rrid").distinct(), "__rrid", "left_anti"
+            ).drop("__rrid")
+            anti_r = anti_r.withColumn(group_col, F.array(hit))
+            for c in lcols:
+                anti_r = anti_r.withColumn(lmap[c], F.lit(None).cast(left.schema[c].dataType))
+            cols_out = [*[lmap[c] for c in lcols], group_col]
+            out = out.select(cols_out).unionByName(anti_r.select(cols_out))
+        return out.select(
             *[F.col(lmap[c]).alias(c) for c in lcols], F.col(group_col)
         )
-        return out
 
     # group == "right": (Iterable[T], U) keyed by right rows
     hit = F.struct(*[F.col(lmap[c]).alias(c) for c in lcols])
-    grouped = matched.groupBy("__rrid", *[rmap[c] for c in rcols]).agg(
+    agg = matched.groupBy("__rrid").agg(
         _collect_hits(hit, left.schema, lcols).alias(group_col)
     )
     if how in {"right_outer", "full_outer"}:
         # all rights, empty iterable when unmatched
         # (reference: RightOuterTreeRegionJoin, TreeRegionJoin.scala:137)
-        anti_r = _null_safe_anti(rdf, grouped.select(*[rmap[c] for c in rcols]), [rmap[c] for c in rcols])
-        anti_r = anti_r.withColumn(group_col, F.array().cast(grouped.schema[group_col].dataType))
-        grouped = grouped.unionByName(anti_r.select(grouped.columns))
-    return grouped.select(F.col(group_col), *[F.col(rmap[c]).alias(c) for c in rcols])
+        out = rdf.join(agg, "__rrid", "left").withColumn(
+            group_col,
+            F.coalesce(F.col(group_col), F.array().cast(agg.schema[group_col].dataType)),
+        )
+    else:
+        out = rdf.join(agg, "__rrid", "inner")
+    return out.select(F.col(group_col), *[F.col(rmap[c]).alias(c) for c in rcols])
 
 
 def naive_region_join(
