@@ -37,6 +37,11 @@ _NANOS_COLS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver's harness builds its own SparkSession, so the conf set in
+    # adam_spark.session is absent there.  nanosAsLong is runtime-settable and
+    # idempotent; without it TIMESTAMP(NANOS) parquet reads raise
+    # PARQUET_TYPE_ILLEGAL (see CORRECTNESS_r01 events_* failures).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_COLS.get(name, []):
         if c not in df.columns:
