@@ -408,15 +408,16 @@ def interval_join_group_left(spark: SparkSession, sf: str) -> DataFrame:
         "id",
         F.size("hits").cast("long").alias("n_hits"),
         F.expr("aggregate(hits, cast(0 as long), (a, h) -> a + h.id)").alias("sum_hit_ids"),
-    )
+    ).orderBy("referenceName", "start", "end", "id")
 
 
 _IJ_GROUP_LEFT_SQL = f"""
 WITH L AS ({_L_SQL}), R AS ({_R_SQL})
 SELECT L.referenceName, L.start, L."end", L.id,
-       COUNT(*) AS n_hits, SUM(R.id) AS sum_hit_ids
+       COUNT(*) AS n_hits, CAST(SUM(R.id) AS BIGINT) AS sum_hit_ids
 FROM L JOIN R ON {_OVERLAP.format(flank=0)}
 GROUP BY 1, 2, 3, 4
+ORDER BY L.referenceName, L.start, L."end", L.id
 """
 
 
@@ -1497,7 +1498,10 @@ def bqsr_observation_table(spark: SparkSession, sf: str) -> DataFrame:
         "dinuc",
         F.col("total").cast("long").alias("total"),
         F.col("mismatches").cast("long").alias("mismatches"),
-        F.round("expectedErrors", 6).alias("expectedErrors"),
+        # fixed-point micro-units: float sums accumulated in different orders
+        # by Spark vs DuckDB round differently at the 6th decimal; a long
+        # comparison is exact
+        F.round(F.col("expectedErrors") * 1e6).cast("long").alias("expectedErrors_micro"),
     ).orderBy("readGroupId", "quality", "cycle", "dinuc")
 
 
@@ -1517,7 +1521,7 @@ b AS (SELECT readGroupId,
       FROM r, range(0, 8) t(i))
 SELECT readGroupId, quality, cycle, dinuc,
        COUNT(*) AS total, SUM(mismatch) AS mismatches,
-       round(SUM(pow(10.0, -quality / 10.0)), 6) AS expectedErrors
+       CAST(round(SUM(pow(10.0, -quality / 10.0)) * 1000000) AS BIGINT) AS expectedErrors_micro
 FROM b GROUP BY 1, 2, 3, 4
 ORDER BY readGroupId, quality, cycle, dinuc
 """
