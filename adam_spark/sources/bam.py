@@ -59,7 +59,9 @@ def bgzf_compress_to(path: str, data: bytes, block_size: int = 60_000) -> None:
             chunk = data[off : off + block_size]
             comp = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = comp.compress(chunk) + comp.flush()
-            bsize = len(payload) + 25 + 1  # header(12)+extra(6)+payload+crc(4)+isize(4) − 1
+            # BSIZE = total block length − 1 (SAM spec §4.1):
+            # header(12) + extra(6) + payload + crc(4) + isize(4) − 1
+            bsize = len(payload) + 25
             block = (
                 b"\x1f\x8b\x08\x04"  # magic, deflate, FEXTRA
                 + b"\x00\x00\x00\x00"  # mtime

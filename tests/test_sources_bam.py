@@ -3,6 +3,7 @@ AlignmentDatasetSuite round-trip suites — here SAM↔BAM equivalence on
 the same fixture)."""
 
 import gzip
+import zlib
 import struct
 
 import pytest
@@ -43,6 +44,47 @@ def test_bgzf_roundtrip(tmp_path):
     # readable by plain gzip too (BGZF is valid multi-member gzip)
     with gzip.open(p, "rb") as f:
         assert f.read() == data
+
+
+def test_bgzf_bsize_block_walk(tmp_path):
+    """Walk blocks the way htsjdk/samtools do — seek by BSIZE+1 — and
+    land exactly on the EOF sentinel. Catches BSIZE off-by-one that
+    gzip-stream decompression (which ignores BSIZE) cannot see."""
+    from adam_spark.sources.bam import _BGZF_EOF
+
+    data = b"bsize walk " * 30_000  # several 60 KB blocks
+    p = str(tmp_path / "x.bgzf")
+    bgzf_compress_to(p, data)
+    raw = open(p, "rb").read()
+    pos = 0
+    blocks = 0
+    out = b""
+    while pos < len(raw):
+        assert raw[pos : pos + 4] == b"\x1f\x8b\x08\x04", f"bad magic at {pos}"
+        xlen = struct.unpack_from("<H", raw, pos + 10)[0]
+        # scan extra subfields for BC
+        e, bsize = pos + 12, None
+        while e < pos + 12 + xlen:
+            si1, si2, slen = raw[e], raw[e + 1], struct.unpack_from("<H", raw, e + 2)[0]
+            if bytes((si1, si2)) == b"BC":
+                bsize = struct.unpack_from("<H", raw, e + 4)[0]
+            e += 4 + slen
+        assert bsize is not None
+        total = bsize + 1
+        block = raw[pos : pos + total]
+        # deflate payload sits between header and 8-byte trailer
+        payload = block[12 + xlen : -8]
+        crc, isize = struct.unpack_from("<II", block, len(block) - 8)
+        chunk = zlib.decompress(payload, -15)
+        assert len(chunk) == isize
+        assert zlib.crc32(chunk) & 0xFFFFFFFF == crc
+        out += chunk
+        pos += total
+        blocks += 1
+    assert pos == len(raw)  # BSIZE walk consumed the file exactly
+    assert out == data
+    assert raw[-28:] == _BGZF_EOF
+    assert blocks >= 6  # data blocks + sentinel
 
 
 def test_record_codec_roundtrip():
