@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,6 +82,46 @@ def _mh_constants(num_hashes: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MH_P), rng.randrange(0, _MH_P)) for _ in range(num_hashes)]
 
 
+def _sig_udf(num_hashes: int):
+    """Arrow-batched pandas UDF: array<long> base hashes → minhash sig.
+
+    The whole batch is computed with ``num_hashes`` vectorized numpy
+    passes over the concatenated token-hash array plus one
+    ``minimum.reduceat`` per pass — no per-row Python work. Values stay
+    below 2^59 (a,b < 2^31, base hash < 2^28) so int64 never overflows
+    and the arithmetic matches the DuckDB oracle exactly.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    consts = _mh_constants(num_hashes)
+    a = [c[0] for c in consts]
+    b = [c[1] for c in consts]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(h0s: pd.Series) -> pd.Series:
+        if len(h0s) == 0:
+            return pd.Series([], dtype=object)
+        lens = h0s.map(len).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in h0s])
+            if total
+            else np.empty(0, dtype=np.int64)
+        )
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nonempty = lens > 0
+        ne_starts = starts[nonempty]
+        mins = np.full((len(lens), num_hashes), _MH_P, dtype=np.int64)
+        if total:
+            for i in range(num_hashes):
+                v = (a[i] * flat + b[i]) % _MH_P
+                mins[nonempty, i] = np.minimum.reduceat(v, ne_starts)
+        return pd.Series(list(mins))
+
+    return sig
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -88,42 +130,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) via a universal hash family.
 
-    One base hash per shingle (md5 → 28-bit int), then the i-th hash is
-    ``(a_i·h + b_i) mod P``. The whole signature is ONE array-aggregate
-    expression per row — a fold over the token array carrying a
-    ``num_hashes``-wide running-min accumulator — so signature
-    computation is a pure narrow map: no explode, no groupBy, zero
-    shuffle. (Measured against the explode→groupBy formulation at
-    sf0.1: 1.7 s vs 2.2 s cold, 0.2 s vs 1.4 s warm.) At corpus scale
-    it is embarrassingly parallel; the only shuffle in the LSH pipeline
-    is the band equi-join. The initial repartition spreads documents
-    across cores when the source is a single file split; empty-shingle
-    documents produce no signature row (same as the exploded
-    formulation, and what the DuckDB oracle mirrors).
+    One base hash per shingle (md5 → 28-bit int, a Catalyst-side
+    vectorized map), then the i-th hash is ``(a_i·h + b_i) mod P`` and
+    the signature is the per-hash MIN over the document's shingles,
+    computed in an Arrow-batched pandas UDF (:func:`_sig_udf`). Earlier
+    versions expressed the fold as one 128-wide ``aggregate``/
+    ``zip_with`` Catalyst expression; the data plane was fine but
+    Catalyst analysis + Janino codegen of that expression cost up to
+    80 s cold and varied 10× with JIT warmth, so the fold moved to
+    numpy. Signature computation remains a pure narrow map: no explode,
+    no groupBy, zero shuffle; at corpus scale it is embarrassingly
+    parallel and the only shuffle in the LSH pipeline is the band
+    equi-join. The initial repartition spreads documents across cores
+    when the source is a single file split; empty-shingle documents
+    produce no signature row (what the DuckDB oracle mirrors).
     """
-    consts = _mh_constants(num_hashes)
-    a_arr = F.array(*[F.lit(a) for a, _ in consts])
-    b_arr = F.array(*[F.lit(b) for _, b in consts])
     keyed = df.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
     keyed = keyed.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
     h0s = F.transform(
         F.col("__sh"), lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
     )
-    sig = F.aggregate(
-        h0s,
-        F.array_repeat(F.lit(_MH_P).cast("long"), num_hashes),
-        lambda acc, x: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda m, i: F.least(
-                m,
-                F.pmod(
-                    F.element_at(a_arr, i + 1) * x + F.element_at(b_arr, i + 1),
-                    F.lit(_MH_P),
-                ),
-            ),
-        ),
-    )
+    sig = _sig_udf(num_hashes)(h0s)
     return keyed.where(F.size("__sh") > 0).select("id", sig.alias("signature"))
 
 
