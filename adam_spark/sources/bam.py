@@ -13,13 +13,16 @@ this module implements the format directly:
   existing `sam_lines_to_alignments` parser, so BAM and SAM share one
   column mapping; the encoder walks the same path in reverse.
 
-Scale posture: a single BAM is an inherently sequential container
-(records span BGZF blocks, and split-guessing needs the .bai index),
-so ingestion streams on the driver into a text staging file and the
-engine's parallelism starts at the staged scan — at fleet scale,
-parallelism comes from many BAM files (one per sample), each staged
-independently. Stage once to (partitioned) Parquet and every
-downstream query runs fully parallel.
+Scale posture: the scan is DISTRIBUTED. The driver does only O(blocks)
+work — a BSIZE seek-walk over the 18-byte block headers (no payload
+decompression) plus decoding the header blocks — then executors
+decompress contiguous block ranges in parallel. Records span block
+boundaries, so each non-first range resyncs to the first record
+boundary with an htsjdk/hadoop-bam-style plausibility guesser
+(`BAMSplitGuesser` semantics: chain-check refID/pos bounds, name
+NUL-terminator, section lengths) and every range reads forward past
+its end to finish its last spanning record — the same split contract
+as Hadoop text splits. Driver memory is O(block index), not O(file).
 """
 
 from __future__ import annotations
@@ -28,7 +31,6 @@ import gzip
 import os
 import re
 import struct
-import tempfile
 import zlib
 
 from pyspark.sql import SparkSession
@@ -114,22 +116,88 @@ def _aux_to_text(buf: bytes, off: int) -> tuple[str, int]:
     raise ValueError(f"unknown BAM aux type {t!r}")
 
 
-def bam_bytes_to_sam(data: bytes):
-    """Decoded BAM stream → (header_lines, iter of SAM body lines)."""
+def _parse_bam_header(data: bytes):
+    """Parse the BAM header region from a decoded prefix.
+
+    Returns (header_lines, ref_names, records_offset) or ``None`` when
+    ``data`` doesn't yet contain the complete header + reference list.
+    """
+    if len(data) < 8:
+        return None
     if data[:4] != b"BAM\x01":
         raise ValueError("not a BAM stream (bad magic)")
     l_text = struct.unpack_from("<i", data, 4)[0]
-    text = data[8 : 8 + l_text].decode().rstrip("\x00")
     off = 8 + l_text
+    if len(data) < off + 4:
+        return None
+    text = data[8 : 8 + l_text].decode().rstrip("\x00")
     n_ref = struct.unpack_from("<i", data, off)[0]
     off += 4
     ref_names: list[str] = []
     for _ in range(n_ref):
+        if len(data) < off + 4:
+            return None
         l_name = struct.unpack_from("<i", data, off)[0]
-        name = data[off + 4 : off + 4 + l_name - 1].decode()
+        if len(data) < off + 4 + l_name + 4:
+            return None
+        ref_names.append(data[off + 4 : off + 4 + l_name - 1].decode())
         off += 4 + l_name + 4
-        ref_names.append(name)
     header_lines = [ln for ln in text.splitlines() if ln.startswith("@")]
+    return header_lines, ref_names, off
+
+
+def _record_to_sam_line(rec: bytes, ref_names: list[str]) -> str:
+    """One raw BAM record (without the leading block_size) → SAM line."""
+    (
+        ref_id, p0, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+        next_ref, next_pos, tlen,
+    ) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
+    o = 32
+    name = rec[o : o + l_read_name - 1].decode()
+    o += l_read_name
+    cig = []
+    for i in range(n_cigar):
+        v = struct.unpack_from("<I", rec, o + i * 4)[0]
+        cig.append(f"{v >> 4}{_CIGAR_OPS[v & 0xF]}")
+    o += n_cigar * 4
+    cigar = "".join(cig) or "*"
+    nb = (l_seq + 1) // 2
+    seq = "".join(
+        _SEQ_ALPHABET[(rec[o + i // 2] >> (4 if i % 2 == 0 else 0)) & 0xF]
+        for i in range(l_seq)
+    ) or "*"
+    o += nb
+    quals = rec[o : o + l_seq]
+    qual = (
+        "*"
+        if l_seq == 0 or all(q == 0xFF for q in quals)
+        else "".join(chr(q + 33) for q in quals)
+    )
+    o += l_seq
+    tags = []
+    while o < len(rec):
+        txt, o = _aux_to_text(rec, o)
+        tags.append(txt)
+    rname = ref_names[ref_id] if ref_id >= 0 else "*"
+    if next_ref < 0:
+        rnext = "*"
+    elif next_ref == ref_id:
+        rnext = "="
+    else:
+        rnext = ref_names[next_ref]
+    fields = [
+        name or "*", str(flag), rname, str(p0 + 1), str(mapq),
+        cigar, rnext, str(next_pos + 1), str(tlen), seq, qual,
+    ] + tags
+    return "\t".join(fields)
+
+
+def bam_bytes_to_sam(data: bytes):
+    """Decoded BAM stream → (header_lines, iter of SAM body lines)."""
+    parsed = _parse_bam_header(data)
+    if parsed is None:
+        raise ValueError("truncated BAM stream")
+    header_lines, ref_names, off = parsed
 
     def _records():
         pos = off
@@ -138,75 +206,216 @@ def bam_bytes_to_sam(data: bytes):
             block_size = struct.unpack_from("<i", data, pos)[0]
             rec = data[pos + 4 : pos + 4 + block_size]
             pos += 4 + block_size
-            (
-                ref_id, p0, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
-                next_ref, next_pos, tlen,
-            ) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
-            o = 32
-            name = rec[o : o + l_read_name - 1].decode()
-            o += l_read_name
-            cig = []
-            for i in range(n_cigar):
-                v = struct.unpack_from("<I", rec, o + i * 4)[0]
-                cig.append(f"{v >> 4}{_CIGAR_OPS[v & 0xF]}")
-            o += n_cigar * 4
-            cigar = "".join(cig) or "*"
-            nb = (l_seq + 1) // 2
-            seq = "".join(
-                _SEQ_ALPHABET[(rec[o + i // 2] >> (4 if i % 2 == 0 else 0)) & 0xF]
-                for i in range(l_seq)
-            ) or "*"
-            o += nb
-            quals = rec[o : o + l_seq]
-            qual = (
-                "*"
-                if l_seq == 0 or all(q == 0xFF for q in quals)
-                else "".join(chr(q + 33) for q in quals)
-            )
-            o += l_seq
-            tags = []
-            while o < len(rec):
-                txt, o = _aux_to_text(rec, o)
-                tags.append(txt)
-            rname = ref_names[ref_id] if ref_id >= 0 else "*"
-            if next_ref < 0:
-                rnext = "*"
-            elif next_ref == ref_id:
-                rnext = "="
-            else:
-                rnext = ref_names[next_ref]
-            fields = [
-                name or "*", str(flag), rname, str(p0 + 1), str(mapq),
-                cigar, rnext, str(next_pos + 1), str(tlen), seq, qual,
-            ] + tags
-            yield "\t".join(fields)
+            yield _record_to_sam_line(rec, ref_names)
 
     return header_lines, _records()
 
 
-def load_bam(spark: SparkSession, path: str) -> GenomicFrame:
-    """BAM → alignments, via a driver-staged SAM text file."""
-    from adam_spark.sources.sam import load_sam
+# --- distributed scan ------------------------------------------------------
+def _block_at(f, off: int) -> tuple[int, int]:
+    """Read one BGZF block header at ``off`` → (total_size, xlen)."""
+    f.seek(off)
+    h = f.read(12)
+    if len(h) < 12 or h[:4] != b"\x1f\x8b\x08\x04":
+        raise ValueError(f"bad BGZF block magic at offset {off}")
+    xlen = struct.unpack_from("<H", h, 10)[0]
+    extra = f.read(xlen)
+    e, bsize = 0, None
+    while e + 4 <= len(extra):
+        slen = struct.unpack_from("<H", extra, e + 2)[0]
+        if extra[e : e + 2] == b"BC":
+            bsize = struct.unpack_from("<H", extra, e + 4)[0]
+        e += 4 + slen
+    if bsize is None:
+        raise ValueError(f"BGZF block at {off} has no BC subfield")
+    return bsize + 1, xlen
 
-    header, records = bam_bytes_to_sam(bgzf_decompress(path))
-    stage_dir = tempfile.mkdtemp(prefix="adam_spark_bam_")
-    stage = os.path.join(stage_dir, os.path.basename(path) + ".sam")
-    with open(stage, "w") as f:
-        for ln in header:
-            f.write(ln + "\n")
-        for ln in records:
-            f.write(ln + "\n")
-    return load_sam(spark, stage)
+
+def bgzf_block_offsets(path: str) -> list[tuple[int, int]]:
+    """BSIZE seek-walk → [(compressed_offset, total_size)]. O(blocks)
+    driver work, 18-byte header reads only — no payload decompression."""
+    out = []
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = 0
+        while pos < size:
+            total, _ = _block_at(f, pos)
+            out.append((pos, total))
+            pos += total
+        if pos != size:
+            raise ValueError("BGZF walk overran EOF (corrupt BSIZE chain)")
+    return out
+
+
+def _inflate_block(f, off: int, total: int) -> bytes:
+    f.seek(off)
+    raw = f.read(total)
+    xlen = struct.unpack_from("<H", raw, 10)[0]
+    return zlib.decompress(raw[12 + xlen : -8], -15)
+
+
+def _read_bam_header(path: str, blocks: list[tuple[int, int]]):
+    """Decode just enough leading blocks to parse the header.
+
+    Returns (header_lines, ref_names, block_idx, intra_offset): records
+    begin ``intra_offset`` bytes into decoded block ``block_idx``.
+    """
+    data = b""
+    ulens: list[int] = []
+    with open(path, "rb") as f:
+        for off, total in blocks:
+            chunk = _inflate_block(f, off, total)
+            data += chunk
+            ulens.append(len(chunk))
+            parsed = _parse_bam_header(data)
+            if parsed is not None:
+                header_lines, ref_names, rec_off = parsed
+                idx = 0
+                while idx < len(ulens) and rec_off >= ulens[idx]:
+                    rec_off -= ulens[idx]
+                    idx += 1
+                return header_lines, ref_names, idx, rec_off
+    raise ValueError("truncated BAM: header never completed")
+
+
+def _plausible_record(buf, off: int, n_ref: int, chain: int = 3) -> bool:
+    """htsjdk BAMSplitGuesser-style boundary check: a chain of ``chain``
+    records must have in-bounds refIDs/positions, a NUL-terminated read
+    name, and section lengths that fit inside block_size."""
+    for _ in range(chain):
+        if off + 36 > len(buf):
+            return True  # ran out of bytes — cannot disprove
+        bs = struct.unpack_from("<i", buf, off)[0]
+        if bs < 32 or bs > (1 << 26):
+            return False
+        ref_id, pos, l_read_name = struct.unpack_from("<iiB", buf, off + 4)
+        if not (-1 <= ref_id < n_ref) or not (-1 <= pos < (1 << 31) - 1) or l_read_name < 1:
+            return False
+        n_cigar, _flag, l_seq, next_ref, next_pos = struct.unpack_from(
+            "<HHiii", buf, off + 16
+        )
+        if l_seq < 0 or not (-1 <= next_ref < n_ref) or not (-1 <= next_pos < (1 << 31) - 1):
+            return False
+        if 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq > bs:
+            return False
+        name_end = off + 4 + 32 + l_read_name - 1
+        if name_end < len(buf) and buf[name_end] != 0:
+            return False
+        off += 4 + bs
+    return True
+
+
+def _decode_block_range(
+    path: str,
+    offsets: list[tuple[int, int]],
+    first_intra: int,
+    resync: bool,
+    n_ref: int,
+    ref_names: list[str],
+):
+    """Executor task: decode records STARTING inside this block range.
+
+    Reads forward past the range end (walking the BSIZE chain directly,
+    no index needed) to finish a trailing record that spans into the
+    next range — the Hadoop split contract.
+    """
+    fsize = os.path.getsize(path)
+    with open(path, "rb") as f:
+        data = bytearray()
+        for off, total in offsets:
+            data += _inflate_block(f, off, total)
+        owned = len(data)
+        next_off = offsets[-1][0] + offsets[-1][1]
+
+        def extend() -> bool:
+            nonlocal next_off
+            if next_off >= fsize:
+                return False
+            total, _ = _block_at(f, next_off)
+            data.extend(_inflate_block(f, next_off, total))
+            next_off += total
+            return True
+
+        pos = first_intra
+        if resync:
+            pos = next(
+                (o for o in range(owned) if _plausible_record(data, o, n_ref)), None
+            )
+            if pos is None:
+                return
+        while pos < owned:
+            while pos + 4 > len(data):
+                if not extend():
+                    if pos == len(data):
+                        return  # clean EOF
+                    raise ValueError("truncated BAM record length")
+            bs = struct.unpack_from("<i", data, pos)[0]
+            while pos + 4 + bs > len(data):
+                if not extend():
+                    raise ValueError("truncated BAM record body")
+            yield _record_to_sam_line(bytes(data[pos + 4 : pos + 4 + bs]), ref_names)
+            pos += 4 + bs
+
+
+def load_bam(
+    spark: SparkSession, path: str, target_split_bytes: int = 16 << 20
+) -> GenomicFrame:
+    """BAM → alignments via a distributed BGZF block-range scan.
+
+    Reference: ADAMContext.loadBam:2041-2111 (hadoop-bam splittable
+    scan). Driver: block-offset walk + header decode only; executors
+    decode record ranges in parallel and feed the shared SAM line
+    parser, so BAM and SAM share one column mapping.
+    """
+    from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
+
+    path = os.path.abspath(path)
+    blocks = bgzf_block_offsets(path)
+    header_lines, ref_names, hdr_idx, records_intra = _read_bam_header(path, blocks)
+    body = blocks[hdr_idx:]
+    tasks = []
+    if body:
+        par = spark.sparkContext.defaultParallelism
+        total_c = sum(t for _, t in body)
+        n_ranges = min(len(body), max(1, par * 2, total_c // target_split_bytes))
+        per = total_c / n_ranges
+        chunks: list[list[tuple[int, int]]] = [[]]
+        acc = 0
+        for off, total in body:
+            if acc >= per and chunks[-1]:
+                chunks.append([])
+                acc = 0
+            chunks[-1].append((off, total))
+            acc += total
+        for i, chunk in enumerate(chunks):
+            tasks.append(
+                dict(
+                    path=path,
+                    offsets=chunk,
+                    first_intra=records_intra if i == 0 else 0,
+                    resync=i > 0,
+                    n_ref=len(ref_names),
+                    ref_names=ref_names,
+                )
+            )
+    sc = spark.sparkContext
+    rdd = sc.parallelize(tasks, max(1, len(tasks))).flatMap(
+        lambda t: _decode_block_range(**t)
+    )
+    raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
+    return GenomicFrame(
+        sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines)
+    )
 
 
 def load_indexed_bam(
     spark: SparkSession, path: str, regions: list[tuple[str, int, int]]
 ) -> GenomicFrame:
     """Region-filtered BAM load (reference: ADAMContext.loadIndexedBam
-    :2125-2308, .bai-driven). Staging already decodes the container
-    once, so the query-time equivalent is the staged scan plus the
-    overlap predicate — the same plan shape the reference's partitioned
-    layout produces, with the predicate pushed into the staged scan."""
+    :2125-2308, .bai-driven). The distributed block scan already
+    parallelizes the decode; the region predicate is applied on top —
+    semantic parity with the reference; .bai-addressed chunk seeking
+    (skipping non-overlapping block ranges) remains future work."""
     return load_bam(spark, path).filter_by_overlapping_regions(regions)
 
 

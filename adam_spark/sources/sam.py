@@ -133,6 +133,12 @@ def sam_lines_to_alignments(raw: DataFrame) -> DataFrame:
 
 def _header_metadata(raw: DataFrame) -> GenomicMetadata:
     hdr = [r["value"] for r in raw.where(F.col("value").startswith("@")).collect()]
+    return header_metadata_from_lines(hdr)
+
+
+def header_metadata_from_lines(hdr: list[str]) -> GenomicMetadata:
+    """@SQ/@RG header lines → GenomicMetadata (shared by SAM and the
+    distributed BAM scan, which parses the header driver-side)."""
     refs, rgs = [], []
     for line in hdr:
         parts = line.split("\t")

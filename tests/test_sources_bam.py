@@ -146,6 +146,77 @@ def test_bam_cli_end_to_end(spark, sam_path, tmp_path):
     assert rows[("r2", 0)]["duplicateRead"] is False
 
 
+def _many_read_bam(tmp_path, spark, n=800, block_size=512):
+    """A BAM re-blocked into tiny BGZF blocks so records span blocks."""
+    import random
+
+    from adam_spark.sources.bam import bgzf_decompress
+
+    rng = random.Random(11)
+    sam = tmp_path / "many.sam"
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000000\n@SQ\tSN:chr2\tLN:500000\n")
+        for i in range(n):
+            seq = "".join(rng.choice("ACGT") for _ in range(60))
+            f.write(
+                f"q{i}\t0\tchr{1 + i % 2}\t{1 + i * 13 % 400000}\t60\t60M\t*\t0\t0"
+                f"\t{seq}\t{'I' * 60}\tNM:i:0\n"
+            )
+    bam = str(tmp_path / "many.bam")
+    save_bam(load_sam(spark, str(sam)), bam)
+    small = str(tmp_path / "small_blocks.bam")
+    bgzf_compress_to(small, bgzf_decompress(bam), block_size=block_size)
+    return str(sam), small
+
+
+def test_distributed_bam_scan(spark, tmp_path):
+    """Records spanning tiny BGZF blocks, decoded across many executor
+    ranges (resync path), must round-trip exactly."""
+    from adam_spark.sources.bam import bgzf_block_offsets, load_bam
+
+    sam, small = _many_read_bam(tmp_path, spark, n=800)
+    blocks = bgzf_block_offsets(small)
+    assert len(blocks) > 30, "fixture must span many blocks"
+    gf = load_bam(spark, small)
+    a = {r["readName"]: r for r in load_sam(spark, sam).df.collect()}
+    b = {r["readName"]: r for r in gf.df.collect()}
+    assert len(b) == 800 and set(a) == set(b)
+    for k in ("q0", "q399", "q799"):
+        for col in ("referenceName", "start", "cigar", "sequence", "qualityScores"):
+            assert a[k][col] == b[k][col], (k, col)
+
+
+def test_block_range_resync_no_dup_no_loss(spark, tmp_path):
+    """Split the block list at every 5th block: per-range decode with
+    resync must partition the records exactly (no dup, no loss)."""
+    from adam_spark.sources.bam import (
+        _decode_block_range,
+        _read_bam_header,
+        bgzf_block_offsets,
+    )
+
+    sam, small = _many_read_bam(tmp_path, spark, n=300)
+    blocks = bgzf_block_offsets(small)
+    header_lines, ref_names, hdr_idx, intra = _read_bam_header(small, blocks)
+    body = blocks[hdr_idx:]
+    step = 5
+    got = []
+    for i in range(0, len(body), step):
+        chunk = body[i : i + step]
+        got.extend(
+            _decode_block_range(
+                small,
+                chunk,
+                first_intra=intra if i == 0 else 0,
+                resync=i > 0,
+                n_ref=len(ref_names),
+                ref_names=ref_names,
+            )
+        )
+    names = [ln.split("\t")[0] for ln in got]
+    assert names == [f"q{i}" for i in range(300)]
+
+
 def test_load_indexed_bam(spark, sam_path, tmp_path):
     gf = load_sam(spark, sam_path)
     bam = str(tmp_path / "idx.bam")
