@@ -68,6 +68,23 @@ def mark_duplicates(alignments: DataFrame, library_by_rg: dict[str, str] | None 
 
     ``library_by_rg`` maps readGroupId → library (from the read-group
     dictionary); same-library fragments compete with each other.
+
+    Faithful to the reference (MarkDuplicates.scala:90-161,
+    ReferencePositionPair.scala:41-69):
+
+    - read1/read2 positions come from the mapped primary read for that
+      ``readInFragment`` slot, else from the unmapped read keyed by its
+      SEQUENCE at position 0 (how the reference dedups unmapped reads);
+    - leftPos prefers the FORWARD-strand position of the pair, rightPos
+      the REVERSE-strand one (``positionForStrand``);
+    - fragments group by (library, leftPos) then subgroup by rightPos;
+      a null rightPos is the single-end/fragment subgroup: it is scored
+      only when it is the ONLY subgroup at the site — if any complete
+      pair shares the leftPos, every fragment in it is a duplicate
+      (MarkDuplicates.scala:140-155);
+    - in scored subgroups the best Picard score survives (ties broken
+      by readName for determinism), secondary/supplementary alignments
+      are always flagged in marked groups, unmapped reads never are.
     """
     lib = F.lit(None).cast("string")
     if library_by_rg:
@@ -80,56 +97,85 @@ def mark_duplicates(alignments: DataFrame, library_by_rg: dict[str, str] | None 
         & ~F.col("supplementaryAlignment").eqNullSafe(F.lit(True))
     )
     mapped = F.col("readMapped").eqNullSafe(F.lit(True))
+    primary_mapped = primary & mapped
     fp = five_prime_position(
         F.col("start"), F.col("end"), F.col("cigar"), F.col("readNegativeStrand")
     )
 
-    # per-read contribution to its fragment key/score
-    reads = df.withColumn("__mappedPrimary", (primary & mapped).cast("boolean")).withColumn(
-        "__fp", F.when(primary & mapped, fp)
-    ).withColumn(
-        "__strand",
-        F.when(
-            primary & mapped,
-            F.when(F.col("readNegativeStrand").eqNullSafe(F.lit(True)), F.lit("R")).otherwise(
-                F.lit("F")
-            ),
-        ),
-    ).withColumn(
-        "__score", F.when(primary, _phred_score(F.col("qualityScores"))).otherwise(F.lit(0))
+    # a read's contribution to its fragment's position pair: mapped
+    # primary → oriented 5' position; unmapped → (sequence, 0) pseudo-
+    # position with INDEPENDENT strand (ReferencePositionPair.scala:48-55)
+    seq = (
+        F.col("sequence")
+        if "sequence" in alignments.columns
+        else F.lit(None).cast("string")
     )
+    pos = F.when(
+        primary_mapped,
+        F.struct(
+            F.col("referenceName").alias("ref"),
+            fp.alias("pos"),
+            F.when(
+                F.col("readNegativeStrand").eqNullSafe(F.lit(True)), F.lit("R")
+            ).otherwise(F.lit("F")).alias("strand"),
+        ),
+    ).when(
+        ~mapped,
+        F.struct(
+            seq.alias("ref"),
+            F.lit(0).cast("long").alias("pos"),
+            F.lit("I").alias("strand"),
+        ),
+    )
+    score = F.when(
+        primary_mapped & ~F.col("supplementaryAlignment").eqNullSafe(F.lit(True)),
+        _phred_score(F.col("qualityScores")),
+    ).otherwise(F.lit(0))
+    rif = F.coalesce(F.col("readInFragment"), F.lit(0))
 
-    # fragment roll-up: oriented 5' position pair + total score
-    # (join key null-proofed: readGroupId may be null, and null keys
-    # don't match in an equi-join)
-    reads = reads.withColumn("__rg", F.coalesce(F.col("readGroupId"), F.lit("")))
+    # join key null-proofed: readGroupId may be null, and null keys
+    # don't match in an equi-join
+    reads = (
+        df.withColumn("__rg", F.coalesce(F.col("readGroupId"), F.lit("")))
+        .withColumn("__pos", pos)
+        .withColumn("__score", score)
+        .withColumn("__rif", rif)
+    )
     frag = (
-        reads.where(primary)
+        reads.where(primary_mapped | ~mapped)
         .groupBy("readName", "__rg", "__lib")
         .agg(
             F.sum("__score").alias("fragScore"),
-            # position structs sorted so (left, right) is orientation-stable
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("__mappedPrimary"),
-                        F.struct(
-                            F.col("referenceName").alias("ref"),
-                            F.col("__fp").alias("pos"),
-                            F.col("__strand").alias("strand"),
-                        ),
-                    )
-                )
-            ).alias("positions"),
+            # mapped-primary position wins the slot over the unmapped
+            # pseudo-position (primaryMapped ++ unmapped head order)
+            F.coalesce(
+                F.max(F.when((F.col("__rif") == 0) & primary_mapped, F.col("__pos"))),
+                F.max(F.when((F.col("__rif") == 0) & ~mapped, F.col("__pos"))),
+            ).alias("r1"),
+            F.coalesce(
+                F.max(F.when((F.col("__rif") == 1) & primary_mapped, F.col("__pos"))),
+                F.max(F.when((F.col("__rif") == 1) & ~mapped, F.col("__pos"))),
+            ).alias("r2"),
         )
-        .withColumn("posL", F.col("positions").getItem(0))
-        .withColumn("posR", F.element_at(F.col("positions"), -1))
-        .withColumn("nMapped", F.size("positions"))
+        # positionForStrand: leftPos prefers FORWARD, rightPos REVERSE
+        .withColumn(
+            "posL",
+            F.when(F.col("r1.strand") == "F", F.col("r1"))
+            .when(F.col("r2.strand") == "F", F.col("r2"))
+            .otherwise(F.col("r1")),
+        )
+        .withColumn(
+            "posR",
+            F.when(F.col("r2.strand") == "R", F.col("r2"))
+            .when(F.col("r1.strand") == "R", F.col("r1"))
+            .otherwise(F.col("r2")),
+        )
     )
 
-    # fragments with no mapped primary read are never duplicates
-    # (reference: MarkDuplicates.scala:95-100)
-    w = Window.partitionBy(
+    w_left = Window.partitionBy(
+        "__lib", F.col("posL.ref"), F.col("posL.pos"), F.col("posL.strand")
+    )
+    w_sub = Window.partitionBy(
         "__lib",
         F.col("posL.ref"),
         F.col("posL.pos"),
@@ -137,23 +183,31 @@ def mark_duplicates(alignments: DataFrame, library_by_rg: dict[str, str] | None 
         F.col("posR.ref"),
         F.col("posR.pos"),
         F.col("posR.strand"),
-        # fragments whose pair is incomplete (single-end / mate unmapped)
-        # only compete with other incomplete fragments when a full pair
-        # exists at the site iff pair-completeness matches
-        (F.col("nMapped") > 1).cast("int"),
     ).orderBy(F.col("fragScore").desc(), F.col("readName"))
+    # does any subgroup with a non-null rightPos share this leftPos?
+    has_pairs = F.max(F.when(F.col("posR").isNotNull(), 1).otherwise(0)).over(w_left)
+    rank = F.row_number().over(w_sub)
     marked_frags = frag.withColumn(
-        "__isDup", (F.row_number().over(w) > 1) & (F.col("nMapped") > 0)
-    ).select("readName", "__rg", F.col("__isDup"))
+        "__isDup",
+        F.when(F.col("posL").isNull(), F.lit(False))
+        .when(F.col("posR").isNull(), (has_pairs == 1) | (rank > 1))
+        .otherwise(rank > 1),
+    ).select(
+        "readName", "__rg", "__isDup", F.col("posL").isNotNull().alias("__graded")
+    )
 
     df = df.withColumn("__rg", F.coalesce(F.col("readGroupId"), F.lit("")))
     out = df.join(marked_frags, ["readName", "__rg"], "left").withColumn(
         "duplicateRead",
-        F.when(mapped | F.col("readPaired").eqNullSafe(F.lit(True)), F.coalesce("__isDup", F.lit(False))).otherwise(
-            F.lit(False)
-        ),
+        F.when(~mapped, F.lit(False))
+        .when(primary, F.coalesce("__isDup", F.lit(False)))
+        # secondary/supplementary: flagged whenever their fragment was in
+        # a marked (graded) left group (markReadsInBucket secondaryAreDups)
+        .otherwise(F.coalesce("__graded", F.lit(False))),
     )
-    return out.drop("__isDup", "__lib", "__rg", "__mappedPrimary", "__fp", "__strand", "__score")
+    return out.drop(
+        "__isDup", "__graded", "__lib", "__rg", "__pos", "__score", "__rif"
+    )
 
 
 def mark_duplicate_fragments(

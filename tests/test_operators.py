@@ -127,6 +127,56 @@ def test_mark_duplicates(fixtures):
             assert any(not d for _, d in members), f"group {g} fully marked"
 
 
+def test_mark_duplicates_single_end_vs_pairs(spark):
+    """Picard/reference parity (MarkDuplicates.scala:140-155): when a
+    complete pair shares the left 5' site, EVERY single-end fragment
+    there is a duplicate (no survivor); single-end-only sites keep
+    their best."""
+    from adam_spark import schemas
+
+    def read(name, rif, start, neg=False, paired=False, mapped=True, q="I"):
+        end = start + 50
+        return (
+            name, rif, "chr1" if mapped else None,
+            start if mapped else None, end if mapped else None, "50M" if mapped else None,
+            neg, q * 50, "A" * 50, mapped, True, False, False, paired,
+        )
+
+    rows = [
+        # complete pair p1: read1 fwd 5'=100, read2 rev 5'=400
+        read("p1", 0, 100, paired=True),
+        read("p1", 1, 350, neg=True, paired=True),
+        # second complete pair p2 at the same coordinates, lower quality
+        read("p2", 0, 100, paired=True, q="B"),
+        read("p2", 1, 350, neg=True, paired=True, q="B"),
+        # single-end fragments s1/s2 share left 5'=100 with the pairs:
+        # ALL must be duplicates (pairs exist at the site)
+        read("s1", 0, 100),
+        read("s2", 0, 100, q="B"),
+        # single-end-only site at 900: best survives, worse is dup
+        read("t1", 0, 900),
+        read("t2", 0, 900, q="B"),
+        # lone single-end at 2000: never a duplicate
+        read("u1", 0, 2000),
+    ]
+    sch = (
+        "readName string, readInFragment int, referenceName string, start long, "
+        "end long, cigar string, readNegativeStrand boolean, qualityScores string, "
+        "sequence string, readMapped boolean, primaryAlignment boolean, "
+        "secondaryAlignment boolean, supplementaryAlignment boolean, readPaired boolean"
+    )
+    aln = schemas.conform(spark.createDataFrame(rows, sch), schemas.ALIGNMENT)
+    got = {
+        (r["readName"], r["readInFragment"]): r["duplicateRead"]
+        for r in mark_duplicates(aln).collect()
+    }
+    assert got[("p1", 0)] is False and got[("p1", 1)] is False  # best pair survives
+    assert got[("p2", 0)] is True and got[("p2", 1)] is True
+    assert got[("s1", 0)] is True and got[("s2", 0)] is True  # pairs at site → all frags dup
+    assert got[("t1", 0)] is False and got[("t2", 0)] is True  # fragment-only site scores
+    assert got[("u1", 0)] is False
+
+
 def test_mark_duplicate_fragments(spark):
     from adam_spark import schemas
     from adam_spark.operators.conversions import alignments_to_fragments
