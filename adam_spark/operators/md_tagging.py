@@ -5,12 +5,15 @@ Mirrors AlignmentDataset.computeMismatchingPositions
 ``mismatchingPositions`` (the SAM MD tag) by comparing each mapped
 read's bases to the reference slice it spans.
 
-Spark mapping: the reference genome (loaded from FASTA) is collected to
-a {contig: sequence} dict and broadcast; reads are rewritten in an
-Arrow-batched pandas UDF (per-read cigar walk, md_from_reference).
-For genomes too large to broadcast whole, pass ``region_join=True`` to
-instead join reads against broadcast contig SLICES on overlap and
-compare against the matched slice — same output, bounded memory.
+Spark mapping: the reference genome broadcasts in its COMPACT form —
+a :class:`TwoBitFile` (or .2bit path) ships the raw 2bit payload
+(~0.8 GB for a human genome vs ~3 GB of contig strings) and executors
+extract only the slice each read spans; a {contig: sequence} dict or
+SEQUENCE DataFrame still works for small references. Reads are
+rewritten in an Arrow-batched pandas UDF (per-read cigar walk,
+md_from_reference). For genomes too large to broadcast even as 2bit,
+:func:`tag_reads_with_md` joins reads against broadcast contig SLICES
+on overlap — same output, bounded memory.
 """
 
 from __future__ import annotations
@@ -28,31 +31,57 @@ def compute_mismatching_positions(
 ) -> DataFrame:
     """Set mismatchingPositions from the reference.
 
-    ``reference``: a SEQUENCE-schema DataFrame (from load_fasta_sequences)
-    or a plain {contig: sequence} dict.
+    ``reference``: a :class:`TwoBitFile`, a path to a ``.2bit`` file
+    (broadcast as the compact 2bit payload — the scale path), a
+    SEQUENCE-schema DataFrame (from load_fasta_sequences), or a plain
+    {contig: sequence} dict.
     """
-    if isinstance(reference, dict):
-        contigs = reference
+    from adam_spark.sources.reference_file import TwoBitFile
+
+    if isinstance(reference, str):
+        reference = TwoBitFile(reference)
+    if isinstance(reference, TwoBitFile):
+        bref = reads.sparkSession.sparkContext.broadcast(("2bit", reference._data))
+    elif isinstance(reference, dict):
+        bref = reads.sparkSession.sparkContext.broadcast(("dict", reference))
     else:
         contigs = {
             r["name"]: r["sequence"]
             for r in reference.select("name", "sequence").collect()
         }
-    bref = reads.sparkSession.sparkContext.broadcast(contigs)
+        bref = reads.sparkSession.sparkContext.broadcast(("dict", contigs))
+
+    # per-python-worker parse cache: the 2bit payload is parsed (index
+    # only, no sequence inflation) once per worker, not per batch
+    parsed: dict[str, object] = {}
+
+    def _slice(genome_kind, genome_val, rn, st, ln):
+        if genome_kind == "2bit":
+            tb = parsed.get("tb")
+            if tb is None:
+                tb = TwoBitFile.from_bytes(genome_val)
+                parsed["tb"] = tb
+            if rn not in tb._index:
+                return None
+            return tb.extract(rn, st, st + ln)
+        contig = genome_val.get(rn)
+        return None if contig is None else contig[st : st + ln]
 
     @F.pandas_udf(StringType())
     def _md(
         ref_name: pd.Series, start: pd.Series, cigar: pd.Series, seq: pd.Series
     ) -> pd.Series:
-        genome = bref.value
+        kind, val = bref.value
         out = []
         for rn, st, c, s in zip(ref_name, start, cigar, seq):
-            contig = genome.get(rn)
-            if contig is None or not isinstance(c, str) or not isinstance(s, str):
+            if not isinstance(c, str) or not isinstance(s, str):
                 out.append(None)
                 continue
             st = int(st)
-            ref_slice = contig[st : st + cigar_reference_length(c)]
+            ref_slice = _slice(kind, val, rn, st, cigar_reference_length(c))
+            if ref_slice is None:
+                out.append(None)
+                continue
             md, _ = md_from_reference(c, s, ref_slice)
             out.append(md)
         return pd.Series(out)

@@ -28,13 +28,25 @@ class TwoBitFile:
         self.path = path
         with open(path, "rb") as fh:
             data = fh.read()
+        self._parse(data)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TwoBitFile":
+        """Open from an in-memory payload (e.g. a Spark broadcast of the
+        compact 2bit bytes — ~4× smaller than raw contig strings)."""
+        obj = cls.__new__(cls)
+        obj.path = None
+        obj._parse(data)
+        return obj
+
+    def _parse(self, data: bytes) -> None:
         sig_le = struct.unpack_from("<I", data, 0)[0]
         if sig_le == _SIG:
             self._e = "<"
         elif struct.unpack_from(">I", data, 0)[0] == _SIG:
             self._e = ">"
         else:
-            raise ValueError(f"{path} is not a 2bit file")
+            raise ValueError(f"{self.path or '<bytes>'} is not a 2bit file")
         e = self._e
         _version, seq_count, _reserved = struct.unpack_from(f"{e}III", data, 4)
         self._data = data

@@ -170,6 +170,22 @@ def test_md_tagging(spark, reads_df):
     assert rows["r3"] is None
 
 
+def test_md_tagging_2bit_broadcast(spark, reads_df, tmp_path):
+    """The compact-2bit broadcast path must match the dict path, with no
+    raw contig-string collect."""
+    from adam_spark.sources.reference_file import TwoBitFile, write_2bit
+
+    p = str(tmp_path / "ref.2bit")
+    write_2bit({"chr1": "AAAACCCCGGGGTTTT"}, p)
+    import pyspark.sql.functions as F
+
+    corrupted = reads_df.withColumn("mismatchingPositions", F.lit(None).cast("string"))
+    for ref in (p, TwoBitFile(p)):
+        out = md_tagging.compute_mismatching_positions(corrupted, ref)
+        rows = {r["readName"]: r["mismatchingPositions"] for r in out.collect()}
+        assert rows == {"r1": "8", "r2": "2A5", "r3": None}
+
+
 def test_bqsr_observe_and_recalibrate(spark, reads_df):
     obs = bqsr.observe_covariates(reads_df).collect()
     assert len(obs) > 0
