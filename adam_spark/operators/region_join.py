@@ -62,6 +62,28 @@ def _orderable(dtype) -> bool:
     return True
 
 
+#: logical-plan nodes after which row order (and thus partition layout)
+#: is not reproducible across re-evaluations of the same subtree
+_SHUFFLE_NODES = (
+    "Join", "Aggregate", "Sort", "Repartition", "Window", "Distinct", "Deduplicate",
+)
+
+
+def _pin_row_order(df: DataFrame) -> DataFrame:
+    """Make ``monotonically_increasing_id`` safe to branch on.
+
+    A shuffle-rooted lineage re-evaluated in two subtrees of one plan
+    can produce different row orders, so ids stamped on it would
+    mispair. Cut such lineages with an eager localCheckpoint (blocks
+    materialize once, both subtrees read the same copy). Narrow
+    scan-rooted lineages are left untouched — no extra job, no storage.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(node in plan for node in _SHUFFLE_NODES):
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def _collect_hits(hit: Column, schema, cols: list[str]) -> Column:
     """collect_list(struct), sorted for determinism when orderable."""
     agg = F.collect_list(hit)
@@ -133,14 +155,18 @@ def region_join(
     # id never reaches the output. The id branches into two subtrees of
     # the same plan; monotonically_increasing_id is deterministic given
     # a fixed partition layout, which holds for the scan-rooted lineages
-    # our loaders produce — callers joining freshly-shuffled inputs with
-    # nondeterministic row order should persist() them first.
+    # our loaders produce. Inputs whose lineage contains a shuffle
+    # (join/agg/sort/repartition/window) have no such guarantee — the
+    # two subtrees could observe different row orders and silently
+    # mispair — so those are pinned with an eager localCheckpoint
+    # before stamping (narrow lineages skip the pin and keep today's
+    # single-pass plans).
     need_lrid = group == "left" or how in {"left_outer", "full_outer"}
     need_rrid = group == "right" or how in {"right_outer", "full_outer"}
     if need_lrid:
-        ldf = ldf.withColumn("__lrid", F.monotonically_increasing_id())
+        ldf = _pin_row_order(ldf).withColumn("__lrid", F.monotonically_increasing_id())
     if need_rrid:
-        rdf = rdf.withColumn("__rrid", F.monotonically_increasing_id())
+        rdf = _pin_row_order(rdf).withColumn("__rrid", F.monotonically_increasing_id())
 
     ls, le = F.col(lmap[l_start]) - F.lit(flank), F.col(lmap[l_end]) + F.lit(flank)
     rs, re_ = F.col(rmap[r_start]), F.col(rmap[r_end])

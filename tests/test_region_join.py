@@ -242,3 +242,33 @@ def test_wide_interval_group_left_equals_naive(wide_tables):
         want[r["id"]].add(r["id_r"])
     got_rows = {r["id"]: {h["id"] for h in r["hits"]} for r in got.collect()}
     assert got_rows == dict(want)
+
+
+def test_outer_group_stable_under_shuffled_inputs(spark):
+    """Row-id stamping must survive shuffle-rooted (nondeterministically
+    ordered) inputs: the lineage pin (localCheckpoint) keeps outer and
+    group variants exact when inputs were just repartitioned/joined."""
+    left = _intervals(spark, 50, seed=5).repartition(16)
+    right = _intervals(spark, 70, seed=6).repartition(16).sortWithinPartitions("start")
+    want_inner = naive_region_join(
+        _intervals(spark, 50, seed=5), _intervals(spark, 70, seed=6)
+    )
+    n_inner = want_inner.count()
+    lm = want_inner.select("id").distinct().count()
+    got_lo = region_join(left, right, how="left_outer", bin_size=BIN)
+    assert got_lo.count() == n_inner + (left.count() - lm)
+    # left-outer null rows exactly the unmatched left ids, twice-evaluated
+    unmatched = {r["id"] for r in got_lo.where(F.col("id_r").isNull()).collect()}
+    want_unmatched = {r["id"] for r in left.collect()} - {
+        r["id"] for r in want_inner.select("id").collect()
+    }
+    assert unmatched == want_unmatched
+    # group variant: per-left hit sets equal the oracle under shuffled input
+    got_g = region_join(left, right, group="left", bin_size=BIN)
+    got_rows = {r["id"]: {h["id"] for h in r["hits"]} for r in got_g.collect()}
+    from collections import defaultdict
+
+    want = defaultdict(set)
+    for r in want_inner.collect():
+        want[r["id"]].add(r["id_r"])
+    assert got_rows == dict(want)
