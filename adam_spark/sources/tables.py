@@ -36,13 +36,26 @@ _NANOS_COLS = {
 }
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver's harness builds its own SparkSession, so the conf set in
-    # adam_spark.session is absent there.  nanosAsLong is runtime-settable and
-    # idempotent; without it TIMESTAMP(NANOS) parquet reads raise
-    # PARQUET_TYPE_ILLEGAL (see CORRECTNESS_r01 events_* failures).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # adam_spark.session is absent there.  nanosAsLong is runtime-settable;
+    # without it TIMESTAMP(NANOS) parquet reads raise PARQUET_TYPE_ILLEGAL
+    # (see CORRECTNESS_r01 events_* failures).  The conf is scoped to the
+    # schema-capturing read() call and restored afterward so a foreign
+    # session's other parquet reads are unaffected (verified: execution
+    # keeps the schema captured at read time, so restoring is safe).
+    prior = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    finally:
+        if prior is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prior)
     for c in _NANOS_COLS.get(name, []):
         if c not in df.columns:
             continue
@@ -51,9 +64,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP(NANOS) read as long under nanosAsLong
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif isinstance(dt, TimestampNTZType):
-            # TIMESTAMP(MICROS, isAdjustedToUTC=false); session tz is UTC,
-            # so the cast is value-preserving
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false): make the wall
+            # clock the UTC instant regardless of session timezone —
+            # cast() interprets the wall time in the session zone, and
+            # from_utc_timestamp undoes that shift.  (Sole caveat: wall
+            # times inside a DST transition window of a DST-observing
+            # session zone; UTC sessions are always exact.)
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            df = df.withColumn(
+                c, F.from_utc_timestamp(F.col(c).cast("timestamp"), tz)
+            )
     return df
 
 
