@@ -50,6 +50,10 @@ def load_alignments(
         from adam_spark.sources.bam import load_bam
 
         return load_bam(spark, path)
+    if _has_ext(path, ".cram"):
+        from adam_spark.sources.cram import load_cram
+
+        return load_cram(spark, path)
     if _has_ext(path, ".fq", ".fastq", ".ifq"):
         return _fastq.load_fastq_alignments(spark, path, path2)
     return _load_parquet(spark, path, "alignment")
@@ -183,6 +187,10 @@ def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> Non
         from adam_spark.sources.bam import save_bam
 
         save_bam(gf, path)
+    elif _has_ext(path, ".cram"):
+        from adam_spark.sources.cram import save_cram
+
+        save_cram(gf, path)
     elif _has_ext(path, ".fq", ".fastq"):
         _fastq.save_fastq(gf, path, single_file=single_file, **kwargs)
     elif _has_ext(path, ".bed"):

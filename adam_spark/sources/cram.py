@@ -1,0 +1,757 @@
+"""CRAM 3.0 container format: pure-Python subset codec.
+
+The reference handles CRAM end-to-end through htsjdk
+(ADAMContext.loadBam:2027-2111 dispatches BAM/CRAM/SAM;
+AlignmentDataset.saveAsSam:810-997 writes it; round-trip test
+AlignmentDatasetSuite.scala:337). No htsjdk exists in this
+environment, so this module implements the container format directly,
+following the public CRAM 3.0 specification:
+
+- **Varints**: ITF8 (32-bit) and LTF8 (64-bit) with the spec's
+  leading-ones length prefixes.
+- **Structure**: file definition, containers (header + blocks),
+  blocks (method, content type/id, sizes, CRC32), a FILE_HEADER
+  container carrying the SAM header text, data containers holding one
+  COMPRESSION_HEADER block plus one multi-reference slice
+  (SLICE_HEADER + core + external blocks), and a zero-record EOF
+  container.
+- **Encodings**: every data series uses the EXTERNAL codec (one gzip
+  block per series, ITF8 ints / raw bytes), read names and clipped or
+  inserted bases use BYTE_ARRAY_STOP, the `b` base-stretch feature
+  uses BYTE_ARRAY_LEN(EXTERNAL, EXTERNAL). All records are written
+  DETACHED with explicit mate fields, so no mate-graph resolution is
+  needed.
+- **Records**: mapped reads are feature-coded (S/b/I/D/N/H/P features
+  fully cover the read, so CIGAR + sequence reconstruct exactly
+  without a reference — the RR=false path); unmapped reads store
+  bases/qualities verbatim (BA/QS series). Tags live in per-(tag,type)
+  external streams as BAM-typed values with a TD tag dictionary.
+
+Scope note (honest descope of the remainder): this is a
+self-consistent CRAM 3.0 subset — the writer always emits the layout
+above, and the reader accepts that layout (EXTERNAL/BYTE_ARRAY
+encodings, gzip or raw blocks). Reference-based sequence compression,
+rANS/bzip2/lzma block codecs, and bit-packed core encodings (HUFFMAN,
+BETA, SUBEXP) are not implemented, so arbitrary third-party CRAMs
+(e.g. samtools output with a reference) may not load; htsjdk interop
+is untestable in this container. Round-trip fidelity is pinned by
+tests/test_sources_cram.py.
+
+Scale posture mirrors bam.py: containers are self-contained
+(compression header + slice + streams), so the driver only walks
+container headers to index offsets and executors decode container
+ranges in parallel; the writer is an export job on the driver — the
+same single-file boundary as the reference's FileMerger concat.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+import zlib
+
+from pyspark.sql import SparkSession
+
+from adam_spark.core.genomic_frame import GenomicFrame
+
+_MAGIC = b"CRAM\x03\x00"
+_FILE_ID = b"adam_spark.cram.0000"  # 20 bytes
+
+# block content types
+_CT_FILE_HEADER = 0
+_CT_COMPRESSION_HEADER = 1
+_CT_SLICE_HEADER = 2
+_CT_EXTERNAL = 4
+_CT_CORE = 5
+
+# block compression methods
+_M_RAW = 0
+_M_GZIP = 1
+
+# external content ids per data series (fixed layout, declared in the
+# compression header's data-series encoding map)
+_CID = {
+    "BF": 1, "CF": 2, "RI": 3, "RL": 4, "AP": 5, "RG": 6, "RN": 7,
+    "MF": 8, "NS": 9, "NP": 10, "TS": 11, "TL": 12, "FN": 13, "FC": 14,
+    "FP": 15, "DL": 16, "BBl": 17, "BBv": 18, "QS": 19, "BA": 20,
+    "IN": 21, "SC": 22, "RS": 23, "HC": 24, "PD": 25, "MQ": 26,
+}
+_TAG_CID_BASE = 100
+
+_RECORDS_PER_CONTAINER = 10_000
+
+
+# --- varints ---------------------------------------------------------------
+def itf8_encode(value: int) -> bytes:
+    v = value & 0xFFFFFFFF
+    if v < 0x80:
+        return bytes((v,))
+    if v < 0x4000:
+        return bytes((0x80 | (v >> 8), v & 0xFF))
+    if v < 0x200000:
+        return bytes((0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF))
+    if v < 0x10000000:
+        return bytes((0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF))
+    return bytes(
+        (
+            0xF0 | ((v >> 28) & 0x0F),
+            (v >> 20) & 0xFF,
+            (v >> 12) & 0xFF,
+            (v >> 4) & 0xFF,
+            v & 0x0F,
+        )
+    )
+
+
+def itf8_decode(buf, off: int) -> tuple[int, int]:
+    b0 = buf[off]
+    if b0 < 0x80:
+        v, off = b0, off + 1
+    elif b0 < 0xC0:
+        v, off = ((b0 & 0x3F) << 8) | buf[off + 1], off + 2
+    elif b0 < 0xE0:
+        v, off = ((b0 & 0x1F) << 16) | (buf[off + 1] << 8) | buf[off + 2], off + 3
+    elif b0 < 0xF0:
+        v = ((b0 & 0x0F) << 24) | (buf[off + 1] << 16) | (buf[off + 2] << 8) | buf[off + 3]
+        off += 4
+    else:
+        v = (
+            ((b0 & 0x0F) << 28)
+            | (buf[off + 1] << 20)
+            | (buf[off + 2] << 12)
+            | (buf[off + 3] << 4)
+            | (buf[off + 4] & 0x0F)
+        )
+        off += 5
+    if v & 0x80000000:
+        v -= 1 << 32
+    return v, off
+
+
+def ltf8_encode(value: int) -> bytes:
+    v = value & 0xFFFFFFFFFFFFFFFF
+    for n_extra in range(9):
+        # payload capacity: (7 - n_extra) prefix bits + 8*n_extra byte bits
+        cap = 64 if n_extra == 8 else (7 - n_extra) + 8 * n_extra
+        if v < (1 << cap):
+            if n_extra == 8:
+                return bytes((0xFF,)) + v.to_bytes(8, "big")
+            prefix = (0xFF << (8 - n_extra)) & 0xFF
+            body = v.to_bytes(n_extra + 1, "big")
+            first = prefix | body[0]
+            return bytes((first,)) + body[1:]
+    raise ValueError("ltf8 overflow")
+
+
+def ltf8_decode(buf, off: int) -> tuple[int, int]:
+    b0 = buf[off]
+    n_extra = 0
+    mask = 0x80
+    while n_extra < 8 and b0 & mask:
+        n_extra += 1
+        mask >>= 1
+    if n_extra == 8:
+        v = int.from_bytes(buf[off + 1 : off + 9], "big")
+        off += 9
+    else:
+        payload_first = b0 & ((1 << (7 - n_extra)) - 1)
+        v = payload_first
+        for i in range(n_extra):
+            v = (v << 8) | buf[off + 1 + i]
+        off += 1 + n_extra
+    if v & (1 << 63):
+        v -= 1 << 64
+    return v, off
+
+
+# --- blocks ----------------------------------------------------------------
+def _write_block(out: bytearray, content_type: int, content_id: int, data: bytes,
+                 compress: bool = True) -> None:
+    if compress and len(data) > 32:
+        comp = gzip.compress(data, 6)
+        method = _M_GZIP
+    else:
+        comp, method = data, _M_RAW
+    out.append(method)
+    out.append(content_type)
+    out += itf8_encode(content_id)
+    out += itf8_encode(len(comp))
+    out += itf8_encode(len(data))
+    out += comp
+    out += struct.pack("<I", zlib.crc32(comp) & 0xFFFFFFFF)
+
+
+def _read_block(buf, off: int):
+    method = buf[off]
+    ctype = buf[off + 1]
+    cid, off2 = itf8_decode(buf, off + 2)
+    csize, off2 = itf8_decode(buf, off2)
+    usize, off2 = itf8_decode(buf, off2)
+    comp = bytes(buf[off2 : off2 + csize])
+    off2 += csize
+    off2 += 4  # CRC32
+    if method == _M_GZIP:
+        data = gzip.decompress(comp)
+    elif method == _M_RAW:
+        data = comp
+    else:
+        raise ValueError(f"unsupported CRAM block method {method}")
+    if len(data) != usize:
+        raise ValueError("CRAM block size mismatch")
+    return ctype, cid, data, off2
+
+
+def _container_header(length: int, ref_id: int, start: int, span: int,
+                      n_records: int, counter: int, bases: int,
+                      n_blocks: int, landmarks: list[int]) -> bytes:
+    out = bytearray()
+    out += struct.pack("<i", length)
+    out += itf8_encode(ref_id)
+    out += itf8_encode(start)
+    out += itf8_encode(span)
+    out += itf8_encode(n_records)
+    out += ltf8_encode(counter)
+    out += ltf8_encode(bases)
+    out += itf8_encode(n_blocks)
+    out += itf8_encode(len(landmarks))
+    for lm in landmarks:
+        out += itf8_encode(lm)
+    crc = zlib.crc32(bytes(out)) & 0xFFFFFFFF
+    out += struct.pack("<I", crc)
+    return bytes(out)
+
+
+def _read_container_header(buf, off: int):
+    (length,) = struct.unpack_from("<i", buf, off)
+    p = off + 4
+    ref_id, p = itf8_decode(buf, p)
+    start, p = itf8_decode(buf, p)
+    span, p = itf8_decode(buf, p)
+    n_records, p = itf8_decode(buf, p)
+    counter, p = ltf8_decode(buf, p)
+    bases, p = ltf8_decode(buf, p)
+    n_blocks, p = itf8_decode(buf, p)
+    n_landmarks, p = itf8_decode(buf, p)
+    for _ in range(n_landmarks):
+        _, p = itf8_decode(buf, p)
+    p += 4  # CRC32
+    return dict(
+        length=length, ref_id=ref_id, start=start, span=span,
+        n_records=n_records, n_blocks=n_blocks, header_size=p - off,
+    )
+
+
+# --- compression header ----------------------------------------------------
+def _encoding_external(cid: int) -> bytes:
+    params = itf8_encode(cid)
+    return itf8_encode(1) + itf8_encode(len(params)) + params
+
+
+def _encoding_byte_array_stop(stop: int, cid: int) -> bytes:
+    params = bytes((stop,)) + itf8_encode(cid)
+    return itf8_encode(5) + itf8_encode(len(params)) + params
+
+
+def _encoding_byte_array_len(len_cid: int, val_cid: int) -> bytes:
+    nested = _encoding_external(len_cid) + _encoding_external(val_cid)
+    return itf8_encode(4) + itf8_encode(len(nested)) + nested
+
+
+def _compression_header(tag_lines: list[tuple[tuple[str, str], ...]],
+                        tag_cids: dict[tuple[str, str], int]) -> bytes:
+    # preservation map: RN=true, AP=false (absolute), RR=false + TD
+    td = bytearray()
+    for line in tag_lines:
+        for tag, typ in line:
+            td += tag.encode() + typ.encode()
+        td.append(0)
+    pres = bytearray()
+    entries = [
+        (b"RN", bytes((1,))),
+        (b"AP", bytes((0,))),
+        (b"RR", bytes((0,))),
+        (b"TD", itf8_encode(len(td)) + bytes(td)),
+    ]
+    pres += itf8_encode(len(entries))
+    for k, v in entries:
+        pres += k + v
+    pres_block = itf8_encode(len(pres)) + bytes(pres)
+
+    ds = bytearray()
+    series = []
+    for key in ("BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
+                "TL", "FN", "FC", "FP", "DL", "QS", "BA", "RS", "HC", "PD", "MQ"):
+        series.append((key.encode(), _encoding_external(_CID[key])))
+    series.append((b"RN", _encoding_byte_array_stop(0, _CID["RN"])))
+    series.append((b"IN", _encoding_byte_array_stop(0, _CID["IN"])))
+    series.append((b"SC", _encoding_byte_array_stop(0, _CID["SC"])))
+    series.append((b"BB", _encoding_byte_array_len(_CID["BBl"], _CID["BBv"])))
+    ds += itf8_encode(len(series))
+    for k, enc in series:
+        ds += k + enc
+    ds_block = itf8_encode(len(ds)) + bytes(ds)
+
+    tags = bytearray()
+    tags += itf8_encode(len(tag_cids))
+    for (tag, typ), cid in sorted(tag_cids.items(), key=lambda kv: kv[1]):
+        key = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ)
+        tags += itf8_encode(key) + _encoding_external(cid)
+    tag_block = itf8_encode(len(tags)) + bytes(tags)
+
+    return bytes(pres_block) + bytes(ds_block) + bytes(tag_block)
+
+
+def _parse_compression_header(data: bytes):
+    """Return (tag_lines, tag_cids); data-series layout is fixed by the
+    writer, so only the TD dictionary and tag map need extraction."""
+    off = 0
+    _size, off = itf8_decode(data, off)
+    n, off = itf8_decode(data, off)
+    tag_lines: list[tuple[tuple[str, str], ...]] = []
+    for _ in range(n):
+        key = bytes(data[off : off + 2])
+        off += 2
+        if key in (b"RN", b"AP", b"RR"):
+            off += 1
+        elif key == b"SM":
+            off += 5
+        elif key == b"TD":
+            tdlen, off = itf8_decode(data, off)
+            td = data[off : off + tdlen]
+            off += tdlen
+            for line in td.split(b"\x00")[:-1]:
+                pairs = tuple(
+                    (line[i : i + 2].decode(), chr(line[i + 2]))
+                    for i in range(0, len(line), 3)
+                )
+                tag_lines.append(pairs)
+        else:
+            raise ValueError(f"unknown preservation key {key!r}")
+    # data series map: skip (fixed layout)
+    size, off = itf8_decode(data, off)
+    off += size
+    # tag encoding map
+    _size, off = itf8_decode(data, off)
+    n, off = itf8_decode(data, off)
+    tag_cids: dict[tuple[str, str], int] = {}
+    for _ in range(n):
+        key, off = itf8_decode(data, off)
+        codec, off = itf8_decode(data, off)
+        plen, off = itf8_decode(data, off)
+        cid, _ = itf8_decode(data, off)
+        off += plen
+        if codec != 1:
+            raise ValueError("unsupported tag codec")
+        tag = chr((key >> 16) & 0xFF) + chr((key >> 8) & 0xFF)
+        tag_cids[(tag, chr(key & 0xFF))] = cid
+    return tag_lines, tag_cids
+
+
+# --- record codec ----------------------------------------------------------
+class _Streams:
+    """Per-container external streams (append-side)."""
+
+    def __init__(self):
+        self.b: dict[int, bytearray] = {}
+
+    def put_int(self, key: str, v: int) -> None:
+        self.b.setdefault(_CID[key], bytearray()).extend(itf8_encode(v))
+
+    def put_bytes(self, key: str, v: bytes) -> None:
+        self.b.setdefault(_CID[key], bytearray()).extend(v)
+
+    def put_stop(self, key: str, v: bytes) -> None:
+        self.b.setdefault(_CID[key], bytearray()).extend(v + b"\x00")
+
+    def put_tag(self, cid: int, v: bytes) -> None:
+        self.b.setdefault(cid, bytearray()).extend(v)
+
+
+class _Cursors:
+    """Per-slice external streams (read-side)."""
+
+    def __init__(self, blocks: dict[int, bytes]):
+        self.blocks = blocks
+        self.pos: dict[int, int] = {cid: 0 for cid in blocks}
+
+    def get_int(self, key: str) -> int:
+        cid = _CID[key]
+        v, self.pos[cid] = itf8_decode(self.blocks[cid], self.pos[cid])
+        return v
+
+    def get_bytes(self, key: str, n: int) -> bytes:
+        cid = _CID[key]
+        p = self.pos[cid]
+        self.pos[cid] = p + n
+        return self.blocks[cid][p : p + n]
+
+    def get_stop(self, key: str) -> bytes:
+        cid = _CID[key]
+        buf = self.blocks[cid]
+        p = self.pos[cid]
+        e = buf.index(b"\x00", p)
+        self.pos[cid] = e + 1
+        return buf[p:e]
+
+    def get_tag(self, cid: int):
+        return self.blocks[cid], self.pos[cid]
+
+    def set_tag_pos(self, cid: int, p: int) -> None:
+        self.pos[cid] = p
+
+
+_CIGAR_FEATURES = {"S": "SC", "I": "IN", "D": "DL", "N": "RS", "H": "HC", "P": "PD"}
+
+
+def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
+                   tag_lines: dict[tuple, int], tag_line_list: list,
+                   tag_cids: dict[tuple[str, str], int]) -> int:
+    """One SAM line (split fields) → streams. Returns #bases."""
+    import re
+
+    name, flag, rname, pos1, mapq, cigar, rnext, pnext1, tlen, seq, qual = fields[:11]
+    flag = int(flag)
+    mapped = not (flag & 0x4)
+    ref_id = ref_index.get(rname, -1)
+    rl = 0 if seq == "*" else len(seq)
+
+    s.put_int("BF", flag)
+    s.put_int("CF", 2)  # detached
+    s.put_int("RI", ref_id)
+    s.put_int("RL", rl)
+    s.put_int("AP", int(pos1))
+    s.put_int("RG", -1)
+    s.put_stop("RN", name.encode())
+    # detached mate data
+    s.put_int("MF", 0)
+    if rnext == "=":
+        s.put_int("NS", ref_id)
+    else:
+        s.put_int("NS", ref_index.get(rnext, -1))
+    s.put_int("NP", int(pnext1))
+    s.put_int("TS", int(tlen))
+    # tags
+    line_key = tuple((f[:2], f.split(":", 2)[1]) for f in fields[11:])
+    if line_key not in tag_lines:
+        tag_lines[line_key] = len(tag_line_list)
+        tag_line_list.append(line_key)
+    s.put_int("TL", tag_lines[line_key])
+    from adam_spark.sources.bam import _aux_from_text
+
+    for f in fields[11:]:
+        tag, typ = f[:2], f.split(":", 2)[1]
+        cid = tag_cids[(tag, typ)]
+        s.put_tag(cid, _aux_from_text(f)[3:])  # strip tag+type prefix
+    if mapped and seq != "*" and cigar != "*":
+        feats = []
+        read_pos = 1
+        for m in re.finditer(r"(\d+)([MIDNSHP=X])", cigar):
+            n, op = int(m.group(1)), m.group(2)
+            if op in "M=X":
+                feats.append(("b", read_pos, seq[read_pos - 1 : read_pos - 1 + n]))
+                read_pos += n
+            elif op == "S":
+                feats.append(("S", read_pos, seq[read_pos - 1 : read_pos - 1 + n]))
+                read_pos += n
+            elif op == "I":
+                feats.append(("I", read_pos, seq[read_pos - 1 : read_pos - 1 + n]))
+                read_pos += n
+            else:  # D, N, H, P consume no read bases
+                feats.append((op, read_pos, n))
+        s.put_int("FN", len(feats))
+        prev = 0
+        for code, fpos, payload in feats:
+            s.put_bytes("FC", code.encode())
+            s.put_int("FP", fpos - prev)
+            prev = fpos
+            if code == "b":
+                s.put_int("BBl", len(payload))
+                s.put_bytes("BBv", payload.encode())
+            elif code == "S":
+                s.put_stop("SC", payload.encode())
+            elif code == "I":
+                s.put_stop("IN", payload.encode())
+            else:
+                s.put_int(_CIGAR_FEATURES[code], payload)
+        s.put_int("MQ", int(mapq))
+    else:
+        # unmapped (or sequence-less): bases verbatim; a sequence-less
+        # mapped read keeps its cigar via FN=0 + MQ and rl=0
+        if mapped:
+            s.put_int("FN", 0)
+            s.put_int("MQ", int(mapq))
+        if rl:
+            s.put_bytes("BA", seq.encode())
+    if rl:
+        if qual == "*":
+            s.put_bytes("QS", b"\xff" * rl)
+        else:
+            s.put_bytes("QS", qual.encode())
+    return rl
+
+
+def _decode_record(c: _Cursors, ref_names: list[str],
+                   tag_lines: list, tag_cids: dict) -> str:
+    from adam_spark.sources.bam import _aux_to_text
+
+    flag = c.get_int("BF")
+    _cf = c.get_int("CF")
+    ref_id = c.get_int("RI")
+    rl = c.get_int("RL")
+    pos1 = c.get_int("AP")
+    _rg = c.get_int("RG")
+    name = c.get_stop("RN").decode()
+    _mf = c.get_int("MF")
+    ns = c.get_int("NS")
+    np_ = c.get_int("NP")
+    ts = c.get_int("TS")
+    tl = c.get_int("TL")
+    tags = []
+    for tag, typ in tag_lines[tl]:
+        cid = tag_cids[(tag, typ)]
+        buf, p = c.get_tag(cid)
+        txt, p2 = _aux_to_text(b"XX" + typ.encode() + buf[p:], 0)
+        consumed = p2 - 3
+        c.set_tag_pos(cid, p + consumed)
+        tags.append(f"{tag}{txt[2:]}")
+    mapped = not (flag & 0x4)
+    seq, cigar, mapq = "*", "*", 0
+    if mapped:
+        fn = c.get_int("FN")
+        parts, cig = [], []
+        pos = 0
+        for _ in range(fn):
+            code = c.get_bytes("FC", 1).decode()
+            pos += c.get_int("FP")
+            if code == "b":
+                n = c.get_int("BBl")
+                bases = c.get_bytes("BBv", n).decode()
+                parts.append(bases)
+                cig.append(f"{n}M")
+            elif code == "S":
+                bases = c.get_stop("SC").decode()
+                parts.append(bases)
+                cig.append(f"{len(bases)}S")
+            elif code == "I":
+                bases = c.get_stop("IN").decode()
+                parts.append(bases)
+                cig.append(f"{len(bases)}I")
+            else:
+                n = c.get_int(_CIGAR_FEATURES[code])
+                cig.append(f"{n}{code}")
+        mapq = c.get_int("MQ")
+        if fn:
+            seq = "".join(parts)
+            cigar = "".join(cig)
+        elif rl:
+            seq = c.get_bytes("BA", rl).decode()
+    elif rl:
+        seq = c.get_bytes("BA", rl).decode()
+    qual = "*"
+    if rl:
+        q = c.get_bytes("QS", rl)
+        qual = "*" if all(b == 0xFF for b in q) else q.decode()
+    rname = ref_names[ref_id] if ref_id >= 0 else "*"
+    if ns < 0:
+        rnext = "*"
+    elif ns == ref_id:
+        rnext = "="
+    else:
+        rnext = ref_names[ns]
+    out = [name or "*", str(flag), rname, str(pos1), str(mapq), cigar,
+           rnext, str(np_), str(ts), seq, qual] + tags
+    return "\t".join(out)
+
+
+# --- container write/read --------------------------------------------------
+def _write_data_container(out: bytearray, sam_lines: list[str],
+                          ref_index: dict[str, int], counter: int) -> int:
+    s = _Streams()
+    tag_lines: dict[tuple, int] = {}
+    tag_line_list: list = []
+    # pre-scan tags to assign content ids (stable order of appearance)
+    tag_cids: dict[tuple[str, str], int] = {}
+    for ln in sam_lines:
+        for f in ln.split("\t")[11:]:
+            key = (f[:2], f.split(":", 2)[1])
+            if key not in tag_cids:
+                tag_cids[key] = _TAG_CID_BASE + len(tag_cids)
+    bases = 0
+    for ln in sam_lines:
+        bases += _encode_record(ln.rstrip("\n").split("\t"), ref_index, s,
+                                tag_lines, tag_line_list, tag_cids)
+
+    blocks = bytearray()
+    comp = _compression_header(tag_line_list, tag_cids)
+    _write_block(blocks, _CT_COMPRESSION_HEADER, 0, comp)
+    # slice header: multiref (-2), content ids of external blocks
+    ext_ids = sorted(cid for cid, b in s.b.items() if b)
+    sh = bytearray()
+    sh += itf8_encode(-2)
+    sh += itf8_encode(0)  # start
+    sh += itf8_encode(0)  # span
+    sh += itf8_encode(len(sam_lines))
+    sh += ltf8_encode(counter)
+    sh += itf8_encode(len(ext_ids) + 1)  # core + externals
+    sh += itf8_encode(len(ext_ids))
+    for cid in ext_ids:
+        sh += itf8_encode(cid)
+    sh += itf8_encode(-1)  # embedded reference content id
+    sh += b"\x00" * 16  # reference MD5 (RR=false)
+    _write_block(blocks, _CT_SLICE_HEADER, 0, bytes(sh))
+    _write_block(blocks, _CT_CORE, 0, b"", compress=False)
+    for cid in ext_ids:
+        _write_block(blocks, _CT_EXTERNAL, cid, bytes(s.b[cid]))
+
+    out += _container_header(
+        len(blocks), -2, 0, 0, len(sam_lines), counter, bases,
+        len(ext_ids) + 3, [],
+    )
+    out += blocks
+    return bases
+
+
+def decode_container(buf, off: int, hdr, ref_names: list[str]):
+    """Decode one data container at ``off`` → list of SAM lines."""
+    p = off + hdr["header_size"]
+    end = off + hdr["header_size"] + hdr["length"]
+    comp_data = None
+    ext: dict[int, bytes] = {}
+    n_records = 0
+    while p < end:
+        ctype, cid, data, p = _read_block(buf, p)
+        if ctype == _CT_COMPRESSION_HEADER:
+            comp_data = data
+        elif ctype == _CT_SLICE_HEADER:
+            q = 0
+            _refid, q = itf8_decode(data, q)
+            _start, q = itf8_decode(data, q)
+            _span, q = itf8_decode(data, q)
+            n_records, q = itf8_decode(data, q)
+        elif ctype == _CT_EXTERNAL:
+            ext[cid] = data
+    if comp_data is None:
+        return []
+    tag_lines, tag_cids = _parse_compression_header(comp_data)
+    c = _Cursors(ext)
+    return [
+        _decode_record(c, ref_names, tag_lines, tag_cids) for _ in range(n_records)
+    ]
+
+
+_HDR_PROBE = 4096  # a container header (ours has no landmarks) fits easily
+
+
+def _index_containers(path: str):
+    """Driver-side seek-walk over container HEADERS only — O(containers)
+    work and memory, no payload reads (the executor decode is what
+    touches payload bytes)."""
+    size = os.path.getsize(path)
+    header_text = None
+    containers = []
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError("not a CRAM 3.0 file")
+        p = len(_MAGIC) + 20
+        while p < size:
+            f.seek(p)
+            probe = f.read(min(_HDR_PROBE, size - p))
+            hdr = _read_container_header(probe, 0)
+            body = p + hdr["header_size"]
+            if header_text is None:
+                f.seek(body)
+                block = f.read(hdr["length"])
+                ctype, _cid, data, _ = _read_block(block, 0)
+                if ctype != _CT_FILE_HEADER:
+                    raise ValueError("first CRAM container must be the file header")
+                header_text = data.decode()
+            elif hdr["n_records"] > 0:
+                containers.append((p, hdr))
+            p = body + hdr["length"]
+    header_lines = [ln for ln in header_text.splitlines() if ln.startswith("@")]
+    ref_names = [
+        dict(kv.split(":", 1) for kv in ln.split("\t")[1:] if ":" in kv)["SN"]
+        for ln in header_lines
+        if ln.startswith("@SQ")
+    ]
+    return header_lines, ref_names, containers
+
+
+# --- public API ------------------------------------------------------------
+def save_cram(gf: GenomicFrame, path: str) -> None:
+    """Alignments → single-file CRAM (driver export job, same boundary
+    as save_bam; reference: AlignmentDataset.saveAsSam:810-997)."""
+    from adam_spark.sources.sam import sam_body_lines, sam_header_lines
+
+    header = sam_header_lines(gf.meta)
+    refs = [r for r in gf.meta.references.references]
+    ref_index = {r.name: i for i, r in enumerate(refs)}
+    text = "\n".join(header) + "\n"
+
+    out = bytearray()
+    out += _MAGIC + _FILE_ID
+    hdr_block = bytearray()
+    _write_block(hdr_block, _CT_FILE_HEADER, 0, text.encode())
+    out += _container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
+    out += hdr_block
+
+    counter = 0
+    chunk: list[str] = []
+    for row in sam_body_lines(gf.df).toLocalIterator():
+        chunk.append(row["value"])
+        if len(chunk) >= _RECORDS_PER_CONTAINER:
+            _write_data_container(out, chunk, ref_index, counter)
+            counter += len(chunk)
+            chunk = []
+    if chunk:
+        _write_data_container(out, chunk, ref_index, counter)
+        counter += len(chunk)
+    # EOF container: zero records, one raw sentinel block
+    eof_block = bytearray()
+    _write_block(eof_block, _CT_EXTERNAL, 0, b"EOF", compress=False)
+    out += _container_header(len(eof_block), -1, 4542278, 0, 0, counter, 0, 1, [])
+    out += eof_block
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def _decode_container_range(path: str, offsets: list[int], ref_names: list[str]):
+    """Executor task: decode a list of container offsets → SAM lines.
+    Reads only the assigned containers' bytes (seek + bounded read)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        for off in offsets:
+            f.seek(off)
+            probe = f.read(min(_HDR_PROBE, size - off))
+            hdr = _read_container_header(probe, 0)
+            f.seek(off)
+            buf = f.read(hdr["header_size"] + hdr["length"])
+            yield from decode_container(buf, 0, hdr, ref_names)
+
+
+def load_cram(spark: SparkSession, path: str) -> GenomicFrame:
+    """CRAM → alignments via a distributed per-container scan
+    (reference: ADAMContext.loadBam:2027-2111 CRAM dispatch). The
+    driver walks container headers; executors decode containers in
+    parallel (each is self-contained: compression header + slice +
+    streams) and feed the shared SAM line parser."""
+    from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
+
+    path = os.path.abspath(path)
+    header_lines, ref_names, containers = _index_containers(path)
+    par = spark.sparkContext.defaultParallelism
+    offsets = [off for off, _ in containers]
+    n_tasks = max(1, min(len(offsets), par * 2))
+    chunks: list[list[int]] = [[] for _ in range(n_tasks)]
+    for i, off in enumerate(offsets):
+        chunks[i % n_tasks].append(off)
+    chunks = [c for c in chunks if c]
+    rdd = spark.sparkContext.parallelize(chunks, max(1, len(chunks))).flatMap(
+        lambda c: _decode_container_range(path, c, ref_names)
+    )
+    raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
+    return GenomicFrame(
+        sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines)
+    )
