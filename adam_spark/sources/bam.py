@@ -54,10 +54,19 @@ def bgzf_decompress(path: str) -> bytes:
         return f.read()
 
 
-def bgzf_compress_to(path: str, data: bytes, block_size: int = 60_000) -> None:
-    """Write ``data`` as BGZF blocks + EOF sentinel."""
+def bgzf_compress_to(path: str, data: bytes, block_size: int = 60_000) -> list[int]:
+    """Write ``data`` as BGZF blocks + EOF sentinel.
+
+    Returns the compressed file offset of each block PLUS the sentinel
+    offset, so callers can map an uncompressed offset ``u`` to a BGZF
+    virtual offset: block ``u // block_size`` at intra-offset
+    ``u % block_size`` (a ``u`` exactly at the data end maps into the
+    empty sentinel block — still a valid virtual offset).
+    """
+    offsets: list[int] = []
     with open(path, "wb") as out:
         for off in range(0, len(data), block_size):
+            offsets.append(out.tell())
             chunk = data[off : off + block_size]
             comp = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = comp.compress(chunk) + comp.flush()
@@ -77,7 +86,9 @@ def bgzf_compress_to(path: str, data: bytes, block_size: int = 60_000) -> None:
                 + struct.pack("<I", len(chunk))
             )
             out.write(block)
+        offsets.append(out.tell())
         out.write(_BGZF_EOF)
+    return offsets
 
 
 # --- decode ----------------------------------------------------------------
@@ -408,15 +419,64 @@ def load_bam(
     )
 
 
+def _decode_chunk_range(path: str, chunks: list[tuple[int, int]], ref_names: list[str]):
+    """Executor task: decode records from .bai-addressed chunks only."""
+    from adam_spark.sources.binned_index import read_chunk_bytes
+
+    for vb, ve in chunks:
+        data = read_chunk_bytes(path, vb, ve)
+        pos = 0
+        while pos + 4 <= len(data):
+            bs = struct.unpack_from("<i", data, pos)[0]
+            if pos + 4 + bs > len(data):
+                break  # chunk ends mid-record only if index is foreign
+            yield _record_to_sam_line(data[pos + 4 : pos + 4 + bs], ref_names)
+            pos += 4 + bs
+
+
 def load_indexed_bam(
     spark: SparkSession, path: str, regions: list[tuple[str, int, int]]
 ) -> GenomicFrame:
     """Region-filtered BAM load (reference: ADAMContext.loadIndexedBam
-    :2125-2308, .bai-driven). The distributed block scan already
-    parallelizes the decode; the region predicate is applied on top —
-    semantic parity with the reference; .bai-addressed chunk seeking
-    (skipping non-overlapping block ranges) remains future work."""
-    return load_bam(spark, path).filter_by_overlapping_regions(regions)
+    :2125-2308). With a ``.bai`` next to the file (``save_bam`` writes
+    one), only the .bai-addressed BGZF chunks overlapping the query
+    regions are read and decoded — I/O and decode cost scale with the
+    overlap fraction, not the file. Without an index it falls back to
+    the distributed full scan plus the overlap predicate."""
+    from adam_spark.core.genomic_frame import GenomicFrame as GF
+    from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
+
+    path = os.path.abspath(path)
+    bai = path + ".bai"
+    if not os.path.exists(bai):
+        return load_bam(spark, path).filter_by_overlapping_regions(regions)
+
+    from adam_spark.sources.binned_index import merge_chunks, read_bai
+
+    idx = read_bai(bai)
+    blocks = bgzf_block_offsets(path)
+    header_lines, ref_names, _, _ = _read_bam_header(path, blocks)
+    rid = {n: i for i, n in enumerate(ref_names)}
+    chunks = merge_chunks(
+        [
+            c
+            for (rname, beg, end) in regions
+            if rname in rid
+            for c in idx.chunks_for(rid[rname], beg, end)
+        ]
+    )
+    par = spark.sparkContext.defaultParallelism
+    n_tasks = max(1, min(len(chunks), par * 2))
+    task_chunks: list[list[tuple[int, int]]] = [[] for _ in range(n_tasks)]
+    for i, c in enumerate(chunks):
+        task_chunks[i % n_tasks].append(c)
+    task_chunks = [t for t in task_chunks if t]
+    rdd = spark.sparkContext.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(
+        lambda t: _decode_chunk_range(path, t, ref_names)
+    )
+    raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
+    gf = GF(sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines))
+    return gf.filter_by_overlapping_regions(regions)
 
 
 # --- encode ----------------------------------------------------------------
@@ -488,10 +548,19 @@ def sam_line_to_bam_record(line: str, ref_index: dict[str, int]) -> bytes:
     return struct.pack("<i", len(rec)) + rec
 
 
-def save_bam(gf: GenomicFrame, path: str) -> None:
+_CIG_REF_OPS = set("MDN=X")
+
+
+def _cigar_ref_len(cigar: str) -> int:
+    return sum(int(n) for n, op in _CIGAR_RE.findall(cigar) if op in _CIG_REF_OPS)
+
+
+def save_bam(gf: GenomicFrame, path: str, write_index: bool = True) -> None:
     """Alignments → single-file BAM (export job: SAM lines collected to
     the driver and encoded — the same driver boundary as the
-    reference's single-file FileMerger concat, util/FileMerger.scala:35)."""
+    reference's single-file FileMerger concat, util/FileMerger.scala:35).
+    ``write_index`` also emits ``path + ".bai"`` so load_indexed_bam
+    can seek straight to overlapping chunks."""
     from adam_spark.sources.sam import sam_body_lines, sam_header_lines
 
     header = sam_header_lines(gf.meta)
@@ -504,6 +573,28 @@ def save_bam(gf: GenomicFrame, path: str) -> None:
         nb = r.name.encode() + b"\x00"
         out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", r.length or 0)
     body = bytearray()
+    spans: list[tuple[int, int, int, int, int]] = []  # (rid, beg, end, u0, u1)
+    hdr_len = len(out)
     for row in sam_body_lines(gf.df).toLocalIterator():
-        body += sam_line_to_bam_record(row["value"], ref_index)
-    bgzf_compress_to(path, out + bytes(body))
+        line = row["value"]
+        u0 = hdr_len + len(body)
+        body += sam_line_to_bam_record(line, ref_index)
+        if write_index:
+            f = line.split("\t", 6)
+            rid_ = ref_index.get(f[2], -1)
+            if rid_ >= 0 and not (int(f[1]) & 0x4):
+                beg = int(f[3]) - 1
+                end = beg + max(1, _cigar_ref_len(f[5]) if f[5] != "*" else 1)
+                spans.append((rid_, beg, end, u0, hdr_len + len(body)))
+    coffsets = bgzf_compress_to(path, out + bytes(body))
+    if write_index:
+        from adam_spark.sources.binned_index import new_index, voffset, write_bai
+
+        bs = 60_000
+        idx = new_index([r.name for r in refs])
+        idx.names = []  # .bai carries no names; contig order = BAM header
+        for rid_, beg, end, u0, u1 in spans:
+            vb = voffset(coffsets[u0 // bs], u0 % bs)
+            ve = voffset(coffsets[u1 // bs], u1 % bs)
+            idx.add_record(rid_, beg, end, vb, ve)
+        write_bai(idx, path + ".bai")

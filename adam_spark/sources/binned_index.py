@@ -1,0 +1,239 @@
+"""UCSC-binned genomic indexes over BGZF virtual offsets (.tbi / .bai).
+
+The reference reads these through htsjdk: tabix-indexed VCF in
+ADAMContext.loadIndexedVcf (ADAMContext.scala:2760-2776) and
+.bai-indexed BAM in ADAMContext.loadIndexedBam (:2125-2308). This
+module implements the shared machinery directly from the public SAM /
+tabix specifications:
+
+- the 5-level UCSC binning scheme (``reg2bin`` / ``reg2bins``),
+- BGZF **virtual offsets** ``(compressed_block_offset << 16) | offset_
+  into_decompressed_block``,
+- the binary **.tbi** (tabix) and **.bai** layouts — both are the same
+  binned structure; tabix adds column metadata and contig names, .bai
+  implies contigs from the BAM header,
+- index WRITERS, so files produced by ``save_vcf_bgzf`` / ``save_bam``
+  are seekable, and chunk QUERY (bin lookup + linear-index pruning +
+  chunk merge) for region-restricted scans that touch only the
+  overlapping fraction of a file.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+
+# --- binning (SAM spec §5.3) ----------------------------------------------
+_LEVELS = ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681))
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """Smallest bin fully containing [beg, end) (0-based half-open)."""
+    end -= 1
+    for shift, base in reversed(_LEVELS):
+        if beg >> shift == end >> shift:
+            return base + (beg >> shift)
+    return 0
+
+
+def reg2bins(beg: int, end: int) -> list[int]:
+    """Every bin overlapping [beg, end), coarsest first."""
+    end -= 1
+    bins = [0]
+    for shift, base in _LEVELS:
+        bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    return bins
+
+
+# --- virtual offsets -------------------------------------------------------
+def voffset(coffset: int, uoffset: int) -> int:
+    return (coffset << 16) | uoffset
+
+
+def vsplit(v: int) -> tuple[int, int]:
+    return v >> 16, v & 0xFFFF
+
+
+_LINEAR_SHIFT = 14  # 16 kb linear-index windows
+
+
+@dataclass
+class _RefIndex:
+    bins: dict[int, list[tuple[int, int]]] = field(default_factory=dict)
+    linear: list[int] = field(default_factory=list)
+
+
+@dataclass
+class BinnedIndex:
+    """In-memory binned index; ``names`` empty for .bai (BAM header
+    supplies contig order)."""
+
+    names: list[str]
+    refs: list[_RefIndex]
+    # tabix header metadata (ignored for .bai)
+    fmt: int = 2  # VCF
+    col_seq: int = 1
+    col_beg: int = 2
+    col_end: int = 0
+    meta_char: int = ord("#")
+    skip: int = 0
+
+    def add_record(self, ref_id: int, beg: int, end: int, vbeg: int, vend: int) -> None:
+        r = self.refs[ref_id]
+        b = reg2bin(beg, max(end, beg + 1))
+        chunks = r.bins.setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)  # extend adjacent chunk
+        else:
+            chunks.append((vbeg, vend))
+        win_lo, win_hi = beg >> _LINEAR_SHIFT, max(end - 1, beg) >> _LINEAR_SHIFT
+        if len(r.linear) <= win_hi:
+            r.linear.extend([0] * (win_hi + 1 - len(r.linear)))
+        for w in range(win_lo, win_hi + 1):
+            if r.linear[w] == 0 or vbeg < r.linear[w]:
+                r.linear[w] = vbeg
+
+    def chunks_for(self, ref_id: int, beg: int, end: int) -> list[tuple[int, int]]:
+        """Merged chunks that may contain records overlapping [beg, end)."""
+        if not (0 <= ref_id < len(self.refs)):
+            return []
+        r = self.refs[ref_id]
+        win = beg >> _LINEAR_SHIFT
+        min_voff = r.linear[win] if win < len(r.linear) else 0
+        out = []
+        for b in reg2bins(beg, max(end, beg + 1)):
+            for vb, ve in r.bins.get(b, ()):
+                if ve > min_voff:
+                    out.append((max(vb, 0), ve))
+        return merge_chunks(out)
+
+
+def merge_chunks(chunks: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Sort + coalesce overlapping/adjacent virtual-offset ranges."""
+    out: list[tuple[int, int]] = []
+    for vb, ve in sorted(chunks):
+        if out and vb <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], ve))
+        else:
+            out.append((vb, ve))
+    return out
+
+
+def new_index(names: list[str], **meta) -> BinnedIndex:
+    return BinnedIndex(names=names, refs=[_RefIndex() for _ in names], **meta)
+
+
+# --- binary layouts --------------------------------------------------------
+def _encode_refs(idx: BinnedIndex) -> bytes:
+    out = bytearray()
+    for r in idx.refs:
+        out += struct.pack("<i", len(r.bins))
+        for b in sorted(r.bins):
+            chunks = r.bins[b]
+            out += struct.pack("<Ii", b, len(chunks))
+            for vb, ve in chunks:
+                out += struct.pack("<QQ", vb, ve)
+        out += struct.pack("<i", len(r.linear))
+        for v in r.linear:
+            out += struct.pack("<Q", v)
+    return bytes(out)
+
+
+def _decode_refs(data: bytes, off: int, n_ref: int) -> tuple[list[_RefIndex], int]:
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, off)
+        off += 4
+        r = _RefIndex()
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", data, off)
+            off += 8
+            chunks = []
+            for _ in range(n_chunk):
+                vb, ve = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((vb, ve))
+            r.bins[b] = chunks
+        (n_intv,) = struct.unpack_from("<i", data, off)
+        off += 4
+        r.linear = [struct.unpack_from("<Q", data, off + 8 * i)[0] for i in range(n_intv)]
+        off += 8 * n_intv
+        refs.append(r)
+    return refs, off
+
+
+def write_tbi(idx: BinnedIndex, path: str) -> None:
+    """Serialize as a tabix index (BGZF-wrapped, per the spec)."""
+    from adam_spark.sources.bam import bgzf_compress_to
+
+    names_blob = b"".join(n.encode() + b"\x00" for n in idx.names)
+    out = bytearray()
+    out += b"TBI\x01"
+    out += struct.pack(
+        "<8i",
+        len(idx.names), idx.fmt, idx.col_seq, idx.col_beg, idx.col_end,
+        idx.meta_char, idx.skip, len(names_blob),
+    )
+    out += names_blob
+    out += _encode_refs(idx)
+    bgzf_compress_to(path, bytes(out))
+
+
+def read_tbi(path: str) -> BinnedIndex:
+    from adam_spark.sources.bam import bgzf_decompress
+
+    data = bgzf_decompress(path)
+    if data[:4] != b"TBI\x01":
+        raise ValueError(f"{path} is not a tabix index")
+    n_ref, fmt, col_seq, col_beg, col_end, meta_char, skip, l_nm = struct.unpack_from(
+        "<8i", data, 4
+    )
+    off = 36
+    names = [n.decode() for n in data[off : off + l_nm].split(b"\x00")[:-1]]
+    off += l_nm
+    refs, _ = _decode_refs(data, off, n_ref)
+    return BinnedIndex(
+        names=names, refs=refs, fmt=fmt, col_seq=col_seq, col_beg=col_beg,
+        col_end=col_end, meta_char=meta_char, skip=skip,
+    )
+
+
+def write_bai(idx: BinnedIndex, path: str) -> None:
+    """Serialize as a .bai (plain binary, not BGZF-wrapped)."""
+    out = bytearray()
+    out += b"BAI\x01"
+    out += struct.pack("<i", len(idx.refs))
+    out += _encode_refs(idx)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_bai(path: str) -> BinnedIndex:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"BAI\x01":
+        raise ValueError(f"{path} is not a .bai index")
+    (n_ref,) = struct.unpack_from("<i", data, 4)
+    refs, _ = _decode_refs(data, 8, n_ref)
+    return BinnedIndex(names=[], refs=refs)
+
+
+# --- chunk decode (shared by indexed BAM/VCF readers) ----------------------
+def read_chunk_bytes(path: str, vbeg: int, vend: int) -> bytes:
+    """Decompressed bytes of one virtual-offset chunk [vbeg, vend)."""
+    from adam_spark.sources.bam import _block_at, _inflate_block
+
+    cbeg, ubeg = vsplit(vbeg)
+    cend, uend = vsplit(vend)
+    out = bytearray()
+    with open(path, "rb") as f:
+        pos = cbeg
+        while pos <= cend:
+            total, _ = _block_at(f, pos)
+            data = _inflate_block(f, pos, total)
+            lo = ubeg if pos == cbeg else 0
+            hi = uend if pos == cend else len(data)
+            out += data[lo:hi]
+            pos += total
+    return bytes(out)

@@ -264,9 +264,12 @@ def _parse_header(spark: SparkSession, path: str):
         .where(F.col("value").startswith("#"))
         .collect()
     )
+    return _header_from_lines([r["value"] for r in hdr_rows])
+
+
+def _header_from_lines(lines: list[str]):
     header_lines, refs, sample_names = [], [], []
-    for r in hdr_rows:
-        line = r["value"]
+    for line in lines:
         if line.startswith("##"):
             header_lines.append(line)
             if line.startswith("##contig="):
@@ -294,6 +297,15 @@ def load_vcf(spark: SparkSession, path: str) -> GenomicFrame:
     body = spark.read.text(path).where(
         ~F.col("value").startswith("#") & (F.length(F.trim("value")) > 0)
     )
+    return vcf_lines_to_contexts(body, header_lines, refs, sample_names)
+
+
+def vcf_lines_to_contexts(
+    body: DataFrame, header_lines: list[str], refs, sample_names: list[str]
+) -> GenomicFrame:
+    """Parse a DataFrame of raw VCF body lines (column ``value``) into a
+    variant-context frame (shared by the plain and tabix-indexed
+    loaders)."""
     t = F.split(F.col("value"), "\t")
     filt = F.element_at(t, 7)
     base = body.select(
@@ -511,3 +523,120 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     else:
         out = out.orderBy("__o", "__k1", "__k2")
     out.select("value").write.text(path)
+
+
+# --- tabix-indexed path ----------------------------------------------------
+def save_vcf_bgzf(gf: GenomicFrame, path: str) -> None:
+    """Variant contexts → bgzipped VCF + tabix index (``path.tbi``).
+
+    The VCF text renders through :func:`save_vcf`; the BGZF writer
+    returns per-block compressed offsets, which map each data line's
+    uncompressed span to virtual offsets for the .tbi
+    (reference consumer: ADAMContext.loadIndexedVcf:2760-2776)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from adam_spark.sources.bam import bgzf_compress_to
+    from adam_spark.sources.binned_index import new_index, voffset, write_tbi
+
+    tmp = tempfile.mkdtemp(prefix="adam_spark_vcfgz_")
+    try:
+        save_vcf(gf, os.path.join(tmp, "plain.vcf"), single_file=True)
+        parts = sorted(glob.glob(os.path.join(tmp, "plain.vcf", "part-*")))
+        data = b"".join(open(p, "rb").read() for p in parts)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    names: list[str] = []
+    rid: dict[str, int] = {}
+    spans: list[tuple[int, int, int, int, int]] = []
+    u = 0
+    for line in data.split(b"\n"):
+        nxt = u + len(line) + 1
+        if line and not line.startswith(b"#"):
+            f = line.split(b"\t", 5)
+            ref = f[0].decode()
+            if ref not in rid:
+                rid[ref] = len(names)
+                names.append(ref)
+            beg = int(f[1]) - 1
+            end = beg + len(f[3])
+            spans.append((rid[ref], beg, end, u, min(nxt, len(data))))
+        u = nxt
+
+    bs = 60_000
+    coffsets = bgzf_compress_to(path, data, block_size=bs)
+    idx = new_index(names)
+    for r, beg, end, u0, u1 in spans:
+        idx.add_record(
+            r, beg, end,
+            voffset(coffsets[u0 // bs], u0 % bs),
+            voffset(coffsets[u1 // bs], u1 % bs),
+        )
+    write_tbi(idx, path + ".tbi")
+
+
+def load_indexed_vcf(
+    spark: SparkSession, path: str, regions: list[tuple[str, int, int]]
+) -> GenomicFrame:
+    """Region-restricted VCF load via the tabix index
+    (ADAMContext.loadIndexedVcf:2760-2776): only the .tbi-addressed
+    BGZF chunks overlapping the query regions are read and decoded —
+    I/O scales with the overlap fraction, not the file. Records are
+    exact: the coarse bin prefilter is followed by a per-record overlap
+    predicate."""
+    import gzip as _gzip
+    import os
+
+    from adam_spark.sources.binned_index import merge_chunks, read_chunk_bytes, read_tbi
+
+    path = os.path.abspath(path)
+    idx = read_tbi(path + ".tbi")
+    header: list[str] = []
+    with _gzip.open(path, "rt") as f:  # streams only the header blocks
+        for line in f:
+            if not line.startswith("#"):
+                break
+            header.append(line.rstrip("\n"))
+    header_lines, refs, sample_names = _header_from_lines(header)
+
+    rid = {n: i for i, n in enumerate(idx.names)}
+    chunks = merge_chunks(
+        [
+            c
+            for (rname, beg, end) in regions
+            if rname in rid
+            for c in idx.chunks_for(rid[rname], beg, end)
+        ]
+    )
+
+    def _lines(task_chunks):
+        for vb, ve in task_chunks:
+            text = read_chunk_bytes(path, vb, ve)
+            for ln in text.split(b"\n"):
+                if ln and not ln.startswith(b"#"):
+                    yield ln.decode()
+
+    par = spark.sparkContext.defaultParallelism
+    n_tasks = max(1, min(len(chunks), par * 2))
+    task_chunks: list[list[tuple[int, int]]] = [[] for _ in range(n_tasks)]
+    for i, c in enumerate(chunks):
+        task_chunks[i % n_tasks].append(c)
+    task_chunks = [t for t in task_chunks if t]
+    rdd = spark.sparkContext.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(
+        _lines
+    )
+    body = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
+    # exact overlap predicate on (CHROM, POS-1, POS-1+len(REF))
+    t = F.split(F.col("value"), "\t")
+    ref_c = F.element_at(t, 1)
+    beg_c = F.element_at(t, 2).cast("long") - 1
+    end_c = beg_c + F.length(F.element_at(t, 4))
+    pred = F.lit(False)
+    for rname, beg, end in regions:
+        pred = pred | (
+            (ref_c == F.lit(rname)) & (beg_c < F.lit(end)) & (end_c > F.lit(beg))
+        )
+    return vcf_lines_to_contexts(body.where(pred), header_lines, refs, sample_names)

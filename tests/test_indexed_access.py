@@ -1,0 +1,151 @@
+"""Binned-index (.bai / .tbi) machinery and region-seeking loaders.
+
+Reference: ADAMContext.loadIndexedBam:2125-2308 (.bai chunk seek) and
+ADAMContext.loadIndexedVcf:2760-2776 (tabix). Formats follow the
+public SAM §5.3 binning scheme and tabix spec."""
+
+import pytest
+
+from adam_spark.sources.binned_index import (
+    merge_chunks,
+    new_index,
+    read_bai,
+    read_tbi,
+    reg2bin,
+    reg2bins,
+    voffset,
+    write_bai,
+    write_tbi,
+)
+
+
+def test_reg2bin_scheme():
+    # level sanity: small intervals land in the finest level (>=4681)
+    assert reg2bin(0, 1) == 4681
+    assert reg2bin(16383, 16384) == 4681
+    assert reg2bin(16384, 16385) == 4682
+    # an interval spanning two 16kb windows promotes a level
+    assert 585 <= reg2bin(16000, 17000) < 4681
+    # whole-chromosome span → bin 0
+    assert reg2bin(0, 1 << 29) == 0
+    # reg2bins contains the record's own bin for any query overlap
+    for beg, end in ((0, 100), (16000, 17000), (1 << 20, (1 << 20) + 5000)):
+        b = reg2bin(beg, end)
+        assert b in reg2bins(beg, end)
+        assert b in reg2bins(beg + 1, end + 50)
+
+
+def test_merge_chunks():
+    assert merge_chunks([(10, 20), (20, 30), (40, 50), (5, 12)]) == [(5, 30), (40, 50)]
+
+
+def test_index_binary_roundtrip(tmp_path):
+    idx = new_index(["chr1", "chr2"])
+    idx.add_record(0, 100, 200, voffset(0, 10), voffset(0, 90))
+    idx.add_record(0, 100, 200, voffset(0, 90), voffset(0, 170))  # adjacent → extends
+    idx.add_record(1, 50_000, 50_100, voffset(7000, 0), voffset(7000, 500))
+    tbi = str(tmp_path / "x.tbi")
+    write_tbi(idx, tbi)
+    back = read_tbi(tbi)
+    assert back.names == ["chr1", "chr2"]
+    assert back.refs[0].bins[reg2bin(100, 200)] == [(voffset(0, 10), voffset(0, 170))]
+    assert back.chunks_for(1, 50_050, 50_060) == [(voffset(7000, 0), voffset(7000, 500))]
+    bai = str(tmp_path / "x.bai")
+    write_bai(idx, bai)
+    back2 = read_bai(bai)
+    assert back2.refs[1].bins == back.refs[1].bins
+
+
+@pytest.fixture()
+def big_bam(spark, tmp_path):
+    import random
+
+    from adam_spark.sources.bam import save_bam
+    from adam_spark.sources.sam import load_sam
+
+    rng = random.Random(21)
+    sam = tmp_path / "big.sam"
+    rows = []
+    for i in range(20_000):
+        ref = "chr1" if i % 2 else "chr2"
+        pos = 1 + (i * 2311) % 9_000_000
+        seq = "".join(rng.choice("ACGT") for _ in range(100))
+        rows.append((ref, pos, f"e{i}\t0\t{ref}\t{pos}\t60\t100M\t*\t0\t0\t{seq}\t{'I' * 100}\n"))
+    rows.sort()  # .bai narrows only coordinate-sorted files
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:10000000\n@SQ\tSN:chr2\tLN:10000000\n")
+        for _, _, line in rows:
+            f.write(line)
+    bam = str(tmp_path / "big.bam")
+    save_bam(load_sam(spark, str(sam)).sort(), bam)
+    return str(sam), bam
+
+
+def test_indexed_bam_seek_matches_full_filter(spark, big_bam):
+    import os
+
+    from adam_spark.sources.bam import load_bam, load_indexed_bam
+
+    sam, bam = big_bam
+    assert os.path.exists(bam + ".bai")
+    regions = [("chr1", 1_000_000, 1_400_000), ("chr2", 5_000_000, 5_200_000)]
+    got = load_indexed_bam(spark, bam, regions)
+    want = load_bam(spark, bam).filter_by_overlapping_regions(regions)
+    a = sorted(r["readName"] for r in got.df.collect())
+    b = sorted(r["readName"] for r in want.df.collect())
+    assert a == b and len(a) > 0
+
+
+def test_indexed_bam_reads_fraction_of_file(spark, big_bam):
+    """The .bai path must address a small subset of chunks for a small
+    region — the point of the index."""
+    from adam_spark.sources.bam import _read_bam_header, bgzf_block_offsets
+    from adam_spark.sources.binned_index import merge_chunks, read_bai, vsplit
+
+    _, bam = big_bam
+    idx = read_bai(bam + ".bai")
+    blocks = bgzf_block_offsets(bam)
+    _, ref_names, _, _ = _read_bam_header(bam, blocks)
+    chunks = merge_chunks(idx.chunks_for(0, 1_000_000, 1_016_000))
+    covered = sum(vsplit(ve)[0] - vsplit(vb)[0] + 65536 for vb, ve in chunks)
+    import os
+
+    assert covered < os.path.getsize(bam) / 2, "index did not narrow the scan"
+
+
+def test_indexed_vcf_tabix(spark, tmp_path):
+    from adam_spark.sources.vcf import load_indexed_vcf, load_vcf, save_vcf_bgzf
+
+    lines = ["##fileformat=VCFv4.3"]
+    lines.append('##contig=<ID=chr1,length=10000000>')
+    lines.append('##contig=<ID=chr2,length=10000000>')
+    lines.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1")
+    for i in range(3000):
+        ref = "chr1" if i % 2 else "chr2"
+        pos = 1 + (i * 3571) % 9_000_000
+        lines.append(
+            f"{ref}\t{pos}\t.\tA\tG\t50\tPASS\tDP={i % 90}\tGT:DP\t0/1:{i % 60}"
+        )
+    vcf = tmp_path / "x.vcf"
+    vcf.write_text("\n".join(lines) + "\n")
+    gf = load_vcf(spark, str(vcf))
+    gz = str(tmp_path / "x.vcf.gz")
+    save_vcf_bgzf(gf, gz)
+    import os
+
+    assert os.path.exists(gz + ".tbi")
+    regions = [("chr1", 2_000_000, 2_500_000), ("chr2", 100, 400_000)]
+    got = load_indexed_vcf(spark, gz, regions)
+    want = load_vcf(spark, str(vcf)).filter_by_overlapping_regions(regions)
+    a = sorted(
+        (r["referenceName"], r["start"], r["variant"]["alternateAllele"])
+        for r in got.df.collect()
+    )
+    b = sorted(
+        (r["referenceName"], r["start"], r["variant"]["alternateAllele"])
+        for r in want.df.collect()
+    )
+    assert a == b and len(a) > 0
+    # samples/genotypes survive the indexed path
+    row = got.df.limit(1).collect()[0]
+    assert row["genotypes"][0]["sampleId"] == "s1"
