@@ -284,12 +284,25 @@ def embedding_near_duplicates(
     )
     shuffle_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     cand = cand.repartition(shuffle_parts, "id_a")
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms precomputed once per VECTOR (N rows) instead of per PAIR —
+    # the verify fold then evaluates one dot product per candidate, not
+    # three; numerically identical to computing norms inline
+    va = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
         .where(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )

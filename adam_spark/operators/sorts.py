@@ -130,3 +130,36 @@ def repartition_by_genome(
         .sortWithinPartitions("__gidx", "__gpos")
         .drop("__gidx", "__gpos")
     )
+
+
+def sort_features_by_reference(df: DataFrame, ascending: bool = True) -> DataFrame:
+    """FeatureDataset.sortByReference (FeatureDataset.scala:935, custom
+    FeatureOrdering at :70-106): region first, then feature fields,
+    then gene-model structure with numeric exon/intron/rank tiebreaks
+    from the attributes map — nulls last at every level."""
+    def _i(attr: str) -> Column:
+        return F.element_at(F.col("attributes"), attr).cast("int")
+
+    keys = [
+        F.col("referenceName"),
+        F.col("start"),
+        F.col("end"),
+        F.col("strand"),
+        F.col("featureId"),
+        F.col("featureType"),
+        F.col("name"),
+        F.col("source"),
+        F.col("phase"),
+        F.col("frame"),
+        F.col("score"),
+        F.col("geneId"),
+        F.col("transcriptId"),
+        F.col("exonId"),
+        _i("exon_number"),
+        _i("intron_number"),
+        _i("rank"),
+    ]
+    ordered = [
+        (k.asc_nulls_last() if ascending else k.desc_nulls_last()) for k in keys
+    ]
+    return df.orderBy(*ordered)

@@ -217,3 +217,47 @@ def test_repartition_by_genome(spark):
     assert flat == [
         ("chr1", 10), ("chr1", 900), ("chr2", 1), ("chr2", 500), (None, None),
     ]
+
+
+def test_sort_features_by_reference_gene_model_tiebreaks(spark):
+    """FeatureOrdering parity (FeatureDataset.scala:70-106): same
+    region → featureId/type/gene fields break ties; exon_number is
+    compared NUMERICALLY (2 before 10); nulls last."""
+    from adam_spark.operators.sorts import sort_features_by_reference
+
+    rows = [
+        # same region, exon_number 10 vs 2 (string sort would invert)
+        ("chr1", 100, 200, "+", "f1", "exon", "g1", "t1", {"exon_number": "10"}),
+        ("chr1", 100, 200, "+", "f1", "exon", "g1", "t1", {"exon_number": "2"}),
+        # null featureId sorts after non-null
+        ("chr1", 100, 200, "+", None, "exon", "g1", "t1", {}),
+        # earlier start wins regardless of other fields
+        ("chr1", 50, 500, "+", "zzz", "gene", "g9", None, {}),
+        ("chr1", 100, 200, "+", "f0", "exon", "g1", "t1", {}),
+    ]
+    sch = (
+        "referenceName string, start long, end long, strand string, featureId string, "
+        "featureType string, geneId string, transcriptId string, attributes map<string,string>"
+    )
+    df = spark.createDataFrame(rows, sch)
+    import pyspark.sql.functions as F
+
+    df = (
+        df.withColumn("name", F.lit(None).cast("string"))
+        .withColumn("source", F.lit(None).cast("string"))
+        .withColumn("phase", F.lit(None).cast("int"))
+        .withColumn("frame", F.lit(None).cast("int"))
+        .withColumn("score", F.lit(None).cast("double"))
+        .withColumn("exonId", F.lit(None).cast("string"))
+    )
+    got = [
+        (r["start"], r["featureId"], r["attributes"].get("exon_number") if r["attributes"] else None)
+        for r in sort_features_by_reference(df).collect()
+    ]
+    assert got == [
+        (50, "zzz", None),
+        (100, "f0", None),
+        (100, "f1", "2"),
+        (100, "f1", "10"),
+        (100, None, None),
+    ]
