@@ -199,7 +199,11 @@ def sam_body_lines(df: DataFrame) -> DataFrame:
         F.coalesce(F.col("cigar"), F.lit("*")),
         F.coalesce(
             F.when(
-                F.col("mateReferenceName").eqNullSafe(F.col("referenceName")), F.lit("=")
+                # isNotNull guard: null==null under eqNullSafe would emit
+                # RNEXT '=' with RNAME '*' for unmapped unpaired reads
+                F.col("mateReferenceName").isNotNull()
+                & F.col("mateReferenceName").eqNullSafe(F.col("referenceName")),
+                F.lit("="),
             ).otherwise(F.col("mateReferenceName")),
             F.lit("*"),
         ),
