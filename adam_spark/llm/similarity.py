@@ -125,6 +125,58 @@ def cosine_topk_numpy(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """Distributed Lloyd's k-means for IVF centroid training.
+
+    The corpus never leaves the executors: each iteration broadcasts
+    the k current centroids (tiny), assigns every vector to its nearest
+    centroid with one vectorized pandas-UDF pass (argmax of a GEMM on
+    normalized vectors — spherical k-means, the right objective for
+    cosine search), and recomputes means with a groupBy. Driver holds
+    only k×dim floats. Returns (cent_id, cent_vec) for :func:`ivf_topk`.
+    """
+    from pyspark.sql.types import IntegerType
+
+    first = (
+        corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    )  # deterministic seeding: first-k by id (k×dim driver bytes only)
+    cents = np.asarray([r[vec_col] for r in first], dtype=np.float64)
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        c_norm = cents / np.maximum(np.linalg.norm(cents, axis=1), 1e-12)[:, None]
+        bc = spark.sparkContext.broadcast(c_norm)
+
+        @F.pandas_udf(IntegerType())
+        def assign(vecs: pd.Series) -> pd.Series:
+            cn = bc.value
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+            return pd.Series(np.argmax(mat @ cn.T, axis=1).astype(np.int32))
+
+        assigned = corpus.select(
+            assign(F.col(vec_col)).alias("cid"), F.col(vec_col).alias("v")
+        )
+        dim = cents.shape[1]
+        sums = assigned.groupBy("cid").agg(
+            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for r in sums:
+            new[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        cents = new
+        bc.destroy()
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    return spark.createDataFrame(rows, "cent_id int, cent_vec array<double>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,13 +185,22 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: probe only the n_probe nearest centroid buckets."""
-    centroids = F.broadcast(
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
+    """Approximate top-k: probe only the n_probe nearest centroid buckets.
+
+    ``centroids``: optional (cent_id, cent_vec) table, e.g. from
+    :func:`kmeans_centroids` — the production path. The default (first
+    ``n_centroids`` corpus rows by id) stays deterministic so the
+    DuckDB correctness oracle can replicate bucketing exactly.
+    """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        )
+    centroids = F.broadcast(centroids)
     # assign corpus rows to nearest centroid (rank 1)
     c_scored = corpus.crossJoin(centroids).select(
         F.col(id_col).alias("neighbor_id"),

@@ -228,3 +228,23 @@ def test_multimodal_resize(spark):
     assert len(r["data"]) == 16
     # deterministic: resampled from the source bytes
     assert resize_images(df, 4, 4).collect()[0]["data"] == r["data"]
+
+
+def test_kmeans_ivf_improves_recall(embs):
+    """k-means centroids must beat (or match) naive first-N centroids
+    for IVF recall at equal probe budget, and empty clusters must not
+    crash the trainer."""
+    from adam_spark.llm.similarity import cosine_topk, ivf_topk, kmeans_centroids
+
+    cents = kmeans_centroids(embs, k=8, iters=3)
+    assert cents.count() == 8
+    queries = embs.where("vec_id < 10")
+    exact = cosine_topk(embs, queries, k=5).collect()
+    trained = ivf_topk(embs, queries, k=5, n_probe=4, centroids=cents).collect()
+    ex, tr = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in trained:
+        tr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(ex[q] & tr.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+    assert recall > 0.5
