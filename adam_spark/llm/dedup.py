@@ -207,24 +207,26 @@ def minhash_lsh_pairs(
     )
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     sigs = minhash_signatures(base, "id", F.col("sh"), num_hashes)
-    # NOTE: the band self-join reads `sigs` twice and verification reads
-    # `base` twice; Spark's ReuseExchange dedups those identical subtrees
-    # at runtime (measured: persisting them buys nothing warm and costs
-    # ~30% cold), so no explicit caching here.
-    bandsdf = lsh_bands(sigs, bands)
+    # the band table feeds BOTH sides of the self-join, and Spark does
+    # NOT reuse the exchange across the differently-aliased sides (the
+    # signature UDF would run twice) — persist the slim (id, band,
+    # band_hash) table: ~bands rows per doc, a few MB per million docs
+    from pyspark.storagelevel import StorageLevel
+
+    bandsdf = lsh_bands(sigs, bands).persist(StorageLevel.MEMORY_AND_DISK)
     a = bandsdf.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = bandsdf.select(F.col("id").alias("id_b"), "band", "band_hash")
+    # one exchange serves both dedup and the verify-stage rebalance:
+    # hash-partitioning on id_a satisfies the (id_a, id_b) clustering
+    # the dropDuplicates aggregate needs, so Catalyst inserts no second
+    # shuffle; candidate rows are slim but each does O(|doc|) verify
+    # work, hence the rebalance by CPU cost, not bytes.
     cand = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
-    )
-    # candidate rows are slim (two ids) so AQE coalesces them into very few
-    # partitions, but each row then does O(|doc|) array work in the verify
-    # stage — rebalance by CPU cost, not bytes.
-    cand = cand.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "id_a"
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
+        .dropDuplicates(["id_a", "id_b"])
     )
     # verification: |A∩B| once, |A∪B| by arithmetic (no union allocation).
     # The shingle side is one row per document; broadcast_verify=True pins a

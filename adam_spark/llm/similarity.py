@@ -334,17 +334,26 @@ def embedding_near_duplicates(
         r_def, b_def = srp_params(threshold)
         rows_per_band = rows_per_band or r_def
         bands = bands or b_def
-    hashed = srp_band_hashes(corpus, id_col, vec_col, dim, rows_per_band, bands)
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: feeds both self-join sides (Spark does not reuse the
+    # exchange across differently-aliased sides, so the projection UDF
+    # would otherwise run twice); slim (id, band, band_hash) rows
+    hashed = srp_band_hashes(corpus, id_col, vec_col, dim, rows_per_band, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = hashed.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = hashed.select(F.col("id").alias("id_b"), "band", "band_hash")
+    shuffle_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # one exchange serves dedup + verify rebalance (partitioning on id_a
+    # satisfies the (id_a, id_b) clustering of dropDuplicates)
     cand = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+        .repartition(shuffle_parts, "id_a")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    shuffle_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    cand = cand.repartition(shuffle_parts, "id_a")
     # norms precomputed once per VECTOR (N rows) instead of per PAIR —
     # the verify fold then evaluates one dot product per candidate, not
     # three; numerically identical to computing norms inline
