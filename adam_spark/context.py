@@ -203,6 +203,8 @@ def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> Non
         _feat.save_narrowpeak(gf, path, single_file=single_file)
     elif _has_ext(path, ".interval_list"):
         _feat.save_interval_list(gf, path, single_file=single_file)
+    elif path.lower().endswith((".vcf.gz", ".vcf.bgz")):
+        _vcf.save_vcf_bgzf(gf, path)  # bgzip + tabix index
     elif _has_ext(path, ".vcf"):
         _vcf.save_vcf(gf, path, single_file=single_file)
     elif _has_ext(path, ".fa", ".fasta"):

@@ -149,3 +149,25 @@ def test_indexed_vcf_tabix(spark, tmp_path):
     # samples/genotypes survive the indexed path
     row = got.df.limit(1).collect()[0]
     assert row["genotypes"][0]["sampleId"] == "s1"
+
+
+def test_vcf_gz_polymorphic_dispatch(spark, tmp_path):
+    """save() to .vcf.gz writes bgzip + .tbi; load dispatch reads it back
+    (spark.read.text decodes BGZF through the gzip codec)."""
+    import os
+
+    from adam_spark.context import save
+    from adam_spark.sources.vcf import load_vcf
+
+    lines = ["##fileformat=VCFv4.3", "##contig=<ID=chr1,length=100000>",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1"]
+    for i in range(40):
+        lines.append(f"chr1\t{i * 100 + 1}\t.\tA\tG\t50\tPASS\tDP=3\tGT\t0/1")
+    vcf = tmp_path / "p.vcf"
+    vcf.write_text("\n".join(lines) + "\n")
+    gf = load_vcf(spark, str(vcf))
+    gz = str(tmp_path / "p.vcf.gz")
+    save(gf, gz)
+    assert os.path.exists(gz + ".tbi")
+    back = load_vcf(spark, gz)
+    assert back.df.count() == gf.df.count() == 40
