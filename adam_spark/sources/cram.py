@@ -491,6 +491,24 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
     return rl
 
 
+def _tag_value_len(typ: str, buf, p: int) -> int:
+    """Byte length of one BAM-typed tag value at ``p`` (self-delimited)."""
+    if typ in "cCA":
+        return 1
+    if typ in "sS":
+        return 2
+    if typ in "iIf":
+        return 4
+    if typ in "ZH":
+        return buf.index(b"\x00", p) - p + 1
+    if typ == "B":
+        sub = chr(buf[p])
+        n = struct.unpack_from("<I", buf, p + 1)[0]
+        width = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+        return 5 + n * width
+    raise ValueError(f"unknown tag type {typ!r}")
+
+
 def _decode_record(c: _Cursors, ref_names: list[str],
                    tag_lines: list, tag_cids: dict) -> str:
     from adam_spark.sources.bam import _aux_to_text
@@ -511,9 +529,11 @@ def _decode_record(c: _Cursors, ref_names: list[str],
     for tag, typ in tag_lines[tl]:
         cid = tag_cids[(tag, typ)]
         buf, p = c.get_tag(cid)
-        txt, p2 = _aux_to_text(b"XX" + typ.encode() + buf[p:], 0)
-        consumed = p2 - 3
-        c.set_tag_pos(cid, p + consumed)
+        # slice exactly one value (self-delimited length) — no O(stream)
+        # tail copy per tag, so container decode stays linear
+        ln = _tag_value_len(typ, buf, p)
+        txt, _ = _aux_to_text(b"XX" + typ.encode() + buf[p : p + ln], 0)
+        c.set_tag_pos(cid, p + ln)
         tags.append(f"{tag}{txt[2:]}")
     mapped = not (flag & 0x4)
     seq, cigar, mapq = "*", "*", 0
