@@ -55,10 +55,14 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors per query: (query_id, neighbor_id, rank, sim)."""
+    """Exact top-k neighbors per query: (query_id, neighbor_id, rank, sim).
+
+    The QUERY set broadcasts (O(queries), small by assumption) and the
+    corpus streams through executors — the side that grows with data
+    never broadcasts, so the plan survives a corpus 100× larger."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    scored = q.crossJoin(F.broadcast(c)).where(F.col("query_id") != F.col("neighbor_id")).select(
+    scored = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
         cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
