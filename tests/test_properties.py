@@ -163,3 +163,67 @@ def test_coverage_depth_equals_bruteforce(spark, seed):
     cov = to_coverage(df, collapse=False)
     got = {r["start"]: r["count"] for r in cov.collect()}
     assert got == {p: float(c) for p, c in truth.items()}
+
+
+# --- container codec properties (pure python, fast) -----------------------
+
+
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+@settings(max_examples=300, deadline=None)
+def test_itf8_roundtrip(v):
+    from adam_spark.sources.cram import itf8_decode, itf8_encode
+
+    e = itf8_encode(v)
+    d, off = itf8_decode(e, 0)
+    assert (d, off) == (v, len(e))
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_ltf8_roundtrip(v):
+    from adam_spark.sources.cram import ltf8_decode, ltf8_encode
+
+    e = ltf8_encode(v)
+    d, off = ltf8_decode(e, 0)
+    assert (d, off) == (v, len(e))
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_bam_record_codec_random_fields(data):
+    """SAM line → BAM record → SAM line is identity for random reads
+    with random typed tags (the §5 codec-parity bar, randomized)."""
+    from adam_spark.sources.bam import _record_to_sam_line, sam_line_to_bam_record
+
+    rng = random.Random(data.draw(st.integers(0, 2**32)))
+    n = rng.randrange(1, 40)
+    seq = "".join(rng.choice(BASES) for _ in range(n))
+    qual = "".join(chr(33 + rng.randrange(0, 60)) for _ in range(n))
+    cig_ops = []
+    left = n
+    while left > 0:
+        take = rng.randrange(1, left + 1)
+        cig_ops.append(f"{take}{rng.choice('MIS=X')}")
+        left -= take
+    if rng.random() < 0.3:
+        cig_ops.insert(rng.randrange(len(cig_ops) + 1), f"{rng.randrange(1, 9)}D")
+    cigar = "".join(cig_ops)
+    tags = []
+    if rng.random() < 0.7:
+        tags.append(f"NM:i:{rng.randrange(-100, 1000)}")
+    if rng.random() < 0.5:
+        tags.append(f"XZ:Z:{''.join(rng.choice('abcXYZ') for _ in range(rng.randrange(0, 9)))}")
+    if rng.random() < 0.3:
+        tags.append("XB:B:S," + ",".join(str(rng.randrange(0, 65536)) for _ in range(3)))
+    if rng.random() < 0.3:
+        tags.append(f"XA:A:{rng.choice('acgtn')}")
+    fields = [
+        f"r{rng.randrange(1000)}", str(rng.choice([0, 16, 99, 147, 83, 163])),
+        "chr1", str(rng.randrange(1, 100000)), str(rng.randrange(0, 61)),
+        cigar, "*", "0", "0", seq, qual,
+    ] + tags
+    line = "\t".join(fields)
+    rec = sam_line_to_bam_record(line, {"chr1": 0})
+    back = _record_to_sam_line(rec[4:], ["chr1"])
+    # aux int types normalize (i stays i); B:S values round-trip exactly
+    assert back == line
