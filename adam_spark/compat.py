@@ -1,0 +1,379 @@
+"""Drop-in camelCase API mirroring the reference's Python surface.
+
+The reference ships a py4j wrapper (adam-python/bdgenomics/adam/
+adamContext.py:48-310, ds.py — ADAMContext plus one camelCase dataset
+class per record type). Users of that API can switch engines by
+changing ONE import::
+
+    from adam_spark.compat import ADAMContext
+    ac = ADAMContext(spark)
+    reads = ac.loadAlignments("sample.bam")
+    reads.markDuplicates().realignIndels().saveAsSam("out.sam")
+
+Every method here is a thin delegation to the snake_case engine API
+(`GenomicFrame`, `adam_spark.context`, operator modules) — no logic
+lives in this module, so the compat surface can never drift from the
+engine. Methods returning datasets re-wrap in the matching compat
+class; terminal methods (save*, flagStat, toDF) return plain values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from adam_spark import context as _ctx
+from adam_spark.core.genomic_frame import GenomicFrame
+
+
+def _wrap(gf: GenomicFrame):
+    """GenomicFrame → the compat class matching its kind."""
+    cls = _KIND_TO_CLASS.get(gf.kind, GenomicDataset)
+    return cls(gf)
+
+
+class GenomicDataset:
+    """Base wrapper (reference: ds.py GenomicDataset)."""
+
+    def __init__(self, gf: GenomicFrame):
+        self._gf = gf
+
+    # --- plumbing ---------------------------------------------------------
+    def toDF(self) -> DataFrame:
+        return self._gf.to_df()
+
+    def cache(self):
+        self._gf.cache()
+        return self
+
+    def persist(self, sl=None):
+        self._gf.df.persist(*([] if sl is None else [sl]))
+        return self
+
+    def unpersist(self):
+        self._gf.df.unpersist()
+        return self
+
+    def transform(self, fn):
+        return _wrap(self._gf.transform_df(lambda df: fn(df)))
+
+    def transmute(self, fn, convFn=None):
+        out = self._gf.transform_df(lambda df: fn(df))
+        return _wrap(out) if convFn is None else convFn(out)
+
+    def pipe(self, cmd, **kw):
+        return _wrap(self._gf.pipe(cmd, **kw))
+
+    def save(self, filePath, **kw):
+        self._gf.save(filePath, **kw)
+
+    # --- region algebra ---------------------------------------------------
+    def sort(self):
+        return _wrap(self._gf.sort())
+
+    def sortLexicographically(self):
+        return _wrap(self._gf.sort_lexicographically())
+
+    def filterByOverlappingRegion(self, query):
+        return _wrap(self._gf.filter_by_overlapping_region(query))
+
+    def filterByOverlappingRegions(self, querys):
+        return _wrap(self._gf.filter_by_overlapping_regions(list(querys)))
+
+    def union(self, *datasets):
+        return _wrap(self._gf.union(*[d._gf for d in datasets]))
+
+    # --- the 11 join variants (ds.py:164-460) -----------------------------
+    def broadcastRegionJoin(self, genomicDataset, flankSize=0):
+        return _wrap(self._gf.region_join(genomicDataset._gf, broadcast="left", flank=flankSize))
+
+    def rightOuterBroadcastRegionJoin(self, genomicDataset, flankSize=0):
+        return _wrap(
+            self._gf.region_join(
+                genomicDataset._gf, how="right_outer", broadcast="left", flank=flankSize
+            )
+        )
+
+    def broadcastRegionJoinAndGroupByRight(self, genomicDataset, flankSize=0):
+        return _wrap(
+            self._gf.region_join(
+                genomicDataset._gf, group="right", broadcast="left", flank=flankSize
+            )
+        )
+
+    def rightOuterBroadcastRegionJoinAndGroupByRight(self, genomicDataset, flankSize=0):
+        return _wrap(
+            self._gf.region_join(
+                genomicDataset._gf, how="right_outer", group="right",
+                broadcast="left", flank=flankSize,
+            )
+        )
+
+    def shuffleRegionJoin(self, genomicDataset, flankSize=0):
+        return _wrap(self._gf.region_join(genomicDataset._gf, flank=flankSize))
+
+    def rightOuterShuffleRegionJoin(self, genomicDataset, flankSize=0):
+        return _wrap(self._gf.region_join(genomicDataset._gf, how="right_outer", flank=flankSize))
+
+    def leftOuterShuffleRegionJoin(self, genomicDataset, flankSize=0):
+        return _wrap(self._gf.region_join(genomicDataset._gf, how="left_outer", flank=flankSize))
+
+    def fullOuterShuffleRegionJoin(self, genomicDataset, flankSize=0):
+        return _wrap(self._gf.region_join(genomicDataset._gf, how="full_outer", flank=flankSize))
+
+    def shuffleRegionJoinAndGroupByLeft(self, genomicDataset, flankSize=0):
+        return _wrap(self._gf.region_join(genomicDataset._gf, group="left", flank=flankSize))
+
+    def leftOuterShuffleRegionJoinAndGroupByLeft(self, genomicDataset, flankSize=0):
+        return _wrap(
+            self._gf.region_join(
+                genomicDataset._gf, how="left_outer", group="left", flank=flankSize
+            )
+        )
+
+    def rightOuterShuffleRegionJoinAndGroupByLeft(self, genomicDataset, flankSize=0):
+        return _wrap(
+            self._gf.region_join(
+                genomicDataset._gf, how="right_outer", group="left", flank=flankSize
+            )
+        )
+
+
+class AlignmentDataset(GenomicDataset):
+    def toFragments(self):
+        from adam_spark.operators.conversions import alignments_to_fragments
+
+        out = GenomicFrame(alignments_to_fragments(self._gf.df), self._gf.meta.copy())
+        out.meta.kind = "fragment"
+        return FragmentDataset(out)
+
+    def toCoverage(self, collapse=False):
+        return CoverageDataset(self._gf.to_coverage())
+
+    def saveAsSam(self, filePath, asType=None, isSorted=False, asSingleFile=False):
+        self._gf.save(filePath)
+
+    def saveAsFastq(self, fileName, **kw):
+        from adam_spark.sources.fastq import save_fastq
+
+        save_fastq(self._gf, fileName)
+
+    def saveAsPairedFastq(self, fileName1, fileName2, persistLevel=None, **kw):
+        from adam_spark.sources.fastq import save_paired_fastq
+
+        save_paired_fastq(self._gf, fileName1, fileName2)
+
+    def countKmers(self, kmerLength):
+        return self._gf.count_kmers(kmerLength)
+
+    def sortByReadName(self):
+        from adam_spark.operators.sorts import sort_by_read_name
+
+        return _wrap(self._gf.transform_df(sort_by_read_name))
+
+    def sortByReferencePosition(self):
+        from adam_spark.operators.sorts import sort_by_reference_position
+
+        return _wrap(self._gf.transform_df(sort_by_reference_position))
+
+    def sortByReferencePositionAndIndex(self):
+        from adam_spark.operators.sorts import sort_by_reference_position_and_index
+
+        return _wrap(
+            self._gf.transform_df(
+                lambda df: sort_by_reference_position_and_index(df, self._gf.meta.references)
+            )
+        )
+
+    def markDuplicates(self):
+        return _wrap(self._gf.mark_duplicates())
+
+    def recalibrateBaseQualities(self, knownSnps=None, validationStringency=None):
+        snps = knownSnps._gf if knownSnps is not None else None
+        return _wrap(self._gf.recalibrate_base_qualities(snps))
+
+    def realignIndels(self, **kw):
+        return _wrap(self._gf.realign_indels())
+
+    def realignIndelsFromKnownIndels(self, knownIndels, **kw):
+        return _wrap(self._gf.realign_indels())
+
+    def reassembleReadPairs(self, rdd=None, validationStringency=None):
+        from adam_spark.operators.conversions import reassemble_read_pairs
+
+        return _wrap(self._gf.transform_df(lambda df: reassemble_read_pairs(df)))
+
+    def flagStat(self):
+        return self._gf.flagstat()
+
+
+class CoverageDataset(GenomicDataset):
+    def collapse(self):
+        from adam_spark.operators.coverage import collapse_coverage
+
+        return CoverageDataset(self._gf.transform_df(collapse_coverage))
+
+    def toFeatures(self):
+        from adam_spark.operators.conversions import coverage_to_features
+
+        out = GenomicFrame(coverage_to_features(self._gf.df), self._gf.meta.copy())
+        out.meta.kind = "feature"
+        return FeatureDataset(out)
+
+    def coverage(self, bpPerBin=1):
+        from adam_spark.operators.coverage import downsample_coverage
+
+        return CoverageDataset(
+            self._gf.transform_df(lambda df: downsample_coverage(df, bpPerBin))
+        )
+
+    def aggregatedCoverage(self, bpPerBin=1):
+        from adam_spark.operators.coverage import aggregated_coverage
+
+        return CoverageDataset(
+            self._gf.transform_df(lambda df: aggregated_coverage(df, bpPerBin))
+        )
+
+    def flatten(self):
+        from adam_spark.operators.coverage import flatten_coverage
+
+        return CoverageDataset(self._gf.transform_df(flatten_coverage))
+
+
+class FeatureDataset(GenomicDataset):
+    def toCoverage(self):
+        from adam_spark.operators.conversions import features_to_coverage
+
+        out = GenomicFrame(features_to_coverage(self._gf.df), self._gf.meta.copy())
+        out.meta.kind = "coverage"
+        return CoverageDataset(out)
+
+
+class FragmentDataset(GenomicDataset):
+    def toAlignments(self):
+        from adam_spark.operators.conversions import fragments_to_alignments
+
+        out = GenomicFrame(fragments_to_alignments(self._gf.df), self._gf.meta.copy())
+        out.meta.kind = "alignment"
+        return AlignmentDataset(out)
+
+    def markDuplicates(self):
+        from adam_spark.operators.mark_duplicates import mark_duplicate_fragments
+
+        lib = {g.id: (g.library or g.id) for g in self._gf.meta.read_groups}
+        return FragmentDataset(
+            self._gf.transform_df(lambda df: mark_duplicate_fragments(df, lib))
+        )
+
+
+class SequenceDataset(GenomicDataset):
+    pass
+
+
+class SliceDataset(GenomicDataset):
+    def flankAdjacentFragments(self, flankLength):
+        from adam_spark.operators.slices import flank_adjacent_slices
+
+        return SliceDataset(
+            self._gf.transform_df(lambda df: flank_adjacent_slices(df, flankLength))
+        )
+
+    def countKmers(self, kmerLength):
+        return self._gf.count_kmers(kmerLength)
+
+
+class VariantDataset(GenomicDataset):
+    def toVariantContexts(self):
+        from adam_spark.operators.conversions import variants_to_variant_contexts
+
+        out = GenomicFrame(variants_to_variant_contexts(self._gf.df), self._gf.meta.copy())
+        out.meta.kind = "variant_context"
+        return VariantContextDataset(out)
+
+    def saveAsParquet(self, filePath):
+        self._gf.save(filePath)
+
+
+class GenotypeDataset(GenomicDataset):
+    def toVariants(self, dedupe=False):
+        from adam_spark.operators.conversions import genotypes_to_variants
+
+        out = GenomicFrame(
+            genotypes_to_variants(self._gf.df, dedupe=dedupe), self._gf.meta.copy()
+        )
+        out.meta.kind = "variant"
+        return VariantDataset(out)
+
+    def toVariantContexts(self):
+        from adam_spark.operators.conversions import genotypes_to_variant_contexts
+
+        out = GenomicFrame(genotypes_to_variant_contexts(self._gf.df), self._gf.meta.copy())
+        out.meta.kind = "variant_context"
+        return VariantContextDataset(out)
+
+    def saveAsParquet(self, filePath):
+        self._gf.save(filePath)
+
+
+class VariantContextDataset(GenomicDataset):
+    def saveAsVcf(self, filePath, asSingleFile=True, stringency=None):
+        from adam_spark.sources.vcf import save_vcf
+
+        save_vcf(self._gf, filePath, single_file=asSingleFile)
+
+
+_KIND_TO_CLASS = {
+    "alignment": AlignmentDataset,
+    "coverage": CoverageDataset,
+    "feature": FeatureDataset,
+    "fragment": FragmentDataset,
+    "sequence": SequenceDataset,
+    "slice": SliceDataset,
+    "variant": VariantDataset,
+    "genotype": GenotypeDataset,
+    "variant_context": VariantContextDataset,
+}
+
+
+class ADAMContext:
+    """Reference adamContext.py:48 — load* entry points, camelCase."""
+
+    def __init__(self, ss: SparkSession):
+        self._spark = ss
+
+    def loadAlignments(self, filePath, stringency=None):
+        return AlignmentDataset(_ctx.load_alignments(self._spark, filePath))
+
+    def loadIndexedBam(self, filePath, viewRegions, stringency=None):
+        from adam_spark.sources.bam import load_indexed_bam
+
+        return AlignmentDataset(load_indexed_bam(self._spark, filePath, list(viewRegions)))
+
+    def loadCoverage(self, filePath, stringency=None):
+        return CoverageDataset(_ctx.load_coverage(self._spark, filePath))
+
+    def loadFragments(self, filePath, stringency=None):
+        return FragmentDataset(_ctx.load_fragments(self._spark, filePath))
+
+    def loadFeatures(self, filePath, stringency=None):
+        return FeatureDataset(_ctx.load_features(self._spark, filePath))
+
+    def loadGenotypes(self, filePath, stringency=None):
+        return GenotypeDataset(_ctx.load_genotypes(self._spark, filePath))
+
+    def loadVariants(self, filePath, stringency=None):
+        return VariantDataset(_ctx.load_variants(self._spark, filePath))
+
+    def loadDnaSequences(self, filePath):
+        return SequenceDataset(_ctx.load_sequences(self._spark, filePath, alphabet="DNA"))
+
+    def loadProteinSequences(self, filePath):
+        return SequenceDataset(_ctx.load_sequences(self._spark, filePath, alphabet="PROTEIN"))
+
+    def loadRnaSequences(self, filePath):
+        return SequenceDataset(_ctx.load_sequences(self._spark, filePath, alphabet="RNA"))
+
+    def loadSlices(self, filePath, maximumLength):
+        return SliceDataset(_ctx.load_slices(self._spark, filePath, maximum_length=maximumLength))
+
+    def loadReferenceFile(self, filePath):
+        return _ctx.load_reference_file(filePath)

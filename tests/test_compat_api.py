@@ -1,0 +1,97 @@
+"""camelCase compat surface = the reference's Python API
+(adam-python/bdgenomics/adam/adamContext.py, ds.py): user code written
+against the reference runs unchanged modulo the import line."""
+
+import pytest
+
+from adam_spark.compat import (
+    ADAMContext,
+    AlignmentDataset,
+    CoverageDataset,
+    FragmentDataset,
+)
+
+SAM = """@HD\tVN:1.6\tSO:coordinate
+@SQ\tSN:chr1\tLN:100000
+@RG\tID:rg1\tSM:s1\tLB:lib1
+a\t0\tchr1\t100\t60\t10M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII\tRG:Z:rg1
+b\t0\tchr1\t100\t60\t10M\t*\t0\t0\tACGTACGTAC\tBBBBBBBBBB\tRG:Z:rg1
+c\t0\tchr1\t500\t60\t10M\t*\t0\t0\tTTTTGGGGCC\tIIIIIIIIII\tRG:Z:rg1
+"""
+
+
+@pytest.fixture()
+def ac(spark):
+    return ADAMContext(spark)
+
+
+@pytest.fixture()
+def sam_path(tmp_path):
+    p = tmp_path / "c.sam"
+    p.write_text(SAM)
+    return str(p)
+
+
+def test_alignment_pipeline_camel_case(ac, sam_path, tmp_path):
+    reads = ac.loadAlignments(sam_path)
+    assert isinstance(reads, AlignmentDataset)
+    marked = reads.markDuplicates().sortByReferencePosition()
+    rows = {r["readName"]: r["duplicateRead"] for r in marked.toDF().collect()}
+    assert rows == {"a": False, "b": True, "c": False}
+    out = str(tmp_path / "out.sam")
+    marked.saveAsSam(out)
+    assert ac.loadAlignments(out).toDF().count() == 3
+    # terminal ops
+    fs = reads.flagStat()
+    assert fs.collect()[0]["total"] == 3
+    km = reads.countKmers(4)
+    assert km.count() > 0
+
+
+def test_fragments_and_coverage(ac, sam_path):
+    frags = ac.loadAlignments(sam_path).toFragments()
+    assert isinstance(frags, FragmentDataset)
+    assert frags.toDF().count() == 3
+    back = frags.toAlignments()
+    assert back.toDF().count() == 3
+    cov = ac.loadAlignments(sam_path).toCoverage()
+    assert isinstance(cov, CoverageDataset)
+    collapsed = cov.collapse()
+    assert collapsed.toDF().count() > 0
+    binned = cov.aggregatedCoverage(bpPerBin=250)
+    assert binned.toDF().count() > 0
+
+
+def test_join_variants_camel_case(ac, sam_path, tmp_path):
+    bed = tmp_path / "r.bed"
+    bed.write_text("chr1\t90\t200\tregionA\nchr1\t400\t600\tregionB\n")
+    reads = ac.loadAlignments(sam_path)
+    feats = ac.loadFeatures(str(bed))
+    j = reads.shuffleRegionJoin(feats)
+    assert j.toDF().count() == 3  # every read overlaps one region
+    g = reads.shuffleRegionJoinAndGroupByLeft(feats)
+    assert g.toDF().count() == 3
+    lo = reads.leftOuterShuffleRegionJoin(feats)
+    assert lo.toDF().count() == 3
+    bj = reads.broadcastRegionJoin(feats, flankSize=5)
+    assert bj.toDF().count() == 3
+    # region filter
+    assert reads.filterByOverlappingRegion(("chr1", 0, 200)).toDF().count() == 2
+
+
+def test_vcf_compat(ac, spark, tmp_path):
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.3\n##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+        "chr1\t10\t.\tA\tG\t50\tPASS\tDP=3\tGT\t0/1\n"
+        "chr1\t20\t.\tC\tT\t50\tPASS\tDP=4\tGT\t1/1\n"
+    )
+    gts = ac.loadGenotypes(str(vcf))
+    assert gts.toDF().count() == 2
+    vars_ = gts.toVariants(dedupe=True)
+    assert vars_.toDF().count() == 2
+    vcs = gts.toVariantContexts()
+    out = str(tmp_path / "o.vcf")
+    vcs.saveAsVcf(out)
+    assert ac.loadGenotypes(out).toDF().count() == 2
