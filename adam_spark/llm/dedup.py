@@ -205,14 +205,19 @@ def minhash_lsh_pairs(
     sh = word_ngrams(F.col(text_col), shingle_ngram) if shingle_ngram > 1 else distinct_tokens(
         F.col(text_col)
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # base (full token arrays) intentionally NOT persisted: it feeds the
+    # signature pipeline and the two verify broadcasts, but re-running a
+    # narrow tokenize scan is cheaper at corpus scale than materializing
+    # the tokenized corpus (measured: persisting buys ~0.2 s warm at
+    # sf0.1 and nothing cold)
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     sigs = minhash_signatures(base, "id", F.col("sh"), num_hashes)
     # the band table feeds BOTH sides of the self-join, and Spark does
     # NOT reuse the exchange across the differently-aliased sides (the
     # signature UDF would run twice) — persist the slim (id, band,
     # band_hash) table: ~bands rows per doc, a few MB per million docs
-    from pyspark.storagelevel import StorageLevel
-
     bandsdf = lsh_bands(sigs, bands).persist(StorageLevel.MEMORY_AND_DISK)
     a = bandsdf.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = bandsdf.select(F.col("id").alias("id_b"), "band", "band_hash")
