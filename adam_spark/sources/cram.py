@@ -639,11 +639,20 @@ def decode_container(buf, off: int, hdr, ref_names: list[str]):
     comp_data = None
     ext: dict[int, bytes] = {}
     n_records = 0
+    n_slices = 0
     while p < end:
         ctype, cid, data, p = _read_block(buf, p)
         if ctype == _CT_COMPRESSION_HEADER:
             comp_data = data
         elif ctype == _CT_SLICE_HEADER:
+            n_slices += 1
+            if n_slices > 1:
+                # external streams are slice-scoped; merging two slices'
+                # blocks would mispoint every cursor — fail loudly
+                raise ValueError(
+                    "multi-slice CRAM containers are outside this codec's "
+                    "subset (writer emits one slice per container)"
+                )
             q = 0
             _refid, q = itf8_decode(data, q)
             _start, q = itf8_decode(data, q)
