@@ -60,11 +60,13 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     """
     fp = F.md5(F.lower(F.col(text_col)))
     keyed = df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fingerprint")
+    # groupBy + join rather than a window: min() partial-aggregates
+    # map-side, so a mega-cluster of identical documents (the common
+    # pathology of crawled corpora) shrinks BEFORE the shuffle instead
+    # of landing one window task; the re-join skew is AQE-split
+    canon = keyed.groupBy("fingerprint").agg(F.min("id").alias("canonical_id"))
     return (
-        keyed.withColumn("canonical_id", F.min("id").over(w))
+        keyed.join(canon, "fingerprint")
         .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
         .select("id", "fingerprint", "canonical_id", "is_duplicate")
     )
@@ -342,11 +344,11 @@ def simhash_duplicates(
 ) -> DataFrame:
     """Documents sharing a simhash fingerprint (candidate near-dups)."""
     fps = simhash(df, id_col, text_col, bits)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("simhash")
+    # same skew-safe shape as exact_duplicates: partial-aggregated
+    # groupBy + AQE-split join instead of a hot-key window
+    canon = fps.groupBy("simhash").agg(F.min("id").alias("canonical_id"))
     return (
-        fps.withColumn("canonical_id", F.min("id").over(w))
+        fps.join(canon, "simhash")
         .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
         .select("id", "simhash", "canonical_id", "is_duplicate")
     )
