@@ -518,7 +518,9 @@ def dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _DEDUP_EXACT_SQL = """
-WITH f AS (SELECT doc_id AS id, md5(lower(text)) AS fingerprint FROM documents)
+WITH f AS (SELECT doc_id AS id,
+                  COALESCE(md5(lower(text)), '__NULL_TEXT__') AS fingerprint
+           FROM documents)
 SELECT id, fingerprint,
   MIN(id) OVER (PARTITION BY fingerprint) AS canonical_id,
   id != MIN(id) OVER (PARTITION BY fingerprint) AS is_duplicate
@@ -1526,10 +1528,17 @@ def bqsr_observation_table(spark: SparkSession, sf: str) -> DataFrame:
         "dinuc",
         F.col("total").cast("long").alias("total"),
         F.col("mismatches").cast("long").alias("mismatches"),
-        # fixed-point micro-units: float sums accumulated in different orders
-        # by Spark vs DuckDB round differently at the 6th decimal; a long
-        # comparison is exact
-        F.round(F.col("expectedErrors") * 1e6).cast("long").alias("expectedErrors_micro"),
+        # closed-form: quality is a GROUP KEY, so every base in the group has
+        # the identical error probability and the per-base float sum collapses
+        # to total * 10^(-q/10) exactly. Computing it AFTER aggregation from
+        # the exact long `total` removes float accumulation entirely — the
+        # summed-then-rounded version hashed red whenever Spark's and DuckDB's
+        # partial-agg tree orders differed by an ulp at a .5 boundary.
+        F.round(
+            F.col("total").cast("double")
+            * F.pow(F.lit(10.0), -F.col("quality").cast("double") / 10.0)
+            * 1e6
+        ).cast("long").alias("expectedErrors_micro"),
     ).orderBy("readGroupId", "quality", "cycle", "dinuc")
 
 
@@ -1549,7 +1558,7 @@ b AS (SELECT readGroupId,
       FROM r, range(0, 8) t(i))
 SELECT readGroupId, quality, cycle, dinuc,
        COUNT(*) AS total, SUM(mismatch) AS mismatches,
-       CAST(round(SUM(pow(10.0, -quality / 10.0)) * 1000000) AS BIGINT) AS expectedErrors_micro
+       CAST(round(COUNT(*) * pow(10.0, -quality / 10.0) * 1000000) AS BIGINT) AS expectedErrors_micro
 FROM b GROUP BY 1, 2, 3, 4
 ORDER BY readGroupId, quality, cycle, dinuc
 """

@@ -204,19 +204,40 @@ def ivf_topk(
             .limit(n_centroids)
             .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         )
-    centroids = F.broadcast(centroids)
-    # assign corpus rows to nearest centroid (rank 1)
-    c_scored = corpus.crossJoin(centroids).select(
+    # corpus → nearest-centroid assignment as ONE broadcast GEMM argmax per
+    # Arrow batch (the `assign` shape from kmeans_centroids). The earlier
+    # crossJoin(centroids) + row_number window exploded every corpus vector
+    # into n_centroids rows and shuffled that 16× stream just to take an
+    # argmax — a full-corpus shuffle that the narrow map eliminates. Ties
+    # (equal cosine) break to the lowest cent_id in both paths: centroids
+    # are sorted by cent_id and np.argmax returns the first maximum.
+    from pyspark.sql.types import LongType
+
+    cent_rows = centroids.orderBy("cent_id").collect()  # k×dim driver bytes
+    cent_ids = np.asarray([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    cmat = np.asarray([r["cent_vec"] for r in cent_rows], dtype=np.float64)
+    cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1), 1e-12)[:, None]
+    bc = corpus.sparkSession.sparkContext.broadcast((cent_ids, cn))
+
+    @F.pandas_udf(LongType())
+    def nearest_cent(vecs: pd.Series) -> pd.Series:
+        ids_, cn_ = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        # argmax of cosine(v, c_j) = argmax of v·(c_j/|c_j|): |v| is a
+        # positive constant per row, so normalizing the corpus side is
+        # unnecessary for the ranking
+        return pd.Series(ids_[np.argmax(mat @ cn_.T, axis=1)])
+
+    assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        "cent_id",
-        cosine(F.col(vec_col), F.col("cent_vec")).alias("csim"),
+        nearest_cent(F.col(vec_col)).alias("cent_id"),
     )
-    wassign = Window.partitionBy("neighbor_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    assigned = (
-        c_scored.withColumn("r", F.row_number().over(wassign)).where("r = 1").drop("r", "csim")
-    )
-    # queries probe n_probe nearest centroids
+    # queries probe n_probe nearest centroids (queries × centroids is tiny —
+    # the window here ranks O(Q·k) rows, not the corpus)
+    centroids = F.broadcast(centroids)
     q_scored = queries.crossJoin(centroids).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
