@@ -200,6 +200,22 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
+#: max estimated shingle-table bytes we will pin as a broadcast for the
+#: verify join (~16M tokens). Past this the table is shuffled instead —
+#: broadcasting the full tokenized corpus to every executor is the one
+#: thing in this pipeline that would NOT survive a 100 TB corpus.
+VERIFY_BROADCAST_CAP_BYTES = 256 * 1024 * 1024
+
+
+def _estimate_shingle_bytes(base: DataFrame) -> int:
+    """Cheap size estimate of the (id, shingles) verify table: one
+    aggregate scan, ~16 bytes per token + per-row overhead."""
+    stats = base.select(
+        F.count(F.lit(1)).alias("docs"), F.sum(F.size("sh")).alias("toks")
+    ).first()
+    return int(stats["toks"] or 0) * 16 + int(stats["docs"] or 0) * 48
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -208,7 +224,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 64,
     threshold: float = 0.8,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
 
@@ -248,10 +264,14 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # verification: |A∩B| once, |A∪B| by arithmetic (no union allocation).
-    # The shingle side is one row per document; broadcast_verify=True pins a
-    # broadcast join so the big candidate stream never shuffles — right up to
-    # ~100M-token corpora. At larger scale pass False and let AQE plan the
-    # shuffle join.
+    # The shingle side is one row per document; broadcasting it pins a
+    # broadcast join so the big candidate stream never shuffles. The default
+    # (None) decides from a measured size estimate rather than a flag the
+    # caller must know to flip: small corpora broadcast, anything past
+    # VERIFY_BROADCAST_CAP_BYTES shuffles — a default that still works at
+    # the 100 TB design point.
+    if broadcast_verify is None:
+        broadcast_verify = _estimate_shingle_bytes(base) <= VERIFY_BROADCAST_CAP_BYTES
     sized = base.withColumn("n", F.size("sh"))
     maybe_bc = F.broadcast if broadcast_verify else (lambda x: x)
     sh_a = sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))

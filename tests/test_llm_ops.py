@@ -248,3 +248,24 @@ def test_kmeans_ivf_improves_recall(embs):
         tr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recall = sum(len(ex[q] & tr.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
     assert recall > 0.5
+
+
+def test_verify_broadcast_auto_plan_shapes(docs, monkeypatch):
+    """broadcast_verify=None picks broadcast vs shuffle from the measured
+    shingle-table size estimate — both plan shapes pinned here."""
+    import adam_spark.llm.dedup as dd
+
+    # small corpus: estimate is far under the cap -> broadcast pinned
+    plan_small = minhash_lsh_pairs(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small or "BroadcastExchange" in plan_small
+
+    # force the cap below any real estimate -> verify join must shuffle
+    monkeypatch.setattr(dd, "VERIFY_BROADCAST_CAP_BYTES", 0)
+    plan_big = dd.minhash_lsh_pairs(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    # the two verify-side joins on id_a/id_b must no longer be broadcast;
+    # the band self-join never was. AQE may still broadcast tiny runtime
+    # sides, so assert on the *initial* (pre-AQE) physical plan string.
+    assert plan_big != plan_small
+    res = dd.minhash_lsh_pairs(docs, "doc_id", broadcast_verify=False).collect()
+    ref = dd.minhash_lsh_pairs(docs, "doc_id", broadcast_verify=True).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, ref))
