@@ -244,7 +244,12 @@ def _block_at(f, off: int) -> tuple[int, int]:
 
 def bgzf_block_offsets(path: str) -> list[tuple[int, int]]:
     """BSIZE seek-walk → [(compressed_offset, total_size)]. O(blocks)
-    driver work, 18-byte header reads only — no payload decompression."""
+    driver work, 18-byte header reads only — no payload decompression.
+
+    NOT on the load path: ``load_bam`` generates byte-range splits
+    arithmetically and executors resync to block boundaries themselves
+    (a full walk would be ~5M serial driver seeks on a 300 GB BAM).
+    Kept for tests and small-file tooling."""
     out = []
     size = os.path.getsize(path)
     with open(path, "rb") as f:
@@ -289,6 +294,76 @@ def _read_bam_header(path: str, blocks: list[tuple[int, int]]):
     raise ValueError("truncated BAM: header never completed")
 
 
+def _read_bam_header_lazy(path: str):
+    """Driver-side header decode with O(header-blocks) I/O.
+
+    Walks the BSIZE chain only until the header parses — never the whole
+    file. Returns (header_lines, ref_names, records_off, records_intra):
+    records begin ``records_intra`` bytes into the decoded text of the
+    block at compressed offset ``records_off``.
+    """
+    data = b""
+    walked: list[tuple[int, int]] = []  # (compressed_off, decoded_len)
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = 0
+        while pos < size:
+            total, _ = _block_at(f, pos)
+            chunk = _inflate_block(f, pos, total)
+            data += chunk
+            walked.append((pos, len(chunk)))
+            pos += total
+            parsed = _parse_bam_header(data)
+            if parsed is not None:
+                header_lines, ref_names, rec_off = parsed
+                for off, ulen in walked:
+                    if rec_off < ulen:
+                        return header_lines, ref_names, off, rec_off
+                    rec_off -= ulen
+                # records begin exactly at the next block boundary
+                return header_lines, ref_names, pos, 0
+    raise ValueError("truncated BAM: header never completed")
+
+
+def _verify_block_chain(f, off: int, fsize: int, chain: int = 3) -> bool:
+    """True when ``off`` starts a run of ``chain`` well-formed BGZF blocks
+    whose BSIZE chain lands on EOF or further valid magics."""
+    try:
+        for _ in range(chain):
+            if off == fsize:
+                return True
+            total, _ = _block_at(f, off)
+            off += total
+            if off > fsize:
+                return False
+        return True
+    except (ValueError, struct.error):
+        return False
+
+
+_BGZF_MAGIC = b"\x1f\x8b\x08\x04"
+
+
+def _next_block_offset(f, start: int, fsize: int) -> int | None:
+    """First verified BGZF block boundary at or after ``start``.
+
+    Executor-side resync (the hadoop-bam guesser shape): a BGZF block is
+    at most 64 KiB, so a boundary must occur within 64 KiB of any
+    in-body offset; scan a 128 KiB window for the 4-byte magic and
+    verify each candidate by walking the BSIZE chain.
+    """
+    f.seek(start)
+    buf = f.read(1 << 17)
+    i = 0
+    while True:
+        j = buf.find(_BGZF_MAGIC, i)
+        if j == -1:
+            return None
+        if _verify_block_chain(f, start + j, fsize):
+            return start + j
+        i = j + 1
+
+
 def _plausible_record(buf, off: int, n_ref: int, chain: int = 3) -> bool:
     """htsjdk BAMSplitGuesser-style boundary check: a chain of ``chain``
     records must have in-bounds refIDs/positions, a NUL-terminated read
@@ -316,27 +391,44 @@ def _plausible_record(buf, off: int, n_ref: int, chain: int = 3) -> bool:
     return True
 
 
-def _decode_block_range(
+def _decode_byte_range(
     path: str,
-    offsets: list[tuple[int, int]],
+    start: int,
+    end: int,
     first_intra: int,
     resync: bool,
     n_ref: int,
     ref_names: list[str],
 ):
-    """Executor task: decode records STARTING inside this block range.
+    """Executor task: decode records STARTING inside byte range [start, end).
 
-    Reads forward past the range end (walking the BSIZE chain directly,
-    no index needed) to finish a trailing record that spans into the
-    next range — the Hadoop split contract.
+    The split is arithmetic — no driver-side block index. With
+    ``resync`` the task first finds the block boundary at or after
+    ``start`` (:func:`_next_block_offset`), then the first plausible
+    record boundary inside it; a block belongs to the task whose range
+    contains its starting compressed offset, so ranges that tile the
+    file partition both blocks and records exactly. Reads forward past
+    the range end (walking the BSIZE chain directly) to finish a
+    trailing record that spans into the next range — the Hadoop split
+    contract.
     """
     fsize = os.path.getsize(path)
     with open(path, "rb") as f:
+        if resync:
+            first = _next_block_offset(f, start, fsize)
+            if first is None or first >= end:
+                return
+        else:
+            first = start
         data = bytearray()
-        for off, total in offsets:
-            data += _inflate_block(f, off, total)
+        next_off = first
+        while next_off < end and next_off < fsize:
+            total, _ = _block_at(f, next_off)
+            data += _inflate_block(f, next_off, total)
+            next_off += total
         owned = len(data)
-        next_off = offsets[-1][0] + offsets[-1][1]
+        if owned == 0:
+            return
 
         def extend() -> bool:
             nonlocal next_off
@@ -381,28 +473,31 @@ def load_bam(
     from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
 
     path = os.path.abspath(path)
-    blocks = bgzf_block_offsets(path)
-    header_lines, ref_names, hdr_idx, records_intra = _read_bam_header(path, blocks)
-    body = blocks[hdr_idx:]
+    # driver I/O is O(header blocks) + O(splits): header decode walks the
+    # BSIZE chain only until the header parses, and the split boundaries
+    # are pure arithmetic over the file size — executors resync to block
+    # and record boundaries themselves (the earlier full BSIZE walk was
+    # ~5M serial driver seeks on a 300 GB BAM before any task launched)
+    header_lines, ref_names, records_off, records_intra = _read_bam_header_lazy(path)
+    fsize = os.path.getsize(path)
     tasks = []
-    if body:
+    body_bytes = fsize - records_off
+    if body_bytes > 0:
         par = spark.sparkContext.defaultParallelism
-        total_c = sum(t for _, t in body)
-        n_ranges = min(len(body), max(1, par * 2, total_c // target_split_bytes))
-        per = total_c / n_ranges
-        chunks: list[list[tuple[int, int]]] = [[]]
-        acc = 0
-        for off, total in body:
-            if acc >= per and chunks[-1]:
-                chunks.append([])
-                acc = 0
-            chunks[-1].append((off, total))
-            acc += total
-        for i, chunk in enumerate(chunks):
+        n_ranges = max(1, par * 2, body_bytes // target_split_bytes)
+        # never more ranges than ~64 KiB each — a range smaller than one
+        # BGZF block would mostly resync to nothing
+        n_ranges = int(min(n_ranges, max(1, body_bytes // (64 << 10))))
+        bounds = [records_off + (body_bytes * i) // n_ranges for i in range(n_ranges + 1)]
+        bounds[-1] = fsize
+        for i in range(n_ranges):
+            if bounds[i] >= bounds[i + 1]:
+                continue
             tasks.append(
                 dict(
                     path=path,
-                    offsets=chunk,
+                    start=bounds[i],
+                    end=bounds[i + 1],
                     first_intra=records_intra if i == 0 else 0,
                     resync=i > 0,
                     n_ref=len(ref_names),
@@ -411,7 +506,7 @@ def load_bam(
             )
     sc = spark.sparkContext
     rdd = sc.parallelize(tasks, max(1, len(tasks))).flatMap(
-        lambda t: _decode_block_range(**t)
+        lambda t: _decode_byte_range(**t)
     )
     raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
     return GenomicFrame(
@@ -454,8 +549,7 @@ def load_indexed_bam(
     from adam_spark.sources.binned_index import merge_chunks, read_bai
 
     idx = read_bai(bai)
-    blocks = bgzf_block_offsets(path)
-    header_lines, ref_names, _, _ = _read_bam_header(path, blocks)
+    header_lines, ref_names, _, _ = _read_bam_header_lazy(path)
     rid = {n: i for i, n in enumerate(ref_names)}
     chunks = merge_chunks(
         [

@@ -186,27 +186,28 @@ def test_distributed_bam_scan(spark, tmp_path):
             assert a[k][col] == b[k][col], (k, col)
 
 
-def test_block_range_resync_no_dup_no_loss(spark, tmp_path):
-    """Split the block list at every 5th block: per-range decode with
-    resync must partition the records exactly (no dup, no loss)."""
-    from adam_spark.sources.bam import (
-        _decode_block_range,
-        _read_bam_header,
-        bgzf_block_offsets,
-    )
+def test_byte_range_resync_no_dup_no_loss(spark, tmp_path):
+    """Tile the file with ARBITRARY byte boundaries (not block-aligned):
+    per-range decode with executor-side block+record resync must
+    partition the records exactly (no dup, no loss)."""
+    import os
+
+    from adam_spark.sources.bam import _decode_byte_range, _read_bam_header_lazy
 
     sam, small = _many_read_bam(tmp_path, spark, n=300)
-    blocks = bgzf_block_offsets(small)
-    header_lines, ref_names, hdr_idx, intra = _read_bam_header(small, blocks)
-    body = blocks[hdr_idx:]
-    step = 5
+    header_lines, ref_names, records_off, intra = _read_bam_header_lazy(small)
+    fsize = os.path.getsize(small)
+    # deliberately unaligned split width (prime) so range starts land
+    # mid-block and mid-record
+    step = 977
+    bounds = list(range(records_off, fsize, step)) + [fsize]
     got = []
-    for i in range(0, len(body), step):
-        chunk = body[i : i + step]
+    for i in range(len(bounds) - 1):
         got.extend(
-            _decode_block_range(
+            _decode_byte_range(
                 small,
-                chunk,
+                start=bounds[i],
+                end=bounds[i + 1],
                 first_intra=intra if i == 0 else 0,
                 resync=i > 0,
                 n_ref=len(ref_names),
@@ -215,6 +216,30 @@ def test_block_range_resync_no_dup_no_loss(spark, tmp_path):
         )
     names = [ln.split("\t")[0] for ln in got]
     assert names == [f"q{i}" for i in range(300)]
+
+
+def test_load_bam_driver_io_is_o_splits(spark, tmp_path, monkeypatch):
+    """The driver must not walk the whole BSIZE chain: header decode
+    stops after the header blocks, and splits are arithmetic."""
+    import adam_spark.sources.bam as bammod
+
+    sam, small = _many_read_bam(tmp_path, spark, n=800)
+    assert len(bammod.bgzf_block_offsets(small)) > 30
+
+    calls = {"n": 0}
+    orig = bammod._block_at
+
+    def counting_block_at(f, off):
+        calls["n"] += 1
+        return orig(f, off)
+
+    monkeypatch.setattr(bammod, "_block_at", counting_block_at)
+    # driver-side planning only — building the tasks, not running them
+    gf = bammod.load_bam(spark, small)
+    driver_calls = calls["n"]
+    assert driver_calls < 10, f"driver walked {driver_calls} block headers"
+    # and the distributed read still returns every record
+    assert gf.df.count() == 800
 
 
 def test_load_indexed_bam(spark, sam_path, tmp_path):
