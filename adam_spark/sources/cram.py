@@ -15,27 +15,34 @@ following the public CRAM 3.0 specification:
   COMPRESSION_HEADER block plus one multi-reference slice
   (SLICE_HEADER + core + external blocks), and a zero-record EOF
   container.
-- **Encodings**: every data series uses the EXTERNAL codec (one gzip
-  block per series, ITF8 ints / raw bytes), read names and clipped or
-  inserted bases use BYTE_ARRAY_STOP, the `b` base-stretch feature
-  uses BYTE_ARRAY_LEN(EXTERNAL, EXTERNAL). All records are written
+- **Encodings**: every data series uses the EXTERNAL codec (one
+  compressed block per series — gzip or rANS 4x8, ITF8 ints / raw
+  bytes), read names and clipped or inserted bases use
+  BYTE_ARRAY_STOP, base-stretch features use
+  BYTE_ARRAY_LEN(EXTERNAL, EXTERNAL). All records are written
   DETACHED with explicit mate fields, so no mate-graph resolution is
-  needed.
-- **Records**: mapped reads are feature-coded (S/b/I/D/N/H/P features
-  fully cover the read, so CIGAR + sequence reconstruct exactly
-  without a reference — the RR=false path); unmapped reads store
-  bases/qualities verbatim (BA/QS series). Tags live in per-(tag,type)
-  external streams as BAM-typed values with a TD tag dictionary.
+  needed. Block methods read-side: raw, gzip, bzip2, lzma (stdlib),
+  rANS 4x8 order-0/1 (:mod:`adam_spark.sources.rans`).
+- **Records**: mapped reads are feature-coded (S/b/E/x/I/D/N/H/P
+  features fully cover the read, so CIGAR + sequence reconstruct
+  exactly without a reference — the RR=false path; 'b'/'E'/'x' carry
+  M/'='/'X' stretches so extended CIGAR ops round-trip verbatim).
+  Sequence-less mapped reads (seq '*', e.g. minimap2 secondary
+  alignments) set CF bit 0x8 ("decode sequence as '*'") and keep
+  their CIGAR as features with N placeholder bases. Unmapped reads
+  store bases/qualities verbatim (BA/QS series). Tags live in
+  per-(tag,type) external streams as BAM-typed values with a TD tag
+  dictionary.
 
 Scope note (honest descope of the remainder): this is a
 self-consistent CRAM 3.0 subset — the writer always emits the layout
-above, and the reader accepts that layout (EXTERNAL/BYTE_ARRAY
-encodings, gzip or raw blocks). Reference-based sequence compression,
-rANS/bzip2/lzma block codecs, and bit-packed core encodings (HUFFMAN,
-BETA, SUBEXP) are not implemented, so arbitrary third-party CRAMs
-(e.g. samtools output with a reference) may not load; htsjdk interop
-is untestable in this container. Round-trip fidelity is pinned by
-tests/test_sources_cram.py.
+above, and the reader VALIDATES the compression header's data-series
+encoding map against that fixed layout, failing loudly on any foreign
+layout instead of mis-decoding. Reference-based sequence compression
+and bit-packed core encodings (HUFFMAN, BETA, SUBEXP) are not
+implemented, so third-party CRAMs written against a reference genome
+do not load; htsjdk interop is untestable in this container.
+Round-trip fidelity is pinned by tests/test_sources_cram.py.
 
 Scale posture mirrors bam.py: containers are self-contained
 (compression header + slice + streams), so the driver only walks
@@ -68,6 +75,9 @@ _CT_CORE = 5
 # block compression methods
 _M_RAW = 0
 _M_GZIP = 1
+_M_BZIP2 = 2
+_M_LZMA = 3
+_M_RANS = 4
 
 # external content ids per data series (fixed layout, declared in the
 # compression header's data-series encoding map)
@@ -167,10 +177,18 @@ def ltf8_decode(buf, off: int) -> tuple[int, int]:
 
 # --- blocks ----------------------------------------------------------------
 def _write_block(out: bytearray, content_type: int, content_id: int, data: bytes,
-                 compress: bool = True) -> None:
+                 compress: bool = True, codec: str = "gzip") -> None:
     if compress and len(data) > 32:
-        comp = gzip.compress(data, 6)
-        method = _M_GZIP
+        if codec == "rans":
+            from adam_spark.sources.rans import rans_compress
+
+            # order-1 conditions each byte on its predecessor — wins on
+            # base/quality streams; tiny blocks stay order-0
+            comp = rans_compress(data, 1 if len(data) >= 256 else 0)
+            method = _M_RANS
+        else:
+            comp = gzip.compress(data, 6)
+            method = _M_GZIP
     else:
         comp, method = data, _M_RAW
     out.append(method)
@@ -195,6 +213,18 @@ def _read_block(buf, off: int):
         data = gzip.decompress(comp)
     elif method == _M_RAW:
         data = comp
+    elif method == _M_RANS:
+        from adam_spark.sources.rans import rans_uncompress
+
+        data = rans_uncompress(comp)
+    elif method == _M_BZIP2:
+        import bz2
+
+        data = bz2.decompress(comp)
+    elif method == _M_LZMA:
+        import lzma
+
+        data = lzma.decompress(comp)
     else:
         raise ValueError(f"unsupported CRAM block method {method}")
     if len(data) != usize:
@@ -302,9 +332,25 @@ def _compression_header(tag_lines: list[tuple[tuple[str, str], ...]],
     return bytes(pres_block) + bytes(ds_block) + bytes(tag_block)
 
 
+def _expected_series_map() -> dict[str, tuple[int, bytes]]:
+    """The fixed data-series layout this codec reads: series key →
+    (codec id, raw params), exactly as :func:`_compression_header`
+    declares them."""
+    exp: dict[str, tuple[int, bytes]] = {}
+    for key in ("BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
+                "TL", "FN", "FC", "FP", "DL", "QS", "BA", "RS", "HC", "PD", "MQ"):
+        exp[key] = (1, itf8_encode(_CID[key]))
+    for key in ("RN", "IN", "SC"):
+        exp[key] = (5, bytes((0,)) + itf8_encode(_CID[key]))
+    exp["BB"] = (4, _encoding_external(_CID["BBl"]) + _encoding_external(_CID["BBv"]))
+    return exp
+
+
 def _parse_compression_header(data: bytes):
-    """Return (tag_lines, tag_cids); data-series layout is fixed by the
-    writer, so only the TD dictionary and tag map need extraction."""
+    """Return (tag_lines, tag_cids); the data-series encoding map is
+    parsed and VALIDATED against the fixed layout — a foreign CRAM that
+    uses EXTERNAL codecs with different content ids (or different
+    codecs) fails loudly here instead of decoding as silent garbage."""
     off = 0
     _size, off = itf8_decode(data, off)
     n, off = itf8_decode(data, off)
@@ -328,9 +374,31 @@ def _parse_compression_header(data: bytes):
                 tag_lines.append(pairs)
         else:
             raise ValueError(f"unknown preservation key {key!r}")
-    # data series map: skip (fixed layout)
+    # data series map: parse + validate against the fixed layout
     size, off = itf8_decode(data, off)
-    off += size
+    ds_end = off + size
+    n_ds, off = itf8_decode(data, off)
+    seen: dict[str, tuple[int, bytes]] = {}
+    for _ in range(n_ds):
+        skey = bytes(data[off : off + 2]).decode()
+        off += 2
+        codec, off = itf8_decode(data, off)
+        plen, off = itf8_decode(data, off)
+        seen[skey] = (codec, bytes(data[off : off + plen]))
+        off += plen
+    if off != ds_end:
+        raise ValueError("CRAM data-series map length mismatch")
+    expected = _expected_series_map()
+    if seen != expected:
+        diffs = sorted(
+            k for k in set(seen) | set(expected) if seen.get(k) != expected.get(k)
+        )
+        raise ValueError(
+            "CRAM data-series encoding map differs from this codec's fixed "
+            f"layout (series {diffs}); foreign CRAM layouts are outside the "
+            "supported subset"
+        )
+    off = ds_end
     # tag encoding map
     _size, off = itf8_decode(data, off)
     n, off = itf8_decode(data, off)
@@ -415,9 +483,15 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
     mapped = not (flag & 0x4)
     ref_id = ref_index.get(rname, -1)
     rl = 0 if seq == "*" else len(seq)
+    # CF bit 0x8 = "decode sequence as '*'" (spec §8.5): a sequence-less
+    # mapped read (e.g. a minimap2 secondary alignment) still carries its
+    # CIGAR as features with N placeholder bases; the decoder sees the
+    # flag and emits seq '*' while reconstructing the CIGAR exactly
+    seqless_mapped = mapped and seq == "*" and cigar != "*"
+    cf = 2 | (8 if seqless_mapped else 0)
 
     s.put_int("BF", flag)
-    s.put_int("CF", 2)  # detached
+    s.put_int("CF", cf)  # detached (+unknown-bases when set)
     s.put_int("RI", ref_id)
     s.put_int("RL", rl)
     s.put_int("AP", int(pos1))
@@ -443,19 +517,26 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
         tag, typ = f[:2], f.split(":", 2)[1]
         cid = tag_cids[(tag, typ)]
         s.put_tag(cid, _aux_from_text(f)[3:])  # strip tag+type prefix
-    if mapped and seq != "*" and cigar != "*":
+    if mapped and cigar != "*" and (seq != "*" or seqless_mapped):
+        # base-stretch feature code per CIGAR op so '='/'X' reconstruct
+        # exactly: 'b' carries M, 'E' carries '=', 'x' carries 'X'
+        # ('E'/'x' are this codec's own codes — the spec's single-base
+        # 'X' substitution feature is a different animal and any foreign
+        # layout is rejected up front by the data-series map check)
+        stretch_code = {"M": "b", "=": "E", "X": "x"}
         feats = []
         read_pos = 1
         for m in re.finditer(r"(\d+)([MIDNSHP=X])", cigar):
             n, op = int(m.group(1)), m.group(2)
+            bases = "N" * n if seqless_mapped else seq[read_pos - 1 : read_pos - 1 + n]
             if op in "M=X":
-                feats.append(("b", read_pos, seq[read_pos - 1 : read_pos - 1 + n]))
+                feats.append((stretch_code[op], read_pos, bases))
                 read_pos += n
             elif op == "S":
-                feats.append(("S", read_pos, seq[read_pos - 1 : read_pos - 1 + n]))
+                feats.append(("S", read_pos, bases))
                 read_pos += n
             elif op == "I":
-                feats.append(("I", read_pos, seq[read_pos - 1 : read_pos - 1 + n]))
+                feats.append(("I", read_pos, bases))
                 read_pos += n
             else:  # D, N, H, P consume no read bases
                 feats.append((op, read_pos, n))
@@ -465,7 +546,7 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
             s.put_bytes("FC", code.encode())
             s.put_int("FP", fpos - prev)
             prev = fpos
-            if code == "b":
+            if code in ("b", "E", "x"):
                 s.put_int("BBl", len(payload))
                 s.put_bytes("BBv", payload.encode())
             elif code == "S":
@@ -476,8 +557,7 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
                 s.put_int(_CIGAR_FEATURES[code], payload)
         s.put_int("MQ", int(mapq))
     else:
-        # unmapped (or sequence-less): bases verbatim; a sequence-less
-        # mapped read keeps its cigar via FN=0 + MQ and rl=0
+        # unmapped: bases verbatim (mapped cigar-less reads keep FN=0)
         if mapped:
             s.put_int("FN", 0)
             s.put_int("MQ", int(mapq))
@@ -536,19 +616,21 @@ def _decode_record(c: _Cursors, ref_names: list[str],
         c.set_tag_pos(cid, p + ln)
         tags.append(f"{tag}{txt[2:]}")
     mapped = not (flag & 0x4)
+    seqless = bool(_cf & 0x8)  # decode sequence as '*' (spec §8.5)
     seq, cigar, mapq = "*", "*", 0
     if mapped:
         fn = c.get_int("FN")
         parts, cig = [], []
         pos = 0
+        stretch_op = {"b": "M", "E": "=", "x": "X"}
         for _ in range(fn):
             code = c.get_bytes("FC", 1).decode()
             pos += c.get_int("FP")
-            if code == "b":
+            if code in stretch_op:
                 n = c.get_int("BBl")
                 bases = c.get_bytes("BBv", n).decode()
                 parts.append(bases)
-                cig.append(f"{n}M")
+                cig.append(f"{n}{stretch_op[code]}")
             elif code == "S":
                 bases = c.get_stop("SC").decode()
                 parts.append(bases)
@@ -562,7 +644,7 @@ def _decode_record(c: _Cursors, ref_names: list[str],
                 cig.append(f"{n}{code}")
         mapq = c.get_int("MQ")
         if fn:
-            seq = "".join(parts)
+            seq = "*" if seqless else "".join(parts)
             cigar = "".join(cig)
         elif rl:
             seq = c.get_bytes("BA", rl).decode()
@@ -586,7 +668,8 @@ def _decode_record(c: _Cursors, ref_names: list[str],
 
 # --- container write/read --------------------------------------------------
 def _write_data_container(out: bytearray, sam_lines: list[str],
-                          ref_index: dict[str, int], counter: int) -> int:
+                          ref_index: dict[str, int], counter: int,
+                          codec: str = "gzip") -> int:
     s = _Streams()
     tag_lines: dict[tuple, int] = {}
     tag_line_list: list = []
@@ -622,7 +705,7 @@ def _write_data_container(out: bytearray, sam_lines: list[str],
     _write_block(blocks, _CT_SLICE_HEADER, 0, bytes(sh))
     _write_block(blocks, _CT_CORE, 0, b"", compress=False)
     for cid in ext_ids:
-        _write_block(blocks, _CT_EXTERNAL, cid, bytes(s.b[cid]))
+        _write_block(blocks, _CT_EXTERNAL, cid, bytes(s.b[cid]), codec=codec)
 
     out += _container_header(
         len(blocks), -2, 0, 0, len(sam_lines), counter, bases,
@@ -709,9 +792,13 @@ def _index_containers(path: str):
 
 
 # --- public API ------------------------------------------------------------
-def save_cram(gf: GenomicFrame, path: str) -> None:
+def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip") -> None:
     """Alignments → single-file CRAM (driver export job, same boundary
-    as save_bam; reference: AlignmentDataset.saveAsSam:810-997)."""
+    as save_bam; reference: AlignmentDataset.saveAsSam:810-997).
+
+    ``codec``: external-block compression — ``"gzip"`` (default) or
+    ``"rans"`` (rANS 4x8, the codec real-world CRAMs use; see
+    :mod:`adam_spark.sources.rans`)."""
     from adam_spark.sources.sam import sam_body_lines, sam_header_lines
 
     header = sam_header_lines(gf.meta)
@@ -731,11 +818,11 @@ def save_cram(gf: GenomicFrame, path: str) -> None:
     for row in sam_body_lines(gf.df).toLocalIterator():
         chunk.append(row["value"])
         if len(chunk) >= _RECORDS_PER_CONTAINER:
-            _write_data_container(out, chunk, ref_index, counter)
+            _write_data_container(out, chunk, ref_index, counter, codec)
             counter += len(chunk)
             chunk = []
     if chunk:
-        _write_data_container(out, chunk, ref_index, counter)
+        _write_data_container(out, chunk, ref_index, counter, codec)
         counter += len(chunk)
     # EOF container: zero records, one raw sentinel block
     eof_block = bytearray()

