@@ -16,7 +16,10 @@ RealignmentTargetFinder.scala:27-126, algorithms/consensus/*):
 3. **Per-target realignment** — ``groupBy(target).applyInPandas``:
    reconstruct the local reference from the reads' MD tags
    (getReferenceFromReads), generate consensus sequences from observed
-   indels (ConsensusGeneratorFromReads), cap at
+   indels (ConsensusGeneratorFromReads) — or from known indel variants
+   (ConsensusGeneratorFromKnowns + IndelTable) or from per-read local
+   Smith-Waterman realignments (ConsensusGeneratorFromSmithWaterman +
+   algorithms/smithwaterman/*, numpy row-sweep DP here) — cap at
    ``max_consensus_number`` by observation frequency, sweep every read
    over every consensus for its minimum quality-weighted mismatch sum
    (sweepReadOverReferenceForQuality:617-651 — numpy sliding-window
@@ -96,8 +99,13 @@ def find_realignment_targets(
     reads: DataFrame,
     max_indel_size: int = 500,
     max_target_size: int = 3000,
+    extra_targets: DataFrame | None = None,
 ) -> DataFrame:
-    """(referenceName, start, end) merged target regions."""
+    """(referenceName, start, end) merged target regions.
+
+    ``extra_targets``: optional (referenceName, start, end) regions to
+    union in before merging — the knowns model's ``targetsToAdd``
+    (ConsensusGeneratorFromKnowns.scala:31-60)."""
 
     @F.pandas_udf(_EVIDENCE_SCHEMA)
     def _ev(cigar: pd.Series, md: pd.Series, start: pd.Series) -> pd.DataFrame:
@@ -126,9 +134,17 @@ def find_realignment_targets(
         )
         .distinct()
     )
-    # merge overlapping intervals: run-length grouping per contig
+    if extra_targets is not None:
+        ev = ev.unionByName(
+            extra_targets.select("referenceName", "start", "end")
+        ).distinct()
+    return _merge_intervals(ev, max_target_size)
+
+
+def _merge_intervals(ev: DataFrame, max_target_size: int) -> DataFrame:
+    """Merge overlapping intervals: run-length grouping per contig."""
     w = Window.partitionBy("referenceName").orderBy("start", "end")
-    merged = (
+    return (
         ev.withColumn(
             "maxend",
             F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -143,7 +159,150 @@ def find_realignment_targets(
         .where((F.col("end") - F.col("start")) <= max_target_size)
         .select("referenceName", "start", "end")
     )
-    return merged
+
+
+# --------------------------------------------------------------------------
+# consensus generators: Smith-Waterman local alignment + known indels
+# --------------------------------------------------------------------------
+
+#: (wMatch, wMismatch, wInsert, wDelete) — the reference API takes these
+#: explicitly (ConsensusGenerator.fromReadsWithSmithWaterman:72-80);
+#: these defaults are the classic 1 / −1/3 / −2 SW weights
+SW_DEFAULT_WEIGHTS = (1.0, -1.0 / 3.0, -2.0, -2.0)
+
+
+def smith_waterman(
+    read: str,
+    ref: str,
+    w_match: float = SW_DEFAULT_WEIGHTS[0],
+    w_mismatch: float = SW_DEFAULT_WEIGHTS[1],
+    w_insert: float = SW_DEFAULT_WEIGHTS[2],
+    w_delete: float = SW_DEFAULT_WEIGHTS[3],
+) -> tuple[str, int, int]:
+    """Local Smith-Waterman with constant gap scores.
+
+    Semantics mirror the reference's SW stack
+    (algorithms/smithwaterman/SmithWatermanConstantGapScoring.scala:28-60,
+    SmithWatermanGapScoringFromFn.scala buildScoringMatrix,
+    SmithWaterman.scala trackback): clamp-at-zero local DP, move priority
+    match ≥ read-gap ≥ ref-gap, traceback from the LAST maximal cell.
+    Returns (cigar, read_start, ref_start) of the aligned block — cigar
+    ops are M/I/D over the aligned span only (callers add soft clips for
+    unaligned read tails).
+
+    The matrix fills in O(read_len) vectorized numpy rows: the in-row
+    deletion dependency ``H[i][j] = max(…, H[i][j-1]+wDel)`` is a
+    max-plus prefix scan, so each row is one ``maximum.accumulate``.
+    """
+    L, R = len(read), len(ref)
+    if L == 0 or R == 0:
+        return "", 0, 0
+    x = np.frombuffer(read.upper().encode(), dtype=np.uint8)
+    y = np.frombuffer(ref.upper().encode(), dtype=np.uint8)
+    H = np.zeros((L + 1, R + 1), dtype=np.float64)
+    jidx = np.arange(1, R + 1, dtype=np.float64)
+    for i in range(1, L + 1):
+        sub = np.where(y == x[i - 1], w_match, w_mismatch)
+        cand = np.maximum(H[i - 1, :-1] + sub, H[i - 1, 1:] + w_insert)
+        # row[j] = max(0, cand[j], row[j-1] + wDelete)  (j = 1..R)
+        t = cand - jidx * w_delete
+        row = np.maximum.accumulate(t) + jidx * w_delete
+        H[i, 1:] = np.maximum(row, 0.0)
+    best = H.max()
+    if best <= 0:
+        return "", 0, 0
+    cells = np.argwhere(H == best)  # row-major: last entry = max i, then j
+    i, j = (int(v) for v in cells[-1])
+    ops: list[str] = []
+    while i > 0 and j > 0 and H[i, j] > 0:
+        m = H[i - 1, j - 1] + (w_match if x[i - 1] == y[j - 1] else w_mismatch)
+        d = H[i - 1, j] + w_insert
+        ins = H[i, j - 1] + w_delete
+        if m >= d and m >= ins and m > 0:
+            ops.append("M")
+            i -= 1
+            j -= 1
+        elif d >= ins and d > 0:
+            ops.append("I")
+            i -= 1
+        elif ins > 0:
+            ops.append("D")
+            j -= 1
+        else:
+            break
+    ops.reverse()
+    cig = []
+    for op in ops:
+        if cig and cig[-1][1] == op:
+            cig[-1][0] += 1
+        else:
+            cig.append([1, op])
+    return "".join(f"{n}{op}" for n, op in cig), i, j
+
+
+def _sw_realign_rows(rows: list[dict], ref: str, ref_start: int, weights) -> list[dict]:
+    """SW-preprocess reads for consensus generation
+    (ConsensusGeneratorFromSmithWaterman.scala:33-76): realign each read
+    locally; when the realignment has ≤ 2 match blocks (i.e. at most one
+    consolidated indel), adopt the new cigar/start for consensus finding."""
+    out = []
+    for r in rows:
+        seq = r.get("sequence")
+        if not seq:
+            out.append(r)
+            continue
+        cig, xs, ys = smith_waterman(seq, ref, *weights)
+        if not cig:
+            out.append(r)
+            continue
+        blocks = sum(1 for _, op in parse_cigar(cig) if op == "M")
+        indels = sum(1 for _, op in parse_cigar(cig) if op in "ID")
+        read_consumed = sum(n for n, op in parse_cigar(cig) if op in "MI")
+        if blocks <= 2 and indels <= 1:
+            suffix = len(seq) - xs - read_consumed
+            full = (f"{xs}S" if xs else "") + cig + (f"{suffix}S" if suffix else "")
+            r2 = dict(r)
+            r2["start"] = ref_start + ys
+            r2["cigar"] = full
+            out.append(r2)
+        else:
+            out.append(r)
+    return out
+
+
+def known_indels_table(variants) -> dict[str, list[tuple[int, str, int, str]]]:
+    """Driver-side indel table from known variants
+    (models/IndelTable.scala:58-78): contig → [(ref_pos, op, length,
+    bases)]. ``variants``: DataFrame or iterable of rows with
+    (referenceName, start, referenceAllele, alternateAllele); only
+    length-changing variants contribute."""
+    rows = variants.collect() if hasattr(variants, "collect") else variants
+    table: dict[str, list[tuple[int, str, int, str]]] = {}
+    for v in rows:
+        ra, aa = v["referenceAllele"] or "", v["alternateAllele"] or ""
+        if len(ra) == len(aa):
+            continue
+        start = int(v["start"])
+        if len(aa) > len(ra):  # insertion after the anchor bases
+            cons = (start + len(ra), "I", len(aa) - len(ra), aa[len(ra):])
+        else:  # deletion of the unmatched reference span
+            cons = (start + len(aa), "D", len(ra) - len(aa), "")
+        table.setdefault(v["referenceName"], []).append(cons)
+    return table
+
+
+def _known_consensus(
+    table: dict, contig: str, ref_start: int, ref_end: int, max_n: int
+) -> list[tuple[int, str, int, str]]:
+    """Known-indel consensuses overlapping [ref_start, ref_end)
+    (ConsensusGeneratorFromKnowns.findConsensus + IndelTable
+    .getIndelsInRegion), in group-local coordinates."""
+    out = []
+    for pos, op, n, bases in table.get(contig, []):
+        span = n if op == "D" else 1
+        if pos < ref_end and pos + span > ref_start:
+            out.append((pos - ref_start, op, n, bases))
+    return out[:max_n]
 
 
 # --------------------------------------------------------------------------
@@ -283,8 +442,18 @@ def realign_group(
     lod_threshold: float,
     max_consensus_number: int,
     unclip_reads: bool = False,
+    consensus_model: str = "reads",
+    known_table: dict | None = None,
+    sw_weights: tuple = SW_DEFAULT_WEIGHTS,
 ) -> list[dict]:
-    """Realign one target group; returns the (possibly rewritten) rows."""
+    """Realign one target group; returns the (possibly rewritten) rows.
+
+    ``consensus_model``: ``"reads"`` (observed indels,
+    ConsensusGeneratorFromReads), ``"sw"`` (reads are first locally
+    SW-realigned to consolidate indel blocks, then the reads model runs
+    on the rewritten alignments — ConsensusGeneratorFromSmithWaterman),
+    or ``"knowns"`` (candidates come from the broadcast known-indel
+    table — ConsensusGeneratorFromKnowns)."""
     mapped = [r for r in rows if r.get("readMapped") and r.get("cigar") and r.get("sequence")]
     if len(mapped) < 2:
         return rows
@@ -293,7 +462,16 @@ def realign_group(
     if ref_end - ref_start > 100_000:
         return rows
     ref = _local_reference(mapped, ref_start, ref_end)
-    consensus = _consensus_candidates(mapped, ref_start, max_consensus_number)
+    if consensus_model == "knowns":
+        consensus = _known_consensus(
+            known_table or {}, mapped[0]["referenceName"], ref_start, ref_end,
+            max_consensus_number,
+        )
+    elif consensus_model == "sw":
+        pre = _sw_realign_rows(mapped, ref, ref_start, sw_weights)
+        consensus = _consensus_candidates(pre, ref_start, max_consensus_number)
+    else:
+        consensus = _consensus_candidates(mapped, ref_start, max_consensus_number)
     if not consensus:
         return rows
 
@@ -368,8 +546,38 @@ def realign_indels(
     max_indel_size: int = 500,
     max_target_size: int = 3000,
     max_reads_per_target: int = 20_000,
+    consensus_model: str = "reads",
+    known_indels: DataFrame | None = None,
+    sw_weights: tuple = SW_DEFAULT_WEIGHTS,
 ) -> DataFrame:
-    """AlignmentDataset.realignIndels as a DataFrame operator."""
+    """AlignmentDataset.realignIndels as a DataFrame operator.
+
+    ``consensus_model`` selects the candidate generator (see
+    :func:`realign_group`); passing ``known_indels`` (a variants frame
+    with referenceName/start/referenceAllele/alternateAllele) implies
+    the knowns model and also unions the known-indel regions into the
+    target set (targetsToAdd, ConsensusGeneratorFromKnowns.scala:48-60).
+    The known-indel table is tiny (a dimension), so it rides to the
+    executors inside the kernel closure — the DataFrame analogue of the
+    reference's ``indelTable`` broadcast."""
+    known_table: dict = {}
+    if known_indels is not None:
+        if consensus_model == "reads":
+            consensus_model = "knowns"
+        known_table = known_indels_table(known_indels)
+        if targets is None:
+            spark = reads.sparkSession
+            extra_rows = [
+                (contig, pos, pos + (n if op == "D" else 1))
+                for contig, entries in known_table.items()
+                for (pos, op, n, _b) in entries
+            ]
+            extra = spark.createDataFrame(
+                extra_rows, "referenceName string, start long, end long"
+            )
+            targets = find_realignment_targets(
+                reads, max_indel_size, max_target_size, extra_targets=extra
+            )
     if targets is None:
         targets = find_realignment_targets(reads, max_indel_size, max_target_size)
     t = targets.select(
@@ -435,7 +643,14 @@ def realign_indels(
         if len(rows) > max_reads_per_target:
             result = rows
         else:
-            result = realign_group(rows, lod_threshold, max_consensus_number)
+            result = realign_group(
+                rows,
+                lod_threshold,
+                max_consensus_number,
+                consensus_model=consensus_model,
+                known_table=known_table,
+                sw_weights=sw_weights,
+            )
         return pd.DataFrame(result, columns=[f.name for f in out_schema.fields], dtype=object).where(
             lambda d: pd.notna(d), None
         )

@@ -130,3 +130,92 @@ def test_realign_leaves_clean_reads_alone(spark):
     got = {r["readName"]: r for r in out.collect()}
     assert len(got) == 3
     assert all(got[n]["cigar"] == "10M" and got[n]["mappingQuality"] == 40 for n in got)
+
+
+def test_smith_waterman_reference_suite_cases():
+    """Mirrors SmithWatermanSuite.scala's end-to-end expectations."""
+    assert ra.smith_waterman("AAAA", "AAAA", 1.0, 0.0, -1.0, -1.0)[0] == "4M"
+    assert ra.smith_waterman("ACATGA", "ACGA", 1.0, 0.0, -0.333, -0.333)[0] == "2M2I2M"
+    assert (
+        ra.smith_waterman(
+            "ATTAGACTACTTAATATACAGATTTACCCCAATAGA",
+            "ATTAGACTACTTAATATACAGAATTACCCCAATAGA",
+            1.0, 0.0, -0.333, -0.333,
+        )[0]
+        == "36M"
+    )
+    assert (
+        ra.smith_waterman(
+            "ATTAGACTACTTAATATACAGATTTACCCCAATAGA",
+            "ATTAGACTACTTAATATACAGATACCCCAATAGA",
+            1.0, 0.0, -0.333, -0.333,
+        )[0]
+        == "22M2I12M"
+    )
+
+
+def test_known_indels_table():
+    rows = [
+        dict(referenceName="chr1", start=19, referenceAllele="ACG", alternateAllele="A"),
+        dict(referenceName="chr1", start=30, referenceAllele="A", alternateAllele="ATT"),
+        dict(referenceName="chr1", start=40, referenceAllele="C", alternateAllele="G"),  # SNP: skipped
+    ]
+    t = ra.known_indels_table(rows)
+    assert t == {"chr1": [(20, "D", 2, ""), (31, "I", 2, "TT")]}
+
+
+def _naive_deletion_reads(read_len=10, starts=(11, 13, 14, 16)):
+    """Reads from a donor carrying a 2-bp deletion at REF[20:22], ALL
+    aligned naively as pure-M (no read shows the deletion in its cigar,
+    so the from-reads generator has no indel evidence)."""
+    from adam_spark.functions.cigar import md_from_reference
+
+    donor = REF[:20] + REF[22:]
+    rows = []
+    for i, st in enumerate(starts):
+        seq = donor[st : st + read_len]
+        md, nmm = md_from_reference(f"{read_len}M", seq, REF[st : st + read_len])
+        assert nmm > 0, "fixture read must show mismatches when aligned naively"
+        rows.append(_read(f"n{i}", st, seq, f"{read_len}M", md))
+    return rows
+
+
+def test_knowns_consensus_rescues_unobserved_indel(spark):
+    """RealignIndelsSuite 'using knowns' scenario: no read carries the
+    indel in its CIGAR, so the reads model finds nothing — the known
+    variant supplies the consensus."""
+    rows = _naive_deletion_reads()
+    df = _df(spark, rows)
+
+    # reads model: stuck — no indel evidence, nothing to realign onto
+    base = {r["readName"]: r for r in ra.realign_indels(df, lod_threshold=0.5).collect()}
+    assert all("D" not in base[n]["cigar"] for n in base)
+
+    knowns = spark.createDataFrame(
+        [("chr1", 19, REF[19:22], REF[19])],
+        "referenceName string, start long, referenceAllele string, alternateAllele string",
+    )
+    out = ra.realign_indels(df, lod_threshold=0.5, known_indels=knowns)
+    got = {r["readName"]: r for r in out.collect()}
+    assert len(got) == len(rows)
+    rescued = [n for n in got if "2D" in got[n]["cigar"]]
+    assert len(rescued) >= 2, {n: got[n]["cigar"] for n in got}
+    for n in rescued:
+        assert got[n]["mappingQuality"] == 50
+        assert "^AC" in got[n]["mismatchingPositions"]
+
+
+def test_sw_consensus_rescues_unobserved_indel(spark):
+    """ConsensusGeneratorFromSmithWaterman: local SW realignment
+    consolidates the mismatch runs into a deletion block no read's
+    original CIGAR contained."""
+    rows = _naive_deletion_reads(read_len=12, starts=(10, 12, 14, 15))
+    df = _df(spark, rows)
+    base = {r["readName"]: r for r in ra.realign_indels(df, lod_threshold=0.5).collect()}
+    assert all("D" not in base[n]["cigar"] for n in base)
+
+    out = ra.realign_indels(df, lod_threshold=0.5, consensus_model="sw")
+    got = {r["readName"]: r for r in out.collect()}
+    assert len(got) == len(rows)
+    rescued = [n for n in got if "2D" in got[n]["cigar"]]
+    assert len(rescued) >= 2, {n: got[n]["cigar"] for n in got}
