@@ -50,6 +50,11 @@ def main():
             sdf = fn(spark, sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            if name not in os_:
+                # no oracle registered — the driver's weaker rows-only
+                # check: the query must run and produce rows
+                print(f"OK   {name}: {len(srows)} rows (rows-only, no oracle)")
+                continue
             cur = con.execute(os_[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
