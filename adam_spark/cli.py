@@ -49,7 +49,10 @@ def _cmd_transform_alignments(args) -> int:
     if args.realign_indels:
         from adam_spark.operators.realignment import realign_indels
 
-        df = realign_indels(df)
+        known = None
+        if args.known_indels:
+            known = ctx.load_variants(spark, args.known_indels).df
+        df = realign_indels(df, known_indels=known)
     if args.left_normalize_indels:
         df = left_normalize_indels(df)
     if args.bin_quality_scores:
@@ -252,6 +255,7 @@ def build_parser() -> argparse.ArgumentParser:
     ta.add_argument("-recalibrate_base_qualities", dest="recalibrate_base_qualities", action="store_true")
     ta.add_argument("-known_snps", dest="known_snps", default=None)
     ta.add_argument("-realign_indels", dest="realign_indels", action="store_true")
+    ta.add_argument("-known_indels", dest="known_indels", default=None)
     ta.add_argument("-left_normalize_indels", dest="left_normalize_indels", action="store_true")
     ta.add_argument("-bin_quality_scores", dest="bin_quality_scores", default=None,
                     help="semicolon-separated low,high,value bins")

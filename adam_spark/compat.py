@@ -192,10 +192,12 @@ class AlignmentDataset(GenomicDataset):
         return _wrap(self._gf.recalibrate_base_qualities(snps))
 
     def realignIndels(self, **kw):
-        return _wrap(self._gf.realign_indels())
+        return _wrap(self._gf.realign_indels(**kw))
 
     def realignIndelsFromKnownIndels(self, knownIndels, **kw):
-        return _wrap(self._gf.realign_indels())
+        # knownIndels: a VariantDataset wrapper or a DataFrame of variants
+        kdf = knownIndels._gf.df if hasattr(knownIndels, "_gf") else knownIndels
+        return _wrap(self._gf.realign_indels(known_indels=kdf, **kw))
 
     def reassembleReadPairs(self, rdd=None, validationStringency=None):
         from adam_spark.operators.conversions import reassemble_read_pairs
