@@ -755,6 +755,59 @@ def decode_container(buf, off: int, hdr, ref_names: list[str]):
 _HDR_PROBE = 4096  # a container header (ours has no landmarks) fits easily
 
 
+def _parse_header_text(header_text: str):
+    header_lines = [ln for ln in header_text.splitlines() if ln.startswith("@")]
+    ref_names = [
+        dict(kv.split(":", 1) for kv in ln.split("\t")[1:] if ":" in kv)["SN"]
+        for ln in header_lines
+        if ln.startswith("@SQ")
+    ]
+    return header_lines, ref_names
+
+
+def _read_file_header(path: str):
+    """O(1) driver I/O: decode only the leading FILE_HEADER container."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        if f.read(len(_MAGIC)) != _MAGIC:
+            raise ValueError("not a CRAM 3.0 file")
+        p = len(_MAGIC) + 20
+        f.seek(p)
+        probe = f.read(min(_HDR_PROBE, size - p))
+        hdr = _read_container_header(probe, 0)
+        f.seek(p + hdr["header_size"])
+        block = f.read(hdr["length"])
+        ctype, _cid, data, _ = _read_block(block, 0)
+        if ctype != _CT_FILE_HEADER:
+            raise ValueError("first CRAM container must be the file header")
+    return _parse_header_text(data.decode())
+
+
+def _write_crai(path: str, entries: list[tuple[int, int]]) -> None:
+    """CRAI sidecar (spec §1: gzip text, one line per slice:
+    seq_id, start, span, container offset, slice landmark, slice size).
+    Our containers are multi-reference (seq_id −2, whole-file span),
+    so the index's value here is the container offset list — it lets
+    ``load_cram`` skip the serial driver header walk entirely."""
+    lines = [f"-2\t0\t0\t{off}\t0\t{length}" for off, length in entries]
+    with gzip.open(path + ".crai", "wt") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
+def _read_crai(path: str) -> list[int] | None:
+    """Container offsets from a ``.crai`` sidecar, or None if absent."""
+    crai = path + ".crai"
+    if not os.path.exists(crai):
+        return None
+    offsets = []
+    with gzip.open(crai, "rt") as f:
+        for ln in f:
+            parts = ln.split("\t")
+            if len(parts) >= 4:
+                offsets.append(int(parts[3]))
+    return offsets
+
+
 def _index_containers(path: str):
     """Driver-side seek-walk over container HEADERS only — O(containers)
     work and memory, no payload reads (the executor decode is what
@@ -782,12 +835,7 @@ def _index_containers(path: str):
             elif hdr["n_records"] > 0:
                 containers.append((p, hdr))
             p = body + hdr["length"]
-    header_lines = [ln for ln in header_text.splitlines() if ln.startswith("@")]
-    ref_names = [
-        dict(kv.split(":", 1) for kv in ln.split("\t")[1:] if ":" in kv)["SN"]
-        for ln in header_lines
-        if ln.startswith("@SQ")
-    ]
+    header_lines, ref_names = _parse_header_text(header_text)
     return header_lines, ref_names, containers
 
 
@@ -814,15 +862,20 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip") -> None:
     out += hdr_block
 
     counter = 0
+    crai_entries: list = []
     chunk: list[str] = []
     for row in sam_body_lines(gf.df).toLocalIterator():
         chunk.append(row["value"])
         if len(chunk) >= _RECORDS_PER_CONTAINER:
+            crai_entries.append(len(out))
             _write_data_container(out, chunk, ref_index, counter, codec)
+            crai_entries[-1] = (crai_entries[-1], len(out) - crai_entries[-1])
             counter += len(chunk)
             chunk = []
     if chunk:
+        crai_entries.append(len(out))
         _write_data_container(out, chunk, ref_index, counter, codec)
+        crai_entries[-1] = (crai_entries[-1], len(out) - crai_entries[-1])
         counter += len(chunk)
     # EOF container: zero records, one raw sentinel block
     eof_block = bytearray()
@@ -831,6 +884,7 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip") -> None:
     out += eof_block
     with open(path, "wb") as f:
         f.write(bytes(out))
+    _write_crai(path, crai_entries)
 
 
 def _decode_container_range(path: str, offsets: list[int], ref_names: list[str]):
@@ -849,16 +903,23 @@ def _decode_container_range(path: str, offsets: list[int], ref_names: list[str])
 
 def load_cram(spark: SparkSession, path: str) -> GenomicFrame:
     """CRAM → alignments via a distributed per-container scan
-    (reference: ADAMContext.loadBam:2027-2111 CRAM dispatch). The
-    driver walks container headers; executors decode containers in
-    parallel (each is self-contained: compression header + slice +
-    streams) and feed the shared SAM line parser."""
+    (reference: ADAMContext.loadBam:2027-2111 CRAM dispatch). With a
+    ``.crai`` sidecar (``save_cram`` writes one) driver I/O is O(1):
+    the file-header container plus the gzip'd offset list; otherwise
+    the driver seek-walks container headers serially. Executors decode
+    containers in parallel (each is self-contained: compression header
+    + slice + streams) and feed the shared SAM line parser."""
     from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
 
     path = os.path.abspath(path)
-    header_lines, ref_names, containers = _index_containers(path)
+    crai_offsets = _read_crai(path)
+    if crai_offsets is not None:
+        header_lines, ref_names = _read_file_header(path)
+        offsets = crai_offsets
+    else:
+        header_lines, ref_names, containers = _index_containers(path)
+        offsets = [off for off, _ in containers]
     par = spark.sparkContext.defaultParallelism
-    offsets = [off for off, _ in containers]
     n_tasks = max(1, min(len(offsets), par * 2))
     chunks: list[list[int]] = [[] for _ in range(n_tasks)]
     for i, off in enumerate(offsets):

@@ -188,3 +188,30 @@ def test_foreign_series_map_fails_loudly(spark, sam_path, tmp_path):
     with pytest.raises(Exception) as ei:
         load_cram(spark, cram).df.collect()
     assert "data-series" in str(ei.value) or "data-series" in str(ei.getrepr())
+
+
+def test_crai_sidecar_skips_driver_walk(spark, sam_path, tmp_path, monkeypatch):
+    """save_cram writes a .crai; load_cram with it never serially walks
+    container headers on the driver (O(1) driver I/O)."""
+    import os
+
+    import adam_spark.sources.cram as cm
+
+    gf = load_sam(spark, sam_path)
+    cram = str(tmp_path / "ix.cram")
+    save_cram(gf, cram)
+    assert os.path.exists(cram + ".crai")
+    want = sorted(r["readName"] for r in gf.df.collect())
+
+    def boom(path):
+        raise AssertionError("driver container walk must not run with .crai")
+
+    monkeypatch.setattr(cm, "_index_containers", boom)
+    got = sorted(r["readName"] for r in cm.load_cram(spark, cram).df.collect())
+    assert got == want
+
+    # without the sidecar the serial walk still works
+    monkeypatch.undo()
+    os.remove(cram + ".crai")
+    got2 = sorted(r["readName"] for r in cm.load_cram(spark, cram).df.collect())
+    assert got2 == want
