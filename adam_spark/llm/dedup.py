@@ -388,3 +388,73 @@ def simhash_duplicates(
         .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
         .select("id", "simhash", "canonical_id", "is_duplicate")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the duplicate-pair graph.
+
+    Turns pair output (:func:`minhash_lsh_pairs`,
+    :func:`embedding_near_duplicates`, …) into per-document cluster
+    labels — the step a corpus-pruning pipeline actually needs (keep
+    one document per component, not per pair). Returns
+    (id, cluster_id, is_duplicate) where cluster_id is the component's
+    min id; with ``all_ids`` (a 1-column frame of every document id)
+    singletons appear with cluster_id = their own id.
+
+    Min-label propagation: each round joins labels across edges and
+    takes the per-node min, converging in O(component diameter) rounds.
+    LSH near-dup components are near-cliques (diameter ≈ 2), so 2-3
+    rounds close real corpora; ``max_iters`` bounds adversarial chains.
+    Scale shape: every round is one shuffle join on the (slim) edge
+    table plus a partial-aggregated groupBy; an eager localCheckpoint
+    per round cuts the lineage so plans stay O(1) deep instead of
+    O(iterations). The driver holds only the one-row convergence count.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("l"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels.select(F.col("n").alias("b"), "l"), "b"
+        ).select(F.col("a").alias("n"), "l")
+        new = (
+            labels.union(prop)
+            .groupBy("n")
+            .agg(F.min("l").alias("l"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("x")
+            .join(labels.alias("y"), "n")
+            .where(F.col("x.l") != F.col("y.l"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels.select(F.col("n").alias("id"), F.col("l").alias("cluster_id"))
+    if all_ids is not None:
+        ids = all_ids.select(F.col(all_ids.columns[0]).alias("id"))
+        out = ids.join(out, "id", "left").withColumn(
+            "cluster_id", F.coalesce("cluster_id", "id")
+        )
+    return out.withColumn("is_duplicate", F.col("id") != F.col("cluster_id"))

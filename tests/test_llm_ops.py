@@ -269,3 +269,23 @@ def test_verify_broadcast_auto_plan_shapes(docs, monkeypatch):
     res = dd.minhash_lsh_pairs(docs, "doc_id", broadcast_verify=False).collect()
     ref = dd.minhash_lsh_pairs(docs, "doc_id", broadcast_verify=True).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, ref))
+
+
+def test_duplicate_clusters(docs, spark):
+    """Transitive closure: A~B, B~C (never A~C as a pair) must land in
+    one cluster with min-id canonical; singletons keep their own id."""
+    from adam_spark.llm.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r for r in duplicate_clusters(pairs).collect()}
+    assert {n: out[n]["cluster_id"] for n in sorted(out)} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20,
+    }
+    assert out[1]["is_duplicate"] is False and out[3]["is_duplicate"] is True
+
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    with_singles = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs.where("id_a < 11"), all_ids=ids).collect()}
+    assert with_singles[99] == 99 and with_singles[3] == 1
