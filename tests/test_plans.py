@@ -98,3 +98,15 @@ def test_filter_pushdown_reaches_scan(plans):
         assert re.search(r"PushedFilters: \[[^\]]", plans[name]), (
             f"{name}: no pushed filters at the parquet scan"
         )
+
+
+def test_ivf_assignment_has_no_corpus_window(plans):
+    """ann_ivf_topk's corpus→centroid assignment must be the pandas
+    argmax narrow map, NOT crossJoin(centroids) + a row_number Window
+    over the n_centroids-times-exploded corpus (a full-corpus shuffle).
+    The only Windows allowed are the O(Q·k) probe ranking and the final
+    per-query top-k."""
+    p = plans["ann_ivf_topk"]
+    n_windows = len(re.findall(r"\bWindow \[", p))
+    assert n_windows <= 2, f"IVF plan grew a corpus-wide window:\n{p}"
+    assert "ArrowEvalPython" in p or "BatchEvalPython" in p, "argmax UDF missing"
