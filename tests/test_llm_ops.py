@@ -289,3 +289,40 @@ def test_duplicate_clusters(docs, spark):
     ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
     with_singles = {r["id"]: r["cluster_id"] for r in duplicate_clusters(pairs.where("id_a < 11"), all_ids=ids).collect()}
     assert with_singles[99] == 99 and with_singles[3] == 1
+
+
+def test_probe_media_real_headers(spark):
+    """Header-level probing is REAL (no codec libs): PNG/GIF/BMP/JPEG
+    dims and WAV sample-rate/duration parse from hand-built binaries."""
+    import struct
+
+    from adam_spark.llm.multimodal import MEDIA, probe_media
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480) + b"\x08\x02" + b"\x00" * 20
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 10
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0 (len incl. its own 2 bytes)
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 768, 1024) + b"\x03" + b"\x00" * 9
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 32000) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + struct.pack("<HH", 1, 1) + struct.pack("<II", 16000, 32000) + struct.pack("<HH", 2, 16)
+        + b"data" + struct.pack("<I", 32000) + b"\x00" * 8
+    )
+    rows = [
+        (1, "image", "image/png", bytearray(png), None, None, None, None),
+        (2, "image", "image/gif", bytearray(gif), None, None, None, None),
+        (3, "image", "image/bmp", bytearray(bmp), None, None, None, None),
+        (4, "image", "image/jpeg", bytearray(jpeg), None, None, None, None),
+        (5, "audio", "audio/wav", bytearray(wav), None, None, None, None),
+        (6, "image", "image/x", bytearray(b"NOTAFORMAT__"), None, None, None, None),
+    ]
+    out = {r["asset_id"]: r for r in probe_media(spark.createDataFrame(rows, MEDIA)).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 640, 480)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("gif", 320, 200)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("bmp", 100, 50)
+    assert (out[4]["format"], out[4]["width"], out[4]["height"]) == ("jpeg", 1024, 768)
+    assert (out[5]["format"], out[5]["sample_rate"], out[5]["duration_ms"]) == ("wav", 16000, 1000)
+    assert out[6]["format"] == "unknown"
