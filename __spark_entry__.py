@@ -1746,7 +1746,12 @@ def realign_indels_reads(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(False).alias("duplicateRead"),
         F.lit(True).alias("primaryAlignment"),
     )
-    out = realign_indels(reads)
+    # the synthetic fixture funnels EVERY indel/mismatch read into one
+    # target, so at larger SFs the group crosses the reference's
+    # 20k-reads-per-target bail-out (RealignIndels.scala maxReadsPerTarget)
+    # and nothing realigns — lift the cap so the query is closed-form at
+    # any SF (the operator default stays at the reference's 20k)
+    out = realign_indels(reads, max_reads_per_target=1_000_000)
     return out.select(
         "readName", "start", "end", "cigar", "mappingQuality", "mismatchingPositions"
     ).orderBy("readName")

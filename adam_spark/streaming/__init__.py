@@ -15,6 +15,11 @@ Structured Streaming pipelines because they are stateless per line.
 - :func:`stream_events` / :func:`streaming_event_counts` — generic
   watermarked windowed counts for the events table shape, showing the
   watermark + window pattern for late data.
+- :func:`streaming_sessions` — gap-based sessionization as a CUSTOM
+  STATEFUL operator (``applyInPandasWithState``): per-user session
+  state lives in the state store, sessions close when an in-stream gap
+  is observed or the processing-time timeout fires — the streaming twin
+  of the batch ``events_sessions`` window query.
 """
 
 from __future__ import annotations
@@ -91,4 +96,74 @@ def streaming_event_counts(
             "event_type",
             "n",
         )
+    )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator.
+
+    ``applyInPandasWithState`` keeps one (session_start, last_ts,
+    n_events) row per user in the state store. A session EMITS when
+    (a) a later event for the same user arrives more than
+    ``gap_seconds`` after the previous one — the in-stream close, fully
+    deterministic — or (b) the processing-time timeout fires with no
+    new events (the idle-user flush). Matches the batch
+    ``events_sessions`` semantics (strict ``> gap`` starts a new
+    session). Scale shape: state is O(active users), each micro-batch
+    shuffles only that batch's events on the user key.
+    """
+    import pandas as pd
+
+    gap = int(gap_seconds)
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start, last, n)],
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            return
+        ts = sorted(
+            int(t)
+            for pdf in pdfs
+            for t in pdf["tse"].tolist()
+        )
+        if not ts:
+            return
+        closed = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], ts[0], 0  # first event counted below
+        for t in ts:
+            if t - last > gap:
+                closed.append((key[0], start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(gap * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    keyed = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("tse"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_start long, session_end long, n_events long",
+        stateStructType="session_start long, last_ts long, n_events long",
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
     )

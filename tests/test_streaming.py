@@ -107,3 +107,42 @@ def test_streaming_event_counts(spark, tmp_path):
         q.stop()
     assert got[("2026-01-01 10:00:00", "click")] == 2
     assert got[("2026-01-01 11:00:00", "error")] == 1
+
+
+def test_streaming_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: a session closes
+    deterministically when a later micro-batch shows a gap > the
+    threshold for that user; open sessions stay in state."""
+    import json
+
+    indir = tmp_path / "ev"
+    os.makedirs(indir)
+    schema = "user_id long, ts timestamp"
+
+    def shard(name, rows):
+        with open(indir / name, "w") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+    shard("s1.json", [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:03:00"),
+                      (2, "2024-01-01 10:00:00")])
+    events = spark.readStream.schema(schema).json(str(indir))
+    sess = st.streaming_sessions(events, gap_seconds=1800)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from sess_out").count() == 0  # nothing closed yet
+        # user 1 returns 2h later -> the first session closes with 2 events
+        shard("s2.json", [(1, "2024-01-01 12:30:00")])
+        q.processAllAvailable()
+        rows = {r["user_id"]: r for r in spark.sql("select * from sess_out").collect()}
+        assert 1 in rows and 2 not in rows
+        assert rows[1]["n_events"] == 2
+        assert rows[1]["session_end"] - rows[1]["session_start"] == 180
+    finally:
+        q.stop()
