@@ -104,6 +104,7 @@ def streaming_sessions(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator.
 
@@ -111,11 +112,15 @@ def streaming_sessions(
     n_events) row per user in the state store. A session EMITS when
     (a) a later event for the same user arrives more than
     ``gap_seconds`` after the previous one — the in-stream close, fully
-    deterministic — or (b) the processing-time timeout fires with no
-    new events (the idle-user flush). Matches the batch
-    ``events_sessions`` semantics (strict ``> gap`` starts a new
-    session). Scale shape: state is O(active users), each micro-batch
-    shuffles only that batch's events on the user key.
+    deterministic — or (b) the EVENT-TIME timeout fires: once the
+    watermark (max seen event time minus ``watermark_delay``) passes
+    ``last_ts + gap``, the idle session flushes. Event-time timeouts
+    only fire as data advances the watermark, so the query never spins
+    empty micro-batches the way a processing-time timeout does, and
+    replays are deterministic. Matches the batch ``events_sessions``
+    semantics (strict ``> gap`` starts a new session). Scale shape:
+    state is O(active users); each micro-batch shuffles only that
+    batch's events on the user key.
     """
     import pandas as pd
 
@@ -130,11 +135,7 @@ def streaming_sessions(
                 columns=["user_id", "session_start", "session_end", "n_events"],
             )
             return
-        ts = sorted(
-            int(t)
-            for pdf in pdfs
-            for t in pdf["tse"].tolist()
-        )
+        ts = sorted(int(t) for pdf in pdfs for t in pdf["tse"].tolist())
         if not ts:
             return
         closed = []
@@ -149,7 +150,7 @@ def streaming_sessions(
             last = t
             n += 1
         state.update((start, last, n))
-        state.setTimeoutDuration(gap * 1000)
+        state.setTimeoutTimestamp((last + gap) * 1000)
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -158,12 +159,13 @@ def streaming_sessions(
 
     keyed = events.select(
         F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("__ts"),
         F.col(ts_col).cast("timestamp").cast("long").alias("tse"),
-    )
+    ).withWatermark("__ts", watermark_delay)
     return keyed.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType="user_id long, session_start long, session_end long, n_events long",
         stateStructType="session_start long, last_ts long, n_events long",
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout",
+        timeoutConf="EventTimeTimeout",
     )

@@ -137,12 +137,16 @@ def test_streaming_sessions_stateful(spark, tmp_path):
     try:
         q.processAllAvailable()
         assert spark.sql("select * from sess_out").count() == 0  # nothing closed yet
-        # user 1 returns 2h later -> the first session closes with 2 events
+        # user 1 returns 2h later -> the first session closes with 2 events;
+        # the advanced watermark (12:30) also times out idle user 2
         shard("s2.json", [(1, "2024-01-01 12:30:00")])
         q.processAllAvailable()
+        shard("s3.json", [(3, "2024-01-01 13:00:00")])  # advance watermark again
+        q.processAllAvailable()
         rows = {r["user_id"]: r for r in spark.sql("select * from sess_out").collect()}
-        assert 1 in rows and 2 not in rows
         assert rows[1]["n_events"] == 2
         assert rows[1]["session_end"] - rows[1]["session_start"] == 180
+        assert rows[2]["n_events"] == 1  # idle flush via event-time timeout
+        assert 3 not in rows  # user 3's session is still open
     finally:
         q.stop()
