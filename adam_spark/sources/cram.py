@@ -34,15 +34,22 @@ following the public CRAM 3.0 specification:
   per-(tag,type) external streams as BAM-typed values with a TD tag
   dictionary.
 
+**Reference-based compression** (RR=true): with a reference
+(dict / ReferenceFile / .fa/.2bit path) the writer codes plain-M
+stretches as 'm' match-span features plus per-base 'X' substitution
+features — matching bases are never stored, the model behind real
+CRAM's ~40%-smaller-than-BAM storage. The reader requires the same
+reference (``load_cram(..., reference=...)``) and fails loudly
+without it.
+
 Scope note (honest descope of the remainder): this is a
 self-consistent CRAM 3.0 subset — the writer always emits the layout
 above, and the reader VALIDATES the compression header's data-series
 encoding map against that fixed layout, failing loudly on any foreign
-layout instead of mis-decoding. Reference-based sequence compression
-and bit-packed core encodings (HUFFMAN, BETA, SUBEXP) are not
-implemented, so third-party CRAMs written against a reference genome
-do not load; htsjdk interop is untestable in this container.
-Round-trip fidelity is pinned by tests/test_sources_cram.py.
+layout instead of mis-decoding. Bit-packed core encodings (HUFFMAN,
+BETA, SUBEXP) are not implemented, so third-party CRAMs do not load;
+htsjdk interop is untestable in this container. Round-trip fidelity
+is pinned by tests/test_sources_cram.py.
 
 Scale posture mirrors bam.py: containers are self-contained
 (compression header + slice + streams), so the driver only walks
@@ -86,6 +93,9 @@ _CID = {
     "MF": 8, "NS": 9, "NP": 10, "TS": 11, "TL": 12, "FN": 13, "FC": 14,
     "FP": 15, "DL": 16, "BBl": 17, "BBv": 18, "QS": 19, "BA": 20,
     "IN": 21, "SC": 22, "RS": 23, "HC": 24, "PD": 25, "MQ": 26,
+    # reference-based coding (RR=true): 'm' match-span lengths and 'X'
+    # substituted read bases
+    "MS": 27, "BS": 28,
 }
 _TAG_CID_BASE = 100
 
@@ -289,8 +299,9 @@ def _encoding_byte_array_len(len_cid: int, val_cid: int) -> bytes:
 
 
 def _compression_header(tag_lines: list[tuple[tuple[str, str], ...]],
-                        tag_cids: dict[tuple[str, str], int]) -> bytes:
-    # preservation map: RN=true, AP=false (absolute), RR=false + TD
+                        tag_cids: dict[tuple[str, str], int],
+                        rr: bool = False) -> bytes:
+    # preservation map: RN=true, AP=false (absolute), RR + TD
     td = bytearray()
     for line in tag_lines:
         for tag, typ in line:
@@ -300,7 +311,7 @@ def _compression_header(tag_lines: list[tuple[tuple[str, str], ...]],
     entries = [
         (b"RN", bytes((1,))),
         (b"AP", bytes((0,))),
-        (b"RR", bytes((0,))),
+        (b"RR", bytes((1 if rr else 0,))),
         (b"TD", itf8_encode(len(td)) + bytes(td)),
     ]
     pres += itf8_encode(len(entries))
@@ -311,7 +322,8 @@ def _compression_header(tag_lines: list[tuple[tuple[str, str], ...]],
     ds = bytearray()
     series = []
     for key in ("BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
-                "TL", "FN", "FC", "FP", "DL", "QS", "BA", "RS", "HC", "PD", "MQ"):
+                "TL", "FN", "FC", "FP", "DL", "QS", "BA", "RS", "HC", "PD", "MQ",
+                "MS", "BS"):
         series.append((key.encode(), _encoding_external(_CID[key])))
     series.append((b"RN", _encoding_byte_array_stop(0, _CID["RN"])))
     series.append((b"IN", _encoding_byte_array_stop(0, _CID["IN"])))
@@ -338,7 +350,8 @@ def _expected_series_map() -> dict[str, tuple[int, bytes]]:
     declares them."""
     exp: dict[str, tuple[int, bytes]] = {}
     for key in ("BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
-                "TL", "FN", "FC", "FP", "DL", "QS", "BA", "RS", "HC", "PD", "MQ"):
+                "TL", "FN", "FC", "FP", "DL", "QS", "BA", "RS", "HC", "PD", "MQ",
+                "MS", "BS"):
         exp[key] = (1, itf8_encode(_CID[key]))
     for key in ("RN", "IN", "SC"):
         exp[key] = (5, bytes((0,)) + itf8_encode(_CID[key]))
@@ -355,10 +368,14 @@ def _parse_compression_header(data: bytes):
     _size, off = itf8_decode(data, off)
     n, off = itf8_decode(data, off)
     tag_lines: list[tuple[tuple[str, str], ...]] = []
+    rr = False
     for _ in range(n):
         key = bytes(data[off : off + 2])
         off += 2
-        if key in (b"RN", b"AP", b"RR"):
+        if key == b"RR":
+            rr = bool(data[off])
+            off += 1
+        elif key in (b"RN", b"AP"):
             off += 1
         elif key == b"SM":
             off += 5
@@ -389,7 +406,11 @@ def _parse_compression_header(data: bytes):
     if off != ds_end:
         raise ValueError("CRAM data-series map length mismatch")
     expected = _expected_series_map()
-    if seen != expected:
+    if seen != expected and seen != {
+        k: v for k, v in expected.items() if k not in ("MS", "BS")
+    }:
+        # files written before the reference-coding series existed lack
+        # MS/BS; any other deviation is a foreign layout
         diffs = sorted(
             k for k in set(seen) | set(expected) if seen.get(k) != expected.get(k)
         )
@@ -413,7 +434,7 @@ def _parse_compression_header(data: bytes):
             raise ValueError("unsupported tag codec")
         tag = chr((key >> 16) & 0xFF) + chr((key >> 8) & 0xFF)
         tag_cids[(tag, chr(key & 0xFF))] = cid
-    return tag_lines, tag_cids
+    return tag_lines, tag_cids, rr
 
 
 # --- record codec ----------------------------------------------------------
@@ -474,8 +495,18 @@ _CIGAR_FEATURES = {"S": "SC", "I": "IN", "D": "DL", "N": "RS", "H": "HC", "P": "
 
 def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
                    tag_lines: dict[tuple, int], tag_line_list: list,
-                   tag_cids: dict[tuple[str, str], int]) -> int:
-    """One SAM line (split fields) → streams. Returns #bases."""
+                   tag_cids: dict[tuple[str, str], int],
+                   ref_seqs: dict[str, str] | None = None) -> int:
+    """One SAM line (split fields) → streams. Returns #bases.
+
+    With ``ref_seqs`` (contig → sequence; RR=true), plain-M stretches
+    are reference-coded: an 'm' feature carries only the span length
+    (MS stream) and per-base 'X' features carry the substituted read
+    bases (BS stream) — matching bases are never stored, which is the
+    compression model that makes real CRAMs ~40% smaller than BAM
+    (docs/benchmarks/storage.rst:27-30). Extended '='/'X' cigar ops
+    keep verbatim stretch coding so their op codes round-trip.
+    """
     import re
 
     name, flag, rname, pos1, mapq, cigar, rnext, pnext1, tlen, seq, qual = fields[:11]
@@ -524,14 +555,27 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
         # 'X' substitution feature is a different animal and any foreign
         # layout is rejected up front by the data-series map check)
         stretch_code = {"M": "b", "=": "E", "X": "x"}
+        contig = ref_seqs.get(rname) if ref_seqs is not None else None
         feats = []
         read_pos = 1
+        ref_pos = int(pos1) - 1  # 0-based position on the reference
         for m in re.finditer(r"(\d+)([MIDNSHP=X])", cigar):
             n, op = int(m.group(1)), m.group(2)
             bases = "N" * n if seqless_mapped else seq[read_pos - 1 : read_pos - 1 + n]
-            if op in "M=X":
+            if op == "M" and contig is not None and not seqless_mapped:
+                # reference-coded match span + explicit substitutions
+                feats.append(("m", read_pos, n))
+                refseg = contig[ref_pos : ref_pos + n]
+                for i in range(n):
+                    rb = refseg[i] if i < len(refseg) else None
+                    if rb != bases[i]:
+                        feats.append(("X", read_pos + i, bases[i]))
+                read_pos += n
+                ref_pos += n
+            elif op in "M=X":
                 feats.append((stretch_code[op], read_pos, bases))
                 read_pos += n
+                ref_pos += n
             elif op == "S":
                 feats.append(("S", read_pos, bases))
                 read_pos += n
@@ -540,6 +584,8 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
                 read_pos += n
             else:  # D, N, H, P consume no read bases
                 feats.append((op, read_pos, n))
+                if op in "DN":
+                    ref_pos += n
         s.put_int("FN", len(feats))
         prev = 0
         for code, fpos, payload in feats:
@@ -549,6 +595,10 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
             if code in ("b", "E", "x"):
                 s.put_int("BBl", len(payload))
                 s.put_bytes("BBv", payload.encode())
+            elif code == "m":
+                s.put_int("MS", payload)
+            elif code == "X":
+                s.put_bytes("BS", payload.encode())
             elif code == "S":
                 s.put_stop("SC", payload.encode())
             elif code == "I":
@@ -590,7 +640,9 @@ def _tag_value_len(typ: str, buf, p: int) -> int:
 
 
 def _decode_record(c: _Cursors, ref_names: list[str],
-                   tag_lines: list, tag_cids: dict) -> str:
+                   tag_lines: list, tag_cids: dict,
+                   rr: bool = False,
+                   ref_seqs: dict[str, str] | None = None) -> str:
     from adam_spark.sources.bam import _aux_to_text
 
     flag = c.get_int("BF")
@@ -619,9 +671,19 @@ def _decode_record(c: _Cursors, ref_names: list[str],
     seqless = bool(_cf & 0x8)  # decode sequence as '*' (spec §8.5)
     seq, cigar, mapq = "*", "*", 0
     if mapped:
+        rname_for_ref = ref_names[ref_id] if ref_id >= 0 else None
+        contig = (
+            ref_seqs.get(rname_for_ref)
+            if (rr and ref_seqs is not None and rname_for_ref is not None)
+            else None
+        )
         fn = c.get_int("FN")
-        parts, cig = [], []
+        # seq assembled positionally: 'm' spans copy reference bases,
+        # 'X' features overwrite single substituted bases
+        chars: list[str] = []
+        cig = []
         pos = 0
+        ref_pos = pos1 - 1
         stretch_op = {"b": "M", "E": "=", "x": "X"}
         for _ in range(fn):
             code = c.get_bytes("FC", 1).decode()
@@ -629,22 +691,40 @@ def _decode_record(c: _Cursors, ref_names: list[str],
             if code in stretch_op:
                 n = c.get_int("BBl")
                 bases = c.get_bytes("BBv", n).decode()
-                parts.append(bases)
+                chars.extend(bases)
                 cig.append(f"{n}{stretch_op[code]}")
+                ref_pos += n
+            elif code == "m":
+                n = c.get_int("MS")
+                if rr and contig is None:
+                    raise ValueError(
+                        "reference-coded CRAM (RR=true) needs the reference: "
+                        "pass load_cram(..., reference=...)"
+                    )
+                seg = contig[ref_pos : ref_pos + n] if contig is not None else ""
+                chars.extend(seg.ljust(n, "N"))
+                cig.append(f"{n}M")
+                ref_pos += n
+            elif code == "X":
+                # features are read-position ordered, so the containing
+                # 'm' span already assembled this index; overwrite it
+                chars[pos - 1] = c.get_bytes("BS", 1).decode()
             elif code == "S":
                 bases = c.get_stop("SC").decode()
-                parts.append(bases)
+                chars.extend(bases)
                 cig.append(f"{len(bases)}S")
             elif code == "I":
                 bases = c.get_stop("IN").decode()
-                parts.append(bases)
+                chars.extend(bases)
                 cig.append(f"{len(bases)}I")
             else:
                 n = c.get_int(_CIGAR_FEATURES[code])
                 cig.append(f"{n}{code}")
+                if code in "DN":
+                    ref_pos += n
         mapq = c.get_int("MQ")
         if fn:
-            seq = "*" if seqless else "".join(parts)
+            seq = "*" if seqless else "".join(chars)
             cigar = "".join(cig)
         elif rl:
             seq = c.get_bytes("BA", rl).decode()
@@ -669,7 +749,8 @@ def _decode_record(c: _Cursors, ref_names: list[str],
 # --- container write/read --------------------------------------------------
 def _write_data_container(out: bytearray, sam_lines: list[str],
                           ref_index: dict[str, int], counter: int,
-                          codec: str = "gzip") -> int:
+                          codec: str = "gzip",
+                          ref_seqs: dict[str, str] | None = None) -> int:
     s = _Streams()
     tag_lines: dict[tuple, int] = {}
     tag_line_list: list = []
@@ -683,10 +764,11 @@ def _write_data_container(out: bytearray, sam_lines: list[str],
     bases = 0
     for ln in sam_lines:
         bases += _encode_record(ln.rstrip("\n").split("\t"), ref_index, s,
-                                tag_lines, tag_line_list, tag_cids)
+                                tag_lines, tag_line_list, tag_cids,
+                                ref_seqs=ref_seqs)
 
     blocks = bytearray()
-    comp = _compression_header(tag_line_list, tag_cids)
+    comp = _compression_header(tag_line_list, tag_cids, rr=ref_seqs is not None)
     _write_block(blocks, _CT_COMPRESSION_HEADER, 0, comp)
     # slice header: multiref (-2), content ids of external blocks
     ext_ids = sorted(cid for cid, b in s.b.items() if b)
@@ -715,7 +797,8 @@ def _write_data_container(out: bytearray, sam_lines: list[str],
     return bases
 
 
-def decode_container(buf, off: int, hdr, ref_names: list[str]):
+def decode_container(buf, off: int, hdr, ref_names: list[str],
+                     ref_seqs: dict[str, str] | None = None):
     """Decode one data container at ``off`` → list of SAM lines."""
     p = off + hdr["header_size"]
     end = off + hdr["header_size"] + hdr["length"]
@@ -745,10 +828,16 @@ def decode_container(buf, off: int, hdr, ref_names: list[str]):
             ext[cid] = data
     if comp_data is None:
         return []
-    tag_lines, tag_cids = _parse_compression_header(comp_data)
+    tag_lines, tag_cids, rr = _parse_compression_header(comp_data)
+    if rr and ref_seqs is None:
+        raise ValueError(
+            "reference-coded CRAM (RR=true): pass load_cram(..., reference=...) "
+            "with the contig sequences the file was written against"
+        )
     c = _Cursors(ext)
     return [
-        _decode_record(c, ref_names, tag_lines, tag_cids) for _ in range(n_records)
+        _decode_record(c, ref_names, tag_lines, tag_cids, rr=rr, ref_seqs=ref_seqs)
+        for _ in range(n_records)
     ]
 
 
@@ -840,13 +929,35 @@ def _index_containers(path: str):
 
 
 # --- public API ------------------------------------------------------------
-def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip") -> None:
+def _resolve_reference(reference) -> dict[str, str] | None:
+    """reference → {contig: sequence}: accepts a dict, a ReferenceFile
+    object (TwoBitFile/IndexedFastaFile), or a .fa/.2bit path."""
+    if reference is None or isinstance(reference, dict):
+        return reference
+    rf = reference
+    if isinstance(reference, str):
+        from adam_spark.sources.reference_file import load_reference_file
+
+        rf = load_reference_file(reference)
+    return {n: rf.extract(n, 0, rf.length(n)) for n in rf.names()}
+
+
+def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
+              reference=None) -> None:
     """Alignments → single-file CRAM (driver export job, same boundary
     as save_bam; reference: AlignmentDataset.saveAsSam:810-997).
 
     ``codec``: external-block compression — ``"gzip"`` (default) or
     ``"rans"`` (rANS 4x8, the codec real-world CRAMs use; see
-    :mod:`adam_spark.sources.rans`)."""
+    :mod:`adam_spark.sources.rans`).
+
+    ``reference``: contig sequences (dict / ReferenceFile / .fa/.2bit
+    path). When given, the file is written REFERENCE-CODED (RR=true):
+    matching bases are never stored — only match-span lengths and the
+    substituted bases — the model behind real CRAM's ~40%-smaller-than-
+    BAM storage (docs/benchmarks/storage.rst:27-30). Reading such a
+    file requires passing the same reference to :func:`load_cram`."""
+    ref_seqs = _resolve_reference(reference)
     from adam_spark.sources.sam import sam_body_lines, sam_header_lines
 
     header = sam_header_lines(gf.meta)
@@ -868,13 +979,13 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip") -> None:
         chunk.append(row["value"])
         if len(chunk) >= _RECORDS_PER_CONTAINER:
             crai_entries.append(len(out))
-            _write_data_container(out, chunk, ref_index, counter, codec)
+            _write_data_container(out, chunk, ref_index, counter, codec, ref_seqs)
             crai_entries[-1] = (crai_entries[-1], len(out) - crai_entries[-1])
             counter += len(chunk)
             chunk = []
     if chunk:
         crai_entries.append(len(out))
-        _write_data_container(out, chunk, ref_index, counter, codec)
+        _write_data_container(out, chunk, ref_index, counter, codec, ref_seqs)
         crai_entries[-1] = (crai_entries[-1], len(out) - crai_entries[-1])
         counter += len(chunk)
     # EOF container: zero records, one raw sentinel block
@@ -887,7 +998,8 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip") -> None:
     _write_crai(path, crai_entries)
 
 
-def _decode_container_range(path: str, offsets: list[int], ref_names: list[str]):
+def _decode_container_range(path: str, offsets: list[int], ref_names: list[str],
+                            ref_seqs: dict[str, str] | None = None):
     """Executor task: decode a list of container offsets → SAM lines.
     Reads only the assigned containers' bytes (seek + bounded read)."""
     size = os.path.getsize(path)
@@ -898,10 +1010,10 @@ def _decode_container_range(path: str, offsets: list[int], ref_names: list[str])
             hdr = _read_container_header(probe, 0)
             f.seek(off)
             buf = f.read(hdr["header_size"] + hdr["length"])
-            yield from decode_container(buf, 0, hdr, ref_names)
+            yield from decode_container(buf, 0, hdr, ref_names, ref_seqs)
 
 
-def load_cram(spark: SparkSession, path: str) -> GenomicFrame:
+def load_cram(spark: SparkSession, path: str, reference=None) -> GenomicFrame:
     """CRAM → alignments via a distributed per-container scan
     (reference: ADAMContext.loadBam:2027-2111 CRAM dispatch). With a
     ``.crai`` sidecar (``save_cram`` writes one) driver I/O is O(1):
@@ -912,6 +1024,10 @@ def load_cram(spark: SparkSession, path: str) -> GenomicFrame:
     from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
 
     path = os.path.abspath(path)
+    # reference-coded files (RR=true) need the contig sequences on every
+    # executor; resolved driver-side, shipped in the task closure (the
+    # same broadcast-the-reference shape ADAM uses for its ReferenceFile)
+    ref_seqs = _resolve_reference(reference)
     crai_offsets = _read_crai(path)
     if crai_offsets is not None:
         header_lines, ref_names = _read_file_header(path)
@@ -926,7 +1042,7 @@ def load_cram(spark: SparkSession, path: str) -> GenomicFrame:
         chunks[i % n_tasks].append(off)
     chunks = [c for c in chunks if c]
     rdd = spark.sparkContext.parallelize(chunks, max(1, len(chunks))).flatMap(
-        lambda c: _decode_container_range(path, c, ref_names)
+        lambda c: _decode_container_range(path, c, ref_names, ref_seqs)
     )
     raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
     return GenomicFrame(

@@ -215,3 +215,68 @@ def test_crai_sidecar_skips_driver_walk(spark, sam_path, tmp_path, monkeypatch):
     os.remove(cram + ".crai")
     got2 = sorted(r["readName"] for r in cm.load_cram(spark, cram).df.collect())
     assert got2 == want
+
+
+def test_reference_based_cram_roundtrip_and_size(spark, tmp_path):
+    """RR=true: reads encode against the reference (match spans + X
+    substitutions), round-trip exactly, and the file is smaller than
+    the verbatim encoding; loading without the reference fails loudly."""
+    import random
+
+    rng = random.Random(3)
+    contig = "".join(rng.choice("ACGT") for _ in range(2000))
+    ref = {"chr1": contig}
+    lines = ["@HD\tVN:1.6\tSO:coordinate", "@SQ\tSN:chr1\tLN:2000"]
+    for i in range(200):
+        start = (i * 9) % 1900
+        seq = list(contig[start : start + 80])
+        if i % 3 == 0:  # one substitution per third read
+            seq[17] = {"A": "C", "C": "G", "G": "T", "T": "A"}[seq[17]]
+        lines.append(
+            f"m{i}\t0\tchr1\t{start + 1}\t60\t80M\t*\t0\t0\t{''.join(seq)}\t{'I' * 80}"
+        )
+    p = tmp_path / "rr.sam"
+    p.write_text("\n".join(lines) + "\n")
+    gf = load_sam(spark, str(p))
+
+    plain = str(tmp_path / "plain.cram")
+    coded = str(tmp_path / "coded.cram")
+    save_cram(gf, plain)
+    save_cram(gf, coded, reference=ref)
+    import os
+
+    assert os.path.getsize(coded) < os.path.getsize(plain) * 0.8, (
+        os.path.getsize(coded),
+        os.path.getsize(plain),
+    )
+
+    a = {r["readName"]: r for r in gf.df.collect()}
+    b = {r["readName"]: r for r in load_cram(spark, coded, reference=ref).df.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        for col in ("sequence", "cigar", "start", "qualityScores"):
+            assert a[k][col] == b[k][col], (k, col)
+
+    with pytest.raises(Exception) as ei:
+        load_cram(spark, coded).df.collect()
+    assert "reference" in str(ei.value) or "reference" in str(ei.getrepr())
+
+
+def test_reference_based_cram_mixed_records(spark, sam_path, tmp_path):
+    """RR=true with the shared mixed fixture (indels, clips, unmapped,
+    tags): everything still round-trips when a reference is supplied."""
+    contig1 = "A" * 10000
+    contig2 = "C" * 5000
+    ref = {"chr1": contig1, "chr2": contig2}
+    gf = load_sam(spark, sam_path)
+    cram = str(tmp_path / "mix.cram")
+    save_cram(gf, cram, reference=ref, codec="rans")
+    a = {(r["readName"], r["readInFragment"]): r for r in gf.df.collect()}
+    b = {
+        (r["readName"], r["readInFragment"]): r
+        for r in load_cram(spark, cram, reference=ref).df.collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        for col in ("cigar", "sequence", "qualityScores", "start", "referenceName"):
+            assert a[k][col] == b[k][col], (k, col)
