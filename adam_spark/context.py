@@ -41,9 +41,10 @@ def _load_parquet(spark: SparkSession, path: str, kind: str) -> GenomicFrame:
 
 
 def load_alignments(
-    spark: SparkSession, path: str, path2: str | None = None
+    spark: SparkSession, path: str, path2: str | None = None, reference=None
 ) -> GenomicFrame:
-    """SAM/BAM / FASTQ / Parquet → alignments (ADAMContext.loadAlignments)."""
+    """SAM/BAM / FASTQ / Parquet → alignments (ADAMContext.loadAlignments).
+    ``reference`` is forwarded to the CRAM codec for RR=true files."""
     if _has_ext(path, ".sam"):
         return _sam.load_sam(spark, path)
     if _has_ext(path, ".bam"):
@@ -53,7 +54,7 @@ def load_alignments(
     if _has_ext(path, ".cram"):
         from adam_spark.sources.cram import load_cram
 
-        return load_cram(spark, path)
+        return load_cram(spark, path, reference=reference)
     if _has_ext(path, ".fq", ".fastq", ".ifq"):
         return _fastq.load_fastq_alignments(spark, path, path2)
     return _load_parquet(spark, path, "alignment")
@@ -190,7 +191,8 @@ def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> Non
     elif _has_ext(path, ".cram"):
         from adam_spark.sources.cram import save_cram
 
-        save_cram(gf, path)
+        save_cram(gf, path, **{k: v for k, v in kwargs.items()
+                               if k in ("codec", "reference")})
     elif _has_ext(path, ".fq", ".fastq"):
         _fastq.save_fastq(gf, path, single_file=single_file, **kwargs)
     elif _has_ext(path, ".bed"):
