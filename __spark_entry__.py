@@ -651,15 +651,24 @@ def _text_profile_sql() -> str:
 WITH base AS (
   SELECT doc_id AS id, text,
     list_filter(string_split(text, ' '), x -> x != '') AS toks,
-    list_filter(string_split(lower(text), ' '), x -> x != '') AS ltoks
+    list_filter(string_split(lower(text), ' '), x -> x != '') AS ltoks,
+    list_filter(string_split(text, chr(10)), l -> l != '') AS lines
   FROM documents),
 ext AS (
-  SELECT id, text, toks, ltoks, {', '.join(hit_cols)},
+  SELECT id, text, toks, ltoks, lines, {', '.join(hit_cols)},
+    list_transform(range(1, len(ltoks)), i -> ltoks[i] || ' ' || ltoks[i+1]) AS bg,
     CAST(len(toks) AS BIGINT) AS n_tokens,
     CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
     CAST(len(text) AS BIGINT) AS n_chars,
     len(text) - len(regexp_replace(text, '[\\.,;:!\\?''"\\(\\)\\[\\]\\{{\\}}-]', '', 'g')) AS n_punct
-  FROM base)
+  FROM base),
+bgc AS (
+  SELECT id, MAX(c) AS maxbg FROM (
+    SELECT id, b, COUNT(*) AS c
+    FROM (SELECT id, UNNEST(bg) AS b FROM ext) GROUP BY id, b
+  ) GROUP BY id),
+ext2 AS (SELECT ext.*, COALESCE(bgc.maxbg, 0) AS maxbg
+         FROM ext LEFT JOIN bgc USING (id))
 SELECT id, n_chars, n_tokens, n_distinct_tokens,
   CAST(list_sum(list_transform(ltoks,
     t -> CAST(CEIL(len(regexp_replace(t, '[^a-z0-9]', '', 'g')) / 4.0) AS BIGINT)
@@ -673,8 +682,16 @@ SELECT id, n_chars, n_tokens, n_distinct_tokens,
         + CAST(n_distinct_tokens AS DOUBLE) / GREATEST(n_tokens, 1) * 0.4
         + GREATEST(1.0 - CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) * 5, 0.0) * 0.2, 6) AS quality,
   {best} AS lang_guess,
-  md5(array_to_string(list_sort(list_distinct(ltoks)), ' ')) AS fingerprint
-FROM ext ORDER BY id
+  md5(array_to_string(list_sort(list_distinct(ltoks)), ' ')) AS fingerprint,
+  CASE WHEN len(lines) > 1
+       THEN ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+       ELSE 0.0 END AS dup_line_frac,
+  ROUND(CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+        / GREATEST(len(lines), 1), 6) AS bullet_line_frac,
+  ROUND(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+        / GREATEST(n_tokens, 1), 6) AS alpha_word_frac,
+  CASE WHEN n_tokens >= 2 THEN ROUND(maxbg * 2.0 / n_tokens, 6) ELSE 0.0 END AS top_bigram_frac
+FROM ext2 ORDER BY id
 """
 
 

@@ -98,6 +98,70 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(F.lower(text)))))
 
 
+def _lines(text: Column) -> Column:
+    return F.filter(F.split(text, "\n"), lambda l: l != F.lit(""))
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of (non-empty) lines
+    that are repeats of an earlier line."""
+    lines = _lines(text)
+    n = F.size(lines)
+    return F.when(
+        n > 1, F.lit(1.0) - F.size(F.array_distinct(lines)) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def bullet_line_fraction(text: Column) -> Column:
+    """Fraction of lines that start with a bullet marker."""
+    lines = _lines(text)
+    hits = F.size(F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]")))
+    return hits / F.greatest(F.size(lines), F.lit(1)).cast("double")
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of tokens containing at least one alphabetic char."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of tokens covered by the single most frequent word
+    bigram (Gopher's top-n-gram repetition filter, n=2).
+
+    Relational per-row compute: sort the bigram array, then the longest
+    run of equal consecutive elements is the max bigram count — one
+    ``aggregate`` fold with a (prev, run, best) struct accumulator, no
+    explode/groupBy, so the signal stays a narrow map at corpus scale.
+    """
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    bg = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))),
+        )
+    )
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    fold = F.aggregate(
+        bg,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(n >= 2, fold * 2 / n.cast("double")).otherwise(F.lit(0.0))
+
+
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per document with the full stats battery."""
     t = F.col(text_col)
@@ -113,6 +177,10 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         quality_score(t).alias("quality"),
         language_id(t).alias("lang_guess"),
         doc_fingerprint(t).alias("fingerprint"),
+        F.round(duplicate_line_fraction(t), 6).alias("dup_line_frac"),
+        F.round(bullet_line_fraction(t), 6).alias("bullet_line_frac"),
+        F.round(alpha_word_fraction(t), 6).alias("alpha_word_frac"),
+        F.round(top_bigram_fraction(t), 6).alias("top_bigram_frac"),
     )
 
 

@@ -326,3 +326,23 @@ def test_probe_media_real_headers(spark):
     assert (out[4]["format"], out[4]["width"], out[4]["height"]) == ("jpeg", 1024, 768)
     assert (out[5]["format"], out[5]["sample_rate"], out[5]["duration_ms"]) == ("wav", 16000, 1000)
     assert out[6]["format"] == "unknown"
+
+
+def test_repetition_and_quality_signals(spark):
+    """Gopher-style signals on crafted text: top-bigram coverage,
+    duplicate/bullet line fractions, alpha-word fraction."""
+    from adam_spark.llm.text import text_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "x\ny\nx\n- item\n- item2"),
+            (3, "1 2 3 abc"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["id"]: x for x in text_profile(df).collect()}
+    assert r[1]["top_bigram_frac"] == 1.0  # 'a b' x3 over 6 tokens
+    assert r[2]["dup_line_frac"] == 0.2  # 5 lines, 4 distinct
+    assert r[2]["bullet_line_frac"] == 0.4
+    assert r[3]["alpha_word_frac"] == 0.25
