@@ -54,6 +54,37 @@ def bgzf_decompress(path: str) -> bytes:
         return f.read()
 
 
+def bgzf_blocks_bytes(data: bytes, block_size: int = 60_000) -> tuple[bytes, list[int]]:
+    """BGZF-compress ``data`` (NO EOF sentinel) → (bytes, block offsets
+    within the returned stream, plus the end offset). BGZF members
+    concatenate, so independently compressed shards join into one valid
+    file — the property the parallel writer exploits."""
+    out = bytearray()
+    offsets: list[int] = []
+    for off in range(0, len(data), block_size):
+        offsets.append(len(out))
+        chunk = data[off : off + block_size]
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = comp.compress(chunk) + comp.flush()
+        # BSIZE = total block length − 1 (SAM spec §4.1):
+        # header(12) + extra(6) + payload + crc(4) + isize(4) − 1
+        bsize = len(payload) + 25
+        out += (
+            b"\x1f\x8b\x08\x04"  # magic, deflate, FEXTRA
+            + b"\x00\x00\x00\x00"  # mtime
+            + b"\x00\xff"  # XFL, OS
+            + struct.pack("<H", 6)  # XLEN
+            + b"BC"
+            + struct.pack("<H", 2)
+            + struct.pack("<H", bsize)
+            + payload
+            + struct.pack("<I", zlib.crc32(chunk) & 0xFFFFFFFF)
+            + struct.pack("<I", len(chunk))
+        )
+    offsets.append(len(out))
+    return bytes(out), offsets
+
+
 def bgzf_compress_to(path: str, data: bytes, block_size: int = 60_000) -> list[int]:
     """Write ``data`` as BGZF blocks + EOF sentinel.
 
@@ -63,30 +94,9 @@ def bgzf_compress_to(path: str, data: bytes, block_size: int = 60_000) -> list[i
     ``u % block_size`` (a ``u`` exactly at the data end maps into the
     empty sentinel block — still a valid virtual offset).
     """
-    offsets: list[int] = []
+    blob, offsets = bgzf_blocks_bytes(data, block_size)
     with open(path, "wb") as out:
-        for off in range(0, len(data), block_size):
-            offsets.append(out.tell())
-            chunk = data[off : off + block_size]
-            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
-            payload = comp.compress(chunk) + comp.flush()
-            # BSIZE = total block length − 1 (SAM spec §4.1):
-            # header(12) + extra(6) + payload + crc(4) + isize(4) − 1
-            bsize = len(payload) + 25
-            block = (
-                b"\x1f\x8b\x08\x04"  # magic, deflate, FEXTRA
-                + b"\x00\x00\x00\x00"  # mtime
-                + b"\x00\xff"  # XFL, OS
-                + struct.pack("<H", 6)  # XLEN
-                + b"BC"
-                + struct.pack("<H", 2)
-                + struct.pack("<H", bsize)
-                + payload
-                + struct.pack("<I", zlib.crc32(chunk) & 0xFFFFFFFF)
-                + struct.pack("<I", len(chunk))
-            )
-            out.write(block)
-        offsets.append(out.tell())
+        out.write(blob)
         out.write(_BGZF_EOF)
     return offsets
 
@@ -649,12 +659,48 @@ def _cigar_ref_len(cigar: str) -> int:
     return sum(int(n) for n, op in _CIGAR_RE.findall(cigar) if op in _CIG_REF_OPS)
 
 
+def _encode_shard(lines, shard_path: str, ref_index: dict[str, int],
+                  collect_spans: bool):
+    """Executor task: SAM lines → one BGZF shard file (no EOF member).
+
+    Returns one tuple: (shard_path, compressed_len, block_offsets,
+    spans) where spans hold (rid, beg, end, u0, u1) with uncompressed
+    offsets RELATIVE to the shard — the driver shifts them by the
+    shard's global base when it builds the .bai."""
+    body = bytearray()
+    spans: list[tuple[int, int, int, int, int]] = []
+    for line in lines:
+        u0 = len(body)
+        body += sam_line_to_bam_record(line, ref_index)
+        if collect_spans:
+            f = line.split("\t", 6)
+            rid_ = ref_index.get(f[2], -1)
+            if rid_ >= 0 and not (int(f[1]) & 0x4):
+                beg = int(f[3]) - 1
+                end = beg + max(1, _cigar_ref_len(f[5]) if f[5] != "*" else 1)
+                spans.append((rid_, beg, end, u0, len(body)))
+    blob, offsets = bgzf_blocks_bytes(bytes(body))
+    with open(shard_path, "wb") as f:
+        f.write(blob)
+    return (shard_path, len(blob), offsets, spans, len(body))
+
+
 def save_bam(gf: GenomicFrame, path: str, write_index: bool = True) -> None:
-    """Alignments → single-file BAM (export job: SAM lines collected to
-    the driver and encoded — the same driver boundary as the
-    reference's single-file FileMerger concat, util/FileMerger.scala:35).
-    ``write_index`` also emits ``path + ".bai"`` so load_indexed_bam
-    can seek straight to overlapping chunks."""
+    """Alignments → single-file BAM via PARALLEL shard compression.
+
+    Executors encode and BGZF-compress their partitions into shard
+    files (record encoding + deflate is the dominant cost and runs
+    fully distributed — BGZF members concatenate, so shards join
+    byte-for-byte); the driver writes the header member, appends the
+    shards in partition order, and closes with the EOF sentinel — the
+    same merge boundary as the reference's FileMerger concat
+    (util/FileMerger.scala:35, ParallelFileMerger.scala:34).
+    ``write_index`` also emits ``path + ".bai"`` (per-record span
+    metadata returns to the driver shifted by each shard's base; skip
+    the index for pure-throughput exports)."""
+    import shutil
+    import tempfile
+
     from adam_spark.sources.sam import sam_body_lines, sam_header_lines
 
     header = sam_header_lines(gf.meta)
@@ -666,29 +712,49 @@ def save_bam(gf: GenomicFrame, path: str, write_index: bool = True) -> None:
     for r in refs:
         nb = r.name.encode() + b"\x00"
         out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", r.length or 0)
-    body = bytearray()
-    spans: list[tuple[int, int, int, int, int]] = []  # (rid, beg, end, u0, u1)
-    hdr_len = len(out)
-    for row in sam_body_lines(gf.df).toLocalIterator():
-        line = row["value"]
-        u0 = hdr_len + len(body)
-        body += sam_line_to_bam_record(line, ref_index)
-        if write_index:
-            f = line.split("\t", 6)
-            rid_ = ref_index.get(f[2], -1)
-            if rid_ >= 0 and not (int(f[1]) & 0x4):
-                beg = int(f[3]) - 1
-                end = beg + max(1, _cigar_ref_len(f[5]) if f[5] != "*" else 1)
-                spans.append((rid_, beg, end, u0, hdr_len + len(body)))
-    coffsets = bgzf_compress_to(path, out + bytes(body))
+
+    shard_dir = tempfile.mkdtemp(prefix="bam-shards-", dir=os.path.dirname(os.path.abspath(path)) or ".")
+    try:
+        shards = (
+            sam_body_lines(gf.df)
+            .rdd.map(lambda r: r["value"])
+            .mapPartitionsWithIndex(
+                lambda i, it: [
+                    _encode_shard(
+                        it, os.path.join(shard_dir, f"part-{i:05d}"), ref_index,
+                        write_index,
+                    )
+                ]
+            )
+            .collect()
+        )
+        header_blob, _ = bgzf_blocks_bytes(out)
+        bs = 60_000
+        bases = []  # (compressed base, block offsets, spans)
+        with open(path, "wb") as f:
+            f.write(header_blob)
+            for shard_path, clen, offsets, spans, _ulen in shards:
+                if clen:
+                    bases.append((f.tell(), offsets, spans))
+                    with open(shard_path, "rb") as sf:
+                        shutil.copyfileobj(sf, f)
+            eof_off = f.tell()
+            f.write(_BGZF_EOF)
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+
     if write_index:
         from adam_spark.sources.binned_index import new_index, voffset, write_bai
 
-        bs = 60_000
         idx = new_index([r.name for r in refs])
         idx.names = []  # .bai carries no names; contig order = BAM header
-        for rid_, beg, end, u0, u1 in spans:
-            vb = voffset(coffsets[u0 // bs], u0 % bs)
-            ve = voffset(coffsets[u1 // bs], u1 % bs)
-            idx.add_record(rid_, beg, end, vb, ve)
+        for base, offsets, spans in bases:
+            def coff(u: int) -> int:
+                o = offsets[u // bs] if u // bs < len(offsets) else offsets[-1]
+                return base + o
+
+            for rid_, beg, end, u0, u1 in spans:
+                vb = voffset(coff(u0), u0 % bs)
+                ve = voffset(coff(u1), u1 % bs)
+                idx.add_record(rid_, beg, end, vb, ve)
         write_bai(idx, path + ".bai")
