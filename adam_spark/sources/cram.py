@@ -52,10 +52,11 @@ htsjdk interop is untestable in this container. Round-trip fidelity
 is pinned by tests/test_sources_cram.py.
 
 Scale posture mirrors bam.py: containers are self-contained
-(compression header + slice + streams), so the driver only walks
-container headers to index offsets and executors decode container
-ranges in parallel; the writer is an export job on the driver — the
-same single-file boundary as the reference's FileMerger concat.
+(compression header + slice + streams), so the reader decodes
+container ranges on executors (driver I/O is O(1) with the ``.crai``
+sidecar) and the WRITER also runs distributed — executors encode
+their partitions into shard files of whole containers and the driver
+concatenates them, the reference's FileMerger boundary.
 """
 
 from __future__ import annotations
@@ -942,10 +943,52 @@ def _resolve_reference(reference) -> dict[str, str] | None:
     return {n: rf.extract(n, 0, rf.length(n)) for n in rf.names()}
 
 
+def _encode_cram_shard(lines, shard_path: str, ref_index: dict[str, int],
+                       counter_base: int, codec: str,
+                       ref_seqs: dict[str, str] | None,
+                       records_per_container: int):
+    """Executor task: SAM lines → one shard file of whole CRAM
+    containers (each self-contained). Returns (shard_path,
+    compressed_len, [(rel_offset, length)], n_records)."""
+    out = bytearray()
+    entries: list[tuple[int, int]] = []
+    counter = counter_base
+    chunk: list[str] = []
+
+    def flush():
+        nonlocal counter, chunk
+        if not chunk:
+            return
+        start = len(out)
+        _write_data_container(out, chunk, ref_index, counter, codec, ref_seqs)
+        entries.append((start, len(out) - start))
+        counter += len(chunk)
+        chunk = []
+
+    for line in lines:
+        chunk.append(line)
+        if len(chunk) >= records_per_container:
+            flush()
+    flush()
+    with open(shard_path, "wb") as f:
+        f.write(bytes(out))
+    return (shard_path, len(out), entries, counter - counter_base)
+
+
 def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
-              reference=None) -> None:
-    """Alignments → single-file CRAM (driver export job, same boundary
-    as save_bam; reference: AlignmentDataset.saveAsSam:810-997).
+              reference=None,
+              records_per_container: int | None = None) -> None:
+    """Alignments → single-file CRAM via PARALLEL container encoding.
+
+    Containers are self-contained (compression header + slice +
+    streams), so executors encode their partitions into shard files of
+    whole containers and the driver concatenates: file definition +
+    FILE_HEADER container, shards in partition order, EOF container —
+    the reference's FileMerger boundary (AlignmentDataset.saveAsSam:
+    810-997). A cheap per-partition count pass first gives each shard
+    its global record-counter base (the counter lives inside the
+    compressed container headers, so it cannot be patched after the
+    fact); the lines frame is persisted across the two passes.
 
     ``codec``: external-block compression — ``"gzip"`` (default) or
     ``"rans"`` (rANS 4x8, the codec real-world CRAMs use; see
@@ -957,44 +1000,67 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
     substituted bases — the model behind real CRAM's ~40%-smaller-than-
     BAM storage (docs/benchmarks/storage.rst:27-30). Reading such a
     file requires passing the same reference to :func:`load_cram`."""
-    ref_seqs = _resolve_reference(reference)
+    import shutil
+    import tempfile
+
+    from pyspark.storagelevel import StorageLevel
+
     from adam_spark.sources.sam import sam_body_lines, sam_header_lines
 
+    rpc = records_per_container or _RECORDS_PER_CONTAINER
+    ref_seqs = _resolve_reference(reference)
     header = sam_header_lines(gf.meta)
     refs = [r for r in gf.meta.references.references]
     ref_index = {r.name: i for i, r in enumerate(refs)}
     text = "\n".join(header) + "\n"
 
-    out = bytearray()
-    out += _MAGIC + _FILE_ID
-    hdr_block = bytearray()
-    _write_block(hdr_block, _CT_FILE_HEADER, 0, text.encode())
-    out += _container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
-    out += hdr_block
+    lines = sam_body_lines(gf.df).persist(StorageLevel.MEMORY_AND_DISK)
+    shard_dir = tempfile.mkdtemp(
+        prefix="cram-shards-", dir=os.path.dirname(os.path.abspath(path)) or "."
+    )
+    try:
+        counts = lines.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+        bases = [0]
+        for c in counts[:-1]:
+            bases.append(bases[-1] + c)
+        total = sum(counts)
+        shards = (
+            lines.rdd.map(lambda r: r["value"])
+            .mapPartitionsWithIndex(
+                lambda i, it: [
+                    _encode_cram_shard(
+                        it, os.path.join(shard_dir, f"part-{i:05d}"), ref_index,
+                        bases[i], codec, ref_seqs, rpc,
+                    )
+                ]
+            )
+            .collect()
+        )
+        out = bytearray()
+        out += _MAGIC + _FILE_ID
+        hdr_block = bytearray()
+        _write_block(hdr_block, _CT_FILE_HEADER, 0, text.encode())
+        out += _container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
+        out += hdr_block
 
-    counter = 0
-    crai_entries: list = []
-    chunk: list[str] = []
-    for row in sam_body_lines(gf.df).toLocalIterator():
-        chunk.append(row["value"])
-        if len(chunk) >= _RECORDS_PER_CONTAINER:
-            crai_entries.append(len(out))
-            _write_data_container(out, chunk, ref_index, counter, codec, ref_seqs)
-            crai_entries[-1] = (crai_entries[-1], len(out) - crai_entries[-1])
-            counter += len(chunk)
-            chunk = []
-    if chunk:
-        crai_entries.append(len(out))
-        _write_data_container(out, chunk, ref_index, counter, codec, ref_seqs)
-        crai_entries[-1] = (crai_entries[-1], len(out) - crai_entries[-1])
-        counter += len(chunk)
-    # EOF container: zero records, one raw sentinel block
-    eof_block = bytearray()
-    _write_block(eof_block, _CT_EXTERNAL, 0, b"EOF", compress=False)
-    out += _container_header(len(eof_block), -1, 4542278, 0, 0, counter, 0, 1, [])
-    out += eof_block
-    with open(path, "wb") as f:
-        f.write(bytes(out))
+        crai_entries: list = []
+        with open(path, "wb") as f:
+            f.write(bytes(out))
+            for shard_path, clen, entries, _n in shards:
+                if not clen:
+                    continue
+                base = f.tell()
+                crai_entries.extend((base + off, ln) for off, ln in entries)
+                with open(shard_path, "rb") as sf:
+                    shutil.copyfileobj(sf, f)
+            # EOF container: zero records, one raw sentinel block
+            eof_block = bytearray()
+            _write_block(eof_block, _CT_EXTERNAL, 0, b"EOF", compress=False)
+            f.write(_container_header(len(eof_block), -1, 4542278, 0, 0, total, 0, 1, []))
+            f.write(bytes(eof_block))
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        lines.unpersist()
     _write_crai(path, crai_entries)
 
 

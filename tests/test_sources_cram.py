@@ -82,33 +82,26 @@ def test_cram_multi_container_distributed(spark, tmp_path):
     across executor tasks with nothing lost."""
     import random
 
-    import adam_spark.sources.cram as cram_mod
-
-    old = cram_mod._RECORDS_PER_CONTAINER
-    cram_mod._RECORDS_PER_CONTAINER = 500
-    try:
-        rng = random.Random(9)
-        sam = tmp_path / "many.sam"
-        with open(sam, "w") as f:
-            f.write("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000000\n")
-            for i in range(2600):
-                seq = "".join(rng.choice("ACGT") for _ in range(40))
-                f.write(
-                    f"q{i}\t{0 if i % 3 else 16}\tchr1\t{1 + i * 17 % 900000}\t60"
-                    f"\t40M\t*\t0\t0\t{seq}\t{'I' * 40}\tNM:i:0\n"
-                )
-        gf = load_sam(spark, str(sam))
-        cram = str(tmp_path / "many.cram")
-        save_cram(gf, cram)
-        _, _, containers = _index_containers(cram)
-        assert len(containers) == 6  # ceil(2600/500)
-        gf2 = load_cram(spark, cram)
-        assert gf2.df.count() == 2600
-        a = {r["readName"]: (r["start"], r["sequence"]) for r in gf.df.collect()}
-        b = {r["readName"]: (r["start"], r["sequence"]) for r in gf2.df.collect()}
-        assert a == b
-    finally:
-        cram_mod._RECORDS_PER_CONTAINER = old
+    rng = random.Random(9)
+    sam = tmp_path / "many.sam"
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000000\n")
+        for i in range(2600):
+            seq = "".join(rng.choice("ACGT") for _ in range(40))
+            f.write(
+                f"q{i}\t{0 if i % 3 else 16}\tchr1\t{1 + i * 17 % 900000}\t60"
+                f"\t40M\t*\t0\t0\t{seq}\t{'I' * 40}\tNM:i:0\n"
+            )
+    gf = load_sam(spark, str(sam))
+    cram = str(tmp_path / "many.cram")
+    save_cram(gf, cram, records_per_container=500)
+    _, _, containers = _index_containers(cram)
+    assert len(containers) >= 6  # >= ceil(2600/500); partition splits may add more
+    gf2 = load_cram(spark, cram)
+    assert gf2.df.count() == 2600
+    a = {r["readName"]: (r["start"], r["sequence"]) for r in gf.df.collect()}
+    b = {r["readName"]: (r["start"], r["sequence"]) for r in gf2.df.collect()}
+    assert a == b
 
 
 def test_cram_cli_dispatch(spark, sam_path, tmp_path):
@@ -171,22 +164,39 @@ def test_rans_codec_cram_roundtrip(spark, sam_path, tmp_path):
             assert a[k][col] == b[k][col], (k, col)
 
 
-def test_foreign_series_map_fails_loudly(spark, sam_path, tmp_path):
+def test_foreign_series_map_fails_loudly(spark, tmp_path):
     """A CRAM whose data-series map declares a different content id must
-    raise, not decode garbage."""
+    raise, not decode garbage. The foreign container is crafted
+    driver-side with a swapped _CID layout (the parallel writer encodes
+    on executors, where a driver monkeypatch would not reach)."""
     import adam_spark.sources.cram as cm
 
-    gf = load_sam(spark, sam_path)
-    cram = str(tmp_path / "f.cram")
+    lines = [
+        "r1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\tIIII",
+        "r2\t0\tchr1\t200\t60\t4M\t*\t0\t0\tTTTT\tJJJJ",
+    ]
+    text = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000\n"
     orig = cm._CID.copy()
+    out = bytearray()
+    out += cm._MAGIC + cm._FILE_ID
+    hdr_block = bytearray()
+    cm._write_block(hdr_block, cm._CT_FILE_HEADER, 0, text.encode())
+    out += cm._container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
+    out += hdr_block
     try:
         cm._CID["AP"], cm._CID["RL"] = orig["RL"], orig["AP"]  # swapped layout
-        save_cram(gf, cram)
+        cm._write_data_container(out, lines, {"chr1": 0}, 0, "gzip", None)
     finally:
         cm._CID.clear()
         cm._CID.update(orig)
+    eof = bytearray()
+    cm._write_block(eof, cm._CT_EXTERNAL, 0, b"EOF", compress=False)
+    out += cm._container_header(len(eof), -1, 4542278, 0, 0, 2, 0, 1, [])
+    out += eof
+    cram = str(tmp_path / "f.cram")
+    open(cram, "wb").write(bytes(out))
     with pytest.raises(Exception) as ei:
-        load_cram(spark, cram).df.collect()
+        cm.load_cram(spark, cram).df.collect()
     assert "data-series" in str(ei.value) or "data-series" in str(ei.getrepr())
 
 
