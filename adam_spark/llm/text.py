@@ -223,3 +223,33 @@ def winnowing_fingerprints(
         df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fingerprint"))
         .distinct()
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-source corpus report card — the rollup a curation pipeline
+    runs before deciding what to keep per provenance bucket.
+
+    One partial-aggregated groupBy on the slim derived columns: doc and
+    exact-duplicate counts (md5 fingerprint), token totals, language
+    diversity, and the quality-score sum in exact integer micro-units
+    (float sums accumulate in engine/partition-dependent order; the
+    micro-unit long sum is bit-exact on any engine, so the output is
+    oracle-stable — the BQSR lesson applied up front).
+    """
+    t = F.col(text_col)
+    fp = F.coalesce(F.md5(F.lower(t)), F.lit("__NULL__"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_dup_docs"),
+        F.sum(token_count(t).cast("long")).alias("total_tokens"),
+        F.sum(F.round(quality_score(t) * 1e6).cast("long")).alias("sum_quality_micro"),
+    ]
+    if lang_col is not None:
+        aggs.append(F.countDistinct(F.col(lang_col)).alias("n_langs"))
+    return df.groupBy(F.col(group_col).alias("source")).agg(*aggs)

@@ -346,3 +346,22 @@ def test_repetition_and_quality_signals(spark):
     assert r[2]["dup_line_frac"] == 0.2  # 5 lines, 4 distinct
     assert r[2]["bullet_line_frac"] == 0.4
     assert r[3]["alpha_word_frac"] == 0.25
+
+
+def test_corpus_stats(spark):
+    """Per-source rollup: dup counting, token totals, language diversity."""
+    from adam_spark.llm.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s1"),   # exact dup of 1
+            (3, "x y", "fr", "s1"),
+            (4, "hello world", "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["source"]: r for r in corpus_stats(df).collect()}
+    assert out["s1"]["n_docs"] == 3 and out["s1"]["n_dup_docs"] == 1
+    assert out["s1"]["total_tokens"] == 8 and out["s1"]["n_langs"] == 2
+    assert out["s2"]["n_docs"] == 1 and out["s2"]["n_dup_docs"] == 0
