@@ -551,6 +551,11 @@ def dedup_clusters_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _clusters_sql() -> str:
+    # NOTE: the recursive closure materializes every (node, reachable)
+    # pair — O(sum of component size²). Fine for the driver's sf0.01
+    # gate (green); at sf0.1 the 856k-pair graph makes the ORACLE side
+    # explode while the Spark side (min-label propagation) finishes in
+    # ~20 s — check large SFs with the Spark query alone.
     inner = _minhash_sql().replace("ORDER BY id_a, id_b", "")
     return f"""
 WITH RECURSIVE pairs AS ({inner}),
