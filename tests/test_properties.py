@@ -227,3 +227,60 @@ def test_bam_record_codec_random_fields(data):
     back = _record_to_sam_line(rec[4:], ["chr1"])
     # aux int types normalize (i stays i); B:S values round-trip exactly
     assert back == line
+
+
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_reference_coded_cram_record_roundtrip(data):
+    """Random mapped records (substitutions, indels, clips, skips) must
+    round-trip bit-exactly through the RR=true container codec, and the
+    decoder's reference-position tracking must survive every op mix."""
+    from adam_spark.sources import cram as cm
+
+    rng = random.Random(data.draw(st.integers(0, 2**31)))
+    contig = "".join(rng.choice("ACGT") for _ in range(500))
+    ref_seqs = {"c1": contig}
+
+    lines = []
+    for ri in range(data.draw(st.integers(1, 6))):
+        start = rng.randrange(0, 300)
+        ops = []
+        if rng.random() < 0.3:
+            ops.append((rng.randrange(1, 5), "S"))
+        n_mid = rng.randrange(1, 5)
+        for j in range(n_mid):
+            op = rng.choice("MMMIDN")
+            ops.append((rng.randrange(1, 12), op))
+        if ops[-1][1] in "DN":
+            ops.append((rng.randrange(1, 8), "M"))
+        if ops[0][1] in "DN":
+            ops = [(rng.randrange(1, 8), "M")] + ops
+        if rng.random() < 0.3:
+            ops.append((rng.randrange(1, 5), "S"))
+        seq = []
+        ref_pos = start
+        for n, op in ops:
+            if op == "M":
+                for i in range(n):
+                    base = contig[(ref_pos + i) % len(contig)]
+                    if rng.random() < 0.15:  # substitution
+                        base = {"A": "C", "C": "G", "G": "T", "T": "A"}[base]
+                    seq.append(base)
+                ref_pos += n
+            elif op in "IS":
+                seq.extend(rng.choice("ACGT") for _ in range(n))
+            else:  # D, N
+                ref_pos += n
+        cigar = "".join(f"{n}{op}" for n, op in ops)
+        s = "".join(seq)
+        q = "".join(chr(33 + rng.randrange(0, 40)) for _ in s)
+        lines.append(f"p{ri}\t0\tc1\t{start + 1}\t60\t{cigar}\t*\t0\t0\t{s}\t{q}")
+
+    for ref in (None, ref_seqs):
+        out = bytearray()
+        cm._write_data_container(out, lines, {"c1": 0}, 0, "gzip", ref)
+        hdr = cm._read_container_header(out, 0)
+        got = cm.decode_container(out, 0, hdr, ["c1"], ref)
+        assert len(got) == len(lines)
+        for want, have in zip(lines, got):
+            assert have.split("\t")[:11] == want.split("\t")[:11], (ref is not None, want, have)
