@@ -873,29 +873,40 @@ def _read_file_header(path: str):
     return _parse_header_text(data.decode())
 
 
-def _write_crai(path: str, entries: list[tuple[int, int]]) -> None:
+def _write_crai(path: str, entries: list[tuple[int, int, int, int, int]]) -> None:
     """CRAI sidecar (spec §1: gzip text, one line per slice:
     seq_id, start, span, container offset, slice landmark, slice size).
-    Our containers are multi-reference (seq_id −2, whole-file span),
-    so the index's value here is the container offset list — it lets
-    ``load_cram`` skip the serial driver header walk entirely."""
-    lines = [f"-2\t0\t0\t{off}\t0\t{length}" for off, length in entries]
+
+    Entries: (offset, length, seq_id, start, span). Containers whose
+    records all map to ONE contig carry its real (seq_id, start, span),
+    so ``load_indexed_cram`` can prune containers by region;
+    mixed-contig containers record seq_id −2 (always read). Either way
+    the offset list lets ``load_cram`` skip the serial driver walk."""
+    lines = [
+        f"{seq_id}\t{start}\t{span}\t{off}\t0\t{length}"
+        for off, length, seq_id, start, span in entries
+    ]
     with gzip.open(path + ".crai", "wt") as f:
         f.write("\n".join(lines) + ("\n" if lines else ""))
 
 
-def _read_crai(path: str) -> list[int] | None:
-    """Container offsets from a ``.crai`` sidecar, or None if absent."""
+def _read_crai(path: str) -> list[tuple[int, int, int, int, int]] | None:
+    """CRAI entries (offset, length, seq_id, start, span), or None."""
     crai = path + ".crai"
     if not os.path.exists(crai):
         return None
-    offsets = []
+    entries = []
     with gzip.open(crai, "rt") as f:
         for ln in f:
             parts = ln.split("\t")
-            if len(parts) >= 4:
-                offsets.append(int(parts[3]))
-    return offsets
+            if len(parts) >= 6:
+                entries.append(
+                    (int(parts[3]), int(parts[5]), int(parts[0]),
+                     int(parts[1]), int(parts[2]))
+                )
+            elif len(parts) >= 4:  # older minimal sidecars
+                entries.append((int(parts[3]), 0, -2, 0, 0))
+    return entries
 
 
 def _index_containers(path: str):
@@ -949,9 +960,13 @@ def _encode_cram_shard(lines, shard_path: str, ref_index: dict[str, int],
                        records_per_container: int):
     """Executor task: SAM lines → one shard file of whole CRAM
     containers (each self-contained). Returns (shard_path,
-    compressed_len, [(rel_offset, length)], n_records)."""
+    compressed_len, [(rel_offset, length, seq_id, start, span)],
+    n_records); single-contig containers carry their real genomic span
+    for crai-based region pruning."""
+    from adam_spark.sources.bam import _cigar_ref_len
+
     out = bytearray()
-    entries: list[tuple[int, int]] = []
+    entries: list[tuple[int, int, int, int, int]] = []
     counter = counter_base
     chunk: list[str] = []
 
@@ -960,8 +975,24 @@ def _encode_cram_shard(lines, shard_path: str, ref_index: dict[str, int],
         if not chunk:
             return
         start = len(out)
+        rids: set[int] = set()
+        lo, hi = None, None
+        for ln in chunk:
+            f = ln.split("\t", 6)
+            rid = ref_index.get(f[2], -1)
+            if rid < 0 or int(f[1]) & 0x4:
+                continue
+            rids.add(rid)
+            beg = int(f[3]) - 1
+            end = beg + max(1, _cigar_ref_len(f[5]) if f[5] != "*" else 1)
+            lo = beg if lo is None else min(lo, beg)
+            hi = end if hi is None else max(hi, end)
+        if len(rids) == 1 and lo is not None:
+            seq_id, c_start, c_span = rids.pop(), lo, hi - lo
+        else:
+            seq_id, c_start, c_span = -2, 0, 0
         _write_data_container(out, chunk, ref_index, counter, codec, ref_seqs)
-        entries.append((start, len(out) - start))
+        entries.append((start, len(out) - start, seq_id, c_start, c_span))
         counter += len(chunk)
         chunk = []
 
@@ -1050,7 +1081,9 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
                 if not clen:
                     continue
                 base = f.tell()
-                crai_entries.extend((base + off, ln) for off, ln in entries)
+                crai_entries.extend(
+                    (base + off, ln, sid, st_, sp) for off, ln, sid, st_, sp in entries
+                )
                 with open(shard_path, "rb") as sf:
                     shutil.copyfileobj(sf, f)
             # EOF container: zero records, one raw sentinel block
@@ -1094,10 +1127,10 @@ def load_cram(spark: SparkSession, path: str, reference=None) -> GenomicFrame:
     # executor; resolved driver-side, shipped in the task closure (the
     # same broadcast-the-reference shape ADAM uses for its ReferenceFile)
     ref_seqs = _resolve_reference(reference)
-    crai_offsets = _read_crai(path)
-    if crai_offsets is not None:
+    crai_entries = _read_crai(path)
+    if crai_entries is not None:
         header_lines, ref_names = _read_file_header(path)
-        offsets = crai_offsets
+        offsets = [en[0] for en in crai_entries]
     else:
         header_lines, ref_names, containers = _index_containers(path)
         offsets = [off for off, _ in containers]
@@ -1114,3 +1147,58 @@ def load_cram(spark: SparkSession, path: str, reference=None) -> GenomicFrame:
     return GenomicFrame(
         sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines)
     )
+
+
+def load_indexed_cram(
+    spark: SparkSession,
+    path: str,
+    regions: list[tuple[str, int, int]],
+    reference=None,
+) -> GenomicFrame:
+    """Region-filtered CRAM load via ``.crai`` container pruning.
+
+    The sidecar records each single-contig container's (seq_id, start,
+    span), so only containers overlapping the query regions are read
+    and decoded — I/O and decode cost scale with the overlap fraction
+    when the input was position-sorted (mixed-contig containers carry
+    seq_id −2 and are always read). The exact region predicate still
+    applies after decode. Without a sidecar this falls back to the
+    distributed full scan plus the overlap filter — the same contract
+    as ``load_indexed_bam``."""
+    path = os.path.abspath(path)
+    entries = _read_crai(path)
+    if entries is None:
+        return load_cram(spark, path, reference=reference).filter_by_overlapping_regions(
+            regions
+        )
+    from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
+
+    header_lines, ref_names = _read_file_header(path)
+    rid = {n: i for i, n in enumerate(ref_names)}
+    wanted = [
+        (rid[rname], max(0, beg), end) for rname, beg, end in regions if rname in rid
+    ]
+    offsets = [
+        off
+        for off, _ln, seq_id, c_start, c_span in entries
+        if seq_id == -2
+        or any(
+            seq_id == r and c_start < end and beg < c_start + c_span
+            for r, beg, end in wanted
+        )
+    ]
+    ref_seqs = _resolve_reference(reference)
+    par = spark.sparkContext.defaultParallelism
+    n_tasks = max(1, min(len(offsets), par * 2))
+    chunks: list[list[int]] = [[] for _ in range(n_tasks)]
+    for i, off in enumerate(offsets):
+        chunks[i % n_tasks].append(off)
+    chunks = [c for c in chunks if c]
+    rdd = spark.sparkContext.parallelize(chunks, max(1, len(chunks))).flatMap(
+        lambda c: _decode_container_range(path, c, ref_names, ref_seqs)
+    )
+    raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
+    gf = GenomicFrame(
+        sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines)
+    )
+    return gf.filter_by_overlapping_regions(regions)

@@ -171,3 +171,40 @@ def test_vcf_gz_polymorphic_dispatch(spark, tmp_path):
     assert os.path.exists(gz + ".tbi")
     back = load_vcf(spark, gz)
     assert back.df.count() == gf.df.count() == 40
+
+
+def test_load_indexed_cram_prunes_containers(spark, tmp_path):
+    """Position-sorted CRAM + .crai: a region query reads only the
+    overlapping containers and returns exactly the full-scan+filter
+    result."""
+    from adam_spark.sources.cram import (
+        _read_crai,
+        load_cram,
+        load_indexed_cram,
+        save_cram,
+    )
+    from adam_spark.sources.sam import load_sam
+
+    sam = tmp_path / "sorted.sam"
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000\n@SQ\tSN:chr2\tLN:100000\n")
+        for i in range(300):
+            f.write(f"a{i:03d}\t0\tchr1\t{100 + i * 10}\t60\t20M\t*\t0\t0\t{'A'*20}\t{'I'*20}\n")
+        for i in range(300):
+            f.write(f"b{i:03d}\t0\tchr2\t{100 + i * 10}\t60\t20M\t*\t0\t0\t{'C'*20}\t{'I'*20}\n")
+    gf = load_sam(spark, str(sam))
+    cram = str(tmp_path / "sorted.cram")
+    save_cram(gf, cram, records_per_container=100)
+    entries = _read_crai(cram)
+    assert len(entries) >= 6
+    # single-contig containers must carry real spans
+    assert sum(1 for e in entries if e[2] in (0, 1)) >= 4
+
+    regions = [("chr2", 1000, 1400)]
+    want = sorted(
+        r["readName"]
+        for r in load_cram(spark, cram).filter_by_overlapping_regions(regions).df.collect()
+    )
+    got_gf = load_indexed_cram(spark, cram, regions)
+    got = sorted(r["readName"] for r in got_gf.df.collect())
+    assert got == want and len(got) > 0
