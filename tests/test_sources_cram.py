@@ -164,11 +164,13 @@ def test_rans_codec_cram_roundtrip(spark, sam_path, tmp_path):
             assert a[k][col] == b[k][col], (k, col)
 
 
-def test_foreign_series_map_fails_loudly(spark, tmp_path):
-    """A CRAM whose data-series map declares a different content id must
-    raise, not decode garbage. The foreign container is crafted
-    driver-side with a swapped _CID layout (the parallel writer encodes
-    on executors, where a driver monkeypatch would not reach)."""
+def test_foreign_series_map_decodes(spark, tmp_path):
+    """A CRAM whose data-series map declares a DIFFERENT content-id
+    layout decodes correctly: the reader follows the declared encoding
+    map (codec objects), not the writer's fixed layout. The foreign
+    container is crafted driver-side with a swapped _CID layout (the
+    parallel writer encodes on executors, where a driver monkeypatch
+    would not reach)."""
     import adam_spark.sources.cram as cm
 
     lines = [
@@ -195,9 +197,10 @@ def test_foreign_series_map_fails_loudly(spark, tmp_path):
     out += eof
     cram = str(tmp_path / "f.cram")
     open(cram, "wb").write(bytes(out))
-    with pytest.raises(Exception) as ei:
-        cm.load_cram(spark, cram).df.collect()
-    assert "data-series" in str(ei.value) or "data-series" in str(ei.getrepr())
+    rows = {r["readName"]: r for r in cm.load_cram(spark, cram).df.collect()}
+    assert set(rows) == {"r1", "r2"}
+    assert rows["r1"]["start"] == 99 and rows["r1"]["sequence"] == "ACGT"
+    assert rows["r2"]["start"] == 199 and rows["r2"]["sequence"] == "TTTT"
 
 
 def test_crai_sidecar_skips_driver_walk(spark, sam_path, tmp_path, monkeypatch):
@@ -290,3 +293,124 @@ def test_reference_based_cram_mixed_records(spark, sam_path, tmp_path):
     for k in a:
         for col in ("cigar", "sequence", "qualityScores", "start", "referenceName"):
             assert a[k][col] == b[k][col], (k, col)
+
+
+def test_core_bitpacked_encodings_decode(spark, tmp_path):
+    """Foreign CRAMs use bit-packed CORE encodings; the reader must
+    follow the declared codecs. This container encodes (per CRAM 3.0
+    §13): BF/CF/RG/MF/NS/NP/TS via zero-bit single-symbol HUFFMAN, TL
+    via a 1-bit two-symbol HUFFMAN, RI via BETA, RL via GAMMA, AP via
+    SUBEXP, the NM tag via BYTE_ARRAY_LEN(HUFFMAN len, EXTERNAL val) —
+    none of which our own writer emits."""
+    import struct
+
+    import adam_spark.sources.cram as cm
+
+    i8 = cm.itf8_encode
+
+    def enc(codec_id, params):
+        return i8(codec_id) + i8(len(params)) + params
+
+    def huff(symbols, lengths):
+        p = i8(len(symbols)) + b"".join(i8(s) for s in symbols)
+        p += i8(len(lengths)) + b"".join(i8(x) for x in lengths)
+        return enc(3, p)
+
+    class BitWriter:
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def write(self, v, nbits):
+            for i in range(nbits - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    self.acc, self.n = 0, 0
+
+        def getvalue(self):
+            out = bytes(self.buf)
+            if self.n:
+                out += bytes((self.acc << (8 - self.n),))
+            return out
+
+    # --- compression header ---
+    td = b"\x00" + b"NMi\x00"  # line 0: no tags; line 1: NM:i
+    pres = i8(3) + b"RN\x01" + b"AP\x00" + b"TD" + i8(len(td)) + td
+    pres_block = i8(len(pres)) + pres
+    series = [
+        (b"BF", huff([4], [0])),
+        (b"CF", huff([3], [0])),
+        (b"RI", enc(6, i8(1) + i8(1))),            # BETA offset=1 nbits=1
+        (b"RL", enc(9, i8(0))),                    # GAMMA offset=0
+        (b"AP", enc(7, i8(0) + i8(2))),            # SUBEXP offset=0 k=2
+        (b"RG", huff([-1], [0])),
+        (b"RN", enc(5, bytes((0,)) + i8(7))),      # BYTE_ARRAY_STOP
+        (b"MF", huff([0], [0])),
+        (b"NS", huff([-1], [0])),
+        (b"NP", huff([0], [0])),
+        (b"TS", huff([0], [0])),
+        (b"TL", huff([0, 1], [1, 1])),
+        (b"BA", enc(1, i8(20))),
+        (b"QS", enc(1, i8(19))),
+    ]
+    ds = i8(len(series)) + b"".join(k + e for k, e in series)
+    ds_block = i8(len(ds)) + ds
+    nm_key = (ord("N") << 16) | (ord("M") << 8) | ord("i")
+    tag_enc = enc(4, huff([4], [0]) + enc(1, i8(30)))
+    tags = i8(1) + i8(nm_key) + tag_enc
+    tag_block = i8(len(tags)) + tags
+    comp = pres_block + ds_block + tag_block
+
+    # --- core bits: per record RI(1) RL(gamma) AP(subexp) TL(1) ---
+    bw = BitWriter()
+    # u1: RI=-1 -> bit 0; RL=4 -> gamma 00100; AP=0 -> 0 + 00; TL=0 -> 0
+    bw.write(0, 1); bw.write(0b00100, 5); bw.write(0, 1); bw.write(0, 2); bw.write(0, 1)
+    # u2: RI=-1; RL=4; AP=7 -> 1,0,11; TL=1 -> 1
+    bw.write(0, 1); bw.write(0b00100, 5); bw.write(0b10, 2); bw.write(0b11, 2); bw.write(1, 1)
+    core = bw.getvalue()
+
+    ext = {
+        7: b"u1\x00u2\x00",
+        19: b"IIIIJJJJ",
+        20: b"ACGTGGCC",
+        30: struct.pack("<i", 5),
+    }
+
+    blocks = bytearray()
+    cm._write_block(blocks, cm._CT_COMPRESSION_HEADER, 0, comp)
+    sh = bytearray()
+    sh += i8(-2) + i8(0) + i8(0) + i8(2) + cm.ltf8_encode(0)
+    sh += i8(len(ext) + 1) + i8(len(ext))
+    for cid in sorted(ext):
+        sh += i8(cid)
+    sh += i8(-1) + b"\x00" * 16
+    cm._write_block(blocks, cm._CT_SLICE_HEADER, 0, bytes(sh))
+    cm._write_block(blocks, cm._CT_CORE, 0, core, compress=False)
+    for cid in sorted(ext):
+        cm._write_block(blocks, cm._CT_EXTERNAL, cid, ext[cid], compress=False)
+
+    out = bytearray()
+    out += cm._MAGIC + cm._FILE_ID
+    hdr_block = bytearray()
+    cm._write_block(hdr_block, cm._CT_FILE_HEADER, 0,
+                    b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000\n")
+    out += cm._container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
+    out += hdr_block
+    out += cm._container_header(len(blocks), -2, 0, 0, 2, 0, 8, len(ext) + 3, [])
+    out += blocks
+    eof = bytearray()
+    cm._write_block(eof, cm._CT_EXTERNAL, 0, b"EOF", compress=False)
+    out += cm._container_header(len(eof), -1, 4542278, 0, 0, 2, 0, 1, [])
+    out += eof
+    cram = str(tmp_path / "core.cram")
+    open(cram, "wb").write(bytes(out))
+
+    rows = {r["readName"]: r for r in cm.load_cram(spark, cram).df.collect()}
+    assert set(rows) == {"u1", "u2"}
+    assert rows["u1"]["sequence"] == "ACGT"
+    assert rows["u1"]["qualityScores"] == "IIII"
+    assert rows["u2"]["sequence"] == "GGCC"
+    assert rows["u2"]["qualityScores"] == "JJJJ"
+    attrs = rows["u2"]["attributes"]
+    assert attrs is not None and "NM" in str(attrs) and "5" in str(attrs)
