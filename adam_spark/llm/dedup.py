@@ -76,6 +76,10 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     keyed = df.select(F.col(id_col).alias("id"), fp.alias("fingerprint")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # materialize EAGERLY: the join's two subtrees are scheduled
+    # concurrently, and a lazily-populated cache lets both sides miss it
+    # and recompute the scan in parallel (measured ~2x on first run)
+    keyed.count()
     canon = keyed.groupBy("fingerprint").agg(F.min("id").alias("canonical_id"))
     return (
         keyed.join(canon, "fingerprint")
@@ -249,6 +253,7 @@ def minhash_lsh_pairs(
     # signature UDF would run twice) — persist the slim (id, band,
     # band_hash) table: ~bands rows per doc, a few MB per million docs
     bandsdf = lsh_bands(sigs, bands).persist(StorageLevel.MEMORY_AND_DISK)
+    bandsdf.count()  # eager: both self-join sides would race a lazy cache
     a = bandsdf.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = bandsdf.select(F.col("id").alias("id_b"), "band", "band_hash")
     # one exchange serves both dedup and the verify-stage rebalance:
@@ -382,6 +387,7 @@ def simhash_duplicates(
     # slim (id, simhash) table stops the 16-wide Catalyst fold from running
     # once per self-join side (measured 6.2× at sf0.1 unpersisted).
     fps = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    fps.count()  # eager: both self-join sides would race a lazy cache
     canon = fps.groupBy("simhash").agg(F.min("id").alias("canonical_id"))
     return (
         fps.join(canon, "simhash")

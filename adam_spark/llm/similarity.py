@@ -367,6 +367,7 @@ def embedding_near_duplicates(
     hashed = srp_band_hashes(corpus, id_col, vec_col, dim, rows_per_band, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    hashed.count()  # eager: both self-join sides would race a lazy cache
     a = hashed.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = hashed.select(F.col("id").alias("id_b"), "band", "band_hash")
     shuffle_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
