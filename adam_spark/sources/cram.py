@@ -38,9 +38,13 @@ following the public CRAM 3.0 specification:
 (dict / ReferenceFile / .fa/.2bit path) the writer codes plain-M
 stretches as 'm' match-span features plus per-base 'X' substitution
 features — matching bases are never stored, the model behind real
-CRAM's ~40%-smaller-than-BAM storage. The reader requires the same
-reference (``load_cram(..., reference=...)``) and fails loudly
-without it.
+CRAM's ~40%-smaller-than-BAM storage. 'X' carries a 2-bit
+substitution CODE resolved through the preservation map's SM matrix
+(spec §8.6), not a raw base; spans with uncodable mismatches (e.g.
+soft-masked references) fall back to verbatim stretches. The reader
+requires the same reference (``load_cram(..., reference=...)``) and
+fails loudly without it; SM-less legacy files decode BS as raw base
+bytes.
 
 **Read-side generality**: the reader follows the compression header's
 declared encoding maps through codec objects — EXTERNAL, HUFFMAN
@@ -107,6 +111,40 @@ _CID = {
 _TAG_CID_BASE = 100
 
 _RECORDS_PER_CONTAINER = 10_000
+
+# --- substitution matrix (RR=true; spec §8.6) ------------------------------
+# One byte per reference base (A,C,G,T,N row order); each byte packs the
+# 2-bit ranks of the four substitutable bases (ACGTN order minus the
+# row's base), MSB first. 0x1B = ranks 0,1,2,3 in order — the identity
+# ranking every row uses here.
+_SM_DEFAULT = bytes((0x1B,) * 5)
+_SM_ROWS = "ACGTN"
+
+
+def _norm_ref_base(b: str) -> str:
+    """Reference base → substitution-matrix row (soft-mask/IUPAC → N
+    unless an upper-case ACGT)."""
+    u = b.upper()
+    return u if u in "ACGT" else "N"
+
+
+def _sm_tables(sm: bytes):
+    """SM bytes → (encode: row→base→code, decode: row→code→base)."""
+    enc: dict[str, dict[str, int]] = {}
+    dec: dict[str, list[str]] = {}
+    for i, row in enumerate(_SM_ROWS):
+        others = [x for x in _SM_ROWS if x != row]
+        by_code = [""] * 4
+        enc[row] = {}
+        for j, x in enumerate(others):
+            rank = (sm[i] >> (6 - 2 * j)) & 3
+            by_code[rank] = x
+            enc[row][x] = rank
+        dec[row] = by_code
+    return enc, dec
+
+
+_SM_ENC_DEFAULT, _SM_DEC_DEFAULT = _sm_tables(_SM_DEFAULT)
 
 
 # --- varints ---------------------------------------------------------------
@@ -321,6 +359,10 @@ def _compression_header(tag_lines: list[tuple[tuple[str, str], ...]],
         (b"RR", bytes((1 if rr else 0,))),
         (b"TD", itf8_encode(len(td)) + bytes(td)),
     ]
+    if rr:
+        # substitution matrix (spec §8.6): BS stores 2-bit codes, not
+        # bases; identity ranking (ACGTN order) per reference-base row
+        entries.insert(3, (b"SM", _SM_DEFAULT))
     pres += itf8_encode(len(entries))
     for k, v in entries:
         pres += k + v
@@ -623,6 +665,7 @@ def _parse_compression_header(data: bytes):
     n, off = itf8_decode(data, off)
     tag_lines: list[tuple[tuple[str, str], ...]] = []
     rr = False
+    sm: bytes | None = None
     for _ in range(n):
         key = bytes(data[off : off + 2])
         off += 2
@@ -632,6 +675,7 @@ def _parse_compression_header(data: bytes):
         elif key in (b"RN", b"AP"):
             off += 1
         elif key == b"SM":
+            sm = bytes(data[off : off + 5])
             off += 5
         elif key == b"TD":
             tdlen, off = itf8_decode(data, off)
@@ -673,7 +717,7 @@ def _parse_compression_header(data: bytes):
             codec, bytes(data[off : off + plen])
         )
         off += plen
-    return tag_lines, tag_codecs, rr, series
+    return tag_lines, tag_codecs, rr, series, sm
 
 
 # --- record codec ----------------------------------------------------------
@@ -833,13 +877,29 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
             n, op = int(m.group(1)), m.group(2)
             bases = "N" * n if seqless_mapped else seq[read_pos - 1 : read_pos - 1 + n]
             if op == "M" and contig is not None and not seqless_mapped:
-                # reference-coded match span + explicit substitutions
-                feats.append(("m", read_pos, n))
+                # reference-coded match span + substitution CODES (BS is
+                # a 2-bit code through the SM matrix per the spec, not a
+                # base). A span with an uncodable mismatch (read base
+                # outside ACGTN, or equal to the normalized ref base as
+                # with soft-masked references) falls back to a verbatim
+                # 'b' stretch for correctness.
                 refseg = contig[ref_pos : ref_pos + n]
+                subs = []
+                codable = True
                 for i in range(n):
-                    rb = refseg[i] if i < len(refseg) else None
+                    rb = refseg[i] if i < len(refseg) else "N"
                     if rb != bases[i]:
-                        feats.append(("X", read_pos + i, bases[i]))
+                        row = _norm_ref_base(rb)
+                        code = _SM_ENC_DEFAULT[row].get(bases[i])
+                        if code is None:
+                            codable = False
+                            break
+                        subs.append((read_pos + i, code))
+                if codable:
+                    feats.append(("m", read_pos, n))
+                    feats.extend(("X", p, code) for p, code in subs)
+                else:
+                    feats.append(("b", read_pos, bases))
                 read_pos += n
                 ref_pos += n
             elif op in "M=X":
@@ -868,7 +928,7 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
             elif code == "m":
                 s.put_int("MS", payload)
             elif code == "X":
-                s.put_bytes("BS", payload.encode())
+                s.put_int("BS", payload)  # 2-bit substitution code
             elif code == "S":
                 s.put_stop("SC", payload.encode())
             elif code == "I":
@@ -912,7 +972,8 @@ def _tag_value_len(typ: str, buf, p: int) -> int:
 def _decode_record(c: _Cursors, ref_names: list[str],
                    tag_lines: list,
                    rr: bool = False,
-                   ref_seqs: dict[str, str] | None = None) -> str:
+                   ref_seqs: dict[str, str] | None = None,
+                   sm_dec: dict[str, list[str]] | None = None) -> str:
     from adam_spark.sources.bam import _aux_to_text
 
     flag = c.get_int("BF")
@@ -974,8 +1035,17 @@ def _decode_record(c: _Cursors, ref_names: list[str],
                 ref_pos += n
             elif code == "X":
                 # features are read-position ordered, so the containing
-                # 'm' span already assembled this index; overwrite it
-                chars[pos - 1] = c.get_bytes("BS", 1).decode()
+                # 'm' span already assembled this index (with the
+                # reference base); overwrite it. With an SM matrix
+                # (spec-conformant files) BS is a 2-bit substitution
+                # code resolved against that reference base; legacy
+                # SM-less files stored the base byte directly.
+                if sm_dec is not None:
+                    sub_code = c.get_int("BS")
+                    row = _norm_ref_base(chars[pos - 1])
+                    chars[pos - 1] = sm_dec[row][sub_code]
+                else:
+                    chars[pos - 1] = c.get_bytes("BS", 1).decode()
             elif code == "S":
                 bases = c.get_array("SC").decode()
                 chars.extend(bases)
@@ -1098,7 +1168,8 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
             core_data = data
     if comp_data is None:
         return []
-    tag_lines, tag_codecs, rr, series = _parse_compression_header(comp_data)
+    tag_lines, tag_codecs, rr, series, sm = _parse_compression_header(comp_data)
+    sm_dec = _sm_tables(sm)[1] if sm is not None else None
     if rr and ref_seqs is None:
         raise ValueError(
             "reference-coded CRAM (RR=true): pass load_cram(..., reference=...) "
@@ -1106,7 +1177,8 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
         )
     c = _Cursors(ext, core_data, series, tag_codecs)
     return [
-        _decode_record(c, ref_names, tag_lines, rr=rr, ref_seqs=ref_seqs)
+        _decode_record(c, ref_names, tag_lines, rr=rr, ref_seqs=ref_seqs,
+                       sm_dec=sm_dec)
         for _ in range(n_records)
     ]
 

@@ -414,3 +414,22 @@ def test_core_bitpacked_encodings_decode(spark, tmp_path):
     assert rows["u2"]["qualityScores"] == "JJJJ"
     attrs = rows["u2"]["attributes"]
     assert attrs is not None and "NM" in str(attrs) and "5" in str(attrs)
+
+
+def test_substitution_matrix_tables():
+    """SM bytes → code tables: identity ranking round-trips, and a
+    non-identity (reversed-rank) foreign matrix inverts correctly."""
+    from adam_spark.sources.cram import _sm_tables, _SM_DEFAULT
+
+    enc, dec = _sm_tables(_SM_DEFAULT)
+    # identity: row A substitutes C,G,T,N with codes 0..3
+    assert dec["A"] == ["C", "G", "T", "N"]
+    assert enc["T"]["A"] == 0 and enc["T"]["N"] == 3
+    for row in "ACGTN":
+        for code, base in enumerate(dec[row]):
+            assert enc[row][base] == code and base != row
+    # reversed ranks (0xE4 = 3,2,1,0): foreign writers order by
+    # substitution frequency, so the decoder must honor arbitrary ranks
+    enc2, dec2 = _sm_tables(bytes((0xE4,) * 5))
+    assert dec2["A"] == ["N", "T", "G", "C"]
+    assert enc2["A"]["C"] == 3
