@@ -78,9 +78,11 @@ def _record(name_line, seq_line, qual_line, read_in_fragment):
     return [
         # strip trailing /1 /2 pair suffix, keep first token as name
         F.regexp_replace(F.substring_index(full, " ", 1), "/[12]$", "").alias("name"),
-        F.when(F.instr(full, " ") > 0, F.substring_index(full, " ", -1)).alias(
-            "description"
-        ),
+        # description = EVERYTHING after the first space (multi-word
+        # Illumina headers), not just the last token
+        F.when(
+            F.instr(full, " ") > 0, F.regexp_replace(full, r"^\S+\s+", "")
+        ).alias("description"),
         F.lit("DNA").alias("alphabet"),
         seq_line.alias("sequence"),
         F.length(seq_line).cast("long").alias("length"),

@@ -20,6 +20,13 @@ Structured Streaming pipelines because they are stateless per line.
   state lives in the state store, sessions close when an in-stream gap
   is observed or the processing-time timeout fires — the streaming twin
   of the batch ``events_sessions`` window query.
+- :func:`stream_fastq_directory` — the SURVEY §2.11 stretch goal:
+  incremental FASTQ ingestion (wholetext per shard → Catalyst record
+  explode; stateless, scales with file count).
+- :func:`streaming_exact_dedup` — first-seen corpus dedup with a
+  watermark-BOUNDED fingerprint state store
+  (``dropDuplicatesWithinWatermark``), the streaming twin of
+  llm.dedup.exact_duplicates.
 """
 
 from __future__ import annotations
@@ -168,4 +175,64 @@ def streaming_sessions(
         stateStructType="session_start long, last_ts long, n_events long",
         outputMode="append",
         timeoutConf="EventTimeTimeout",
+    )
+
+
+def stream_fastq_directory(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming READ rows from FASTQ shards landing in ``path``.
+
+    The batch FASTQ loader stitches 4-line records with a per-file
+    window (sources/fastq.py), which a streaming text source cannot do
+    (no cross-row ordering guarantee between micro-batches). Here each
+    arriving file is read WHOLE (``wholetext`` — one row per file, the
+    right granularity for the shard-sized files demultiplexers emit)
+    and exploded into records with a pure Catalyst transform, so the
+    stream stays stateless and scales with file count, not file size.
+    """
+    from adam_spark import schemas
+    from adam_spark.sources.fastq import _READ_PAIRED, _record
+
+    raw = spark.readStream.format("text").option("wholetext", "true").load(path)
+    lines = F.filter(F.split(F.col("value"), "\r?\n"), lambda l: l != F.lit(""))
+    n_rec = (F.size(lines) / 4).cast("int")
+    recs = F.when(
+        n_rec > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_rec - 1),
+            lambda i: F.struct(
+                F.element_at(lines, i * 4 + 1).alias("h"),
+                F.element_at(lines, i * 4 + 2).alias("s"),
+                F.element_at(lines, i * 4 + 4).alias("q"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:string,s:string,q:string>>"))
+    rec = raw.select(F.explode(recs).alias("r"))
+    df = rec.select(
+        *_record(F.col("r.h"), F.col("r.s"), F.col("r.q"), 0)
+    )
+    return schemas.conform(df, _READ_PAIRED)
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """First-seen exact dedup over a document stream.
+
+    Fingerprint = md5 of the lower-cased text (identical to the batch
+    :func:`adam_spark.llm.dedup.exact_duplicates` policy), deduplicated
+    with ``dropDuplicatesWithinWatermark`` so the fingerprint state
+    store is BOUNDED by the watermark horizon — the property that lets
+    this run forever on an unbounded corpus feed. The trade-off is
+    explicit: duplicates arriving farther apart than the horizon pass
+    through; the batch dedup operator is the exact backstop over the
+    landed corpus.
+    """
+    fp = F.coalesce(F.md5(F.lower(F.col(text_col))), F.lit("__NULL_TEXT__"))
+    return (
+        docs.withColumn("fingerprint", fp)
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
     )

@@ -150,3 +150,68 @@ def test_streaming_sessions_stateful(spark, tmp_path):
         assert 3 not in rows  # user 3's session is still open
     finally:
         q.stop()
+
+
+FASTQ_SHARD_1 = (
+    "@q1/1 desc here\nACGTACGT\n+\nIIIIIIII\n"
+    "@q2\nTTTTGGGG\n+\nJJJJJJJJ\n"
+)
+FASTQ_SHARD_2 = "@q3\nCCCCAAAA\n+\nKKKKKKKK\n"
+
+
+def test_stream_fastq_directory(spark, tmp_path):
+    indir = tmp_path / "fq"
+    os.makedirs(indir)
+    (indir / "a.fastq").write_text(FASTQ_SHARD_1)
+    reads = st.stream_fastq_directory(spark, str(indir))
+    assert reads.isStreaming
+    q = (
+        reads.writeStream.format("memory")
+        .queryName("fq_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (indir / "b.fastq").write_text(FASTQ_SHARD_2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["name"]: r for r in spark.sql("SELECT * FROM fq_mem").collect()}
+    assert set(rows) == {"q1", "q2", "q3"}
+    assert rows["q1"]["sequence"] == "ACGTACGT"
+    assert rows["q1"]["description"] == "desc here"
+    assert rows["q3"]["qualityScores"] == "KKKKKKKK"
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    import json
+
+    indir = tmp_path / "docs"
+    os.makedirs(indir)
+    schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+    (indir / "batch1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": "hello world", "ts": "2026-01-01T00:00:00"},
+                {"doc_id": 2, "text": "HELLO world", "ts": "2026-01-01T00:00:10"},
+                {"doc_id": 3, "text": "unique doc", "ts": "2026-01-01T00:00:20"},
+            ]
+        )
+    )
+    stream = spark.readStream.schema(schema).json(str(indir))
+    out = st.streaming_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM dedup_mem").collect())
+    # case-insensitive fingerprint: doc 2 is a duplicate of doc 1
+    assert got == [1, 3]
