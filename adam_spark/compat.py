@@ -152,6 +152,15 @@ class AlignmentDataset(GenomicDataset):
     def saveAsSam(self, filePath, asType=None, isSorted=False, asSingleFile=False):
         self._gf.save(filePath)
 
+    def saveAsSamString(self):
+        """The dataset as one SAM-spec string on the driver
+        (ds.py:940-952). Driver-sized outputs only — the reference has
+        the same caveat (it builds the whole file driver-side)."""
+        from adam_spark.sources.sam import sam_body_lines, sam_header_lines
+
+        body = [r[0] for r in sam_body_lines(self._gf.df).collect()]
+        return "\n".join(sam_header_lines(self._gf.meta) + body) + "\n"
+
     def saveAsFastq(self, fileName, **kw):
         from adam_spark.sources.fastq import save_fastq
 
@@ -283,7 +292,96 @@ class SliceDataset(GenomicDataset):
         return self._gf.count_kmers(kmerLength)
 
 
-class VariantDataset(GenomicDataset):
+def _vcf_line_type(lineType) -> str:
+    """Python primitive → VCF header Type token (ds.py:600-626)."""
+    if lineType is str:
+        return "String"
+    if lineType is int:
+        return "Integer"
+    if lineType is float:
+        return "Float"
+    if lineType is chr:
+        return "Character"
+    raise ValueError(f"Invalid VCF header line type {lineType!r}")
+
+
+class _VCFSupportingMixin:
+    """camelCase VCF header-line surface (VCFSupportingGenomicDataset,
+    GenomicDataset.scala:3497-3757; Python mirror ds.py:628-848):
+    metadata-only mutations, no data movement."""
+
+    def _with_meta(self, meta):
+        out = type(self)(GenomicFrame(self._gf.df, meta))
+        return out
+
+    def addFilterHeaderLine(self, name, description):
+        return self._with_meta(self._gf.meta.add_filter_header_line(name, description))
+
+    def addScalarFormatHeaderLine(self, name, description, lineType):
+        return self._with_meta(
+            self._gf.meta.add_scalar_format_header_line(
+                name, description, _vcf_line_type(lineType)
+            )
+        )
+
+    def addFixedArrayFormatHeaderLine(self, name, count, description, lineType):
+        return self._with_meta(
+            self._gf.meta.add_fixed_array_format_header_line(
+                name, count, description, _vcf_line_type(lineType)
+            )
+        )
+
+    def addGenotypeArrayFormatHeaderLine(self, name, description, lineType):
+        return self._with_meta(
+            self._gf.meta.add_genotype_array_format_header_line(
+                name, description, _vcf_line_type(lineType)
+            )
+        )
+
+    def addAlternateAlleleArrayFormatHeaderLine(self, name, description, lineType):
+        return self._with_meta(
+            self._gf.meta.add_alternate_allele_array_format_header_line(
+                name, description, _vcf_line_type(lineType)
+            )
+        )
+
+    def addAllAlleleArrayFormatHeaderLine(self, name, description, lineType):
+        return self._with_meta(
+            self._gf.meta.add_all_alleles_array_format_header_line(
+                name, description, _vcf_line_type(lineType)
+            )
+        )
+
+    def addScalarInfoHeaderLine(self, name, description, lineType):
+        return self._with_meta(
+            self._gf.meta.add_scalar_info_header_line(
+                name, description, _vcf_line_type(lineType)
+            )
+        )
+
+    def addFixedArrayInfoHeaderLine(self, name, count, description, lineType):
+        return self._with_meta(
+            self._gf.meta.add_fixed_array_info_header_line(
+                name, count, description, _vcf_line_type(lineType)
+            )
+        )
+
+    def addAlternateAlleleArrayInfoHeaderLine(self, name, description, lineType):
+        return self._with_meta(
+            self._gf.meta.add_alternate_allele_array_info_header_line(
+                name, description, _vcf_line_type(lineType)
+            )
+        )
+
+    def addAllAlleleArrayInfoHeaderLine(self, name, description, lineType):
+        return self._with_meta(
+            self._gf.meta.add_all_alleles_array_info_header_line(
+                name, description, _vcf_line_type(lineType)
+            )
+        )
+
+
+class VariantDataset(_VCFSupportingMixin, GenomicDataset):
     def toVariantContexts(self):
         from adam_spark.operators.conversions import variants_to_variant_contexts
 
@@ -295,7 +393,7 @@ class VariantDataset(GenomicDataset):
         self._gf.save(filePath)
 
 
-class GenotypeDataset(GenomicDataset):
+class GenotypeDataset(_VCFSupportingMixin, GenomicDataset):
     def toVariants(self, dedupe=False):
         from adam_spark.operators.conversions import genotypes_to_variants
 
@@ -316,7 +414,7 @@ class GenotypeDataset(GenomicDataset):
         self._gf.save(filePath)
 
 
-class VariantContextDataset(GenomicDataset):
+class VariantContextDataset(_VCFSupportingMixin, GenomicDataset):
     def saveAsVcf(self, filePath, asSingleFile=True, stringency=None):
         from adam_spark.sources.vcf import save_vcf
 

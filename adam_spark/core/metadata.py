@@ -228,6 +228,13 @@ class GenomicMetadata:
             f'##INFO=<ID={iid},Number=R,Type={info_type},Description="{description}">'
         )
 
+    def add_all_alleles_array_format_header_line(
+        self, fid: str, description: str, fmt_type: str = "Float"
+    ) -> GenomicMetadata:
+        return self._with_header_line(
+            f'##FORMAT=<ID={fid},Number=R,Type={fmt_type},Description="{description}">'
+        )
+
     def copy(self) -> GenomicMetadata:
         return GenomicMetadata(
             references=SequenceDictionary(self.references.references),

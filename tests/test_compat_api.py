@@ -95,3 +95,58 @@ def test_vcf_compat(ac, spark, tmp_path):
     out = str(tmp_path / "o.vcf")
     vcs.saveAsVcf(out)
     assert ac.loadGenotypes(out).toDF().count() == 2
+
+
+def test_vcf_header_line_surface(ac, spark, tmp_path):
+    """camelCase add*HeaderLine family (ds.py:628-848): metadata-only
+    mutations that show up in the saved VCF header."""
+    vcf = tmp_path / "h.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.3\n##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+        "chr1\t10\t.\tA\tG\t50\tPASS\tDP=3\tGT\t0/1\n"
+    )
+    gts = ac.loadGenotypes(str(vcf))
+    gts2 = (
+        gts.addFilterHeaderLine("LOWQ", "low quality")
+        .addScalarFormatHeaderLine("XF", "a float fmt", float)
+        .addFixedArrayFormatHeaderLine("XA", 2, "two ints", int)
+        .addGenotypeArrayFormatHeaderLine("XG", "per genotype", float)
+        .addAlternateAlleleArrayFormatHeaderLine("XAA", "per alt", str)
+        .addAllAlleleArrayFormatHeaderLine("XR", "per allele", float)
+        .addScalarInfoHeaderLine("YI", "an int info", int)
+        .addFixedArrayInfoHeaderLine("YA", 3, "three strs", str)
+        .addAlternateAlleleArrayInfoHeaderLine("YAA", "alt info", float)
+        .addAllAlleleArrayInfoHeaderLine("YR", "allele info", chr)
+    )
+    # original untouched (immutable metadata mutation)
+    assert len(gts2._gf.meta.header_lines) == len(gts._gf.meta.header_lines) + 10
+    vcs = gts2.toVariantContexts()
+    out = str(tmp_path / "withhdr.vcf")
+    vcs.saveAsVcf(out)
+    import glob
+
+    part = glob.glob(out + "/part-*")[0]  # Spark text sink: directory
+    hdr = [l for l in open(part) if l.startswith("##")]
+    txt = "".join(hdr)
+    assert '##FILTER=<ID=LOWQ,Description="low quality">' in txt
+    assert "##FORMAT=<ID=XA,Number=2,Type=Integer" in txt
+    assert "##FORMAT=<ID=XG,Number=G,Type=Float" in txt
+    assert "##FORMAT=<ID=XR,Number=R,Type=Float" in txt
+    assert "##INFO=<ID=YA,Number=3,Type=String" in txt
+    assert "##INFO=<ID=YR,Number=R,Type=Character" in txt
+    import pytest
+
+    with pytest.raises(ValueError):
+        gts.addScalarInfoHeaderLine("bad", "boom", dict)
+
+
+def test_save_as_sam_string(ac, sam_path):
+    reads = ac.loadAlignments(sam_path)
+    txt = reads.saveAsSamString()
+    lines = txt.rstrip("\n").split("\n")
+    header = [l for l in lines if l.startswith("@")]
+    body = [l for l in lines if not l.startswith("@")]
+    assert any(l.startswith("@SQ") for l in header)
+    assert len(body) == reads.toDF().count()
+    assert all(len(l.split("\t")) >= 11 for l in body)
