@@ -284,3 +284,123 @@ def test_reference_coded_cram_record_roundtrip(data):
         assert len(got) == len(lines)
         for want, have in zip(lines, got):
             assert have.split("\t")[:11] == want.split("\t")[:11], (ref is not None, want, have)
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_cram_core_codecs_roundtrip(data):
+    """Random symbol streams encoded with test-side writers decode
+    exactly through the module's codec objects (canonical HUFFMAN,
+    BETA, GAMMA, SUBEXP) — the read path a foreign CRAM exercises."""
+    from adam_spark.sources.cram import (
+        _BitReader,
+        _BetaCodec,
+        _GammaCodec,
+        _HuffmanCodec,
+        _SubexpCodec,
+    )
+
+    class BW:
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def write(self, v, nbits):
+            for i in range(nbits - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    self.acc, self.n = 0, 0
+
+        def getvalue(self):
+            out = bytes(self.buf)
+            if self.n:
+                out += bytes((self.acc << (8 - self.n),))
+            return out
+
+    class FakeCursors:
+        def __init__(self, core):
+            self.core = _BitReader(core)
+
+    kind = data.draw(st.sampled_from(["huffman", "beta", "gamma", "subexp"]))
+    bw = BW()
+    if kind == "huffman":
+        symbols = data.draw(
+            st.lists(
+                st.integers(-100, 10_000), min_size=2, max_size=12, unique=True
+            )
+        )
+        # canonical code lengths: derive from a shuffled balanced tree by
+        # assigning lengths that satisfy Kraft equality (complete code)
+        n = len(symbols)
+        lengths = []
+        rem = 1.0
+        for i in range(n):
+            if i == n - 1:
+                ln = max(1, round(-__import__("math").log2(rem)))
+            else:
+                ln = data.draw(
+                    st.integers(
+                        max(1, int(-__import__("math").log2(rem)) + 1),
+                        min(14, int(-__import__("math").log2(rem / (n - i))) + 2),
+                    )
+                )
+            ln = max(1, min(14, ln))
+            while 2.0 ** -ln > rem:
+                ln += 1
+            lengths.append(ln)
+            rem -= 2.0 ** -ln
+        # sort (length, idx) canonically the same way the codec does and
+        # compute each symbol's code to drive the encoder
+        codec = _HuffmanCodec(symbols, lengths)
+        inv = {sym: (ln, code) for (ln, code), sym in codec.codes.items()}
+        values = data.draw(
+            st.lists(st.sampled_from(symbols), min_size=1, max_size=50)
+        )
+        for v in values:
+            ln, code = inv[v]
+            bw.write(code, ln)
+    elif kind == "beta":
+        offset = data.draw(st.integers(0, 100))
+        nbits = data.draw(st.integers(1, 24))
+        codec = _BetaCodec(offset, nbits)
+        values = data.draw(
+            st.lists(
+                st.integers(-offset, (1 << nbits) - 1 - offset),
+                min_size=1,
+                max_size=50,
+            )
+        )
+        for v in values:
+            bw.write(v + offset, nbits)
+    elif kind == "gamma":
+        offset = data.draw(st.integers(0, 10))
+        codec = _GammaCodec(offset)
+        values = data.draw(
+            st.lists(st.integers(1 - offset, 100_000), min_size=1, max_size=50)
+        )
+        for v in values:
+            x = v + offset
+            nb = x.bit_length()
+            bw.write(0, nb - 1)  # unary zeros
+            bw.write(x, nb)  # leading 1 + remainder
+    else:  # subexp
+        offset = data.draw(st.integers(0, 10))
+        k = data.draw(st.integers(1, 8))
+        codec = _SubexpCodec(offset, k)
+        values = data.draw(
+            st.lists(st.integers(-offset, 100_000), min_size=1, max_size=50)
+        )
+        for v in values:
+            x = v + offset
+            if x < (1 << k):
+                bw.write(0, 1)
+                bw.write(x, k)
+            else:
+                count = x.bit_length() - k
+                bw.write((1 << count) - 1, count)  # unary ones
+                bw.write(0, 1)
+                bw.write(x - (1 << (count + k - 1)), count + k - 1)
+    c = FakeCursors(bw.getvalue())
+    got = [codec.read_int(c) for _ in values]
+    assert got == values
