@@ -53,6 +53,10 @@ SUBEXP, BYTE_ARRAY_LEN (nested codecs), BYTE_ARRAY_STOP — with a
 MSB-first bit reader over the slice's core block, so foreign
 content-id layouts and bit-packed core encodings decode (pinned by
 tests/test_sources_cram.py's hand-crafted foreign containers).
+Non-detached records are supported too: CF-conditional mate decode
+(detached MF/NS/NP/TS vs NF mate-graph links) with chain resolution of
+RNEXT/PNEXT/TLEN, mate flags, and synthesized names when RN
+preservation is off.
 Unknown codec ids (GOLOMB/GOLOMB_RICE, unused by modern writers) and
 unknown block compression methods still fail loudly.
 
@@ -665,6 +669,7 @@ def _parse_compression_header(data: bytes):
     n, off = itf8_decode(data, off)
     tag_lines: list[tuple[tuple[str, str], ...]] = []
     rr = False
+    rn_pres = True
     sm: bytes | None = None
     for _ in range(n):
         key = bytes(data[off : off + 2])
@@ -672,7 +677,10 @@ def _parse_compression_header(data: bytes):
         if key == b"RR":
             rr = bool(data[off])
             off += 1
-        elif key in (b"RN", b"AP"):
+        elif key == b"RN":
+            rn_pres = bool(data[off])
+            off += 1
+        elif key == b"AP":
             off += 1
         elif key == b"SM":
             sm = bytes(data[off : off + 5])
@@ -717,7 +725,7 @@ def _parse_compression_header(data: bytes):
             codec, bytes(data[off : off + plen])
         )
         off += plen
-    return tag_lines, tag_codecs, rr, series, sm
+    return tag_lines, tag_codecs, rr, series, sm, rn_pres
 
 
 # --- record codec ----------------------------------------------------------
@@ -973,7 +981,8 @@ def _decode_record(c: _Cursors, ref_names: list[str],
                    tag_lines: list,
                    rr: bool = False,
                    ref_seqs: dict[str, str] | None = None,
-                   sm_dec: dict[str, list[str]] | None = None) -> str:
+                   sm_dec: dict[str, list[str]] | None = None,
+                   rn_pres: bool = True):
     from adam_spark.sources.bam import _aux_to_text
 
     flag = c.get_int("BF")
@@ -982,11 +991,32 @@ def _decode_record(c: _Cursors, ref_names: list[str],
     rl = c.get_int("RL")
     pos1 = c.get_int("AP")
     _rg = c.get_int("RG")
-    name = c.get_array("RN").decode()
-    _mf = c.get_int("MF")
-    ns = c.get_int("NS")
-    np_ = c.get_int("NP")
-    ts = c.get_int("TS")
+    detached = bool(_cf & 0x2)
+    has_mate_downstream = bool(_cf & 0x4)
+    # read names are stored when preserved, and ALWAYS for detached
+    # records (htslib semantics); otherwise synthesized post-decode
+    name = c.get_array("RN").decode() if (rn_pres or detached) else None
+    nf = None
+    if detached:
+        # explicit mate fields (our writer's layout and htslib's
+        # cross-slice mates)
+        mf = c.get_int("MF")
+        ns = c.get_int("NS")
+        np_ = c.get_int("NP")
+        ts = c.get_int("TS")
+        # MF carries the mate's strand/unmapped bits when BF was
+        # stripped of them (spec §10.2): 0x1 mate-reverse, 0x2 mate-unmapped
+        if mf & 0x1:
+            flag |= 0x20
+        if mf & 0x2:
+            flag |= 0x8
+    elif has_mate_downstream:
+        # mate graph: NF = records to skip to the next fragment in this
+        # slice; mate fields resolved by decode_container afterwards
+        nf = c.get_int("NF")
+        ns, np_, ts = -1, 0, 0
+    else:
+        ns, np_, ts = -1, 0, 0
     tl = c.get_int("TL")
     tags = []
     for tag, typ in tag_lines[tl]:
@@ -1078,9 +1108,19 @@ def _decode_record(c: _Cursors, ref_names: list[str],
         rnext = "="
     else:
         rnext = ref_names[ns]
-    out = [name or "*", str(flag), rname, str(pos1), str(mapq), cigar,
-           rnext, str(np_), str(ts), seq, qual] + tags
-    return "\t".join(out)
+    # reference span for mate-graph TLEN resolution (M/D/N/=/X consume)
+    ref_len = 0
+    if mapped and cigar != "*":
+        import re as _re
+
+        ref_len = sum(
+            int(m.group(1))
+            for m in _re.finditer(r"(\d+)([MDN=X])", cigar)
+        )
+    out = [name if name is not None else "*", str(flag), rname, str(pos1),
+           str(mapq), cigar, rnext, str(np_), str(ts), seq, qual] + tags
+    return out, {"nf": nf, "ref_id": ref_id, "pos1": pos1,
+                 "ref_len": ref_len, "mapped": mapped, "named": name is not None}
 
 
 # --- container write/read --------------------------------------------------
@@ -1168,7 +1208,8 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
             core_data = data
     if comp_data is None:
         return []
-    tag_lines, tag_codecs, rr, series, sm = _parse_compression_header(comp_data)
+    (tag_lines, tag_codecs, rr, series, sm,
+     rn_pres) = _parse_compression_header(comp_data)
     sm_dec = _sm_tables(sm)[1] if sm is not None else None
     if rr and ref_seqs is None:
         raise ValueError(
@@ -1176,11 +1217,80 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
             "with the contig sequences the file was written against"
         )
     c = _Cursors(ext, core_data, series, tag_codecs)
-    return [
+    decoded = [
         _decode_record(c, ref_names, tag_lines, rr=rr, ref_seqs=ref_seqs,
-                       sm_dec=sm_dec)
+                       sm_dec=sm_dec, rn_pres=rn_pres)
         for _ in range(n_records)
     ]
+    _resolve_mate_graph(decoded, ref_names)
+    return ["\t".join(fields) for fields, _ in decoded]
+
+
+def _resolve_mate_graph(decoded: list, ref_names: list[str]) -> None:
+    """Reconstruct mate fields for NF-linked (non-detached) records.
+
+    Spec §11: a record with CF 0x4 points NF records ahead to the next
+    fragment of its template; the chain's last member links back to the
+    first. Each member gets its successor's position/reference as
+    RNEXT/PNEXT, mate strand/unmapped bits from the successor's flags,
+    the paired bit, and a template-span TLEN (leftmost member positive,
+    others negative — exact for pairs, htslib-style approximation for
+    longer chains). Unnamed members (RN preservation off) share a
+    synthesized name keyed by the chain head's slice index."""
+    n = len(decoded)
+    visited = [False] * n
+    for start in range(n):
+        if visited[start] or decoded[start][1]["nf"] is None:
+            continue
+        chain = [start]
+        i = start
+        while decoded[i][1]["nf"] is not None:
+            j = i + 1 + decoded[i][1]["nf"]
+            if j >= n or visited[j]:
+                break  # malformed link: leave remaining fields as-is
+            visited[j] = True
+            chain.append(j)
+            i = j
+        visited[start] = True
+        if len(chain) < 2:
+            continue
+        metas = [decoded[i][1] for i in chain]
+        spans = [
+            (m["pos1"], m["pos1"] + max(m["ref_len"], 1) - 1)
+            for m in metas
+        ]
+        mapped_same_ref = all(m["mapped"] for m in metas) and len(
+            {m["ref_id"] for m in metas}
+        ) == 1
+        tspan = (
+            max(e for _, e in spans) - min(p for p, _ in spans) + 1
+            if mapped_same_ref
+            else 0
+        )
+        leftmost = min(range(len(chain)), key=lambda k: spans[k][0])
+        head_name = decoded[chain[0]][0][0]
+        if not metas[0]["named"] or head_name == "*":
+            head_name = f"q{chain[0]}"
+        for k, idx in enumerate(chain):
+            fields, meta = decoded[idx]
+            succ = decoded[chain[(k + 1) % len(chain)]][1]
+            succ_flag = int(decoded[chain[(k + 1) % len(chain)]][0][1])
+            flag = int(fields[1]) | 0x1  # paired
+            if succ_flag & 0x10:
+                flag |= 0x20  # mate reverse
+            if not succ["mapped"]:
+                flag |= 0x8  # mate unmapped
+            fields[1] = str(flag)
+            fields[6] = (
+                "*"
+                if succ["ref_id"] < 0
+                else ("=" if succ["ref_id"] == meta["ref_id"]
+                      else ref_names[succ["ref_id"]])
+            )
+            fields[7] = str(succ["pos1"])
+            fields[8] = str(tspan if k == leftmost else -tspan)
+            if not meta["named"]:
+                fields[0] = head_name
 
 
 _HDR_PROBE = 4096  # a container header (ours has no landmarks) fits easily

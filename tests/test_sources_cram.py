@@ -433,3 +433,105 @@ def test_substitution_matrix_tables():
     enc2, dec2 = _sm_tables(bytes((0xE4,) * 5))
     assert dec2["A"] == ["N", "T", "G", "C"]
     assert enc2["A"]["C"] == 3
+
+
+def test_mate_graph_resolution(spark, tmp_path):
+    """Foreign CRAMs store in-slice mates via the NF mate graph
+    (CF 0x4 + next-fragment distance) instead of detached explicit
+    fields; RNEXT/PNEXT/TLEN and the mate strand/paired flags must be
+    reconstructed from the chain (spec §11)."""
+    import adam_spark.sources.cram as cm
+
+    i8 = cm.itf8_encode
+
+    def enc(codec_id, params):
+        return i8(codec_id) + i8(len(params)) + params
+
+    ext_series = [
+        "BF", "CF", "RI", "RL", "AP", "RG", "NF", "TL", "FN", "MQ", "BA", "QS",
+    ]
+    cids = {k: 40 + i for i, k in enumerate(ext_series)}
+    td = b"\x00"
+    pres = i8(3) + b"RN\x01" + b"AP\x00" + b"TD" + i8(len(td)) + td
+    pres_block = i8(len(pres)) + pres
+    series = [(k.encode(), enc(1, i8(cids[k]))) for k in ext_series]
+    series.append((b"RN", enc(5, bytes((0,)) + i8(90))))
+    ds = i8(len(series)) + b"".join(k + e for k, e in series)
+    ds_block = i8(len(ds)) + ds
+    tag_block = i8(1) + i8(0)
+    comp = pres_block + ds_block + bytes(tag_block)
+
+    streams = {cids[k]: bytearray() for k in ext_series}
+    streams[90] = bytearray()
+
+    def put(k, v):
+        streams[cids[k]] += i8(v)
+
+    # r1: forward, mate downstream (NF=0 -> next record)
+    for k, v in [("BF", 0), ("CF", 4), ("RI", 0), ("RL", 4), ("AP", 100),
+                 ("RG", -1)]:
+        put(k, v)
+    streams[90] += b"p1\x00"
+    put("NF", 0)
+    put("TL", 0)
+    put("FN", 0)
+    put("MQ", 60)
+    streams[cids["BA"]] += b"ACGT"
+    streams[cids["QS"]] += b"IIII"
+    # r2: reverse, chain end (no mate data series at all)
+    for k, v in [("BF", 16), ("CF", 0), ("RI", 0), ("RL", 4), ("AP", 200),
+                 ("RG", -1)]:
+        put(k, v)
+    streams[90] += b"p1\x00"
+    put("TL", 0)
+    put("FN", 0)
+    put("MQ", 60)
+    streams[cids["BA"]] += b"GGGG"
+    streams[cids["QS"]] += b"JJJJ"
+
+    blocks = bytearray()
+    cm._write_block(blocks, cm._CT_COMPRESSION_HEADER, 0, comp)
+    ext_ids = sorted(streams)
+    sh = bytearray()
+    sh += i8(-2) + i8(0) + i8(0) + i8(2) + cm.ltf8_encode(0)
+    sh += i8(len(ext_ids) + 1) + i8(len(ext_ids))
+    for cid in ext_ids:
+        sh += i8(cid)
+    sh += i8(-1) + b"\x00" * 16
+    cm._write_block(blocks, cm._CT_SLICE_HEADER, 0, bytes(sh))
+    cm._write_block(blocks, cm._CT_CORE, 0, b"", compress=False)
+    for cid in ext_ids:
+        cm._write_block(blocks, cm._CT_EXTERNAL, cid, bytes(streams[cid]),
+                        compress=False)
+
+    out = bytearray()
+    out += cm._MAGIC + cm._FILE_ID
+    hdr_block = bytearray()
+    cm._write_block(hdr_block, cm._CT_FILE_HEADER, 0,
+                    b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000\n")
+    out += cm._container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
+    out += hdr_block
+    out += cm._container_header(len(blocks), -2, 0, 0, 2, 0, 8,
+                                len(ext_ids) + 3, [])
+    out += blocks
+    eof = bytearray()
+    cm._write_block(eof, cm._CT_EXTERNAL, 0, b"EOF", compress=False)
+    out += cm._container_header(len(eof), -1, 4542278, 0, 0, 2, 0, 1, [])
+    out += eof
+    cram = str(tmp_path / "mates.cram")
+    open(cram, "wb").write(bytes(out))
+
+    rows = sorted(
+        cm.load_cram(spark, cram).df.collect(), key=lambda r: r["start"]
+    )
+    r1, r2 = rows
+    assert r1["readName"] == "p1" and r2["readName"] == "p1"
+    assert r1["sequence"] == "ACGT" and r2["sequence"] == "GGGG"
+    # mate fields reconstructed from the graph
+    assert r1["mateAlignmentStart"] == 199  # PNEXT 200, 0-based
+    assert r2["mateAlignmentStart"] == 99
+    assert r1["mateReferenceName"] == "chr1" and r2["mateReferenceName"] == "chr1"
+    assert r1["readPaired"] and r2["readPaired"]
+    assert r1["mateNegativeStrand"] is True  # r2 is reverse
+    assert r2["mateNegativeStrand"] is False
+    assert r1["insertSize"] == 101 and r2["insertSize"] == -101
