@@ -670,6 +670,7 @@ def _parse_compression_header(data: bytes):
     tag_lines: list[tuple[tuple[str, str], ...]] = []
     rr = False
     rn_pres = True
+    ap_delta = False
     sm: bytes | None = None
     for _ in range(n):
         key = bytes(data[off : off + 2])
@@ -681,6 +682,7 @@ def _parse_compression_header(data: bytes):
             rn_pres = bool(data[off])
             off += 1
         elif key == b"AP":
+            ap_delta = bool(data[off])
             off += 1
         elif key == b"SM":
             sm = bytes(data[off : off + 5])
@@ -725,7 +727,7 @@ def _parse_compression_header(data: bytes):
             codec, bytes(data[off : off + plen])
         )
         off += plen
-    return tag_lines, tag_codecs, rr, series, sm, rn_pres
+    return tag_lines, tag_codecs, rr, series, sm, rn_pres, ap_delta
 
 
 # --- record codec ----------------------------------------------------------
@@ -982,14 +984,22 @@ def _decode_record(c: _Cursors, ref_names: list[str],
                    rr: bool = False,
                    ref_seqs: dict[str, str] | None = None,
                    sm_dec: dict[str, list[str]] | None = None,
-                   rn_pres: bool = True):
+                   rn_pres: bool = True,
+                   slice_ref: int = -2,
+                   ap_prev: list[int] | None = None):
     from adam_spark.sources.bam import _aux_to_text
 
     flag = c.get_int("BF")
     _cf = c.get_int("CF")
-    ref_id = c.get_int("RI")
+    # single-reference slices (header ref >= 0) have no RI series: every
+    # record shares the slice's reference (spec §8.5)
+    ref_id = c.get_int("RI") if slice_ref == -2 else slice_ref
     rl = c.get_int("RL")
     pos1 = c.get_int("AP")
+    if ap_prev is not None:
+        # AP=true preservation: delta from the previous record's start
+        pos1 += ap_prev[0]
+        ap_prev[0] = pos1
     _rg = c.get_int("RG")
     detached = bool(_cf & 0x2)
     has_mate_downstream = bool(_cf & 0x4)
@@ -1184,6 +1194,8 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
     ext: dict[int, bytes] = {}
     n_records = 0
     n_slices = 0
+    slice_ref = -2
+    slice_start = 0
     while p < end:
         ctype, cid, data, p = _read_block(buf, p)
         if ctype == _CT_COMPRESSION_HEADER:
@@ -1198,8 +1210,8 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
                     "subset (writer emits one slice per container)"
                 )
             q = 0
-            _refid, q = itf8_decode(data, q)
-            _start, q = itf8_decode(data, q)
+            slice_ref, q = itf8_decode(data, q)
+            slice_start, q = itf8_decode(data, q)
             _span, q = itf8_decode(data, q)
             n_records, q = itf8_decode(data, q)
         elif ctype == _CT_EXTERNAL:
@@ -1208,8 +1220,8 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
             core_data = data
     if comp_data is None:
         return []
-    (tag_lines, tag_codecs, rr, series, sm,
-     rn_pres) = _parse_compression_header(comp_data)
+    (tag_lines, tag_codecs, rr, series, sm, rn_pres,
+     ap_delta) = _parse_compression_header(comp_data)
     sm_dec = _sm_tables(sm)[1] if sm is not None else None
     if rr and ref_seqs is None:
         raise ValueError(
@@ -1217,9 +1229,13 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
             "with the contig sequences the file was written against"
         )
     c = _Cursors(ext, core_data, series, tag_codecs)
+    # AP preservation (coord-sorted foreign files): positions are
+    # delta-coded from the previous record, seeded by the slice start
+    prev_ap = [slice_start]
     decoded = [
         _decode_record(c, ref_names, tag_lines, rr=rr, ref_seqs=ref_seqs,
-                       sm_dec=sm_dec, rn_pres=rn_pres)
+                       sm_dec=sm_dec, rn_pres=rn_pres,
+                       slice_ref=slice_ref, ap_prev=prev_ap if ap_delta else None)
         for _ in range(n_records)
     ]
     _resolve_mate_graph(decoded, ref_names)

@@ -535,3 +535,84 @@ def test_mate_graph_resolution(spark, tmp_path):
     assert r1["mateNegativeStrand"] is True  # r2 is reverse
     assert r2["mateNegativeStrand"] is False
     assert r1["insertSize"] == 101 and r2["insertSize"] == -101
+
+
+def test_single_ref_slice_with_ap_delta(spark, tmp_path):
+    """Coordinate-sorted foreign CRAMs use single-reference slices (no
+    RI series — the reference comes from the slice header) and AP=true
+    delta-coded positions seeded by the slice start (spec §8.5)."""
+    import adam_spark.sources.cram as cm
+
+    i8 = cm.itf8_encode
+
+    def enc(codec_id, params):
+        return i8(codec_id) + i8(len(params)) + params
+
+    ext_series = ["BF", "CF", "RL", "AP", "RG", "TL", "FN", "MQ", "BA", "QS"]
+    cids = {k: 40 + i for i, k in enumerate(ext_series)}
+    td = b"\x00"
+    pres = i8(3) + b"RN\x01" + b"AP\x01" + b"TD" + i8(len(td)) + td
+    pres_block = i8(len(pres)) + pres
+    series = [(k.encode(), enc(1, i8(cids[k]))) for k in ext_series]
+    series.append((b"RN", enc(5, bytes((0,)) + i8(90))))
+    ds = i8(len(series)) + b"".join(k + e for k, e in series)
+    ds_block = i8(len(ds)) + ds
+    comp = pres_block + ds_block + bytes(i8(1) + i8(0))
+
+    streams = {cids[k]: bytearray() for k in ext_series}
+    streams[90] = bytearray()
+
+    def put(k, v):
+        streams[cids[k]] += i8(v)
+
+    # r1 at slice_start+0=100, r2 delta 50 -> 150
+    for name, delta, seq, qual in (("s1", 0, b"ACGT", b"IIII"),
+                                   ("s2", 50, b"GGGG", b"JJJJ")):
+        for k, v in [("BF", 0), ("CF", 0), ("RL", 4), ("AP", delta),
+                     ("RG", -1)]:
+            put(k, v)
+        streams[90] += name.encode() + b"\x00"
+        put("TL", 0)
+        put("FN", 0)
+        put("MQ", 60)
+        streams[cids["BA"]] += seq
+        streams[cids["QS"]] += qual
+
+    blocks = bytearray()
+    cm._write_block(blocks, cm._CT_COMPRESSION_HEADER, 0, comp)
+    ext_ids = sorted(streams)
+    sh = bytearray()
+    sh += i8(0) + i8(100) + i8(100) + i8(2) + cm.ltf8_encode(0)  # ref 0, start 100
+    sh += i8(len(ext_ids) + 1) + i8(len(ext_ids))
+    for cid in ext_ids:
+        sh += i8(cid)
+    sh += i8(-1) + b"\x00" * 16
+    cm._write_block(blocks, cm._CT_SLICE_HEADER, 0, bytes(sh))
+    cm._write_block(blocks, cm._CT_CORE, 0, b"", compress=False)
+    for cid in ext_ids:
+        cm._write_block(blocks, cm._CT_EXTERNAL, cid, bytes(streams[cid]),
+                        compress=False)
+
+    out = bytearray()
+    out += cm._MAGIC + cm._FILE_ID
+    hdr_block = bytearray()
+    cm._write_block(hdr_block, cm._CT_FILE_HEADER, 0,
+                    b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000\n")
+    out += cm._container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
+    out += hdr_block
+    out += cm._container_header(len(blocks), 0, 100, 100, 2, 0, 8,
+                                len(ext_ids) + 3, [])
+    out += blocks
+    eof = bytearray()
+    cm._write_block(eof, cm._CT_EXTERNAL, 0, b"EOF", compress=False)
+    out += cm._container_header(len(eof), -1, 4542278, 0, 0, 2, 0, 1, [])
+    out += eof
+    cram = str(tmp_path / "sr.cram")
+    open(cram, "wb").write(bytes(out))
+
+    rows = {r["readName"]: r for r in cm.load_cram(spark, cram).df.collect()}
+    assert set(rows) == {"s1", "s2"}
+    assert rows["s1"]["referenceName"] == "chr1"
+    assert rows["s2"]["referenceName"] == "chr1"
+    assert rows["s1"]["start"] == 99   # pos1 100
+    assert rows["s2"]["start"] == 149  # pos1 100+50
