@@ -56,7 +56,8 @@ tests/test_sources_cram.py's hand-crafted foreign containers).
 Non-detached records are supported too: CF-conditional mate decode
 (detached MF/NS/NP/TS vs NF mate-graph links) with chain resolution of
 RNEXT/PNEXT/TLEN, mate flags, and synthesized names when RN
-preservation is off.
+preservation is off; AP=true delta-coded positions, single-reference
+slices (no RI series), and multi-slice containers all decode.
 Unknown codec ids (GOLOMB/GOLOMB_RICE, unused by modern writers) and
 unknown block compression methods still fail loudly.
 
@@ -1186,39 +1187,40 @@ def _write_data_container(out: bytearray, sam_lines: list[str],
 
 def decode_container(buf, off: int, hdr, ref_names: list[str],
                      ref_seqs: dict[str, str] | None = None):
-    """Decode one data container at ``off`` → list of SAM lines."""
+    """Decode one data container at ``off`` → list of SAM lines.
+
+    Multi-slice containers are supported: streams (external blocks,
+    core block, mate graph, AP-delta seed) are slice-scoped, so each
+    slice's block group decodes independently under the container's one
+    compression header."""
     p = off + hdr["header_size"]
     end = off + hdr["header_size"] + hdr["length"]
     comp_data = None
-    core_data = b""
-    ext: dict[int, bytes] = {}
-    n_records = 0
-    n_slices = 0
-    slice_ref = -2
-    slice_start = 0
+    slices: list[dict] = []
     while p < end:
         ctype, cid, data, p = _read_block(buf, p)
         if ctype == _CT_COMPRESSION_HEADER:
             comp_data = data
         elif ctype == _CT_SLICE_HEADER:
-            n_slices += 1
-            if n_slices > 1:
-                # external streams are slice-scoped; merging two slices'
-                # blocks would mispoint every cursor — fail loudly
-                raise ValueError(
-                    "multi-slice CRAM containers are outside this codec's "
-                    "subset (writer emits one slice per container)"
-                )
             q = 0
             slice_ref, q = itf8_decode(data, q)
             slice_start, q = itf8_decode(data, q)
             _span, q = itf8_decode(data, q)
             n_records, q = itf8_decode(data, q)
-        elif ctype == _CT_EXTERNAL:
-            ext[cid] = data
-        elif ctype == _CT_CORE:
-            core_data = data
-    if comp_data is None:
+            slices.append(
+                {
+                    "ref": slice_ref,
+                    "start": slice_start,
+                    "n": n_records,
+                    "core": b"",
+                    "ext": {},
+                }
+            )
+        elif ctype == _CT_EXTERNAL and slices:
+            slices[-1]["ext"][cid] = data
+        elif ctype == _CT_CORE and slices:
+            slices[-1]["core"] = data
+    if comp_data is None or not slices:
         return []
     (tag_lines, tag_codecs, rr, series, sm, rn_pres,
      ap_delta) = _parse_compression_header(comp_data)
@@ -1228,18 +1230,22 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
             "reference-coded CRAM (RR=true): pass load_cram(..., reference=...) "
             "with the contig sequences the file was written against"
         )
-    c = _Cursors(ext, core_data, series, tag_codecs)
-    # AP preservation (coord-sorted foreign files): positions are
-    # delta-coded from the previous record, seeded by the slice start
-    prev_ap = [slice_start]
-    decoded = [
-        _decode_record(c, ref_names, tag_lines, rr=rr, ref_seqs=ref_seqs,
-                       sm_dec=sm_dec, rn_pres=rn_pres,
-                       slice_ref=slice_ref, ap_prev=prev_ap if ap_delta else None)
-        for _ in range(n_records)
-    ]
-    _resolve_mate_graph(decoded, ref_names)
-    return ["\t".join(fields) for fields, _ in decoded]
+    lines: list[str] = []
+    for sl in slices:
+        c = _Cursors(sl["ext"], sl["core"], series, tag_codecs)
+        # AP preservation (coord-sorted foreign files): positions are
+        # delta-coded from the previous record, seeded by the slice start
+        prev_ap = [sl["start"]]
+        decoded = [
+            _decode_record(c, ref_names, tag_lines, rr=rr, ref_seqs=ref_seqs,
+                           sm_dec=sm_dec, rn_pres=rn_pres,
+                           slice_ref=sl["ref"],
+                           ap_prev=prev_ap if ap_delta else None)
+            for _ in range(sl["n"])
+        ]
+        _resolve_mate_graph(decoded, ref_names)
+        lines.extend("\t".join(fields) for fields, _ in decoded)
+    return lines
 
 
 def _resolve_mate_graph(decoded: list, ref_names: list[str]) -> None:

@@ -616,3 +616,77 @@ def test_single_ref_slice_with_ap_delta(spark, tmp_path):
     assert rows["s2"]["referenceName"] == "chr1"
     assert rows["s1"]["start"] == 99   # pos1 100
     assert rows["s2"]["start"] == 149  # pos1 100+50
+
+
+def test_multi_slice_container_decodes(spark, tmp_path):
+    """Foreign CRAMs pack several slices per container; each slice's
+    streams are independent under the shared compression header."""
+    import adam_spark.sources.cram as cm
+
+    i8 = cm.itf8_encode
+
+    def enc(codec_id, params):
+        return i8(codec_id) + i8(len(params)) + params
+
+    ext_series = ["BF", "CF", "RL", "AP", "RG", "TL", "FN", "MQ", "BA", "QS"]
+    cids = {k: 40 + i for i, k in enumerate(ext_series)}
+    pres = i8(3) + b"RN\x01" + b"AP\x00" + b"TD" + i8(1) + b"\x00"
+    pres_block = i8(len(pres)) + pres
+    series = [(k.encode(), enc(1, i8(cids[k]))) for k in ext_series]
+    series.append((b"RN", enc(5, bytes((0,)) + i8(90))))
+    ds = i8(len(series)) + b"".join(k + e for k, e in series)
+    comp = pres_block + i8(len(ds)) + ds + bytes(i8(1) + i8(0))
+
+    def slice_blocks(names_pos_seqs):
+        streams = {cids[k]: bytearray() for k in ext_series}
+        streams[90] = bytearray()
+        for name, pos, seq, qual in names_pos_seqs:
+            for k, v in [("BF", 0), ("CF", 0), ("RL", len(seq)),
+                         ("AP", pos), ("RG", -1)]:
+                streams[cids[k]] += i8(v)
+            streams[90] += name.encode() + b"\x00"
+            for k, v in [("TL", 0), ("FN", 0), ("MQ", 60)]:
+                streams[cids[k]] += i8(v)
+            streams[cids["BA"]] += seq
+            streams[cids["QS"]] += qual
+        blocks = bytearray()
+        ext_ids = sorted(streams)
+        sh = bytearray()
+        sh += i8(0) + i8(0) + i8(0) + i8(len(names_pos_seqs)) + cm.ltf8_encode(0)
+        sh += i8(len(ext_ids) + 1) + i8(len(ext_ids))
+        for cid in ext_ids:
+            sh += i8(cid)
+        sh += i8(-1) + b"\x00" * 16
+        cm._write_block(blocks, cm._CT_SLICE_HEADER, 0, bytes(sh))
+        cm._write_block(blocks, cm._CT_CORE, 0, b"", compress=False)
+        for cid in ext_ids:
+            cm._write_block(blocks, cm._CT_EXTERNAL, cid, bytes(streams[cid]),
+                            compress=False)
+        return blocks
+
+    blocks = bytearray()
+    cm._write_block(blocks, cm._CT_COMPRESSION_HEADER, 0, comp)
+    blocks += slice_blocks([("m1", 100, b"ACGT", b"IIII"),
+                            ("m2", 150, b"GGGG", b"JJJJ")])
+    blocks += slice_blocks([("m3", 700, b"TTTT", b"KKKK")])
+
+    out = bytearray()
+    out += cm._MAGIC + cm._FILE_ID
+    hdr_block = bytearray()
+    cm._write_block(hdr_block, cm._CT_FILE_HEADER, 0,
+                    b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000\n")
+    out += cm._container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
+    out += hdr_block
+    out += cm._container_header(len(blocks), 0, 0, 0, 3, 0, 12, 1, [])
+    out += blocks
+    eof = bytearray()
+    cm._write_block(eof, cm._CT_EXTERNAL, 0, b"EOF", compress=False)
+    out += cm._container_header(len(eof), -1, 4542278, 0, 0, 2, 0, 1, [])
+    out += eof
+    cram = str(tmp_path / "ms.cram")
+    open(cram, "wb").write(bytes(out))
+
+    rows = {r["readName"]: r for r in cm.load_cram(spark, cram).df.collect()}
+    assert set(rows) == {"m1", "m2", "m3"}
+    assert rows["m3"]["start"] == 699
+    assert rows["m2"]["sequence"] == "GGGG"
