@@ -333,6 +333,51 @@ def srp_band_hashes(
     )
 
 
+#: max corpus-matrix bytes (N·dim·8) broadcast for GEMM pair verification;
+#: past this the verify falls back to the shuffle re-join, which never
+#: materializes the corpus on any single machine
+GEMM_VERIFY_CAP_BYTES = 256 * 1024 * 1024
+
+
+def _verify_pairs_gemm(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Score (id_a, id_b) candidate pairs against a broadcast corpus matrix.
+
+    One driver collect builds the dense float64 matrix + id→row index;
+    executors score each Arrow batch with a vectorized gather and a
+    row-wise dot (numerically the same dot/(‖a‖·‖b‖) as the join-based
+    fold, modulo summation order — sim is rounded to 6 dp either way).
+    Candidate duplicates (a pair matching in several bands) are verified
+    redundantly — cheaper than deduplicating the full candidate stream —
+    and collapsed after the threshold filter.
+    """
+    pdf = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
+    id2ix = {i: ix for ix, i in enumerate(pdf["id"])}
+    bc = corpus.sparkSession.sparkContext.broadcast((id2ix, mat, norms))
+
+    @F.pandas_udf("double")
+    def pair_cos(ia: pd.Series, ib: pd.Series) -> pd.Series:
+        idx, m, nrm = bc.value
+        ka = ia.map(idx).to_numpy(dtype=np.int64)
+        kb = ib.map(idx).to_numpy(dtype=np.int64)
+        num = np.einsum("ij,ij->i", m[ka], m[kb])
+        return pd.Series(num / (nrm[ka] * nrm[kb]))
+
+    return (
+        pairs.withColumn("sim", pair_cos("id_a", "id_b"))
+        .where(F.col("sim") >= F.lit(threshold))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -350,10 +395,24 @@ def embedding_near_duplicates(
     cosine before emission. Recall loss from banding is the only
     approximation (P(miss) ≤ 1% at the tuned defaults; the DuckDB
     oracle replicates the identical banding, so recall behavior is part
-    of the spec). At 100 TB the only shuffles are the slim band join
-    and the verify re-join on vector ids; the brute-force path remains
-    as :func:`embedding_near_duplicates_bruteforce` for small-N
-    validation.
+    of the spec).
+
+    Two verify strategies, auto-selected on corpus size:
+
+    - corpus matrix ≤ :data:`GEMM_VERIFY_CAP_BYTES` (N·dim·8): the
+      vectors broadcast once as a dense numpy matrix and every RAW
+      band-join candidate is scored by an Arrow-batched gather + row
+      dot (one GEMM-shaped pass per batch). The candidate-dedup
+      shuffle moves AFTER the threshold filter, where the survivor set
+      is tiny — at weak-pruning thresholds (sign-bit LSH below ~0.6)
+      this sidesteps deduplicating a near-all-pairs candidate stream.
+    - larger corpora: candidates are deduplicated first (one exchange)
+      and verified by re-joining the vectors — the only shuffles are
+      the slim band join and the id re-joins; nothing broadcasts, so
+      the path survives a 100 TB corpus.
+
+    The brute-force path remains as
+    :func:`embedding_near_duplicates_bruteforce` for small-N validation.
     """
     if rows_per_band is None or bands is None:
         r_def, b_def = srp_params(threshold)
@@ -367,19 +426,22 @@ def embedding_near_duplicates(
     hashed = srp_band_hashes(corpus, id_col, vec_col, dim, rows_per_band, bands).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    hashed.count()  # eager: both self-join sides would race a lazy cache
+    # eager (both self-join sides would race a lazy cache); the count
+    # doubles as the corpus-size estimate for strategy selection
+    n_vec = hashed.count() // max(bands, 1)
     a = hashed.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = hashed.select(F.col("id").alias("id_b"), "band", "band_hash")
-    shuffle_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    # one exchange serves dedup + verify rebalance (partitioning on id_a
-    # satisfies the (id_a, id_b) clustering of dropDuplicates)
-    cand = (
+    raw = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .repartition(shuffle_parts, "id_a")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if n_vec * dim * 8 <= GEMM_VERIFY_CAP_BYTES:
+        return _verify_pairs_gemm(corpus, raw, threshold, id_col, vec_col)
+    shuffle_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # one exchange serves dedup + verify rebalance (partitioning on id_a
+    # satisfies the (id_a, id_b) clustering of dropDuplicates)
+    cand = raw.repartition(shuffle_parts, "id_a").dropDuplicates(["id_a", "id_b"])
     # norms precomputed once per VECTOR (N rows) instead of per PAIR —
     # the verify fold then evaluates one dot product per candidate, not
     # three; numerically identical to computing norms inline

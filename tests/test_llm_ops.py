@@ -134,6 +134,23 @@ def test_embedding_near_dup_lsh_matches_bruteforce(embs):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_near_dup_join_verify_matches_gemm(embs, monkeypatch):
+    """Both verify strategies (broadcast GEMM vs shuffle re-join) emit the
+    identical pair set — the fallback must not change semantics."""
+    from adam_spark.llm import similarity as S
+
+    gemm = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in S.embedding_near_duplicates(embs, threshold=0.4, dim=64).collect()
+    )
+    monkeypatch.setattr(S, "GEMM_VERIFY_CAP_BYTES", 0)
+    joined = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in S.embedding_near_duplicates(embs, threshold=0.4, dim=64).collect()
+    )
+    assert gemm == joined
+
+
 def test_srp_prunes_at_high_threshold(spark):
     """Planted near-dups: candidates << all pairs at threshold 0.9."""
     import random
