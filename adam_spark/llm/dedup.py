@@ -261,12 +261,10 @@ def minhash_lsh_pairs(
     # the dropDuplicates aggregate needs, so Catalyst inserts no second
     # shuffle; candidate rows are slim but each does O(|doc|) verify
     # work, hence the rebalance by CPU cost, not bytes.
-    cand = (
+    raw = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
-        .dropDuplicates(["id_a", "id_b"])
     )
     # verification: |A∩B| once, |A∪B| by arithmetic (no union allocation).
     # The shingle side is one row per document; broadcasting it pins a
@@ -277,18 +275,36 @@ def minhash_lsh_pairs(
     # the 100 TB design point.
     if broadcast_verify is None:
         broadcast_verify = _estimate_shingle_bytes(base) <= VERIFY_BROADCAST_CAP_BYTES
+    if broadcast_verify:
+        # verify is a pure map (both shingle sides broadcast) — cheaper to
+        # re-verify a pair that matched in several bands than to shuffle
+        # the full candidate stream through a dedup aggregate first; the
+        # pair dedup moves AFTER the threshold filter (rounded jaccard is
+        # identical across a pair's duplicates, so dedup is order-safe)
+        cand = raw
+    else:
+        # shuffle verify: every candidate row costs a join shuffle, so
+        # dedup first; one exchange serves both dedup and the verify-stage
+        # rebalance (hash-partitioning on id_a satisfies the (id_a, id_b)
+        # clustering the dropDuplicates aggregate needs)
+        cand = raw.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a"
+        ).dropDuplicates(["id_a", "id_b"])
     sized = base.withColumn("n", F.size("sh"))
     maybe_bc = F.broadcast if broadcast_verify else (lambda x: x)
     sh_a = sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
     sh_b = sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
+    out = (
         cand.join(maybe_bc(sh_a), "id_a")
         .join(maybe_bc(sh_b), "id_b")
         .withColumn("jaccard", inter / (F.col("n_a") + F.col("n_b") - inter))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if broadcast_verify:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def ngram_jaccard_pairs(
