@@ -382,3 +382,38 @@ def test_corpus_stats(spark):
     assert out["s1"]["n_docs"] == 3 and out["s1"]["n_dup_docs"] == 1
     assert out["s1"]["total_tokens"] == 8 and out["s1"]["n_langs"] == 2
     assert out["s2"]["n_docs"] == 1 and out["s2"]["n_dup_docs"] == 0
+
+
+def test_ngram_contamination(spark):
+    from adam_spark.llm.decontaminate import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains bench 4-gram
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "short doc"),  # fewer than n tokens -> zero grams
+            (4, "quick brown fox jumps again and again here"),  # shares with doc 1's gram set? no bench gram
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask whether the quick brown fox jumps over things")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: (r["n_shared_grams"], r["contaminated"])
+        for r in ngram_contamination(corpus, bench, n=4).collect()
+    }
+    # corpus doc 1 shares "the quick brown fox", "quick brown fox jumps",
+    # "brown fox jumps over" with bench
+    assert got[1][0] == 3 and got[1][1]
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)  # short docs survive with zero grams
+    assert got[4][0] == 1 and got[4][1]  # "quick brown fox jumps"
+    assert set(got) == {1, 2, 3, 4}  # every corpus row present
+    # min_hits threshold raises the bar
+    strict = {
+        r["id"]: r["contaminated"]
+        for r in ngram_contamination(corpus, bench, n=4, min_hits=2).collect()
+    }
+    assert strict[1] and not strict[4]
