@@ -846,6 +846,35 @@ ORDER BY id
 """
 
 
+def sample_stratified_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sampling battery (llm/sampling): exactly 25 docs per
+    source chosen by hash-order lottery, each tagged train/test by a
+    partition-layout-independent hash threshold. Reproducible across
+    engines (md5-derived), re-shards, and reruns — the property
+    df.sample cannot give."""
+    from adam_spark.llm.sampling import stratified_sample, train_test_split
+
+    docs = load_table(spark, sf, "documents")
+    samp = stratified_sample(docs, "source", 25, "doc_id")
+    return (
+        train_test_split(samp, 0.2, "doc_id")
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    )
+
+
+_SAMPLE_STRAT_SQL = f"""
+WITH h AS (SELECT doc_id, source,
+    ('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS hv
+  FROM documents),
+rk AS (SELECT doc_id, source, hv,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS r FROM h)
+SELECT doc_id, source,
+  CASE WHEN hv < {int(0.2 * 16**7)} THEN 'test' ELSE 'train' END AS split
+FROM rk WHERE r <= 25 ORDER BY doc_id
+"""
+
+
 def dedup_ngram_docs(spark: SparkSession, sf: str) -> DataFrame:
     from adam_spark.llm.dedup import ngram_jaccard_pairs
 
@@ -2199,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runs green under capless tools/check_oracle.py.
         "coverage_flatten_bin": coverage_flatten_bin,
         "corpus_source_stats": corpus_source_stats,
+        "sample_stratified_docs": sample_stratified_docs,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
         "top_parts_by_revenue": top_parts_by_revenue,
@@ -2234,6 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         "mark_duplicates_orders": _MARKDUP_SQL,
         "coverage_flatten_bin": _COV_FLATTEN_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
+        "sample_stratified_docs": _SAMPLE_STRAT_SQL,
         "coverage_from_reads": _COVERAGE_FROM_READS_SQL,
         "fragments_group": _FRAGMENTS_SQL,
         "union_features": _UNION_SQL,

@@ -1,0 +1,95 @@
+"""Deterministic, engine-reproducible sampling for training-data
+pipelines.
+
+Spark's ``df.sample`` is seed-stable only for a fixed partition layout —
+repartition the input and the sample changes. These operators derive
+randomness from a content hash instead, so the same row is selected no
+matter how the data is partitioned, which executor sees it, or which
+engine runs the query (md5 hex is identical in Spark and DuckDB):
+
+- :func:`hash_sample` — Bernoulli(fraction) by hash threshold: a pure
+  narrow filter, zero shuffle, trivially parallel at 100 TB. The
+  standard "hold out p% of the corpus, reproducibly, forever" tool.
+- :func:`train_test_split` — the same primitive routed into named
+  splits instead of dropped rows.
+- :func:`stratified_sample` — exactly ``k`` rows per stratum, chosen by
+  hash order (a deterministic shuffle-free lottery per stratum, then a
+  per-stratum window rank). One shuffle on the stratum key; a heavily
+  skewed stratum bottlenecks its own partition, which is acceptable
+  because the output is capped at k rows per stratum — for quota
+  sampling from a handful of giant sources, prefer :func:`hash_sample`
+  with per-source fractions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash domain: first 7 hex digits of md5 → uniform on [0, 16^7)
+_HASH_SPACE = 16**7
+
+
+def _unit_hash(key: Column, seed: str) -> Column:
+    """Uniform integer in [0, 16^7) from md5(seed || key) — identical
+    in any engine with a standard md5."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 7), 16, 10
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hashed key falls
+    below ``fraction`` of the hash space. Partition-layout independent;
+    re-running on re-sharded data returns the identical row set."""
+    threshold = int(fraction * _HASH_SPACE)
+    return df.where(_unit_hash(F.col(key_col), seed) < F.lit(threshold))
+
+
+def train_test_split(
+    df: DataFrame,
+    test_fraction: float,
+    key_col: str,
+    seed: str = "s0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag every row 'test' (hash below the fraction) or 'train'.
+
+    One extra column, no shuffle, no row loss; downstream filters prune
+    either split at the scan when written partitioned by ``split_col``.
+    """
+    threshold = int(test_fraction * _HASH_SPACE)
+    return df.withColumn(
+        split_col,
+        F.when(_unit_hash(F.col(key_col), seed) < F.lit(threshold), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str,
+    seed: str = "s0",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, selected by hash order.
+
+    The hash is the lottery ticket: rank rows within each stratum by
+    (hashed key, key) and keep the first ``k``. Deterministic under any
+    partitioning; the key tiebreak makes the selection total even on
+    hash collisions.
+    """
+    h = _unit_hash(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.lit(k))
+        .drop("__rk")
+    )

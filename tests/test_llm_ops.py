@@ -417,3 +417,30 @@ def test_ngram_contamination(spark):
         for r in ngram_contamination(corpus, bench, n=4, min_hits=2).collect()
     }
     assert strict[1] and not strict[4]
+
+
+def test_hash_sampling_partition_independent(docs):
+    from adam_spark.llm.sampling import hash_sample, stratified_sample, train_test_split
+
+    s1 = {r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id").collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs.repartition(17), 0.3, "doc_id").collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # roughly the asked fraction (hash-uniform; 500 docs => binomial CI)
+    assert abs(len(s1) / docs.count() - 0.3) < 0.1
+
+    split = train_test_split(docs, 0.25, "doc_id")
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("test", 0) + counts.get("train", 0) == docs.count()
+    # test split == hash_sample rows at the same fraction and seed
+    tst = {r["doc_id"] for r in split.where("split = 'test'").collect()}
+    assert tst == {r["doc_id"] for r in hash_sample(docs, 0.25, "doc_id").collect()}
+
+    strat = stratified_sample(docs, "source", 5, "doc_id")
+    per = {r["source"]: r["n"] for r in strat.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in per.items():
+        assert n == min(5, sizes[src])
+    # deterministic under repartition
+    a = sorted(r["doc_id"] for r in strat.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs.repartition(13), "source", 5, "doc_id").collect())
+    assert a == b
