@@ -875,6 +875,61 @@ FROM rk WHERE r <= 25 ORDER BY doc_id
 """
 
 
+def tfidf_top_terms_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (llm/text.tfidf_top_terms):
+    integer-micro scores make the ranking an exact integer comparison,
+    engine-reproducible by construction."""
+    from adam_spark.llm.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf, "documents"), k=5).orderBy("id", "rank")
+
+
+_TFIDF_SQL = """
+WITH tk AS (SELECT doc_id AS id,
+                   list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM documents),
+p AS (SELECT id, UNNEST(toks) AS term FROM tk),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM p GROUP BY id, term),
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT id, term, tf, df,
+        CAST(round(tf * (ln((n.n + 1) / CAST(df + 1 AS DOUBLE)) + 1.0) * 1000000)
+             AS BIGINT) AS tfidf_micro
+      FROM tf JOIN dfx USING (term) CROSS JOIN n),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                    ORDER BY tfidf_micro DESC, term ASC) AS rank
+       FROM s)
+SELECT id, rank, term, tf, df, tfidf_micro FROM rk WHERE rank <= 5
+ORDER BY id, rank
+"""
+
+
+def pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (llm/packing.pack_sequences):
+    per-source token streams chunked into 2048-token contexts; each doc
+    reports its start pack/offset and last pack. Exact integer math,
+    window partitioned by a real key (never a global single-task sort)."""
+    from adam_spark.llm.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf, "documents"), 2048, "source").orderBy("id")
+
+
+_PACK_SQL = """
+WITH tk AS (SELECT doc_id AS id, source AS stratum,
+              CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+                   AS BIGINT) AS n_tokens
+            FROM documents),
+c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM tk)
+SELECT id, stratum, n_tokens,
+  CAST(before // 2048 AS BIGINT) AS start_pack,
+  CAST(before % 2048 AS BIGINT) AS start_offset,
+  CAST((before + GREATEST(n_tokens - 1, 0)) // 2048 AS BIGINT) AS end_pack
+FROM c ORDER BY id
+"""
+
+
 def dedup_ngram_docs(spark: SparkSession, sf: str) -> DataFrame:
     from adam_spark.llm.dedup import ngram_jaccard_pairs
 
@@ -2229,6 +2284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_flatten_bin": coverage_flatten_bin,
         "corpus_source_stats": corpus_source_stats,
         "sample_stratified_docs": sample_stratified_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "pack_sequences_docs": pack_sequences_docs,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
         "top_parts_by_revenue": top_parts_by_revenue,
@@ -2265,6 +2322,8 @@ def oracle_sql() -> dict[str, str]:
         "coverage_flatten_bin": _COV_FLATTEN_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
         "sample_stratified_docs": _SAMPLE_STRAT_SQL,
+        "tfidf_top_terms_docs": _TFIDF_SQL,
+        "pack_sequences_docs": _PACK_SQL,
         "coverage_from_reads": _COVERAGE_FROM_READS_SQL,
         "fragments_group": _FRAGMENTS_SQL,
         "union_features": _UNION_SQL,

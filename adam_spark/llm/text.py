@@ -253,3 +253,52 @@ def corpus_stats(
     if lang_col is not None:
         aggs.append(F.countDistinct(F.col(lang_col)).alias("n_langs"))
     return df.groupBy(F.col(group_col).alias("source")).agg(*aggs)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF.
+
+    tfidf = tf · (ln((N+1)/(df+1)) + 1), published to integer
+    micro-units (``round(x·1e6)``) so the SCORE — and therefore the
+    top-k ranking, an integer comparison with (score desc, term asc)
+    tiebreak — reproduces bit-exactly across engines: tf, df and N are
+    exact longs, and the single ln·mul·round chain has a fixed
+    evaluation order on both sides (no float accumulation — the BQSR
+    expectedErrors lesson applied here from the start).
+
+    Scale shape: one explode → (doc, term) count aggregate, a slim
+    (term, df) aggregate joined back (broadcast-eligible: distinct
+    terms ≪ corpus tokens), and a per-document top-k window keyed by
+    the document id — every shuffle key is high-cardinality, nothing
+    global.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import tokens
+
+    n_docs = df.count()  # dimension constant, computed once
+    pairs = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = pairs.join(dfreq, "term").withColumn(
+        "tfidf_micro",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0))
+            * F.lit(1e6)
+        ).cast("long"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf_micro").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select("id", "rank", "term", "tf", "df", "tfidf_micro")
+    )

@@ -444,3 +444,57 @@ def test_hash_sampling_partition_independent(docs):
     a = sorted(r["doc_id"] for r in strat.collect())
     b = sorted(r["doc_id"] for r in stratified_sample(docs.repartition(13), "source", 5, "doc_id").collect())
     assert a == b
+
+
+def test_tfidf_top_terms(docs):
+    from adam_spark.llm.text import tfidf_top_terms
+
+    out = tfidf_top_terms(docs, k=3).collect()
+    n = docs.count()
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # recompute df/tf in python for a sample of docs
+    from collections import Counter
+    dfreq = Counter()
+    tfs = {}
+    for i, t in raw.items():
+        toks = [x for x in t.split(" ") if x]
+        tfs[i] = Counter(toks)
+        dfreq.update(set(toks))
+    import math
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, rows in list(by_doc.items())[:20]:
+        want = sorted(
+            (
+                (-round(tf * (math.log((n + 1) / (dfreq[t] + 1)) + 1) * 1e6), t)
+                for t, tf in tfs[i].items()
+            )
+        )[:3]
+        got = [( -r["tfidf_micro"], r["term"]) for r in sorted(rows, key=lambda r: r["rank"])]
+        assert got == want, (i, got, want)
+
+
+def test_pack_sequences(docs):
+    from adam_spark.llm.packing import pack_sequences
+
+    ctx = 100
+    out = {r["id"]: r for r in pack_sequences(docs, ctx, "source").collect()}
+    raw = sorted(
+        (r["source"], r["doc_id"], len([x for x in r["text"].split(" ") if x]))
+        for r in docs.collect()
+    )
+    before = {}
+    cum = {}
+    for src, i, ntok in raw:
+        before[i] = cum.get(src, 0)
+        cum[src] = cum.get(src, 0) + ntok
+    for src, i, ntok in raw:
+        r = out[i]
+        assert r["n_tokens"] == ntok
+        assert r["start_pack"] == before[i] // ctx
+        assert r["start_offset"] == before[i] % ctx
+        assert r["end_pack"] == (before[i] + max(ntok - 1, 0)) // ctx
+    # packing is deterministic under repartition
+    out2 = {r["id"]: r for r in pack_sequences(docs.repartition(13), ctx, "source").collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in out2.items()}
