@@ -302,3 +302,40 @@ def tfidf_top_terms(
         .where(F.col("rank") <= F.lit(k))
         .select("id", "rank", "term", "tf", "df", "tfidf_micro")
     )
+
+
+#: PII patterns in the regex subset shared by Java (Spark) and RE2
+#: (DuckDB/Trino) dialects — no backrefs, no lookaround, so the same
+#: pattern string behaves identically in a SQL oracle or a sibling engine
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.)" + r"{3}[0-9]{1,3}\b",
+    "phone": r"\b\+?[0-9][0-9()\-\s]{6,}[0-9]\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII spans, keeping the original row plus audit counts.
+
+    Each pattern class is replaced by its ``<CLASS>`` placeholder and
+    counted (count = matches of that class in the ORIGINAL text, so
+    counts are order-independent even when classes overlap; replacement
+    applies in dict order). Pure Catalyst ``regexp_replace`` /
+    ``regexp_count`` — a narrow map, no UDFs, trivially parallel at any
+    scale. Returns all input columns plus ``text_scrubbed`` and one
+    ``n_<class>`` audit column per pattern.
+    """
+    pats = patterns or PII_PATTERNS
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn("text_scrubbed", scrubbed)

@@ -498,3 +498,25 @@ def test_pack_sequences(docs):
     # packing is deterministic under repartition
     out2 = {r["id"]: r for r in pack_sequences(docs.repartition(13), ctx, "source").collect()}
     assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in out2.items()}
+
+
+def test_scrub_pii(spark):
+    from adam_spark.llm.text import scrub_pii
+
+    rows = [
+        (1, "mail a.b@x.co.uk or b@y.io ok"),
+        (2, "server at 10.2.33.4 and 192.168.0.1"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert got[1]["n_email"] == 2 and "<EMAIL>" in got[1]["text_scrubbed"]
+    assert "@" not in got[1]["text_scrubbed"]
+    assert got[2]["n_ipv4"] == 2 and got[2]["text_scrubbed"].count("<IPV4>") == 2
+    assert got[3]["n_phone"] == 1 and "<PHONE>" in got[3]["text_scrubbed"]
+    assert got[4]["text_scrubbed"] == rows[3][1]
+    for i in (2, 3, 4):
+        assert got[i]["n_email"] == 0
+    # original text column untouched
+    assert got[1]["text"] == rows[0][1]
