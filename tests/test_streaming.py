@@ -215,3 +215,47 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM dedup_mem").collect())
     # case-insensitive fingerprint: doc 2 is a duplicate of doc 1
     assert got == [1, 3]
+
+
+def test_llm_narrow_ops_run_on_streams(spark, tmp_path):
+    """The stateless LLM passes (hash sampling, split tagging, PII
+    scrubbing, text profile fields) are pure narrow maps/filters, so
+    they compose with readStream unchanged — the property that makes
+    them usable in an incremental ingestion pipeline."""
+    import json
+
+    from adam_spark.llm.sampling import hash_sample, train_test_split
+    from adam_spark.llm.text import scrub_pii
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"doc {i} mail u{i}@ex.com body word{i % 3}"}
+        for i in range(40)
+    ]
+    (indir / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[:25]))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(indir))
+    )
+    out = scrub_pii(train_test_split(hash_sample(stream, 0.5, "doc_id"), 0.4, "doc_id"))
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("llm_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (indir / "b2.json").write_text("\n".join(json.dumps(r) for r in rows[25:]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM llm_stream").collect()
+    # streamed result == identical batch pipeline over the same rows
+    batch = spark.createDataFrame([(r["doc_id"], r["text"]) for r in rows], ["doc_id", "text"])
+    want = scrub_pii(train_test_split(hash_sample(batch, 0.5, "doc_id"), 0.4, "doc_id")).collect()
+    key = lambda r: (r["doc_id"], r["split"], r["n_email"], r["text_scrubbed"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert all("<EMAIL>" in r["text_scrubbed"] for r in got)
