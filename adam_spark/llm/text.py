@@ -278,15 +278,24 @@ def tfidf_top_terms(
     global.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     from .dedup import tokens
 
     n_docs = df.count()  # dimension constant, computed once
+    # pairs feeds BOTH the df aggregate and the join probe side; Spark
+    # does not reuse the exchange across the differently-shaped subtrees,
+    # so without a persist the corpus tokenize+explode — the dominant
+    # stage at scale — runs twice (same defect class as the dedup
+    # fingerprint tables; eager count, lazy caches race concurrent
+    # subtree scheduling)
     pairs = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pairs.count()
     dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = pairs.join(dfreq, "term").withColumn(
         "tfidf_micro",
