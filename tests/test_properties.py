@@ -404,3 +404,58 @@ def test_cram_core_codecs_roundtrip(data):
     c = FakeCursors(bw.getvalue())
     got = [codec.read_int(c) for _ in values]
     assert got == values
+
+
+# --- LLM packing / sampling invariants (pure python vs Spark) -------------
+
+
+@given(seed=st.integers(0, 2**31), ctx=st.integers(8, 64))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_invariants(spark, seed, ctx):
+    """Packed layout is gapless per stratum: each doc starts exactly
+    where its predecessor's tokens end, offsets stay inside the
+    context, and pack indices never decrease in id order."""
+    from adam_spark.llm.packing import pack_sequences
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(rng.randint(5, 60)):
+        src = f"s{rng.randint(0, 3)}"
+        text = " ".join("w%d" % rng.randint(0, 9) for _ in range(rng.randint(0, 30)))
+        rows.append((i, src, text))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = sorted(
+        ((r["stratum"], r["id"], r["n_tokens"], r["start_pack"], r["start_offset"], r["end_pack"])
+         for r in pack_sequences(df, ctx, "source").collect())
+    )
+    pos = {}
+    for stratum, _id, ntok, sp, so, ep in got:
+        before = pos.get(stratum, 0)
+        assert sp == before // ctx
+        assert so == before % ctx
+        assert ep == (before + max(ntok - 1, 0)) // ctx
+        assert 0 <= so < ctx
+        assert ep >= sp
+        pos[stratum] = before + ntok
+
+
+@given(seed=st.integers(0, 2**31), frac=st.floats(0.0, 1.0))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hash_sample_is_stable_subset(spark, seed, frac):
+    """hash_sample(f1) ⊆ hash_sample(f2) when f1 ≤ f2 (thresholding one
+    fixed hash), and the test split of train_test_split is exactly the
+    sample at the same fraction/seed."""
+    from adam_spark.llm.sampling import hash_sample, train_test_split
+
+    rng = random.Random(seed)
+    ids = list({rng.randint(0, 10**6) for _ in range(80)})
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    s = str(seed)
+    small = {r["doc_id"] for r in hash_sample(df, frac / 2, "doc_id", seed=s).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, frac, "doc_id", seed=s).collect()}
+    assert small <= big
+    tst = {
+        r["doc_id"]
+        for r in train_test_split(df, frac, "doc_id", seed=s).where("split = 'test'").collect()
+    }
+    assert tst == big
