@@ -256,11 +256,6 @@ def minhash_lsh_pairs(
     bandsdf.count()  # eager: both self-join sides would race a lazy cache
     a = bandsdf.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = bandsdf.select(F.col("id").alias("id_b"), "band", "band_hash")
-    # one exchange serves both dedup and the verify-stage rebalance:
-    # hash-partitioning on id_a satisfies the (id_a, id_b) clustering
-    # the dropDuplicates aggregate needs, so Catalyst inserts no second
-    # shuffle; candidate rows are slim but each does O(|doc|) verify
-    # work, hence the rebalance by CPU cost, not bytes.
     raw = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -56,16 +56,17 @@ def pack_sequences(
         F.col(strata_col).alias("stratum"),
         n_tokens.cast("long").alias("n_tokens"),
     ).withColumn("tokens_before", before)
+    # `div`, not floor(a / b): Divide casts to DOUBLE, which rounds
+    # cumulative counts past 2^53 — div stays on exact longs (counts are
+    # non-negative, so div == floor here)
+    ctx = int(context_len)
     return out.select(
         "id",
         "stratum",
         "n_tokens",
-        F.floor(F.col("tokens_before") / F.lit(context_len)).cast("long").alias("start_pack"),
-        (F.col("tokens_before") % F.lit(context_len)).cast("long").alias("start_offset"),
-        F.floor(
-            (F.col("tokens_before") + F.greatest(F.col("n_tokens") - F.lit(1), F.lit(0)))
-            / F.lit(context_len)
-        )
+        F.expr(f"tokens_before div {ctx}").cast("long").alias("start_pack"),
+        (F.col("tokens_before") % F.lit(ctx)).cast("long").alias("start_offset"),
+        F.expr(f"(tokens_before + greatest(n_tokens - 1, 0L)) div {ctx}")
         .cast("long")
         .alias("end_pack"),
     )

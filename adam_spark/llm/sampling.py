@@ -32,9 +32,17 @@ _HASH_SPACE = 16**7
 
 def _unit_hash(key: Column, seed: str) -> Column:
     """Uniform integer in [0, 16^7) from md5(seed || key) — identical
-    in any engine with a standard md5."""
+    in any engine with a standard md5. NULL keys hash via a sentinel so
+    a sample at fraction 1.0 keeps every row and hash_sample /
+    train_test_split route nullable keys identically."""
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 7), 16, 10
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.coalesce(key.cast("string"), F.lit("\x00null")))),
+            1,
+            7,
+        ),
+        16,
+        10,
     ).cast("long")
 
 

@@ -355,9 +355,19 @@ def _verify_pairs_gemm(
     Candidate duplicates (a pair matching in several bands) are verified
     redundantly — cheaper than deduplicating the full candidate stream —
     and collapsed after the threshold filter.
+
+    Lifecycle: the broadcast matrix lives until the session's context GC
+    drops it (the returned DataFrame's closure holds it; Spark cannot
+    destroy a broadcast a lazy plan still references). Sessions looping
+    over many corpora should materialize the result and let the variable
+    go out of scope rather than accumulating returned DataFrames.
     """
     pdf = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    mat = (
+        np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        if len(pdf)
+        else np.zeros((0, 0), dtype=np.float64)  # keep 2-D: norm(axis=1) on 1-D raises
+    )
     norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
     id2ix = {i: ix for ix, i in enumerate(pdf["id"])}
     bc = corpus.sparkSession.sparkContext.broadcast((id2ix, mat, norms))

@@ -288,7 +288,8 @@ def tfidf_top_terms(
     # so without a persist the corpus tokenize+explode — the dominant
     # stage at scale — runs twice (same defect class as the dedup
     # fingerprint tables; eager count, lazy caches race concurrent
-    # subtree scheduling)
+    # subtree scheduling). The cache lives until session cache GC /
+    # clearCache(), the repo-wide convention for these slim tables.
     pairs = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("id", "term")
@@ -319,7 +320,11 @@ def tfidf_top_terms(
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b([0-9]{1,3}\.)" + r"{3}[0-9]{1,3}\b",
-    "phone": r"\b\+?[0-9][0-9()\-\s]{6,}[0-9]\b",
+    # \+? sits BEFORE the \b: a leading \b would demand a word char ahead
+    # of '+', which never holds after whitespace, silently leaving the
+    # international prefix unredacted (and lookbehind is off the table —
+    # RE2 has none)
+    "phone": r"\+?\b[0-9][0-9()\-\s]{6,}[0-9]\b",
 }
 
 

@@ -520,3 +520,30 @@ def test_scrub_pii(spark):
         assert got[i]["n_email"] == 0
     # original text column untouched
     assert got[1]["text"] == rows[0][1]
+
+
+def test_embedding_near_dup_empty_corpus(spark):
+    from adam_spark.llm.similarity import embedding_near_duplicates
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_duplicates(empty, threshold=0.4, dim=64).count() == 0
+
+
+def test_scrub_pii_consumes_plus_prefix(spark):
+    from adam_spark.llm.text import scrub_pii
+
+    df = spark.createDataFrame([(1, "call +1 (555) 123-4567 now")], ["doc_id", "text"])
+    r = scrub_pii(df).collect()[0]
+    assert r["text_scrubbed"] == "call <PHONE> now"  # '+' redacted too
+
+
+def test_hash_sample_null_keys_consistent(spark):
+    from adam_spark.llm.sampling import hash_sample, train_test_split
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long")
+    # fraction 1.0 keeps everything, nulls included
+    assert hash_sample(df, 1.0, "doc_id").count() == 3
+    # the test split equals the sample at the same fraction/seed, nulls too
+    tst = {r["doc_id"] for r in train_test_split(df, 0.5, "doc_id").where("split = 'test'").collect()}
+    smp = {r["doc_id"] for r in hash_sample(df, 0.5, "doc_id").collect()}
+    assert tst == smp
