@@ -57,7 +57,17 @@ Non-detached records are supported too: CF-conditional mate decode
 (detached MF/NS/NP/TS vs NF mate-graph links) with chain resolution of
 RNEXT/PNEXT/TLEN, mate flags, and synthesized names when RN
 preservation is off; AP=true delta-coded positions, single-reference
-slices (no RI series), and multi-slice containers all decode.
+slices (no RI series), and multi-slice containers all decode. Mapped
+records use the spec's DIFFERENCE model: read positions no feature
+covers are implicit reference matches (filled from the contig), with
+spec feature codes B/i/Q/q handled alongside this writer's explicit
+'m'/'b'/'E'/'x' coverage; CF 0x1 gates the per-record quality array
+(sparse B/Q/q qualities decode when it is clear).
+
+Format-level fidelity note: CRAM stores MQ only for mapped records, so
+a nonzero MAPQ on an unmapped read (e.g. bwa's placed mates) does not
+survive a round-trip — same loss as htsjdk/htslib, inherent to the
+spec's record layout, not this codec.
 Unknown codec ids (GOLOMB/GOLOMB_RICE, unused by modern writers) and
 unknown block compression methods still fail loudly.
 
@@ -78,12 +88,14 @@ from __future__ import annotations
 
 import gzip
 import os
+import re
 import struct
 import zlib
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from adam_spark.core.genomic_frame import GenomicFrame
+from adam_spark.sources.bam import _aux_from_text, _aux_to_text, _cigar_ref_len
 
 _MAGIC = b"CRAM\x03\x00"
 _FILE_ID = b"adam_spark.cram.0000"  # 20 bytes
@@ -251,13 +263,18 @@ def _write_block(out: bytearray, content_type: int, content_id: int, data: bytes
             method = _M_GZIP
     else:
         comp, method = data, _M_RAW
-    out.append(method)
-    out.append(content_type)
-    out += itf8_encode(content_id)
-    out += itf8_encode(len(comp))
-    out += itf8_encode(len(data))
-    out += comp
-    out += struct.pack("<I", zlib.crc32(comp) & 0xFFFFFFFF)
+    # spec §8: the CRC covers the WHOLE block — method byte through the
+    # compressed data — not just the payload (readers that validate,
+    # e.g. htslib, reject a payload-only CRC on the first container)
+    blk = bytearray()
+    blk.append(method)
+    blk.append(content_type)
+    blk += itf8_encode(content_id)
+    blk += itf8_encode(len(comp))
+    blk += itf8_encode(len(data))
+    blk += comp
+    out += blk
+    out += struct.pack("<I", zlib.crc32(bytes(blk)) & 0xFFFFFFFF)
 
 
 def _read_block(buf, off: int):
@@ -832,7 +849,6 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
     (docs/benchmarks/storage.rst:27-30). Extended '='/'X' cigar ops
     keep verbatim stretch coding so their op codes round-trip.
     """
-    import re
 
     name, flag, rname, pos1, mapq, cigar, rnext, pnext1, tlen, seq, qual = fields[:11]
     flag = int(flag)
@@ -844,7 +860,12 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
     # CIGAR as features with N placeholder bases; the decoder sees the
     # flag and emits seq '*' while reconstructing the CIGAR exactly
     seqless_mapped = mapped and seq == "*" and cigar != "*"
-    cf = 2 | (8 if seqless_mapped else 0)
+    # CF 0x1 = "quality scores stored as array" (spec §8.5): set only
+    # when real quals exist; the decoder keys the rl-byte QS read on it,
+    # so '*'-qual records cost zero QS bytes (and a conformant reader
+    # agrees on which records carry quality arrays)
+    has_quals = bool(rl) and qual != "*"
+    cf = 2 | (8 if seqless_mapped else 0) | (1 if has_quals else 0)
 
     s.put_int("BF", flag)
     s.put_int("CF", cf)  # detached (+unknown-bases when set)
@@ -867,8 +888,6 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
         tag_lines[line_key] = len(tag_line_list)
         tag_line_list.append(line_key)
     s.put_int("TL", tag_lines[line_key])
-    from adam_spark.sources.bam import _aux_from_text
-
     for f in fields[11:]:
         tag, typ = f[:2], f.split(":", 2)[1]
         cid = tag_cids[(tag, typ)]
@@ -950,15 +969,21 @@ def _encode_record(fields: list[str], ref_index: dict[str, int], s: _Streams,
     else:
         # unmapped: bases verbatim (mapped cigar-less reads keep FN=0)
         if mapped:
+            if ref_seqs is not None and rl:
+                # in the reference-coded layout FN=0 means "all implicit
+                # matches" on decode; a cigar-less read's BA bytes would
+                # be misread as implicit — refuse rather than corrupt
+                raise ValueError(
+                    "reference-coded CRAM cannot store a mapped, "
+                    f"CIGAR-less read with sequence ({name!r}); write "
+                    "without reference= or drop the record"
+                )
             s.put_int("FN", 0)
             s.put_int("MQ", int(mapq))
         if rl:
             s.put_bytes("BA", seq.encode())
-    if rl:
-        if qual == "*":
-            s.put_bytes("QS", b"\xff" * rl)
-        else:
-            s.put_bytes("QS", qual.encode())
+    if has_quals:
+        s.put_bytes("QS", qual.encode())
     return rl
 
 
@@ -988,8 +1013,6 @@ def _decode_record(c: _Cursors, ref_names: list[str],
                    rn_pres: bool = True,
                    slice_ref: int = -2,
                    ap_prev: list[int] | None = None):
-    from adam_spark.sources.bam import _aux_to_text
-
     flag = c.get_int("BF")
     _cf = c.get_int("CF")
     # single-reference slices (header ref >= 0) have no RI series: every
@@ -1038,80 +1061,162 @@ def _decode_record(c: _Cursors, ref_names: list[str],
         tags.append(f"{tag}{txt[2:]}")
     mapped = not (flag & 0x4)
     seqless = bool(_cf & 0x8)  # decode sequence as '*' (spec §8.5)
+    quals_stored = bool(_cf & 0x1)  # quality scores stored as an array
     seq, cigar, mapq = "*", "*", 0
+    qual_over: list[int] | None = None  # sparse B/Q/q quality features
     if mapped:
         rname_for_ref = ref_names[ref_id] if ref_id >= 0 else None
         contig = (
             ref_seqs.get(rname_for_ref)
-            if (rr and ref_seqs is not None and rname_for_ref is not None)
+            if (ref_seqs is not None and rname_for_ref is not None)
             else None
         )
         fn = c.get_int("FN")
-        # seq assembled positionally: 'm' spans copy reference bases,
-        # 'X' features overwrite single substituted bases
+        # seq assembled positionally. Spec files store only DIFFERENCE
+        # features: read positions no feature covers are implicit
+        # reference matches, filled from the contig between features and
+        # after the last one. This codec's own writer emits explicit
+        # coverage ('m' match spans, 'b'/'E'/'x' stretches), so the
+        # implicit fill never triggers on round-trips; foreign
+        # htslib-style containers lean on it for every match run.
         chars: list[str] = []
-        cig = []
+        cig: list = []  # (n, op) runs; adjacent same-op runs merge
         pos = 0
         ref_pos = pos1 - 1
         stretch_op = {"b": "M", "E": "=", "x": "X"}
+
+        def add_cig(n: int, op: str) -> None:
+            if n <= 0:
+                return
+            if cig and cig[-1][1] == op:
+                cig[-1] = (cig[-1][0] + n, op)
+            else:
+                cig.append((n, op))
+
+        def fill_implicit(n: int) -> None:
+            nonlocal ref_pos
+            if n <= 0:
+                return
+            if contig is None:
+                raise ValueError(
+                    "implicit reference-match decode needs the reference: "
+                    "pass load_cram(..., reference=...)"
+                )
+            chars.extend(contig[ref_pos : ref_pos + n].ljust(n, "N"))
+            add_cig(n, "M")
+            ref_pos += n
+
+        def set_qual(idx0: int, value: int) -> None:
+            nonlocal qual_over
+            if qual_over is None:
+                qual_over = [-1] * rl
+            if 0 <= idx0 < rl:
+                qual_over[idx0] = value
+
         for _ in range(fn):
             code = c.get_bytes("FC", 1).decode()
             pos += c.get_int("FP")
-            if code in stretch_op:
-                bases = c.get_array("BB").decode()
-                n = len(bases)
-                chars.extend(bases)
-                cig.append(f"{n}{stretch_op[code]}")
-                ref_pos += n
-            elif code == "m":
-                n = c.get_int("MS")
-                if rr and contig is None:
-                    raise ValueError(
-                        "reference-coded CRAM (RR=true) needs the reference: "
-                        "pass load_cram(..., reference=...)"
-                    )
-                seg = contig[ref_pos : ref_pos + n] if contig is not None else ""
-                chars.extend(seg.ljust(n, "N"))
-                cig.append(f"{n}M")
-                ref_pos += n
-            elif code == "X":
-                # features are read-position ordered, so the containing
-                # 'm' span already assembled this index (with the
-                # reference base); overwrite it. With an SM matrix
-                # (spec-conformant files) BS is a 2-bit substitution
-                # code resolved against that reference base; legacy
-                # SM-less files stored the base byte directly.
+            if code == "X" and pos <= len(chars):
+                # this writer's layout: 'X' AFTER its containing 'm'
+                # span — the index is already assembled with the
+                # reference base; overwrite it (BS is a 2-bit code via
+                # the SM matrix; legacy SM-less files stored the byte)
                 if sm_dec is not None:
                     sub_code = c.get_int("BS")
                     row = _norm_ref_base(chars[pos - 1])
                     chars[pos - 1] = sm_dec[row][sub_code]
                 else:
                     chars[pos - 1] = c.get_bytes("BS", 1).decode()
+                continue
+            # spec layout: the feature starts AT read position `pos`;
+            # everything between the previous feature and here is an
+            # implicit reference match
+            fill_implicit(pos - 1 - len(chars))
+            if code in stretch_op:
+                bases = c.get_array("BB").decode()
+                n = len(bases)
+                chars.extend(bases)
+                add_cig(n, stretch_op[code])
+                ref_pos += n
+            elif code == "m":
+                n = c.get_int("MS")
+                if contig is None:
+                    raise ValueError(
+                        "reference-coded CRAM (RR=true) needs the reference: "
+                        "pass load_cram(..., reference=...)"
+                    )
+                chars.extend(contig[ref_pos : ref_pos + n].ljust(n, "N"))
+                add_cig(n, "M")
+                ref_pos += n
+            elif code == "X":
+                # spec substitution at an implicit position: one read
+                # base differing from the reference (CIGAR stays M)
+                if sm_dec is not None:
+                    sub_code = c.get_int("BS")
+                    rb = contig[ref_pos] if contig and ref_pos < len(contig) else "N"
+                    chars.append(sm_dec[_norm_ref_base(rb)][sub_code])
+                else:
+                    chars.append(c.get_bytes("BS", 1).decode())
+                add_cig(1, "M")
+                ref_pos += 1
+            elif code == "B":
+                # read base + quality score (spec §10.4)
+                chars.append(c.get_bytes("BA", 1).decode())
+                set_qual(pos - 1, c.get_bytes("QS", 1)[0])
+                add_cig(1, "M")
+                ref_pos += 1
+            elif code == "i":
+                # single-base insertion
+                chars.append(c.get_bytes("BA", 1).decode())
+                add_cig(1, "I")
+            elif code == "Q":
+                # quality of an implicit-match base at `pos`
+                fill_implicit(pos - len(chars))
+                set_qual(pos - 1, c.get_bytes("QS", 1)[0])
+            elif code == "q":
+                # quality stretch over implicit-match bases
+                arr = c.get_array("QQ")
+                fill_implicit(pos - 1 + len(arr) - len(chars))
+                for k, qv in enumerate(arr):
+                    set_qual(pos - 1 + k, qv)
             elif code == "S":
                 bases = c.get_array("SC").decode()
                 chars.extend(bases)
-                cig.append(f"{len(bases)}S")
+                add_cig(len(bases), "S")
             elif code == "I":
                 bases = c.get_array("IN").decode()
                 chars.extend(bases)
-                cig.append(f"{len(bases)}I")
+                add_cig(len(bases), "I")
             else:
                 n = c.get_int(_CIGAR_FEATURES[code])
-                cig.append(f"{n}{code}")
+                add_cig(n, code)
                 if code in "DN":
                     ref_pos += n
-        mapq = c.get_int("MQ")
-        if fn:
-            seq = "*" if seqless else "".join(chars)
-            cigar = "".join(cig)
-        elif rl:
+        if fn == 0 and rl and contig is None:
+            # this writer's own layout for mapped cigar-less reads:
+            # bases verbatim in BA (foreign ref-based files never store
+            # BA for mapped reads — they take the implicit path below)
+            mapq = c.get_int("MQ")
             seq = c.get_bytes("BA", rl).decode()
+        else:
+            # trailing implicit reference matches (incl. the fn == 0
+            # perfect-match read: the whole sequence is implicit)
+            fill_implicit(rl - len(chars))
+            mapq = c.get_int("MQ")
+            if fn or rl:
+                seq = "*" if (seqless or not chars) else "".join(chars)
+                cigar = "".join(f"{n}{op}" for n, op in cig) if cig else "*"
     elif rl:
         seq = c.get_bytes("BA", rl).decode()
     qual = "*"
     if rl:
-        q = c.get_bytes("QS", rl)
-        qual = "*" if all(b == 0xFF for b in q) else q.decode()
+        if quals_stored:
+            q = c.get_bytes("QS", rl)
+            qual = "*" if all(b == 0xFF for b in q) else q.decode()
+        elif qual_over is not None:
+            # sparse feature-coded qualities; unspecified positions get
+            # phred 0 ('!') — SAM has no partial-quality representation
+            qual = "".join(chr(q) if q >= 0 else "!" for q in qual_over)
     rname = ref_names[ref_id] if ref_id >= 0 else "*"
     if ns < 0:
         rnext = "*"
@@ -1122,11 +1227,9 @@ def _decode_record(c: _Cursors, ref_names: list[str],
     # reference span for mate-graph TLEN resolution (M/D/N/=/X consume)
     ref_len = 0
     if mapped and cigar != "*":
-        import re as _re
-
         ref_len = sum(
             int(m.group(1))
-            for m in _re.finditer(r"(\d+)([MDN=X])", cigar)
+            for m in re.finditer(r"(\d+)([MDN=X])", cigar)
         )
     out = [name if name is not None else "*", str(flag), rname, str(pos1),
            str(mapq), cigar, rnext, str(np_), str(ts), seq, qual] + tags
@@ -1243,12 +1346,16 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
                            ap_prev=prev_ap if ap_delta else None)
             for _ in range(sl["n"])
         ]
-        _resolve_mate_graph(decoded, ref_names)
+        # synthesized mate names must be unique across slices AND
+        # containers — key them by container offset + slice ordinal
+        _resolve_mate_graph(decoded, ref_names,
+                            name_prefix=f"q{off}s{len(lines)}")
         lines.extend("\t".join(fields) for fields, _ in decoded)
     return lines
 
 
-def _resolve_mate_graph(decoded: list, ref_names: list[str]) -> None:
+def _resolve_mate_graph(decoded: list, ref_names: list[str],
+                        name_prefix: str = "q") -> None:
     """Reconstruct mate fields for NF-linked (non-detached) records.
 
     Spec §11: a record with CF 0x4 points NF records ahead to the next
@@ -1268,7 +1375,10 @@ def _resolve_mate_graph(decoded: list, ref_names: list[str]) -> None:
         i = start
         while decoded[i][1]["nf"] is not None:
             j = i + 1 + decoded[i][1]["nf"]
-            if j >= n or visited[j]:
+            # j <= i also rejects negative NF: a sign-extended itf8
+            # would otherwise wrap to a wrong record via Python's
+            # negative indexing and silently splice unrelated reads
+            if j <= i or j >= n or visited[j]:
                 break  # malformed link: leave remaining fields as-is
             visited[j] = True
             chain.append(j)
@@ -1292,7 +1402,7 @@ def _resolve_mate_graph(decoded: list, ref_names: list[str]) -> None:
         leftmost = min(range(len(chain)), key=lambda k: spans[k][0])
         head_name = decoded[chain[0]][0][0]
         if not metas[0]["named"] or head_name == "*":
-            head_name = f"q{chain[0]}"
+            head_name = f"{name_prefix}r{chain[0]}"
         for k, idx in enumerate(chain):
             fields, meta = decoded[idx]
             succ = decoded[chain[(k + 1) % len(chain)]][1]
@@ -1354,9 +1464,11 @@ def _write_crai(path: str, entries: list[tuple[int, int, int, int, int]]) -> Non
     records all map to ONE contig carry its real (seq_id, start, span),
     so ``load_indexed_cram`` can prune containers by region;
     mixed-contig containers record seq_id −2 (always read). Either way
-    the offset list lets ``load_cram`` skip the serial driver walk."""
+    the offset list lets ``load_cram`` skip the serial driver walk.
+    The alignment-start column is 1-BASED on disk per the CRAI spec
+    (internal spans are 0-based half-open)."""
     lines = [
-        f"{seq_id}\t{start}\t{span}\t{off}\t0\t{length}"
+        f"{seq_id}\t{start + 1 if seq_id >= 0 else 0}\t{span}\t{off}\t0\t{length}"
         for off, length, seq_id, start, span in entries
     ]
     with gzip.open(path + ".crai", "wt") as f:
@@ -1373,13 +1485,33 @@ def _read_crai(path: str) -> list[tuple[int, int, int, int, int]] | None:
         for ln in f:
             parts = ln.split("\t")
             if len(parts) >= 6:
+                # on-disk start is 1-based (CRAI spec); keep 0-based here
                 entries.append(
                     (int(parts[3]), int(parts[5]), int(parts[0]),
-                     int(parts[1]), int(parts[2]))
+                     max(0, int(parts[1]) - 1), int(parts[2]))
                 )
             elif len(parts) >= 4:  # older minimal sidecars
                 entries.append((int(parts[3]), 0, -2, 0, 0))
     return entries
+
+
+def _scan_containers(spark: SparkSession, path: str, offsets: list[int],
+                     ref_names: list[str], ref_seqs) -> DataFrame:
+    """Distributed decode of the given container offsets → raw SAM-line
+    DataFrame. Offsets are DEDUPLICATED first: a spec .crai carries one
+    line per SLICE, so a multi-slice container repeats its byte offset —
+    decoding it once per entry would duplicate every record."""
+    offsets = list(dict.fromkeys(offsets))
+    par = spark.sparkContext.defaultParallelism
+    n_tasks = max(1, min(len(offsets), par * 2))
+    chunks: list[list[int]] = [[] for _ in range(n_tasks)]
+    for i, off in enumerate(offsets):
+        chunks[i % n_tasks].append(off)
+    chunks = [c for c in chunks if c]
+    rdd = spark.sparkContext.parallelize(chunks, max(1, len(chunks))).flatMap(
+        lambda c: _decode_container_range(path, c, ref_names, ref_seqs)
+    )
+    return spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
 
 
 def _index_containers(path: str):
@@ -1436,8 +1568,6 @@ def _encode_cram_shard(lines, shard_path: str, ref_index: dict[str, int],
     compressed_len, [(rel_offset, length, seq_id, start, span)],
     n_records); single-contig containers carry their real genomic span
     for crai-based region pruning."""
-    from adam_spark.sources.bam import _cigar_ref_len
-
     out = bytearray()
     entries: list[tuple[int, int, int, int, int]] = []
     counter = counter_base
@@ -1607,16 +1737,7 @@ def load_cram(spark: SparkSession, path: str, reference=None) -> GenomicFrame:
     else:
         header_lines, ref_names, containers = _index_containers(path)
         offsets = [off for off, _ in containers]
-    par = spark.sparkContext.defaultParallelism
-    n_tasks = max(1, min(len(offsets), par * 2))
-    chunks: list[list[int]] = [[] for _ in range(n_tasks)]
-    for i, off in enumerate(offsets):
-        chunks[i % n_tasks].append(off)
-    chunks = [c for c in chunks if c]
-    rdd = spark.sparkContext.parallelize(chunks, max(1, len(chunks))).flatMap(
-        lambda c: _decode_container_range(path, c, ref_names, ref_seqs)
-    )
-    raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
+    raw = _scan_containers(spark, path, offsets, ref_names, ref_seqs)
     return GenomicFrame(
         sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines)
     )
@@ -1661,16 +1782,7 @@ def load_indexed_cram(
         )
     ]
     ref_seqs = _resolve_reference(reference)
-    par = spark.sparkContext.defaultParallelism
-    n_tasks = max(1, min(len(offsets), par * 2))
-    chunks: list[list[int]] = [[] for _ in range(n_tasks)]
-    for i, off in enumerate(offsets):
-        chunks[i % n_tasks].append(off)
-    chunks = [c for c in chunks if c]
-    rdd = spark.sparkContext.parallelize(chunks, max(1, len(chunks))).flatMap(
-        lambda c: _decode_container_range(path, c, ref_names, ref_seqs)
-    )
-    raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
+    raw = _scan_containers(spark, path, offsets, ref_names, ref_seqs)
     gf = GenomicFrame(
         sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines)
     )

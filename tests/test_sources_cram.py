@@ -690,3 +690,162 @@ def test_multi_slice_container_decodes(spark, tmp_path):
     assert set(rows) == {"m1", "m2", "m3"}
     assert rows["m3"]["start"] == 699
     assert rows["m2"]["sequence"] == "GGGG"
+
+
+def test_spec_difference_model_decodes(spark, tmp_path):
+    """htslib-style reference-based containers store only DIFFERENCE
+    features: implicit reference matches between/after features, FN=0
+    perfect-match reads, lone 'X' substitutions without explicit match
+    spans, spec codes B/i/Q/q, and CF-0x1-gated quality arrays. None of
+    these shapes are emitted by this module's writer — the fixture is
+    hand-built to the spec layout."""
+    import adam_spark.sources.cram as cm
+
+    i8 = cm.itf8_encode
+    ref = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"  # 40bp chr1
+
+    def enc(codec_id, params):
+        return i8(codec_id) + i8(len(params)) + params
+
+    def ext(cid):
+        return enc(1, i8(cid))
+
+    def stop(cid, stop_byte=0):
+        return enc(5, bytes((stop_byte,)) + i8(cid))
+
+    # preservation map: RR=true, RN preserved, default SM
+    pres = (i8(4) + b"RR\x01" + b"RN\x01" + b"SM" + cm._SM_DEFAULT
+            + b"TD" + i8(1) + b"\x00")
+    pres_block = i8(len(pres)) + pres
+    cids = {k: 10 + n for n, k in enumerate(
+        ["BF", "CF", "RI", "RL", "AP", "RG", "RN", "MF", "NS", "NP", "TS",
+         "TL", "FN", "FC", "FP", "DL", "BS", "SC", "BA", "QS", "QQ", "MQ"])}
+    series = [(k.encode(), stop(cids[k]) if k in ("RN", "SC", "QQ") else ext(cids[k]))
+              for k in cids]
+    ds = i8(len(series)) + b"".join(k + e for k, e in series)
+    ds_block = i8(len(ds)) + ds
+    tag_block = i8(1) + i8(0)  # no tags
+    comp = pres_block + ds_block + tag_block
+
+    E = {cid: bytearray() for cid in cids.values()}
+
+    def put(k, v):
+        E[cids[k]] += i8(v)
+
+    def putb(k, b):
+        E[cids[k]] += b
+
+    def record(name, pos1, rl, cf, feats, quals=None, mapq=60):
+        put("BF", 0); put("CF", cf); put("RI", 0); put("RL", rl)
+        put("AP", pos1); put("RG", -1); putb("RN", name + b"\x00")
+        put("MF", 0); put("NS", -1); put("NP", 0); put("TS", 0); put("TL", 0)
+        put("FN", len(feats))
+        prev = 0
+        for code, p, payload in feats:
+            putb("FC", code.encode()); put("FP", p - prev); prev = p
+            if code == "X":
+                put("BS", payload)
+            elif code == "D":
+                put("DL", payload)
+            elif code == "S":
+                putb("SC", payload + b"\x00")
+            elif code in ("B", "i"):
+                putb("BA", payload[:1])
+                if code == "B":
+                    putb("QS", payload[1:2])
+            elif code == "Q":
+                putb("QS", payload)
+            elif code == "q":
+                putb("QQ", payload + b"\x00")
+        put("MQ", mapq)
+        if quals is not None:
+            putb("QS", quals)
+
+    # r1: FN=0 perfect match, 8bp at pos 1, quals stored (CF 0x1)
+    record(b"r1", 1, 8, 3, [], quals=b"IIIIIIII")
+    # r2: lone substitution at read pos 3 (no explicit match spans).
+    # ref base at pos1=11 + offset 2 is ref[12] = 'A'; code 0 under the
+    # default SM = first non-A base in ACGT ranking = 'C'
+    record(b"r2", 11, 6, 3, [("X", 3, 0)], quals=b"JJJJJJ")
+    # r3: soft clip + mid-read deletion, rest implicit
+    record(b"r3", 21, 6, 3, [("S", 1, b"TT"), ("D", 5, 2)], quals=b"KKKKKK")
+    # r4: B (base+qual), Q (qual), q (qual stretch) — sparse quals, no CF 0x1
+    record(b"r4", 31, 6, 2, [("B", 2, b"TJ"), ("Q", 4, b"#"), ("q", 5, b"KL")])
+
+    blocks = bytearray()
+    cm._write_block(blocks, cm._CT_COMPRESSION_HEADER, 0, comp)
+    sh = bytearray()
+    sh += i8(-2) + i8(0) + i8(0) + i8(4) + cm.ltf8_encode(0)
+    sh += i8(len(E) + 1) + i8(len(E))
+    for cid in sorted(E):
+        sh += i8(cid)
+    sh += i8(-1) + b"\x00" * 16
+    cm._write_block(blocks, cm._CT_SLICE_HEADER, 0, bytes(sh))
+    cm._write_block(blocks, cm._CT_CORE, 0, b"", compress=False)
+    for cid in sorted(E):
+        cm._write_block(blocks, cm._CT_EXTERNAL, cid, bytes(E[cid]), compress=False)
+
+    out = bytearray()
+    out += cm._MAGIC + cm._FILE_ID
+    hdr_block = bytearray()
+    cm._write_block(hdr_block, cm._CT_FILE_HEADER, 0,
+                    b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:40\n")
+    out += cm._container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
+    out += hdr_block
+    out += cm._container_header(len(blocks), -2, 0, 0, 4, 0, 26,
+                                len(E) + 3, [])
+    out += blocks
+    eof = bytearray()
+    cm._write_block(eof, cm._CT_EXTERNAL, 0, b"EOF", compress=False)
+    out += cm._container_header(len(eof), -1, 4542278, 0, 0, 2, 0, 1, [])
+    out += eof
+    cram = str(tmp_path / "spec.cram")
+    open(cram, "wb").write(bytes(out))
+
+    rows = {r["readName"]: r
+            for r in cm.load_cram(spark, cram, reference={"chr1": ref}).df.collect()}
+    assert set(rows) == {"r1", "r2", "r3", "r4"}
+    # r1: all implicit
+    assert rows["r1"]["sequence"] == ref[0:8]
+    assert rows["r1"]["cigar"] == "8M" and rows["r1"]["qualityScores"] == "IIIIIIII"
+    # r2: implicit match with one substitution (ref[12]='A' -> 'C')
+    want2 = ref[10:12] + "C" + ref[13:16]
+    assert rows["r2"]["sequence"] == want2 and rows["r2"]["cigar"] == "6M"
+    # r3: 2S, 2 implicit M, 2D, 2 implicit M
+    assert rows["r3"]["cigar"] == "2S2M2D2M"
+    assert rows["r3"]["sequence"] == "TT" + ref[20:22] + ref[24:26]
+    # r4: B places 'T' at p2, Q/q set quals of implicit bases
+    assert rows["r4"]["cigar"] == "6M"
+    assert rows["r4"]["sequence"] == ref[30] + "T" + ref[32:36]
+    assert rows["r4"]["qualityScores"] == "!J!#KL"
+
+
+def test_crai_duplicate_offsets_and_base_convention(spark, sam_path, tmp_path):
+    """A spec .crai carries one line per SLICE: multi-slice containers
+    repeat the container offset, which must dedupe on load (records
+    would silently double otherwise). The on-disk alignment-start
+    column is 1-based per the spec."""
+    import gzip as gz
+
+    import adam_spark.sources.cram as cm
+
+    gf = load_sam(spark, sam_path)
+    cram = str(tmp_path / "d.cram")
+    save_cram(gf, cram)
+    want = sorted(r["readName"] for r in gf.df.collect())
+
+    with gz.open(cram + ".crai", "rt") as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    # on-disk start for single-contig containers = internal 0-based + 1
+    mapped_starts = [int(ln.split("\t")[1]) for ln in lines
+                     if int(ln.split("\t")[0]) >= 0]
+    if mapped_starts:
+        internal = cm._read_crai(cram)
+        assert sorted(mapped_starts) == sorted(
+            s + 1 for _o, _l, sid, s, _sp in internal if sid >= 0
+        )
+    # duplicate every line (as a 2-slice-per-container file would)
+    with gz.open(cram + ".crai", "wt") as f:
+        f.write("\n".join(lines + lines) + "\n")
+    got = sorted(r["readName"] for r in cm.load_cram(spark, cram).df.collect())
+    assert got == want  # no record duplication
