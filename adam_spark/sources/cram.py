@@ -1080,18 +1080,23 @@ def _decode_record(c: _Cursors, ref_names: list[str],
         # implicit fill never triggers on round-trips; foreign
         # htslib-style containers lean on it for every match run.
         chars: list[str] = []
-        cig: list = []  # (n, op) runs; adjacent same-op runs merge
+        # (n, op, fuzzy) runs: runs touching an implicit fill merge with
+        # same-op neighbors (spec files — htslib emits one clean M run
+        # around substitutions), while purely explicit runs stay
+        # verbatim so this writer's round-trips preserve cigars exactly
+        # as written (e.g. an adjacent-run '7M3M6M')
+        cig: list = []
         pos = 0
         ref_pos = pos1 - 1
         stretch_op = {"b": "M", "E": "=", "x": "X"}
 
-        def add_cig(n: int, op: str) -> None:
+        def add_cig(n: int, op: str, fuzzy: bool = False) -> None:
             if n <= 0:
                 return
-            if cig and cig[-1][1] == op:
-                cig[-1] = (cig[-1][0] + n, op)
+            if cig and cig[-1][1] == op and (fuzzy or cig[-1][2]):
+                cig[-1] = (cig[-1][0] + n, op, fuzzy or cig[-1][2])
             else:
-                cig.append((n, op))
+                cig.append((n, op, fuzzy))
 
         def fill_implicit(n: int) -> None:
             nonlocal ref_pos
@@ -1103,7 +1108,7 @@ def _decode_record(c: _Cursors, ref_names: list[str],
                     "pass load_cram(..., reference=...)"
                 )
             chars.extend(contig[ref_pos : ref_pos + n].ljust(n, "N"))
-            add_cig(n, "M")
+            add_cig(n, "M", fuzzy=True)
             ref_pos += n
 
         def set_qual(idx0: int, value: int) -> None:
@@ -1157,13 +1162,13 @@ def _decode_record(c: _Cursors, ref_names: list[str],
                     chars.append(sm_dec[_norm_ref_base(rb)][sub_code])
                 else:
                     chars.append(c.get_bytes("BS", 1).decode())
-                add_cig(1, "M")
+                add_cig(1, "M", fuzzy=True)
                 ref_pos += 1
             elif code == "B":
                 # read base + quality score (spec §10.4)
                 chars.append(c.get_bytes("BA", 1).decode())
                 set_qual(pos - 1, c.get_bytes("QS", 1)[0])
-                add_cig(1, "M")
+                add_cig(1, "M", fuzzy=True)
                 ref_pos += 1
             elif code == "i":
                 # single-base insertion
@@ -1205,7 +1210,7 @@ def _decode_record(c: _Cursors, ref_names: list[str],
             mapq = c.get_int("MQ")
             if fn or rl:
                 seq = "*" if (seqless or not chars) else "".join(chars)
-                cigar = "".join(f"{n}{op}" for n, op in cig) if cig else "*"
+                cigar = "".join(f"{n}{op}" for n, op, _f in cig) if cig else "*"
     elif rl:
         seq = c.get_bytes("BA", rl).decode()
     qual = "*"
