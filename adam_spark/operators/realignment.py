@@ -282,6 +282,12 @@ def known_indels_table(variants) -> dict[str, list[tuple[int, str, int, str]]]:
         ra, aa = v["referenceAllele"] or "", v["alternateAllele"] or ""
         if len(ra) == len(aa):
             continue
+        # only prefix-anchored alleles describe a pure indel (VCF
+        # normalization guarantees this for biallelic indels); a complex
+        # substitution like AT>G has no single (pos, op, len) model and
+        # would produce a consensus matching no real allele
+        if not (aa.startswith(ra) or ra.startswith(aa)):
+            continue
         start = int(v["start"])
         if len(aa) > len(ra):  # insertion after the anchor bases
             cons = (start + len(ra), "I", len(aa) - len(ra), aa[len(ra):])
@@ -322,12 +328,25 @@ def _local_reference(rows: list[dict], ref_start: int, ref_end: int) -> str:
             ref = reference_from_read(r["cigar"], md, r["sequence"])
         except Exception:
             continue
-        off = int(r["start"]) - ref_start
-        seg = np.frombuffer(ref.encode(), dtype=np.uint8)
-        lo = max(0, off)
-        hi = min(len(buf), off + len(seg))
-        if hi > lo:
-            buf[lo:hi] = seg[lo - off : hi - off]
+        # place per cigar op: M/=/X/D consume both ref-string chars and
+        # reference positions, N consumes positions but contributes no
+        # chars (reference_from_read omits the intron) — a contiguous
+        # write would shift every post-intron base left by the N span
+        ref_pos = int(r["start"])
+        seg_off = 0
+        for n, op in parse_cigar(r["cigar"]):
+            if op in "M=XD":
+                seg = np.frombuffer(ref[seg_off : seg_off + n].encode(), dtype=np.uint8)
+                off = ref_pos - ref_start
+                lo = max(0, off)
+                hi = min(len(buf), off + len(seg))
+                if hi > lo:
+                    buf[lo:hi] = seg[lo - off : hi - off]
+                seg_off += n
+                ref_pos += n
+            elif op == "N":
+                ref_pos += n
+            # I/S/H/P consume no reference
     return buf.tobytes().decode()
 
 
@@ -422,7 +441,14 @@ def _new_cigar(read_len: int, offset: int, cons, ref_start: int):
             parts.append(f"{inside}I")
         if after:
             parts.append(f"{after}M")
-        start = ref_start + offset if read_start_c < ins_start else ref_start + offset - n
+        if read_start_c < ins_start:
+            start = ref_start + offset
+        else:
+            # read begins INSIDE the insertion: its first reference-
+            # consuming base sits exactly at the insertion anchor, not
+            # offset - n (which over-shifts by the insertion bases that
+            # lie left of the read)
+            start = ref_start + ins_start
         return start, "".join(parts)
     else:  # deletion
         del_pos = pos
@@ -435,6 +461,27 @@ def _new_cigar(read_len: int, offset: int, cons, ref_start: int):
         before = del_pos - read_start_c
         after = read_len - before
         return ref_start + offset, f"{before}M{n}D{after}M"
+
+
+def _clip_spans(cigar: str) -> tuple[int, int, int, int]:
+    """(lead_H, lead_S, tail_S, tail_H) base counts of a cigar's clip
+    runs (order per SAM: H may only flank S, S may only flank the core)."""
+    cg = parse_cigar(cigar)
+    lead_h = lead_s = tail_s = tail_h = 0
+    i, j = 0, len(cg)
+    if i < j and cg[i][1] == "H":
+        lead_h = cg[i][0]
+        i += 1
+    if i < j and cg[i][1] == "S":
+        lead_s = cg[i][0]
+        i += 1
+    if i < j and cg[j - 1][1] == "H":
+        tail_h = cg[j - 1][0]
+        j -= 1
+    if i < j and cg[j - 1][1] == "S":
+        tail_s = cg[j - 1][0]
+        j -= 1
+    return lead_h, lead_s, tail_s, tail_h
 
 
 def realign_group(
@@ -487,6 +534,20 @@ def realign_group(
         for r in mapped
     ]
     seqs = [r["sequence"].upper().encode() for r in mapped]
+    # clip bookkeeping: soft clips are PRESERVED (only the aligned core
+    # sweeps against the consensus, S runs re-attach afterwards) unless
+    # unclip_reads=True re-aligns the clipped bases too (reference:
+    # RealignIndels unclipReads); hard clips always survive in the cigar
+    clip = [_clip_spans(r["cigar"]) for r in mapped]
+    if unclip_reads:
+        core = [(0, len(r["sequence"])) for r in mapped]
+    else:
+        core = [
+            (ls, len(mapped[i]["sequence"]) - ls - ts)
+            for i, (_lh, ls, ts, _th) in enumerate(clip)
+        ]
+        seqs = [seqs[i][ls : ls + n] for i, (ls, n) in enumerate(core)]
+        quals_arr = [quals_arr[i][ls : ls + n] for i, (ls, n) in enumerate(core)]
 
     best = None  # (total, cons, offsets)
     for cons in consensus:
@@ -508,10 +569,23 @@ def realign_group(
     out = []
     for i, r in enumerate(mapped):
         off = offsets[i]
-        if off == -1:
+        ls, core_len = core[i]
+        if off == -1 or core_len <= 0:
             out.append(r)
             continue
-        new_start, new_cigar = _new_cigar(len(r["sequence"]), off, cons, ref_start)
+        new_start, core_cigar = _new_cigar(core_len, off, cons, ref_start)
+        lh, _ls, ts, th = clip[i]
+        pieces = []
+        if lh:
+            pieces.append(f"{lh}H")
+        if ls:
+            pieces.append(f"{ls}S")
+        pieces.append(core_cigar)
+        if core_len < len(r["sequence"]) - ls and ts:
+            pieces.append(f"{ts}S")
+        if th:
+            pieces.append(f"{th}H")
+        new_cigar = "".join(pieces)
         new_end = new_start + cigar_reference_length(new_cigar)
         if new_end <= new_start:
             out.append(r)
@@ -549,6 +623,7 @@ def realign_indels(
     consensus_model: str = "reads",
     known_indels: DataFrame | None = None,
     sw_weights: tuple = SW_DEFAULT_WEIGHTS,
+    unclip_reads: bool = False,
 ) -> DataFrame:
     """AlignmentDataset.realignIndels as a DataFrame operator.
 
@@ -595,51 +670,75 @@ def realign_indels(
     # the targets in its bins, not the whole target list. Reads
     # straddling a bin boundary appear once per bin; the leftmost-
     # target row_number below collapses them back to one row.
-    from adam_spark.operators.region_join import _bins
+    from adam_spark.operators.region_join import _bins, _pin_row_order
+
+    # Split FIRST: unmapped/coordinate-less reads must pass through
+    # untouched (explode on a null bins array silently drops rows), and
+    # only coordinate-bearing reads belong in the target join at all.
+    elig_cond = (
+        F.coalesce(F.col("readMapped"), F.lit(False))
+        & F.col("referenceName").isNotNull()
+        & F.col("start").isNotNull()
+        & F.col("end").isNotNull()
+    )
+    # row ids branch into the matched subtree AND the anti-join recovery
+    # below — pin shuffle-rooted lineages so both observe the same ids
+    eligible = _pin_row_order(reads.where(elig_cond)).withColumn(
+        "__row_id", F.monotonically_increasing_id()
+    )
+    passthrough = reads.where(~elig_cond)
 
     bin_size = max(max_target_size, 1)
-    reads_keyed = reads.withColumn(
-        "__row_id", F.monotonically_increasing_id()
-    ).withColumn(
+    reads_keyed = eligible.withColumn(
         "__bin", F.explode(_bins(F.col("start"), F.col("end"), bin_size))
     )
     t_binned = t.withColumn(
         "__bin", F.explode(_bins(F.col("__t_start"), F.col("__t_end"), bin_size))
     )
-    joined = reads_keyed.join(
+    # INNER join: the no-target majority never enters the join output,
+    # so the leftmost-target window below exchanges only reads that
+    # actually overlap a target — the empty-target bulk of a 100 TB
+    # dataset stays exchange-free (it is recovered via the anti-join on
+    # the slim matched-id set, which AQE broadcasts when small)
+    matched = reads_keyed.join(
         F.broadcast(t_binned),
         (F.col("referenceName") == F.col("__t_ref"))
         & (reads_keyed["__bin"] == t_binned["__bin"])
         & (F.col("start") < F.col("__t_end"))
         & (F.col("__t_start") < F.col("end")),
-        "left",
+        "inner",
     ).drop("__bin")
     # leftmost target per read (TargetOrdering); also collapses the
-    # per-bin duplicates of both matched pairs and unmatched reads
-    order_w = Window.partitionBy("__row_id").orderBy(
-        F.col("__t_start").asc_nulls_last()
-    )
-    joined = (
-        joined.withColumn("__rn", F.row_number().over(order_w))
+    # per-bin duplicates of matched pairs
+    order_w = Window.partitionBy("__row_id").orderBy(F.col("__t_start").asc())
+    matched = (
+        matched.withColumn("__rn", F.row_number().over(order_w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    with_target = joined.where(F.col("__t_id").isNotNull()).drop(
-        "__t_ref", "__t_start", "__t_end", "__row_id"
-    )
-    without_target = joined.where(F.col("__t_id").isNull()).drop(
-        "__t_ref", "__t_start", "__t_end", "__t_id", "__row_id"
-    )
+    with_target = matched.drop("__t_ref", "__t_start", "__t_end", "__row_id")
+    without_target = eligible.join(
+        matched.select("__row_id").distinct(), "__row_id", "left_anti"
+    ).drop("__row_id")
 
     out_schema = reads.schema
 
     def _realign(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.drop(columns=["__t_id"])
         rows = pdf.to_dict("records")
-        rows = [
-            {k: (None if (not isinstance(v, (str, list, dict, bytes)) and pd.isna(v)) else v) for k, v in r.items()}
-            for r in rows
-        ]
+
+        def _nn(v):
+            # NaN→None for scalars only: pandas delivers ArrayType
+            # columns as np.ndarray, where pd.isna is elementwise and
+            # `if pd.isna(v)` would raise
+            if v is None or isinstance(v, (str, list, dict, bytes, np.ndarray)):
+                return v
+            try:
+                return None if pd.isna(v) else v
+            except (TypeError, ValueError):
+                return v
+
+        rows = [{k: _nn(v) for k, v in r.items()} for r in rows]
         if len(rows) > max_reads_per_target:
             result = rows
         else:
@@ -647,6 +746,7 @@ def realign_indels(
                 rows,
                 lod_threshold,
                 max_consensus_number,
+                unclip_reads=unclip_reads,
                 consensus_model=consensus_model,
                 known_table=known_table,
                 sw_weights=sw_weights,
@@ -656,4 +756,7 @@ def realign_indels(
         )
 
     realigned = with_target.groupBy("__t_id").applyInPandas(_realign, schema=out_schema)
-    return realigned.unionByName(without_target.select([f.name for f in out_schema.fields]))
+    cols = [f.name for f in out_schema.fields]
+    return realigned.unionByName(without_target.select(cols)).unionByName(
+        passthrough.select(cols)
+    )

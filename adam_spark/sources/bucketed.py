@@ -55,9 +55,21 @@ def save_binned_bucketed(
     """Materialize ``df`` as a pre-binned bucketed table (+ wide side
     table) under ``path``, registered as ``table`` in the session
     catalog. One shuffle now buys exchange-free joins forever after."""
+    if not os.path.isabs(path) and "://" in path:
+        raise ValueError(
+            "save_binned_bucketed writes its sidecar with local-file I/O; "
+            f"non-local warehouse URI {path!r} is not supported (materialize "
+            "to a local/NFS path, or extend the sidecar IO to the Hadoop FS API)"
+        )
     ref, start, end = region
     span = int(large_span_bins) * int(bin_size)
-    is_wide = (F.col(end) - F.col(start)) > F.lit(span)
+    # null-safe routing: rows with null start/end cannot bin, but they
+    # must survive in the layout (it is a queryable table, not only a
+    # join input) — they ride the wide side table, which stores rows
+    # verbatim and is consulted for every join
+    is_wide = ((F.col(end) - F.col(start)) > F.lit(span)) | F.col(start).isNull() | F.col(
+        end
+    ).isNull()
     narrow = df.where(~is_wide)
     wide = df.where(is_wide)
     binned = narrow.withColumn(

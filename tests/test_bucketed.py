@@ -126,3 +126,20 @@ def test_bucket_spec_mismatch_raises(spark, frames, tmp_path):
     finally:
         for t in ("bm_left", "bm_right", "bm_left__wide", "bm_right__wide"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_null_coordinate_rows_survive_layout(spark, tmp_path):
+    """Rows with null start/end cannot bin but must not vanish from the
+    materialized layout (it is a queryable table, not only a join
+    input); they ride the wide side table and never match joins."""
+    from adam_spark.sources.bucketed import save_binned_bucketed
+
+    df = spark.createDataFrame(
+        [("c1", 10, 20, "a"), ("c1", None, None, "unplaced"), ("c1", 5, None, "half")],
+        "referenceName string, start long, end long, name string",
+    )
+    save_binned_bucketed(df, "t_nulls", str(tmp_path / "t_nulls"), bin_size=16)
+    got = {r["name"] for r in spark.table("t_nulls").collect()} | {
+        r["name"] for r in spark.table("t_nulls__wide").collect()
+    }
+    assert got == {"a", "unplaced", "half"}

@@ -219,3 +219,70 @@ def test_sw_consensus_rescues_unobserved_indel(spark):
     assert len(got) == len(rows)
     rescued = [n for n in got if "2D" in got[n]["cigar"]]
     assert len(rescued) >= 2, {n: got[n]["cigar"] for n in got}
+
+
+def test_unmapped_reads_pass_through(spark):
+    """Unmapped / coordinate-less reads must survive realign_indels
+    unchanged (bin-explode on null coordinates silently dropped them)."""
+    from adam_spark.operators.realignment import realign_indels
+    from adam_spark.schemas import ALIGNMENT, conform
+
+    rows = [
+        {"readName": "mapped", "readMapped": True, "referenceName": "c1",
+         "start": 100, "end": 110, "cigar": "10M", "sequence": "ACGTACGTAC",
+         "qualityScores": "IIIIIIIIII", "mismatchingPositions": "10"},
+        {"readName": "unmapped", "readMapped": False, "sequence": "TTTT"},
+        {"readName": "nullcoords", "readMapped": True, "referenceName": "c1",
+         "sequence": "GGGG"},
+    ]
+    df = conform(spark.createDataFrame(rows), ALIGNMENT)
+    out = {r["readName"] for r in realign_indels(df).collect()}
+    assert out == {"mapped", "unmapped", "nullcoords"}
+
+
+def test_new_cigar_read_starting_inside_insertion():
+    """A read whose sweep offset lands strictly inside an insertion
+    anchors at the insertion position, not offset - n."""
+    from adam_spark.operators.realignment import _new_cigar
+
+    start, cigar = _new_cigar(5, 11, (10, "I", 3, "TTT"), 1000)
+    assert (start, cigar) == (1010, "2I3M")
+    # read fully right of the insertion: shift by n
+    start, cigar = _new_cigar(5, 13, (10, "I", 3, "TTT"), 1000)
+    assert (start, cigar) == (1010, "5M")
+    # read fully left: untouched
+    start, cigar = _new_cigar(5, 2, (10, "I", 3, "TTT"), 1000)
+    assert (start, cigar) == (1002, "5M")
+
+
+def test_realigned_soft_clips_preserved():
+    """Soft clips survive realignment (unclip_reads=False default): the
+    clipped bases stay S and the aligned core is what moves."""
+    from adam_spark.operators.realignment import realign_group
+
+    ref = "ACGTACGTACGTACGTACGTACGTACGTACGT"  # 32bp local ref at 1000
+    # evidence read carrying a deletion at local pos 10 (2bp)
+    rows = []
+    for i, name in enumerate(["e1", "e2"]):
+        rows.append({
+            "readName": name, "readMapped": True, "referenceName": "c1",
+            "start": 1000 + i, "end": 1000 + i + 18,
+            "cigar": "8M2D8M" if i == 0 else "7M2D9M",
+            "sequence": (ref[i:8] + ref[10:18]) if i == 0 else (ref[1:8] + ref[10:19]),
+            "qualityScores": "I" * 16,
+            "mismatchingPositions": f"{8 - i}^{ref[8:10]}{8 + i}",
+        })
+    # a soft-clipped read whose core matches the deletion allele
+    core = ref[4:8] + ref[10:16]
+    rows.append({
+        "readName": "clipped", "readMapped": True, "referenceName": "c1",
+        "start": 1004, "end": 1004 + 10, "cigar": f"3S{len(core)}M",
+        "sequence": "TTT" + core, "qualityScores": "I" * (3 + len(core)),
+        "mismatchingPositions": None,
+    })
+    out = {r["readName"]: r for r in realign_group(rows, 0.0, 30)}
+    c = out["clipped"]
+    assert c["cigar"].startswith("3S"), c["cigar"]
+    # exactly the leading clip survives; the core is M/D only
+    assert "S" not in c["cigar"][2:], c["cigar"]
+    assert len(c["sequence"]) == 13  # sequence itself is untouched
