@@ -54,7 +54,13 @@ def bgzf_decompress(path: str) -> bytes:
         return f.read()
 
 
-def bgzf_blocks_bytes(data: bytes, block_size: int = 60_000) -> tuple[bytes, list[int]]:
+#: uncompressed bytes per BGZF block. Must stay < 2^16 so intra-block
+#: (uoffset) virtual-offset components fit 16 bits; the .bai writer's
+#: voffset math assumes exactly this value — change it HERE only.
+BGZF_BLOCK_SIZE = 60_000
+
+
+def bgzf_blocks_bytes(data: bytes, block_size: int = BGZF_BLOCK_SIZE) -> tuple[bytes, list[int]]:
     """BGZF-compress ``data`` (NO EOF sentinel) → (bytes, block offsets
     within the returned stream, plus the end offset). BGZF members
     concatenate, so independently compressed shards join into one valid
@@ -85,7 +91,7 @@ def bgzf_blocks_bytes(data: bytes, block_size: int = 60_000) -> tuple[bytes, lis
     return bytes(out), offsets
 
 
-def bgzf_compress_to(path: str, data: bytes, block_size: int = 60_000) -> list[int]:
+def bgzf_compress_to(path: str, data: bytes, block_size: int = BGZF_BLOCK_SIZE) -> list[int]:
     """Write ``data`` as BGZF blocks + EOF sentinel.
 
     Returns the compressed file offset of each block PLUS the sentinel
@@ -374,13 +380,30 @@ def _next_block_offset(f, start: int, fsize: int) -> int | None:
         i = j + 1
 
 
-def _plausible_record(buf, off: int, n_ref: int, chain: int = 3) -> bool:
+def _plausible_record(buf, off: int, n_ref: int, chain: int = 3, extend=None) -> bool:
     """htsjdk BAMSplitGuesser-style boundary check: a chain of ``chain``
     records must have in-bounds refIDs/positions, a NUL-terminated read
-    name, and section lengths that fit inside block_size."""
+    name, and section lengths that fit inside block_size.
+
+    ``extend``: callback growing ``buf`` with the next block (the lazy
+    range reader's machinery). When the chain outruns the buffer the
+    check EXTENDS rather than guessing — a blind "cannot disprove →
+    True" near the buffer tail would bless garbage offsets inside a
+    record that spans the whole range (long-read data) and emit corrupt
+    records. A clean stop exactly at EOF after k full records is a real
+    boundary; anything else unverifiable is rejected."""
+
+    def need(upto: int) -> bool:
+        while upto > len(buf):
+            if extend is None or not extend():
+                return False
+        return True
+
     for _ in range(chain):
-        if off + 36 > len(buf):
-            return True  # ran out of bytes — cannot disprove
+        if off == len(buf) and (extend is None or not extend()):
+            return True  # clean record boundary at end of file
+        if not need(off + 36):
+            return False
         bs = struct.unpack_from("<i", buf, off)[0]
         if bs < 32 or bs > (1 << 26):
             return False
@@ -395,7 +418,9 @@ def _plausible_record(buf, off: int, n_ref: int, chain: int = 3) -> bool:
         if 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq > bs:
             return False
         name_end = off + 4 + 32 + l_read_name - 1
-        if name_end < len(buf) and buf[name_end] != 0:
+        if not need(name_end + 1):
+            return False
+        if buf[name_end] != 0:
             return False
         off += 4 + bs
     return True
@@ -451,22 +476,36 @@ def _decode_byte_range(
 
         pos = first_intra
         if resync:
+            # the guesser EXTENDS past the range tail when a candidate
+            # chain outruns the buffer — never a blind accept (a record
+            # spanning the whole range would otherwise "match" garbage)
             pos = next(
-                (o for o in range(owned) if _plausible_record(data, o, n_ref)), None
+                (o for o in range(owned) if _plausible_record(data, o, n_ref, extend=extend)),
+                None,
             )
             if pos is None:
                 return
+        # working set = the range's decompressed bytes (scan and
+        # ownership both need them); the consumed prefix is trimmed so a
+        # tail record extending into following blocks doesn't stack the
+        # next range's bytes on top of the whole buffer
+        trimmed = 0
         while pos < owned:
-            while pos + 4 > len(data):
+            if pos - trimmed > (8 << 20):
+                cut = pos - trimmed
+                del data[: cut]
+                trimmed = pos
+            while pos - trimmed + 4 > len(data):
                 if not extend():
-                    if pos == len(data):
+                    if pos - trimmed == len(data):
                         return  # clean EOF
                     raise ValueError("truncated BAM record length")
-            bs = struct.unpack_from("<i", data, pos)[0]
-            while pos + 4 + bs > len(data):
+            bs = struct.unpack_from("<i", data, pos - trimmed)[0]
+            while pos - trimmed + 4 + bs > len(data):
                 if not extend():
                     raise ValueError("truncated BAM record body")
-            yield _record_to_sam_line(bytes(data[pos + 4 : pos + 4 + bs]), ref_names)
+            p = pos - trimmed
+            yield _record_to_sam_line(bytes(data[p + 4 : p + 4 + bs]), ref_names)
             pos += 4 + bs
 
 
@@ -593,7 +632,15 @@ def _aux_from_text(field: str) -> bytes:
     if t == "A":
         return tb + b"A" + val.encode()
     if t == "i":
-        return tb + b"i" + struct.pack("<i", int(val))
+        # SAM text folds all BAM int widths into 'i'; pick a width that
+        # actually holds the value (uint32 'I' tags decode to text as
+        # 'i' with values past 2^31-1 — signed repack would raise)
+        v = int(val)
+        if -(1 << 31) <= v < (1 << 31):
+            return tb + b"i" + struct.pack("<i", v)
+        if 0 <= v < (1 << 32):
+            return tb + b"I" + struct.pack("<I", v)
+        raise ValueError(f"integer tag out of 32-bit range: {field!r}")
     if t == "f":
         return tb + b"f" + struct.pack("<f", float(val))
     if t in ("Z", "H"):
@@ -729,7 +776,7 @@ def save_bam(gf: GenomicFrame, path: str, write_index: bool = True) -> None:
             .collect()
         )
         header_blob, _ = bgzf_blocks_bytes(out)
-        bs = 60_000
+        bs = BGZF_BLOCK_SIZE  # voffset math must match the shard encoder's blocks
         bases = []  # (compressed base, block offsets, spans)
         with open(path, "wb") as f:
             f.write(header_blob)

@@ -52,6 +52,16 @@ def stream_to_partitioned_parquet(
 ):
     """Continuous append into the partitioned layout
     (saveAsPartitionedParquet's streaming twin). Returns the query."""
+    import os
+
+    from adam_spark.sources.parquet import FLAG_FILE
+
+    # the layout contract: region-pruned readers take the bin size from
+    # the flag file — without it they fall back to the default and
+    # silently prune the wrong bins
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, FLAG_FILE), "w") as fh:
+        fh.write(str(int(partition_size)))
     binned = alignments.withColumn(
         "positionBin", F.floor(F.col("start") / F.lit(float(partition_size)))
     )
@@ -90,17 +100,18 @@ def streaming_event_counts(
     timestamp_col: str = "ts",
     window_duration: str = "1 hour",
     watermark_delay: str = "2 hours",
+    group_col: str = "event_type",
 ) -> DataFrame:
     """Watermarked sliding-window counts (late data beyond the
     watermark is dropped; append-mode emits only finalized windows)."""
     return (
         events.withWatermark(timestamp_col, watermark_delay)
-        .groupBy(F.window(F.col(timestamp_col), window_duration), F.col("event_type"))
+        .groupBy(F.window(F.col(timestamp_col), window_duration), F.col(group_col))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
-            "event_type",
+            group_col,
             "n",
         )
     )
@@ -153,8 +164,14 @@ def streaming_sessions(
         for t in ts:
             if t - last > gap:
                 closed.append((key[0], start, last, n))
-                start, n = t, 0
-            last = t
+                start, last, n = t, t, 0
+            else:
+                # a late-but-within-watermark event joins the CURRENT
+                # session without regressing its bounds (last = t
+                # unconditionally would emit session_end < session_start
+                # and split sessions on the shrunken gap base)
+                start = min(start, t)
+                last = max(last, t)
             n += 1
         state.update((start, last, n))
         state.setTimeoutTimestamp((last + gap) * 1000)
@@ -164,14 +181,27 @@ def streaming_sessions(
                 columns=["user_id", "session_start", "session_end", "n_events"],
             )
 
+    from pyspark.sql.types import LongType, StructField, StructType
+
     keyed = events.select(
         F.col(user_col).alias("user_id"),
         F.col(ts_col).cast("timestamp").alias("__ts"),
         F.col(ts_col).cast("timestamp").cast("long").alias("tse"),
     ).withWatermark("__ts", watermark_delay)
+    # the key column keeps the INPUT's type (string user ids are the
+    # common case — a hardcoded long would fail Arrow conversion on the
+    # first emitted session)
+    out_schema = StructType(
+        [
+            StructField("user_id", events.schema[user_col].dataType),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
     return keyed.groupBy("user_id").applyInPandasWithState(
         fn,
-        outputStructType="user_id long, session_start long, session_end long, n_events long",
+        outputStructType=out_schema,
         stateStructType="session_start long, last_ts long, n_events long",
         outputMode="append",
         timeoutConf="EventTimeTimeout",
@@ -194,7 +224,16 @@ def stream_fastq_directory(spark: SparkSession, path: str) -> DataFrame:
 
     raw = spark.readStream.format("text").option("wholetext", "true").load(path)
     lines = F.filter(F.split(F.col("value"), "\r?\n"), lambda l: l != F.lit(""))
-    n_rec = (F.size(lines) / 4).cast("int")
+    # reject malformed shards loudly (the batch loader's invariant): a
+    # truncated upload would otherwise shift quals into sequences and
+    # silently drop the tail record
+    n_rec = F.when(
+        F.size(lines) % 4 == 0, (F.size(lines) / 4).cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.lit("FASTQ shard line count is not a multiple of 4 (truncated file?)")
+        ).cast("int")
+    )
     recs = F.when(
         n_rec > 0,
         F.transform(

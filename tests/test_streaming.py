@@ -259,3 +259,77 @@ def test_llm_narrow_ops_run_on_streams(spark, tmp_path):
     key = lambda r: (r["doc_id"], r["split"], r["n_email"], r["text_scrubbed"])
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert all("<EMAIL>" in r["text_scrubbed"] for r in got)
+
+
+def test_streaming_sessions_string_user_ids(spark, tmp_path):
+    """The session operator keys by the INPUT's user-id type; string
+    ids (the common case) must not crash the Arrow conversion, and a
+    late-but-within-watermark event must not regress session bounds."""
+    import datetime as dt
+    import json
+
+    indir = tmp_path / "sess_in"
+    indir.mkdir()
+
+    def write(batch, rows):
+        (indir / f"{batch}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ts(sec):
+        return (t0 + dt.timedelta(seconds=sec)).strftime("%Y-%m-%d %H:%M:%S")
+
+    stream = spark.readStream.schema("user_id string, ts timestamp").json(str(indir))
+    from adam_spark.streaming import streaming_sessions
+
+    out = streaming_sessions(stream, gap_seconds=100, watermark_delay="1 hour")
+    q = out.writeStream.format("memory").queryName("sess_str").outputMode("append").start()
+    try:
+        write("b1", [{"user_id": "alice", "ts": ts(100)}])
+        q.processAllAvailable()
+        # late event (ts 50 < 100) joins the session without moving last back
+        write("b2", [{"user_id": "alice", "ts": ts(50)}])
+        q.processAllAvailable()
+        # gap-closing event: 400 - 100 > 100 closes (start=50, end=100, n=2)
+        write("b3", [{"user_id": "alice", "ts": ts(400)}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sess_str").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    epoch0 = int(t0.timestamp())
+    assert r["user_id"] == "alice"
+    assert r["session_start"] == epoch0 + 50
+    assert r["session_end"] == epoch0 + 100
+    assert r["n_events"] == 2
+    assert r["session_end"] >= r["session_start"]
+
+
+def test_stream_partitioned_layout_flag_file(spark, tmp_path):
+    """The streaming writer emits the layout flag file so region-pruned
+    batch readers use the STREAM's bin size, not the default."""
+    import os
+
+    indir = tmp_path / "in2"
+    outdir = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    os.makedirs(indir)
+    (indir / "s.sam").write_text(SAM_SHARD_1)
+    alignments = st.stream_sam_directory(spark, str(indir))
+    q = st.stream_to_partitioned_parquet(alignments, outdir, ckpt, partition_size=1000)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from adam_spark.sources.parquet import is_partitioned, load_partitioned_parquet
+
+    assert is_partitioned(outdir)
+    with open(os.path.join(outdir, FLAG_FILE)) as fh:
+        assert fh.read().strip() == "1000"
+    got = load_partitioned_parquet(
+        spark, outdir, regions=[("chr1", 1400, 1600)]
+    )
+    assert {r["start"] for r in got.df.collect()} == {1499}
