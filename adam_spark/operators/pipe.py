@@ -243,7 +243,7 @@ def _gff3_out(line: str) -> dict | None:
         "start": int(t[3]) - 1,
         "end": int(t[4]),
         "score": float(t[5]) if t[5] != "." else None,
-        "strand": {"+": "FORWARD", "-": "REVERSE"}.get(t[6]),
+        "strand": {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT"}.get(t[6]),
         "featureId": attrs.get("ID"),
         "name": attrs.get("Name"),
     }
@@ -290,7 +290,7 @@ def _gtf_out(line: str) -> dict | None:
         "start": int(t[3]) - 1,
         "end": int(t[4]),
         "score": float(t[5]) if t[5] != "." else None,
-        "strand": {"+": "FORWARD", "-": "REVERSE"}.get(t[6]),
+        "strand": {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT"}.get(t[6]),
         "geneId": attrs.get("gene_id"),
         "transcriptId": attrs.get("transcript_id"),
     }
@@ -334,7 +334,19 @@ def _vcf_in(row: dict) -> str:
     qual = _n(row.get("quality"))
     applied = _n(row.get("filtersApplied"))
     passed = _n(row.get("filtersPassed"))
-    filt = "." if not applied else ("PASS" if passed else "FAIL")
+    failed = _n(row.get("filtersFailed"))
+    # failed-filter NAMES, not a made-up 'FAIL' token (reference
+    # VCFInFormatter emits the actual filters; filter-aware tools reject
+    # undeclared names)
+    filt = (
+        "."
+        if not applied
+        else (
+            "PASS"
+            if passed
+            else (";".join(failed) if failed is not None and len(failed) else "FAIL")
+        )
+    )
     return "\t".join(
         [
             _n(row.get("referenceName")) or ".",
@@ -501,23 +513,20 @@ def _run_subprocess(
         env={**os.environ, **(env or {})},
         text=True,
     )
-
-    def _feed():
-        try:
-            for line in lines:
-                proc.stdin.write(line + "\n")
-            proc.stdin.close()
-        except BrokenPipeError:
-            pass
-
-    t = threading.Thread(target=_feed, daemon=True)
-    t.start()
+    # communicate() drains both pipes concurrently (no feed/read
+    # deadlock) AND enforces the timeout on the whole exchange — a bare
+    # stdout.read() would block forever on a hung tool before any
+    # wait(timeout) ran, and a TimeoutExpired must kill the child rather
+    # than leak it
+    data = "".join(line + "\n" for line in lines)
     try:
-        out = proc.stdout.read()
-    finally:
-        rc = proc.wait(timeout=timeout)
-    if rc != 0:
-        raise RuntimeError(f"piped command {cmd!r} exited with {rc}")
+        out, _ = proc.communicate(input=data, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        raise RuntimeError(f"piped command {cmd!r} timed out after {timeout}s")
+    if proc.returncode != 0:
+        raise RuntimeError(f"piped command {cmd!r} exited with {proc.returncode}")
     return out.splitlines()
 
 
@@ -576,11 +585,14 @@ def pipe(
         gend = off_map.getItem(F.col("referenceName")) + F.col("end")
         lo = F.floor((gpos - F.lit(flank)) / bin_size).cast("int")
         hi = F.floor((gend - 1 + F.lit(flank)) / bin_size).cast("int")
+        # null coordinates / contigs missing from the dictionary cannot
+        # bin — explode(null) would silently DROP those records; they
+        # ride a dedicated bin instead (the own-bin filter passes
+        # coordinate-less output through)
+        bins = F.sequence(F.greatest(lo, F.lit(0)), F.greatest(hi, F.lit(0)))
         binned = df.withColumn(
             "__bin",
-            F.explode(
-                F.sequence(F.greatest(lo, F.lit(0)), F.greatest(hi, F.lit(0)))
-            ),
+            F.explode(F.coalesce(bins, F.array(F.lit(-1).cast("int")))),
         )
     else:
         # no genome bin layout: spread by contig when locatable, else by
@@ -611,7 +623,10 @@ def pipe(
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, na_position="last", kind="mergesort")
         rows = pdf.to_dict("records")
-        lines = header + [fmt_row(r) for r in rows]
+        # formatters return '' for unrepresentable rows (e.g. a fragment
+        # with no alignments in tab5/tab6) — a blank stdin line would
+        # abort most tools mid-stream
+        lines = header + [ln for ln in (fmt_row(r) for r in rows) if ln != ""]
         out_lines = _run_subprocess(cmd_list, lines, environment, timeout)
         if parse_block is not None:
             parsed = parse_block(out_lines)

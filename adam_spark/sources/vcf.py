@@ -385,6 +385,18 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
 
     Emits GT:AD:DP:GQ per sample; INFO is rebuilt from
     ``variant.annotation.attributes`` plus the typed AC/AF/DP fields.
+
+    Known deviations (documented, not silent): (1) multiallelic sites
+    arrive SPLIT from the loader (one row per alt) and are written as
+    one line per alt — this repo's loader re-merges nothing on read, so
+    the round-trip is closed within the engine, but external tools see
+    per-alt lines and an OTHER_ALT genotype index of '2' that references
+    no allele on its line (the reference re-merges via VariantContext).
+    (2) INFO string values equal to the literal 'true' are
+    indistinguishable from flags in the attributes map and re-emit as
+    bare keys. (3) per-sample formatting filters the genotypes array
+    per column — O(samples²) per row; fine for cohort-sized sample
+    lists, wrong shape for biobank-scale VCFs (pivot first if needed).
     """
     df = gf.df
     sample_names = [s.id for s in gf.meta.samples]
@@ -437,14 +449,20 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         ),
         F.when(ann["readDepth"].isNotNull(), F.concat(F.lit("DP="), ann["readDepth"])),
         ann_field,
-        F.array_join(
-            F.transform(
-                F.map_entries(F.coalesce(ann["attributes"], F.create_map())),
-                lambda e: F.when(e["value"] == "true", e["key"]).otherwise(
-                    F.concat(e["key"], F.lit("="), e["value"])
+        # null (not "") when there are no attributes — concat_ws keeps
+        # empty STRINGS, which would leave a trailing ';' after the last
+        # real part
+        F.when(
+            F.size(F.coalesce(ann["attributes"], F.create_map())) > 0,
+            F.array_join(
+                F.transform(
+                    F.map_entries(ann["attributes"]),
+                    lambda e: F.when(e["value"] == "true", e["key"]).otherwise(
+                        F.concat(e["key"], F.lit("="), e["value"])
+                    ),
                 ),
+                ";",
             ),
-            ";",
         ),
     )
     info = F.when(F.length(info_parts) > 0, info_parts).otherwise(".")
@@ -479,12 +497,14 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
             F.coalesce(g["genotypeQuality"].cast("string"), F.lit(".")),
         )
 
+    # every field coalesced: concat_ws SKIPS nulls, so one null column
+    # would silently shift all following fields left (corrupt VCF)
     line = F.concat_ws(
         "\t",
-        v["referenceName"],
-        (v["start"] + 1).cast("string"),
+        F.coalesce(v["referenceName"], F.lit(".")),
+        F.coalesce((v["start"] + 1).cast("string"), F.lit(".")),
         F.coalesce(F.array_join(v["names"], ";"), F.lit(".")),
-        v["referenceAllele"],
+        F.coalesce(v["referenceAllele"], F.lit(".")),
         F.coalesce(v["alternateAllele"], F.lit(".")),
         F.coalesce(v["quality"].cast("string"), F.lit(".")),
         F.when(~F.coalesce(v["filtersApplied"], F.lit(False)), ".")

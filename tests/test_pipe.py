@@ -227,3 +227,34 @@ def test_pipe_gtf_roundtrip(spark):
     r = out.df.collect()[0]
     assert r["geneId"] == "g1" and r["transcriptId"] == "t1"
     assert r["start"] == 100 and r["end"] == 200 and r["score"] == 5.0
+
+
+def test_run_subprocess_timeout_kills():
+    import time
+
+    from adam_spark.operators.pipe import _run_subprocess
+
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="timed out"):
+        _run_subprocess(["sleep", "30"], [], None, timeout=1)
+    assert time.time() - t0 < 10  # killed promptly, no 30s hang
+
+
+def test_pipe_keeps_unmapped_reads(spark):
+    """Coordinate-less records must reach the subprocess (explode on a
+    null bin sequence silently dropped them)."""
+    rows = [
+        {"readName": "m1", "readMapped": True, "referenceName": "chr1",
+         "start": 100, "end": 110, "cigar": "10M", "sequence": "ACGTACGTAC",
+         "qualityScores": "IIIIIIIIII"},
+        {"readName": "u1", "readMapped": False, "sequence": "TTTT",
+         "qualityScores": "JJJJ"},
+    ]
+    df = schemas.conform(spark.createDataFrame(rows), schemas.ALIGNMENT)
+    meta = GenomicMetadata(
+        references=SequenceDictionary([Reference(name="chr1", length=10000)]),
+        kind="alignment",
+    )
+    gf = pipe(GenomicFrame(df, meta), "cat", in_format="sam")
+    names = {r["readName"] for r in gf.df.collect()}
+    assert names == {"m1", "u1"}
