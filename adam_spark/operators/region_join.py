@@ -30,6 +30,8 @@ per ShuffleRegionJoin.scala:143-335, TreeRegionJoin.scala:94-137).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -63,9 +65,18 @@ def _orderable(dtype) -> bool:
 
 
 #: logical-plan nodes after which row order (and thus partition layout)
-#: is not reproducible across re-evaluations of the same subtree
+#: is not reproducible across re-evaluations of the same subtree —
+#: includes the grouped/cogrouped pandas maps, whose reduce-side fetch
+#: order varies run to run just like any aggregate
 _SHUFFLE_NODES = (
-    "Join", "Aggregate", "Sort", "Repartition", "Window", "Distinct", "Deduplicate",
+    "Join", "Aggregate", "Sort", "Repartition", "Window", "Distinct",
+    "Deduplicate", "FlatMapGroups", "FlatMapCoGroups", "CoGroup",
+)
+#: a plan node name starts a line after tree-drawing characters; bare
+#: substring matching would false-positive on column/relation NAMES
+#: containing e.g. 'SortKey' or a path containing 'Window'
+_NODE_RE = re.compile(
+    r"(?m)^[\s:+-]*(?:" + "|".join(_SHUFFLE_NODES) + r")\b"
 )
 
 
@@ -79,7 +90,7 @@ def _pin_row_order(df: DataFrame) -> DataFrame:
     scan-rooted lineages are left untouched — no extra job, no storage.
     """
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(node in plan for node in _SHUFFLE_NODES):
+    if _NODE_RE.search(plan):
         return df.localCheckpoint(eager=True)
     return df
 
@@ -135,6 +146,19 @@ def region_join(
         raise ValueError(f"how must be one of {_HOW}, got {how!r}")
     if group not in _GROUP:
         raise ValueError(f"group must be one of {_GROUP}, got {group!r}")
+    if group == "right" and how in {"left_outer", "full_outer"}:
+        # not one of the reference's 11 variants, and the group='right'
+        # builder has no unmatched-left channel — refuse loudly instead
+        # of silently dropping those rows
+        raise ValueError(f"group='right' does not support how={how!r}")
+    if group == "left" and group_col in left.columns:
+        raise ValueError(
+            f"group_col {group_col!r} collides with a left column; pass a different group_col"
+        )
+    if group == "right" and group_col in right.columns:
+        raise ValueError(
+            f"group_col {group_col!r} collides with a right column; pass a different group_col"
+        )
     l_ref, l_start, l_end = left_region
     r_ref, r_start, r_end = right_region
 

@@ -286,6 +286,32 @@ def _inflate_block(f, off: int, total: int) -> bytes:
     return zlib.decompress(raw[12 + xlen : -8], -15)
 
 
+def _read_block_fully(f, off: int) -> tuple[int, bytes]:
+    """One sequential pass per block: (total_size, inflated bytes).
+
+    ``_block_at`` + ``_inflate_block`` costs two seeks and re-reads the
+    header; chunk readers iterating many consecutive blocks (indexed
+    access hot path) use this instead — consecutive calls turn the seek
+    into a no-op and each byte is read once."""
+    f.seek(off)
+    h = f.read(12)
+    if len(h) < 12 or h[:4] != b"\x1f\x8b\x08\x04":
+        raise ValueError(f"bad BGZF block magic at offset {off}")
+    xlen = struct.unpack_from("<H", h, 10)[0]
+    extra = f.read(xlen)
+    e, bsize = 0, None
+    while e + 4 <= len(extra):
+        slen = struct.unpack_from("<H", extra, e + 2)[0]
+        if extra[e : e + 2] == b"BC":
+            bsize = struct.unpack_from("<H", extra, e + 4)[0]
+        e += 4 + slen
+    if bsize is None:
+        raise ValueError(f"BGZF block at {off} has no BC subfield")
+    total = bsize + 1
+    rest = f.read(total - 12 - xlen)
+    return total, zlib.decompress(rest[:-8], -15)
+
+
 def _read_bam_header(path: str, blocks: list[tuple[int, int]]):
     """Decode just enough leading blocks to parse the header.
 

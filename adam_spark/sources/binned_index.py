@@ -28,8 +28,19 @@ from dataclasses import dataclass, field
 _LEVELS = ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681))
 
 
+#: the 5-level UCSC scheme addresses < 2^29; longer contigs need CSI
+#: (real tabix refuses them too — silent out-of-range bins would write
+#: indexes htsjdk/bcftools reject or misread)
+MAX_BIN_COORD = 1 << 29
+
+
 def reg2bin(beg: int, end: int) -> int:
     """Smallest bin fully containing [beg, end) (0-based half-open)."""
+    if end > MAX_BIN_COORD:
+        raise ValueError(
+            f"coordinate {end} exceeds the 5-level binning limit (2^29); "
+            "this index format cannot address it (CSI territory)"
+        )
     end -= 1
     for shift, base in reversed(_LEVELS):
         if beg >> shift == end >> shift:
@@ -99,13 +110,18 @@ class BinnedIndex:
         if not (0 <= ref_id < len(self.refs)):
             return []
         r = self.refs[ref_id]
+        beg = max(beg, 0)  # negative (flank-padded) queries would index
+        # linear[-1] — the LAST window's offset — and prune valid chunks
         win = beg >> _LINEAR_SHIFT
         min_voff = r.linear[win] if win < len(r.linear) else 0
         out = []
         for b in reg2bins(beg, max(end, beg + 1)):
             for vb, ve in r.bins.get(b, ()):
                 if ve > min_voff:
-                    out.append((max(vb, 0), ve))
+                    # the linear index proves nothing before min_voff can
+                    # overlap the query: clamp the chunk start (the
+                    # standard tabix optimization)
+                    out.append((max(vb, min_voff), ve))
         return merge_chunks(out)
 
 
@@ -172,7 +188,7 @@ def write_tbi(idx: BinnedIndex, path: str) -> None:
     out += b"TBI\x01"
     out += struct.pack(
         "<8i",
-        len(idx.names), idx.fmt, idx.col_seq, idx.col_beg, idx.col_end,
+        len(idx.refs), idx.fmt, idx.col_seq, idx.col_beg, idx.col_end,
         idx.meta_char, idx.skip, len(names_blob),
     )
     out += names_blob
@@ -222,7 +238,7 @@ def read_bai(path: str) -> BinnedIndex:
 # --- chunk decode (shared by indexed BAM/VCF readers) ----------------------
 def read_chunk_bytes(path: str, vbeg: int, vend: int) -> bytes:
     """Decompressed bytes of one virtual-offset chunk [vbeg, vend)."""
-    from adam_spark.sources.bam import _block_at, _inflate_block
+    from adam_spark.sources.bam import _read_block_fully
 
     cbeg, ubeg = vsplit(vbeg)
     cend, uend = vsplit(vend)
@@ -230,8 +246,7 @@ def read_chunk_bytes(path: str, vbeg: int, vend: int) -> bytes:
     with open(path, "rb") as f:
         pos = cbeg
         while pos <= cend:
-            total, _ = _block_at(f, pos)
-            data = _inflate_block(f, pos, total)
+            total, data = _read_block_fully(f, pos)
             lo = ubeg if pos == cbeg else 0
             hi = uend if pos == cend else len(data)
             out += data[lo:hi]

@@ -208,3 +208,26 @@ def test_load_indexed_cram_prunes_containers(spark, tmp_path):
     got_gf = load_indexed_cram(spark, cram, regions)
     got = sorted(r["readName"] for r in got_gf.df.collect())
     assert got == want and len(got) > 0
+
+
+def test_binning_edge_cases():
+    import pytest as _pytest
+
+    from adam_spark.sources.binned_index import (
+        MAX_BIN_COORD,
+        BinnedIndex,
+        _RefIndex,
+        reg2bin,
+        voffset,
+    )
+
+    # >2^29 coordinates are CSI territory: refuse, never corrupt
+    with _pytest.raises(ValueError, match="2\\^29|binning limit"):
+        reg2bin(MAX_BIN_COORD + 10, MAX_BIN_COORD + 20)
+
+    # negative (flank-padded) query begs must not index linear[-1]
+    idx = BinnedIndex(names=["c1"], refs=[_RefIndex()])
+    idx.add_record(0, 10, 50, voffset(0, 0), voffset(0, 100))
+    idx.add_record(0, 100_000, 100_050, voffset(5000, 0), voffset(5000, 80))
+    got = idx.chunks_for(0, -100, 60)
+    assert (voffset(0, 0), voffset(0, 100)) in got

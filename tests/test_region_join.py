@@ -272,3 +272,17 @@ def test_outer_group_stable_under_shuffled_inputs(spark):
     for r in want_inner.collect():
         want[r["id"]].add(r["id_r"])
     assert got_rows == dict(want)
+
+
+def test_unsupported_group_right_outer_combos_raise(spark):
+    import pytest as _pytest
+
+    from adam_spark.operators.region_join import region_join
+
+    l = spark.createDataFrame([("c1", 1, 5)], "referenceName string, start long, end long")
+    r = spark.createDataFrame([("c1", 2, 6)], "referenceName string, start long, end long")
+    for how in ("left_outer", "full_outer"):
+        with _pytest.raises(ValueError, match="group='right'"):
+            region_join(l, r, how=how, group="right")
+    with _pytest.raises(ValueError, match="group_col"):
+        region_join(l.withColumn("hits", l["start"]), r, group="left")
