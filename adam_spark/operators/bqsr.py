@@ -118,14 +118,32 @@ def _observe_read(
 
 
 def _usable(df: DataFrame) -> F.Column:
+    # primacy: when the flag is unpopulated, DERIVE it from the
+    # secondary/supplementary flags (a bare coalesce-to-True would admit
+    # secondary alignments and double-count their bases as evidence).
+    # MD required: without it a read observes as 100% matching, which
+    # systematically underestimates error rates (the reference only
+    # observes MD-defined reads).
+    def opt(name: str) -> F.Column:
+        # partial frames (projected inputs) may lack the flag columns
+        return F.col(name) if name in df.columns else F.lit(None).cast("boolean")
+
+    primary = F.coalesce(
+        opt("primaryAlignment"),
+        ~(
+            F.coalesce(opt("secondaryAlignment"), F.lit(False))
+            | F.coalesce(opt("supplementaryAlignment"), F.lit(False))
+        ),
+    )
     return (
         F.col("readMapped")
-        & F.coalesce(F.col("primaryAlignment"), F.lit(True))
+        & primary
         & ~F.coalesce(F.col("duplicateRead"), F.lit(False))
         & (F.coalesce(F.col("mappingQuality"), F.lit(0)) > 0)
         & F.col("qualityScores").isNotNull()
         & F.col("cigar").isNotNull()
         & F.col("sequence").isNotNull()
+        & F.col("mismatchingPositions").isNotNull()
     )
 
 
@@ -287,7 +305,16 @@ def recalibrate_base_qualities(
         for q, g, c, m, s, st, n, f, r in zip(
             quals, rg, cigar, md, seq, start, neg, rif, ref
         ):
-            if not isinstance(q, str) or not isinstance(c, str) or not isinstance(s, str):
+            # the surrounding F.when(usable, ...) does NOT stop the UDF
+            # from evaluating on non-usable rows — Arrow runs it over the
+            # whole batch, so a null start (unmapped read with a kept
+            # CIGAR) must bail here, not crash the task
+            if (
+                not isinstance(q, str)
+                or not isinstance(c, str)
+                or not isinstance(s, str)
+                or pd.isna(st)
+            ):
                 out.append(q)
                 continue
             offsets, _, _, cyc, din = _observe_read(

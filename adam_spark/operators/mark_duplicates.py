@@ -20,19 +20,23 @@ clips — no UDF), fragment scores via groupBy, then ONE window
 readName) — fully shuffle-parallel on the position key, matching the
 reference's groupBy-then-argmax but with Picard's deterministic
 tiebreak and no per-group materialization.
+
+Known simplifications vs the reference (documented, not silent):
+(1) when one mate is unmapped and the mapped read is on the "wrong"
+strand for a slot, the positionForStrand fallback can assign the mapped
+read's position to BOTH slots, dropping the unmapped mate's
+sequence-keyed pseudo-position from the key (the reference keeps it —
+pairs differing only in unmapped-mate sequence would collapse here);
+(2) a fragment whose only read is a reverse-strand read2 keys
+posL=null and is exempted from marking; (3) the (score, readName)
+tiebreak is nondeterministic if two fragments in one subgroup share a
+readName (merged BAMs with colliding names across read groups).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-
-def _clip(cigar_edge_re: str) -> Column:
-    """Total clipped bases matched by a regex on the CIGAR."""
-    return F.coalesce(
-        F.regexp_extract(F.col("cigar"), cigar_edge_re, 1).cast("long"), F.lit(0)
-    )
 
 
 def five_prime_position(
@@ -44,12 +48,19 @@ def five_prime_position(
     Reverse strand: end + trailing soft/hard clips.
     (reference: ReferencePositionPair.scala:32-114 via
     RichAlignment.fivePrimePosition)
+
+    BOTH clip elements on an edge count (SAM order puts H outside S, so
+    '5H10S20M' unclips by 15) — a single-element regex would place a
+    hard+soft-clipped read and its soft-only duplicate in different
+    position groups. regexp_extract yields '' on no-match, which casts
+    to null and coalesces to 0.
     """
-    lead = F.coalesce(F.regexp_extract(cigar, r"^(\d+)[SH]", 1).cast("long"), F.lit(0))
-    lead = F.when(F.regexp_extract(cigar, r"^(\d+)[SH]", 1) == "", F.lit(0)).otherwise(lead)
-    trail = F.when(F.regexp_extract(cigar, r"(\d+)[SH]$", 1) == "", F.lit(0)).otherwise(
-        F.coalesce(F.regexp_extract(cigar, r"(\d+)[SH]$", 1).cast("long"), F.lit(0))
-    )
+
+    def _n(c: Column, pat: str) -> Column:
+        return F.coalesce(F.regexp_extract(c, pat, 1).cast("long"), F.lit(0))
+
+    lead = _n(cigar, r"^(\d+)H") + _n(cigar, r"^(?:\d+H)?(\d+)S")
+    trail = _n(cigar, r"(\d+)S(?:\d+H)?$") + _n(cigar, r"(\d+)H$")
     return F.when(negative.eqNullSafe(F.lit(True)), end + trail).otherwise(start - lead)
 
 

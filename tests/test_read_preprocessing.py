@@ -231,3 +231,31 @@ def test_observation_table_csv():
     assert lines[0].startswith("ReadGroup,ReportedQ")
     assert lines[1] == "rg1,20,2,GT,50,5,9"  # -10*log10(6/52) = 9.38 -> 9
     assert lines[2] == "rg1,30,1,AC,100,1,17"
+
+
+def test_five_prime_position_sums_both_clips(spark):
+    """'5H10S20M' unclips by 15 on the forward strand (H outside S per
+    SAM order); a single-element regex would give 5 and split a
+    hard+soft-clipped read from its soft-only duplicate."""
+    import pyspark.sql.functions as F
+
+    from adam_spark.operators.mark_duplicates import five_prime_position
+
+    df = spark.createDataFrame(
+        [
+            ("5H10S20M", 100, 120, False, 85),
+            ("10S20M", 100, 120, False, 90),
+            ("20M10S5H", 100, 120, True, 135),
+            ("20M5H", 100, 120, True, 125),
+            ("20M", 100, 120, False, 100),
+        ],
+        "cigar string, start long, end long, neg boolean, want long",
+    )
+    got = df.select(
+        five_prime_position(
+            F.col("start"), F.col("end"), F.col("cigar"), F.col("neg")
+        ).alias("fp"),
+        "want",
+    ).collect()
+    for r in got:
+        assert r["fp"] == r["want"], r
