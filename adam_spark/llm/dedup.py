@@ -431,9 +431,33 @@ def duplicate_clusters(
     Scale shape: every round is one shuffle join on the (slim) edge
     table plus a partial-aggregated groupBy; an eager localCheckpoint
     per round cuts the lineage so plans stay O(1) deep instead of
-    O(iterations). The driver holds only the one-row convergence count.
+    O(iterations), and the PREVIOUS round's checkpoint blocks are
+    explicitly released once the new round is materialized, so executor
+    storage stays O(1) labels-tables over the whole run (only the final
+    round's checkpoint — the one the returned DataFrame reads — stays
+    alive). The driver holds only the one-row convergence count.
     """
     from pyspark.storagelevel import StorageLevel
+
+    sc = pairs.sparkSession.sparkContext
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        """Eager localCheckpoint + the ids of the RDD blocks it pinned
+        (delta of the context's persistent-RDD registry)."""
+        before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
+        out = df.localCheckpoint(eager=True)
+        after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
+        return out, after - before
+
+    def _release(ids: set[int]) -> None:
+        """Drop a finished round's checkpoint blocks. Safe ONLY after the
+        next round is eagerly materialized — a localCheckpointed RDD has
+        no lineage to recompute from once unpersisted."""
+        reg = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = reg.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
 
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
@@ -441,21 +465,17 @@ def duplicate_clusters(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+    labels, held = _ckpt(
         edges.select(F.col("a").alias("n"))
         .distinct()
         .select("n", F.col("n").alias("l"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         prop = edges.join(
             labels.select(F.col("n").alias("b"), "l"), "b"
         ).select(F.col("a").alias("n"), "l")
-        new = (
-            labels.union(prop)
-            .groupBy("n")
-            .agg(F.min("l").alias("l"))
-            .localCheckpoint(eager=True)
+        new, new_held = _ckpt(
+            labels.union(prop).groupBy("n").agg(F.min("l").alias("l"))
         )
         changed = (
             new.alias("x")
@@ -464,7 +484,8 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
-        labels = new
+        _release(held)
+        labels, held = new, new_held
         if changed == 0:
             break
     edges.unpersist()

@@ -167,9 +167,11 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     t = F.col(text_col)
     return df.select(
         F.col(id_col).alias("id"),
-        F.length(t).alias("n_chars"),
-        token_count(t).alias("n_tokens"),
-        F.size(distinct_tokens(t)).alias("n_distinct_tokens"),
+        # long, not Spark's int32 length/size: every count column in the
+        # contract is BIGINT on both engine and oracle sides
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).cast("long").alias("n_tokens"),
+        F.size(distinct_tokens(t)).cast("long").alias("n_distinct_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_tokens"),
         F.round(mean_word_length(t), 6).alias("mean_word_len"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),

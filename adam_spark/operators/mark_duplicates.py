@@ -52,12 +52,15 @@ def five_prime_position(
     BOTH clip elements on an edge count (SAM order puts H outside S, so
     '5H10S20M' unclips by 15) — a single-element regex would place a
     hard+soft-clipped read and its soft-only duplicate in different
-    position groups. regexp_extract yields '' on no-match, which casts
-    to null and coalesces to 0.
+    position groups. regexp_extract yields '' on no-match, which
+    try_casts to null and coalesces to 0 (ANSI-safe).
     """
 
     def _n(c: Column, pat: str) -> Column:
-        return F.coalesce(F.regexp_extract(c, pat, 1).cast("long"), F.lit(0))
+        # try_cast: regexp_extract yields '' on no-match, and a plain
+        # cast('' as long) THROWS under ANSI mode (Spark 4 default —
+        # the driver harness runs ANSI-on).
+        return F.coalesce(F.regexp_extract(c, pat, 1).try_cast("long"), F.lit(0))
 
     lead = _n(cigar, r"^(\d+)H") + _n(cigar, r"^(?:\d+H)?(\d+)S")
     trail = _n(cigar, r"(\d+)S(?:\d+H)?$") + _n(cigar, r"(\d+)H$")

@@ -116,6 +116,8 @@ def region_join(
     suffixes: tuple[str, str] = ("", "_r"),
     group_col: str = "hits",
     large_span_bins: int = 512,
+    left_key: str | None = None,
+    right_key: str | None = None,
 ) -> DataFrame:
     """One builder for all 11 reference join variants.
 
@@ -141,6 +143,14 @@ def region_join(
     then all right columns (suffix[1] on collisions); group variants
     replace the grouped side's columns with ``group_col:
     array<struct<...>>`` sorted for determinism.
+
+    ``left_key`` / ``right_key`` declare a NATURAL UNIQUE non-null key
+    column on that side (read name, feature id, …). Outer/group
+    variants then use the key as the internal row id instead of
+    pinning row order with an eager localCheckpoint — on
+    shuffle-rooted inputs that skips a full materialization of the
+    side to executor storage. The caller owns the uniqueness claim:
+    duplicate or null key values silently merge rows.
     """
     if how not in _HOW:
         raise ValueError(f"how must be one of {_HOW}, got {how!r}")
@@ -185,12 +195,28 @@ def region_join(
     # mispair — so those are pinned with an eager localCheckpoint
     # before stamping (narrow lineages skip the pin and keep today's
     # single-pass plans).
+    # DETERMINISTIC-KEY FAST PATH: when the caller declares a natural
+    # per-row unique (non-null) key — a read name, a feature id — the
+    # key column itself serves as the row id. No order to pin, so
+    # shuffle-rooted inputs skip the full localCheckpoint
+    # materialization entirely (at 100 TB that pin is a complete
+    # executor-storage copy of the input).
     need_lrid = group == "left" or how in {"left_outer", "full_outer"}
     need_rrid = group == "right" or how in {"right_outer", "full_outer"}
     if need_lrid:
-        ldf = _pin_row_order(ldf).withColumn("__lrid", F.monotonically_increasing_id())
+        if left_key is not None:
+            ldf = ldf.withColumn("__lrid", F.col(lmap[left_key]))
+        else:
+            ldf = _pin_row_order(ldf).withColumn(
+                "__lrid", F.monotonically_increasing_id()
+            )
     if need_rrid:
-        rdf = _pin_row_order(rdf).withColumn("__rrid", F.monotonically_increasing_id())
+        if right_key is not None:
+            rdf = rdf.withColumn("__rrid", F.col(rmap[right_key]))
+        else:
+            rdf = _pin_row_order(rdf).withColumn(
+                "__rrid", F.monotonically_increasing_id()
+            )
 
     ls, le = F.col(lmap[l_start]) - F.lit(flank), F.col(lmap[l_end]) + F.lit(flank)
     rs, re_ = F.col(rmap[r_start]), F.col(rmap[r_end])

@@ -138,7 +138,9 @@ def sort_features_by_reference(df: DataFrame, ascending: bool = True) -> DataFra
     then gene-model structure with numeric exon/intron/rank tiebreaks
     from the attributes map — nulls last at every level."""
     def _i(attr: str) -> Column:
-        return F.element_at(F.col("attributes"), attr).cast("int")
+        # try_element_at / try_cast: ANSI element_at throws on a missing
+        # map key and ANSI cast throws on non-numeric attribute values.
+        return F.try_element_at(F.col("attributes"), F.lit(attr)).try_cast("int")
 
     keys = [
         F.col("referenceName"),

@@ -98,7 +98,18 @@ from adam_spark.core.genomic_frame import GenomicFrame
 from adam_spark.sources.bam import _aux_from_text, _aux_to_text, _cigar_ref_len
 
 _MAGIC = b"CRAM\x03\x00"
-_FILE_ID = b"adam_spark.cram.0000"  # 20 bytes
+_FILE_ID = b"adam_spark.cram.0001"  # 20 bytes
+# .0000 files predate two on-disk fixes and need compat shims on read:
+# (a) they always stored QS without setting CF 0x1 (quality would decode
+# as '*' under the spec gating), (b) their .crai sidecars recorded
+# 0-BASED alignment starts (the CRAI spec and .0001 use 1-based).
+_LEGACY_FILE_ID = b"adam_spark.cram.0000"
+
+
+def _read_file_id(path: str) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(len(_MAGIC))
+        return f.read(20)
 
 # block content types
 _CT_FILE_HEADER = 0
@@ -470,9 +481,12 @@ class _HuffmanCodec:
     """HUFFMAN(3): canonical codes over an int alphabet, bits from core.
 
     Codes are assigned per the spec's canonical construction: symbols
-    stable-sorted by bit length (ties keep alphabet order, matching
-    htslib), sequential code values with left-shift on length growth.
-    The ubiquitous single-symbol zero-bit form reads no bits at all.
+    sorted by (bit length, symbol value) — htslib's canonical assignment
+    breaks equal-length ties by symbol VALUE, not declaration order, so
+    a foreign CRAM declaring equal-length symbols out of value order
+    still decodes correctly — sequential code values with left-shift on
+    length growth. The ubiquitous single-symbol zero-bit form reads no
+    bits at all.
     """
 
     __slots__ = ("const", "codes", "maxlen")
@@ -484,7 +498,7 @@ class _HuffmanCodec:
             self.maxlen = 0
             return
         self.const = None
-        order = sorted(range(len(symbols)), key=lambda i: lengths[i])
+        order = sorted(range(len(symbols)), key=lambda i: (lengths[i], symbols[i]))
         codes: dict[tuple[int, int], int] = {}
         code = 0
         cur_len = lengths[order[0]]
@@ -1012,7 +1026,8 @@ def _decode_record(c: _Cursors, ref_names: list[str],
                    sm_dec: dict[str, list[str]] | None = None,
                    rn_pres: bool = True,
                    slice_ref: int = -2,
-                   ap_prev: list[int] | None = None):
+                   ap_prev: list[int] | None = None,
+                   legacy_qs: bool = False):
     flag = c.get_int("BF")
     _cf = c.get_int("CF")
     # single-reference slices (header ref >= 0) have no RI series: every
@@ -1061,7 +1076,9 @@ def _decode_record(c: _Cursors, ref_names: list[str],
         tags.append(f"{tag}{txt[2:]}")
     mapped = not (flag & 0x4)
     seqless = bool(_cf & 0x8)  # decode sequence as '*' (spec §8.5)
-    quals_stored = bool(_cf & 0x1)  # quality scores stored as an array
+    # quality scores stored as an array: CF 0x1 per spec; legacy .0000
+    # files written by this repo always stored QS without setting the bit
+    quals_stored = bool(_cf & 0x1) or legacy_qs
     seq, cigar, mapq = "*", "*", 0
     qual_over: list[int] | None = None  # sparse B/Q/q quality features
     if mapped:
@@ -1197,10 +1214,17 @@ def _decode_record(c: _Cursors, ref_names: list[str],
                 add_cig(n, code)
                 if code in "DN":
                     ref_pos += n
-        if fn == 0 and rl and contig is None:
-            # this writer's own layout for mapped cigar-less reads:
-            # bases verbatim in BA (foreign ref-based files never store
-            # BA for mapped reads — they take the implicit path below)
+        if fn == 0 and rl and not rr:
+            # non-reference-coded layout (RR=false) for mapped cigar-less
+            # reads: bases verbatim in BA. Keyed on the FILE-level RR flag,
+            # not on whether the caller happened to pass a reference —
+            # decoding an RR=false file with reference= supplied must NOT
+            # flip these records onto the implicit-reference-match path
+            # (that would substitute reference bases for the stored ones
+            # and desync every later BA read in the slice). RR=true files
+            # never store BA for mapped reads — they take the implicit
+            # path below — and this writer's RR=true mode refuses
+            # cigar-less mapped records.
             mapq = c.get_int("MQ")
             seq = c.get_bytes("BA", rl).decode()
         else:
@@ -1294,7 +1318,8 @@ def _write_data_container(out: bytearray, sam_lines: list[str],
 
 
 def decode_container(buf, off: int, hdr, ref_names: list[str],
-                     ref_seqs: dict[str, str] | None = None):
+                     ref_seqs: dict[str, str] | None = None,
+                     legacy_qs: bool = False):
     """Decode one data container at ``off`` → list of SAM lines.
 
     Multi-slice containers are supported: streams (external blocks,
@@ -1348,7 +1373,8 @@ def decode_container(buf, off: int, hdr, ref_names: list[str],
             _decode_record(c, ref_names, tag_lines, rr=rr, ref_seqs=ref_seqs,
                            sm_dec=sm_dec, rn_pres=rn_pres,
                            slice_ref=sl["ref"],
-                           ap_prev=prev_ap if ap_delta else None)
+                           ap_prev=prev_ap if ap_delta else None,
+                           legacy_qs=legacy_qs)
             for _ in range(sl["n"])
         ]
         # synthesized mate names must be unique across slices AND
@@ -1485,6 +1511,11 @@ def _read_crai(path: str) -> list[tuple[int, int, int, int, int]] | None:
     crai = path + ".crai"
     if not os.path.exists(crai):
         return None
+    # sidecars written alongside legacy .0000 files stored 0-BASED starts
+    # (the spec and .0001 sidecars are 1-based) — reinterpreting them
+    # in place would shift every container window left one base and let
+    # an indexed query wrongly prune a container's last covered position
+    base = 0 if _read_file_id(path) == _LEGACY_FILE_ID else 1
     entries = []
     with gzip.open(crai, "rt") as f:
         for ln in f:
@@ -1493,7 +1524,7 @@ def _read_crai(path: str) -> list[tuple[int, int, int, int, int]] | None:
                 # on-disk start is 1-based (CRAI spec); keep 0-based here
                 entries.append(
                     (int(parts[3]), int(parts[5]), int(parts[0]),
-                     max(0, int(parts[1]) - 1), int(parts[2]))
+                     max(0, int(parts[1]) - base), int(parts[2]))
                 )
             elif len(parts) >= 4:  # older minimal sidecars
                 entries.append((int(parts[3]), 0, -2, 0, 0))
@@ -1710,6 +1741,7 @@ def _decode_container_range(path: str, offsets: list[int], ref_names: list[str],
     """Executor task: decode a list of container offsets → SAM lines.
     Reads only the assigned containers' bytes (seek + bounded read)."""
     size = os.path.getsize(path)
+    legacy_qs = _read_file_id(path) == _LEGACY_FILE_ID
     with open(path, "rb") as f:
         for off in offsets:
             f.seek(off)
@@ -1717,7 +1749,8 @@ def _decode_container_range(path: str, offsets: list[int], ref_names: list[str],
             hdr = _read_container_header(probe, 0)
             f.seek(off)
             buf = f.read(hdr["header_size"] + hdr["length"])
-            yield from decode_container(buf, 0, hdr, ref_names, ref_seqs)
+            yield from decode_container(buf, 0, hdr, ref_names, ref_seqs,
+                                        legacy_qs=legacy_qs)
 
 
 def load_cram(spark: SparkSession, path: str, reference=None) -> GenomicFrame:

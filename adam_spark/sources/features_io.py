@@ -53,20 +53,20 @@ def load_bed(spark: SparkSession, path: str) -> GenomicFrame:
     )
     t = F.split(F.col("value"), "\t")
     df = lines.select(
-        F.element_at(t, 1).alias("referenceName"),
-        F.element_at(t, 2).cast("long").alias("start"),
-        F.element_at(t, 3).cast("long").alias("end"),
-        F.element_at(t, 4).alias("name"),
-        F.when(F.element_at(t, 5) == ".", None)
-        .otherwise(F.element_at(t, 5))
-        .cast("double")
+        F.try_element_at(t, F.lit(1)).alias("referenceName"),
+        F.try_element_at(t, F.lit(2)).try_cast("long").alias("start"),
+        F.try_element_at(t, F.lit(3)).try_cast("long").alias("end"),
+        F.try_element_at(t, F.lit(4)).alias("name"),
+        F.when(F.try_element_at(t, F.lit(5)) == ".", None)
+        .otherwise(F.try_element_at(t, F.lit(5)))
+        .try_cast("double")
         .alias("score"),
-        _strand(F.element_at(t, 6)).alias("strand"),
+        _strand(F.try_element_at(t, F.lit(6))).alias("strand"),
         F.when(
             F.size(t) >= 9,
             F.map_from_arrays(
                 F.array(F.lit("thickStart"), F.lit("thickEnd"), F.lit("itemRgb")),
-                F.array(F.element_at(t, 7), F.element_at(t, 8), F.element_at(t, 9)),
+                F.array(F.try_element_at(t, F.lit(7)), F.try_element_at(t, F.lit(8)), F.try_element_at(t, F.lit(9))),
             ),
         ).alias("attributes"),
     )
@@ -94,16 +94,16 @@ def load_narrowpeak(spark: SparkSession, path: str) -> GenomicFrame:
     lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
     t = F.split(F.col("value"), "\t")
     df = lines.select(
-        F.element_at(t, 1).alias("referenceName"),
-        F.element_at(t, 2).cast("long").alias("start"),
-        F.element_at(t, 3).cast("long").alias("end"),
-        F.element_at(t, 4).alias("name"),
-        F.element_at(t, 5).cast("double").alias("score"),
-        _strand(F.element_at(t, 6)).alias("strand"),
+        F.try_element_at(t, F.lit(1)).alias("referenceName"),
+        F.try_element_at(t, F.lit(2)).try_cast("long").alias("start"),
+        F.try_element_at(t, F.lit(3)).try_cast("long").alias("end"),
+        F.try_element_at(t, F.lit(4)).alias("name"),
+        F.try_element_at(t, F.lit(5)).try_cast("double").alias("score"),
+        _strand(F.try_element_at(t, F.lit(6))).alias("strand"),
         F.map_from_arrays(
             F.array(F.lit("signalValue"), F.lit("pValue"), F.lit("qValue"), F.lit("peak")),
             F.array(
-                F.element_at(t, 7), F.element_at(t, 8), F.element_at(t, 9), F.element_at(t, 10)
+                F.try_element_at(t, F.lit(7)), F.try_element_at(t, F.lit(8)), F.try_element_at(t, F.lit(9)), F.try_element_at(t, F.lit(10))
             ),
         ).alias("attributes"),
     )
@@ -119,7 +119,7 @@ def save_narrowpeak(gf: GenomicFrame, path: str, single_file: bool = False) -> N
             F.col("start").cast("string"),
             F.col("end").cast("string"),
             F.coalesce(F.col("name"), F.lit(".")),
-            F.coalesce(F.col("score").cast("long").cast("string"), F.lit("0")),
+            F.coalesce(F.col("score").try_cast("long").cast("string"), F.lit("0")),
             _strand_out(F.col("strand")),
             F.coalesce(a.getItem("signalValue"), F.lit("0")),
             F.coalesce(a.getItem("pValue"), F.lit("-1")),
@@ -154,25 +154,25 @@ def load_gtf(spark: SparkSession, path: str) -> GenomicFrame:
     """GTF2 with `key "value";` attributes (reference: GTFParser);
     1-based closed → 0-based half-open."""
     lines, t = _gxf_base(spark, path)
-    attrs = F.element_at(t, 9)
+    attrs = F.try_element_at(t, F.lit(9))
     # gene_id "g1"; transcript_id "t1"; → map
     pairs = F.expr(
         r"""map_from_entries(
           transform(
-            filter(split(element_at(split(value, '\t'), 9), ';'), x -> length(trim(x)) > 0),
+            filter(split(try_element_at(split(value, '\t'), 9), ';'), x -> length(trim(x)) > 0),
             x -> struct(
               trim(regexp_extract(x, '^\\s*(\\S+)\\s+', 1)) as k,
               regexp_extract(x, '"([^"]*)"', 1) as v)))"""
     )
     df = lines.select(
-        F.element_at(t, 1).alias("referenceName"),
-        _dotnull(F.element_at(t, 2)).alias("source"),
-        _dotnull(F.element_at(t, 3)).alias("featureType"),
-        (F.element_at(t, 4).cast("long") - 1).alias("start"),
-        F.element_at(t, 5).cast("long").alias("end"),
-        _dotnull(F.element_at(t, 6)).cast("double").alias("score"),
-        _strand(F.element_at(t, 7)).alias("strand"),
-        _dotnull(F.element_at(t, 8)).cast("int").alias("frame"),
+        F.try_element_at(t, F.lit(1)).alias("referenceName"),
+        _dotnull(F.try_element_at(t, F.lit(2))).alias("source"),
+        _dotnull(F.try_element_at(t, F.lit(3))).alias("featureType"),
+        (F.try_element_at(t, F.lit(4)).try_cast("long") - 1).alias("start"),
+        F.try_element_at(t, F.lit(5)).try_cast("long").alias("end"),
+        _dotnull(F.try_element_at(t, F.lit(6))).try_cast("double").alias("score"),
+        _strand(F.try_element_at(t, F.lit(7))).alias("strand"),
+        _dotnull(F.try_element_at(t, F.lit(8))).try_cast("int").alias("frame"),
         pairs.alias("attributes"),
     )
     df = (
@@ -212,24 +212,24 @@ def save_gtf(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
 def load_gff3(spark: SparkSession, path: str) -> GenomicFrame:
     """GFF3 with `key=value;` attributes (reference: GFF3Parser)."""
     lines, t = _gxf_base(spark, path)
-    attrs_col = F.element_at(t, 9)
+    attrs_col = F.try_element_at(t, F.lit(9))
     amap = F.expr(
         r"""map_from_entries(
           transform(
-            filter(split(element_at(split(value, '\t'), 9), ';'), x -> instr(x, '=') > 0),
+            filter(split(try_element_at(split(value, '\t'), 9), ';'), x -> instr(x, '=') > 0),
             x -> struct(
-              trim(element_at(split(x, '='), 1)) as k,
-              trim(element_at(split(x, '='), 2)) as v)))"""
+              trim(try_element_at(split(x, '='), 1)) as k,
+              trim(try_element_at(split(x, '='), 2)) as v)))"""
     )
     df = lines.select(
-        F.element_at(t, 1).alias("referenceName"),
-        _dotnull(F.element_at(t, 2)).alias("source"),
-        _dotnull(F.element_at(t, 3)).alias("featureType"),
-        (F.element_at(t, 4).cast("long") - 1).alias("start"),
-        F.element_at(t, 5).cast("long").alias("end"),
-        _dotnull(F.element_at(t, 6)).cast("double").alias("score"),
-        _strand(F.element_at(t, 7)).alias("strand"),
-        _dotnull(F.element_at(t, 8)).cast("int").alias("phase"),
+        F.try_element_at(t, F.lit(1)).alias("referenceName"),
+        _dotnull(F.try_element_at(t, F.lit(2))).alias("source"),
+        _dotnull(F.try_element_at(t, F.lit(3))).alias("featureType"),
+        (F.try_element_at(t, F.lit(4)).try_cast("long") - 1).alias("start"),
+        F.try_element_at(t, F.lit(5)).try_cast("long").alias("end"),
+        _dotnull(F.try_element_at(t, F.lit(6))).try_cast("double").alias("score"),
+        _strand(F.try_element_at(t, F.lit(7))).alias("strand"),
+        _dotnull(F.try_element_at(t, F.lit(8))).try_cast("int").alias("phase"),
         amap.alias("attributes"),
     )
     df = (
@@ -281,11 +281,11 @@ def load_interval_list(spark: SparkSession, path: str) -> GenomicFrame:
     lines = raw.where(~F.col("value").startswith("@") & (F.length(F.trim("value")) > 0))
     t = F.split(F.col("value"), "\t")
     df = lines.select(
-        F.element_at(t, 1).alias("referenceName"),
-        (F.element_at(t, 2).cast("long") - 1).alias("start"),
-        F.element_at(t, 3).cast("long").alias("end"),
-        _strand(F.element_at(t, 4)).alias("strand"),
-        F.element_at(t, 5).alias("name"),
+        F.try_element_at(t, F.lit(1)).alias("referenceName"),
+        (F.try_element_at(t, F.lit(2)).try_cast("long") - 1).alias("start"),
+        F.try_element_at(t, F.lit(3)).try_cast("long").alias("end"),
+        _strand(F.try_element_at(t, F.lit(4))).alias("strand"),
+        F.try_element_at(t, F.lit(5)).alias("name"),
     )
     # header → sequence dictionary (driver-side; header is small)
     from adam_spark.core.metadata import Reference, SequenceDictionary

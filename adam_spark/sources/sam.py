@@ -34,7 +34,7 @@ def _ref_len(col_name: str):
         F.expr(
             f"transform(regexp_extract_all({col_name}, '(\\\\d+)[MDN=X]', 1), x -> cast(x as long))"
         ),
-        F.lit(0).cast("long"),
+        F.lit(0).try_cast("long"),
         lambda a, v: a + v,
     )
 
@@ -55,17 +55,17 @@ def sam_lines_to_alignments(raw: DataFrame) -> DataFrame:
 
     mapped = F.col("flag").bitwiseAND(F.lit(0x4)) == 0
     parsed = body.select(
-        F.element_at(t, 1).alias("readName"),
-        F.element_at(t, 2).cast("int").alias("flag"),
-        F.when(F.element_at(t, 3) == "*", None).otherwise(F.element_at(t, 3)).alias("rname"),
-        F.element_at(t, 4).cast("long").alias("pos1"),
-        F.element_at(t, 5).cast("int").alias("mapq"),
-        F.when(F.element_at(t, 6) == "*", None).otherwise(F.element_at(t, 6)).alias("cigar"),
-        F.element_at(t, 7).alias("rnext"),
-        F.element_at(t, 8).cast("long").alias("pnext1"),
-        F.element_at(t, 9).cast("long").alias("tlen"),
-        F.when(F.element_at(t, 10) == "*", None).otherwise(F.element_at(t, 10)).alias("sequence"),
-        F.when(F.element_at(t, 11) == "*", None).otherwise(F.element_at(t, 11)).alias(
+        F.try_element_at(t, F.lit(1)).alias("readName"),
+        F.try_element_at(t, F.lit(2)).try_cast("int").alias("flag"),
+        F.when(F.try_element_at(t, F.lit(3)) == "*", None).otherwise(F.try_element_at(t, F.lit(3))).alias("rname"),
+        F.try_element_at(t, F.lit(4)).try_cast("long").alias("pos1"),
+        F.try_element_at(t, F.lit(5)).try_cast("int").alias("mapq"),
+        F.when(F.try_element_at(t, F.lit(6)) == "*", None).otherwise(F.try_element_at(t, F.lit(6))).alias("cigar"),
+        F.try_element_at(t, F.lit(7)).alias("rnext"),
+        F.try_element_at(t, F.lit(8)).try_cast("long").alias("pnext1"),
+        F.try_element_at(t, F.lit(9)).try_cast("long").alias("tlen"),
+        F.when(F.try_element_at(t, F.lit(10)) == "*", None).otherwise(F.try_element_at(t, F.lit(10))).alias("sequence"),
+        F.when(F.try_element_at(t, F.lit(11)) == "*", None).otherwise(F.try_element_at(t, F.lit(11))).alias(
             "qualityScores"
         ),
         F.when(

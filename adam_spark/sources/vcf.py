@@ -69,7 +69,7 @@ def _info_map(info: Column) -> Column:
 def _per_alt(imap: Column, key: str, ai: Column) -> Column:
     """Element ``ai`` (0-based alt index) of a comma-separated Number=A
     INFO value."""
-    return F.element_at(F.split(imap.getItem(key), ","), (ai + 1).cast("int"))
+    return F.try_element_at(F.split(imap.getItem(key), ","), (ai + 1).try_cast("int"))
 
 
 def _nonempty(c: Column) -> Column:
@@ -82,8 +82,10 @@ def _frac_pos(elem: Column, part: int) -> Column:
     (TranscriptEffectConverter.parseFraction:104-115)."""
     tokens = F.split(elem, "/")
     if part == 0:
-        return _nonempty(F.element_at(F.split(F.element_at(tokens, 1), "-"), 1)).cast("int")
-    return F.when(F.size(tokens) >= 2, _nonempty(F.element_at(tokens, 2)).cast("int"))
+        return _nonempty(
+            F.try_element_at(F.split(F.try_element_at(tokens, F.lit(1)), "-"), F.lit(1))
+        ).try_cast("int")
+    return F.when(F.size(tokens) >= 2, _nonempty(F.try_element_at(tokens, F.lit(2))).try_cast("int"))
 
 
 def _transcript_effects(imap: Column, alt: Column) -> Column:
@@ -96,7 +98,7 @@ def _transcript_effects(imap: Column, alt: Column) -> Column:
         f = F.split(entry, r"\|", -1)
 
         def g(i: int) -> Column:  # 0-based field accessor, '' → null
-            return _nonempty(F.element_at(f, i + 1))
+            return _nonempty(F.try_element_at(f, F.lit(i + 1)))
 
         amp = lambda c: F.when(
             c.isNotNull(), F.filter(F.split(c, "&"), lambda x: x != F.lit(""))
@@ -109,17 +111,17 @@ def _transcript_effects(imap: Column, alt: Column) -> Column:
             g(5).alias("featureType"),
             g(6).alias("featureId"),
             g(7).alias("biotype"),
-            _frac_pos(F.element_at(f, 9), 0).alias("rank"),
-            _frac_pos(F.element_at(f, 9), 1).alias("total"),
+            _frac_pos(F.try_element_at(f, F.lit(9)), 0).alias("rank"),
+            _frac_pos(F.try_element_at(f, F.lit(9)), 1).alias("total"),
             g(9).alias("transcriptHgvs"),
             g(10).alias("proteinHgvs"),
-            _frac_pos(F.element_at(f, 12), 0).alias("cdnaPosition"),
-            _frac_pos(F.element_at(f, 12), 1).alias("cdnaLength"),
-            _frac_pos(F.element_at(f, 13), 0).alias("cdsPosition"),
-            _frac_pos(F.element_at(f, 13), 1).alias("cdsLength"),
-            _frac_pos(F.element_at(f, 14), 0).alias("proteinPosition"),
-            _frac_pos(F.element_at(f, 14), 1).alias("proteinLength"),
-            g(14).cast("int").alias("distance"),
+            _frac_pos(F.try_element_at(f, F.lit(12)), 0).alias("cdnaPosition"),
+            _frac_pos(F.try_element_at(f, F.lit(12)), 1).alias("cdnaLength"),
+            _frac_pos(F.try_element_at(f, F.lit(13)), 0).alias("cdsPosition"),
+            _frac_pos(F.try_element_at(f, F.lit(13)), 1).alias("cdsLength"),
+            _frac_pos(F.try_element_at(f, F.lit(14)), 0).alias("proteinPosition"),
+            _frac_pos(F.try_element_at(f, F.lit(14)), 1).alias("proteinLength"),
+            g(14).try_cast("int").alias("distance"),
             amp(g(15)).alias("messages"),
         )
 
@@ -136,14 +138,14 @@ def _variant_struct(ai: Column, n_alts: Column) -> Column:
     imap = F.col("__imap")
     ann = F.struct(
         imap.getItem("AA").alias("ancestralAllele"),
-        _per_alt(imap, "AC", ai).cast("int").alias("alleleCount"),
-        imap.getItem("DP").cast("int").alias("readDepth"),
+        _per_alt(imap, "AC", ai).try_cast("int").alias("alleleCount"),
+        imap.getItem("DP").try_cast("int").alias("readDepth"),
         _tnull("int").alias("forwardReadDepth"),
         _tnull("int").alias("reverseReadDepth"),
         _tnull("int").alias("referenceReadDepth"),
         _tnull("int").alias("referenceForwardReadDepth"),
         _tnull("int").alias("referenceReverseReadDepth"),
-        _per_alt(imap, "AF", ai).cast("double").alias("alleleFrequency"),
+        _per_alt(imap, "AF", ai).try_cast("double").alias("alleleFrequency"),
         _per_alt(imap, "CIGAR", ai).alias("cigar"),
         imap.getItem("DB").isNotNull().alias("dbSnp"),
         imap.getItem("H2").isNotNull().alias("hapMap2"),
@@ -192,20 +194,20 @@ def _genotype_struct(
             allele_idx,
             lambda a: F.when((a == ".") | (a == ""), "NO_CALL")
             .when(a == "0", "REF")
-            .when(a.cast("int") == (ai + 1).cast("int"), "ALT")
+            .when(a.try_cast("int") == (ai + 1).try_cast("int"), "ALT")
             .otherwise("OTHER_ALT"),
         ),
     )
     ad = F.split(m.getItem("AD"), ",")
     gl = F.when(
         m.getItem("GL").isNotNull(),
-        F.transform(F.split(m.getItem("GL"), ","), lambda x: _dot_null(x).cast("double")),
+        F.transform(F.split(m.getItem("GL"), ","), lambda x: _dot_null(x).try_cast("double")),
     ).otherwise(
         F.when(
             m.getItem("PL").isNotNull(),
             F.transform(
                 F.split(m.getItem("PL"), ","),
-                lambda x: -_dot_null(x).cast("double") / 10.0,
+                lambda x: -_dot_null(x).try_cast("double") / 10.0,
             ),
         )
     )
@@ -240,21 +242,21 @@ def _genotype_struct(
         _tnull("string").alias("processingDescription"),
         alleles.alias("alleles"),
         _tnull("double").alias("expectedAlleleDosage"),
-        F.element_at(ad, 1).cast("int").alias("referenceReadDepth"),
-        F.element_at(ad, (ai + 2).cast("int")).cast("int").alias("alternateReadDepth"),
-        _dot_null(m.getItem("DP")).cast("int").alias("readDepth"),
-        _dot_null(m.getItem("MIN_DP")).cast("int").alias("minReadDepth"),
-        _dot_null(m.getItem("GQ")).cast("int").alias("genotypeQuality"),
+        F.try_element_at(ad, F.lit(1)).try_cast("int").alias("referenceReadDepth"),
+        F.try_element_at(ad, (ai + 2).try_cast("int")).try_cast("int").alias("alternateReadDepth"),
+        _dot_null(m.getItem("DP")).try_cast("int").alias("readDepth"),
+        _dot_null(m.getItem("MIN_DP")).try_cast("int").alias("minReadDepth"),
+        _dot_null(m.getItem("GQ")).try_cast("int").alias("genotypeQuality"),
         gl.alias("genotypeLikelihoods"),
         _tnull("array<double>").alias("nonReferenceLikelihoods"),
         F.when(
             m.getItem("SB").isNotNull(),
-            F.transform(F.split(m.getItem("SB"), ","), lambda x: x.cast("int")),
+            F.transform(F.split(m.getItem("SB"), ","), lambda x: x.try_cast("int")),
         ).alias("strandBiasComponents"),
         F.col("__split").alias("splitFromMultiAllelic"),
         F.when(gt.isNotNull(), F.instr(gt, "|") > 0).alias("phased"),
-        _dot_null(m.getItem("PS")).cast("int").alias("phaseSetId"),
-        _dot_null(m.getItem("PQ")).cast("int").alias("phaseQuality"),
+        _dot_null(m.getItem("PS")).try_cast("int").alias("phaseSetId"),
+        _dot_null(m.getItem("PQ")).try_cast("int").alias("phaseQuality"),
     )
 
 
@@ -307,20 +309,20 @@ def vcf_lines_to_contexts(
     variant-context frame (shared by the plain and tabix-indexed
     loaders)."""
     t = F.split(F.col("value"), "\t")
-    filt = F.element_at(t, 7)
+    filt = F.try_element_at(t, F.lit(7))
     base = body.select(
-        F.element_at(t, 1).alias("referenceName"),
-        (F.element_at(t, 2).cast("long") - 1).alias("start"),
-        (F.element_at(t, 2).cast("long") - 1 + F.length(F.element_at(t, 4))).alias("end"),
-        F.when(F.element_at(t, 3) != ".", F.split(F.element_at(t, 3), ";")).alias("names"),
-        F.element_at(t, 4).alias("referenceAllele"),
-        F.split(F.element_at(t, 5), ",").alias("__alts"),
-        _dot_null(F.element_at(t, 6)).cast("double").alias("quality"),
+        F.try_element_at(t, F.lit(1)).alias("referenceName"),
+        (F.try_element_at(t, F.lit(2)).try_cast("long") - 1).alias("start"),
+        (F.try_element_at(t, F.lit(2)).try_cast("long") - 1 + F.length(F.try_element_at(t, F.lit(4)))).alias("end"),
+        F.when(F.try_element_at(t, F.lit(3)) != ".", F.split(F.try_element_at(t, F.lit(3)), ";")).alias("names"),
+        F.try_element_at(t, F.lit(4)).alias("referenceAllele"),
+        F.split(F.try_element_at(t, F.lit(5)), ",").alias("__alts"),
+        _dot_null(F.try_element_at(t, F.lit(6))).try_cast("double").alias("quality"),
         (filt != ".").alias("filtersApplied"),
         (filt == "PASS").alias("filtersPassed"),
         F.when(~filt.isin(".", "PASS"), F.split(filt, ";")).alias("filtersFailed"),
-        _info_map(F.element_at(t, 8)).alias("__imap"),
-        F.coalesce(F.element_at(t, 9), F.lit("")).alias("format"),
+        _info_map(F.try_element_at(t, F.lit(8))).alias("__imap"),
+        F.coalesce(F.try_element_at(t, F.lit(9)), F.lit("")).alias("format"),
         F.slice(t, 10, max(len(sample_names), 1)).alias("__samples"),
     )
     # one row per alt allele (multiallelic split; '.' ALT → single null row)
@@ -468,8 +470,9 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     info = F.when(F.length(info_parts) > 0, info_parts).otherwise(".")
 
     def cell(name: str) -> Column:
-        g = F.element_at(
-            F.filter(F.col("genotypes"), lambda x: x["sampleId"] == F.lit(name)), 1
+        g = F.try_element_at(
+            F.filter(F.col("genotypes"), lambda x: x["sampleId"] == F.lit(name)),
+            F.lit(1),
         )
         sep = F.when(F.coalesce(g["phased"], F.lit(False)), F.lit("|")).otherwise(F.lit("/"))
         idx = F.array_join(
@@ -536,7 +539,7 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     hdr_df = df.sparkSession.createDataFrame(
         [(0, "", float(i), h) for i, h in enumerate(header)],
         "__o int, __k1 string, __k2 double, value string",
-    ).select("__o", "__k1", F.col("__k2").cast("long").alias("__k2"), "value")
+    ).select("__o", "__k1", F.col("__k2").try_cast("long").alias("__k2"), "value")
     out = hdr_df.unionByName(body)
     if single_file:
         out = out.coalesce(1).sortWithinPartitions("__o", "__k1", "__k2")
@@ -651,9 +654,9 @@ def load_indexed_vcf(
     body = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
     # exact overlap predicate on (CHROM, POS-1, POS-1+len(REF))
     t = F.split(F.col("value"), "\t")
-    ref_c = F.element_at(t, 1)
-    beg_c = F.element_at(t, 2).cast("long") - 1
-    end_c = beg_c + F.length(F.element_at(t, 4))
+    ref_c = F.try_element_at(t, F.lit(1))
+    beg_c = F.try_element_at(t, F.lit(2)).try_cast("long") - 1
+    end_c = beg_c + F.length(F.try_element_at(t, F.lit(4)))
     pred = F.lit(False)
     for rname, beg, end in regions:
         pred = pred | (

@@ -308,6 +308,30 @@ def test_duplicate_clusters(docs, spark):
     assert with_singles[99] == 99 and with_singles[3] == 1
 
 
+def test_duplicate_clusters_bounded_storage(spark):
+    """Iteration checkpoints are RELEASED: a long chain graph (diameter
+    forces many label-propagation rounds) must finish with O(1)
+    persistent RDDs, not one pinned localCheckpoint per round."""
+    from adam_spark.llm.dedup import duplicate_clusters
+
+    sc = spark.sparkContext
+    # a 30-node path: labels hop one edge per round, so convergence takes
+    # ~30 rounds — plenty of checkpoints to leak if the release is gone
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
+    out = duplicate_clusters(chain, max_iters=40)
+    rows = out.collect()
+    after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
+    # allowed to keep: the final round's checkpoint (what `out` reads).
+    # Anything close to the ~30-round count means the release is gone.
+    leaked = len(after - before)
+    assert leaked <= 3, f"{leaked} persistent RDDs left behind"
+    # and the released checkpoints must not have corrupted the result
+    assert all(r["cluster_id"] == 0 for r in rows) and len(rows) == 31
+
+
 def test_probe_media_real_headers(spark):
     """Header-level probing is REAL (no codec libs): PNG/GIF/BMP/JPEG
     dims and WAV sample-rate/duration parse from hand-built binaries."""

@@ -274,6 +274,47 @@ def test_outer_group_stable_under_shuffled_inputs(spark):
     assert got_rows == dict(want)
 
 
+def test_deterministic_key_skips_pin_and_matches_naive(spark):
+    """Declaring a natural unique key must (a) skip the localCheckpoint
+    pin on shuffle-rooted inputs — at scale that pin is a full
+    materialization of the side — and (b) produce exactly the
+    pin-path / naive-oracle results for outer AND group variants."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    _intervals(spark, 50, seed=5, with_nulls=False).write.parquet(f"{tmp}/l")
+    _intervals(spark, 70, seed=6, with_nulls=False).write.parquet(f"{tmp}/r")
+    # parquet-rooted so the ONLY possible LogicalRDD in a plan is a
+    # localCheckpoint pin; .repartition makes the lineage shuffle-rooted,
+    # which is exactly the case the pin exists for
+    left = spark.read.parquet(f"{tmp}/l").repartition(16)
+    right = spark.read.parquet(f"{tmp}/r").repartition(16)
+    want_inner = naive_region_join(
+        spark.read.parquet(f"{tmp}/l"), spark.read.parquet(f"{tmp}/r")
+    )
+
+    keyed = region_join(
+        left, right, how="full_outer", bin_size=BIN, left_key="id", right_key="id"
+    )
+    pinned = region_join(left, right, how="full_outer", bin_size=BIN)
+    keyed_plan = keyed._jdf.queryExecution().optimizedPlan().toString()
+    pinned_plan = pinned._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in pinned_plan  # the pin is real on shuffle-rooted input
+    assert "LogicalRDD" not in keyed_plan  # and the key skips it
+    assert _collect(keyed) == _collect(pinned)
+
+    # group variant: per-left hit sets equal the naive oracle
+    got_g = region_join(left, right, group="left", bin_size=BIN, left_key="id")
+    assert "LogicalRDD" not in got_g._jdf.queryExecution().optimizedPlan().toString()
+    got_rows = {r["id"]: {h["id"] for h in r["hits"]} for r in got_g.collect()}
+    from collections import defaultdict
+
+    want = defaultdict(set)
+    for r in want_inner.collect():
+        want[r["id"]].add(r["id_r"])
+    assert got_rows == dict(want)
+
+
 def test_unsupported_group_right_outer_combos_raise(spark):
     import pytest as _pytest
 

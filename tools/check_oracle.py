@@ -38,6 +38,9 @@ def main():
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
+    # the driver runs a stock Spark 4 session: ANSI mode ON. Mimic it so
+    # a cast that would crash there crashes here first.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
@@ -58,6 +61,20 @@ def main():
             cur = con.execute(os_[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
+            spdf = sdf.toPandas()
+            dpdf = con.execute(os_[name]).df()
+            # pandas-dtype parity: the driver hashes pandas values, and an
+            # int64-vs-float64 (or int32-vs-int64) asymmetry flips the hash
+            # even when every value compares equal (bqsr_observation_table
+            # was hash-red for 4 rounds on exactly this).
+            sdt = {c: str(spdf[c].dtype) for c in spdf.columns}
+            ddt = {c: str(dpdf[c].dtype) for c in dpdf.columns}
+            if sdt != ddt:
+                diff = {c: (sdt.get(c), ddt.get(c)) for c in set(sdt) | set(ddt)
+                        if sdt.get(c) != ddt.get(c)}
+                failures.append(name)
+                print(f"FAIL {name}: pandas dtype mismatch {diff}")
+                continue
             a, acols = normalize(srows, scols)
             b, bcols = normalize(drows, dcols)
             if acols != bcols:
