@@ -23,16 +23,64 @@ def _spark(args):
     return get_spark(f"adam_spark {args.command}")
 
 
+def _parse_regions(spec: str) -> list[tuple[str, int, int]]:
+    """'chr1:0-1000,chr2:50-100' → [(name, start, end), ...]
+    (reference -region_predicate syntax, TransformAlignments.scala:68)."""
+    regions = []
+    for part in spec.split(","):
+        name, span = part.rsplit(":", 1)
+        beg, end = span.split("-", 1)
+        regions.append((name, int(beg), int(end)))
+    return regions
+
+
+_STRINGENCIES = ("SILENT", "LENIENT", "STRICT")
+
+
 def _cmd_transform_alignments(args) -> int:
     from adam_spark import context as ctx
+    from adam_spark.core.genomic_frame import GenomicFrame
     from adam_spark.operators import filters as flt
     from adam_spark.operators.mark_duplicates import mark_duplicates
     from adam_spark.operators import sorts
     from adam_spark.operators.quality import bin_quality_scores, left_normalize_indels
 
+    if args.stringency not in _STRINGENCIES:
+        print(f"-stringency must be one of {_STRINGENCIES}", file=sys.stderr)
+        return 2
+    if args.region_predicate and args.aligned_read_predicate:
+        print("-region_predicate and -aligned_read_predicate are exclusive",
+              file=sys.stderr)
+        return 2
+
     spark = _spark(args)
     gf = ctx.load_alignments(spark, args.input)
+    if args.concat:
+        other = ctx.load_alignments(spark, args.concat)
+        gf = GenomicFrame(gf.df.unionByName(other.df, allowMissingColumns=True),
+                          gf.meta)
+    # load-side predicates/projection (pushed into the parquet scan by
+    # Catalyst when the source is parquet — filter + select reach the
+    # reader as PushedFilters/ReadSchema; TransformAlignments.scala:62-69)
+    if args.region_predicate:
+        gf = gf.filter_by_overlapping_regions(_parse_regions(args.region_predicate))
     df = gf.df
+    if args.aligned_read_predicate:
+        df = df.where(F.col("readMapped").eqNullSafe(F.lit(True)))
+    if args.limit_projection:
+        keep = [
+            "readName", "referenceName", "start", "end", "cigar", "sequence",
+            "qualityScores", "mappingQuality", "readMapped", "readPaired",
+            "properPair", "readNegativeStrand", "readInFragment", "readGroupId",
+            "duplicateRead", "primaryAlignment", "secondaryAlignment",
+            "supplementaryAlignment", "mateReferenceName", "mateAlignmentStart",
+            "mateMapped", "mateNegativeStrand", "insertSize",
+            "mismatchingPositions", "failedVendorQualityChecks",
+            "originalQualityScores",
+        ]
+        df = df.select([c for c in keep if c in df.columns])
+    if args.repartition:
+        df = df.repartition(args.repartition)
     if args.min_mapping_quality is not None:
         df = flt.filter_by_mapping_quality(df, args.min_mapping_quality)
     if args.filter_duplicates:
@@ -45,24 +93,59 @@ def _cmd_transform_alignments(args) -> int:
         known = None
         if args.known_snps:
             known = ctx.load_variants(spark, args.known_snps).df
-        df = recalibrate_base_qualities(df, known)
+        df = recalibrate_base_qualities(
+            df, known, min_acceptable_quality=args.min_acceptable_quality
+        )
     if args.realign_indels:
         from adam_spark.operators.realignment import realign_indels
 
         known = None
         if args.known_indels:
             known = ctx.load_variants(spark, args.known_indels).df
-        df = realign_indels(df, known_indels=known)
+        df = realign_indels(
+            df,
+            known_indels=known,
+            lod_threshold=args.log_odds_threshold,
+            max_consensus_number=args.max_consensus_number,
+            max_indel_size=args.max_indel_size,
+            max_target_size=args.max_target_size,
+            max_reads_per_target=args.max_reads_per_target,
+            unclip_reads=args.unclip_reads,
+        )
     if args.left_normalize_indels:
         df = left_normalize_indels(df)
+    if args.add_md_tags:
+        from adam_spark.operators.md_tagging import compute_mismatching_positions
+
+        ref = args.add_md_tags
+        if not ref.lower().endswith(".2bit"):
+            # FASTA: load to the SEQUENCE schema; the kernel collects
+            # contigs into its broadcast dict (2bit stays the scale path)
+            from adam_spark.sources.fasta import load_fasta_sequences
+
+            ref = load_fasta_sequences(spark, ref).df
+        df = compute_mismatching_positions(df, ref, overwrite=args.md_tag_overwrite)
     if args.bin_quality_scores:
         df = bin_quality_scores(df, args.bin_quality_scores.split(";"))
     if args.sort_by_read_name:
         df = sorts.sort_by_read_name(df)
     elif args.sort_by_reference_position:
         df = sorts.sort_by_reference_position(df)
+    elif args.sort_by_reference_position_and_index:
+        df = sorts.sort_by_reference_position_and_index(df, gf.meta.references)
+    if args.cache:
+        df = df.persist()
+    if args.coalesce:
+        # -force_shuffle_coalesce: a plain coalesce() can collapse
+        # upstream parallelism into the narrow ancestor; the shuffle
+        # variant repartitions instead (TransformAlignments.scala:134)
+        df = df.repartition(args.coalesce) if args.force_shuffle_coalesce else df.coalesce(args.coalesce)
     out = gf.__class__(df, gf.meta)
-    if args.partition_size:
+    if args.partition_by_start_pos:
+        from adam_spark.sources.parquet import save_partitioned_parquet
+
+        save_partitioned_parquet(out, args.output, partition_size=args.partition_bin_size)
+    elif args.partition_size:
         ctx.save(out, args.output, partition_size=args.partition_size)
     else:
         ctx.save(out, args.output, single_file=not args.sharded)
@@ -263,6 +346,45 @@ def build_parser() -> argparse.ArgumentParser:
     ta.add_argument("-filter_duplicates", dest="filter_duplicates", action="store_true")
     ta.add_argument("-sort_by_read_name", dest="sort_by_read_name", action="store_true")
     ta.add_argument("-sort_by_reference_position", dest="sort_by_reference_position", action="store_true")
+    ta.add_argument("-sort_by_reference_position_and_index",
+                    dest="sort_by_reference_position_and_index", action="store_true")
+    ta.add_argument("-limit_projection", dest="limit_projection", action="store_true",
+                    help="project only core alignment fields (parquet column pruning)")
+    ta.add_argument("-aligned_read_predicate", dest="aligned_read_predicate",
+                    action="store_true", help="load only aligned reads")
+    ta.add_argument("-region_predicate", dest="region_predicate", default=None,
+                    help="load only regions, e.g. 'chr1:0-1000,chr2:50-100'")
+    ta.add_argument("-concat", dest="concat", default=None,
+                    help="concatenate this input with INPUT before transforming")
+    ta.add_argument("-repartition", dest="repartition", type=int, default=None,
+                    help="repartition input to this many partitions")
+    ta.add_argument("-coalesce", dest="coalesce", type=int, default=None,
+                    help="coalesce output to this many partitions")
+    ta.add_argument("-force_shuffle_coalesce", dest="force_shuffle_coalesce",
+                    action="store_true")
+    ta.add_argument("-cache", dest="cache", action="store_true",
+                    help="persist between pipeline stages")
+    ta.add_argument("-stringency", dest="stringency", default="LENIENT",
+                    help="SILENT, LENIENT, or STRICT")
+    ta.add_argument("-min_acceptable_quality", dest="min_acceptable_quality",
+                    type=int, default=5)
+    ta.add_argument("-max_indel_size", dest="max_indel_size", type=int, default=500)
+    ta.add_argument("-max_consensus_number", dest="max_consensus_number",
+                    type=int, default=30)
+    ta.add_argument("-log_odds_threshold", dest="log_odds_threshold",
+                    type=float, default=5.0)
+    ta.add_argument("-max_target_size", dest="max_target_size", type=int, default=3000)
+    ta.add_argument("-max_reads_per_target", dest="max_reads_per_target",
+                    type=int, default=20_000)
+    ta.add_argument("-unclip_reads", dest="unclip_reads", action="store_true")
+    ta.add_argument("-add_md_tags", dest="add_md_tags", default=None,
+                    help="reference file (.2bit/FASTA) for MD tagging")
+    ta.add_argument("-md_tag_overwrite", dest="md_tag_overwrite", action="store_true")
+    ta.add_argument("-partition_by_start_pos", dest="partition_by_start_pos",
+                    action="store_true",
+                    help="save Hive-partitioned by genomic position bin")
+    ta.add_argument("-partition_bin_size", dest="partition_bin_size",
+                    type=int, default=1_000_000)
     ta.add_argument("-partition_size", dest="partition_size", type=int, default=None,
                     help="write partitioned parquet with this bin size")
     ta.add_argument("-sharded", dest="sharded", action="store_true")

@@ -488,6 +488,12 @@ FORMATTERS: dict[str, tuple] = {
     # (reference formatter inventory: SURVEY §2.9 — SAM/BAM, FASTQ,
     #  VCF, BED/GTF/GFF3/NarrowPeak, FASTA)
     "sam": (_sam_in, _sam_out, None, schemas.ALIGNMENT, _sam_header, "alignment"),
+    # binary BAM on the subprocess stdin (reference BAMInFormatter,
+    # ds/read/BAMInFormatter.scala:32) — rows format as SAM lines, then
+    # the bin runner encodes header+records to one BGZF BAM stream.
+    # Input-only: tools that READ BAM usually still WRITE text (view,
+    # flagstat, callers) — read results back with out_format="sam"
+    "bam": (_sam_in, None, None, schemas.ALIGNMENT, _sam_header, "alignment"),
     "bed": (_bed_in, _bed_out, None, schemas.FEATURE, None, "feature"),
     "gff3": (_gff3_in, _gff3_out, None, schemas.FEATURE, None, "feature"),
     "gtf": (_gtf_in, _gtf_out, None, schemas.FEATURE, None, "feature"),
@@ -501,6 +507,61 @@ FORMATTERS: dict[str, tuple] = {
     "tab6": (_tab6_in, None, None, schemas.FRAGMENT, None, "fragment"),
     "ifq": (_ifq_in, None, None, schemas.FRAGMENT, None, "fragment"),
 }
+
+
+#: in-formatters whose stdin is a BINARY stream, not text lines
+BINARY_IN_FORMATS = {"bam"}
+
+
+def _bam_stdin_bytes(
+    header_lines: list[str],
+    body_lines: list[str],
+    bam_refs: list[tuple[str, int]],
+    ref_index: dict[str, int],
+) -> bytes:
+    """SAM text (header + records) → one complete BAM byte stream
+    (BGZF-compressed, EOF-terminated) for a subprocess stdin. Reuses the
+    save_bam record encoder so piped bytes and written files agree."""
+    import struct
+
+    from adam_spark.sources.bam import (
+        _BGZF_EOF,
+        bgzf_blocks_bytes,
+        sam_line_to_bam_record,
+    )
+
+    text = "\n".join(header_lines) + "\n"
+    raw = bytearray(b"BAM\x01" + struct.pack("<i", len(text)) + text.encode())
+    raw += struct.pack("<i", len(bam_refs))
+    for name, length in bam_refs:
+        nb = name.encode() + b"\x00"
+        raw += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+    for line in body_lines:
+        raw += sam_line_to_bam_record(line, ref_index)
+    blob, _ = bgzf_blocks_bytes(bytes(raw))
+    return blob + _BGZF_EOF
+
+
+def _run_subprocess_bytes(
+    cmd: list[str], data: bytes, env: dict | None, timeout: float | None
+) -> list[str]:
+    """Binary-stdin twin of ``_run_subprocess``: feeds raw bytes, reads
+    text stdout (same concurrent-drain + kill-on-timeout discipline)."""
+    proc = subprocess.Popen(
+        cmd,
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        env={**os.environ, **(env or {})},
+    )
+    try:
+        out, _ = proc.communicate(input=data, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        raise RuntimeError(f"piped command {cmd!r} timed out after {timeout}s")
+    if proc.returncode != 0:
+        raise RuntimeError(f"piped command {cmd!r} exited with {proc.returncode}")
+    return out.decode().splitlines()
 
 
 def _run_subprocess(
@@ -542,7 +603,9 @@ def pipe(
     files: list[str] | None = None,
 ) -> GenomicFrame:
     """Run ``cmd`` once per genome bin over the formatted records."""
-    out_format = out_format or in_format
+    # binary in-formatters default the OUTPUT side to text SAM (tools
+    # that read BAM emit text); everything else round-trips its own format
+    out_format = out_format or ("sam" if in_format in BINARY_IN_FORMATS else in_format)
     fmt_row, _, _, _, header_fn, _ = FORMATTERS[in_format]
     _, parse_line, parse_block, out_schema, _, out_kind = FORMATTERS[out_format]
     if parse_line is None and parse_block is None:
@@ -550,6 +613,7 @@ def pipe(
             f"format {out_format!r} is input-only (no parser); pass "
             "out_format='sam' (or another parseable format) for the results"
         )
+    binary_in = in_format in BINARY_IN_FORMATS
 
     cmd_list = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)
     # $0..$N token substitution for shipped files (GenomicDataset.scala:95-121)
@@ -576,6 +640,10 @@ def pipe(
 
     header = header_fn(gf.meta) if header_fn else []
     meta = gf.meta
+    # driver-side precompute for the binary BAM stdin path: slim tuples,
+    # not the metadata object, ship in the task closure
+    bam_refs = [(r.name, r.length or 0) for r in refs] if binary_in else None
+    bam_ref_index = {name: i for i, (name, _l) in enumerate(bam_refs or [])}
 
     if bin_size is not None:
         off_map = F.create_map(
@@ -626,8 +694,12 @@ def pipe(
         # formatters return '' for unrepresentable rows (e.g. a fragment
         # with no alignments in tab5/tab6) — a blank stdin line would
         # abort most tools mid-stream
-        lines = header + [ln for ln in (fmt_row(r) for r in rows) if ln != ""]
-        out_lines = _run_subprocess(cmd_list, lines, environment, timeout)
+        body = [ln for ln in (fmt_row(r) for r in rows) if ln != ""]
+        if binary_in:
+            data = _bam_stdin_bytes(header, body, bam_refs, bam_ref_index)
+            out_lines = _run_subprocess_bytes(cmd_list, data, environment, timeout)
+        else:
+            out_lines = _run_subprocess(cmd_list, header + body, environment, timeout)
         if parse_block is not None:
             parsed = parse_block(out_lines)
         else:

@@ -194,3 +194,101 @@ def test_transform_sequences(spark, tmp_path):
     gf = load_parquet(spark, out)
     rows = {r["name"]: r["sequence"] for r in gf.df.collect()}
     assert rows == {"s1": "ACGTACGT", "s2": "TTTTGGGG"}
+
+
+def test_transform_alignments_predicates_and_layout(spark, sam_path, tmp_path):
+    """New TransformAlignments flags drive end-to-end: region predicate,
+    aligned-read predicate, limit_projection, repartition/coalesce,
+    sort-by-index, cache (TransformAlignments.scala:62-653 surface)."""
+    from adam_spark.sources.sam import load_sam
+
+    out = str(tmp_path / "region.sam")
+    rc = main([
+        "transform_alignments", sam_path, out,
+        "-region_predicate", "chr1:90-150",
+        "-limit_projection",
+        "-repartition", "2",
+        "-sort_by_reference_position_and_index",
+        "-cache",
+        "-coalesce", "1",
+    ])
+    assert rc == 0
+    names = {(r["readName"], r["readInFragment"])
+             for r in load_sam(spark, out).df.collect()}
+    assert names == {("r1", 0), ("r2", 0)}  # only reads overlapping 90-150
+
+    out2 = str(tmp_path / "aligned.sam")
+    rc = main([
+        "transform_alignments", sam_path, out2,
+        "-aligned_read_predicate",
+        "-coalesce", "1", "-force_shuffle_coalesce",
+    ])
+    assert rc == 0
+    rows = load_sam(spark, out2).df.collect()
+    assert len(rows) == 5 and all(r["readMapped"] for r in rows)
+
+
+def test_transform_alignments_concat_and_partitioned_save(spark, sam_path, tmp_path):
+    """-concat unions a second input; -partition_by_start_pos writes the
+    Hive-partitioned positionBin layout readable by the pruned loader."""
+    import shutil
+
+    sam2 = tmp_path / "in2.sam"
+    shutil.copy(sam_path, sam2)
+    out = str(tmp_path / "part.adam")
+    rc = main([
+        "transform_alignments", sam_path, out,
+        "-concat", str(sam2),
+        "-partition_by_start_pos", "-partition_bin_size", "1000",
+    ])
+    assert rc == 0
+    from adam_spark.sources.parquet import is_partitioned, load_parquet
+
+    assert is_partitioned(out)
+    gf = load_parquet(spark, out)
+    assert gf.df.count() == 12  # 6 reads twice
+
+
+def test_transform_alignments_realign_knobs_and_stringency(spark, sam_path, tmp_path):
+    """Realignment tuning flags parse through to the kernel; a bogus
+    -stringency value is rejected."""
+    out = str(tmp_path / "realn.sam")
+    rc = main([
+        "transform_alignments", sam_path, out,
+        "-realign_indels",
+        "-max_indel_size", "100",
+        "-max_consensus_number", "10",
+        "-log_odds_threshold", "4.5",
+        "-max_target_size", "2000",
+        "-max_reads_per_target", "100",
+        "-unclip_reads",
+        "-stringency", "STRICT",
+    ])
+    assert rc == 0
+    from adam_spark.sources.sam import load_sam
+
+    assert load_sam(spark, out).df.count() == 6
+
+    assert main(["transform_alignments", sam_path, str(tmp_path / "x.sam"),
+                 "-stringency", "BOGUS"]) == 2
+    assert main(["transform_alignments", sam_path, str(tmp_path / "y.sam"),
+                 "-region_predicate", "chr1:0-10",
+                 "-aligned_read_predicate"]) == 2
+
+
+def test_transform_alignments_md_tags(spark, sam_path, tmp_path):
+    """-add_md_tags computes mismatchingPositions from a FASTA."""
+    fasta = tmp_path / "ref.fa"
+    fasta.write_text(">chr1\n" + "A" * 10000 + "\n")
+    out = str(tmp_path / "md.sam")
+    rc = main([
+        "transform_alignments", sam_path, out,
+        "-add_md_tags", str(fasta), "-md_tag_overwrite",
+    ])
+    assert rc == 0
+    from adam_spark.sources.sam import load_sam
+
+    rows = {r["readName"]: r for r in load_sam(spark, out).df.collect()
+            if r["readMapped"]}
+    # r3 = TTTTGGGGCC vs all-A reference: every base mismatches → MD '0T...'
+    assert rows["r3"]["mismatchingPositions"] is not None

@@ -258,3 +258,74 @@ def test_pipe_keeps_unmapped_reads(spark):
     gf = pipe(GenomicFrame(df, meta), "cat", in_format="sam")
     names = {r["readName"] for r in gf.df.collect()}
     assert names == {"m1", "u1"}
+
+
+#: stdlib-only BAM→SAM reader used as the piped tool: validates that the
+#: bytes the BAM in-formatter feeds a subprocess are REAL BAM (BGZF
+#: members + little-endian record layout per the SAM spec §4), parsed
+#: here with zero reuse of adam_spark's own encoder/decoder.
+_BAM_TO_SAM_TOOL = r'''
+import struct, sys, zlib
+
+data = sys.stdin.buffer.read()
+# BGZF = concatenated gzip members
+raw = bytearray()
+off = 0
+while off < len(data):
+    d = zlib.decompressobj(wbits=31)
+    raw += d.decompress(data[off:])
+    off = len(data) - len(d.unused_data)
+assert raw[:4] == b"BAM\x01", "not BAM magic"
+l_text = struct.unpack_from("<i", raw, 4)[0]
+p = 8 + l_text
+n_ref = struct.unpack_from("<i", raw, p)[0]; p += 4
+refs = []
+for _ in range(n_ref):
+    l_name = struct.unpack_from("<i", raw, p)[0]; p += 4
+    refs.append(raw[p:p + l_name - 1].decode()); p += l_name + 4
+CIG = "MIDNSHP=X"
+SEQ = "=ACMGRSVTWYHKDBN"
+while p < len(raw):
+    rec_start = p
+    block_size = struct.unpack_from("<i", raw, p)[0]; p += 4
+    (ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, next_ref, next_pos,
+     tlen) = struct.unpack_from("<iiBBHHHiiii", raw, p)
+    q = p + 32
+    name = raw[q:q + l_rn - 1].decode(); q += l_rn
+    cig = ""
+    for _ in range(n_cig):
+        v = struct.unpack_from("<I", raw, q)[0]; q += 4
+        cig += str(v >> 4) + CIG[v & 0xF]
+    seq = ""
+    for i in range(l_seq):
+        b = raw[q + i // 2]
+        seq += SEQ[(b >> 4) if i % 2 == 0 else (b & 0xF)]
+    q += (l_seq + 1) // 2
+    qual = "".join(chr(c + 33) for c in raw[q:q + l_seq])
+    rname = refs[ref_id] if ref_id >= 0 else "*"
+    rnext = "=" if (next_ref == ref_id and next_ref >= 0) else (
+        refs[next_ref] if next_ref >= 0 else "*")
+    print("\t".join([name or "*", str(flag), rname, str(pos + 1), str(mapq),
+                     cig or "*", rnext, str(next_pos + 1), str(tlen),
+                     seq or "*", qual or "*"]))
+    p = rec_start + 4 + block_size
+'''
+
+
+def test_pipe_bam_in_formatter(aligned_gf, tmp_path):
+    """in_format='bam' feeds the subprocess REAL binary BAM: a foreign
+    stdlib-only reader converts it back to SAM, and the result equals
+    the text-SAM pipe of the same records."""
+    import sys
+
+    tool = tmp_path / "bam2sam.py"
+    tool.write_text(_BAM_TO_SAM_TOOL)
+    via_bam = pipe(
+        aligned_gf, [sys.executable, str(tool)], in_format="bam",
+        out_format="sam", partitions=4,
+    )
+    via_sam = pipe(aligned_gf, "cat", in_format="sam", partitions=4)
+    key = lambda r: (r["readName"],)  # noqa: E731
+    got = sorted((tuple(r) for r in via_bam.df.collect()), key=repr)
+    want = sorted((tuple(r) for r in via_sam.df.collect()), key=repr)
+    assert got == want and len(got) == 100
