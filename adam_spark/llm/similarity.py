@@ -439,6 +439,12 @@ def embedding_near_duplicates(
     # eager (both self-join sides would race a lazy cache); the count
     # doubles as the corpus-size estimate for strategy selection
     n_vec = hashed.count() // max(bands, 1)
+    # measure the TRUE vector width for the broadcast-cap estimate — the
+    # `dim` argument only parameterizes the SRP projection; trusting it
+    # here would under-estimate the corpus matrix (and overshoot the
+    # cap) whenever a caller passes a dim smaller than the data's
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    true_dim = int(first["d"]) if first and first["d"] is not None else dim
     a = hashed.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = hashed.select(F.col("id").alias("id_b"), "band", "band_hash")
     raw = (
@@ -446,7 +452,7 @@ def embedding_near_duplicates(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    if n_vec * dim * 8 <= GEMM_VERIFY_CAP_BYTES:
+    if n_vec * true_dim * 8 <= GEMM_VERIFY_CAP_BYTES:
         return _verify_pairs_gemm(corpus, raw, threshold, id_col, vec_col)
     shuffle_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     # one exchange serves dedup + verify rebalance (partitioning on id_a

@@ -301,7 +301,9 @@ while p < len(raw):
         b = raw[q + i // 2]
         seq += SEQ[(b >> 4) if i % 2 == 0 else (b & 0xF)]
     q += (l_seq + 1) // 2
-    qual = "".join(chr(c + 33) for c in raw[q:q + l_seq])
+    qb = raw[q:q + l_seq]
+    # spec: absent quality = 0xFF fill
+    qual = "" if all(c == 0xFF for c in qb) else "".join(chr(c + 33) for c in qb)
     rname = refs[ref_id] if ref_id >= 0 else "*"
     rnext = "=" if (next_ref == ref_id and next_ref >= 0) else (
         refs[next_ref] if next_ref >= 0 else "*")

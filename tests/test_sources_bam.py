@@ -250,3 +250,48 @@ def test_load_indexed_bam(spark, sam_path, tmp_path):
 
     hits = load_indexed_bam(spark, bam, [("chr1", 0, 150)])
     assert [r["readName"] for r in hits.df.collect()] == ["r1"]
+
+
+def test_save_bam_foreign_reader(spark, sam_path, tmp_path):
+    """save_bam output parses with an INDEPENDENT stdlib-only BAM reader
+    (zlib multi-member + spec §4 record layout) — a self-round-trip
+    can't catch an encode/decode bug that is symmetric; a foreign parser
+    can (the sandbox has no samtools/htsjdk, so this is the external
+    interop pin)."""
+    import subprocess
+    import sys
+
+    from tests.test_pipe import _BAM_TO_SAM_TOOL
+
+    gf = load_sam(spark, sam_path)
+    bam = str(tmp_path / "foreign.bam")
+    save_bam(gf, bam)
+    tool = tmp_path / "bam2sam.py"
+    tool.write_text(_BAM_TO_SAM_TOOL)
+    out = subprocess.run(
+        [sys.executable, str(tool)],
+        input=open(bam, "rb").read(),
+        capture_output=True,
+        check=True,
+    )
+    lines = out.stdout.decode().splitlines()
+    want = {
+        (r["readName"], r["readInFragment"]): r
+        for r in gf.df.collect()
+    }
+    assert len(lines) == len(want) == 4
+    got = {}
+    for ln in lines:
+        f = ln.split("\t")
+        flag = int(f[1])
+        rif = 1 if flag & 0x80 else 0
+        got[(f[0], rif)] = f
+    assert set(got) == set(want)
+    for k, f in got.items():
+        w = want[k]
+        assert f[2] == (w["referenceName"] or "*")
+        if w["start"] is not None:
+            assert int(f[3]) - 1 == w["start"]
+        assert f[5] == (w["cigar"] or "*")
+        assert f[9] == (w["sequence"] or "*")
+        assert f[10] == (w["qualityScores"] or "*")

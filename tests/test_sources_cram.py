@@ -849,3 +849,25 @@ def test_crai_duplicate_offsets_and_base_convention(spark, sam_path, tmp_path):
         f.write("\n".join(lines + lines) + "\n")
     got = sorted(r["readName"] for r in cm.load_cram(spark, cram).df.collect())
     assert got == want  # no record duplication
+
+
+def test_crai_legacy_base_interpretation(tmp_path, monkeypatch):
+    """.crai starts are 1-based on disk for current files (spec) but were
+    0-based for legacy .0000 files — the reader keys the conversion on
+    the cram's file id so old sidecars aren't shifted left one base."""
+    import gzip
+
+    import adam_spark.sources.cram as cm
+
+    path = str(tmp_path / "x.cram")
+    open(path, "wb").write(b"")  # only the sidecar matters here
+    with gzip.open(path + ".crai", "wt") as f:
+        f.write("0\t101\t50\t1234\t0\t999\n")
+
+    monkeypatch.setattr(cm, "_read_file_id", lambda p: cm._FILE_ID)
+    (off, ln, seq, start, span), = cm._read_crai(path)
+    assert (off, seq, start, span) == (1234, 0, 100, 50)  # 1-based → 0-based
+
+    monkeypatch.setattr(cm, "_read_file_id", lambda p: cm._LEGACY_FILE_ID)
+    (off, ln, seq, start, span), = cm._read_crai(path)
+    assert start == 101  # legacy sidecars stored 0-based starts verbatim
