@@ -493,7 +493,15 @@ FORMATTERS: dict[str, tuple] = {
     # the bin runner encodes header+records to one BGZF BAM stream.
     # Input-only: tools that READ BAM usually still WRITE text (view,
     # flagstat, callers) — read results back with out_format="sam"
+    # (or "any_sam" if the tool might answer in BAM)
     "bam": (_sam_in, None, None, schemas.ALIGNMENT, _sam_header, "alignment"),
+    # sniffing SAM/BAM output parser (reference AnySAMOutFormatter,
+    # ds/read/AnySAMOutFormatter.scala:32): the subprocess stdout is
+    # captured as BYTES and dispatched on magic — BGZF/gzip members are
+    # inflated, a BAM\x01 stream decodes via the BAM record codec,
+    # anything else parses as text SAM. Usable on the in-side too
+    # (formats rows as SAM text, like the reference's AnySAMInFormatter)
+    "any_sam": (_sam_in, _sam_out, None, schemas.ALIGNMENT, _sam_header, "alignment"),
     "bed": (_bed_in, _bed_out, None, schemas.FEATURE, None, "feature"),
     "gff3": (_gff3_in, _gff3_out, None, schemas.FEATURE, None, "feature"),
     "gtf": (_gtf_in, _gtf_out, None, schemas.FEATURE, None, "feature"),
@@ -542,11 +550,11 @@ def _bam_stdin_bytes(
     return blob + _BGZF_EOF
 
 
-def _run_subprocess_bytes(
+def _run_subprocess_raw(
     cmd: list[str], data: bytes, env: dict | None, timeout: float | None
-) -> list[str]:
-    """Binary-stdin twin of ``_run_subprocess``: feeds raw bytes, reads
-    text stdout (same concurrent-drain + kill-on-timeout discipline)."""
+) -> bytes:
+    """Binary twin of ``_run_subprocess``: feeds raw bytes, returns raw
+    stdout (same concurrent-drain + kill-on-timeout discipline)."""
     proc = subprocess.Popen(
         cmd,
         stdin=subprocess.PIPE,
@@ -561,6 +569,31 @@ def _run_subprocess_bytes(
         raise RuntimeError(f"piped command {cmd!r} timed out after {timeout}s")
     if proc.returncode != 0:
         raise RuntimeError(f"piped command {cmd!r} exited with {proc.returncode}")
+    return out
+
+
+def _sniff_sam_lines(out: bytes) -> list[str]:
+    """AnySAMOutFormatter dispatch (AnySAMOutFormatter.scala:32): BGZF/
+    gzip members inflate first; a BAM\\x01 stream decodes through the
+    BAM record codec; anything else is text SAM."""
+    import zlib
+
+    if out[:2] == b"\x1f\x8b":
+        raw = bytearray()
+        off = 0
+        while off < len(out):
+            d = zlib.decompressobj(wbits=31)
+            raw += d.decompress(out[off:])
+            tail = len(d.unused_data)
+            if tail == len(out) - off:  # no progress — corrupt trailer
+                break
+            off = len(out) - tail
+        out = bytes(raw)
+    if out[:4] == b"BAM\x01":
+        from adam_spark.sources.bam import bam_bytes_to_sam
+
+        header_lines, records = bam_bytes_to_sam(out)
+        return list(header_lines) + list(records)
     return out.decode().splitlines()
 
 
@@ -614,6 +647,7 @@ def pipe(
             "out_format='sam' (or another parseable format) for the results"
         )
     binary_in = in_format in BINARY_IN_FORMATS
+    sniff_out = out_format == "any_sam"
 
     cmd_list = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)
     # $0..$N token substitution for shipped files (GenomicDataset.scala:95-121)
@@ -695,9 +729,15 @@ def pipe(
         # with no alignments in tab5/tab6) — a blank stdin line would
         # abort most tools mid-stream
         body = [ln for ln in (fmt_row(r) for r in rows) if ln != ""]
-        if binary_in:
-            data = _bam_stdin_bytes(header, body, bam_refs, bam_ref_index)
-            out_lines = _run_subprocess_bytes(cmd_list, data, environment, timeout)
+        if binary_in or sniff_out:
+            if binary_in:
+                data = _bam_stdin_bytes(header, body, bam_refs, bam_ref_index)
+            else:
+                data = ("".join(ln + "\n" for ln in header + body)).encode()
+            raw_out = _run_subprocess_raw(cmd_list, data, environment, timeout)
+            out_lines = (
+                _sniff_sam_lines(raw_out) if sniff_out else raw_out.decode().splitlines()
+            )
         else:
             out_lines = _run_subprocess(cmd_list, header + body, environment, timeout)
         if parse_block is not None:

@@ -331,3 +331,74 @@ def test_pipe_bam_in_formatter(aligned_gf, tmp_path):
     got = sorted((tuple(r) for r in via_bam.df.collect()), key=repr)
     want = sorted((tuple(r) for r in via_sam.df.collect()), key=repr)
     assert got == want and len(got) == 100
+
+
+#: stdlib-only SAM→BAM converter used as the piped tool for the
+#: any_sam OUT-formatter test: emits a gzip'd BAM\x01 stream on stdout
+#: (built with struct only — no reuse of adam_spark's encoder).
+_SAM_TO_BAM_TOOL = r'''
+import gzip, struct, sys
+
+CIG = {c: i for i, c in enumerate("MIDNSHP=X")}
+SEQ = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+header, body = [], []
+for ln in sys.stdin.read().splitlines():
+    (header if ln.startswith("@") else body).append(ln)
+refs = []
+for ln in header:
+    if ln.startswith("@SQ"):
+        d = dict(f.split(":", 1) for f in ln.split("\t")[1:])
+        refs.append((d["SN"], int(d.get("LN", 0))))
+ridx = {n: i for i, (n, _l) in enumerate(refs)}
+text = "\n".join(header) + "\n"
+out = bytearray(b"BAM\x01" + struct.pack("<i", len(text)) + text.encode())
+out += struct.pack("<i", len(refs))
+for n, l in refs:
+    nb = n.encode() + b"\x00"
+    out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l)
+for ln in body:
+    f = ln.split("\t")
+    name = (f[0] if f[0] != "*" else "").encode() + b"\x00"
+    seq = "" if f[9] == "*" else f[9]
+    cigs = []
+    if f[5] != "*":
+        num = ""
+        for ch in f[5]:
+            if ch.isdigit(): num += ch
+            else: cigs.append((int(num) << 4) | CIG[ch]); num = ""
+    rid = ridx.get(f[2], -1)
+    nrid = rid if f[6] == "=" else ridx.get(f[6], -1)
+    rec = struct.pack("<iiBBHHHiiii", rid, int(f[3]) - 1, len(name),
+                      int(f[4]), 0, len(cigs), int(f[1]), len(seq),
+                      nrid, int(f[7]) - 1, int(f[8]))
+    rec += name
+    for v in cigs:
+        rec += struct.pack("<I", v)
+    packed = bytearray((len(seq) + 1) // 2)
+    for i, b in enumerate(seq):
+        packed[i // 2] |= SEQ.get(b.upper(), 15) << (4 if i % 2 == 0 else 0)
+    rec += bytes(packed)
+    rec += (b"\xff" * len(seq)) if f[10] == "*" else bytes(
+        ord(c) - 33 for c in f[10])
+    out += struct.pack("<i", len(rec)) + rec
+sys.stdout.buffer.write(gzip.compress(bytes(out)))
+'''
+
+
+def test_pipe_any_sam_out_formatter(aligned_gf, tmp_path):
+    """out_format='any_sam' sniffs the subprocess stdout: a tool that
+    answers in gzip'd binary BAM parses identically to one answering in
+    text SAM (reference AnySAMOutFormatter)."""
+    import sys
+
+    tool = tmp_path / "sam2bam.py"
+    tool.write_text(_SAM_TO_BAM_TOOL)
+    via_bam_out = pipe(
+        aligned_gf, [sys.executable, str(tool)], in_format="sam",
+        out_format="any_sam", partitions=4,
+    )
+    via_text = pipe(aligned_gf, "cat", in_format="sam", out_format="any_sam",
+                    partitions=4)
+    got = sorted((tuple(r) for r in via_bam_out.df.collect()), key=repr)
+    want = sorted((tuple(r) for r in via_text.df.collect()), key=repr)
+    assert got == want and len(got) == 100
