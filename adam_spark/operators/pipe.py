@@ -650,11 +650,17 @@ def pipe(
     sniff_out = out_format == "any_sam"
 
     cmd_list = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)
-    # $0..$N token substitution for shipped files (GenomicDataset.scala:95-121)
+    # $0..$N token substitution for SHIPPED files (GenomicDataset.scala:
+    # 95-121): files are distributed to every executor via sc.addFile —
+    # substituting the driver-local path would break the moment an
+    # executor doesn't share the driver's filesystem — and the tokens
+    # resolve executor-side through SparkFiles.get
+    file_tokens: dict[str, str] = {}
     if files:
-        sub = {f"${i}": f for i, f in enumerate(files)}
-        sub["$root"] = os.path.dirname(files[0]) if files else ""
-        cmd_list = [sub.get(tok, tok) for tok in cmd_list]
+        sc = gf.df.sparkSession.sparkContext
+        for i, f in enumerate(files):
+            sc.addFile(f)
+            file_tokens[f"${i}"] = os.path.basename(f)
 
     df = gf.df
     n_bins = partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -729,17 +735,25 @@ def pipe(
         # with no alignments in tab5/tab6) — a blank stdin line would
         # abort most tools mid-stream
         body = [ln for ln in (fmt_row(r) for r in rows) if ln != ""]
+        if file_tokens:
+            from pyspark import SparkFiles
+
+            resolved = {t: SparkFiles.get(b) for t, b in file_tokens.items()}
+            resolved["$root"] = SparkFiles.getRootDirectory()
+            cmd_run = [resolved.get(tok, tok) for tok in cmd_list]
+        else:
+            cmd_run = cmd_list
         if binary_in or sniff_out:
             if binary_in:
                 data = _bam_stdin_bytes(header, body, bam_refs, bam_ref_index)
             else:
                 data = ("".join(ln + "\n" for ln in header + body)).encode()
-            raw_out = _run_subprocess_raw(cmd_list, data, environment, timeout)
+            raw_out = _run_subprocess_raw(cmd_run, data, environment, timeout)
             out_lines = (
                 _sniff_sam_lines(raw_out) if sniff_out else raw_out.decode().splitlines()
             )
         else:
-            out_lines = _run_subprocess(cmd_list, header + body, environment, timeout)
+            out_lines = _run_subprocess(cmd_run, header + body, environment, timeout)
         if parse_block is not None:
             parsed = parse_block(out_lines)
         else:

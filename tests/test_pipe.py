@@ -402,3 +402,19 @@ def test_pipe_any_sam_out_formatter(aligned_gf, tmp_path):
     got = sorted((tuple(r) for r in via_bam_out.df.collect()), key=repr)
     want = sorted((tuple(r) for r in via_text.df.collect()), key=repr)
     assert got == want and len(got) == 100
+
+
+def test_pipe_files_shipped_to_executors(aligned_gf, tmp_path):
+    """files= are distributed via sc.addFile and $N tokens resolve to
+    the EXECUTOR-side SparkFiles copy, not the driver path — substituting
+    the driver-local path breaks any cluster where executors don't share
+    the driver's filesystem (reference GenomicDataset.scala:95-121)."""
+    pats = tmp_path / "exclude.txt"
+    pats.write_text("chr2\n")
+    out = pipe(
+        aligned_gf, ["grep", "-v", "-f", "$0"], in_format="sam",
+        partitions=2, files=[str(pats)],
+    )
+    rows = out.df.collect()
+    assert 0 < len(rows) == 50
+    assert all(r["referenceName"] == "chr1" for r in rows)
