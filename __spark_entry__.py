@@ -528,6 +528,43 @@ FROM f ORDER BY id
 """
 
 
+def remove_boilerplate_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style cross-corpus boilerplate removal
+    (llm/dedup.remove_repeated_spans): spans occurring in ≥ half the
+    corpus' documents are stripped from every document. The synthetic
+    corpus is single-line, so the contract query runs at token
+    granularity (delimiter=' ', min_frac=0.5 → ~30 hot tokens at every
+    SF); line granularity is pinned by pytest."""
+    from adam_spark.llm.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(
+        load_table(spark, sf, "documents"), delimiter=" ", min_frac=0.5
+    ).orderBy("doc_id")
+
+
+_REMOVE_BOILERPLATE_SQL = """
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS ls FROM documents
+), e AS (
+  SELECT doc_id, unnest(ls) AS span, unnest(range(1, len(ls)+1)) AS pos FROM split
+), n AS (
+  SELECT doc_id, pos, span, md5(trim(span)) AS lkey, trim(span) AS norm FROM e
+), hot AS (
+  SELECT lkey FROM n WHERE norm <> '' GROUP BY lkey
+  HAVING COUNT(DISTINCT doc_id) >=
+         CAST(ceil(0.5 * (SELECT count(*) FROM documents WHERE text IS NOT NULL)) AS BIGINT)
+), kept AS (
+  SELECT n.doc_id, n.pos, n.span, (hot.lkey IS NOT NULL) AS is_hot
+  FROM n LEFT JOIN hot ON n.lkey = hot.lkey
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE NOT is_hot), '') AS text_clean,
+       CAST(COALESCE(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
 def dedup_minhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     # aggressive banding (8 bands × 16 rows) keeps the candidate set small
     # on this highly self-similar corpus; the oracle replicates the LSH
@@ -2224,7 +2261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries. Those 50 are exactly the oracle-checked operator queries —
     # one per §2 / LLM-pipeline operator family. Parked past the cap
     # (still run capless by tools/check_oracle.py, all green there):
-    # the two no-oracle queries (pipe subprocess, multimodal stub), the
+    # the two no-oracle queries (pipe subprocess, multimodal stub),
+    # interval_join_right_outer (exact mirror of the in-window
+    # left-outer through the same builder; slot given to
+    # remove_boilerplate_docs in r5), the
     # four TPC-H-style SQL demos (weakest signal: Spark and oracle sides
     # are near-identical ANSI SQL, and their join/agg surface is pinned
     # in-window by the interval-join/groupBy family), events_hourly
@@ -2234,7 +2274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events_sessions,
         "interval_join_inner": _ij("inner"),
         "interval_join_left_outer": _ij("left_outer"),
-        "interval_join_right_outer": _ij("right_outer"),
         "interval_join_full_outer": _ij("full_outer"),
         "interval_join_flank_broadcast": _ij("inner", flank=5, broadcast="left"),
         "interval_join_group_left": interval_join_group_left,
@@ -2245,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_docs": dedup_minhash_docs,
         "dedup_simhash_docs": dedup_simhash_docs,
+        "remove_boilerplate_docs": remove_boilerplate_docs,
         "text_profile_docs": text_profile_docs,
         "similarity_topk": similarity_topk,
         "embedding_near_dup": embedding_near_dup,
@@ -2290,6 +2330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top of this dict) ---
         "pipe_features_cat": pipe_features_cat,
         "multimodal_features": multimodal_features,
+        # right-outer is the exact mirror of the in-window left-outer
+        # through the same parameterized join builder — its slot went to
+        # remove_boilerplate_docs (r5); check_oracle still verifies it
+        "interval_join_right_outer": _ij("right_outer"),
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2320,6 +2364,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": _DEDUP_EXACT_SQL,
         "dedup_minhash_docs": _minhash_sql(),
         "dedup_simhash_docs": _simhash_sql(),
+        "remove_boilerplate_docs": _REMOVE_BOILERPLATE_SQL,
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),

@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -496,3 +498,104 @@ def duplicate_clusters(
             "cluster_id", F.coalesce("cluster_id", "id")
         )
     return out.withColumn("is_duplicate", F.col("id") != F.col("cluster_id"))
+
+
+#: max estimated hot-span table bytes pinned as a broadcast for the
+#: removal join; past this the exploded span stream shuffles instead
+HOT_SPAN_BROADCAST_CAP_BYTES = 64 * 1024 * 1024
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_docs: int | None = None,
+    min_frac: float | None = None,
+    broadcast_hot: bool | None = None,
+) -> DataFrame:
+    """C4-style cross-corpus boilerplate removal.
+
+    Splits every document into spans on ``delimiter`` (lines by
+    default), finds spans whose trimmed text occurs in at least
+    ``min_docs`` DISTINCT documents (or ``ceil(min_frac * corpus
+    size)`` when a fraction is given), and removes every occurrence of
+    those spans from every document. Returns one row per input document:
+    (id, text_clean, n_removed) — documents keep their row even when
+    everything was removed (text_clean = '').
+
+    This is the cross-document complement of the per-document Gopher
+    repetition signals in :mod:`adam_spark.llm.text`: the C4 pipeline's
+    "discard any line that appeared in more than one page" rule
+    generalized to a span granularity and an occurrence threshold.
+
+    Scale shape: the explode is a narrow map; span counting groups on
+    ``md5(trim(span))`` — a fixed 32-byte shuffle key regardless of
+    span length, with map-side partial aggregation (the distinct-doc
+    count is a two-stage groupBy, never a count-distinct expand) — and
+    the hot set (boilerplate spans) is small by nature, so the removal
+    join back onto the exploded stream broadcasts it (measured-size
+    decision with a shuffle fallback, same policy as the LSH verify
+    join). Reassembly is one groupBy(id). Two unavoidable shuffles
+    total at any corpus size. Collision caveat: two different spans
+    sharing an md5 would be counted together — at 2^64 spans-scale
+    probability, the same trade every content-hash dedup here makes.
+    """
+    if (min_docs is None) == (min_frac is None):
+        raise ValueError("exactly one of min_docs / min_frac is required")
+    import re as _re
+
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    if min_docs is None:
+        total = df.where(F.col(text_col).isNotNull()).count()
+        min_docs = int(math.ceil(min_frac * total))
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delimiter))).alias(
+            "pos", "span"
+        ),
+    ).withColumn("lkey", F.md5(F.trim("span")))
+    # two-stage distinct-doc count: (lkey, id) dedupe partially combines
+    # map-side, then the per-key count is a plain partial-aggregated sum
+    hot = (
+        spans.where(F.trim("span") != "")
+        .select("lkey", "id")
+        .distinct()
+        .groupBy("lkey")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= F.lit(int(min_docs)))
+        .select("lkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_hot = hot.count()  # eager persist + size for the broadcast decision
+    if broadcast_hot is None:
+        broadcast_hot = n_hot * 64 <= HOT_SPAN_BROADCAST_CAP_BYTES
+    maybe_bc = F.broadcast if broadcast_hot else (lambda x: x)
+    flagged = spans.join(
+        maybe_bc(hot.withColumn("__hot", F.lit(True))), "lkey", "left"
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.sum(F.when(F.col("__hot"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__hot").isNull(), F.struct("pos", "span"))
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+            delimiter,
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

@@ -571,3 +571,52 @@ def test_hash_sample_null_keys_consistent(spark):
     tst = {r["doc_id"] for r in train_test_split(df, 0.5, "doc_id").where("split = 'test'").collect()}
     smp = {r["doc_id"] for r in hash_sample(df, 0.5, "doc_id").collect()}
     assert tst == smp
+
+
+def test_remove_repeated_spans_lines(spark):
+    """C4 line rule: a line present in >= min_docs distinct docs is
+    stripped everywhere; order, blanks, and all-removed docs survive."""
+    from adam_spark.llm.dedup import remove_repeated_spans
+
+    rows = [
+        (1, "keep me\nSUBSCRIBE NOW\nunique line one"),
+        (2, "SUBSCRIBE NOW\n\nunique line two"),
+        (3, "totally unique\nSUBSCRIBE NOW"),
+        (4, "SUBSCRIBE NOW"),  # everything removed -> empty text survives
+        (5, None),  # null text -> kept with text_clean=''
+        (6, "  SUBSCRIBE NOW  \nindented dup matches by trim"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in remove_repeated_spans(df, min_docs=3).collect()
+    }
+    assert out[1] == ("keep me\nunique line one", 1)
+    assert out[2] == ("\nunique line two", 1)  # blank line never hot, kept
+    assert out[3] == ("totally unique", 1)
+    assert out[4] == ("", 1)
+    assert out[5] == ("", 0)
+    # trimmed comparison removes the padded variant too
+    assert out[6] == ("indented dup matches by trim", 1)
+    assert len(out) == 6
+
+
+def test_remove_repeated_spans_min_frac_and_shuffle_path(spark):
+    """min_frac thresholding equals the explicit min_docs equivalent,
+    and the shuffle-join fallback (broadcast_hot=False) is identical."""
+    from adam_spark.llm.dedup import remove_repeated_spans
+
+    docs = load_table(spark, SF, "documents")
+    a = remove_repeated_spans(docs, delimiter=" ", min_frac=0.5)
+    n = docs.where(F.col("text").isNotNull()).count()
+    b = remove_repeated_spans(
+        docs, delimiter=" ", min_docs=math.ceil(0.5 * n), broadcast_hot=False
+    )
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    assert sum(r[2] for r in ra) > 0, "corpus should contain hot tokens"
+    with pytest.raises(ValueError):
+        remove_repeated_spans(docs, min_docs=2, min_frac=0.5)
+    with pytest.raises(ValueError):
+        remove_repeated_spans(docs)
