@@ -528,6 +528,47 @@ FROM f ORDER BY id
 """
 
 
+def embedding_quantize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 embedding quantization (llm/similarity.quantize_embeddings):
+    per-vector symmetric scale + clamped floor(x·127/max + .5) codes.
+    The contract row reports exact integer summaries of each quantized
+    vector (sum / L1 / min / max) — scalar columns so the driver's
+    value hash never depends on array canonicalization."""
+    from adam_spark.llm.similarity import quantize_embeddings
+
+    q = quantize_embeddings(load_table(spark, sf, "embeddings"))
+    return q.selectExpr(
+        "id",
+        "cast(dim as long) as dim",
+        "round(scale, 9) as scale",
+        "cast(aggregate(qvec, 0L, (a,x) -> a + x) as long) as q_sum",
+        "cast(aggregate(qvec, 0L, (a,x) -> a + abs(x)) as long) as q_l1",
+        "cast(array_min(qvec) as long) as q_min",
+        "cast(array_max(qvec) as long) as q_max",
+    ).orderBy("id")
+
+
+_EMB_QUANT_SQL = """
+WITH b AS (
+  SELECT vec_id AS id, len(embedding) AS dim,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m,
+         embedding AS v
+  FROM embeddings
+), qv AS (
+  SELECT id, dim, m,
+    CASE WHEN m = 0 THEN list_transform(v, x -> 0)
+         ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
+              floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5))) AS BIGINT)) END AS q
+  FROM b
+)
+SELECT id, CAST(dim AS BIGINT) AS dim, round(m / 127.0, 9) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_min(q) AS BIGINT) AS q_min, CAST(list_max(q) AS BIGINT) AS q_max
+FROM qv ORDER BY id
+"""
+
+
 def remove_boilerplate_docs(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style cross-corpus boilerplate removal
     (llm/dedup.remove_repeated_spans): spans occurring in ≥ half the
@@ -2334,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # through the same parameterized join builder — its slot went to
         # remove_boilerplate_docs (r5); check_oracle still verifies it
         "interval_join_right_outer": _ij("right_outer"),
+        "embedding_quantize_stats": embedding_quantize_stats,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2365,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_docs": _minhash_sql(),
         "dedup_simhash_docs": _simhash_sql(),
         "remove_boilerplate_docs": _REMOVE_BOILERPLATE_SQL,
+        "embedding_quantize_stats": _EMB_QUANT_SQL,
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),

@@ -620,3 +620,43 @@ def test_remove_repeated_spans_min_frac_and_shuffle_path(spark):
         remove_repeated_spans(docs, min_docs=2, min_frac=0.5)
     with pytest.raises(ValueError):
         remove_repeated_spans(docs)
+
+
+def test_quantize_embeddings(spark, embs):
+    """int8 quantization: range, exactness vs numpy, degenerate rows."""
+    from adam_spark.llm.similarity import quantize_embeddings
+
+    out = {r["id"]: r for r in quantize_embeddings(embs).collect()}
+    src = {r["vec_id"]: list(r["embedding"]) for r in embs.collect()}
+    assert set(out) == set(src)
+    for vid, v in list(src.items())[:50]:
+        q = out[vid]
+        m = max(abs(x) for x in v)
+        assert q["dim"] == len(v)
+        assert q["scale"] == pytest.approx(m / 127.0)
+        expect = [
+            max(-127, min(127, math.floor(x * 127.0 / m + 0.5))) for x in v
+        ]
+        assert q["qvec"] == expect
+        assert max(q["qvec"]) <= 127 and min(q["qvec"]) >= -127
+    # zero + null vectors
+    edge = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    rows = {r["id"]: r for r in quantize_embeddings(edge).collect()}
+    assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0, 0]
+    assert rows[2]["scale"] is None and rows[2]["qvec"] is None
+
+
+def test_cosine_topk_quantized_matches_exact(embs):
+    """int8-GEMM shortlist + exact rescore reproduces the exact top-k on
+    the fixture corpus (sims are rescored floats, so any agreement in
+    neighbor sets implies identical sims)."""
+    from adam_spark.llm.similarity import cosine_topk_numpy, cosine_topk_quantized
+
+    rows = [
+        (int(r["vec_id"]), list(r["embedding"])) for r in embs.limit(16).collect()
+    ]
+    exact = sorted(map(tuple, cosine_topk_numpy(embs, rows, k=5).collect()))
+    quant = sorted(map(tuple, cosine_topk_quantized(embs, rows, k=5).collect()))
+    assert quant == exact
