@@ -528,6 +528,35 @@ FROM f ORDER BY id
 """
 
 
+def doc_lm_score_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style unigram LM quality scoring
+    (llm/text.unigram_lm_scores): add-0.5-smoothed corpus unigram
+    model, per-doc mean token NLL + perplexity."""
+    from adam_spark.llm.text import unigram_lm_scores
+
+    return unigram_lm_scores(load_table(spark, sf, "documents")).orderBy("id")
+
+
+_DOC_LM_SQL = """
+WITH tk AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+  FROM documents
+), vb AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_total, CAST(COUNT(*) AS DOUBLE) AS v_size FROM vb
+), sc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         AVG(-ln((c + 0.5) / (n_total + 0.5 * v_size))) AS nll
+  FROM tk JOIN vb USING (tok) CROSS JOIN tot GROUP BY id
+)
+SELECT d.doc_id AS id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(nll, 6) AS nll, round(exp(nll), 6) AS ppl
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.id ORDER BY id
+"""
+
+
 def embedding_quantize_stats(spark: SparkSession, sf: str) -> DataFrame:
     """int8 embedding quantization (llm/similarity.quantize_embeddings):
     per-vector symmetric scale + clamped floor(x·127/max + .5) codes.
@@ -2376,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remove_boilerplate_docs (r5); check_oracle still verifies it
         "interval_join_right_outer": _ij("right_outer"),
         "embedding_quantize_stats": embedding_quantize_stats,
+        "doc_lm_score_docs": doc_lm_score_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2408,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_docs": _simhash_sql(),
         "remove_boilerplate_docs": _REMOVE_BOILERPLATE_SQL,
         "embedding_quantize_stats": _EMB_QUANT_SQL,
+        "doc_lm_score_docs": _DOC_LM_SQL,
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),

@@ -355,3 +355,82 @@ def scrub_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
     return out.withColumn("text_scrubbed", scrubbed)
+
+
+#: max estimated vocabulary bytes broadcast for LM scoring; larger
+#: vocabularies shuffle-join instead
+VOCAB_BROADCAST_CAP_BYTES = 128 * 1024 * 1024
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    broadcast_vocab: bool | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality score per document.
+
+    Trains an add-``alpha`` smoothed unigram model on the corpus itself
+    (lower-cased whitespace tokens) and scores each document by its
+    mean token negative log-likelihood ``nll`` and perplexity
+    ``exp(nll)`` — the classic "how surprising is this document under
+    the corpus distribution" filter (CCNet buckets corpora by exactly
+    this signal, with a Wikipedia-trained model standing in for the
+    corpus model). Returns (id, n_tokens, nll, ppl); token-less
+    documents keep their row with n_tokens = 0 and null scores.
+
+    Scale shape: vocabulary counting is one map-side-combined groupBy;
+    the (token → count) table joins back onto the exploded token stream
+    — broadcast below a measured size cap (natural-language vocabularies
+    are tiny next to their corpora), shuffle fallback above it — and the
+    per-document mean is a second combined groupBy. Nothing is
+    collected on the driver; the two scalar model constants (total
+    token count, vocabulary size) travel as a broadcast 1-row cross
+    join, exactly as the SQL oracle expresses them.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    v = vocab.count()  # eager persist; vocabulary size |V|
+    if broadcast_vocab is None:
+        est = vocab.select(
+            (F.sum(F.length("tok")) + F.count(F.lit(1)) * 40).alias("b")
+        ).first()["b"]
+        broadcast_vocab = int(est or 0) <= VOCAB_BROADCAST_CAP_BYTES
+    maybe_bc = F.broadcast if broadcast_vocab else (lambda x: x)
+    consts = vocab.select(
+        F.sum("c").cast("double").alias("n_total"), F.lit(float(v)).alias("v_size")
+    )
+    scored = (
+        toks.join(maybe_bc(vocab), "tok")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(
+                -F.log(
+                    (F.col("c") + F.lit(alpha))
+                    / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round("nll", 6).alias("nll"),
+            F.round(F.exp("nll"), 6).alias("ppl"),
+        )
+    )

@@ -660,3 +660,30 @@ def test_cosine_topk_quantized_matches_exact(embs):
     exact = sorted(map(tuple, cosine_topk_numpy(embs, rows, k=5).collect()))
     quant = sorted(map(tuple, cosine_topk_quantized(embs, rows, k=5).collect()))
     assert quant == exact
+
+
+def test_unigram_lm_scores(spark, docs):
+    """Smoothed-NLL scoring: hand-check on a tiny corpus, row
+    preservation for empty docs, shuffle-vocab path identical."""
+    from adam_spark.llm.text import unigram_lm_scores
+
+    tiny = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in unigram_lm_scores(tiny, alpha=0.5).collect()}
+    # corpus: a×3, b×2 → N=5, V=2; p(a)=(3.5)/(6), p(b)=(2.5)/(6)
+    pa, pb = 3.5 / 6.0, 2.5 / 6.0
+    nll1 = -(2 * math.log(pa) + math.log(pb)) / 3
+    assert out[1]["nll"] == pytest.approx(round(nll1, 6), abs=1e-6)
+    assert out[1]["ppl"] == pytest.approx(round(math.exp(nll1), 6), abs=1e-6)
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert out[3]["n_tokens"] == 0 and out[3]["nll"] is None
+    assert out[4]["n_tokens"] == 0 and out[4]["ppl"] is None
+    # rarer-token doc scores higher nll
+    assert out[2]["nll"] > out[1]["nll"]
+    a = sorted(tuple(r) for r in unigram_lm_scores(docs).collect())
+    b = sorted(
+        tuple(r) for r in unigram_lm_scores(docs, broadcast_vocab=False).collect()
+    )
+    assert a == b and len(a) == docs.count()
