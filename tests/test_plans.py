@@ -29,6 +29,9 @@ SF = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {
     "similarity_topk",
     "ann_ivf_topk",
+    # 1-row broadcast constants (N, |V|) cross-joined onto the token
+    # stream — BNLJ of a single-row build side is the right plan
+    "doc_lm_score_docs",
 }
 
 
