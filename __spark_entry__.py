@@ -528,6 +528,64 @@ FROM f ORDER BY id
 """
 
 
+def dedup_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus incremental dedup
+    (llm/dedup.minhash_lsh_pairs_between): odd-id documents play the
+    incoming batch, even-id documents the existing reference corpus;
+    report every (new, ref) near-dup pair at J ≥ 0.9. Same hash
+    family/banding as dedup_minhash_docs, so the oracle replicates the
+    full two-sided LSH pipeline."""
+    from adam_spark.llm.dedup import minhash_lsh_pairs_between
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs_between(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        bands=8,
+        threshold=0.9,
+    ).orderBy("id_new", "id_ref")
+
+
+def _minhash_between_sql(
+    num_hashes: int = 128, bands: int = 8, threshold: float = 0.9
+) -> str:
+    """DuckDB replica of the two-sided LSH pipeline (odd vs even ids)."""
+    from adam_spark.llm.dedup import _MH_P, _mh_constants
+
+    consts = _mh_constants(num_hashes)
+    rows = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(consts)
+    )
+    rpb = num_hashes // bands
+
+    def side(tag: str, parity: int) -> str:
+        return f"""
+base_{tag} AS (SELECT doc_id AS id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS s
+       FROM documents WHERE doc_id % 2 = {parity}),
+tok_{tag} AS (SELECT id, UNNEST(s) AS t FROM base_{tag}),
+h0_{tag} AS (SELECT id, ('0x' || substr(md5(t), 1, 7))::BIGINT AS h FROM tok_{tag}),
+mh_{tag} AS (SELECT id, i, MIN((a * h + b) % {_MH_P}) AS m
+       FROM h0_{tag} CROSS JOIN consts GROUP BY id, i),
+bands_{tag} AS (SELECT id, i // {rpb} AS band,
+            md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+          FROM mh_{tag} GROUP BY id, i // {rpb})"""
+
+    return f"""
+WITH consts(i, a, b) AS (VALUES {rows}),
+{side('n', 1)},
+{side('r', 0)},
+cand AS (SELECT DISTINCT x.id AS id_new, y.id AS id_ref
+         FROM bands_n x JOIN bands_r y ON x.band = y.band AND x.bh = y.bh),
+verified AS (SELECT id_new, id_ref,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM cand JOIN base_n a ON cand.id_new = a.id JOIN base_r b ON cand.id_ref = b.id)
+SELECT id_new, id_ref, ROUND(j, 6) AS jaccard FROM verified WHERE j >= {threshold}
+ORDER BY id_new, id_ref
+"""
+
+
 def doc_lm_score_docs(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style unigram LM quality scoring
     (llm/text.unigram_lm_scores): add-0.5-smoothed corpus unigram
@@ -2406,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_right_outer": _ij("right_outer"),
         "embedding_quantize_stats": embedding_quantize_stats,
         "doc_lm_score_docs": doc_lm_score_docs,
+        "dedup_incremental_docs": dedup_incremental_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2439,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_boilerplate_docs": _REMOVE_BOILERPLATE_SQL,
         "embedding_quantize_stats": _EMB_QUANT_SQL,
         "doc_lm_score_docs": _DOC_LM_SQL,
+        "dedup_incremental_docs": _minhash_between_sql(),
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),

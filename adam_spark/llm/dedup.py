@@ -599,3 +599,80 @@ def remove_repeated_spans(
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def minhash_lsh_pairs_between(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_ngram: int = 1,
+    num_hashes: int = 128,
+    bands: int = 64,
+    threshold: float = 0.8,
+    broadcast_candidates: bool | None = None,
+) -> DataFrame:
+    """Cross-corpus near-dup pairs: an incoming batch vs a reference
+    corpus (incremental dedup — "is this new document already in the
+    training set?").
+
+    Same MinHash family, banding, and exact-Jaccard verification as
+    :func:`minhash_lsh_pairs`, but the two sides are different frames
+    and every (id_new, id_ref) pair is reported (no ordering
+    constraint; ids may even coincide across corpora). Returns
+    (id_new, id_ref, jaccard ≥ threshold).
+
+    Scale shape for the expected asymmetry (new batch ≪ reference
+    corpus): each side's signatures/bands are a narrow map over its own
+    corpus; the band equi-join is the only corpus-sized shuffle. The
+    verify stage then BROADCASTS the (slim) candidate pair list against
+    the reference token table — the reference corpus is never shuffled
+    or broadcast — and broadcasts the new side's tokens; past the cap
+    (``broadcast_candidates=False``) both verify joins shuffle. The
+    candidate table is persisted and counted once for the size
+    decision, the same measured-broadcast policy as the LSH verify
+    join.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    mk = word_ngrams(F.col(text_col), shingle_ngram) if shingle_ngram > 1 else (
+        distinct_tokens(F.col(text_col))
+    )
+    base_n = df_new.select(F.col(id_col).alias("id"), mk.alias("sh"))
+    base_r = df_ref.select(F.col(id_col).alias("id"), mk.alias("sh"))
+    bands_n = lsh_bands(minhash_signatures(base_n, "id", F.col("sh"), num_hashes), bands)
+    bands_r = lsh_bands(minhash_signatures(base_r, "id", F.col("sh"), num_hashes), bands)
+    cand = (
+        bands_n.select(F.col("id").alias("id_new"), "band", "band_hash")
+        .join(
+            bands_r.select(F.col("id").alias("id_ref"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select("id_new", "id_ref")
+        .dropDuplicates(["id_new", "id_ref"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_cand = cand.count()
+    if broadcast_candidates is None:
+        broadcast_candidates = n_cand * 32 <= VERIFY_BROADCAST_CAP_BYTES
+    maybe_bc = F.broadcast if broadcast_candidates else (lambda x: x)
+    # the new-side token table gets its own measured size decision —
+    # an incremental batch is usually tiny, but nothing forces it to be
+    bc_new = broadcast_candidates and (
+        _estimate_shingle_bytes(base_n) <= VERIFY_BROADCAST_CAP_BYTES
+    )
+    maybe_bc_new = F.broadcast if bc_new else (lambda x: x)
+    sh_n = base_n.select(
+        F.col("id").alias("id_new"), F.col("sh").alias("sh_n"), F.size("sh").alias("n_n")
+    )
+    sh_r = base_r.select(
+        F.col("id").alias("id_ref"), F.col("sh").alias("sh_r"), F.size("sh").alias("n_r")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_r")))
+    return (
+        sh_r.join(maybe_bc(cand), "id_ref")
+        .join(maybe_bc_new(sh_n), "id_new")
+        .withColumn("jaccard", inter / (F.col("n_n") + F.col("n_r") - inter))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_new", "id_ref", F.round("jaccard", 6).alias("jaccard"))
+    )

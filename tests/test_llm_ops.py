@@ -687,3 +687,33 @@ def test_unigram_lm_scores(spark, docs):
         tuple(r) for r in unigram_lm_scores(docs, broadcast_vocab=False).collect()
     )
     assert a == b and len(a) == docs.count()
+
+
+def test_minhash_between_equals_bruteforce_cross_pairs(docs):
+    """Cross-corpus LSH pairs == the opposite-parity subset of the
+    brute-force all-pairs set, and the shuffle verify path matches."""
+    from adam_spark.llm.dedup import minhash_lsh_pairs_between
+
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    got = sorted(
+        (r["id_new"], r["id_ref"], r["jaccard"])
+        for r in minhash_lsh_pairs_between(new, ref, threshold=0.8).collect()
+    )
+    brute = ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        if r["id_a"] % 2 == 1
+        else (r["id_b"], r["id_a"], r["jaccard"])
+        for r in brute.collect()
+        if (r["id_a"] % 2) != (r["id_b"] % 2)
+    )
+    assert len(want) > 0, "fixture should contain opposite-parity near-dups"
+    assert got == want
+    shuffled = sorted(
+        (r["id_new"], r["id_ref"], r["jaccard"])
+        for r in minhash_lsh_pairs_between(
+            new, ref, threshold=0.8, broadcast_candidates=False
+        ).collect()
+    )
+    assert shuffled == got
