@@ -528,6 +528,31 @@ FROM f ORDER BY id
 """
 
 
+def chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window token chunking (llm/text.chunk_documents):
+    32-token windows, 8-token overlap — one narrow Catalyst map
+    (sequence + slice + array_join), zero shuffle."""
+    from adam_spark.llm.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf, "documents"), chunk_tokens=32, overlap=8
+    ).orderBy("id", "chunk_index")
+
+
+_CHUNK_SQL = """
+WITH tk AS (
+  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+), st AS (
+  SELECT id, l, unnest(range(0, len(l), 24)) AS start FROM tk WHERE len(l) > 0
+)
+SELECT id, CAST(start // 24 AS BIGINT) AS chunk_index,
+       CAST(len(list_slice(l, start + 1, start + 32)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(l, start + 1, start + 32), ' ') AS chunk
+FROM st ORDER BY id, chunk_index
+"""
+
+
 def dedup_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus incremental dedup
     (llm/dedup.minhash_lsh_pairs_between): odd-id documents play the
@@ -2465,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_stats": embedding_quantize_stats,
         "doc_lm_score_docs": doc_lm_score_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
+        "chunk_docs": chunk_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2499,6 +2525,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize_stats": _EMB_QUANT_SQL,
         "doc_lm_score_docs": _DOC_LM_SQL,
         "dedup_incremental_docs": _minhash_between_sql(),
+        "chunk_docs": _CHUNK_SQL,
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),

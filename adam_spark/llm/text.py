@@ -434,3 +434,53 @@ def unigram_lm_scores(
             F.round(F.exp("nll"), 6).alias("ppl"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Sliding-window token chunking: (id, chunk_index, n_tokens, chunk).
+
+    Splits each document's whitespace tokens into windows of
+    ``chunk_tokens`` advancing by ``chunk_tokens − overlap`` — the
+    standard context-window preparation for training shards and
+    retrieval indexing. Window starts come from an in-row ``sequence``
+    and the window text from ``slice`` + ``array_join``, so the whole
+    operator is one narrow Catalyst map (explode multiplies rows ~
+    1/(1−overlap ratio)×, no shuffle anywhere); a 100 TB corpus chunks
+    at scan speed. The final window may be shorter than
+    ``chunk_tokens``; token-less documents produce no chunks.
+    """
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    out = (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("__t"),
+        )
+        .where(F.size("__t") > 0)
+        .select(
+            "id",
+            F.posexplode(
+                F.sequence(F.lit(0), F.size("__t") - 1, F.lit(stride))
+            ).alias("chunk_index", "start"),
+            F.col("__t"),
+        )
+        .select(
+            "id",
+            F.col("chunk_index").cast("long").alias("chunk_index"),
+            F.slice(F.col("__t"), F.col("start") + 1, chunk_tokens).alias("__c"),
+        )
+    )
+    return out.select(
+        "id",
+        "chunk_index",
+        F.size("__c").cast("long").alias("n_tokens"),
+        F.array_join("__c", " ").alias("chunk"),
+    )

@@ -717,3 +717,50 @@ def test_minhash_between_equals_bruteforce_cross_pairs(docs):
         ).collect()
     )
     assert shuffled == got
+
+
+def test_chunk_documents(spark, docs):
+    """Window arithmetic, overlap reconstruction, edge docs."""
+    from adam_spark.llm.text import chunk_documents
+
+    tiny = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        tuple(r) for r in chunk_documents(tiny, chunk_tokens=3, overlap=1).collect()
+    )
+    assert rows == [
+        (1, 0, 3, "a b c"),
+        (1, 1, 3, "c d e"),
+        (1, 2, 1, "e"),
+        (2, 0, 1, "x"),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(tiny, chunk_tokens=3, overlap=3)
+    # non-overlapping chunks of a real corpus reassemble the token stream
+    out = chunk_documents(docs, chunk_tokens=32, overlap=0)
+    rejoined = {
+        r["id"]: r["t"]
+        for r in out.groupBy("id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_index", "chunk"))
+                        ),
+                        lambda s: F.split(s["chunk"], " "),
+                    )
+                ),
+                " ",
+            ).alias("t")
+        )
+        .collect()
+    }
+    src = {
+        r["doc_id"]: " ".join(t for t in (r["text"] or "").split(" ") if t)
+        for r in docs.collect()
+    }
+    for k, v in rejoined.items():
+        assert v == src[k]
