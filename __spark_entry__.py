@@ -528,6 +528,55 @@ FROM f ORDER BY id
 """
 
 
+def sample_mixture_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture quota sampling (llm/sampling.sample_to_mixture):
+    3:2:1 target mixture over three sources at a 3000-token budget —
+    src0's quota exceeds its supply (fraction caps at 1, everything
+    kept), the others Bernoulli-sample by content hash. The contract
+    row is the per-source audit summary."""
+    from adam_spark.llm.sampling import sample_to_mixture
+
+    out = sample_to_mixture(
+        load_table(spark, sf, "documents"),
+        {"src0": 3.0, "src1": 2.0, "src2": 1.0},
+        token_budget=3000,
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.first("accept_frac"), 9).alias("accept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_SAMPLE_MIXTURE_SQL = """
+WITH w(source, wt) AS (VALUES ('src0', 3.0), ('src1', 2.0), ('src2', 1.0)),
+tk AS (
+  SELECT *, CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                 AS BIGINT) AS ntok
+  FROM documents
+), avail AS (
+  SELECT source, SUM(ntok) AS avail FROM tk GROUP BY source
+), fr AS (
+  SELECT w.source,
+         LEAST(1.0, CASE WHEN avail > 0
+                         THEN (wt / 6.0) * 3000.0 / avail ELSE 1.0 END) AS f
+  FROM w JOIN avail USING (source)
+), keep AS (
+  SELECT tk.source, tk.ntok, fr.f FROM tk JOIN fr USING (source)
+  WHERE CAST(('0x' || substr(md5('mix0' || CAST(tk.doc_id AS VARCHAR)), 1, 7))
+             AS BIGINT) < f * 268435456.0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       round(f, 9) AS accept_frac
+FROM keep GROUP BY source, f ORDER BY source
+"""
+
+
 def chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding-window token chunking (llm/text.chunk_documents):
     32-token windows, 8-token overlap — one narrow Catalyst map
@@ -2491,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score_docs": doc_lm_score_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "chunk_docs": chunk_docs,
+        "sample_mixture_docs": sample_mixture_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2526,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score_docs": _DOC_LM_SQL,
         "dedup_incremental_docs": _minhash_between_sql(),
         "chunk_docs": _CHUNK_SQL,
+        "sample_mixture_docs": _SAMPLE_MIXTURE_SQL,
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),

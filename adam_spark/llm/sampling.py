@@ -101,3 +101,68 @@ def stratified_sample(
         .where(F.col("__rk") <= F.lit(k))
         .drop("__rk")
     )
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Quota-sample a corpus to a target per-source token MIXTURE.
+
+    ``weights`` gives the desired mixture proportions (normalized
+    internally); each source's acceptance fraction is
+    ``min(1, target_tokens / available_tokens)`` where ``target =
+    token_budget · w_s / Σw`` — the standard data-mixing step that
+    turns "we want 50% web / 30% books / 20% code" into a reproducible
+    document sample. Selection reuses the content-hash Bernoulli
+    primitive, so the sampled set is independent of partition layout
+    and engine. Sources absent from ``weights`` are dropped; a source
+    whose available tokens fall short of its target keeps everything
+    (fraction capped at 1 — resampling/up-weighting is a training-time
+    concern, not a corpus transform). Token-less documents in a kept
+    source pass the same per-document lottery.
+
+    Returns the sampled rows with two audit columns: ``__n_tokens``
+    and ``accept_frac``. Scale shape: one small per-source aggregate
+    (O(sources) rows) broadcast-joined back onto the stream, then a
+    narrow hash filter — no corpus-sized shuffle anywhere.
+    """
+    from adam_spark.llm.dedup import tokens
+
+    if not weights or token_budget <= 0:
+        raise ValueError("need non-empty weights and a positive token_budget")
+    wsum = float(sum(weights.values()))
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w) / wsum) for s, w in sorted(weights.items())],
+        f"{source_col} string, __w double",
+    )
+    ntok = F.size(tokens(F.col(text_col))).cast("long")
+    avail = (
+        df.select(F.col(source_col), ntok.alias("__nt"))
+        .groupBy(source_col)
+        .agg(F.sum("__nt").alias("__avail"))
+    )
+    fr = wdf.join(avail, source_col).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.when(
+                F.col("__avail") > 0,
+                F.col("__w") * F.lit(float(token_budget)) / F.col("__avail"),
+            ).otherwise(F.lit(1.0)),
+        ).alias("accept_frac"),
+    )
+    return (
+        df.withColumn("__n_tokens", ntok)
+        .join(F.broadcast(fr), source_col)
+        .where(
+            _unit_hash(F.col(key_col), seed).cast("double")
+            < F.col("accept_frac") * F.lit(float(_HASH_SPACE))
+        )
+    )

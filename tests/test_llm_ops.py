@@ -764,3 +764,49 @@ def test_chunk_documents(spark, docs):
     }
     for k, v in rejoined.items():
         assert v == src[k]
+
+
+def test_sample_to_mixture(spark, docs):
+    """Quota math: capped source keeps everything, sampled sources
+    land near target, selection is layout-independent, validation."""
+    from adam_spark.llm.sampling import sample_to_mixture
+
+    weights = {"src0": 3.0, "src1": 2.0, "src2": 1.0}
+    out = sample_to_mixture(docs, weights, token_budget=3000)
+    rows = out.collect()
+    assert set(r["source"] for r in rows) <= set(weights)
+    by_src = {}
+    for r in rows:
+        d = by_src.setdefault(r["source"], [0, 0, r["accept_frac"]])
+        d[0] += 1
+        d[1] += r["__n_tokens"]
+    avail = {
+        r["source"]: (r["n"], r["t"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != ""))).alias("t"),
+        )
+        .collect()
+    }
+    # fraction = min(1, target/avail) for every weighted source; a
+    # capped source keeps every document
+    for s, target in (("src0", 1500.0), ("src1", 1000.0), ("src2", 500.0)):
+        expect = min(1.0, target / avail[s][1])
+        assert by_src[s][2] == pytest.approx(expect)
+        if expect == 1.0:
+            assert by_src[s][0] == avail[s][0]
+        else:
+            # kept tokens within 4x of target (Bernoulli variance on a
+            # small corpus)
+            assert 0 < by_src[s][1] < 4 * target
+    # layout independence: identical selection after a repartition
+    re_rows = sorted(
+        r["doc_id"]
+        for r in sample_to_mixture(docs.repartition(13), weights, 3000).collect()
+    )
+    assert re_rows == sorted(r["doc_id"] for r in rows)
+    with pytest.raises(ValueError):
+        sample_to_mixture(docs, {}, 1000)
+    with pytest.raises(ValueError):
+        sample_to_mixture(docs, weights, 0)
