@@ -622,16 +622,18 @@ def minhash_lsh_pairs_between(
     constraint; ids may even coincide across corpora). Returns
     (id_new, id_ref, jaccard ≥ threshold).
 
-    Scale shape for the expected asymmetry (new batch ≪ reference
-    corpus): each side's signatures/bands are a narrow map over its own
-    corpus; the band equi-join is the only corpus-sized shuffle. The
-    verify stage then BROADCASTS the (slim) candidate pair list against
-    the reference token table — the reference corpus is never shuffled
-    or broadcast — and broadcasts the new side's tokens; past the cap
-    (``broadcast_candidates=False``) both verify joins shuffle. The
-    candidate table is persisted and counted once for the size
-    decision, the same measured-broadcast policy as the LSH verify
-    join.
+    Scale shape: each side's signatures/bands are a narrow map over its
+    own corpus; the band equi-join is the only corpus-sized shuffle.
+    For the verify stage the plan is picked from measured sizes, the
+    same policy as the self-join variant: when BOTH token tables fit
+    the broadcast cap they broadcast and the candidate stream verifies
+    as a pure map (no extra materialization at all — the common case
+    for any corpus small enough to enumerate pairs over); otherwise
+    the candidate list is deduped, persisted, counted, and — when slim
+    enough — broadcast against the STREAMED reference token table, so
+    the corpus-sized side is never shuffled or broadcast (the expected
+    asymmetry: new batch ≪ reference corpus); past both caps
+    (``broadcast_candidates=False``) the verify joins shuffle.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -642,15 +644,34 @@ def minhash_lsh_pairs_between(
     base_r = df_ref.select(F.col(id_col).alias("id"), mk.alias("sh"))
     bands_n = lsh_bands(minhash_signatures(base_n, "id", F.col("sh"), num_hashes), bands)
     bands_r = lsh_bands(minhash_signatures(base_r, "id", F.col("sh"), num_hashes), bands)
-    cand = (
-        bands_n.select(F.col("id").alias("id_new"), "band", "band_hash")
-        .join(
-            bands_r.select(F.col("id").alias("id_ref"), "band", "band_hash"),
-            ["band", "band_hash"],
+    raw = bands_n.select(F.col("id").alias("id_new"), "band", "band_hash").join(
+        bands_r.select(F.col("id").alias("id_ref"), "band", "band_hash"),
+        ["band", "band_hash"],
+    ).select("id_new", "id_ref")
+    sh_n = base_n.select(
+        F.col("id").alias("id_new"), F.col("sh").alias("sh_n"), F.size("sh").alias("n_n")
+    )
+    sh_r = base_r.select(
+        F.col("id").alias("id_ref"), F.col("sh").alias("sh_r"), F.size("sh").alias("n_r")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_r")))
+    if broadcast_candidates is None and (
+        _estimate_shingle_bytes(base_n) + _estimate_shingle_bytes(base_r)
+        <= VERIFY_BROADCAST_CAP_BYTES
+    ):
+        # both token tables broadcast: verify is a pure map over the raw
+        # candidate stream; re-verifying a pair that matched in several
+        # bands is cheaper than a dedup shuffle first, so dedup last
+        return (
+            raw.join(F.broadcast(sh_n), "id_new")
+            .join(F.broadcast(sh_r), "id_ref")
+            .withColumn("jaccard", inter / (F.col("n_n") + F.col("n_r") - inter))
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("id_new", "id_ref", F.round("jaccard", 6).alias("jaccard"))
+            .dropDuplicates(["id_new", "id_ref"])
         )
-        .select("id_new", "id_ref")
-        .dropDuplicates(["id_new", "id_ref"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cand = raw.dropDuplicates(["id_new", "id_ref"]).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     n_cand = cand.count()
     if broadcast_candidates is None:
@@ -662,13 +683,6 @@ def minhash_lsh_pairs_between(
         _estimate_shingle_bytes(base_n) <= VERIFY_BROADCAST_CAP_BYTES
     )
     maybe_bc_new = F.broadcast if bc_new else (lambda x: x)
-    sh_n = base_n.select(
-        F.col("id").alias("id_new"), F.col("sh").alias("sh_n"), F.size("sh").alias("n_n")
-    )
-    sh_r = base_r.select(
-        F.col("id").alias("id_ref"), F.col("sh").alias("sh_r"), F.size("sh").alias("n_r")
-    )
-    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_r")))
     return (
         sh_r.join(maybe_bc(cand), "id_ref")
         .join(maybe_bc_new(sh_n), "id_new")

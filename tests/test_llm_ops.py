@@ -717,6 +717,20 @@ def test_minhash_between_equals_bruteforce_cross_pairs(docs):
         ).collect()
     )
     assert shuffled == got
+    # middle path: token tables exceed the cap but the candidate list
+    # fits -> candidate-broadcast against the streamed reference
+    import adam_spark.llm.dedup as D
+
+    orig = D.VERIFY_BROADCAST_CAP_BYTES
+    try:
+        D.VERIFY_BROADCAST_CAP_BYTES = 100_000
+        mid = sorted(
+            (r["id_new"], r["id_ref"], r["jaccard"])
+            for r in minhash_lsh_pairs_between(new, ref, threshold=0.8).collect()
+        )
+    finally:
+        D.VERIFY_BROADCAST_CAP_BYTES = orig
+    assert mid == got
 
 
 def test_chunk_documents(spark, docs):
