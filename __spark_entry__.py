@@ -1292,6 +1292,73 @@ SELECT readName, rn > 1 AS duplicateRead FROM m ORDER BY readName
 """
 
 
+def heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min heavy hitters (llm/sketches.cms_heavy_hitters):
+    tokens with estimated frequency ≥ 100 from a 256×3 sketch. All
+    hashing is md5-derived, so the sketch — approximation and all — has
+    an exact cross-engine oracle."""
+    from adam_spark.llm.sketches import cms_heavy_hitters
+
+    toks = load_table(spark, sf, "documents").select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    return cms_heavy_hitters(toks, "token", min_count=100, width=256, depth=3).orderBy(
+        "token"
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+WITH tk AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+  FROM documents
+), e AS (
+  SELECT t, j,
+         CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || '|' || t), 1, 7))
+              AS BIGINT) % 256 AS bucket
+  FROM tk, range(0, 3) r(j)
+), sk AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY j, bucket
+), cand AS (
+  SELECT DISTINCT t FROM tk
+), ce AS (
+  SELECT cand.t, r.j,
+         CAST(('0x' || substr(md5('cms' || CAST(r.j AS VARCHAR) || '|' || cand.t), 1, 7))
+              AS BIGINT) % 256 AS bucket
+  FROM cand, range(0, 3) r(j)
+), est AS (
+  SELECT ce.t, CAST(MIN(COALESCE(sk.n, 0)) AS BIGINT) AS est
+  FROM ce LEFT JOIN sk ON ce.j = sk.j AND ce.bucket = sk.bucket
+  GROUP BY ce.t
+)
+SELECT t AS token, est FROM est WHERE est >= 100 ORDER BY token
+"""
+
+
+def mark_duplicates_fragments_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Fragment-level duplicate marking
+    (operators/mark_duplicates.mark_duplicate_fragments; reference
+    FragmentDataset.markDuplicates): the same synthetic single-end
+    reads grouped into Fragments, marked through the
+    explode→mark→regroup cycle, then read back out of the nested
+    alignments array. Single-end fragments make the expected flags
+    identical to the alignment-level query, so both share the oracle
+    recipe."""
+    from adam_spark import schemas as _schemas
+    from adam_spark.operators.conversions import alignments_to_fragments
+    from adam_spark.operators.mark_duplicates import mark_duplicate_fragments
+
+    aln = _schemas.conform(_markdup_alignments(spark, sf), _schemas.ALIGNMENT)
+    marked = mark_duplicate_fragments(alignments_to_fragments(aln))
+    return (
+        marked.select(F.explode("alignments").alias("a"))
+        .select(
+            F.col("a.readName").alias("readName"),
+            F.col("a.duplicateRead").alias("duplicateRead"),
+        )
+        .orderBy("readName")
+    )
+
+
 def coverage_flatten_bin(spark: SparkSession, sf: str) -> DataFrame:
     from adam_spark.operators.coverage import downsample_coverage, flatten_coverage
 
@@ -2541,6 +2608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_docs": dedup_incremental_docs,
         "chunk_docs": chunk_docs,
         "sample_mixture_docs": sample_mixture_docs,
+        "mark_duplicates_fragments_orders": mark_duplicates_fragments_orders,
+        "heavy_hitter_tokens": heavy_hitter_tokens,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2577,6 +2646,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_docs": _minhash_between_sql(),
         "chunk_docs": _CHUNK_SQL,
         "sample_mixture_docs": _SAMPLE_MIXTURE_SQL,
+        "mark_duplicates_fragments_orders": _MARKDUP_SQL,
+        "heavy_hitter_tokens": _HEAVY_HITTERS_SQL,
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),

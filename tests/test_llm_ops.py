@@ -824,3 +824,48 @@ def test_sample_to_mixture(spark, docs):
         sample_to_mixture(docs, {}, 1000)
     with pytest.raises(ValueError):
         sample_to_mixture(docs, weights, 0)
+
+
+def test_count_min_sketch(spark, docs):
+    """One-sided guarantee: estimates never undercount; heavy hitters
+    are a superset of the true heavy set; sketch size is bounded."""
+    from adam_spark.llm.sketches import (
+        cms_estimate,
+        cms_heavy_hitters,
+        count_min_sketch,
+    )
+
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    truth = {
+        r["token"]: r["c"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    sk = count_min_sketch(toks, "token", width=128, depth=3)
+    assert sk.count() <= 128 * 3
+    cand = toks.distinct()
+    est = {
+        r["t"]: r["est"]
+        for r in cms_estimate(sk, cand, "token", width=128, depth=3).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[t] >= c for t, c in truth.items())
+    # wide sketch ≈ exact on a small vocabulary (collision-free rows exist)
+    wide = count_min_sketch(toks, "token", width=65536, depth=4)
+    est_w = {
+        r["t"]: r["est"]
+        for r in cms_estimate(wide, cand, "token", width=65536, depth=4).collect()
+    }
+    exact_frac = sum(1 for t, c in truth.items() if est_w[t] == c) / len(truth)
+    assert exact_frac > 0.95
+    hh = {
+        r["token"]: r["est"]
+        for r in cms_heavy_hitters(toks, "token", 50, width=128, depth=3).collect()
+    }
+    true_heavy = {t for t, c in truth.items() if c >= 50}
+    assert true_heavy <= set(hh)
+    # absent item estimates 0 with a left join, never an error
+    ghost = spark.createDataFrame([("zzz_not_here",)], "token string")
+    g = cms_estimate(sk, ghost, "token", width=128, depth=3).collect()
+    assert len(g) == 1 and g[0]["est"] >= 0
