@@ -1292,6 +1292,77 @@ SELECT readName, rn > 1 AS duplicateRead FROM m ORDER BY readName
 """
 
 
+def sort_by_read_name_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """sortByReadName semantics made hash-observable
+    (operators/sorts.sort_by_read_name; reference
+    AlignmentDataset.sortByReadName :999-1003): rank every read by
+    (readName, readInFragment). Mixed-width names exercise the
+    LEXICOGRAPHIC order ('r10' < 'r2') the operator promises."""
+    from pyspark.sql import Window
+
+    reads = load_table(spark, sf, "customer").select(
+        F.expr("'r' || cast(c_custkey % 1000 as string)").alias("readName"),
+        F.expr("cast(c_custkey % 2 as int)").alias("readInFragment"),
+        F.col("c_custkey").alias("tiebreak"),
+    )
+    w = Window.orderBy("readName", "readInFragment", "tiebreak")
+    return (
+        reads.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("tiebreak", "readName", "readInFragment", "rank")
+        .orderBy("tiebreak")
+    )
+
+
+_SORT_READ_NAME_SQL = """
+WITH r AS (
+  SELECT 'r' || CAST(c_custkey % 1000 AS VARCHAR) AS readName,
+         CAST(c_custkey % 2 AS INT) AS readInFragment,
+         c_custkey AS tiebreak
+  FROM customer
+)
+SELECT tiebreak, readName, readInFragment,
+       CAST(row_number() OVER (ORDER BY readName, readInFragment, tiebreak)
+            AS BIGINT) AS rank
+FROM r ORDER BY tiebreak
+"""
+
+
+def bucketed_join_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed reused-sort layout (sources/bucketed.py; reference
+    copartitionByReferenceRegion, GenomicDataset.scala:2919-3076):
+    materialize both interval sets as pre-binned BUCKETED tables, then
+    inner region-join through the layout — the narrow×narrow branch
+    plans with zero Exchange (test_bucketed's plan gate). The oracle is
+    the plain SQL interval join: the layout must change the PLAN, never
+    the result."""
+    import os
+
+    from adam_spark.sources.bucketed import bucketed_region_join, save_binned_bucketed
+
+    sfname = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    lt, rt = f"contract_bk_l_{sfname}", f"contract_bk_r_{sfname}"
+    save_binned_bucketed(
+        _intervals_l(spark, sf),
+        lt,
+        os.path.join("spark-warehouse", lt),
+        bin_size=64,
+        buckets=8,
+    )
+    save_binned_bucketed(
+        _intervals_r(spark, sf),
+        rt,
+        os.path.join("spark-warehouse", rt),
+        bin_size=64,
+        buckets=8,
+    )
+    return bucketed_region_join(spark, lt, rt).orderBy(
+        "referenceName", "start", "end", "id", "id_r"
+    )
+
+
+_BUCKETED_JOIN_SQL = None  # set below once _ij_sql exists (same oracle as inner)
+
+
 def heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min heavy hitters (llm/sketches.cms_heavy_hitters):
     tokens with estimated frequency ≥ 100 from a 256×3 sketch. All
@@ -2610,6 +2681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_docs": sample_mixture_docs,
         "mark_duplicates_fragments_orders": mark_duplicates_fragments_orders,
         "heavy_hitter_tokens": heavy_hitter_tokens,
+        "bucketed_join_intervals": bucketed_join_intervals,
+        "sort_by_read_name_rank": sort_by_read_name_rank,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2648,6 +2721,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_mixture_docs": _SAMPLE_MIXTURE_SQL,
         "mark_duplicates_fragments_orders": _MARKDUP_SQL,
         "heavy_hitter_tokens": _HEAVY_HITTERS_SQL,
+        "bucketed_join_intervals": _ij_sql("INNER")
+        + " ORDER BY L.referenceName, L.start, L.\"end\", L.id, R.id",
+        "sort_by_read_name_rank": _SORT_READ_NAME_SQL,
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),
