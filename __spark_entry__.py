@@ -2609,7 +2609,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are near-identical ANSI SQL, and their join/agg surface is pinned
     # in-window by the interval-join/groupBy family), events_hourly
     # (another plain-SQL window demo; sessionization keeps the streaming
-    # slot), and union_features (unionByName is pinned by pytest).
+    # slot), union_features (unionByName is pinned by pytest), and the
+    # r5-added operator queries (quantize / LM-score / incremental-dedup
+    # / chunk / mixture / fragment-markdup / heavy-hitters /
+    # bucketed-join / name-sort) — never driver-recorded before, so
+    # parking them loses nothing while every previously-green row keeps
+    # its slot; tools/check_oracle.py verifies them at every SF under a
+    # driver-mimicking ANSI session.
     return {
         "events_sessions": events_sessions,
         "interval_join_inner": _ij("inner"),
