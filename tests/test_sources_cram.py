@@ -871,3 +871,69 @@ def test_crai_legacy_base_interpretation(tmp_path, monkeypatch):
     monkeypatch.setattr(cm, "_read_file_id", lambda p: cm._LEGACY_FILE_ID)
     (off, ln, seq, start, span), = cm._read_crai(path)
     assert start == 101  # legacy sidecars stored 0-based starts verbatim
+
+
+def test_plain_cram_load_with_reference_is_not_corrupted(spark, tmp_path):
+    """r4-advice regression: decoding an RR=false CRAM (written with no
+    reference) while PASSING reference= must return the stored bases
+    verbatim — the old contig-keyed branch substituted reference bases
+    for r1 ('*' cigar became '4M', ACGT became reference text) and the
+    unread BA bytes desynced every later record in the slice. The
+    verbatim-BA branch now keys on the file-level RR flag."""
+    sam = (
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        "@SQ\tSN:chr1\tLN:10000\n"
+        "r1\t0\tchr1\t101\t60\t*\t*\t0\t0\tACGT\tIIII\n"
+        "r2\t4\t*\t0\t0\t*\t*\t0\t0\tTTTT\tJJJJ\n"
+        "r3\t0\tchr1\t201\t60\t4M\t*\t0\t0\tGGCC\tKKKK\n"
+    )
+    p = tmp_path / "plain_rr.sam"
+    p.write_text(sam)
+    gf = load_sam(spark, str(p))
+    cram = str(tmp_path / "plain_rr.cram")
+    save_cram(gf, cram)  # RR=false: bases stored verbatim
+    ref = {"chr1": "G" * 10000}  # poison: any substitution would show
+    a = {r["readName"]: r for r in load_cram(spark, cram).df.collect()}
+    b = {
+        r["readName"]: r
+        for r in load_cram(spark, cram, reference=ref).df.collect()
+    }
+    assert set(b) == {"r1", "r2", "r3"}
+    for k in a:
+        for col in ("sequence", "cigar", "qualityScores", "start"):
+            assert b[k][col] == a[k][col], (k, col)
+    assert b["r1"]["sequence"] == "ACGT" and b["r1"]["cigar"] is None
+    assert b["r2"]["sequence"] == "TTTT"
+    assert b["r3"]["sequence"] == "GGCC"
+
+
+def test_huffman_canonical_ties_break_by_symbol_value():
+    """r4-advice regression: equal-bit-length symbols declared OUT of
+    value order must get canonical codes by (length, symbol value) —
+    htslib parity — not by declaration order."""
+    import adam_spark.sources.cram as cm
+
+    # declaration order 9, 2, 5 — all 2-bit. Canonical: 2→00, 5→01, 9→10.
+    codec = cm._HuffmanCodec([9, 2, 5], [2, 2, 2])
+    assert codec.codes == {(2, 0b00): 2, (2, 0b01): 5, (2, 0b10): 9}
+
+    class FakeCore:
+        def __init__(self, bits):
+            self.bits = list(bits)
+
+        def read(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.bits.pop(0)
+            return v
+
+    class FakeCursors:
+        def __init__(self, bits):
+            self.core = FakeCore(bits)
+
+    assert codec.read_int(FakeCursors([0, 0])) == 2
+    assert codec.read_int(FakeCursors([0, 1])) == 5
+    assert codec.read_int(FakeCursors([1, 0])) == 9
+    # mixed lengths: shorter codes first regardless of declared order
+    mixed = cm._HuffmanCodec([7, 3], [2, 1])
+    assert mixed.codes == {(1, 0b0): 3, (2, 0b10): 7}
