@@ -459,3 +459,77 @@ def test_hash_sample_is_stable_subset(spark, seed, frac):
         for r in train_test_split(df, frac, "doc_id", seed=s).where("split = 'test'").collect()
     }
     assert tst == big
+
+
+@given(seed=st.integers(0, 2**31))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_partitions_token_stream(spark, seed):
+    """For any corpus and any (chunk_tokens, overlap): every chunk is
+    ≤ chunk_tokens long, consecutive chunks of a doc overlap by exactly
+    ``overlap`` tokens (except a shorter tail), and stride-concatenation
+    reproduces the document's token stream."""
+    from adam_spark.llm.text import chunk_documents
+
+    rng = random.Random(seed)
+    ct = rng.randint(2, 12)
+    ov = rng.randint(0, ct - 1)
+    rows = []
+    for i in range(25):
+        n = rng.randint(0, 40)
+        rows.append((i, " ".join(rng.choice("abcdefg") * rng.randint(1, 3) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=ct, overlap=ov).collect():
+        got.setdefault(r["id"], {})[r["chunk_index"]] = r["chunk"].split(" ")
+    stride = ct - ov
+    for i, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        chunks = got.get(i, {})
+        if not toks:
+            assert chunks == {}
+            continue
+        assert sorted(chunks) == list(range(len(chunks)))
+        rebuilt = []
+        for k in range(len(chunks)):
+            c = chunks[k]
+            assert len(c) <= ct
+            assert c == toks[k * stride : k * stride + ct]
+            rebuilt.extend(c[:stride] if k < len(chunks) - 1 else c)
+        # stride-concatenation covers the stream exactly once
+        assert rebuilt[: len(toks)] == toks
+
+
+@given(seed=st.integers(0, 2**31))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_remove_repeated_spans_properties(spark, seed):
+    """For any corpus: above-corpus-size thresholds are the identity;
+    min_docs=1 removes every non-empty span; kept text is always a
+    subsequence of the original spans; n_removed sums match."""
+    from adam_spark.llm.dedup import remove_repeated_spans
+
+    rng = random.Random(seed)
+    vocab = ["lorem", "ipsum", "dolor", "sit", "amet"]
+    rows = []
+    for i in range(20):
+        n = rng.randint(0, 6)
+        rows.append((i, "\n".join(rng.choice(vocab) for _ in range(n)) if n else ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ident = {r["doc_id"]: r for r in remove_repeated_spans(df, min_docs=len(rows) + 1).collect()}
+    for i, text in rows:
+        assert ident[i]["text_clean"] == text and ident[i]["n_removed"] == 0
+    nuke = {r["doc_id"]: r for r in remove_repeated_spans(df, min_docs=1).collect()}
+    for i, text in rows:
+        spans = text.split("\n")
+        nonempty = [s for s in spans if s.strip()]
+        assert nuke[i]["n_removed"] == len(nonempty)
+        assert nuke[i]["text_clean"] == "\n".join(s for s in spans if not s.strip())
+    mid = {r["doc_id"]: r for r in remove_repeated_spans(df, min_docs=3).collect()}
+    for i, text in rows:
+        spans = text.split("\n")
+        kept = mid[i]["text_clean"].split("\n") if mid[i]["text_clean"] != "" else []
+        # kept spans are an in-order subsequence of the originals
+        it = iter(spans)
+        assert all(any(s == t for t in it) for s in kept)
+        assert mid[i]["n_removed"] + len(kept) == len(spans) or (
+            text == "" and mid[i]["n_removed"] == 0
+        )
