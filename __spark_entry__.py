@@ -723,8 +723,10 @@ WITH b AS (
   FROM b
 )
 SELECT id, CAST(dim AS BIGINT) AS dim, round(m / 127.0, 9) AS scale,
-       CAST(list_sum(q) AS BIGINT) AS q_sum,
-       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       -- COALESCE: DuckDB's list_sum([]) is NULL while Spark's
+       -- aggregate(..., 0L, +) is 0 — align the empty-array case
+       CAST(COALESCE(list_sum(q), 0) AS BIGINT) AS q_sum,
+       CAST(COALESCE(list_sum(list_transform(q, x -> abs(x))), 0) AS BIGINT) AS q_l1,
        CAST(list_min(q) AS BIGINT) AS q_min, CAST(list_max(q) AS BIGINT) AS q_max
 FROM qv ORDER BY id
 """
@@ -1360,18 +1362,16 @@ def bucketed_join_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_BUCKETED_JOIN_SQL = None  # set below once _ij_sql exists (same oracle as inner)
-
-
 def heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min heavy hitters (llm/sketches.cms_heavy_hitters):
     tokens with estimated frequency ≥ 100 from a 256×3 sketch. All
     hashing is md5-derived, so the sketch — approximation and all — has
     an exact cross-engine oracle."""
+    from adam_spark.llm.dedup import tokens as _tokens
     from adam_spark.llm.sketches import cms_heavy_hitters
 
     toks = load_table(spark, sf, "documents").select(
-        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+        F.explode(_tokens(F.col("text"))).alias("token")
     )
     return cms_heavy_hitters(toks, "token", min_count=100, width=256, depth=3).orderBy(
         "token"

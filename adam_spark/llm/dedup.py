@@ -655,9 +655,9 @@ def minhash_lsh_pairs_between(
         F.col("id").alias("id_ref"), F.col("sh").alias("sh_r"), F.size("sh").alias("n_r")
     )
     inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_r")))
+    est_n = _estimate_shingle_bytes(base_n) if broadcast_candidates is None else None
     if broadcast_candidates is None and (
-        _estimate_shingle_bytes(base_n) + _estimate_shingle_bytes(base_r)
-        <= VERIFY_BROADCAST_CAP_BYTES
+        est_n + _estimate_shingle_bytes(base_r) <= VERIFY_BROADCAST_CAP_BYTES
     ):
         # both token tables broadcast: verify is a pure map over the raw
         # candidate stream; re-verifying a pair that matched in several
@@ -679,9 +679,9 @@ def minhash_lsh_pairs_between(
     maybe_bc = F.broadcast if broadcast_candidates else (lambda x: x)
     # the new-side token table gets its own measured size decision —
     # an incremental batch is usually tiny, but nothing forces it to be
-    bc_new = broadcast_candidates and (
-        _estimate_shingle_bytes(base_n) <= VERIFY_BROADCAST_CAP_BYTES
-    )
+    if est_n is None:
+        est_n = _estimate_shingle_bytes(base_n)
+    bc_new = broadcast_candidates and est_n <= VERIFY_BROADCAST_CAP_BYTES
     maybe_bc_new = F.broadcast if bc_new else (lambda x: x)
     return (
         sh_r.join(maybe_bc(cand), "id_ref")

@@ -590,10 +590,12 @@ def cosine_topk_quantized(
             cmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             cmax = np.maximum(np.abs(cmat).max(axis=1), 1e-300)
             cq32 = np.floor(cmat * 127.0 / cmax[:, None] + 0.5).astype(np.int8).astype(np.int32)
-            cnorm = np.linalg.norm(cmat, axis=1)
+            # norm floors: an all-zero vector must score 0, not NaN —
+            # NaN sorts FIRST under desc and would flood every top-k
+            cnorm = np.maximum(np.linalg.norm(cmat, axis=1), 1e-300)
             # approx cosine ∝ int32 dot / (row norms of the int vectors)
-            qn = np.linalg.norm(qq32, axis=1)
-            cn = np.linalg.norm(cq32, axis=1)
+            qn = np.maximum(np.linalg.norm(qq32, axis=1), 1e-300)
+            cn = np.maximum(np.linalg.norm(cq32, axis=1), 1e-300)
             approx = (qq32 @ cq32.T) / (qn[:, None] * cn[None, :])
             ids = pdf[id_col].to_numpy()
             kk = min(kk_target, approx.shape[1])

@@ -20,10 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: md5-prefix hash space (matches llm.sampling._unit_hash)
-_HASH_SPACE = 16**7
-
-
 def _bucket(token: Column, j: Column, width: int, seed: str) -> Column:
     """Deterministic bucket for hash row ``j``: md5(seed·j·token) mod width."""
     return (

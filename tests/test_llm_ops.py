@@ -869,3 +869,21 @@ def test_count_min_sketch(spark, docs):
     ghost = spark.createDataFrame([("zzz_not_here",)], "token string")
     g = cms_estimate(sk, ghost, "token", width=128, depth=3).collect()
     assert len(g) == 1 and g[0]["est"] >= 0
+
+
+def test_cosine_topk_quantized_zero_vector_does_not_flood(spark, embs):
+    """A zero corpus vector must score 0 against every query — never
+    NaN (NaN sorts first under desc and would displace every real
+    neighbor from every top-k)."""
+    from adam_spark.llm.similarity import cosine_topk_quantized
+
+    poisoned = embs.select("vec_id", "embedding").limit(50).unionByName(
+        spark.createDataFrame(
+            [(999999, [0.0] * len(embs.first()["embedding"]))],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    rows = [(int(r["vec_id"]), list(r["embedding"])) for r in embs.limit(4).collect()]
+    out = cosine_topk_quantized(poisoned, rows, k=5).collect()
+    assert all(r["neighbor_id"] != 999999 for r in out)
+    assert all(not math.isnan(r["sim"]) for r in out)
