@@ -1087,6 +1087,88 @@ ORDER BY id
 """
 
 
+def bloom_decontaminate_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination (llm/sketches.bloom_build/
+    bloom_contains): the benchmark n-gram set packed into a fixed
+    8192-bit filter, the corpus probed through it — the membership
+    plan for blocklists too large to broadcast raw. A deliberately
+    tight filter makes false positives statistically certain, and
+    because every hash is md5-derived, the EXACT false-positive set is
+    part of the contract: the oracle replicates the filter bit-for-bit.
+    Never a false negative (superset of decontaminate_docs, pinned by
+    pytest)."""
+    from adam_spark.llm.dedup import word_ngrams
+    from adam_spark.llm.sketches import bloom_build, bloom_contains
+
+    docs = load_table(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 4)).alias("gram")
+    )
+    bench = grams.where(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    corp = grams.where(F.col("doc_id") % 50 != 0)
+    bloom = bloom_build(bench, "gram", num_bits=8192, num_hashes=5)
+    probed = bloom_contains(bloom, corp, "gram", num_bits=8192, num_hashes=5)
+    hits = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_maybe_hits"),
+    )
+    return (
+        docs.where(F.col("doc_id") % 50 != 0)
+        .select(F.col("doc_id").alias("id"))
+        .join(hits.withColumnRenamed("doc_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_maybe_hits", F.lit(0)).cast("long").alias("n_maybe_hits"),
+            (F.coalesce("n_maybe_hits", F.lit(0)) >= 1).alias("contaminated"),
+        )
+        .orderBy("id")
+    )
+
+
+_BLOOM_DECONTAMINATE_SQL = """
+WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, CAST(len(toks) AS BIGINT) - 3 + 1),
+               i -> array_to_string(toks[CAST(i AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')
+             )) AS grams
+      FROM tk),
+bench AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+bpos AS (SELECT gram, j,
+           CAST(('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || '|' || gram), 1, 7))
+                AS BIGINT) % 8192 AS pos
+         FROM bench, range(0, 5) r(j)),
+bits AS (SELECT pos // 32 AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+         FROM bpos GROUP BY pos // 32),
+corp AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id % 50 != 0),
+cpos AS (SELECT doc_id, gram, j,
+           CAST(('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || '|' || gram), 1, 7))
+                AS BIGINT) % 8192 AS pos
+         FROM corp, range(0, 5) r(j)),
+probe AS (SELECT doc_id, gram,
+            COUNT(*) FILTER (WHERE bits.bits IS NOT NULL AND
+              (bits.bits & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)))
+                = (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) = 5 AS maybe
+          FROM cpos LEFT JOIN bits ON cpos.pos // 32 = bits.word
+          GROUP BY doc_id, gram),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE maybe) AS BIGINT) AS n_maybe_hits
+         FROM probe GROUP BY doc_id)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_maybe_hits, 0) AS BIGINT) AS n_maybe_hits,
+       COALESCE(h.n_maybe_hits, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY id
+"""
+
+
 def sample_stratified_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic sampling battery (llm/sampling): exactly 25 docs per
     source chosen by hash-order lottery, each tagged train/test by a
@@ -2689,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "bucketed_join_intervals": bucketed_join_intervals,
         "sort_by_read_name_rank": sort_by_read_name_rank,
+        "bloom_decontaminate_docs": bloom_decontaminate_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2730,6 +2813,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_intervals": _ij_sql("INNER")
         + " ORDER BY L.referenceName, L.start, L.\"end\", L.id, R.id",
         "sort_by_read_name_rank": _SORT_READ_NAME_SQL,
+        "bloom_decontaminate_docs": _BLOOM_DECONTAMINATE_SQL,
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),

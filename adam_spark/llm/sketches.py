@@ -109,3 +109,69 @@ def cms_heavy_hitters(
         .where(F.col("est") >= F.lit(int(min_count)))
         .select(F.col("t").alias(col), "est")
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter over a column of items, packed 32 bits per
+    row: returns (word, bits) with ``word = position // 32`` — at most
+    ``num_bits / 32`` rows however many items went in. Like the
+    Count-Min sketch, the per-partition partial aggregates (bit_or) are
+    themselves Bloom filters being unioned, so the build is one
+    map-side-combined groupBy with an O(num_bits) shuffle ceiling.
+
+    The scale story: :mod:`adam_spark.llm.decontaminate` broadcasts the
+    benchmark's raw n-gram set, fine for real eval sets; when the
+    blocklist side grows past broadcast range (regression-test suites,
+    copyrighted-text corpora), the Bloom filter is the fixed-size
+    membership proxy — false positives at the standard
+    (1−e^{−kn/m})^k rate, never false negatives. md5 hashing makes the
+    filter bit-identical in any engine, so even its false positives
+    are oracle-checkable.
+    """
+    e = df.select(
+        F.col(col).alias("t"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
+    ).where(F.col("t").isNotNull())
+    pos = _bucket(F.col("t"), F.col("j"), num_bits, seed)
+    return (
+        e.select((pos / 32).cast("long").alias("word"), (pos % 32).alias("b"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, cast(b as int)))").alias("bits"))
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    items: DataFrame,
+    col: str,
+    num_bits: int,
+    num_hashes: int = 5,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Membership probe: all input columns plus ``maybe_present``
+    (true iff every one of the item's ``num_hashes`` bits is set — no
+    false negatives). The packed filter broadcasts; probing is a
+    broadcast join plus one groupBy on the probe key."""
+    in_cols = items.columns
+    probes = items.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__j")
+    ).withColumn("__pos", _bucket(F.col(col), F.col("__j"), num_bits, seed))
+    probes = probes.select(
+        *in_cols,
+        (F.col("__pos") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(1L, cast(__pos % 32 as int))").alias("__mask"),
+    )
+    joined = probes.join(F.broadcast(bloom), "word", "left")
+    hit = F.col("bits").isNotNull() & (
+        F.col("bits").bitwiseAND(F.col("__mask")) == F.col("__mask")
+    )
+    return (
+        joined.groupBy(*in_cols)
+        .agg((F.sum(F.when(hit, 1).otherwise(0)) == num_hashes).alias("maybe_present"))
+    )

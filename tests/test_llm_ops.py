@@ -887,3 +887,50 @@ def test_cosine_topk_quantized_zero_vector_does_not_flood(spark, embs):
     out = cosine_topk_quantized(poisoned, rows, k=5).collect()
     assert all(r["neighbor_id"] != 999999 for r in out)
     assert all(not math.isnan(r["sim"]) for r in out)
+
+
+def test_bloom_filter_membership(spark, docs):
+    """No false negatives ever; FP rate near theory on a tight filter;
+    the bloom decontamination verdicts are a superset of the exact
+    broadcast-set verdicts on the real corpus."""
+    from adam_spark.llm.decontaminate import ngram_contamination
+    from adam_spark.llm.dedup import word_ngrams
+    from adam_spark.llm.sketches import bloom_build, bloom_contains
+
+    items = spark.createDataFrame([(f"w{i}",) for i in range(400)], "t string")
+    bloom = bloom_build(items, "t", num_bits=8192, num_hashes=5)
+    assert bloom.count() <= 8192 // 32
+    probes = spark.createDataFrame([(f"w{i}",) for i in range(2400)], "t string")
+    out = {
+        r["t"]: r["maybe_present"]
+        for r in bloom_contains(bloom, probes, "t", 8192, 5).collect()
+    }
+    assert all(out[f"w{i}"] for i in range(400)), "false negative"
+    fp = sum(1 for i in range(400, 2400) if out[f"w{i}"])
+    fill = 1 - (1 - 1 / 8192) ** (400 * 5)
+    expect = fill**5
+    assert fp / 2000 < max(5 * expect, 0.01)
+    # superset of exact decontamination on the fixture corpus
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    exact = {
+        r["id"]: r["contaminated"]
+        for r in ngram_contamination(corpus, bench, "doc_id", n=4).collect()
+    }
+    grams = corpus.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 4)).alias("gram")
+    )
+    bgrams = (
+        bench.select(F.explode(word_ngrams(F.col("text"), 4)).alias("gram")).distinct()
+    )
+    bl = bloom_build(bgrams, "gram", num_bits=8192, num_hashes=5)
+    probed = bloom_contains(bl, grams, "gram", 8192, 5)
+    bloom_verdict = {
+        r["doc_id"]: r["c"] > 0
+        for r in probed.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("maybe_present"), 1).otherwise(0)).alias("c"))
+        .collect()
+    }
+    for k, v in exact.items():
+        if v:
+            assert bloom_verdict.get(k), "bloom dropped a truly contaminated doc"
