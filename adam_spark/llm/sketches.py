@@ -134,16 +134,24 @@ def bloom_build(
     filter bit-identical in any engine, so even its false positives
     are oracle-checkable.
     """
+    from pyspark.storagelevel import StorageLevel
+
     e = df.select(
         F.col(col).alias("t"),
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j"),
     ).where(F.col("t").isNotNull())
     pos = _bucket(F.col("t"), F.col("j"), num_bits, seed)
-    return (
+    out = (
         e.select((pos / 32).cast("long").alias("word"), (pos % 32).alias("b"))
         .groupBy("word")
         .agg(F.expr("bit_or(shiftleft(1L, cast(b as int)))").alias("bits"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # eager: bloom_contains references the filter once per hash row —
+    # unpersisted, each of those k broadcast joins would recompute the
+    # build scan; the materialized table is <= num_bits/32 rows
+    out.count()
+    return out
 
 
 def bloom_contains(
@@ -156,22 +164,40 @@ def bloom_contains(
 ) -> DataFrame:
     """Membership probe: all input columns plus ``maybe_present``
     (true iff every one of the item's ``num_hashes`` bits is set — no
-    false negatives). The packed filter broadcasts; probing is a
-    broadcast join plus one groupBy on the probe key."""
+    false negatives), one output row per input row.
+
+    The plan is ``num_hashes`` consecutive BROADCAST joins of the
+    packed filter — a pure narrow pipeline with no shuffle at all (an
+    earlier explode→groupBy formulation shuffled the probe stream ×k;
+    at corpus scale the k small hash-table lookups are free while that
+    shuffle was the whole cost)."""
     in_cols = items.columns
-    probes = items.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("__j")
-    ).withColumn("__pos", _bucket(F.col(col), F.col("__j"), num_bits, seed))
-    probes = probes.select(
-        *in_cols,
-        (F.col("__pos") / 32).cast("long").alias("word"),
-        F.expr("shiftleft(1L, cast(__pos % 32 as int))").alias("__mask"),
-    )
-    joined = probes.join(F.broadcast(bloom), "word", "left")
-    hit = F.col("bits").isNotNull() & (
-        F.col("bits").bitwiseAND(F.col("__mask")) == F.col("__mask")
-    )
-    return (
-        joined.groupBy(*in_cols)
-        .agg((F.sum(F.when(hit, 1).otherwise(0)) == num_hashes).alias("maybe_present"))
-    )
+    out = items
+    checks = []
+    for j in range(num_hashes):
+        pos = _bucket(F.col(col), F.lit(j), num_bits, seed)
+        out = (
+            out.withColumn(f"__p{j}", pos)
+            .withColumn(f"__w{j}", (F.col(f"__p{j}") / 32).cast("long"))
+            .withColumn(
+                f"__m{j}", F.expr(f"shiftleft(1L, cast(__p{j} % 32 as int))")
+            )
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("word").alias(f"__w{j}"),
+                        F.col("bits").alias(f"__b{j}"),
+                    )
+                ),
+                f"__w{j}",
+                "left",
+            )
+        )
+        checks.append(
+            F.col(f"__b{j}").isNotNull()
+            & (F.col(f"__b{j}").bitwiseAND(F.col(f"__m{j}")) == F.col(f"__m{j}"))
+        )
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return out.select(*in_cols, cond.alias("maybe_present"))
