@@ -2694,7 +2694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slot), union_features (unionByName is pinned by pytest), and the
     # r5-added operator queries (quantize / LM-score / incremental-dedup
     # / chunk / mixture / fragment-markdup / heavy-hitters /
-    # bucketed-join / name-sort) — never driver-recorded before, so
+    # bucketed-join / name-sort / bloom-decontaminate) — never
+    # driver-recorded before, so
     # parking them loses nothing while every previously-green row keeps
     # its slot; tools/check_oracle.py verifies them at every SF under a
     # driver-mimicking ANSI session.
