@@ -602,6 +602,52 @@ FROM st ORDER BY id, chunk_index
 """
 
 
+def doc_bigram_lm_score_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram LM quality scoring with unigram backoff
+    (llm/text.bigram_lm_scores): interpolated p(w2|w1) with in-row
+    bigram extraction (arrays_zip of slices, no lag-window shuffle)."""
+    from adam_spark.llm.text import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf, "documents")).orderBy("id")
+
+
+_DOC_BIGRAM_LM_SQL = """
+WITH tk AS (
+  SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_total, CAST(COUNT(*) AS DOUBLE) AS v_size FROM uni
+), frst AS (
+  SELECT id, CAST(len(t) AS BIGINT) AS n_tokens, t[1] AS tok FROM tk WHERE len(t) > 0
+), f2 AS (
+  SELECT id, n_tokens, -ln((c + 0.5) / (n_total + 0.5 * v_size)) AS s_first
+  FROM frst JOIN uni USING (tok) CROSS JOIN tot
+), pr AS (
+  SELECT id, z[1] AS w1, z[2] AS w2
+  FROM (SELECT id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        FROM tk WHERE len(t) > 1)
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM pr GROUP BY w1, w2
+), ps AS (
+  SELECT pr.id,
+         -ln((cb + 0.5 * ((u2.c + 0.5) / (n_total + 0.5 * v_size)))
+             / (u1.c + 0.5)) AS s
+  FROM pr JOIN big USING (w1, w2)
+       JOIN uni u1 ON pr.w1 = u1.tok
+       JOIN uni u2 ON pr.w2 = u2.tok
+       CROSS JOIN tot
+), agg AS (SELECT id, SUM(s) AS s_pairs FROM ps GROUP BY id)
+SELECT d.doc_id AS id, CAST(COALESCE(f2.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round((f2.s_first + COALESCE(agg.s_pairs, 0)) / f2.n_tokens, 6) AS nll,
+       round(exp((f2.s_first + COALESCE(agg.s_pairs, 0)) / f2.n_tokens), 6) AS ppl
+FROM documents d LEFT JOIN f2 ON d.doc_id = f2.id LEFT JOIN agg ON d.doc_id = agg.id
+ORDER BY id
+"""
+
+
 def dedup_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus incremental dedup
     (llm/dedup.minhash_lsh_pairs_between): odd-id documents play the
@@ -2773,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_intervals": bucketed_join_intervals,
         "sort_by_read_name_rank": sort_by_read_name_rank,
         "bloom_decontaminate_docs": bloom_decontaminate_docs,
+        "doc_bigram_lm_score_docs": doc_bigram_lm_score_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2815,6 +2862,7 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY L.referenceName, L.start, L.\"end\", L.id, R.id",
         "sort_by_read_name_rank": _SORT_READ_NAME_SQL,
         "bloom_decontaminate_docs": _BLOOM_DECONTAMINATE_SQL,
+        "doc_bigram_lm_score_docs": _DOC_BIGRAM_LM_SQL,
         "text_profile_docs": _text_profile_sql(),
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),

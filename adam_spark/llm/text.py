@@ -484,3 +484,106 @@ def chunk_documents(
         F.size("__c").cast("long").alias("n_tokens"),
         F.array_join("__c", " ").alias("chunk"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    broadcast_vocab: bool | None = None,
+) -> DataFrame:
+    """Bigram language-model quality score with unigram backoff.
+
+    The CCNet-grade upgrade of :func:`unigram_lm_scores`: each token
+    after the first is scored by the interpolated conditional
+    ``p(w2|w1) = (c(w1 w2) + α·p_uni(w2)) / (c(w1) + α)`` (additive
+    backoff to the smoothed unigram distribution — unseen bigrams fall
+    back gracefully instead of flat-lining), the first token by
+    ``p_uni`` alone; ``nll`` is the mean over all tokens and ``ppl``
+    its exponential. Burstiness and local repetition now move the
+    score the way a real LM filter expects.
+
+    Scale shape: bigram extraction is IN-ROW (``arrays_zip`` of two
+    slices — no lag window, so no per-document shuffle); unigram and
+    bigram counting are map-side-combined groupBys; both count tables
+    join back broadcast under a measured cap (shuffle fallback), the
+    model constants ride a broadcast 1-row cross join, and the final
+    per-document aggregate is one slim (id, sum) groupBy.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    a = float(alpha)
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("t")
+    )
+    uni = (
+        base.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    v = uni.count()
+    if broadcast_vocab is None:
+        est = uni.select(
+            (F.sum(F.length("tok")) + F.count(F.lit(1)) * 40).alias("b")
+        ).first()["b"]
+        broadcast_vocab = int(est or 0) <= VOCAB_BROADCAST_CAP_BYTES
+    maybe_bc = F.broadcast if broadcast_vocab else (lambda x: x)
+    consts = uni.select(
+        F.sum("c").cast("double").alias("n_total"), F.lit(float(v)).alias("v_size")
+    )
+    p_uni = lambda c: (c + F.lit(a)) / (F.col("n_total") + F.lit(a) * F.col("v_size"))
+    first = (
+        base.where(F.size("t") > 0)
+        .select(
+            "id",
+            F.element_at("t", 1).alias("tok"),
+            F.size("t").cast("long").alias("n_tokens"),
+        )
+        .join(maybe_bc(uni), "tok")
+        .crossJoin(F.broadcast(consts))
+        .select("id", "n_tokens", (-F.log(p_uni(F.col("c")))).alias("s_first"))
+    )
+    pairs = (
+        base.where(F.size("t") > 1)
+        .select(
+            "id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1), F.slice("t", 2, F.size("t") - 1)
+                )
+            ).alias("p"),
+        )
+        .select("id", F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        pairs.join(maybe_bc(big), ["w1", "w2"])
+        .join(maybe_bc(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(maybe_bc(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "id",
+            (
+                -F.log(
+                    (F.col("cb") + F.lit(a) * p_uni(F.col("c2")))
+                    / (F.col("c1") + F.lit(a))
+                )
+            ).alias("s"),
+        )
+        .groupBy("id")
+        .agg(F.sum("s").alias("s_pairs"))
+    )
+    nll = (F.col("s_first") + F.coalesce("s_pairs", F.lit(0.0))) / F.col("n_tokens")
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(first, "id", "left")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(nll, 6).alias("nll"),
+            F.round(F.exp(nll), 6).alias("ppl"),
+        )
+    )

@@ -934,3 +934,31 @@ def test_bloom_filter_membership(spark, docs):
     for k, v in exact.items():
         if v:
             assert bloom_verdict.get(k), "bloom dropped a truly contaminated doc"
+
+
+def test_bigram_lm_scores(spark, docs):
+    """Hand-checked bigram backoff math on a tiny corpus; repetitive
+    documents score lower nll than shuffled ones (the property the
+    unigram model cannot express); broadcast==shuffle paths agree."""
+    from adam_spark.llm.text import bigram_lm_scores
+
+    tiny = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, None)], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in bigram_lm_scores(tiny, alpha=0.5).collect()}
+    # corpus: tokens a×3 b×3, N=6 V=2; bigrams: (a,b)×2, (b,a)×2
+    pu = {"a": 3.5 / 7.0, "b": 3.5 / 7.0}
+    p_ab = (2 + 0.5 * pu["b"]) / (3 + 0.5)
+    p_ba = (2 + 0.5 * pu["a"]) / (3 + 0.5)
+    nll1 = -(math.log(pu["a"]) + math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 4
+    assert out[1]["nll"] == pytest.approx(round(nll1, 6), abs=1e-6)
+    assert out[1]["n_tokens"] == 4
+    assert out[3]["n_tokens"] == 0 and out[3]["nll"] is None
+    # a doc made of one repeated bigram beats the same tokens shuffled
+    corpus = [(i, "x y " * 10) for i in range(5)] + [(99, "y y x x y x y x x y x y y x x y x y y x")]
+    df2 = spark.createDataFrame(corpus, "doc_id long, text string")
+    sc = {r["id"]: r["nll"] for r in bigram_lm_scores(df2).collect()}
+    assert sc[0] < sc[99]
+    a = sorted(tuple(r) for r in bigram_lm_scores(docs).collect())
+    b = sorted(tuple(r) for r in bigram_lm_scores(docs, broadcast_vocab=False).collect())
+    assert a == b and len(a) == docs.count()

@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     # 1-row broadcast constants (N, |V|) cross-joined onto the token
     # stream — BNLJ of a single-row build side is the right plan
     "doc_lm_score_docs",
+    "doc_bigram_lm_score_docs",
 }
 
 
