@@ -53,8 +53,69 @@ def _cmd_transform_alignments(args) -> int:
               file=sys.stderr)
         return 2
 
+    n_force = sum(
+        1 for f in (args.force_load_bam, args.force_load_fastq,
+                    args.force_load_ifastq, args.force_load_parquet) if f
+    )
+    if n_force > 1:
+        print("at most one -force_load_* flag may be given", file=sys.stderr)
+        return 2
+
     spark = _spark(args)
-    gf = ctx.load_alignments(spark, args.input)
+    # -force_load_* bypasses extension dispatch (TransformAlignments
+    # .scala:140-149); -paired_fastq supplies the r2 path (.scala:161)
+    if args.force_load_bam:
+        # BAM vs text SAM by content, not name: BAM is BGZF (gzip magic)
+        from adam_spark.sources import sam as _sam_mod
+        from adam_spark.sources.bam import load_bam
+
+        with open(args.input, "rb") as fh:
+            magic = fh.read(2)
+        gf = (load_bam(spark, args.input) if magic == b"\x1f\x8b"
+              else _sam_mod.load_sam(spark, args.input))
+    elif args.force_load_fastq or args.paired_fastq:
+        from adam_spark.sources.fastq import load_fastq_alignments
+
+        gf = load_fastq_alignments(spark, args.input, args.paired_fastq)
+    elif args.force_load_ifastq:
+        from adam_spark.sources.fastq import load_fastq_alignments
+
+        gf = load_fastq_alignments(spark, args.input, interleaved=True)
+    elif args.force_load_parquet:
+        gf = ctx._load_parquet(spark, args.input, "alignment")
+    else:
+        gf = ctx.load_alignments(spark, args.input)
+    is_fastq_input = (
+        args.force_load_fastq or args.force_load_ifastq or args.paired_fastq
+        or args.input.lower().endswith((".fq", ".fastq", ".ifq"))
+    )
+    if args.read_group is not None and is_fastq_input:
+        # set converted FASTQs' read group; empty string → input
+        # basename minus extension (TransformAlignments.scala:164)
+        import os as _os
+
+        from adam_spark.core.metadata import ReadGroup
+
+        rg_id = args.read_group or _os.path.splitext(
+            _os.path.basename(args.input)
+        )[0]
+        meta = gf.meta.copy()
+        meta.read_groups = [ReadGroup(id=rg_id)]
+        gf = GenomicFrame(gf.df.withColumn("readGroupId", F.lit(rg_id)), meta)
+    if args.max_read_length and args.max_read_length > 0 and is_fastq_input:
+        # FastqRecordReader.setMaxReadLength analog (.scala:445-446):
+        # over-long reads are an error under STRICT, dropped (with a
+        # count to stderr) otherwise
+        too_long = gf.df.where(F.length("sequence") > args.max_read_length)
+        if args.stringency == "STRICT":
+            n_bad = too_long.count()
+            if n_bad:
+                print(f"{n_bad} reads exceed -max_read_length "
+                      f"{args.max_read_length}", file=sys.stderr)
+                return 1
+        gf = GenomicFrame(
+            gf.df.where(F.length("sequence") <= args.max_read_length), gf.meta
+        )
     if args.concat:
         other = ctx.load_alignments(spark, args.concat)
         gf = GenomicFrame(gf.df.unionByName(other.df, allowMissingColumns=True),
@@ -94,7 +155,10 @@ def _cmd_transform_alignments(args) -> int:
         if args.known_snps:
             known = ctx.load_variants(spark, args.known_snps).df
         df = recalibrate_base_qualities(
-            df, known, min_acceptable_quality=args.min_acceptable_quality
+            df, known, min_acceptable_quality=args.min_acceptable_quality,
+            sampling_fraction=args.sampling_fraction,
+            # seed 0 means "unset" in the reference (.scala:92-93)
+            sampling_seed=args.sampling_seed or None,
         )
     if args.realign_indels:
         from adam_spark.operators.realignment import realign_indels
@@ -118,13 +182,48 @@ def _cmd_transform_alignments(args) -> int:
         from adam_spark.operators.md_tagging import compute_mismatching_positions
 
         ref = args.add_md_tags
-        if not ref.lower().endswith(".2bit"):
+        if ref.lower().endswith(".2bit"):
+            df = compute_mismatching_positions(df, ref, overwrite=args.md_tag_overwrite)
+        elif args.md_tag_fragment_size:
+            # -md_tag_fragment_size (.scala:173-174, :282): bound per-
+            # fragment reference memory by tagging against OVERLAPPING
+            # slices of that length (pad covers boundary-spanning reads)
+            from adam_spark.operators.md_tagging import tag_reads_with_md
+            from adam_spark.sources.fasta import load_fasta_sequences
+
+            fs = int(args.md_tag_fragment_size)
+            pad = 10_000  # >= max read reference span
+            seqs = load_fasta_sequences(spark, ref).df
+            slices = seqs.select(
+                "name",
+                F.posexplode(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.length("sequence") - F.lit(1)) / F.lit(fs)).cast("long"),
+                    )
+                ).alias("__i", "__step"),
+                F.col("sequence").alias("__full"),
+            ).select(
+                "name",
+                (F.col("__i") * fs).cast("long").alias("start"),
+                F.least(
+                    F.length("__full").cast("long"),
+                    (F.col("__i") * fs + fs + pad).cast("long"),
+                ).alias("end"),
+                F.col("__full").substr(
+                    (F.col("__i") * fs + 1).cast("int"), F.lit(fs + pad)
+                ).alias("sequence"),
+            )
+            df = tag_reads_with_md(df, slices)
+        else:
             # FASTA: load to the SEQUENCE schema; the kernel collects
             # contigs into its broadcast dict (2bit stays the scale path)
             from adam_spark.sources.fasta import load_fasta_sequences
 
-            ref = load_fasta_sequences(spark, ref).df
-        df = compute_mismatching_positions(df, ref, overwrite=args.md_tag_overwrite)
+            df = compute_mismatching_positions(
+                df, load_fasta_sequences(spark, ref).df,
+                overwrite=args.md_tag_overwrite,
+            )
     if args.bin_quality_scores:
         df = bin_quality_scores(df, args.bin_quality_scores.split(";"))
     if args.sort_by_read_name:
@@ -134,21 +233,61 @@ def _cmd_transform_alignments(args) -> int:
     elif args.sort_by_reference_position_and_index:
         df = sorts.sort_by_reference_position_and_index(df, gf.meta.references)
     if args.cache:
-        df = df.persist()
+        # -storage_level names a pyspark StorageLevel constant
+        # (StorageLevel.fromString analog, TransformAlignments.scala:441)
+        from pyspark import StorageLevel
+
+        level = getattr(StorageLevel, args.storage_level, None)
+        if level is None:
+            print(f"unknown -storage_level {args.storage_level}", file=sys.stderr)
+            return 2
+        df = df.persist(level)
     if args.coalesce:
         # -force_shuffle_coalesce: a plain coalesce() can collapse
         # upstream parallelism into the narrow ancestor; the shuffle
         # variant repartitions instead (TransformAlignments.scala:134)
         df = df.repartition(args.coalesce) if args.force_shuffle_coalesce else df.coalesce(args.coalesce)
     out = gf.__class__(df, gf.meta)
+    # a fresh @PG program record goes into SAM/BAM headers unless
+    # -disable_pg (TransformAlignments.scala:188)
+    pg_line = (
+        None
+        if args.disable_pg
+        else "@PG\tID:adam_spark\tPN:adam_spark\tCL:transform_alignments"
+    )
+    single_file = (args.single or not args.sharded) and not args.defer_merging
+    is_fastq_out = args.output.lower().endswith((".fq", ".fastq"))
+    save_kwargs = {}
+    if is_fastq_out and args.sort_fastq_output:
+        save_kwargs["sort_by_name"] = True  # .scala:137-138
     if args.partition_by_start_pos:
         from adam_spark.sources.parquet import save_partitioned_parquet
 
         save_partitioned_parquet(out, args.output, partition_size=args.partition_bin_size)
     elif args.partition_size:
         ctx.save(out, args.output, partition_size=args.partition_size)
+    elif single_file and args.disable_fast_concat and args.output.lower().endswith(
+        (".sam", ".fq", ".fastq", ".bed", ".gtf", ".gff3", ".vcf")
+    ):
+        # -disable_fast_concat (.scala:158): the default single-file
+        # path is a one-pass coalesce(1) write ("fast concat" — upstream
+        # stays parallel, one writer task); this variant writes shards
+        # at full parallelism and serially concatenates them driver-side
+        # (util/FileMerger.scala:35's non-parallel branch)
+        import os as _os
+        import shutil as _shutil
+
+        from adam_spark.sources.merge import merge_shards
+
+        # keep the extension so the sharded save dispatches by format
+        _base, _ext = _os.path.splitext(args.output)
+        shard_dir = _base + ".shards" + _ext
+        ctx.save(out, shard_dir, single_file=False, pg_line=pg_line, **save_kwargs)
+        merge_shards(shard_dir, args.output)
+        _shutil.rmtree(shard_dir)
     else:
-        ctx.save(out, args.output, single_file=not args.sharded)
+        ctx.save(out, args.output, single_file=single_file, pg_line=pg_line,
+                 **save_kwargs)
     return 0
 
 
@@ -388,6 +527,33 @@ def build_parser() -> argparse.ArgumentParser:
     ta.add_argument("-partition_size", dest="partition_size", type=int, default=None,
                     help="write partitioned parquet with this bin size")
     ta.add_argument("-sharded", dest="sharded", action="store_true")
+    ta.add_argument("-single", dest="single", action="store_true",
+                    help="save OUTPUT as a single file")
+    ta.add_argument("-defer_merging", dest="defer_merging", action="store_true",
+                    help="write single-file output as unmerged shards (merge later with merge_shards)")
+    ta.add_argument("-disable_fast_concat", dest="disable_fast_concat",
+                    action="store_true",
+                    help="serial driver-side shard concat instead of the one-pass coalesce write")
+    ta.add_argument("-disable_pg", dest="disable_pg", action="store_true",
+                    help="do not write a new @PG header line")
+    ta.add_argument("-paired_fastq", dest="paired_fastq", default=None,
+                    help="r2 path when converting paired FASTQ")
+    ta.add_argument("-sort_fastq_output", dest="sort_fastq_output",
+                    action="store_true")
+    ta.add_argument("-force_load_bam", dest="force_load_bam", action="store_true")
+    ta.add_argument("-force_load_fastq", dest="force_load_fastq", action="store_true")
+    ta.add_argument("-force_load_ifastq", dest="force_load_ifastq", action="store_true")
+    ta.add_argument("-force_load_parquet", dest="force_load_parquet", action="store_true")
+    ta.add_argument("-read_group", dest="read_group", default=None,
+                    help="read-group id for converted FASTQs ('' = input basename)")
+    ta.add_argument("-sampling_fraction", dest="sampling_fraction", type=float,
+                    default=None, help="observe BQSR covariates on a sample of reads")
+    ta.add_argument("-sampling_seed", dest="sampling_seed", type=int, default=0)
+    ta.add_argument("-storage_level", dest="storage_level", default="MEMORY_ONLY",
+                    help="StorageLevel name used by -cache")
+    ta.add_argument("-max_read_length", dest="max_read_length", type=int, default=0)
+    ta.add_argument("-md_tag_fragment_size", dest="md_tag_fragment_size", type=int,
+                    default=None)
     ta.set_defaults(fn=_cmd_transform_alignments)
 
     fs = sub.add_parser("flagstat", help="samtools-flagstat counters")

@@ -182,12 +182,13 @@ def load_sequence_dictionary(path: str) -> SequenceDictionary:
 
 def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> None:
     """Polymorphic save by extension (reference ``save`` dispatch)."""
+    pg_line = kwargs.pop("pg_line", None)  # SAM/BAM-only kwarg
     if _has_ext(path, ".sam"):
-        _sam.save_sam(gf, path, single_file=single_file)
+        _sam.save_sam(gf, path, single_file=single_file, pg_line=pg_line)
     elif _has_ext(path, ".bam"):
         from adam_spark.sources.bam import save_bam
 
-        save_bam(gf, path)
+        save_bam(gf, path, pg_line=pg_line)
     elif _has_ext(path, ".cram"):
         from adam_spark.sources.cram import save_cram
 

@@ -95,7 +95,9 @@ def cosine_topk_numpy(
 
     qids = [q[0] for q in queries_rows]
     qmat = np.asarray([q[1] for q in queries_rows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1)
+    # norm floors: a zero vector (either side) must score 0, not NaN —
+    # NaN sorts first under desc and would flood the top-k
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-300)
     spark = corpus.sparkSession
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
@@ -104,10 +106,12 @@ def cosine_topk_numpy(
     def score(batches):
         qids_, qmat_, qnorm_ = bq.value
         for pdf in batches:
+            # null vectors can't be scored (ragged asarray crashes)
+            pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
             cmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm = np.maximum(np.linalg.norm(cmat, axis=1), 1e-300)
             sims = (qmat_ @ cmat.T) / (qnorm_[:, None] * cnorm[None, :])
             ids = pdf[id_col].to_numpy()
             # per-batch partial top-k per query
@@ -140,41 +144,77 @@ def kmeans_centroids(
     """Distributed Lloyd's k-means for IVF centroid training.
 
     The corpus never leaves the executors: each iteration broadcasts
-    the k current centroids (tiny), assigns every vector to its nearest
-    centroid with one vectorized pandas-UDF pass (argmax of a GEMM on
-    normalized vectors — spherical k-means, the right objective for
-    cosine search), and recomputes means with a groupBy. Driver holds
-    only k×dim floats. Returns (cent_id, cent_vec) for :func:`ivf_topk`.
+    the k current centroids (tiny) and one fused ``mapInPandas`` pass
+    both assigns every vector (argmax of a GEMM on normalized vectors —
+    spherical k-means, the right objective for cosine search) and
+    reduces each partition to per-cluster partial sums. Only those
+    partials — O(partitions·k) rows of (cid, dim_index, value) after a
+    posexplode — are shuffled and summed, so the per-iteration shuffle
+    and the final collect are corpus-size-independent AND
+    dimension-safe: no dim-wide Catalyst aggregate exists anywhere (an
+    ``F.sum(element_at)`` column per dimension blows up codegen past
+    dim ≈ 100s — the same pathology the minhash fold hit in r2).
+    Driver holds only k×dim floats. Returns (cent_id, cent_vec) for
+    :func:`ivf_topk`.
     """
-    from pyspark.sql.types import IntegerType
-
     first = (
         corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     )  # deterministic seeding: first-k by id (k×dim driver bytes only)
     cents = np.asarray([r[vec_col] for r in first], dtype=np.float64)
     spark = corpus.sparkSession
+    dim = cents.shape[1]
     for _ in range(iters):
         c_norm = cents / np.maximum(np.linalg.norm(cents, axis=1), 1e-12)[:, None]
         bc = spark.sparkContext.broadcast(c_norm)
 
-        @F.pandas_udf(IntegerType())
-        def assign(vecs: pd.Series) -> pd.Series:
+        def partials(batches):
             cn = bc.value
-            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
-            return pd.Series(np.argmax(mat @ cn.T, axis=1).astype(np.int32))
+            kk, d = cn.shape
+            sums = np.zeros((kk, d), dtype=np.float64)
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                normed = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+                cid = np.argmax(normed @ cn.T, axis=1)
+                np.add.at(sums, cid, mat)
+                np.add.at(counts, cid, 1)
+            live = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cid": live.astype(np.int32),
+                    # dtype=object: an EMPTY list column would otherwise
+                    # infer float64, which Arrow can't cast to list<double>
+                    "psum": pd.Series(
+                        [sums[c].tolist() for c in live], dtype=object
+                    ),
+                    "n": counts[live],
+                }
+            )
 
-        assigned = corpus.select(
-            assign(F.col(vec_col)).alias("cid"), F.col(vec_col).alias("v")
+        partial_df = corpus.select(F.col(vec_col).alias("v")).mapInPandas(
+            partials, schema="cid int, psum array<double>, n long"
         )
-        dim = cents.shape[1]
-        sums = assigned.groupBy("cid").agg(
-            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
-            F.count(F.lit(1)).alias("n"),
-        ).collect()
+        # slim shuffle: partitions·k rows exploded to dim-indexed scalars
+        sums = (
+            partial_df.select(
+                "cid", "n", F.posexplode("psum").alias("i", "s")
+            )
+            .groupBy("cid", "i")
+            .agg(F.sum("s").alias("s"), F.sum(F.when(F.col("i") == 0, F.col("n"))).alias("n"))
+            .collect()
+        )  # k·dim rows on the driver — same footprint as the centroids
         new = cents.copy()  # empty clusters keep their previous centroid
+        counts = {}
         for r in sums:
-            new[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+            new[r["cid"], r["i"]] = r["s"]
+            if r["i"] == 0:
+                counts[r["cid"]] = r["n"]
+        for c, n in counts.items():
+            new[c] /= n
         cents = new
         bc.destroy()
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
@@ -258,6 +298,121 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+def ivf_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """IVF probe + int8 GEMM shortlist + exact rescore — the 100 TB ANN
+    scan: centroid-pruned AND 4×-compressed.
+
+    Same probe semantics as :func:`ivf_topk` (nearest-centroid
+    assignment as a narrow broadcast-GEMM map; each query scans only
+    its ``n_probe`` nearest centroid buckets) but bucket scanning uses
+    :func:`cosine_topk_quantized`'s kernel: per Arrow batch one int8
+    matmul (int32 accumulation — the layout a deployment keeps cached,
+    4× smaller than float32) ranks a ``rescore_factor·k`` shortlist,
+    which is rescored against the original floats. Rows in buckets a
+    query does not probe are masked out of that query's shortlist
+    in-kernel, so batches need no per-bucket grouping — the bucket
+    filter (cent_id isin the probed union) plus the mask implement the
+    probe exactly. Returned sims are EXACT (rescored); approximation =
+    IVF probe recall ∘ shortlist recall.
+    """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        )
+    from pyspark.sql.types import LongType
+
+    cent_rows = centroids.orderBy("cent_id").collect()  # k×dim driver bytes
+    cent_ids = np.asarray([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    cmat_cent = np.asarray([r["cent_vec"] for r in cent_rows], dtype=np.float64)
+    cn_cent = cmat_cent / np.maximum(np.linalg.norm(cmat_cent, axis=1), 1e-12)[:, None]
+
+    # probe sets on the driver: Q×k_cent GEMM (queries are small by
+    # assumption — ivf_topk broadcasts them for the same reason)
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = [int(r[id_col]) for r in q_rows]
+    qmat = np.asarray([r[vec_col] for r in q_rows], dtype=np.float64)
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-300)
+    csim = (qmat / qnorm[:, None]) @ cn_cent.T
+    # rank centroids per query: desc sim, ties to the lowest cent_id
+    # (cent_rows are cent_id-sorted and argsort/lexsort are stable)
+    order = np.argsort(-csim, axis=1, kind="stable")[:, :n_probe]
+    probe_sets = [frozenset(int(cent_ids[j]) for j in row) for row in order]
+    probed_union = sorted(set().union(*probe_sets)) if probe_sets else []
+
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm, probe_sets))
+    bc = spark.sparkContext.broadcast((cent_ids, cn_cent))
+    kk_target = max(k + 1, rescore_factor * k)
+
+    @F.pandas_udf(LongType())
+    def nearest_cent(vecs: pd.Series) -> pd.Series:
+        ids_, cn_ = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(ids_[np.argmax(mat @ cn_.T, axis=1)])
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        nearest_cent(F.col(vec_col)).alias("cent_id"),
+    ).where(F.col("cent_id").isin(probed_union))
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def score(batches):
+        qids_, qmat_, qnorm_, probes_ = bq.value
+        for pdf in batches:
+            pdf = pdf[pdf["cvec"].notna()]
+            if len(pdf) == 0:
+                continue
+            cmat = np.asarray(list(pdf["cvec"]), dtype=np.float64)
+            cmax = np.maximum(np.abs(cmat).max(axis=1), 1e-300)
+            cq32 = np.floor(cmat * 127.0 / cmax[:, None] + 0.5).astype(np.int8).astype(np.int32)
+            cnorm = np.maximum(np.linalg.norm(cmat, axis=1), 1e-300)
+            qmax = np.maximum(np.abs(qmat_).max(axis=1), 1e-300)
+            qq32 = np.floor(qmat_ * 127.0 / qmax[:, None] + 0.5).astype(np.int8).astype(np.int32)
+            qn = np.maximum(np.linalg.norm(qq32, axis=1), 1e-300)
+            cn_ = np.maximum(np.linalg.norm(cq32, axis=1), 1e-300)
+            approx = (qq32 @ cq32.T) / (qn[:, None] * cn_[None, :])
+            cents = pdf["cent_id"].to_numpy()
+            ids = pdf["neighbor_id"].to_numpy()
+            rows = []
+            for qi, qid in enumerate(qids_):
+                mask = np.isin(cents, list(probes_[qi]))
+                if not mask.any():
+                    continue
+                a = np.where(mask, approx[qi], -np.inf)
+                kk = min(kk_target, int(mask.sum()))
+                cand = np.argpartition(-a, kk - 1)[:kk]
+                cand = cand[mask[cand]]
+                sims = (qmat_[qi] @ cmat[cand].T) / (qnorm_[qi] * cnorm[cand])
+                for ci, s in zip(cand, sims):
+                    if ids[ci] != qid:
+                        rows.append((qid, int(ids[ci]), float(s)))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    partial = assigned.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
@@ -571,7 +726,10 @@ def cosine_topk_quantized(
     """
     qids = [q[0] for q in queries_rows]
     qmat = np.asarray([q[1] for q in queries_rows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1)
+    # same floor as cnorm in the loop: an all-zero QUERY must score 0
+    # everywhere, not NaN (NaN sorts first under desc and would fill
+    # that query's entire top-k with garbage)
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-300)
     spark = corpus.sparkSession
     bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
     kk_target = max(k + 1, rescore_factor * k)
@@ -585,6 +743,9 @@ def cosine_topk_quantized(
         qq = np.floor(qmat_ * 127.0 / qmax[:, None] + 0.5).astype(np.int8)
         qq32 = qq.astype(np.int32)
         for pdf in batches:
+            # null corpus vectors can't be scored (and would crash the
+            # ragged asarray) — skip them, as quantize_embeddings does
+            pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
             cmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)

@@ -20,8 +20,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# _bucket draws positions from 7 hex md5 chars: a uniform value in
+# [0, 16^7). Any modulus above that silently truncates the position
+# space (bits past 16^7 could never be set) and moduli near the bound
+# are badly biased — so reject them instead. 16^7 ≈ 268M bits ≈ 32 MB
+# packed, far past the broadcast cap that motivates these sketches.
+_MAX_BUCKET_SPACE = 16**7
+
+
 def _bucket(token: Column, j: Column, width: int, seed: str) -> Column:
     """Deterministic bucket for hash row ``j``: md5(seed·j·token) mod width."""
+    if width > _MAX_BUCKET_SPACE:
+        raise ValueError(
+            f"width/num_bits {width} exceeds the 16^7 ({_MAX_BUCKET_SPACE}) "
+            "position space of the 7-hex-char md5 bucket hash; bits above "
+            "that bound could never be set and the false-positive formula "
+            "would silently break"
+        )
     return (
         F.conv(
             F.substring(
@@ -86,6 +101,56 @@ def cms_estimate(
     )
 
 
+#: max estimated candidate-table bytes pinned as a broadcast in the
+#: heavy-hitter exact-verify join; past this the join falls back to a
+#: shuffle (same convention as llm/dedup.py's verify caps).
+CANDIDATE_BROADCAST_CAP_BYTES = 256 * 1024 * 1024
+
+
+def cms_candidates(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    partitions_hint: int | None = None,
+) -> DataFrame:
+    """Narrow per-partition candidate generation for heavy-hitter
+    queries — the scale-path replacement for ``df.distinct()``.
+
+    Pigeonhole: an item with total count ≥ ``min_count`` across P
+    partitions has local count ≥ ⌈min_count / P⌉ in at least one of
+    them, so emitting each partition's items with local count ≥ that
+    threshold can never lose a true heavy hitter. The count runs
+    inside ``mapInPandas`` (zero shuffle; each partition reduces to
+    its own small above-threshold set) and only the surviving
+    candidates are shuffled by the closing ``distinct()`` — the
+    corpus-sized exchange the old ``distinct()`` candidate source paid
+    is gone.
+
+    ``partitions_hint`` defaults to 4× the plan's current partition
+    count: the threshold is ``max(1, min_count // (4·P))``, and
+    overestimating P only LOWERS the threshold (more candidates, never
+    a lost one), so runtime repartitioning — AQE skew splits included —
+    stays safe within the 4× margin.
+    """
+    from pyspark.sql import types as T
+
+    if partitions_hint is None:
+        partitions_hint = max(1, df.rdd.getNumPartitions())
+    threshold = max(1, int(min_count) // (4 * int(partitions_hint)))
+    out_schema = T.StructType([T.StructField(col, df.schema[col].dataType, True)])
+
+    def local_heavy(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for t, c in pdf[col].dropna().value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+        yield pd.DataFrame({col: [t for t, c in counts.items() if c >= threshold]})
+
+    return df.select(col).mapInPandas(local_heavy, schema=out_schema).distinct()
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     col: str,
@@ -93,22 +158,60 @@ def cms_heavy_hitters(
     width: int = 1024,
     depth: int = 4,
     seed: str = "cms",
+    partitions_hint: int | None = None,
+    bounded_cache: bool = False,
 ) -> DataFrame:
-    """Items whose estimated frequency is ≥ ``min_count``.
+    """Items whose TRUE frequency is ≥ ``min_count``, with their
+    Count-Min estimates: (col, est, n) — deterministic and exact.
 
-    One-sided guarantee: every true heavy hitter is returned (estimates
-    never undercount); collisions may add false positives, bounded by
-    the ε = e/width overcount. Candidates are the input's distinct
-    items — at corpus scale substitute any cheaper candidate source
-    (e.g. per-partition top-k) without touching the sketch math.
+    Three-stage narrowing, none of it a corpus-sized shuffle:
+
+    1. candidates — per-partition pigeonhole prefilter
+       (:func:`cms_candidates`, zero-shuffle ``mapInPandas``); can
+       never lose a true heavy hitter.
+    2. sketch shortlist — broadcast the depth·width sketch, keep
+       candidates with est ≥ min_count (est never undercounts, so no
+       true heavy hitter is lost here either).
+    3. exact verify — join the corpus stream to the shortlist
+       (broadcast under a measured cap, shuffle fallback) and
+       map-side-combine counts whose key space is the shortlist, then
+       keep n ≥ min_count.
+
+    Stages 1-2 only ever remove items whose true count is below
+    min_count, and stage 3 applies the definition itself, so the
+    output is exactly the true heavy-hitter set — which is what makes
+    it oracle-checkable without replicating Spark's partitioning.
+    ``bounded_cache=True`` eagerly materializes the (tiny) result and
+    releases the shortlist persist
+    (:func:`adam_spark.llm.cache.eager_release`).
     """
+    base = df.select(F.col(col).alias(col)).where(F.col(col).isNotNull())
     sk = count_min_sketch(df, col, width, depth, seed)
-    cand = df.select(F.col(col).alias(col)).where(F.col(col).isNotNull()).distinct()
-    return (
+    cand = cms_candidates(base, col, min_count, partitions_hint)
+    short = (
         cms_estimate(sk, cand, col, width, depth, seed)
         .where(F.col("est") >= F.lit(int(min_count)))
         .select(F.col("t").alias(col), "est")
+        .persist()
     )
+    n_short = short.count()  # eager persist + size for the broadcast decision
+    maybe_bc = (
+        F.broadcast
+        if n_short * 64 <= CANDIDATE_BROADCAST_CAP_BYTES
+        else (lambda x: x)
+    )
+    out = (
+        base.join(maybe_bc(short), col, "inner")
+        .groupBy(col, "est")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= F.lit(int(min_count)))
+        .select(col, "est", "n")
+    )
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, short)
+    return out
 
 
 def bloom_build(
@@ -133,6 +236,11 @@ def bloom_build(
     (1−e^{−kn/m})^k rate, never false negatives. md5 hashing makes the
     filter bit-identical in any engine, so even its false positives
     are oracle-checkable.
+
+    Cache lifetime: the RETURNED DataFrame is the persist handle —
+    call ``bloom.unpersist()`` once the last probe is materialized
+    (sessions chaining many blocklists should, or the CacheManager
+    entry lives until clearCache).
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -78,7 +78,9 @@ def quality_score(text: Column) -> Column:
 
 def language_id(text: Column) -> Column:
     """Stopword-vote language guess: the language whose stopword list
-    hits the most tokens; ties and zero-hit documents → 'und'."""
+    hits the most tokens. Zero-hit documents → 'und'; ties keep the
+    alphabetically-first tied language (the fold below uses strict >,
+    so a later language never displaces an equal earlier one)."""
     toks = tokens(F.lower(text))
     best_lang = F.lit("und")
     best_hits = F.lit(0)
@@ -262,6 +264,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    bounded_cache: bool = False,
 ) -> DataFrame:
     """Top-``k`` terms per document by smoothed TF-IDF.
 
@@ -277,7 +280,9 @@ def tfidf_top_terms(
     (term, df) aggregate joined back (broadcast-eligible: distinct
     terms ≪ corpus tokens), and a per-document top-k window keyed by
     the document id — every shuffle key is high-cardinality, nothing
-    global.
+    global. ``bounded_cache=True`` eagerly materializes the result and
+    releases the (id, term, tf) persist
+    (:func:`adam_spark.llm.cache.eager_release`).
     """
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
@@ -309,11 +314,16 @@ def tfidf_top_terms(
         ).cast("long"),
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf_micro").desc(), F.col("term").asc())
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.lit(k))
         .select("id", "rank", "term", "tf", "df", "tfidf_micro")
     )
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, pairs)
+    return out
 
 
 #: PII patterns in the regex subset shared by Java (Spark) and RE2
@@ -368,6 +378,7 @@ def unigram_lm_scores(
     text_col: str = "text",
     alpha: float = 0.5,
     broadcast_vocab: bool | None = None,
+    bounded_cache: bool = False,
 ) -> DataFrame:
     """CCNet-style language-model quality score per document.
 
@@ -388,6 +399,11 @@ def unigram_lm_scores(
     collected on the driver; the two scalar model constants (total
     token count, vocabulary size) travel as a broadcast 1-row cross
     join, exactly as the SQL oracle expresses them.
+
+    The vocabulary persist lives until session cache GC (the repo-wide
+    convention for slim tables); ``bounded_cache=True`` instead
+    materializes the result eagerly and releases it
+    (:func:`adam_spark.llm.cache.eager_release`).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -424,7 +440,7 @@ def unigram_lm_scores(
             ).alias("nll"),
         )
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"))
         .join(scored, "id", "left")
         .select(
@@ -434,6 +450,11 @@ def unigram_lm_scores(
             F.round(F.exp("nll"), 6).alias("ppl"),
         )
     )
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, vocab)
+    return out
 
 
 def chunk_documents(
@@ -492,6 +513,7 @@ def bigram_lm_scores(
     text_col: str = "text",
     alpha: float = 0.5,
     broadcast_vocab: bool | None = None,
+    bounded_cache: bool = False,
 ) -> DataFrame:
     """Bigram language-model quality score with unigram backoff.
 
@@ -510,6 +532,8 @@ def bigram_lm_scores(
     join back broadcast under a measured cap (shuffle fallback), the
     model constants ride a broadcast 1-row cross join, and the final
     per-document aggregate is one slim (id, sum) groupBy.
+    ``bounded_cache=True`` eagerly materializes the result and releases
+    the vocabulary persist (see :func:`adam_spark.llm.cache.eager_release`).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -576,7 +600,7 @@ def bigram_lm_scores(
         .agg(F.sum("s").alias("s_pairs"))
     )
     nll = (F.col("s_first") + F.coalesce("s_pairs", F.lit(0.0))) / F.col("n_tokens")
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"))
         .join(first, "id", "left")
         .join(scored, "id", "left")
@@ -587,3 +611,8 @@ def bigram_lm_scores(
             F.round(F.exp(nll), 6).alias("ppl"),
         )
     )
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, uni)
+    return out

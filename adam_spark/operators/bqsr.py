@@ -276,13 +276,27 @@ def recalibrate_base_qualities(
     df: DataFrame,
     known_snps: DataFrame | None = None,
     min_acceptable_quality: int = 5,
+    sampling_fraction: float | None = None,
+    sampling_seed: int | None = None,
 ) -> DataFrame:
     """Full BQSR: observe → invert → rewrite quality strings.
 
     Mirrors AlignmentDataset.recalibrateBaseQualities; the original
     qualities are preserved in ``originalQualityScores``.
+    ``sampling_fraction``/``sampling_seed`` observe covariates on a
+    Bernoulli sample of the reads instead of every read (the
+    TransformAlignments.scala:343-344 knobs) — the observation pass at
+    100 TB dominates BQSR cost and the table converges long before full
+    coverage; EVERY read is still rewritten against the sampled table.
     """
-    obs = [r.asDict() for r in observe_covariates(df, known_snps).collect()]
+    observed = df
+    if sampling_fraction is not None:
+        observed = (
+            df.sample(fraction=sampling_fraction, seed=sampling_seed)
+            if sampling_seed is not None
+            else df.sample(fraction=sampling_fraction)
+        )
+    obs = [r.asDict() for r in observe_covariates(observed, known_snps).collect()]
     table = build_recalibration_table(obs)
     sc = df.sparkSession.sparkContext
     btable = sc.broadcast(table)

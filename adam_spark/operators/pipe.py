@@ -635,7 +635,16 @@ def pipe(
     timeout: float | None = None,
     files: list[str] | None = None,
 ) -> GenomicFrame:
-    """Run ``cmd`` once per genome bin over the formatted records."""
+    """Run ``cmd`` once per genome bin over the formatted records.
+
+    ``files`` are shipped to executors via ``sc.addFile`` and referenced
+    in ``cmd`` as ``$0..$N`` (resolved executor-side with
+    ``SparkFiles.get``). Two caveats of that mechanism: basenames must
+    be unique (enforced with a ValueError — SparkFiles has a flat
+    namespace), and addFile caches per SparkContext, so re-piping a
+    MODIFIED file under an unchanged name within one context serves the
+    stale first-added copy — ship changed content under a new name.
+    """
     # binary in-formatters default the OUTPUT side to text SAM (tools
     # that read BAM emit text); everything else round-trips its own format
     out_format = out_format or ("sam" if in_format in BINARY_IN_FORMATS else in_format)
@@ -657,6 +666,22 @@ def pipe(
     # resolve executor-side through SparkFiles.get
     file_tokens: dict[str, str] = {}
     if files:
+        # SparkFiles resolves by BASENAME only: two shipped files with
+        # the same basename from different directories would collide
+        # (addFile raises, or one silently shadows the other), so
+        # reject the ambiguity up front. Note also that addFile caches
+        # per SparkContext — re-piping a MODIFIED file under an
+        # unchanged name within one context serves the stale
+        # first-added copy; ship changed content under a new name.
+        basenames = [os.path.basename(f) for f in files]
+        dupes = {b for b in basenames if basenames.count(b) > 1}
+        if dupes:
+            raise ValueError(
+                "pipe(files=...) ships files by basename via "
+                f"sc.addFile; duplicate basenames {sorted(dupes)} would "
+                "collide executor-side — rename the inputs so every "
+                "basename is unique"
+            )
         sc = gf.df.sparkSession.sparkContext
         for i, f in enumerate(files):
             sc.addFile(f)

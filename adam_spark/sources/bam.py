@@ -758,7 +758,9 @@ def _encode_shard(lines, shard_path: str, ref_index: dict[str, int],
     return (shard_path, len(blob), offsets, spans, len(body))
 
 
-def save_bam(gf: GenomicFrame, path: str, write_index: bool = True) -> None:
+def save_bam(
+    gf: GenomicFrame, path: str, write_index: bool = True, pg_line: str | None = None
+) -> None:
     """Alignments → single-file BAM via PARALLEL shard compression.
 
     Executors encode and BGZF-compress their partitions into shard
@@ -776,7 +778,7 @@ def save_bam(gf: GenomicFrame, path: str, write_index: bool = True) -> None:
 
     from adam_spark.sources.sam import sam_body_lines, sam_header_lines
 
-    header = sam_header_lines(gf.meta)
+    header = sam_header_lines(gf.meta, pg_line=pg_line)
     refs = [r for r in gf.meta.references.references]
     ref_index = {r.name: i for i, r in enumerate(refs)}
     text = "\n".join(header) + "\n"

@@ -119,20 +119,30 @@ def load_paired_fastq(spark: SparkSession, path1: str, path2: str) -> GenomicFra
     return GenomicFrame(schemas.conform(df, _READ_PAIRED), GenomicMetadata(kind="read"))
 
 
-def load_fastq_alignments(spark: SparkSession, path: str, path2: str | None = None) -> GenomicFrame:
+def load_fastq_alignments(
+    spark: SparkSession,
+    path: str,
+    path2: str | None = None,
+    interleaved: bool = False,
+) -> GenomicFrame:
     """FASTQ → unaligned ALIGNMENT records, the shape the reference's
-    ``loadFastq`` returns (ADAMContext.scala:2505-2538)."""
-    gf = (
-        load_paired_fastq(spark, path, path2)
-        if path2
-        else load_unpaired_fastq(spark, path)
-    )
+    ``loadFastq`` returns (ADAMContext.scala:2505-2538).
+    ``interleaved`` reads 8-line r1/r2 groups from the single ``path``."""
+    if interleaved:
+        gf = load_interleaved_fastq(spark, path)
+    else:
+        gf = (
+            load_paired_fastq(spark, path, path2)
+            if path2
+            else load_unpaired_fastq(spark, path)
+        )
+    paired = interleaved or path2 is not None
     df = gf.df.select(
         F.col("name").alias("readName"),
         "sequence",
         "qualityScores",
         F.lit(False).alias("readMapped"),
-        F.lit(path2 is not None).alias("readPaired"),
+        F.lit(paired).alias("readPaired"),
         F.col("readInFragment"),
     )
     return GenomicFrame(

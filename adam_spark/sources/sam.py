@@ -224,7 +224,10 @@ def sam_body_lines(df: DataFrame) -> DataFrame:
     return df.select(line)
 
 
-def sam_header_lines(meta: GenomicMetadata) -> list[str]:
+def sam_header_lines(meta: GenomicMetadata, pg_line: str | None = None) -> list[str]:
+    """``pg_line``: optional ``@PG`` program record appended after the
+    read groups (the reference writes one per run unless ``-disable_pg``
+    — TransformAlignments.scala:188)."""
     header = ["@HD\tVN:1.6\tSO:unsorted"]
     for r in meta.references.references:
         header.append(f"@SQ\tSN:{r.name}" + (f"\tLN:{r.length}" if r.length else ""))
@@ -237,14 +240,18 @@ def sam_header_lines(meta: GenomicMetadata) -> list[str]:
         if g.platform:
             rg += f"\tPL:{g.platform}"
         header.append(rg)
+    if pg_line:
+        header.append(pg_line)
     return header
 
 
-def save_sam(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
+def save_sam(
+    gf: GenomicFrame, path: str, single_file: bool = True, pg_line: str | None = None
+) -> None:
     """Alignments → SAM text with reconstructed flags + header."""
     df = schemas.conform(gf.df, schemas.ALIGNMENT)
     body = sam_body_lines(df)
-    header = sam_header_lines(gf.meta)
+    header = sam_header_lines(gf.meta, pg_line=pg_line)
     hdr_df = df.sparkSession.createDataFrame([(h,) for h in header], "value string")
     out = (
         hdr_df.select(F.lit(0).alias("__o"), "value")

@@ -56,6 +56,22 @@ HEADLINE = [
     "mark_duplicates_orders",
 ]
 
+#: second, non-headline group (r5 verdict #7): the r5-added operators.
+#: Timed and emitted alongside so each has a perf history before any
+#: regression could hide, but kept OUT of the headline total so
+#: round-over-round "value" comparisons stay like-for-like with r1-r5.
+EXTENDED = [
+    "remove_boilerplate_docs",
+    "doc_lm_score_docs",
+    "doc_bigram_lm_score_docs",
+    "dedup_incremental_docs",
+    "bloom_decontaminate_docs",
+    "heavy_hitter_tokens",
+    "chunk_docs",
+    "sample_mixture_docs",
+    "embedding_quantize_stats",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,23 +97,32 @@ def main() -> None:
     small = spark.range(100).withColumnRenamed("id", "k")
     warm.join(F.broadcast(small), warm["id"] == small["k"]).count()
     qs = entrymod.queries()
-    best: dict[str, float] = {}
-    pass_totals: list[float] = []
-    load_avg: list[float] = []
-    for _ in range(runs):
-        load_avg.append(round(os.getloadavg()[0], 1))
-        pass_total = 0.0
-        for name in HEADLINE:
-            fn = qs[name]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            pass_total += dt
-            if name not in best or dt < best[name]:
-                best[name] = dt
-        pass_totals.append(round(pass_total, 3))
-    timings = {name: round(t, 3) for name, t in best.items()}
+
+    def run_group(group: list[str]) -> tuple[dict[str, float], list[float], list[float]]:
+        best: dict[str, float] = {}
+        totals: list[float] = []
+        loads: list[float] = []
+        for _ in range(runs):
+            loads.append(round(os.getloadavg()[0], 1))
+            pass_total = 0.0
+            for name in group:
+                fn = qs[name]
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                pass_total += dt
+                if name not in best or dt < best[name]:
+                    best[name] = dt
+            totals.append(round(pass_total, 3))
+        return {n: round(t, 3) for n, t in best.items()}, totals, loads
+
+    timings, pass_totals, load_avg = run_group(HEADLINE)
+    ext_timings, ext_totals, ext_loads = run_group(EXTENDED)
     total = round(sum(timings.values()), 3)
+    # single-pass-comparable figure (median pass) alongside the best-of
+    # sum, so cross-round comparisons against pre-r5 single-pass numbers
+    # stay honest (r5 advisor note)
+    med = sorted(pass_totals)[len(pass_totals) // 2]
     print(
         json.dumps(
             {
@@ -108,7 +133,12 @@ def main() -> None:
                 "sf": sf,
                 "runs": runs,
                 "pass_totals": pass_totals,
+                "median_pass_total": med,
                 "loadavg_1m_per_pass": load_avg,
+                "extended_total": round(sum(ext_timings.values()), 3),
+                "extended_queries": ext_timings,
+                "extended_pass_totals": ext_totals,
+                "extended_loadavg_1m_per_pass": ext_loads,
             }
         )
     )

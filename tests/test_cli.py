@@ -292,3 +292,167 @@ def test_transform_alignments_md_tags(spark, sam_path, tmp_path):
             if r["readMapped"]}
     # r3 = TTTTGGGGCC vs all-A reference: every base mismatches → MD '0T...'
     assert rows["r3"]["mismatchingPositions"] is not None
+
+
+FQ_R1 = "@p1\nACGTACGTAC\n+\nIIIIIIIIII\n@p2\nTTTTGGGGCC\n+\nIIIIIIIIII\n"
+FQ_R2 = "@p1\nGGGGCCCCAA\n+\nIIIIIIIIII\n@p2\nAACCGGTTAA\n+\nIIIIIIIIII\n"
+
+
+def test_ta_paired_fastq_read_group_and_max_length(spark, tmp_path):
+    """-paired_fastq / -read_group '' (basename default) /
+    -max_read_length (drop under LENIENT, error under STRICT)."""
+    r1 = tmp_path / "sampleX.fq"
+    r1.write_text(FQ_R1 + "@long1\n" + "A" * 50 + "\n+\n" + "I" * 50 + "\n")
+    r2 = tmp_path / "sampleX_2.fq"
+    r2.write_text(FQ_R2 + "@long1\n" + "C" * 50 + "\n+\n" + "I" * 50 + "\n")
+    out = str(tmp_path / "out.adam")
+    rc = main([
+        "transform_alignments", str(r1), out,
+        "-paired_fastq", str(r2),
+        "-read_group", "",
+        "-max_read_length", "20",
+    ])
+    assert rc == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    df = load_parquet(spark, out, "alignment").df
+    rows = df.collect()
+    # 2 pairs survive; the 50bp pair is dropped by -max_read_length
+    assert len(rows) == 4
+    assert {r["readGroupId"] for r in rows} == {"sampleX"}
+    assert {(r["readName"], r["readInFragment"]) for r in rows} == {
+        ("p1", 0), ("p1", 1), ("p2", 0), ("p2", 1)
+    }
+    # STRICT: over-long reads are an error, not a drop
+    assert main([
+        "transform_alignments", str(r1), str(tmp_path / "strict.adam"),
+        "-force_load_fastq", "-max_read_length", "20", "-stringency", "STRICT",
+    ]) == 1
+
+
+def test_ta_force_load_flags(spark, sam_path, tmp_path):
+    """-force_load_* bypasses extension dispatch; mutually exclusive."""
+    # text SAM under a misleading name, forced through the BAM/SAM path
+    weird = tmp_path / "reads.dat"
+    weird.write_text(open(sam_path).read())
+    out1 = str(tmp_path / "o1.adam")
+    assert main(["transform_alignments", str(weird), out1, "-force_load_bam"]) == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    assert load_parquet(spark, out1, "alignment").df.count() == 6
+
+    # unpaired FASTQ under .txt
+    fq = tmp_path / "reads.txt"
+    fq.write_text(FQ_R1)
+    out2 = str(tmp_path / "o2.adam")
+    assert main(["transform_alignments", str(fq), out2, "-force_load_fastq"]) == 0
+    assert load_parquet(spark, out2, "alignment").df.count() == 2
+
+    # interleaved FASTQ under .txt: alternating r1/r2 records pair up
+    ifq = tmp_path / "inter.txt"
+    ifq.write_text(
+        "@p1\nACGTACGTAC\n+\nIIIIIIIIII\n@p1\nGGGGCCCCAA\n+\nIIIIIIIIII\n"
+    )
+    out3 = str(tmp_path / "o3.adam")
+    assert main(["transform_alignments", str(ifq), out3, "-force_load_ifastq"]) == 0
+    got = load_parquet(spark, out3, "alignment").df.collect()
+    assert {(r["readName"], r["readInFragment"]) for r in got} == {("p1", 0), ("p1", 1)}
+
+    # parquet under a non-.adam name
+    out4 = str(tmp_path / "o4.plaindir")
+    assert main(["transform_alignments", out1, out4, "-force_load_parquet"]) == 0
+    assert load_parquet(spark, out4, "alignment").df.count() == 6
+
+    # at most one force flag
+    assert main(["transform_alignments", str(fq), str(tmp_path / "x.adam"),
+                 "-force_load_fastq", "-force_load_bam"]) == 2
+
+
+def test_ta_single_defer_concat_and_pg(spark, sam_path, tmp_path):
+    """-single / -defer_merging / -disable_fast_concat / -disable_pg."""
+    import glob
+
+    # default single-file SAM carries a fresh @PG line
+    out_pg = str(tmp_path / "pg.sam")
+    assert main(["transform_alignments", sam_path, out_pg]) == 0
+    txt = open(sorted(glob.glob(out_pg + "/part-*"))[0]).read() if os.path.isdir(out_pg) else open(out_pg).read()
+    assert "@PG\tID:adam_spark" in txt
+
+    # -disable_pg drops it
+    out_npg = str(tmp_path / "npg.sam")
+    assert main(["transform_alignments", sam_path, out_npg, "-disable_pg"]) == 0
+    txt_npg = open(sorted(glob.glob(out_npg + "/part-*"))[0]).read() if os.path.isdir(out_npg) else open(out_npg).read()
+    assert "@PG" not in txt_npg
+
+    # -sharded -single: -single forces the merge back on
+    out_s = str(tmp_path / "single.sam")
+    assert main(["transform_alignments", sam_path, out_s, "-sharded", "-single"]) == 0
+    from adam_spark.sources.sam import load_sam
+
+    assert load_sam(spark, out_s).df.count() == 6
+
+    # -defer_merging leaves unmerged shards even with -single
+    out_d = str(tmp_path / "defer.sam")
+    assert main(["transform_alignments", sam_path, out_d, "-single",
+                 "-defer_merging"]) == 0
+    assert os.path.isdir(out_d) and glob.glob(out_d + "/part-*")
+
+    # -disable_fast_concat: serial driver concat — same records as the
+    # fast path, one plain file, no leftover shard dir
+    out_c = str(tmp_path / "concat.sam")
+    assert main(["transform_alignments", sam_path, out_c, "-single",
+                 "-disable_fast_concat"]) == 0
+    assert os.path.isfile(out_c)
+    assert not os.path.exists(str(tmp_path / "concat.shards.sam"))
+    keep = ["readName", "readInFragment", "start", "cigar", "sequence"]
+    a = {tuple(r) for r in load_sam(spark, out_c).df.select(keep).collect()}
+    b = {tuple(r) for r in load_sam(spark, out_s).df.select(keep).collect()}
+    assert a == b
+
+
+def test_ta_sort_fastq_output(tmp_path):
+    fq = tmp_path / "in.fq"
+    fq.write_text(
+        "@zz\nAAAA\n+\nIIII\n@aa\nCCCC\n+\nIIII\n@mm\nGGGG\n+\nIIII\n"
+    )
+    out = str(tmp_path / "sorted.fq")
+    assert main(["transform_alignments", str(fq), out, "-force_load_fastq",
+                 "-single", "-sort_fastq_output"]) == 0
+    import glob
+
+    path = out if os.path.isfile(out) else sorted(glob.glob(out + "/part-*"))[0]
+    names = [l[1:] for l in open(path).read().splitlines() if l.startswith("@")]
+    assert names == ["aa", "mm", "zz"]
+
+
+def test_ta_sampling_storage_and_md_fragments(spark, sam_path, tmp_path):
+    """-sampling_fraction/-sampling_seed reach BQSR, -storage_level
+    validates, -md_tag_fragment_size tags against bounded slices and
+    matches the whole-contig path."""
+    out = str(tmp_path / "recal.sam")
+    assert main([
+        "transform_alignments", sam_path, out,
+        "-recalibrate_base_qualities",
+        "-sampling_fraction", "1.0", "-sampling_seed", "42",
+        "-cache", "-storage_level", "MEMORY_AND_DISK",
+    ]) == 0
+    from adam_spark.sources.sam import load_sam
+
+    assert load_sam(spark, out).df.count() == 6
+    assert main(["transform_alignments", sam_path, str(tmp_path / "x.sam"),
+                 "-cache", "-storage_level", "NOT_A_LEVEL"]) == 2
+
+    fasta = tmp_path / "ref.fa"
+    fasta.write_text(">chr1\n" + ("ACGT" * 2500) + "\n")
+    frag = str(tmp_path / "frag.sam")
+    whole = str(tmp_path / "whole.sam")
+    assert main(["transform_alignments", sam_path, frag,
+                 "-add_md_tags", str(fasta), "-md_tag_overwrite",
+                 "-md_tag_fragment_size", "1000"]) == 0
+    assert main(["transform_alignments", sam_path, whole,
+                 "-add_md_tags", str(fasta), "-md_tag_overwrite"]) == 0
+    md_f = {r["readName"]: r["mismatchingPositions"]
+            for r in load_sam(spark, frag).df.collect() if r["readMapped"]}
+    md_w = {r["readName"]: r["mismatchingPositions"]
+            for r in load_sam(spark, whole).df.collect() if r["readMapped"]}
+    assert md_f == md_w and md_f["r3"] is not None

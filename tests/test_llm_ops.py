@@ -199,7 +199,12 @@ def test_multimodal_features(spark):
     assert [(r["frame_idx"], r["ts_ms"]) for r in frames] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
     from adam_spark.llm.multimodal import decode_image
 
+    # codec-bound formats raise NotImplementedError; garbage is a ValueError
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8jpegjpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
         decode_image(b"x")
 
 
@@ -860,15 +865,53 @@ def test_count_min_sketch(spark, docs):
     exact_frac = sum(1 for t, c in truth.items() if est_w[t] == c) / len(truth)
     assert exact_frac > 0.95
     hh = {
-        r["token"]: r["est"]
+        r["token"]: (r["est"], r["n"])
         for r in cms_heavy_hitters(toks, "token", 50, width=128, depth=3).collect()
     }
+    # exact-verify semantics: output IS the true heavy-hitter set (the
+    # sketch only narrows candidates), with true counts and one-sided
+    # estimates
     true_heavy = {t for t, c in truth.items() if c >= 50}
-    assert true_heavy <= set(hh)
+    assert set(hh) == true_heavy
+    assert all(hh[t][1] == truth[t] and hh[t][0] >= truth[t] for t in true_heavy)
+    # layout independence: the pigeonhole prefilter must not lose a
+    # heavy hitter under a different partitioning
+    re_hh = {
+        r["token"]
+        for r in cms_heavy_hitters(
+            toks.repartition(13), "token", 50, width=128, depth=3
+        ).collect()
+    }
+    assert re_hh == true_heavy
     # absent item estimates 0 with a left join, never an error
     ghost = spark.createDataFrame([("zzz_not_here",)], "token string")
     g = cms_estimate(sk, ghost, "token", width=128, depth=3).collect()
     assert len(g) == 1 and g[0]["est"] >= 0
+    # position space guard: moduli past 16^7 would silently truncate
+    with pytest.raises(ValueError):
+        count_min_sketch(toks, "token", width=16**7 + 1, depth=2)
+
+
+def test_cms_candidates_narrow_plan(spark, docs):
+    """The heavy-hitter candidate source must be the zero-shuffle
+    per-partition prefilter: no full-width aggregate Exchange over the
+    raw token stream may feed the estimate join (the old distinct()
+    candidate source paid exactly that corpus-sized shuffle)."""
+    from adam_spark.llm.sketches import cms_candidates
+
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    cand = cms_candidates(toks, "token", 50)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # the only exchange sits ABOVE the mapInPandas prefilter: walking
+    # the plan top-down, every Exchange line must appear before (i.e.
+    # downstream of) the Python map node, never between it and the scan
+    lines = plan.splitlines()
+    py_idx = [i for i, l in enumerate(lines) if "MapInPandas" in l or "PythonMap" in l]
+    ex_idx = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert py_idx, plan
+    assert all(i < py_idx[0] for i in ex_idx), plan
 
 
 def test_cosine_topk_quantized_zero_vector_does_not_flood(spark, embs):
@@ -887,6 +930,29 @@ def test_cosine_topk_quantized_zero_vector_does_not_flood(spark, embs):
     out = cosine_topk_quantized(poisoned, rows, k=5).collect()
     assert all(r["neighbor_id"] != 999999 for r in out)
     assert all(not math.isnan(r["sim"]) for r in out)
+
+
+def test_cosine_topk_zero_query_and_null_corpus(spark, embs):
+    """A zero QUERY vector must score 0 (not NaN) against everything,
+    and a NULL corpus vector must be skipped (not crash the Arrow
+    batch) — on both the exact and the quantized scan."""
+    from adam_spark.llm.similarity import cosine_topk_numpy, cosine_topk_quantized
+
+    dim = len(embs.first()["embedding"])
+    poisoned = embs.select("vec_id", "embedding").limit(50).unionByName(
+        spark.createDataFrame(
+            [(999998, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    rows = [
+        (int(r["vec_id"]), list(r["embedding"])) for r in embs.limit(3).collect()
+    ] + [(777777, [0.0] * dim)]
+    for fn in (cosine_topk_numpy, cosine_topk_quantized):
+        out = fn(poisoned, rows, k=5).collect()
+        assert all(not math.isnan(r["sim"]) for r in out), fn.__name__
+        assert all(r["neighbor_id"] != 999998 for r in out), fn.__name__
+        zq = [r for r in out if r["query_id"] == 777777]
+        assert all(abs(r["sim"]) < 1e-9 for r in zq), fn.__name__
 
 
 def test_bloom_filter_membership(spark, docs):
@@ -962,3 +1028,286 @@ def test_bigram_lm_scores(spark, docs):
     a = sorted(tuple(r) for r in bigram_lm_scores(docs).collect())
     b = sorted(tuple(r) for r in bigram_lm_scores(docs, broadcast_vocab=False).collect())
     assert a == b and len(a) == docs.count()
+
+
+def test_png_roundtrip_all_color_types():
+    """Real PNG codec: encode → decode is pixel-exact for gray,
+    gray+alpha, RGB and RGBA (8-bit, non-interlaced)."""
+    from adam_spark.llm.multimodal import decode_image, encode_png
+
+    for ch in (1, 2, 3, 4):
+        w, h = 7, 5  # odd width exercises stride math
+        px = bytes((x * 31 + y * 57 + c * 13) % 256 for y in range(h) for x in range(w) for c in range(ch))
+        data = encode_png(w, h, ch, px)
+        assert decode_image(data) == (w, h, ch, px)
+
+
+def test_png_filters_decode():
+    """The decoder reverses every scanline filter type (0-4): build an
+    IDAT whose rows are filtered with a spec-literal reference
+    implementation, one filter per row, and expect the raw pixels back."""
+    import struct
+    import zlib
+
+    from adam_spark.llm.multimodal import decode_image
+
+    w, h, ch = 6, 5, 3
+    px = bytes((x * 17 + y * 41 + c * 7) % 256 for y in range(h) for x in range(w) for c in range(ch))
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        raw.append(f)
+        for x in range(stride):
+            cur = px[y * stride + x]
+            left = px[y * stride + x - ch] if x >= ch else 0
+            up = px[(y - 1) * stride + x] if y > 0 else 0
+            ul = px[(y - 1) * stride + x - ch] if (x >= ch and y > 0) else 0
+            if f == 0:
+                raw.append(cur)
+            elif f == 1:
+                raw.append((cur - left) & 0xFF)
+            elif f == 2:
+                raw.append((cur - up) & 0xFF)
+            elif f == 3:
+                raw.append((cur - ((left + up) >> 1)) & 0xFF)
+            else:
+                raw.append((cur - paeth(left, up, ul)) & 0xFF)
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_image(data) == (w, h, ch, px)
+
+
+def test_png_palette_and_unsupported_profiles():
+    import struct
+    import zlib
+
+    from adam_spark.llm.multimodal import decode_image
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    # 2×2 palette image: indices [0,1,2,1] into a 3-color palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 1])
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_image(data) == (
+        2, 2, 3, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 0])
+    )
+    # 16-bit and interlaced profiles raise NotImplementedError, not garbage
+    for ihdr in (
+        struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),
+        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1),
+    ):
+        bad = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 9)) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_image(bad)
+
+
+def test_bmp_decode_variants():
+    """24-bit roundtrip through the real encoder (odd width → row
+    padding), hand-built top-down 32-bit, and 8-bit palette."""
+    import struct
+
+    from adam_spark.llm.multimodal import decode_image, encode_bmp
+
+    w, h = 3, 2  # 3*3=9 bytes/row → padded to 12
+    px = bytes(range(w * h * 3))
+    assert decode_image(encode_bmp(w, h, px)) == (w, h, 3, px)
+
+    # top-down 32-bit: 1×2, rows (B,G,R,A) = (1,2,3,4) then (5,6,7,8)
+    body = bytes([1, 2, 3, 4, 5, 6, 7, 8])
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 1, -2, 1, 32, 0, len(body), 0, 0, 0, 0
+    )
+    assert decode_image(hdr + body) == (1, 2, 4, bytes([3, 2, 1, 4, 7, 6, 5, 8]))
+
+    # 8-bit palette: 2×1, palette[5]=(B,G,R,X)=(10,20,30,0) at offset 54+5*4
+    pal = bytearray(256 * 4)
+    pal[5 * 4 : 5 * 4 + 4] = bytes([10, 20, 30, 0])
+    pal[9 * 4 : 9 * 4 + 4] = bytes([40, 50, 60, 0])
+    body = bytes([5, 9, 0, 0])  # one row, padded to 4
+    off = 54 + 1024
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, len(body), 0, 0, 0, 0
+    )
+    assert decode_image(hdr + bytes(pal) + body) == (
+        2, 1, 3, bytes([30, 20, 10, 60, 50, 40])
+    )
+    # RLE compression refuses rather than mis-decoding
+    hdr_rle = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 1, 1, 8, 1, 0, 0, 0, 0, 0
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(hdr_rle)
+
+
+def test_extract_features_real_pixels(spark):
+    """fake=False histograms REAL decoded gray levels: a 2×2 gray PNG
+    with pixels 0/64/128/255 lands one pixel in each of 4 buckets, and
+    the same image as a BMP gives the identical feature."""
+    from adam_spark.llm.multimodal import (
+        MEDIA,
+        encode_bmp,
+        encode_png,
+        extract_features,
+    )
+
+    gray = bytes([0, 64, 128, 255])
+    png = encode_png(2, 2, 1, gray)
+    bmp = encode_bmp(2, 2, bytes(v for g in gray for v in (g, g, g)))
+    rows = [
+        (1, "image", "image/png", bytearray(png), 2, 2, None, None),
+        (2, "image", "image/bmp", bytearray(bmp), 2, 2, None, None),
+        (3, "image", "image/png", None, None, None, None, None),
+    ]
+    feats = {
+        r["asset_id"]: r
+        for r in extract_features(
+            spark.createDataFrame(rows, MEDIA), dim=4, fake=False
+        ).collect()
+    }
+    assert list(feats[1]["feature"]) == [0.25, 0.25, 0.25, 0.25]
+    assert list(feats[2]["feature"]) == [0.25, 0.25, 0.25, 0.25]
+    assert feats[1]["n_bytes"] == len(png)
+    assert feats[3]["feature"] is None and feats[3]["n_bytes"] == 0
+
+
+def test_resize_images_real(spark):
+    """fake=False really resizes: a 4×4 quadrant image downsampled 2×2
+    by nearest neighbor keeps one pixel per quadrant, re-encoded PNG."""
+    from adam_spark.llm.multimodal import MEDIA, decode_image, encode_png, resize_images
+
+    quad = {(0, 0): 10, (1, 0): 60, (0, 1): 160, (1, 1): 250}
+    px = bytes(quad[(x // 2, y // 2)] for y in range(4) for x in range(4))
+    rows = [(1, "image", "image/png", bytearray(encode_png(4, 4, 1, px)), 4, 4, None, None)]
+    out = resize_images(spark.createDataFrame(rows, MEDIA), 2, 2, fake=False).collect()
+    assert len(out) == 1
+    w, h, ch, got = decode_image(bytes(out[0]["data"]))
+    assert (w, h, ch) == (2, 2, 1)
+    assert bytes(got) == bytes([10, 60, 160, 250])
+
+
+def test_kmeans_high_dim_bounded(spark):
+    """dim=512 k-means trains in bounded time: the fused
+    mapInPandas partial-sum path must not build a 512-column Catalyst
+    aggregate (codegen blowup), and means must be exact."""
+    import time
+
+    from adam_spark.llm.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(11)
+    dim, n = 512, 300
+    base = rng.normal(size=(3, dim))
+    rows = [
+        (i, (base[i % 3] + rng.normal(scale=0.01, size=dim)).tolist())
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+    t0 = time.monotonic()
+    cents = kmeans_centroids(df, k=3, iters=2)
+    got = {r["cent_id"]: np.asarray(r["cent_vec"]) for r in cents.collect()}
+    assert time.monotonic() - t0 < 120, "dim-wide aggregate pathology"
+    assert len(got) == 3 and all(v.shape == (dim,) for v in got.values())
+    # converged centroids sit near the three planted modes
+    for b in base:
+        assert min(np.linalg.norm(b - v) for v in got.values()) < 0.5
+
+
+def test_kmeans_partial_sums_match_exact_means(spark):
+    """One iteration from fixed seeds = exact cluster means: the
+    distributed partial-sum reduction reproduces a numpy reference."""
+    from adam_spark.llm.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(40, 6))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(40)], "vec_id long, embedding array<double>"
+    ).repartition(7)
+    got = {
+        r["cent_id"]: np.asarray(r["cent_vec"])
+        for r in kmeans_centroids(df, k=4, iters=1).collect()
+    }
+    # reference: same seeding (first 4 by id), one spherical assign + mean
+    cents = mat[:4]
+    cn = cents / np.linalg.norm(cents, axis=1)[:, None]
+    vn = mat / np.linalg.norm(mat, axis=1)[:, None]
+    cid = np.argmax(vn @ cn.T, axis=1)
+    for c in range(4):
+        members = mat[cid == c]
+        want = members.mean(axis=0) if len(members) else cents[c]
+        assert np.allclose(got[c], want, atol=1e-9), c
+
+
+def test_ivf_quantized_matches_float_ivf(embs):
+    """The int8 bucket scan with a generous rescore budget returns the
+    IDENTICAL result set as the float IVF path (sims are exact rescores,
+    so agreement is exact, not approximate), on both default and
+    k-means centroids."""
+    from adam_spark.llm.similarity import ivf_topk, ivf_topk_quantized, kmeans_centroids
+
+    queries = embs.where("vec_id < 10")
+    for cents in (None, kmeans_centroids(embs, k=8, iters=2)):
+        flo = ivf_topk(embs, queries, k=5, n_probe=4, centroids=cents).collect()
+        qnt = ivf_topk_quantized(
+            embs, queries, k=5, n_probe=4, centroids=cents, rescore_factor=50
+        ).collect()
+        a = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["sim"]) for r in flo)
+        b = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["sim"]) for r in qnt)
+        assert a == b
+
+
+def test_bounded_cache_releases_persists(spark, docs):
+    """bounded_cache=True must leave NO CacheManager entries behind
+    (only lineage-free checkpoint blocks, which the ContextCleaner
+    reclaims on GC) and must not change results."""
+    from adam_spark.llm.sketches import cms_heavy_hitters
+    from adam_spark.llm.text import (
+        bigram_lm_scores,
+        tfidf_top_terms,
+        unigram_lm_scores,
+    )
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    cases = [
+        (lambda b: unigram_lm_scores(docs, bounded_cache=b)),
+        (lambda b: bigram_lm_scores(docs, bounded_cache=b)),
+        (lambda b: tfidf_top_terms(docs, bounded_cache=b)),
+        (lambda b: cms_heavy_hitters(toks, "token", 50, width=128, depth=3, bounded_cache=b)),
+    ]
+    for build in cases:
+        spark.catalog.clearCache()
+        want = sorted(tuple(r) for r in build(False).collect())
+        spark.catalog.clearCache()
+        assert cm.isEmpty()
+        got = sorted(tuple(r) for r in build(True).collect())
+        assert got == want
+        # the internal persist was released at return time
+        assert cm.isEmpty()
