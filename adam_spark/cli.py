@@ -176,6 +176,19 @@ def _cmd_transform_alignments(args) -> int:
             max_reads_per_target=args.max_reads_per_target,
             unclip_reads=args.unclip_reads,
         )
+        if args.reference:
+            # -reference (TransformAlignments.scala:125, :280-283):
+            # realigned reads get fresh MD tags against the reference
+            # (the reference engine threads optReferenceFile into
+            # realignIndels for exactly this)
+            from adam_spark.operators.md_tagging import compute_mismatching_positions
+
+            ref = args.reference
+            if not ref.lower().endswith(".2bit"):
+                from adam_spark.sources.fasta import load_fasta_sequences
+
+                ref = load_fasta_sequences(spark, ref).df
+            df = compute_mismatching_positions(df, ref, overwrite=True)
     if args.left_normalize_indels:
         df = left_normalize_indels(df)
     if args.add_md_tags:
@@ -554,6 +567,8 @@ def build_parser() -> argparse.ArgumentParser:
     ta.add_argument("-max_read_length", dest="max_read_length", type=int, default=0)
     ta.add_argument("-md_tag_fragment_size", dest="md_tag_fragment_size", type=int,
                     default=None)
+    ta.add_argument("-reference", dest="reference", default=None,
+                    help="reference file (.2bit/FASTA): refresh MD tags after -realign_indels")
     ta.set_defaults(fn=_cmd_transform_alignments)
 
     fs = sub.add_parser("flagstat", help="samtools-flagstat counters")

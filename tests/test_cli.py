@@ -456,3 +456,23 @@ def test_ta_sampling_storage_and_md_fragments(spark, sam_path, tmp_path):
     md_w = {r["readName"]: r["mismatchingPositions"]
             for r in load_sam(spark, whole).df.collect() if r["readMapped"]}
     assert md_f == md_w and md_f["r3"] is not None
+
+
+def test_ta_reference_refreshes_md_after_realign(spark, sam_path, tmp_path):
+    """-reference: realigned reads get MD tags recomputed against the
+    reference file (TransformAlignments.scala:125, :280)."""
+    fasta = tmp_path / "ref.fa"
+    fasta.write_text(">chr1\n" + "A" * 10000 + "\n")
+    out = str(tmp_path / "realn_md.sam")
+    assert main([
+        "transform_alignments", sam_path, out,
+        "-realign_indels", "-reference", str(fasta),
+    ]) == 0
+    from adam_spark.sources.sam import load_sam
+
+    rows = {r["readName"]: r for r in load_sam(spark, out).df.collect()
+            if r["readMapped"]}
+    # r3 = TTTTGGGGCC vs all-A reference: MD must be present and start
+    # with a mismatch run
+    assert rows["r3"]["mismatchingPositions"] is not None
+    assert rows["r3"]["mismatchingPositions"].startswith("0")
