@@ -736,6 +736,44 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.id ORDER BY id
 """
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (llm/similarity.semantic_dedup):
+    vectors cluster to their nearest of 16 deterministic centroids
+    (first-16 by id — exactly replicable in SQL), then any vector with
+    a lower-id in-cluster neighbor at cosine ≥ 0.4 is flagged. The
+    whole pipeline — narrow GEMM assignment, cent_id equi-join pairing,
+    min-id-survives flag — has an exact DuckDB oracle."""
+    from adam_spark.llm.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        load_table(spark, sf, "embeddings"), threshold=0.4, n_centroids=16
+    )
+    return out.select(
+        "id", F.col("cent_id").cast("long").alias("cent_id"), "is_duplicate"
+    ).orderBy("id")
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT id AS cent_id, v AS cv FROM e ORDER BY id LIMIT 16),
+asg AS (SELECT * FROM (
+          SELECT e.id, e.v, cent.cent_id,
+                 row_number() OVER (PARTITION BY e.id ORDER BY
+                   list_dot_product(e.v, cent.cv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                   cent.cent_id) AS r
+          FROM e CROSS JOIN cent) WHERE r = 1),
+dups AS (SELECT DISTINCT b.id
+         FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.id < b.id
+         WHERE list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4)
+SELECT asg.id, CAST(asg.cent_id AS BIGINT) AS cent_id,
+       (dups.id IS NOT NULL) AS is_duplicate
+FROM asg LEFT JOIN dups ON asg.id = dups.id
+ORDER BY asg.id
+"""
+
+
 def embedding_quantize_stats(spark: SparkSession, sf: str) -> DataFrame:
     """int8 embedding quantization (llm/similarity.quantize_embeddings):
     per-vector symmetric scale + clamped floor(x·127/max + .5) codes.
@@ -2843,6 +2881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnowing": doc_winnowing,
         "quality_binning_reads": quality_binning_reads,
         "reassemble_pairs_orders": reassemble_pairs_orders,
+        # new in r6, parked past the cap this round (the 50 recorded
+        # slots hold the r5 rotation set); check_oracle verifies it
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,
@@ -2891,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_docs": _clusters_sql(),
         "corpus_source_stats": _CORPUS_STATS_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "mark_duplicates_orders": _MARKDUP_SQL,
         "coverage_flatten_bin": _COV_FLATTEN_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,

@@ -418,6 +418,90 @@ def ivf_topk_quantized(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, then drop near-duplicates WITHIN each
+    cluster — the published trick that turns the O(N²) all-pairs
+    semantic-dedup problem into k independent within-cluster problems.
+
+    Returns one row per vector: (id, cent_id, is_duplicate) where
+    ``is_duplicate`` marks a vector having a LOWER-id neighbor in its
+    cluster at cosine ≥ ``threshold`` (min-id-survives, the same greedy
+    canonical rule as the exact/minhash text dedup family — not full
+    connected components, matching SemDeDup's one-per-ε-ball keep).
+
+    Scale shape: centroid assignment is a narrow broadcast-GEMM map
+    (one argmax per Arrow batch, zero shuffle); candidate pairing is a
+    cent_id EQUI-join (SortMergeJoin — never a cross join across
+    clusters) with the exact Catalyst cosine as the join filter, and
+    the flag returns via one duplicate-id semi-join. Per-cluster work
+    is quadratic in cluster size — the algorithm's published cost;
+    ``n_centroids`` is the knob (SemDeDup uses k ≈ √N · const so
+    clusters stay bounded). Deterministic default centroids (first
+    ``n_centroids`` rows by id) keep an exact SQL oracle; pass
+    :func:`kmeans_centroids` output for production quality.
+    """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        )
+    from pyspark.sql.types import LongType
+
+    cent_rows = centroids.orderBy("cent_id").collect()  # k×dim driver bytes
+    cent_ids = np.asarray([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    cmat = np.asarray([r["cent_vec"] for r in cent_rows], dtype=np.float64)
+    cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1), 1e-12)[:, None]
+    bc = corpus.sparkSession.sparkContext.broadcast((cent_ids, cn))
+
+    @F.pandas_udf(LongType())
+    def nearest_cent(vecs: pd.Series) -> pd.Series:
+        ids_, cn_ = bc.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(ids_[np.argmax(mat @ cn_.T, axis=1)])
+
+    from pyspark.storagelevel import StorageLevel
+
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        nearest_cent(F.col(vec_col)).alias("cent_id"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both self-join sides
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "cent_id"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cent_id"
+    )
+    dup_ids = (
+        a.join(b, "cent_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.select("id", "cent_id")
+        .join(dup_ids, "id", "left")
+        .select(
+            "id",
+            "cent_id",
+            F.coalesce("__dup", F.lit(False)).alias("is_duplicate"),
+        )
+    )
+
+
 def _srp_matrix(dim: int, n_bits: int, seed: int = 7) -> list[list[float]]:
     """Deterministic Rademacher (±1) hyperplanes for sign-bit LSH.
 

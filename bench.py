@@ -70,6 +70,7 @@ EXTENDED = [
     "chunk_docs",
     "sample_mixture_docs",
     "embedding_quantize_stats",
+    "semantic_dedup_embeddings",
 ]
 
 

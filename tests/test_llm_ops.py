@@ -1311,3 +1311,35 @@ def test_bounded_cache_releases_persists(spark, docs):
         assert got == want
         # the internal persist was released at return time
         assert cm.isEmpty()
+
+
+def test_semantic_dedup_matches_bruteforce(spark, embs):
+    """semantic_dedup = within-cluster min-id-survives: a numpy replay
+    of assignment + pairwise cosine agrees exactly; the pairing join
+    must be an equi-join on cent_id, never a cross join."""
+    from adam_spark.llm.similarity import semantic_dedup
+
+    out = semantic_dedup(embs, threshold=0.4, n_centroids=8)
+    got = {r["id"]: (r["cent_id"], r["is_duplicate"]) for r in out.collect()}
+
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    cents = mat[:8]
+    cn = cents / np.linalg.norm(cents, axis=1)[:, None]
+    vn = mat / np.linalg.norm(mat, axis=1)[:, None]
+    cid = ids[np.argmax(vn @ cn.T, axis=1)]
+    sims = vn @ vn.T
+    want_dup = {}
+    for j in range(len(ids)):
+        mask = (cid == cid[j]) & (ids < ids[j]) & (sims[:, j] >= 0.4)
+        want_dup[int(ids[j])] = bool(mask.any())
+    assert {i: d for i, (c, d) in got.items()} == want_dup
+    assert all(got[int(ids[j])][0] == cid[j] for j in range(len(ids)))
+    assert any(d for _, d in got.values()), "fixture should contain semantic dups"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
