@@ -2787,6 +2787,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries. Those 50 are exactly the oracle-checked operator queries —
     # one per §2 / LLM-pipeline operator family.
     #
+    # ROUND-7 WINDOW ROTATION (per the r6 verdict item 2):
+    # semantic_dedup_embeddings — the one oracle-checked operator never
+    # driver-recorded (it landed after the r6 window was fixed) — moves
+    # in-window. Parked in exchange: interval_join_right_outer, which
+    # got its driver-recorded green row in r6 and shares the single
+    # parameterized join builder with FOUR queries still in-window
+    # (inner, flank_broadcast, group_left, bucketed), so its code path
+    # keeps both driver-history and in-window family coverage.
+    #
     # ROUND-6 WINDOW ROTATION (per the r5 verdict's top item): the 12
     # operator queries added in r5 — never driver-recorded before — now
     # occupy in-window slots so the driver's CORRECTNESS record covers
@@ -2817,7 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_sessions": events_sessions,
         "interval_join_inner": _ij("inner"),
-        "interval_join_right_outer": _ij("right_outer"),
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "interval_join_flank_broadcast": _ij("inner", flank=5, broadcast="left"),
         "interval_join_group_left": interval_join_group_left,
         "bucketed_join_intervals": bucketed_join_intervals,
@@ -2871,6 +2880,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "interval_join_left_outer": _ij("left_outer"),
         "interval_join_full_outer": _ij("full_outer"),
+        # r7: parked after its r6 driver-recorded green row (same
+        # parameterized builder as four in-window joins) to make room
+        # for semantic_dedup_embeddings
+        "interval_join_right_outer": _ij("right_outer"),
         "interval_join_group_right": interval_join_group_right,
         "coverage_binned": coverage_binned,
         "coverage_downsample": coverage_downsample,
@@ -2881,9 +2894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnowing": doc_winnowing,
         "quality_binning_reads": quality_binning_reads,
         "reassemble_pairs_orders": reassemble_pairs_orders,
-        # new in r6, parked past the cap this round (the 50 recorded
-        # slots hold the r5 rotation set); check_oracle verifies it
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,

@@ -421,10 +421,12 @@ def ivf_topk_quantized(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_cluster_size: int = 4096,
+    bounded_cache: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space, then drop near-duplicates WITHIN each
@@ -442,13 +444,38 @@ def semantic_dedup(
     cent_id EQUI-join (SortMergeJoin — never a cross join across
     clusters) with the exact Catalyst cosine as the join filter, and
     the flag returns via one duplicate-id semi-join. Per-cluster work
-    is quadratic in cluster size — the algorithm's published cost;
-    ``n_centroids`` is the knob (SemDeDup uses k ≈ √N · const so
-    clusters stay bounded). Deterministic default centroids (first
-    ``n_centroids`` rows by id) keep an exact SQL oracle; pass
-    :func:`kmeans_centroids` output for production quality.
+    is quadratic in cluster size — the algorithm's published cost —
+    and two knobs keep it bounded at scale:
+
+    - ``n_centroids`` defaults to ⌈√N⌉ (SemDeDup's k ≈ √N sizing, so
+      an EVENLY-spread corpus has √N-sized clusters and total pairwise
+      work stays ~N^1.5, parallel across clusters). A pinned int keeps
+      the exact SQL oracle replicable.
+    - ``max_cluster_size`` is the SKEW guard: real embedding spaces
+      concentrate mass on few centroids, and an unguarded hot cluster
+      of size c funnels an O(c²) sort-merge task onto one core. Any
+      cluster larger than the cap is salt-split into
+      s = ⌈size / cap⌉ sub-partitions — the a-side keyed by
+      ``pmod(xxhash64(id), s)``, the b-side REPLICATED to all s salts (the
+      manual skew-join construction) — so every within-cluster pair is
+      still compared EXACTLY ONCE while the hot cluster's work spreads
+      over s tasks of ≤ cap·c comparisons each. Zero recall loss: the
+      guard re-shapes parallelism, never the pair set, so results are
+      bit-identical with or without it (and the SQL oracle needs no
+      salt mirror). Cluster sizes come from one tiny k-row aggregate
+      over the (cached) assignment.
+
+    Deterministic default centroids (first ``n_centroids`` rows by id)
+    keep an exact SQL oracle; pass :func:`kmeans_centroids` output for
+    production quality. ``bounded_cache=True`` eagerly materializes the
+    slim (id, cent_id, flag) result and releases the internal
+    assignment persist (:func:`adam_spark.llm.cache.eager_release`).
     """
+    import math
+
     if centroids is None:
+        if n_centroids is None:
+            n_centroids = max(16, math.isqrt(max(int(corpus.count()), 1)))
         centroids = (
             corpus.orderBy(id_col)
             .limit(n_centroids)
@@ -483,15 +510,62 @@ def semantic_dedup(
     b = assigned.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), "cent_id"
     )
+    # Skew guard: one k-row aggregate (reads the cached assignment)
+    # sizes the salt factor per cluster; only oversized clusters pay
+    # any replication (s = 1 clusters are untouched by the branch).
+    sizes = (
+        assigned.groupBy("cent_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )  # k rows on the driver — same O(k) class as the centroid collect
+    nsalts = {
+        r["cent_id"]: max(1, -(-int(r["n"]) // int(max_cluster_size)))
+        for r in sizes
+    }
+    if any(s > 1 for s in nsalts.values()):
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        salt_map = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                [(c, s) for c, s in nsalts.items()],
+                StructType(
+                    [
+                        StructField(
+                            "cent_id", assigned.schema["cent_id"].dataType
+                        ),
+                        StructField("__ns", IntegerType()),
+                    ]
+                ),
+            )
+        )
+        a = (
+            a.join(salt_map, "cent_id")
+            .withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(F.col("id_a")), F.col("__ns")).cast("int"),
+            )
+            .drop("__ns")
+        )
+        b = (
+            b.join(salt_map, "cent_id")
+            .withColumn(
+                "__salt",
+                F.explode(F.sequence(F.lit(0), F.col("__ns") - F.lit(1))),
+            )
+            .drop("__ns")
+        )
+        join_keys = ["cent_id", "__salt"]
+    else:
+        join_keys = ["cent_id"]
     dup_ids = (
-        a.join(b, "cent_id")
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .where(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("__dup", F.lit(True))
     )
-    return (
+    out = (
         assigned.select("id", "cent_id")
         .join(dup_ids, "id", "left")
         .select(
@@ -500,6 +574,11 @@ def semantic_dedup(
             F.coalesce("__dup", F.lit(False)).alias("is_duplicate"),
         )
     )
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, assigned)
+    return out
 
 
 def _srp_matrix(dim: int, n_bits: int, seed: int = 7) -> list[list[float]]:

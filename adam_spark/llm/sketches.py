@@ -126,16 +126,26 @@ def cms_candidates(
     corpus-sized exchange the old ``distinct()`` candidate source paid
     is gone.
 
-    ``partitions_hint`` defaults to 4× the plan's current partition
-    count: the threshold is ``max(1, min_count // (4·P))``, and
-    overestimating P only LOWERS the threshold (more candidates, never
-    a lost one), so runtime repartitioning — AQE skew splits included —
-    stays safe within the 4× margin.
+    ``partitions_hint`` defaults to the session's
+    ``defaultParallelism`` (a conf read — no plan→RDD conversion just
+    to count partitions): the threshold is
+    ``max(1, min_count // (4·P))``, and overestimating P only LOWERS
+    the threshold (more candidates, never a lost one), so runtime
+    repartitioning — AQE skew splits included — stays safe within the
+    4× margin. The safety is one-directional, so note the degradation:
+    at very large P (≥ min_count/4) the pigeonhole threshold bottoms
+    out at 1 and the candidate set approaches the union of
+    per-partition distincts — still zero corpus shuffle, but the
+    closing ``distinct()`` over candidates grows; callers running
+    thousands of partitions against a small ``min_count`` should pass
+    an explicit hint sized to the REAL partition count.
     """
     from pyspark.sql import types as T
 
     if partitions_hint is None:
-        partitions_hint = max(1, df.rdd.getNumPartitions())
+        partitions_hint = max(
+            1, df.sparkSession.sparkContext.defaultParallelism
+        )
     threshold = max(1, int(min_count) // (4 * int(partitions_hint)))
     out_schema = T.StructType([T.StructField(col, df.schema[col].dataType, True)])
 
@@ -255,8 +265,8 @@ def bloom_build(
         .agg(F.expr("bit_or(shiftleft(1L, cast(b as int)))").alias("bits"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # eager: bloom_contains references the filter once per hash row —
-    # unpersisted, each of those k broadcast joins would recompute the
+    # eager: each bloom_contains call densifies the filter via one
+    # toPandas — unpersisted, every probe pipeline would recompute the
     # build scan; the materialized table is <= num_bits/32 rows
     out.count()
     return out
@@ -274,38 +284,45 @@ def bloom_contains(
     (true iff every one of the item's ``num_hashes`` bits is set — no
     false negatives), one output row per input row.
 
-    The plan is ``num_hashes`` consecutive BROADCAST joins of the
-    packed filter — a pure narrow pipeline with no shuffle at all (an
-    earlier explode→groupBy formulation shuffled the probe stream ×k;
-    at corpus scale the k small hash-table lookups are free while that
-    shuffle was the whole cost)."""
-    in_cols = items.columns
-    out = items
-    checks = []
-    for j in range(num_hashes):
-        pos = _bucket(F.col(col), F.lit(j), num_bits, seed)
-        out = (
-            out.withColumn(f"__p{j}", pos)
-            .withColumn(f"__w{j}", (F.col(f"__p{j}") / 32).cast("long"))
-            .withColumn(
-                f"__m{j}", F.expr(f"shiftleft(1L, cast(__p{j} % 32 as int))")
-            )
-            .join(
-                F.broadcast(
-                    bloom.select(
-                        F.col("word").alias(f"__w{j}"),
-                        F.col("bits").alias(f"__b{j}"),
-                    )
-                ),
-                f"__w{j}",
-                "left",
-            )
-        )
-        checks.append(
-            F.col(f"__b{j}").isNotNull()
-            & (F.col(f"__b{j}").bitwiseAND(F.col(f"__m{j}")) == F.col(f"__m{j}"))
-        )
-    cond = checks[0]
-    for c in checks[1:]:
-        cond = cond & c
-    return out.select(*in_cols, cond.alias("maybe_present"))
+    The packed filter densifies into a single ``num_bits/32``-word
+    numpy array and ships ONCE as a torrent broadcast variable; the k
+    bit positions are still md5-derived in Catalyst (JVM codegen, and
+    the reason the output stays engine-reproducible), and one
+    Arrow-batched pandas UDF gathers all k words per batch — a pure
+    narrow pipeline: one broadcast, zero joins, zero shuffle. Earlier
+    shapes paid more for the same answer: an explode→groupBy shuffled
+    the probe stream ×k, and k per-hash broadcast-joins of the packed
+    table shipped the filter ``num_hashes`` times because AQE does not
+    reuse the identical broadcast exchanges. Driver + broadcast memory
+    is bounded by construction: ``_MAX_BUCKET_SPACE`` caps the dense
+    array at 16^7 bits = 64 MiB of int64 words.
+
+    A null item has null positions and probes to ``maybe_present`` =
+    false (matching the join formulation's null-word miss)."""
+    import numpy as np
+    import pandas as pd
+
+    num_words = (int(num_bits) + 31) // 32
+    pdf = bloom.select("word", "bits").toPandas()  # ≤ num_bits/32 rows
+    dense = np.zeros(num_words, dtype=np.int64)
+    if len(pdf):
+        dense[pdf["word"].to_numpy(np.int64)] = pdf["bits"].to_numpy(np.int64)
+    bc = items.sparkSession.sparkContext.broadcast(dense)
+
+    def _probe(*pos):  # no type hints: pandas_udf can't infer varargs
+        a = bc.value
+        ok = np.ones(len(pos[0]), dtype=bool)
+        for p in pos:
+            na = p.isna().to_numpy()
+            idx = p.fillna(0).to_numpy(dtype=np.int64)
+            hit = (a[idx >> 5] >> (idx & 31)) & np.int64(1)
+            ok &= hit.astype(bool) & ~na
+        return pd.Series(ok)
+
+    probe = F.pandas_udf(_probe, "boolean")
+
+    positions = [
+        _bucket(F.col(col), F.lit(j), num_bits, seed)
+        for j in range(num_hashes)
+    ]
+    return items.withColumn("maybe_present", probe(*positions))

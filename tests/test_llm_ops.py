@@ -1002,6 +1002,55 @@ def test_bloom_filter_membership(spark, docs):
             assert bloom_verdict.get(k), "bloom dropped a truly contaminated doc"
 
 
+def test_bloom_contains_single_broadcast_no_joins(spark):
+    """The probe ships the packed filter ONCE (dense-array broadcast
+    variable + one Arrow-batched UDF) — the plan must contain no join
+    and no shuffle at all, and the verdicts must equal a per-hash
+    Catalyst join replay of the same bit tests (incl. null → false)."""
+    from adam_spark.llm.sketches import _bucket, bloom_build, bloom_contains
+
+    items = spark.createDataFrame([(f"k{i}",) for i in range(300)], "t string")
+    bloom = bloom_build(items, "t", num_bits=4096, num_hashes=5)
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(900)] + [(None,)], "t string"
+    )
+    out = bloom_contains(bloom, probes, "t", 4096, 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("Join", "Exchange", "CartesianProduct"):
+        assert node not in plan, node
+    assert "ArrowEvalPython" in plan or "Python" in plan
+
+    got = {r["t"]: r["maybe_present"] for r in out.collect()}
+    # replay: the old k-broadcast-join formulation as plain expressions
+    replay = probes
+    cond = F.lit(True)
+    bm = {r["word"]: r["bits"] for r in bloom.collect()}
+    for j in range(5):
+        p = _bucket(F.col("t"), F.lit(j), 4096, "bloom")
+        w = (p / 32).cast("long")
+        bits = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[x for kv in bm.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+                ),
+                w,
+            ),
+            F.lit(0).cast("long"),
+        )
+        # bit test without shiftleft-by-column: floor(bits / 2^b) % 2
+        cond = cond & (
+            F.floor(bits / F.pow(F.lit(2.0), (p % 32).cast("double"))) % 2 == 1
+        )
+    want = {
+        r["t"]: r["mp"]
+        for r in replay.select(
+            "t", F.coalesce(cond, F.lit(False)).alias("mp")
+        ).collect()
+    }
+    assert got == want
+    assert got[None] is False
+
+
 def test_bigram_lm_scores(spark, docs):
     """Hand-checked bigram backoff math on a tiny corpus; repetitive
     documents score lower nll than shuffled ones (the property the
@@ -1343,3 +1392,71 @@ def test_semantic_dedup_matches_bruteforce(spark, embs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_skew_guard_exact_and_salted(spark):
+    """A dominant cluster (≈90% of vectors on one centroid) must trip
+    the max_cluster_size salt-split: the pairwise join keys on
+    (cent_id, __salt) so the hot cluster's quadratic work spreads over
+    ⌈size/cap⌉ tasks — and because the b-side is REPLICATED across
+    salts, the pair set is unchanged: output is bit-identical to the
+    unguarded run (zero recall loss, oracle-safe by construction)."""
+    from adam_spark.llm.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    hot = rng.normal(0, 0.02, size=(90, 8)) + np.array([5.0] + [0.0] * 7)
+    cold = rng.normal(0, 1.0, size=(10, 8)) - np.array([5.0] + [0.0] * 7)
+    mat = np.vstack([hot, cold])
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    embs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in mat[0]]), (1, [float(x) for x in mat[90]])],
+        "cent_id: long, cent_vec: array<double>",
+    )
+
+    plain = semantic_dedup(
+        embs, threshold=0.9, centroids=cents, max_cluster_size=10**9
+    )
+    guarded = semantic_dedup(
+        embs, threshold=0.9, centroids=cents, max_cluster_size=16
+    )
+    p_plan = plain._jdf.queryExecution().executedPlan().toString()
+    g_plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in p_plan  # cap not hit → untouched original plan
+    assert "__salt" in g_plan  # cap hit → salted (cent_id, __salt) equi-join
+    assert "CartesianProduct" not in g_plan
+    assert "BroadcastNestedLoopJoin" not in g_plan
+
+    want = sorted(tuple(r) for r in plain.collect())
+    got = sorted(tuple(r) for r in guarded.collect())
+    assert got == want
+    # the hot cluster really is quadratic-risky and really deduped
+    assert sum(1 for _, c, _ in want if c == 0) == 90
+    assert sum(1 for _, _, d in want if d) >= 80
+
+
+def test_semantic_dedup_bounded_cache_and_sqrt_default(spark):
+    """bounded_cache=True releases the internal assignment persist
+    (CacheManager verifiably empty); n_centroids=None sizes k ≈ √N."""
+    from adam_spark.llm.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 6)]) for i in range(400)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    want = sorted(
+        tuple(r) for r in semantic_dedup(embs, threshold=0.95).collect()
+    )
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    got_df = semantic_dedup(embs, threshold=0.95, bounded_cache=True)
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == want
+    assert cm.isEmpty()  # assignment persist released at return
+    # √400 = 20 centroids by default → cent_ids drawn from first 20 ids
+    assert {c for _, c, _ in got} <= set(range(20))
+    assert len({c for _, c, _ in got}) > 1
