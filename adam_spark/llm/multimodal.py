@@ -5,15 +5,20 @@ decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched ``mapInPandas`` kernels so each executor processes media
 in columnar batches without JVM round trips.
 
-Pixel decode is REAL for PNG (stdlib ``zlib`` inflate + per-scanline
-unfilter, all five filter types, color types 0/2/3/4/6 at bit depth 8)
-and uncompressed BMP (8/24/32-bit BI_RGB, bottom-up or top-down) —
-no codec library involved. Matching encoders (:func:`encode_png`,
-:func:`encode_bmp`) let tests round-trip hand-built pixel arrays
-through genuine file bytes. ``NotImplementedError`` remains only for
-genuinely codec-bound formats (JPEG DCT, GIF LZW) and PNG variants
-outside the supported profile (16-bit, interlaced); ``fake=True``
-keeps the old deterministic byte-histogram stand-in for those.
+Pixel decode is REAL for all four probed image formats — PNG (stdlib
+``zlib`` inflate + per-scanline unfilter, all five filter types, color
+types 0/2/3/4/6 at bit depth 8), uncompressed BMP (8/24/32-bit BI_RGB,
+bottom-up or top-down), GIF (LZW, interlace, global/local color
+tables, first frame), and baseline sequential JPEG (canonical huffman
+entropy decode, restart markers, numpy IDCT, chroma upsampling,
+BT.601 YCbCr→RGB) — no codec library involved. Matching encoders
+(:func:`encode_png`, :func:`encode_bmp`, :func:`encode_gif`,
+:func:`encode_jpeg`) let tests round-trip hand-built pixel arrays
+through genuine file bytes (losslessly except JPEG, which round-trips
+within quantization error). ``NotImplementedError`` remains only for
+profiles outside those bounds (progressive/arithmetic JPEG, 16-bit or
+interlaced PNG, RLE BMP); ``fake=True`` keeps the old deterministic
+byte-histogram stand-in for anything the decoder can't reach.
 """
 
 from __future__ import annotations
@@ -228,27 +233,376 @@ def _decode_bmp(data: bytes):
     return (width, height, out_ch, bytes(out))
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytearray:
+    """GIF-flavor LZW (GIF89a spec appendix F): LSB-first variable-width
+    codes, clear/EOI codes, table grows to 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_i, bit_o = bitpos >> 3, bitpos & 7
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            del table[eoi + 1 :]
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF: LZW code {code} out of range")
+        if prev is not None and len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    return out
+
+
+def _decode_gif(data: bytes):
+    """GIF87a/89a first frame → (width, height, 3, RGB pixels).
+
+    Pure stdlib: LZW decode (:func:`_gif_lzw_decode`), global or local
+    color table, interlaced or sequential row order. Returns the FIRST
+    image descriptor's frame at the frame's own dimensions (animation
+    compositing/disposal is out of profile). A GCE transparent index
+    renders as the color-table entry (no alpha plane — callers wanting
+    transparency should ship PNG)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    _, _, packed, _, _ = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks, all skippable
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _, _, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            ct = gct
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 0x07)
+                ct = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF: no color table for frame")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                sz = data[pos]
+                lzw += data[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            idx = _gif_lzw_decode(min_code_size, bytes(lzw))
+            if len(idx) < fw * fh:
+                raise ValueError("GIF: LZW stream shorter than frame")
+            if fpacked & 0x40:  # interlaced: 4-pass row shuffle
+                rows = [None] * fh
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for y in range(start, fh, step):
+                        rows[y] = idx[src * fw : (src + 1) * fw]
+                        src += 1
+                idx = b"".join(bytes(r) for r in rows)
+            out = bytearray(fw * fh * 3)
+            for i in range(fw * fh):
+                q = 3 * idx[i]
+                out[3 * i : 3 * i + 3] = ct[q : q + 3]
+            return (fw, fh, 3, bytes(out))
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+    raise ValueError("GIF: no image descriptor found")
+
+
+#: JPEG zigzag scan order (spec figure A.6): zigzag index → block index
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    """8×8 orthonormal DCT-II basis (numpy); IDCT(B) = C.T @ B @ C."""
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            c[k, n] = math.cos(math.pi * k * (2 * n + 1) / 16) * (
+                math.sqrt(0.125) if k == 0 else 0.5
+            )
+    return c
+
+
+def _huff_codes(counts: bytes, symbols: bytes):
+    """Canonical JPEG huffman table (spec annex C): returns
+    {(length, code): symbol} for decode and {symbol: (code, length)}
+    for encode."""
+    dec, enc = {}, {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            sym = symbols[k]
+            dec[(length, code)] = sym
+            enc[sym] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return dec, enc
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; stops (returns None segments) at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.buf, self.nbits = data, pos, 0, 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                return self.nbits > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                else:
+                    return self.nbits > 0  # marker: stop here
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+        return True
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            if not self._fill() or self.nbits < n:
+                # past-the-end padding bits read as 1s (spec F.2.2.5)
+                self.buf = (self.buf << 8) | 0xFF
+                self.nbits += 8
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.buf, self.nbits = 0, 0
+        d = self.data
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+
+def _extend(v: int, s: int) -> int:
+    """DIFF/coefficient magnitude decode (spec F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(data: bytes):
+    """Baseline sequential JPEG → (width, height, channels, pixels).
+
+    Pure stdlib + numpy: segment parse (DQT/DHT/SOF0/SOF1/DRI/SOS),
+    canonical huffman entropy decode with restart-marker support,
+    dequantize, 8×8 IDCT as two numpy GEMMs per block, box chroma
+    upsample (4:4:4/4:2:2/4:2:0 and any integer factors), YCbCr→RGB
+    (ITU-R BT.601). Profile: 8-bit baseline/extended-sequential
+    huffman, 1 or 3 components; progressive (SOF2), arithmetic coding,
+    and 12-bit raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    qt: dict = {}
+    hdec: dict = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant tables")
+                tbl = np.zeros(64)
+                tbl[_ZIGZAG] = np.frombuffer(body[b + 1 : b + 65], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                counts = body[b + 1 : b + 17]
+                n = sum(counts)
+                hdec[(tc, th)] = _huff_codes(
+                    counts, body[b + 17 : b + 17 + n]
+                )[0]
+                b += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: huffman sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: SOF{marker - 0xC0} (progressive/arithmetic/"
+                "hierarchical) outside the baseline-sequential profile"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS: entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i : 3 + 2 * i]
+                scan[cid] = (tt >> 4, tt & 0x0F)
+            w, h, comps = frame
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            C = _dct_matrix()
+            planes = {}
+            for c in comps:
+                planes[c["id"]] = np.zeros(
+                    (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64
+                )
+            rd = _JpegBitReader(data, pos + 2 + seglen)
+            pred = {c["id"]: 0 for c in comps}
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    rd.restart()
+                    pred = {c["id"]: 0 for c in comps}
+                my, mx = divmod(m, mcux)
+                for c in comps:
+                    dc_t = hdec[(0, scan[c["id"]][0])]
+                    ac_t = hdec[(1, scan[c["id"]][1])]
+                    q = qt[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = np.zeros(64)
+                            s = rd.huff(dc_t)
+                            diff = _extend(rd.bits(s), s) if s else 0
+                            pred[c["id"]] += diff
+                            blk[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = rd.huff(ac_t)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG: AC index overflow")
+                                blk[_ZIGZAG[k]] = _extend(rd.bits(s), s)
+                                k += 1
+                            px = C.T @ (blk.reshape(8, 8) * q) @ C + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            out_planes = []
+            for c in comps:
+                p = planes[c["id"]]
+                p = np.repeat(
+                    np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+                )
+                out_planes.append(p[:h, :w])
+            if len(comps) == 1:
+                gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+                return (w, h, 1, gray.tobytes())
+            y, cb, cr = out_planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=-1)
+            rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+            return (w, h, 3, rgb.tobytes())
+        pos += 2 + seglen
+    raise ValueError("JPEG: no SOS segment found")
+
+
 def decode_image(data: bytes):
     """Decode image bytes → (width, height, channels, pixels: bytes).
 
-    REAL for PNG and uncompressed BMP (pure stdlib — see module
-    docstring); ``NotImplementedError`` only for genuinely codec-bound
-    formats (JPEG's DCT entropy coding, GIF's LZW)."""
+    REAL for PNG, uncompressed BMP, GIF (first frame) and baseline
+    sequential JPEG — all pure stdlib + numpy, no codec library (see
+    each decoder's docstring for its profile). NotImplementedError
+    remains only for profiles outside those bounds (progressive JPEG,
+    16-bit/interlaced PNG, RLE BMP)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode is codec-bound (DCT + entropy coding); no codec "
-            "library in this environment — use PNG/BMP or fake=True"
-        )
+        return _decode_jpeg(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
-        raise NotImplementedError(
-            "GIF decode is codec-bound (LZW); no codec library in this "
-            "environment — use PNG/BMP or fake=True"
-        )
-    raise ValueError("unrecognized image format (supported: PNG, BMP)")
+        return _decode_gif(data)
+    raise ValueError(
+        "unrecognized image format (supported: PNG, BMP, GIF, JPEG)"
+    )
 
 
 def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
@@ -297,6 +651,337 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
         "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
     ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     return header + bytes(body)
+
+
+def _gif_lzw_encode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-flavor LZW compressor — the inverse of
+    :func:`_gif_lzw_decode` (emits an initial clear code, grows the
+    code width in lockstep with the decoder's table, resets at the
+    12-bit cap)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    buf, nbits = 0, 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear, code_size)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        # width grows one emit AFTER the decoder's table does (the
+        # decoder appends each entry while processing the NEXT code)
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:  # table full: reset like real writers do
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = wc[-1:]
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, palette: bytes, indices: bytes) -> bytes:
+    """Minimal real single-frame GIF89a writer from a palette (RGB
+    triples, ≤256 entries) and per-pixel indices — the lossless
+    round-trip partner of :func:`_decode_gif`."""
+    import struct
+
+    n = len(palette) // 3
+    bits = max(1, (max(n - 1, 1)).bit_length())
+    pal = palette + b"\x00" * (3 * ((1 << bits) - n))
+    min_code_size = max(2, bits)
+    lzw = _gif_lzw_encode(min_code_size, indices)
+    sub = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | ((bits - 1) & 7), 0, 0)
+        + pal
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([min_code_size])
+        + sub
+        + b"\x00\x3b"
+    )
+
+
+#: JPEG Annex K quantization tables (zigzag order)
+_JPEG_QT_LUMA = bytes(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)
+_JPEG_QT_CHROMA = bytes(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+)
+#: JPEG Annex K huffman specs: (BITS counts, HUFFVAL symbols)
+_JPEG_HT = {
+    (0, 0): (  # DC luminance
+        bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+        bytes(range(12)),
+    ),
+    (0, 1): (  # DC chrominance
+        bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]),
+        bytes(range(12)),
+    ),
+    (1, 0): (  # AC luminance
+        bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]),
+        bytes(
+            [
+                0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+                0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+                0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+                0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+                0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+                0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+                0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+                0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+                0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+                0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+                0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+                0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+                0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+                0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+                0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+                0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+                0xF9, 0xFA,
+            ]
+        ),
+    ),
+    (1, 1): (  # AC chrominance
+        bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]),
+        bytes(
+            [
+                0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+                0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+                0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+                0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+                0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+                0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+                0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+                0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+                0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+                0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+                0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+                0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+                0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+                0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+                0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+                0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+                0xF9, 0xFA,
+            ]
+        ),
+    ),
+}
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF00 stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf, self.nbits = 0, 0
+
+    def put(self, code: int, size: int) -> None:
+        self.buf = (self.buf << size) | (code & ((1 << size) - 1))
+        self.nbits += size
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.buf &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:  # pad the final byte with 1-bits (spec F.1.2.3)
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _box_down2(plane):
+    """2× box downsample with edge-replicate padding to even dims."""
+    import numpy as np
+
+    h, w = plane.shape
+    if h % 2:
+        plane = np.vstack([plane, plane[-1:, :]])
+    if w % 2:
+        plane = np.hstack([plane, plane[:, -1:]])
+    return plane.reshape(plane.shape[0] // 2, 2, plane.shape[1] // 2, 2).mean(
+        axis=(1, 3)
+    )
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal real baseline JPEG writer (Annex K tables) from
+    grayscale or RGB pixels — the LOSSY round-trip partner of
+    :func:`_decode_jpeg`: decode(encode(px)) reproduces px within
+    quantization error (exact DC for flat blocks). ``subsample=True``
+    writes 4:2:0 chroma (2× box-downsampled, 2×2+1+1 MCUs);
+    ``restart_interval`` emits DRI + RSTn markers every that many MCUs
+    — both exist chiefly so tests can drive the decoder's upsample and
+    restart paths with genuine bytes."""
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg: channels must be 1 (gray) or 3 (RGB)")
+    arr = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    arr = arr.astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        sampling = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        if subsample:
+            planes = [planes[0], _box_down2(planes[1]), _box_down2(planes[2])]
+    else:
+        planes = [arr[..., 0]]
+        sampling = [(1, 1)]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # edge-replicate pad every component plane to its MCU grid
+    padded = []
+    for plane, (sh, sv) in zip(planes, sampling):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        p = np.empty((th, tw))
+        h0, w0 = plane.shape
+        p[:h0, :w0] = plane
+        if w0 < tw:
+            p[:h0, w0:] = plane[:, -1:]
+        if h0 < th:
+            p[h0:, :] = p[h0 - 1 : h0, :]
+        padded.append(p)
+    C = _dct_matrix()
+    qmats = []
+    for qt_z in (_JPEG_QT_LUMA, _JPEG_QT_CHROMA)[: 2 if channels == 3 else 1]:
+        q = np.zeros(64)
+        q[_ZIGZAG] = np.frombuffer(qt_z, np.uint8)
+        qmats.append(q.reshape(8, 8))
+    enc_tables = {k: _huff_codes(*v)[1] for k, v in _JPEG_HT.items()}
+    bw = _JpegBitWriter()
+    pred = [0] * len(planes)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()  # byte-align, 1-padded
+            bw.out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (plane, (sh, sv)) in enumerate(zip(padded, sampling)):
+            tq = 0 if ci == 0 else 1
+            dc_enc = enc_tables[(0, tq)]
+            ac_enc = enc_tables[(1, tq)]
+            for by in range(sv):
+                for bx in range(sh):
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bx) * 8
+                    blk = plane[y0 : y0 + 8, x0 : x0 + 8]
+                    d = C @ (blk - 128.0) @ C.T
+                    zz = np.rint(d / qmats[tq]).astype(np.int64).reshape(64)[
+                        _ZIGZAG
+                    ]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    s = int(abs(diff)).bit_length()
+                    code, ln = dc_enc[s]
+                    bw.put(code, ln)
+                    if s:
+                        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_enc[0xF0]  # ZRL
+                            bw.put(code, ln)
+                            run -= 16
+                        s = int(abs(v)).bit_length()
+                        code, ln = ac_enc[(run << 4) | s]
+                        bw.put(code, ln)
+                        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        code, ln = ac_enc[0x00]  # EOB
+                        bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + _JPEG_QT_LUMA)
+    if channels == 3:
+        out += seg(0xDB, b"\x01" + _JPEG_QT_CHROMA)
+    ncomp = channels
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for i in range(ncomp):
+        sh, sv = sampling[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += seg(0xC0, sof)
+    for (tc, th), (counts, syms) in _JPEG_HT.items():
+        if channels == 1 and th == 1:
+            continue
+        out += seg(0xC4, bytes([(tc << 4) | th]) + counts + syms)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        t = 0 if i == 0 else 1
+        sos += bytes([i + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _pixel_features(data: bytes, dim: int) -> list[float]:

@@ -199,11 +199,12 @@ def test_multimodal_features(spark):
     assert [(r["frame_idx"], r["ts_ms"]) for r in frames] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
     from adam_spark.llm.multimodal import decode_image
 
-    # codec-bound formats raise NotImplementedError; garbage is a ValueError
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8jpegjpeg")
-    with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a\x00\x00\x00\x00\x00\x00")
+    # all four probed formats decode for real now; malformed /
+    # truncated streams are a ValueError, unknown magic likewise
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8jpegjpeg")  # JPEG magic, no segments
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a\x00\x00\x00\x00\x00\x00\x3b")  # no frame
     with pytest.raises(ValueError):
         decode_image(b"x")
 
@@ -1214,6 +1215,120 @@ def test_bmp_decode_variants():
         decode_image(hdr_rle)
 
 
+def test_gif_lzw_and_roundtrip():
+    """GIF LZW encode↔decode inverse (incl. code-width growth and the
+    4096-entry table reset), full-file lossless round trip through the
+    real encoder, interlaced decode, and local-color-table frames."""
+    import struct
+
+    from adam_spark.llm.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    # enough random 8-bit data to overflow the 12-bit table → reset path
+    data = bytes(rng.integers(0, 256, size=30000, dtype=np.uint8))
+    assert bytes(_gif_lzw_decode(8, _gif_lzw_encode(8, data))) == data
+    # tiny alphabet → long phrases, width growth from 3 bits upward
+    data = bytes((rng.integers(0, 4, size=5000, dtype=np.uint8)))
+    assert bytes(_gif_lzw_decode(2, _gif_lzw_encode(2, data))) == data
+
+    w, h = 31, 17
+    pal = bytes(rng.integers(0, 256, size=3 * 64, dtype=np.uint8))
+    idx = bytes(rng.integers(0, 64, size=w * h, dtype=np.uint8))
+    out = decode_image(encode_gif(w, h, pal, idx))
+    want = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    assert out == (w, h, 3, want)
+
+    # interlaced: rebuild the same frame with the interlace flag set and
+    # rows stored in 8/8/4/2 pass order — decode must undo the shuffle
+    rows = [idx[y * w : (y + 1) * w] for y in range(h)]
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    shuffled = b"".join(rows[y] for y in order)
+    lzw = _gif_lzw_encode(6, shuffled)
+    sub = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 5, 0, 0)
+        + pal
+        # graphic-control extension: must be skipped cleanly
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+        + bytes([6])
+        + sub
+        + b"\x00\x3b"
+    )
+    assert decode_image(gif) == (w, h, 3, want)
+
+
+def test_jpeg_baseline_roundtrip_profiles():
+    """Baseline JPEG decode over genuine encoder bytes: flat blocks are
+    DC-exact; gradients round-trip within quantization error across
+    4:4:4, 4:2:0 subsampled, restart-marker, grayscale, and odd-size
+    partial-MCU profiles; progressive refuses."""
+    from adam_spark.llm.multimodal import decode_image, encode_jpeg
+
+    w, h = 32, 24
+    flat = bytes([200] * (w * h * 3))
+    jw, jh, ch, px = decode_image(encode_jpeg(w, h, 3, flat))
+    assert (jw, jh, ch) == (w, h, 3)
+    assert max(abs(p - 200) for p in px) <= 2  # DC-only, near exact
+
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack(
+        [np.minimum(xx * 6, 255), np.minimum(yy * 7, 255), np.minimum(xx + yy, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    for kw in (
+        {},
+        {"subsample": True},
+        {"restart_interval": 2},
+        {"subsample": True, "restart_interval": 3},
+    ):
+        jw, jh, ch, px = decode_image(encode_jpeg(w, h, 3, rgb.tobytes(), **kw))
+        assert (jw, jh, ch) == (w, h, 3), kw
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+        diff = np.abs(got - rgb.astype(int))
+        assert diff.mean() < 5 and diff.max() < 40, (kw, diff.max())
+
+    # grayscale single-component
+    g = np.minimum(np.arange(19 * 13).reshape(13, 19) * 2, 255).astype(np.uint8)
+    jw, jh, ch, px = decode_image(encode_jpeg(19, 13, 1, g.tobytes()))
+    assert (jw, jh, ch) == (19, 13, 1)
+    assert np.abs(
+        np.frombuffer(px, np.uint8).reshape(13, 19).astype(int) - g
+    ).max() <= 12
+
+    # odd dims + 4:2:0: partial MCU at both edges
+    rgb2 = np.stack([g, g, g], axis=-1)
+    jw, jh, ch, px = decode_image(
+        encode_jpeg(19, 13, 3, rgb2.tobytes(), subsample=True, restart_interval=1)
+    )
+    assert (jw, jh, ch) == (19, 13, 3)
+    assert np.abs(
+        np.frombuffer(px, np.uint8).reshape(13, 19, 3).astype(int) - rgb2
+    ).max() <= 12
+
+    # progressive (SOF2) refuses rather than mis-decoding
+    prog = bytearray(encode_jpeg(8, 8, 1, bytes([7] * 64)))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(prog))
+
+
 def test_extract_features_real_pixels(spark):
     """fake=False histograms REAL decoded gray levels: a 2×2 gray PNG
     with pixels 0/64/128/255 lands one pixel in each of 4 buckets, and
@@ -1225,13 +1340,23 @@ def test_extract_features_real_pixels(spark):
         extract_features,
     )
 
+    from adam_spark.llm.multimodal import encode_gif, encode_jpeg
+
     gray = bytes([0, 64, 128, 255])
     png = encode_png(2, 2, 1, gray)
     bmp = encode_bmp(2, 2, bytes(v for g in gray for v in (g, g, g)))
+    # same four gray levels as a GIF (palette = the 4 grays, lossless)
+    gif = encode_gif(
+        2, 2, bytes(v for g in gray for v in (g, g, g)), bytes([0, 1, 2, 3])
+    )
+    # and as a JPEG: lossy, so assert bucket shape rather than equality
+    jpg = encode_jpeg(2, 2, 1, gray)
     rows = [
         (1, "image", "image/png", bytearray(png), 2, 2, None, None),
         (2, "image", "image/bmp", bytearray(bmp), 2, 2, None, None),
         (3, "image", "image/png", None, None, None, None, None),
+        (4, "image", "image/gif", bytearray(gif), 2, 2, None, None),
+        (5, "image", "image/jpeg", bytearray(jpg), 2, 2, None, None),
     ]
     feats = {
         r["asset_id"]: r
@@ -1243,6 +1368,9 @@ def test_extract_features_real_pixels(spark):
     assert list(feats[2]["feature"]) == [0.25, 0.25, 0.25, 0.25]
     assert feats[1]["n_bytes"] == len(png)
     assert feats[3]["feature"] is None and feats[3]["n_bytes"] == 0
+    assert list(feats[4]["feature"]) == [0.25, 0.25, 0.25, 0.25]
+    assert sum(feats[5]["feature"]) == pytest.approx(1.0)
+    assert all(f >= 0 for f in feats[5]["feature"])
 
 
 def test_resize_images_real(spark):

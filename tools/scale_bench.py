@@ -1,0 +1,271 @@
+"""sf0.1 → sf1 (10×) scaling slopes for the most expensive operators
+(r6 verdict item 3).
+
+The driver ships no sf1 testdata, so this experiment materializes one:
+10 DISJOINT copies of each sf0.1 input, constructed so the workload
+scales LINEARLY by design —
+
+- documents: every non-empty token of copy c>0 is suffixed ``~c``, so
+  the copies occupy disjoint shingle/token spaces: within-copy
+  duplicate structure is preserved exactly, cross-copy Jaccard is 0,
+  and pair counts / heavy-hitter sets grow 10×, not 100×.
+- embeddings: copy c>0 multiplies every vector elementwise by a fixed
+  ±1 pattern (seeded per copy). Within-copy cosines are EXACTLY
+  preserved (the flips cancel), cross-copy cosines are ~0 (random
+  sign alignment), so near-dup pairs grow 10×.
+- intervals / alignments: referenceName (and readName) get a ``~c``
+  suffix, so per-reference interval density — the quantity that drives
+  overlap-join output quadratically — is CONSTANT; references
+  multiply instead. This mirrors how genomic data actually scales
+  (more samples/contigs, not 10× depth piled on one coordinate), and
+  it is deliberate: the contract queries derive coordinates from
+  ``o_orderkey % 8`` references, so naively 10×-ing orders would
+  inflate the JOIN OUTPUT ~100× — a workload artifact, not an engine
+  cost.
+
+Both scales are materialized to repo-local parquet (s1 = copy 0 only,
+s10 = all copies) so each timed run pays the same scan shape. Per-op:
+best of RUNS wall-clocks of a full ``.count()``, cache cleared between
+runs. Emits JSON to .scaledata/scale_results.json; MEASURED.md
+summarizes the slopes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+from adam_spark import get_spark  # noqa: E402
+from adam_spark.sources.tables import load_table  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(REPO, ".scaledata")
+COPIES = 10
+SHIFT = 10**9
+DIM = 64
+RUNS = 2
+
+
+def _suffix_tokens(text, c: int):
+    if c == 0:
+        return text
+    return F.array_join(
+        F.transform(
+            F.split(text, " "),
+            lambda t: F.when(t == "", t).otherwise(
+                F.concat(t, F.lit(f"~{c}"))
+            ),
+        ),
+        " ",
+    )
+
+
+def _documents(spark: SparkSession, c: int) -> DataFrame:
+    d = load_table(spark, BASE, "documents")
+    return d.select(
+        (F.col("doc_id") + F.lit(c * SHIFT)).alias("doc_id"),
+        _suffix_tokens(F.col("text"), c).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _embeddings(spark: SparkSession, c: int) -> DataFrame:
+    e = load_table(spark, BASE, "embeddings")
+    if c == 0:
+        return e.select(
+            F.col("vec_id"), F.col("embedding"), F.col("label")
+        )
+    flips = [random.Random(1000 + c).choice([1.0, -1.0]) for _ in range(DIM)]
+    fl = F.array(*[F.lit(x) for x in flips])
+    return e.select(
+        (F.col("vec_id") + F.lit(c * SHIFT)).alias("vec_id"),
+        F.zip_with(
+            "embedding", fl, lambda v, s: (v * s).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def _ref(c: int, base):
+    return base if c == 0 else F.concat(base, F.lit(f"~{c}"))
+
+
+def _intervals_l(spark: SparkSession, c: int) -> DataFrame:
+    o = load_table(spark, BASE, "orders").where("o_orderkey % 5 = 0")
+    return o.select(
+        _ref(c, F.expr("'c' || cast(o_orderkey % 8 as string)")).alias(
+            "referenceName"
+        ),
+        F.expr("(o_orderkey * 7) % 10000").alias("start"),
+        F.expr("(o_orderkey * 7) % 10000 + 10 + (o_orderkey % 30)").alias("end"),
+        (F.col("o_orderkey") + F.lit(c * SHIFT)).alias("id"),
+    )
+
+
+def _intervals_r(spark: SparkSession, c: int) -> DataFrame:
+    li = load_table(spark, BASE, "lineitem")
+    return li.select(
+        _ref(c, F.expr("'c' || cast(l_orderkey % 8 as string)")).alias(
+            "referenceName"
+        ),
+        F.expr("(l_orderkey * 7 + l_linenumber * 13) % 10000").alias("start"),
+        F.expr(
+            "(l_orderkey * 7 + l_linenumber * 13) % 10000 + 8 + (l_partkey % 25)"
+        ).alias("end"),
+        (F.expr("l_orderkey * 10 + l_linenumber") + F.lit(c * SHIFT)).alias(
+            "id"
+        ),
+    )
+
+
+def _alignments(spark: SparkSession, c: int) -> DataFrame:
+    o = load_table(spark, BASE, "orders")
+    return o.select(
+        _ref(c, F.expr("'r' || cast(o_orderkey as string)")).alias("readName"),
+        _ref(c, F.expr("'c' || cast(o_orderkey % 4 as string)")).alias(
+            "referenceName"
+        ),
+        F.expr("(o_orderkey * 13) % 5000 + 100").alias("start"),
+        F.expr(
+            "(o_orderkey * 13) % 5000 + 100 + "
+            "CASE WHEN o_orderkey % 7 = 0 THEN 45 ELSE 50 END"
+        ).alias("end"),
+        F.expr(
+            "CASE WHEN o_orderkey % 7 = 0 THEN '5S45M' ELSE '50M' END"
+        ).alias("cigar"),
+        F.expr("o_orderkey % 3 = 0").alias("readNegativeStrand"),
+        F.expr("repeat(chr(43 + o_orderkey % 30), 50)").alias("qualityScores"),
+        F.lit(True).alias("readMapped"),
+        F.lit(True).alias("primaryAlignment"),
+        F.lit(False).alias("secondaryAlignment"),
+        F.lit(False).alias("supplementaryAlignment"),
+        F.lit(False).alias("readPaired"),
+        F.lit(None).cast("string").alias("readGroupId"),
+        F.lit(None).cast("int").alias("readInFragment"),
+    )
+
+
+BUILDERS = {
+    "documents": _documents,
+    "embeddings": _embeddings,
+    "intervals_l": _intervals_l,
+    "intervals_r": _intervals_r,
+    "alignments": _alignments,
+}
+
+
+def materialize(spark: SparkSession) -> None:
+    for scale, ncopies in (("s1", 1), ("s10", COPIES)):
+        for name, build in BUILDERS.items():
+            path = os.path.join(OUT, scale, name)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                continue
+            df = build(spark, 0)
+            for c in range(1, ncopies):
+                df = df.unionByName(build(spark, c))
+            df.write.mode("overwrite").parquet(path)
+            print(f"materialized {scale}/{name}", flush=True)
+
+
+def _ops(spark: SparkSession, scale: str):
+    from adam_spark.llm.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_between,
+        tokens,
+    )
+    from adam_spark.llm.similarity import embedding_near_duplicates
+    from adam_spark.llm.sketches import cms_heavy_hitters
+    from adam_spark.operators.mark_duplicates import mark_duplicates
+    from adam_spark.operators.region_join import region_join
+
+    def rd(name):
+        return spark.read.parquet(os.path.join(OUT, scale, name))
+
+    return {
+        "interval_join_inner": lambda: region_join(
+            rd("intervals_l"), rd("intervals_r"), how="inner", bin_size=64
+        ).count(),
+        "interval_join_group_left": lambda: region_join(
+            rd("intervals_l"), rd("intervals_r"), group="left", bin_size=64
+        ).count(),
+        "interval_join_flank_broadcast": lambda: region_join(
+            rd("intervals_l"),
+            rd("intervals_r"),
+            how="inner",
+            flank=5,
+            bin_size=64,
+            broadcast="left",
+        ).count(),
+        "dedup_minhash": lambda: minhash_lsh_pairs(
+            rd("documents"), "doc_id", bands=8, threshold=0.9
+        ).count(),
+        "dedup_incremental": lambda: minhash_lsh_pairs_between(
+            rd("documents").where(F.col("doc_id") % 2 == 1),
+            rd("documents").where(F.col("doc_id") % 2 == 0),
+            bands=8,
+            threshold=0.9,
+        ).count(),
+        "embedding_near_dup": lambda: embedding_near_duplicates(
+            rd("embeddings"), threshold=0.4
+        ).count(),
+        "mark_duplicates": lambda: mark_duplicates(rd("alignments")).count(),
+        "cms_heavy_hitters": lambda: cms_heavy_hitters(
+            rd("documents").select(
+                F.explode(tokens(F.col("text"))).alias("token")
+            ),
+            "token",
+            min_count=100,
+            width=256,
+            depth=3,
+        ).count(),
+    }
+
+
+def main() -> None:
+    spark = get_spark("scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    materialize(spark)
+
+    results: dict = {}
+    for scale in ("s1", "s10"):
+        for name, fn in _ops(spark, scale).items():
+            best, rows = float("inf"), None
+            for _ in range(RUNS):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                rows = fn()
+                best = min(best, time.perf_counter() - t0)
+            results.setdefault(name, {})[scale] = {
+                "sec": round(best, 3),
+                "rows": rows,
+            }
+            print(f"{scale} {name}: {best:.2f}s rows={rows}", flush=True)
+
+    for name, r in results.items():
+        r["slope"] = round(r["s10"]["sec"] / max(r["s1"]["sec"], 1e-9), 2)
+        r["row_ratio"] = round(
+            r["s10"]["rows"] / max(r["s1"]["rows"], 1), 2
+        )
+    results["_meta"] = {
+        "base": BASE,
+        "copies": COPIES,
+        "runs_per_point": RUNS,
+        "load_avg": os.getloadavg(),
+    }
+    with open(os.path.join(OUT, "scale_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
