@@ -1379,6 +1379,28 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantized IVF under TRAINED (k-means) centroids
+    (llm/similarity.ivf_topk_quantized + kmeans_centroids): int8 GEMM
+    shortlist + exact float rescore over spherical-k-means buckets —
+    the production ANN shape, benched in the extended group so both
+    new r6 ANN paths accumulate history. No SQL oracle: k-means is
+    iterative (rows-only driver check); exactness is pinned in pytest
+    (test_llm_ops.test_ivf_quantized_matches_float_ivf) where the
+    quantized path equals float IVF on identical centroids, including
+    these k-means ones."""
+    from adam_spark.llm.similarity import ivf_topk_quantized, kmeans_centroids
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    cents = kmeans_centroids(emb, k=16, iters=2)
+    return (
+        ivf_topk_quantized(emb, q, k=5, n_probe=4, centroids=cents)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 _ANN_IVF_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
@@ -2894,6 +2916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnowing": doc_winnowing,
         "quality_binning_reads": quality_binning_reads,
         "reassemble_pairs_orders": reassemble_pairs_orders,
+        # r7: quantized-IVF-over-kmeans for the bench extended group
+        # (no oracle — k-means is iterative; pinned == float IVF in pytest)
+        "ann_ivf_topk_quantized": ann_ivf_topk_quantized,
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "union_features": union_features,

@@ -71,6 +71,7 @@ EXTENDED = [
     "sample_mixture_docs",
     "embedding_quantize_stats",
     "semantic_dedup_embeddings",
+    "ann_ivf_topk_quantized",
 ]
 
 

@@ -80,20 +80,40 @@ def _documents(spark: SparkSession, c: int) -> DataFrame:
 
 
 def _embeddings(spark: SparkSession, c: int) -> DataFrame:
+    """Copy c>0 applies a per-copy random ROTATION Q_c (orthogonal, so
+    within-copy inner products — and thus the whole near-dup pair set —
+    are preserved exactly) while cross-copy cosines become
+    cos(Q_d^T Q_c a, b), i.e. a random rotation of one side:
+    concentrated near 0 with std ~ 1/√dim. (Sign-flip diagonals are
+    NOT enough: an axis-concentrated vector keeps |cos| ≈ 1 across
+    copies half the time, which manufactured cross-copy "duplicates"
+    in the first cut of this experiment.)"""
     e = load_table(spark, BASE, "embeddings")
     if c == 0:
         return e.select(
             F.col("vec_id"), F.col("embedding"), F.col("label")
         )
-    flips = [random.Random(1000 + c).choice([1.0, -1.0]) for _ in range(DIM)]
-    fl = F.array(*[F.lit(x) for x in flips])
-    return e.select(
-        (F.col("vec_id") + F.lit(c * SHIFT)).alias("vec_id"),
-        F.zip_with(
-            "embedding", fl, lambda v, s: (v * s).cast("float")
-        ).alias("embedding"),
-        "label",
-    )
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(4242 + c)
+    q, _ = np.linalg.qr(rng.standard_normal((DIM, DIM)))
+
+    def rot(batches):
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            out = (mat @ q.T).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"] + c * SHIFT,
+                    "embedding": [list(map(float, r)) for r in out],
+                    "label": pdf["label"],
+                }
+            )
+
+    return e.mapInPandas(rot, schema=e.schema)
 
 
 def _ref(c: int, base):
@@ -215,8 +235,16 @@ def _ops(spark: SparkSession, scale: str):
             bands=8,
             threshold=0.9,
         ).count(),
-        "embedding_near_dup": lambda: embedding_near_duplicates(
+        # θ=0.4 is the contract query's setting — the DOCUMENTED
+        # weak-prune regime (r=4 sign bits: random collisions scale
+        # n²/2^r, similarity.srp_params docstring); θ=0.9 is the
+        # production near-dup regime (r=16 prunes hard) — measured
+        # side by side so the slope table shows the regime difference
+        "embedding_near_dup_t04": lambda: embedding_near_duplicates(
             rd("embeddings"), threshold=0.4
+        ).count(),
+        "embedding_near_dup_t09": lambda: embedding_near_duplicates(
+            rd("embeddings"), threshold=0.9
         ).count(),
         "mark_duplicates": lambda: mark_duplicates(rd("alignments")).count(),
         "cms_heavy_hitters": lambda: cms_heavy_hitters(
@@ -232,13 +260,20 @@ def _ops(spark: SparkSession, scale: str):
 
 
 def main() -> None:
+    res_path = os.path.join(OUT, "scale_results.json")
+    results: dict = {}
+    if os.path.exists(res_path):  # incremental: resume a killed run
+        with open(res_path) as f:
+            results = json.load(f)
+
     spark = get_spark("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     materialize(spark)
 
-    results: dict = {}
     for scale in ("s1", "s10"):
         for name, fn in _ops(spark, scale).items():
+            if results.get(name, {}).get(scale):
+                continue
             best, rows = float("inf"), None
             for _ in range(RUNS):
                 spark.catalog.clearCache()
@@ -250,8 +285,12 @@ def main() -> None:
                 "rows": rows,
             }
             print(f"{scale} {name}: {best:.2f}s rows={rows}", flush=True)
+            with open(res_path, "w") as f:
+                json.dump(results, f, indent=2)
 
     for name, r in results.items():
+        if name.startswith("_"):
+            continue
         r["slope"] = round(r["s10"]["sec"] / max(r["s1"]["sec"], 1e-9), 2)
         r["row_ratio"] = round(
             r["s10"]["rows"] / max(r["s1"]["rows"], 1), 2
@@ -262,7 +301,7 @@ def main() -> None:
         "runs_per_point": RUNS,
         "load_avg": os.getloadavg(),
     }
-    with open(os.path.join(OUT, "scale_results.json"), "w") as f:
+    with open(res_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
 
