@@ -211,6 +211,17 @@ def _ops(spark: SparkSession, scale: str):
     def rd(name):
         return spark.read.parquet(os.path.join(OUT, scale, name))
 
+    def _semantic(embs, n_centroids, max_cluster_size):
+        from adam_spark.llm.similarity import semantic_dedup
+
+        return semantic_dedup(
+            embs,
+            threshold=0.9,
+            n_centroids=n_centroids,
+            max_cluster_size=max_cluster_size,
+            bounded_cache=True,
+        ).count()
+
     return {
         "interval_join_inner": lambda: region_join(
             rd("intervals_l"), rd("intervals_r"), how="inner", bin_size=64
@@ -247,6 +258,12 @@ def _ops(spark: SparkSession, scale: str):
             rd("embeddings"), threshold=0.9
         ).count(),
         "mark_duplicates": lambda: mark_duplicates(rd("alignments")).count(),
+        # SemDeDup scaling: sqrt-N default centroids (the r7 sizing
+        # knob — total pairwise work ~N^1.5 by the algorithm's own
+        # cost model), and fixed-8 centroids to force clusters past
+        # max_cluster_size so the salt-split skew guard runs at scale
+        "semantic_dedup_sqrtN": lambda: _semantic(rd("embeddings"), None, 10**9),
+        "semantic_dedup_k8_guarded": lambda: _semantic(rd("embeddings"), 8, 2048),
         "cms_heavy_hitters": lambda: cms_heavy_hitters(
             rd("documents").select(
                 F.explode(tokens(F.col("text"))).alias("token")
