@@ -175,12 +175,45 @@ def _alignments(spark: SparkSession, c: int) -> DataFrame:
     )
 
 
+def _bqsr_reads(spark: SparkSession, c: int) -> DataFrame:
+    """The contract query's BQSR pass-1 input (8M forward-strand reads,
+    one MD mismatch each — __spark_entry__.bqsr_observation_table),
+    with readGroupId and referenceName suffixed per copy: covariate
+    groups multiply, per-group sizes stay constant."""
+    import __spark_entry__ as entry
+
+    o = load_table(spark, BASE, "orders")
+    return o.select(
+        _ref(c, F.expr("'rg' || cast(o_orderkey % 3 as string)")).alias(
+            "readGroupId"
+        ),
+        _ref(c, F.lit("c1")).alias("referenceName"),
+        F.expr("o_orderkey % 1000").alias("start"),
+        F.lit("8M").alias("cigar"),
+        F.expr(
+            "cast(o_orderkey % 8 as string) || 'A' || "
+            "cast(7 - o_orderkey % 8 as string)"
+        ).alias("mismatchingPositions"),
+        F.expr(entry._BQSR_SEQ.replace("k", "o_orderkey")).alias("sequence"),
+        F.expr(entry._BQSR_QUAL.replace("k", "o_orderkey")).alias(
+            "qualityScores"
+        ),
+        F.lit(True).alias("readMapped"),
+        F.lit(True).alias("primaryAlignment"),
+        F.lit(False).alias("duplicateRead"),
+        F.lit(False).alias("readNegativeStrand"),
+        F.lit(60).alias("mappingQuality"),
+        F.lit(0).alias("readInFragment"),
+    )
+
+
 BUILDERS = {
     "documents": _documents,
     "embeddings": _embeddings,
     "intervals_l": _intervals_l,
     "intervals_r": _intervals_r,
     "alignments": _alignments,
+    "bqsr_reads": _bqsr_reads,
 }
 
 
@@ -205,6 +238,8 @@ def _ops(spark: SparkSession, scale: str):
     )
     from adam_spark.llm.similarity import embedding_near_duplicates
     from adam_spark.llm.sketches import cms_heavy_hitters
+    from adam_spark.operators.bqsr import observe_covariates
+    from adam_spark.operators.coverage import to_coverage
     from adam_spark.operators.mark_duplicates import mark_duplicates
     from adam_spark.operators.region_join import region_join
 
@@ -264,6 +299,18 @@ def _ops(spark: SparkSession, scale: str):
         # max_cluster_size so the salt-split skew guard runs at scale
         "semantic_dedup_sqrtN": lambda: _semantic(rd("embeddings"), None, 10**9),
         "semantic_dedup_k8_guarded": lambda: _semantic(rd("embeddings"), 8, 2048),
+        "coverage_collapse": lambda: to_coverage(
+            rd("intervals_r")
+            .select(
+                "referenceName",
+                "start",
+                "end",
+                F.lit(True).alias("readMapped"),
+                F.lit(None).cast("string").alias("readGroupSampleId"),
+            ),
+            collapse=True,
+        ).count(),
+        "bqsr_observe": lambda: observe_covariates(rd("bqsr_reads")).count(),
         "cms_heavy_hitters": lambda: cms_heavy_hitters(
             rd("documents").select(
                 F.explode(tokens(F.col("text"))).alias("token")
