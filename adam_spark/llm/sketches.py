@@ -302,6 +302,11 @@ def bloom_contains(
     import numpy as np
     import pandas as pd
 
+    if num_bits > _MAX_BUCKET_SPACE:  # before the dense alloc, not after
+        raise ValueError(
+            f"num_bits {num_bits} exceeds the 16^7 ({_MAX_BUCKET_SPACE}) "
+            "position space of the md5 bucket hash"
+        )
     num_words = (int(num_bits) + 31) // 32
     pdf = bloom.select("word", "bits").toPandas()  # ≤ num_bits/32 rows
     dense = np.zeros(num_words, dtype=np.int64)
