@@ -53,12 +53,20 @@ def word_ngrams(text: Column, n: int) -> Column:
     )
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bounded_cache: bool = False,
+) -> DataFrame:
     """Exact-content dedup on a canonical fingerprint.
 
     Fingerprint = md5 of the lower-cased raw text. Output: one row per
     input with (id, fingerprint, canonical_id, is_duplicate) where
     canonical_id is the group's min id — the classic keep-first policy.
+    ``bounded_cache=True`` eagerly materializes the result and releases
+    the internal fingerprint persist
+    (:func:`adam_spark.llm.cache.eager_release`).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -83,11 +91,16 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     # and recompute the scan in parallel (measured ~2x on first run)
     keyed.count()
     canon = keyed.groupBy("fingerprint").agg(F.min("id").alias("canonical_id"))
-    return (
+    out = (
         keyed.join(canon, "fingerprint")
         .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
         .select("id", "fingerprint", "canonical_id", "is_duplicate")
     )
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, keyed)
+    return out
 
 
 #: Mersenne prime for the universal-hash family
@@ -231,12 +244,16 @@ def minhash_lsh_pairs(
     bands: int = 64,
     threshold: float = 0.8,
     broadcast_verify: bool | None = None,
+    bounded_cache: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     With bands=64 × rows=2, P(miss | J≥0.8) ≈ (1−0.8²)^64 ≈ 4e−29 —
     recall is effectively exact at the default threshold.
+    ``bounded_cache=True`` eagerly materializes the pair table and
+    releases the internal band-table persist
+    (:func:`adam_spark.llm.cache.eager_release`).
     """
     sh = word_ngrams(F.col(text_col), shingle_ngram) if shingle_ngram > 1 else distinct_tokens(
         F.col(text_col)
@@ -301,6 +318,10 @@ def minhash_lsh_pairs(
     )
     if broadcast_verify:
         out = out.dropDuplicates(["id_a", "id_b"])
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, bandsdf)
     return out
 
 
@@ -390,9 +411,15 @@ def simhash(
 
 
 def simhash_duplicates(
-    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 16,
+    bounded_cache: bool = False,
 ) -> DataFrame:
-    """Documents sharing a simhash fingerprint (candidate near-dups)."""
+    """Documents sharing a simhash fingerprint (candidate near-dups).
+    ``bounded_cache=True`` eagerly materializes the result and releases
+    the internal fingerprint persist."""
     from pyspark.storagelevel import StorageLevel
 
     # same skew-safe shape as exact_duplicates: partial-aggregated
@@ -402,11 +429,16 @@ def simhash_duplicates(
     fps = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     fps.count()  # eager: both self-join sides would race a lazy cache
     canon = fps.groupBy("simhash").agg(F.min("id").alias("canonical_id"))
-    return (
+    out = (
         fps.join(canon, "simhash")
         .withColumn("is_duplicate", F.col("id") != F.col("canonical_id"))
         .select("id", "simhash", "canonical_id", "is_duplicate")
     )
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, fps)
+    return out
 
 
 def duplicate_clusters(
@@ -513,6 +545,7 @@ def remove_repeated_spans(
     min_docs: int | None = None,
     min_frac: float | None = None,
     broadcast_hot: bool | None = None,
+    bounded_cache: bool = False,
 ) -> DataFrame:
     """C4-style cross-corpus boilerplate removal.
 
@@ -590,7 +623,7 @@ def remove_repeated_spans(
             delimiter,
         ).alias("text_clean"),
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"))
         .join(per_doc, "id", "left")
         .select(
@@ -599,6 +632,11 @@ def remove_repeated_spans(
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, hot)
+    return out
 
 
 def minhash_lsh_pairs_between(
@@ -611,6 +649,7 @@ def minhash_lsh_pairs_between(
     bands: int = 64,
     threshold: float = 0.8,
     broadcast_candidates: bool | None = None,
+    bounded_cache: bool = False,
 ) -> DataFrame:
     """Cross-corpus near-dup pairs: an incoming batch vs a reference
     corpus (incremental dedup — "is this new document already in the
@@ -662,7 +701,7 @@ def minhash_lsh_pairs_between(
         # both token tables broadcast: verify is a pure map over the raw
         # candidate stream; re-verifying a pair that matched in several
         # bands is cheaper than a dedup shuffle first, so dedup last
-        return (
+        out = (
             raw.join(F.broadcast(sh_n), "id_new")
             .join(F.broadcast(sh_r), "id_ref")
             .withColumn("jaccard", inter / (F.col("n_n") + F.col("n_r") - inter))
@@ -670,6 +709,11 @@ def minhash_lsh_pairs_between(
             .select("id_new", "id_ref", F.round("jaccard", 6).alias("jaccard"))
             .dropDuplicates(["id_new", "id_ref"])
         )
+        if bounded_cache:  # no internal persist on this path: checkpoint
+            from adam_spark.llm.cache import eager_release
+
+            return eager_release(out)
+        return out
     cand = raw.dropDuplicates(["id_new", "id_ref"]).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -683,10 +727,15 @@ def minhash_lsh_pairs_between(
         est_n = _estimate_shingle_bytes(base_n)
     bc_new = broadcast_candidates and est_n <= VERIFY_BROADCAST_CAP_BYTES
     maybe_bc_new = F.broadcast if bc_new else (lambda x: x)
-    return (
+    out = (
         sh_r.join(maybe_bc(cand), "id_ref")
         .join(maybe_bc_new(sh_n), "id_new")
         .withColumn("jaccard", inter / (F.col("n_n") + F.col("n_r") - inter))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_new", "id_ref", F.round("jaccard", 6).alias("jaccard"))
     )
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, cand)
+    return out

@@ -714,8 +714,12 @@ def embedding_near_duplicates(
     dim: int = 64,
     rows_per_band: int | None = None,
     bands: int | None = None,
+    bounded_cache: bool = False,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold via sign-bit LSH + exact verify.
+    ``bounded_cache=True`` eagerly materializes the pair table and
+    releases the internal band-hash persist
+    (:func:`adam_spark.llm.cache.eager_release`).
 
     Generate→verify, the same shape as :func:`minhash_lsh_pairs`:
     candidates come from an equi-join on (band, band_hash) — a shuffle
@@ -770,8 +774,17 @@ def embedding_near_duplicates(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    def _finish(out: DataFrame) -> DataFrame:
+        if bounded_cache:
+            from adam_spark.llm.cache import eager_release
+
+            return eager_release(out, hashed)
+        return out
+
     if n_vec * true_dim * 8 <= GEMM_VERIFY_CAP_BYTES:
-        return _verify_pairs_gemm(corpus, raw, threshold, id_col, vec_col)
+        return _finish(
+            _verify_pairs_gemm(corpus, raw, threshold, id_col, vec_col)
+        )
     shuffle_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     # one exchange serves dedup + verify rebalance (partitioning on id_a
     # satisfies the (id_a, id_b) clustering of dropDuplicates)
@@ -787,7 +800,7 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
         _norm(F.col(vec_col)).alias("nb"),
     )
-    return (
+    return _finish(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(

@@ -1457,10 +1457,20 @@ def test_ivf_quantized_matches_float_ivf(embs):
         assert a == b
 
 
-def test_bounded_cache_releases_persists(spark, docs):
+def test_bounded_cache_releases_persists(spark, docs, embs):
     """bounded_cache=True must leave NO CacheManager entries behind
     (only lineage-free checkpoint blocks, which the ContextCleaner
-    reclaims on GC) and must not change results."""
+    reclaims on GC) and must not change results — across every
+    persisting operator in the llm package (r7: the dedup family and
+    embedding near-dup joined the r6 LM/tfidf/CMS set)."""
+    from adam_spark.llm.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_between,
+        remove_repeated_spans,
+        simhash_duplicates,
+    )
+    from adam_spark.llm.similarity import embedding_near_duplicates
     from adam_spark.llm.sketches import cms_heavy_hitters
     from adam_spark.llm.text import (
         bigram_lm_scores,
@@ -1474,6 +1484,19 @@ def test_bounded_cache_releases_persists(spark, docs):
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
     )
     cases = [
+        (lambda b: exact_duplicates(docs, "doc_id", bounded_cache=b)),
+        (lambda b: simhash_duplicates(docs, "doc_id", bounded_cache=b)),
+        (lambda b: minhash_lsh_pairs(docs, "doc_id", bands=8, threshold=0.9, bounded_cache=b)),
+        (lambda b: minhash_lsh_pairs_between(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0),
+            bands=8, threshold=0.9, bounded_cache=b)),
+        (lambda b: minhash_lsh_pairs_between(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0),
+            bands=8, threshold=0.9, broadcast_candidates=False, bounded_cache=b)),
+        (lambda b: remove_repeated_spans(docs, min_docs=3, delimiter=" ", bounded_cache=b)),
+        (lambda b: embedding_near_duplicates(embs, threshold=0.4, bounded_cache=b)),
         (lambda b: unigram_lm_scores(docs, bounded_cache=b)),
         (lambda b: bigram_lm_scores(docs, bounded_cache=b)),
         (lambda b: tfidf_top_terms(docs, bounded_cache=b)),
