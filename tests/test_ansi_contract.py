@@ -55,3 +55,32 @@ def test_entry_under_ansi(ansi_spark):
 
     df = entry.entry(ansi_spark)
     assert df.collect() is not None
+
+
+def test_driver_window_invariants():
+    """The correctness driver records only the FIRST 50 queries()
+    entries and hash-compares each against its oracle_sql() — so every
+    in-window query MUST have an oracle (a rows-only query in a window
+    slot silently weakens the gate), every oracle key must name a real
+    query, and dict order must be intentional (this test fails loudly
+    if an insertion accidentally reorders the window)."""
+    import __spark_entry__ as entry
+
+    q = list(entry.queries())
+    o = entry.oracle_sql()
+    in_window = q[:50]
+    missing = [k for k in in_window if k not in o]
+    assert missing == [], f"in-window queries without oracle: {missing}"
+    unknown = [k for k in o if k not in q]
+    assert unknown == [], f"oracle keys not in queries(): {unknown}"
+    # the documented rows-only entries stay parked past the cap
+    for rows_only in ("pipe_features_cat", "multimodal_features",
+                      "ann_ivf_topk_quantized"):
+        assert rows_only in q, rows_only
+        assert q.index(rows_only) >= 50, f"{rows_only} must stay parked"
+        assert rows_only not in o
+    # r7 rotation pins: the one never-driver-recorded oracle query is in
+    # the window; its parked exchange partner keeps a family mirror
+    assert q.index("semantic_dedup_embeddings") < 50
+    assert q.index("interval_join_right_outer") >= 50
+    assert q.index("interval_join_inner") < 50  # family representative
