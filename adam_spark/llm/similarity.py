@@ -426,6 +426,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     max_cluster_size: int = 4096,
+    split_mode: str = "salt",
     bounded_cache: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
@@ -464,6 +465,18 @@ def semantic_dedup(
       bit-identical with or without it (and the SQL oracle needs no
       salt mirror). Cluster sizes come from one tiny k-row aggregate
       over the (cached) assignment.
+    - ``split_mode="recluster"`` trades the salt mode's exactness for
+      REDUCED total work: each oversized cluster is sub-clustered (its
+      s lowest-id members seed a one-pass spherical sub-assignment —
+      a 1-iteration k-means, matching the paper's own clustering
+      approximation) and pairs only form within sub-clusters, cutting
+      the hot cluster's comparisons from c² to ~c²/s with no b-side
+      replication at all. Recall loss is one-sided and bounded: every
+      flagged duplicate is a true ≥-threshold duplicate (the cosine
+      verify is unchanged); only pairs straddling sub-clusters can be
+      missed — the same ε-ball-fragmentation loss SemDeDup's k-means
+      already accepts at the top level. Salt mode remains the default
+      because it is exact and oracle-safe.
 
     Deterministic default centroids (first ``n_centroids`` rows by id)
     keep an exact SQL oracle; pass :func:`kmeans_centroids` output for
@@ -522,20 +535,78 @@ def semantic_dedup(
         r["cent_id"]: max(1, -(-int(r["n"]) // int(max_cluster_size)))
         for r in sizes
     }
-    if any(s > 1 for s in nsalts.values()):
+    oversized = {c: s for c, s in nsalts.items() if s > 1}
+    if oversized and split_mode not in ("salt", "recluster"):
+        raise ValueError(f"split_mode must be salt|recluster, got {split_mode!r}")
+    if oversized:
         from pyspark.sql.types import IntegerType, StructField, StructType
 
+        ns_schema = StructType(
+            [
+                StructField("cent_id", assigned.schema["cent_id"].dataType),
+                StructField("__ns", IntegerType()),
+            ]
+        )
+    if oversized and split_mode == "recluster":
+        over_map = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                [(c, s) for c, s in oversized.items()], ns_schema
+            )
+        )
+        # deterministic sub-centroid seeds: the s lowest-id members of
+        # each oversized cluster (the window shuffles ONLY those
+        # clusters' members; Σs × dim driver bytes — the centroid class)
+        seeds = (
+            assigned.join(over_map, "cent_id")
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("cent_id").orderBy("id")
+                ),
+            )
+            .where(F.col("__rn") <= F.col("__ns"))
+            .select("cent_id", "v")
+            .collect()
+        )
+        groups: dict = {}
+        for r in seeds:
+            groups.setdefault(int(r["cent_id"]), []).append(
+                np.asarray(r["v"], dtype=np.float64)
+            )
+        sub_norm = {}
+        for c, vs in groups.items():
+            m = np.asarray(vs)
+            sub_norm[c] = m / np.maximum(
+                np.linalg.norm(m, axis=1), 1e-12
+            )[:, None]
+        bc_sub = corpus.sparkSession.sparkContext.broadcast(sub_norm)
+
+        from pyspark.sql.types import IntegerType as _IntType
+
+        @F.pandas_udf(_IntType())
+        def sub_assign(cids: pd.Series, vecs: pd.Series) -> pd.Series:
+            table = bc_sub.value
+            out = np.zeros(len(cids), dtype=np.int32)
+            if len(cids):
+                cid_arr = cids.to_numpy()
+                for c in np.unique(cid_arr):
+                    m = table.get(int(c))
+                    if m is None:
+                        continue  # not oversized: stays in sub 0
+                    mask = cid_arr == c
+                    mat = np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+                    )
+                    out[mask] = np.argmax(mat @ m.T, axis=1).astype(np.int32)
+            return pd.Series(out)
+
+        a = a.withColumn("__salt", sub_assign(F.col("cent_id"), F.col("va")))
+        b = b.withColumn("__salt", sub_assign(F.col("cent_id"), F.col("vb")))
+        join_keys = ["cent_id", "__salt"]
+    elif oversized:
         salt_map = F.broadcast(
             corpus.sparkSession.createDataFrame(
-                [(c, s) for c, s in nsalts.items()],
-                StructType(
-                    [
-                        StructField(
-                            "cent_id", assigned.schema["cent_id"].dataType
-                        ),
-                        StructField("__ns", IntegerType()),
-                    ]
-                ),
+                [(c, s) for c, s in nsalts.items()], ns_schema
             )
         )
         a = (

@@ -1586,6 +1586,63 @@ def test_semantic_dedup_skew_guard_exact_and_salted(spark):
     assert sum(1 for _, _, d in want if d) >= 80
 
 
+def test_semantic_dedup_recluster_mode(spark):
+    """split_mode='recluster' sub-clusters oversized clusters instead
+    of salting: no b-side replication (no Explode in the plan), total
+    work drops c²→c²/s, and recall loss is ONE-SIDED — every flagged
+    duplicate must also be flagged by the exact (salt/unguarded) run,
+    and at most s survivors remain per split cluster (one per
+    sub-cluster under min-id-survives)."""
+    from adam_spark.llm.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    hot = rng.normal(0, 0.02, size=(90, 8)) + np.array([5.0] + [0.0] * 7)
+    cold = rng.normal(0, 1.0, size=(10, 8)) - np.array([5.0] + [0.0] * 7)
+    mat = np.vstack([hot, cold])
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    embs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in mat[0]]), (1, [float(x) for x in mat[90]])],
+        "cent_id: long, cent_vec: array<double>",
+    )
+
+    exact = semantic_dedup(
+        embs, threshold=0.9, centroids=cents, max_cluster_size=10**9
+    )
+    recl = semantic_dedup(
+        embs,
+        threshold=0.9,
+        centroids=cents,
+        max_cluster_size=16,
+        split_mode="recluster",
+    )
+    plan = recl._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # sub-cluster key IS the join key
+    for node in ("Explode", "Generate", "CartesianProduct"):
+        assert node not in plan, node  # replication-free
+
+    exact_dups = {r["id"] for r in exact.collect() if r["is_duplicate"]}
+    got = recl.collect()
+    got_dups = {r["id"] for r in got if r["is_duplicate"]}
+    assert got_dups <= exact_dups  # one-sided recall loss
+    # hot cluster: 90 members, cap 16 → s = 6 sub-clusters → at most 6
+    # survivors among the near-identical hot vectors
+    hot_survivors = [
+        r["id"] for r in got if r["cent_id"] == 0 and not r["is_duplicate"]
+    ]
+    assert 1 <= len(hot_survivors) <= 6
+    assert len(got) == 100  # one row per vector either way
+
+    with pytest.raises(ValueError):
+        semantic_dedup(
+            embs,
+            threshold=0.9,
+            centroids=cents,
+            max_cluster_size=16,
+            split_mode="bogus",
+        ).collect()
+
+
 def test_semantic_dedup_bounded_cache_and_sqrt_default(spark):
     """bounded_cache=True releases the internal assignment persist
     (CacheManager verifiably empty); n_centroids=None sizes k ≈ √N."""
