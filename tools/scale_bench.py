@@ -246,7 +246,7 @@ def _ops(spark: SparkSession, scale: str):
     def rd(name):
         return spark.read.parquet(os.path.join(OUT, scale, name))
 
-    def _semantic(embs, n_centroids, max_cluster_size):
+    def _semantic(embs, n_centroids, max_cluster_size, split_mode="salt"):
         from adam_spark.llm.similarity import semantic_dedup
 
         return semantic_dedup(
@@ -254,6 +254,7 @@ def _ops(spark: SparkSession, scale: str):
             threshold=0.9,
             n_centroids=n_centroids,
             max_cluster_size=max_cluster_size,
+            split_mode=split_mode,
             bounded_cache=True,
         ).count()
 
@@ -299,6 +300,9 @@ def _ops(spark: SparkSession, scale: str):
         # max_cluster_size so the salt-split skew guard runs at scale
         "semantic_dedup_sqrtN": lambda: _semantic(rd("embeddings"), None, 10**9),
         "semantic_dedup_k8_guarded": lambda: _semantic(rd("embeddings"), 8, 2048),
+        "semantic_dedup_k8_reclustered": lambda: _semantic(
+            rd("embeddings"), 8, 2048, split_mode="recluster"
+        ),
         "coverage_collapse": lambda: to_coverage(
             rd("intervals_r")
             .select(
