@@ -832,18 +832,18 @@ class _JpegBitWriter:
             self.put((1 << pad) - 1, pad)
 
 
-def _box_down2(plane):
-    """2× box downsample with edge-replicate padding to even dims."""
+def _box_down(plane, fy: int, fx: int):
+    """(fy, fx) box downsample with edge-replicate padding to multiples."""
     import numpy as np
 
     h, w = plane.shape
-    if h % 2:
+    while plane.shape[0] % fy:
         plane = np.vstack([plane, plane[-1:, :]])
-    if w % 2:
+    while plane.shape[1] % fx:
         plane = np.hstack([plane, plane[:, -1:]])
-    return plane.reshape(plane.shape[0] // 2, 2, plane.shape[1] // 2, 2).mean(
-        axis=(1, 3)
-    )
+    return plane.reshape(
+        plane.shape[0] // fy, fy, plane.shape[1] // fx, fx
+    ).mean(axis=(1, 3))
 
 
 def encode_jpeg(
@@ -851,17 +851,18 @@ def encode_jpeg(
     height: int,
     channels: int,
     pixels: bytes,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """Minimal real baseline JPEG writer (Annex K tables) from
     grayscale or RGB pixels — the LOSSY round-trip partner of
     :func:`_decode_jpeg`: decode(encode(px)) reproduces px within
-    quantization error (exact DC for flat blocks). ``subsample=True``
-    writes 4:2:0 chroma (2× box-downsampled, 2×2+1+1 MCUs);
-    ``restart_interval`` emits DRI + RSTn markers every that many MCUs
-    — both exist chiefly so tests can drive the decoder's upsample and
-    restart paths with genuine bytes."""
+    quantization error (exact DC for flat blocks). ``subsample`` may
+    be ``True``/``"420"`` (2× both axes, 2×2+1+1 MCUs) or ``"422"``
+    (2× horizontal only); ``restart_interval`` emits DRI + RSTn
+    markers every that many MCUs — these exist chiefly so tests can
+    drive the decoder's upsample and restart paths with genuine
+    bytes."""
     import struct
 
     import numpy as np
@@ -877,9 +878,22 @@ def encode_jpeg(
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
-        sampling = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
-        if subsample:
-            planes = [planes[0], _box_down2(planes[1]), _box_down2(planes[2])]
+        if subsample == "422":  # 2× horizontal-only chroma
+            sampling = [(2, 1), (1, 1), (1, 1)]
+            planes = [
+                planes[0],
+                _box_down(planes[1], 1, 2),
+                _box_down(planes[2], 1, 2),
+            ]
+        elif subsample:  # True or "420"
+            sampling = [(2, 2), (1, 1), (1, 1)]
+            planes = [
+                planes[0],
+                _box_down(planes[1], 2, 2),
+                _box_down(planes[2], 2, 2),
+            ]
+        else:
+            sampling = [(1, 1)] * 3
     else:
         planes = [arr[..., 0]]
         sampling = [(1, 1)]

@@ -1294,8 +1294,10 @@ def test_jpeg_baseline_roundtrip_profiles():
     for kw in (
         {},
         {"subsample": True},
+        {"subsample": "422"},
         {"restart_interval": 2},
         {"subsample": True, "restart_interval": 3},
+        {"subsample": "422", "restart_interval": 2},
     ):
         jw, jh, ch, px = decode_image(encode_jpeg(w, h, 3, rgb.tobytes(), **kw))
         assert (jw, jh, ch) == (w, h, 3), kw
