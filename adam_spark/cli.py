@@ -36,6 +36,83 @@ def _parse_regions(spec: str) -> list[tuple[str, int, int]]:
 
 _STRINGENCIES = ("SILENT", "LENIENT", "STRICT")
 
+#: text formats eligible for the -disable_fast_concat serial-concat path
+_TEXT_SAVE_EXTS = (
+    ".sam", ".fq", ".fastq", ".ifq", ".bed", ".gtf", ".gff3",
+    ".narrowpeak", ".interval_list", ".vcf", ".fa", ".fasta",
+)
+
+
+def _resolve_single(args) -> bool:
+    """ADAMSaveAnyArgs single-file resolution shared by the transform
+    commands: the reference's ``-single`` flag, or this CLI's default
+    non-``-sharded`` mode; ``-defer_merging`` leaves the sharded
+    directory in place either way."""
+    single = getattr(args, "single", False) or not getattr(args, "sharded", False)
+    return single and not getattr(args, "defer_merging", False)
+
+
+def _save_any(gf, output: str, single_file: bool,
+              disable_fast_concat: bool = False, **save_kwargs) -> None:
+    """Save dispatch plus the ``-disable_fast_concat`` variant
+    (util/FileMerger.scala:35's non-parallel branch): the default
+    single-file path is a one-pass coalesce(1) write (upstream stays
+    parallel, one writer task); with fast concat disabled, shards write
+    at full parallelism and the driver serially concatenates them."""
+    from adam_spark import context as ctx
+
+    if single_file and disable_fast_concat and output.lower().endswith(_TEXT_SAVE_EXTS):
+        import os as _os
+        import shutil as _shutil
+
+        from adam_spark.sources.merge import merge_shards
+
+        # keep the extension so the sharded save dispatches by format
+        base, ext = _os.path.splitext(output)
+        shard_dir = base + ".shards" + ext
+        ctx.save(gf, shard_dir, single_file=False, **save_kwargs)
+        merge_shards(shard_dir, output)
+        _shutil.rmtree(shard_dir)
+    else:
+        ctx.save(gf, output, single_file=single_file, **save_kwargs)
+
+
+def _maybe_coalesce(df, n: int | None, force_shuffle: bool):
+    """-coalesce / -force_shuffle_coalesce (TransformGenotypes.scala:52-56):
+    a plain coalesce() can collapse upstream parallelism into the narrow
+    ancestor; the shuffle variant repartitions instead."""
+    if not n or n == -1:
+        return df
+    return df.repartition(n) if force_shuffle else df.coalesce(n)
+
+
+def _maybe_sort(df, sort_on_save: bool, sort_lexicographically: bool, references):
+    """-sort_on_save (contig-index order) / -sort_lexicographically_on_save
+    (TransformGenotypes.scala:118-130 maybeSort)."""
+    if sort_on_save:
+        from adam_spark.operators import sorts
+
+        return sorts.sort(df, references, drop_unmapped=False)
+    if sort_lexicographically:
+        return df.orderBy("referenceName", "start")
+    return df
+
+
+def _write_text_lines(df, output: str, single_file: bool) -> None:
+    """Text lines → one file (sharded write + driver concat, the
+    writeTextRdd asSingleFile shape) or a sharded directory."""
+    if single_file:
+        import shutil as _shutil
+
+        from adam_spark.sources.merge import merge_shards
+
+        shard_dir = output + ".shards"
+        df.write.mode("overwrite").text(shard_dir)
+        merge_shards(shard_dir, output)
+        _shutil.rmtree(shard_dir)
+    else:
+        df.write.mode("overwrite").text(output)
+
 
 def _cmd_transform_alignments(args) -> int:
     from adam_spark import context as ctx
@@ -308,11 +385,23 @@ def _cmd_flagstat(args) -> int:
     from adam_spark import context as ctx
     from adam_spark.operators.flagstat import flagstat
 
+    if args.stringency not in _STRINGENCIES:
+        print(f"-stringency must be one of {_STRINGENCIES}", file=sys.stderr)
+        return 2
     spark = _spark(args)
     gf = ctx.load_alignments(spark, args.input)
-    for row in flagstat(gf.df).collect():
-        for k, v in row.asDict().items():
-            print(f"{k}\t{v}")
+    lines = [
+        f"{k}\t{v}"
+        for row in flagstat(gf.df).collect()
+        for k, v in row.asDict().items()
+    ]
+    if args.o:
+        # -o: write the stats to a file instead of stdout (FlagStat.scala:37)
+        with open(args.o, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    else:
+        for line in lines:
+            print(line)
     return 0
 
 
@@ -321,14 +410,50 @@ def _cmd_coverage(args) -> int:
     from adam_spark.core.genomic_frame import GenomicFrame
     from adam_spark.operators.coverage import collapse_coverage, to_coverage
 
+    # reference requires -collapse with -sort_lexicographically
+    # (Coverage.scala run(): "-sort_lexicographically can only be used
+    # with -collapse")
+    if args.sort_lexicographically and not args.collapse:
+        print("-sort_lexicographically requires -collapse", file=sys.stderr)
+        return 2
     spark = _spark(args)
     gf = ctx.load_alignments(spark, args.input)
-    cov = to_coverage(gf.df)
+    df = gf.df
+    # strand restriction before the pileup (Coverage.scala:72-78)
+    if args.only_negative_strands:
+        df = df.where(F.col("readNegativeStrand") == True)  # noqa: E712
+    if args.only_positive_strands:
+        df = df.where(F.coalesce(F.col("readNegativeStrand"), F.lit(False)) == False)  # noqa: E712
+    cov = to_coverage(df)
     if args.collapse:
         cov = collapse_coverage(cov)
+    if args.sort_lexicographically:
+        cov = cov.orderBy("referenceName", "start")
     meta = gf.meta.copy()
     meta.kind = "coverage"
-    ctx.save(GenomicFrame(cov, meta), args.output, mode="overwrite")
+    _save_any(GenomicFrame(cov, meta), args.output, _resolve_single(args),
+              args.disable_fast_concat, mode="overwrite")
+    return 0
+
+
+def _kmer_output(counts, args) -> int:
+    """Shared histogram/sort/save tail of count_kmers and
+    count_slice_kmers (CountReadKmers.scala:86-104)."""
+    if args.print_histogram:
+        counts = counts.persist()
+        # multiplicity histogram, ordered by count value — the
+        # reference's countByValue().toSeq.sortBy println of tuples
+        for row in (
+            counts.groupBy("count").agg(F.count("*").alias("n"))
+            .orderBy("count").collect()
+        ):
+            print(f"({row['count']},{row['n']})")
+    if args.sort:
+        counts = counts.orderBy("kmer")
+    out = counts.select(F.concat_ws("\t", F.col("kmer"), F.col("count")))
+    _write_text_lines(out, args.output, args.single)
+    if args.print_histogram:
+        counts.unpersist()
     return 0
 
 
@@ -338,11 +463,12 @@ def _cmd_count_kmers(args) -> int:
 
     spark = _spark(args)
     gf = ctx.load_alignments(spark, args.input)
-    counts = count_kmers(gf.df, args.kmer_length)
-    counts.select(
-        F.concat_ws("\t", F.col("kmer"), F.col("count"))
-    ).write.mode("overwrite").text(args.output)
-    return 0
+    # Projection(sequence) (CountReadKmers.scala:75): prune the scan to
+    # the one column the kernel reads
+    df = gf.df.select("sequence")
+    if args.repartition and args.repartition != -1:
+        df = df.repartition(args.repartition)
+    return _kmer_output(count_kmers(df, args.kmer_length), args)
 
 
 def _cmd_view(args) -> int:
@@ -358,10 +484,16 @@ def _cmd_view(args) -> int:
         match_some_bits=args.g,
         mismatch_some_bits=args.G,
     )
+    # -o FILE, or FILE as the second positional (View.scala:77-83)
+    output = args.output or args.output_pos
     if args.count:
         print(df.count())
-    elif args.output:
-        ctx.save(gf.__class__(df, gf.meta), args.output)
+    elif output:
+        # single-file by default (this CLI's convention); -single is
+        # accepted for reference-parity, -defer_merging leaves shards
+        single = not args.defer_merging
+        _save_any(gf.__class__(df, gf.meta), output, single,
+                  args.disable_fast_concat)
     else:
         for line in df.limit(args.limit).collect():
             print(line)
@@ -370,19 +502,60 @@ def _cmd_view(args) -> int:
 
 def _cmd_transform_features(args) -> int:
     from adam_spark import context as ctx
+    from adam_spark.core.genomic_frame import GenomicFrame
 
     spark = _spark(args)
     gf = ctx.load_features(spark, args.input)
-    ctx.save(gf, args.output, single_file=not args.sharded)
+    if args.reference:
+        # -reference: .dict / .genome / .txt sequence dictionary attached
+        # to the dataset (TransformFeatures.scala:47-49)
+        meta = gf.meta.copy()
+        meta.references = ctx.load_sequence_dictionary(args.reference)
+        gf = GenomicFrame(gf.df, meta)
+    if args.num_partitions:
+        # -num_partitions sizes the text-load parallelism in the
+        # reference (minPartitions of the Hadoop text read); DataFrame
+        # text scans split by maxPartitionBytes instead, so the load
+        # parallelism contract is delivered as an explicit repartition
+        gf = GenomicFrame(gf.df.repartition(args.num_partitions), gf.meta)
+    if args.partition_by_start_pos:
+        from adam_spark.sources.parquet import save_partitioned_parquet
+
+        save_partitioned_parquet(gf, args.output, partition_size=args.partition_bin_size)
+    else:
+        _save_any(gf, args.output, _resolve_single(args), args.disable_fast_concat)
     return 0
+
+
+def _is_vcf_out(path: str) -> bool:
+    return path.lower().endswith((".vcf", ".vcf.gz", ".vcf.bgz"))
 
 
 def _cmd_transform_variants(args) -> int:
     from adam_spark import context as ctx
+    from adam_spark.core.genomic_frame import GenomicFrame
 
+    if args.stringency not in _STRINGENCIES:
+        print(f"-stringency must be one of {_STRINGENCIES}", file=sys.stderr)
+        return 2
+    if args.sort_on_save and args.sort_lexicographically_on_save:
+        # TransformVariants run(): "Cannot set both -sort_on_save and
+        # -sort_lexicographically_on_save"
+        print("-sort_on_save conflicts with -sort_lexicographically_on_save",
+              file=sys.stderr)
+        return 2
     spark = _spark(args)
     gf = ctx.load_variant_contexts(spark, args.input)
-    ctx.save(gf, args.output, single_file=not args.sharded)
+    df = _maybe_coalesce(gf.df, args.coalesce, args.force_shuffle_coalesce)
+    df = _maybe_sort(df, args.sort_on_save, args.sort_lexicographically_on_save,
+                     gf.meta.references)
+    out = GenomicFrame(df, gf.meta)
+    if not _is_vcf_out(args.output) and args.partition_by_start_pos:
+        from adam_spark.sources.parquet import save_partitioned_parquet
+
+        save_partitioned_parquet(out, args.output, partition_size=args.partition_bin_size)
+    else:
+        _save_any(out, args.output, _resolve_single(args), args.disable_fast_concat)
     return 0
 
 
@@ -391,68 +564,240 @@ def _cmd_count_slice_kmers(args) -> int:
     from adam_spark.operators.kmers import count_kmers
 
     spark = _spark(args)
-    gf = ctx.load_slices(spark, args.input)
-    counts = count_kmers(gf.df, args.kmer_length)
-    counts.select(
-        F.concat_ws("\t", F.col("kmer"), F.col("count"))
-    ).write.mode("overwrite").text(args.output)
-    return 0
+    gf = ctx.load_slices(spark, args.input, maximum_length=args.maximum_length)
+    return _kmer_output(count_kmers(gf.df, args.kmer_length), args)
 
 
 def _cmd_transform_genotypes(args) -> int:
     from adam_spark import context as ctx
+    from adam_spark.core.genomic_frame import GenomicFrame
 
+    if args.stringency not in _STRINGENCIES:
+        print(f"-stringency must be one of {_STRINGENCIES}", file=sys.stderr)
+        return 2
+    if args.sort_on_save and args.sort_lexicographically_on_save:
+        print("-sort_on_save conflicts with -sort_lexicographically_on_save",
+              file=sys.stderr)
+        return 2
     spark = _spark(args)
     gf = ctx.load_genotypes(spark, args.input)
-    ctx.save(gf, args.output, single_file=not args.sharded)
+    df = gf.df
+    if not args.nested_annotations and "variant" in df.columns:
+        # the reference populates genotype.variant.annotation only with
+        # -nested_annotations (TransformGenotypes.scala:57-59, disabled
+        # by default); this loader always carries it, so the default
+        # path nulls it out
+        ann_type = df.schema["variant"].dataType["annotation"].dataType
+        df = df.withColumn(
+            "variant",
+            F.col("variant").withField("annotation", F.lit(None).cast(ann_type)),
+        )
+    df = _maybe_coalesce(df, args.coalesce, args.force_shuffle_coalesce)
+    if _is_vcf_out(args.output):
+        # genotypes → variant contexts for VCF emission
+        # (TransformGenotypes run(): .toVariantContexts.saveAsVcf)
+        from adam_spark.operators.conversions import genotypes_to_variant_contexts
+
+        vc = genotypes_to_variant_contexts(df)
+        vc = _maybe_sort(vc, args.sort_on_save,
+                         args.sort_lexicographically_on_save, gf.meta.references)
+        meta = gf.meta.copy()
+        meta.kind = "variant_context"
+        _save_any(GenomicFrame(vc, meta), args.output, _resolve_single(args),
+                  args.disable_fast_concat)
+    else:
+        df = _maybe_sort(df, args.sort_on_save,
+                         args.sort_lexicographically_on_save, gf.meta.references)
+        out = GenomicFrame(df, gf.meta)
+        if args.partition_by_start_pos:
+            from adam_spark.sources.parquet import save_partitioned_parquet
+
+            save_partitioned_parquet(out, args.output,
+                                     partition_size=args.partition_bin_size)
+        else:
+            _save_any(out, args.output, _resolve_single(args),
+                      args.disable_fast_concat)
     return 0
+
+
+_ALPHABETS = ("DNA", "PROTEIN", "RNA")
+
+
+def _create_references_meta(gf):
+    """-create_references (TransformSequences.scala:44-46): derive the
+    sequence dictionary from sequence names and lengths. One tiny
+    driver collect — the dictionary is header metadata by design."""
+    from adam_spark.core.metadata import Reference
+
+    rows = (
+        gf.df.groupBy("name")
+        .agg(
+            F.max(
+                F.coalesce(
+                    F.col("totalLength") if "totalLength" in gf.df.columns
+                    else F.col("length"),
+                    F.col("length"),
+                    F.length("sequence").cast("long"),
+                )
+            ).alias("len")
+        )
+        .collect()
+    )
+    meta = gf.meta.copy()
+    meta.references = meta.references.__class__(
+        [Reference(name=r["name"], length=int(r["len"]) if r["len"] is not None else None)
+         for r in sorted(rows, key=lambda r: r["name"])]
+    )
+    return meta
 
 
 def _cmd_transform_sequences(args) -> int:
     from adam_spark import context as ctx
+    from adam_spark.core.genomic_frame import GenomicFrame
 
+    if args.alphabet not in _ALPHABETS:
+        print(f"-alphabet must be one of {_ALPHABETS}", file=sys.stderr)
+        return 2
     spark = _spark(args)
-    gf = ctx.load_sequences(spark, args.input)
-    ctx.save(gf, args.output, single_file=not args.sharded)
+    gf = ctx.load_sequences(spark, args.input, alphabet=args.alphabet)
+    if args.create_references:
+        gf = GenomicFrame(gf.df, _create_references_meta(gf))
+    _save_any(gf, args.output, _resolve_single(args), args.disable_fast_concat)
     return 0
 
 
 def _cmd_transform_slices(args) -> int:
     from adam_spark import context as ctx
+    from adam_spark.core.genomic_frame import GenomicFrame
 
     spark = _spark(args)
     gf = ctx.load_slices(spark, args.input, maximum_length=args.maximum_length)
-    ctx.save(gf, args.output, single_file=not args.sharded)
+    if args.create_references:
+        gf = GenomicFrame(gf.df, _create_references_meta(gf))
+    _save_any(gf, args.output, _resolve_single(args), args.disable_fast_concat)
     return 0
 
 
 def _cmd_transform_fragments(args) -> int:
     from adam_spark import context as ctx
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.operators.conversions import (
+        alignments_to_fragments,
+        fragments_to_alignments,
+    )
 
+    n_sorts = sum(1 for s in (args.sort_by_read_name, args.sort_by_reference_position,
+                              args.sort_by_reference_position_and_index) if s)
+    if n_sorts > 1:
+        # TransformFragments run(): only one sort flag may be given
+        print("only one -sort_by_* flag may be specified", file=sys.stderr)
+        return 2
+    if n_sorts and not args.save_as_alignments:
+        # TransformFragments run(): require(saveAsAlignments) for sorts
+        print("-sort_by_* flags are only valid with -save_as_alignments",
+              file=sys.stderr)
+        return 2
     spark = _spark(args)
-    gf = ctx.load_fragments(spark, args.input)
-    if args.load_as_alignments:
-        from adam_spark.core.genomic_frame import GenomicFrame
-        from adam_spark.operators.conversions import fragments_to_alignments
+    if args.load_as_alignments or args.paired_fastq:
+        # -load_as_alignments / -paired_fastq: treat INPUT as alignments
+        # (two FASTQs when paired), then group to fragments
+        # (TransformFragments.scala:138-142 loadAlignments().toFragments)
+        agf = ctx.load_alignments(spark, args.input, path2=args.paired_fastq)
+        if args.max_read_length and args.max_read_length > 0:
+            agf = GenomicFrame(
+                agf.df.where(F.length("sequence") <= args.max_read_length), agf.meta
+            )
+        meta = agf.meta.copy()
+        meta.kind = "fragment"
+        gf = GenomicFrame(alignments_to_fragments(agf.df), meta)
+    else:
+        gf = ctx.load_fragments(spark, args.input)
+    df = gf.df
+    if args.bin_quality_scores:
+        from adam_spark.operators.quality import bin_fragment_quality_scores
 
+        df = bin_fragment_quality_scores(df, args.bin_quality_scores.split(";"))
+    if args.mark_duplicate_reads:
+        from adam_spark.operators.mark_duplicates import mark_duplicate_fragments
+
+        df = mark_duplicate_fragments(df)
+    if args.save_as_alignments:
+        # -save_as_alignments (TransformFragments.scala:55-57 + run():
+        # .toAlignments, optional sort, save)
+        from adam_spark.operators import sorts
+
+        adf = fragments_to_alignments(df)
+        if args.sort_by_read_name:
+            adf = sorts.sort_by_read_name(adf)
+        elif args.sort_by_reference_position:
+            adf = sorts.sort_by_reference_position(adf)
+        elif args.sort_by_reference_position_and_index:
+            adf = sorts.sort_by_reference_position_and_index(adf, gf.meta.references)
         meta = gf.meta.copy()
         meta.kind = "alignment"
-        gf = GenomicFrame(fragments_to_alignments(gf.df), meta)
-    ctx.save(gf, args.output, single_file=not args.sharded)
+        _save_any(GenomicFrame(adf, meta), args.output, _resolve_single(args),
+                  args.disable_fast_concat)
+    else:
+        _save_any(GenomicFrame(df, gf.meta), args.output, _resolve_single(args),
+                  args.disable_fast_concat)
     return 0
 
 
 def _cmd_adam2fastq(args) -> int:
     from adam_spark import context as ctx
+    from adam_spark.core.genomic_frame import GenomicFrame
     from adam_spark.sources.fastq import save_fastq, save_paired_fastq
 
+    if args.validation not in _STRINGENCIES:
+        print(f"-validation must be one of {_STRINGENCIES}", file=sys.stderr)
+        return 2
     spark = _spark(args)
     gf = ctx.load_alignments(spark, args.input)
+    df = gf.df
+    if not args.no_projection:
+        # the reference projects to the five fields FASTQ needs
+        # (ADAM2Fastq.scala:75-84) so the parquet scan prunes; -no_projection
+        # disables it ("useful for testing / comparison")
+        keep = [c for c in ("readName", "sequence", "qualityScores",
+                            "readInFragment", "readPaired", "attributes")
+                if c in df.columns]
+        df = df.select(*keep)
+    if args.output_oq and "attributes" in df.columns:
+        # -output_oq: emit the pre-recalibration original qualities from
+        # the OQ tag where present (ADAM2Fastq.scala:40 outputOriginalBaseQualities)
+        oq = F.substring(
+            F.try_element_at(F.col("attributes"), F.lit("OQ")), 3, 1_000_000
+        )
+        df = df.withColumn(
+            "qualityScores",
+            F.coalesce(F.nullif(oq, F.lit("")), F.col("qualityScores")),
+        )
+    if args.persist_level:
+        from pyspark import StorageLevel
+
+        level = getattr(StorageLevel, args.persist_level, None)
+        if level is None:
+            print(f"unknown -persist_level {args.persist_level}", file=sys.stderr)
+            return 2
+        df = df.persist(level)
+    if args.repartition and args.repartition != -1:
+        df = df.repartition(args.repartition)
+    if args.validation == "STRICT" and args.output2 and "readPaired" in df.columns:
+        # STRICT: all reads must be paired before a paired-FASTQ split
+        # (ADAM2Fastq.scala:36-38 validation)
+        n_unpaired = df.where(
+            ~F.coalesce(F.col("readPaired"), F.lit(False))
+        ).count()
+        if n_unpaired:
+            print(f"{n_unpaired} unpaired reads under -validation STRICT",
+                  file=sys.stderr)
+            return 1
+    out = GenomicFrame(df, gf.meta)
     if args.output2:
-        save_paired_fastq(gf, args.output, args.output2)
+        save_paired_fastq(out, args.output, args.output2)
     else:
         save_fastq(
-            gf,
+            out,
             args.output,
             sort_by_name=args.sort_by_name,
             write_suffixes=args.write_suffixes,
@@ -462,19 +807,40 @@ def _cmd_adam2fastq(args) -> int:
 
 
 def _cmd_print(args) -> int:
-    """PrintADAM parity: show the first rows of any dataset."""
+    """PrintADAM parity: show the first rows of any dataset; -pretty
+    emits indented JSON records (PrintADAM.scala displayRaw), -o writes
+    to a local file (PrintADAM.scala:43)."""
     from adam_spark.sources.parquet import load_parquet
 
     spark = _spark(args)
     gf = load_parquet(spark, args.input)
-    gf.df.show(args.limit, truncate=not args.full)
+    if args.pretty or args.o:
+        import json
+
+        rows = gf.df.limit(args.limit).toJSON().collect()
+        indent = 2 if args.pretty else None
+        text = "\n".join(json.dumps(json.loads(r), indent=indent) for r in rows)
+        if args.o:
+            with open(args.o, "w") as fh:
+                fh.write(text + "\n")
+        else:
+            print(text)
+    else:
+        gf.df.show(args.limit, truncate=not args.full)
     return 0
 
 
 def _cmd_merge_shards(args) -> int:
     from adam_spark.sources.merge import merge_shards
 
-    n = merge_shards(args.input, args.output, header_path=args.header)
+    n = merge_shards(
+        args.input,
+        args.output,
+        header_path=args.header_path,
+        buffer_size=args.buffer_size,
+        write_empty_gzip_at_eof=args.write_empty_gzip_at_eof,
+        write_cram_eof=args.write_cram_eof,
+    )
     print(f"merged {n} shards into {args.output}")
     return 0
 
@@ -573,22 +939,54 @@ def build_parser() -> argparse.ArgumentParser:
 
     fs = sub.add_parser("flagstat", help="samtools-flagstat counters")
     fs.add_argument("input")
+    fs.add_argument("-o", dest="o", default=None,
+                    help="write the stats to this file (FlagStat.scala:37)")
+    fs.add_argument("-stringency", dest="stringency", default="SILENT",
+                    help="SILENT | LENIENT | STRICT (FlagStat.scala:39)")
     fs.set_defaults(fn=_cmd_flagstat)
 
     cv = sub.add_parser("coverage", help="alignments -> per-base coverage")
     cv.add_argument("input")
     cv.add_argument("output")
     cv.add_argument("-collapse", dest="collapse", action="store_true")
+    cv.add_argument("-only_negative_strands", dest="only_negative_strands",
+                    action="store_true", help="Coverage.scala:46")
+    cv.add_argument("-only_positive_strands", dest="only_positive_strands",
+                    action="store_true", help="Coverage.scala:49")
+    cv.add_argument("-sort_lexicographically", dest="sort_lexicographically",
+                    action="store_true", help="requires -collapse (Coverage.scala:58)")
+    cv.add_argument("-single", dest="single", action="store_true")
+    cv.add_argument("-sharded", dest="sharded", action="store_true")
+    cv.add_argument("-defer_merging", dest="defer_merging", action="store_true")
+    cv.add_argument("-disable_fast_concat", dest="disable_fast_concat",
+                    action="store_true")
     cv.set_defaults(fn=_cmd_coverage)
+
+    def _kmer_flags(parser):
+        parser.add_argument("-print_histogram", dest="print_histogram",
+                            action="store_true",
+                            help="print a (count, #kmers) histogram "
+                                 "(CountReadKmers.scala:86-97)")
+        parser.add_argument("-sort", dest="sort", action="store_true",
+                            help="sort kmers before writing")
+        parser.add_argument("-single", dest="single", action="store_true",
+                            help="save as a single file")
+        parser.add_argument("-disable_fast_concat", dest="disable_fast_concat",
+                            action="store_true")
 
     km = sub.add_parser("count_kmers", help="k-mer counts to text")
     km.add_argument("input")
     km.add_argument("output")
     km.add_argument("kmer_length", type=int)
+    km.add_argument("-repartition", dest="repartition", type=int, default=-1)
+    _kmer_flags(km)
     km.set_defaults(fn=_cmd_count_kmers)
 
     vw = sub.add_parser("view", help="samtools-view flag filters")
     vw.add_argument("input")
+    vw.add_argument("output_pos", nargs="?", default=None,
+                    help="output path (View.scala:83: -o FILE may also be "
+                         "passed as the second argument)")
     vw.add_argument("-f", type=int, default=None, help="match all flag bits")
     vw.add_argument("-F", type=int, default=None, help="mismatch all flag bits")
     vw.add_argument("-g", type=int, default=None, help="match some flag bits")
@@ -596,44 +994,129 @@ def build_parser() -> argparse.ArgumentParser:
     vw.add_argument("-c", dest="count", action="store_true", help="print count only")
     vw.add_argument("-o", dest="output", default=None)
     vw.add_argument("-limit", dest="limit", type=int, default=20)
+    vw.add_argument("-single", dest="single", action="store_true")
+    vw.add_argument("-defer_merging", dest="defer_merging", action="store_true")
+    vw.add_argument("-disable_fast_concat", dest="disable_fast_concat",
+                    action="store_true")
     vw.set_defaults(fn=_cmd_view)
 
     tf = sub.add_parser("transform_features", help="feature format conversion")
     tf.add_argument("input")
     tf.add_argument("output")
+    tf.add_argument("-reference", dest="reference", default=None,
+                    help=".dict/.genome/.txt sequence dictionary "
+                         "(TransformFeatures.scala:47)")
+    tf.add_argument("-num_partitions", dest="num_partitions", type=int, default=None,
+                    help="text-load parallelism (TransformFeatures.scala:51)")
+    tf.add_argument("-single", dest="single", action="store_true")
     tf.add_argument("-sharded", dest="sharded", action="store_true")
+    tf.add_argument("-disable_fast_concat", dest="disable_fast_concat",
+                    action="store_true")
+    tf.add_argument("-partition_by_start_pos", dest="partition_by_start_pos",
+                    action="store_true")
+    tf.add_argument("-partition_bin_size", dest="partition_bin_size",
+                    type=int, default=1_000_000)
     tf.set_defaults(fn=_cmd_transform_features)
 
     ck = sub.add_parser("count_slice_kmers", help="k-mer counts over slices")
     ck.add_argument("input")
     ck.add_argument("output")
     ck.add_argument("kmer_length", type=int)
+    ck.add_argument("-maximum_length", dest="maximum_length", type=int,
+                    default=10_000, help="CountSliceKmers.scala:58")
+    _kmer_flags(ck)
     ck.set_defaults(fn=_cmd_count_slice_kmers)
+
+    def _gt_var_flags(parser):
+        parser.add_argument("-coalesce", dest="coalesce", type=int, default=None)
+        parser.add_argument("-force_shuffle_coalesce", dest="force_shuffle_coalesce",
+                            action="store_true")
+        parser.add_argument("-sort_on_save", dest="sort_on_save",
+                            action="store_true",
+                            help="sort VCF output by contig index")
+        parser.add_argument("-sort_lexicographically_on_save",
+                            dest="sort_lexicographically_on_save",
+                            action="store_true",
+                            help="sort VCF output lexicographically; "
+                                 "conflicts with -sort_on_save")
+        parser.add_argument("-single", dest="single", action="store_true")
+        parser.add_argument("-sharded", dest="sharded", action="store_true")
+        parser.add_argument("-defer_merging", dest="defer_merging",
+                            action="store_true")
+        parser.add_argument("-disable_fast_concat", dest="disable_fast_concat",
+                            action="store_true")
+        parser.add_argument("-stringency", dest="stringency", default="STRICT")
+        parser.add_argument("-partition_by_start_pos", dest="partition_by_start_pos",
+                            action="store_true")
+        parser.add_argument("-partition_bin_size", dest="partition_bin_size",
+                            type=int, default=1_000_000)
 
     tg = sub.add_parser("transform_genotypes", help="genotype format conversion")
     tg.add_argument("input")
     tg.add_argument("output")
-    tg.add_argument("-sharded", dest="sharded", action="store_true")
+    tg.add_argument("-nested_annotations", dest="nested_annotations",
+                    action="store_true",
+                    help="populate genotype.variant.annotation "
+                         "(TransformGenotypes.scala:57, disabled by default)")
+    _gt_var_flags(tg)
     tg.set_defaults(fn=_cmd_transform_genotypes)
 
     ts = sub.add_parser("transform_sequences", help="sequence format conversion")
     ts.add_argument("input")
     ts.add_argument("output")
+    ts.add_argument("-create_references", dest="create_references",
+                    action="store_true",
+                    help="derive the sequence dictionary from names+lengths "
+                         "(TransformSequences.scala:44)")
+    ts.add_argument("-alphabet", dest="alphabet", default="DNA",
+                    help="DNA | PROTEIN | RNA (TransformSequences.scala:52)")
+    ts.add_argument("-single", dest="single", action="store_true")
     ts.add_argument("-sharded", dest="sharded", action="store_true")
+    ts.add_argument("-disable_fast_concat", dest="disable_fast_concat",
+                    action="store_true")
     ts.set_defaults(fn=_cmd_transform_sequences)
 
     tl = sub.add_parser("transform_slices", help="slice format conversion")
     tl.add_argument("input")
     tl.add_argument("output")
     tl.add_argument("-maximum_length", dest="maximum_length", type=int, default=10_000)
+    tl.add_argument("-create_references", dest="create_references",
+                    action="store_true")
+    tl.add_argument("-single", dest="single", action="store_true")
     tl.add_argument("-sharded", dest="sharded", action="store_true")
+    tl.add_argument("-disable_fast_concat", dest="disable_fast_concat",
+                    action="store_true")
     tl.set_defaults(fn=_cmd_transform_slices)
 
     tfr = sub.add_parser("transform_fragments", help="fragment format conversion")
     tfr.add_argument("input")
     tfr.add_argument("output")
-    tfr.add_argument("-load_as_alignments", dest="load_as_alignments", action="store_true")
+    tfr.add_argument("-load_as_alignments", dest="load_as_alignments",
+                     action="store_true",
+                     help="treat the input as alignments and group to "
+                          "fragments (TransformFragments.scala:48)")
+    tfr.add_argument("-paired_fastq", dest="paired_fastq", default=None,
+                     help="second FASTQ of a pair (TransformFragments.scala:51)")
+    tfr.add_argument("-save_as_alignments", dest="save_as_alignments",
+                     action="store_true",
+                     help="save the output as alignments "
+                          "(TransformFragments.scala:55)")
+    tfr.add_argument("-mark_duplicate_reads", dest="mark_duplicate_reads",
+                     action="store_true")
+    tfr.add_argument("-bin_quality_scores", dest="bin_quality_scores", default=None,
+                     help="e.g. 0,20,10;20,40,30")
+    tfr.add_argument("-max_read_length", dest="max_read_length", type=int, default=0)
+    tfr.add_argument("-sort_by_read_name", dest="sort_by_read_name",
+                     action="store_true")
+    tfr.add_argument("-sort_by_reference_position", dest="sort_by_reference_position",
+                     action="store_true")
+    tfr.add_argument("-sort_by_reference_position_and_index",
+                     dest="sort_by_reference_position_and_index", action="store_true")
+    tfr.add_argument("-single", dest="single", action="store_true")
     tfr.add_argument("-sharded", dest="sharded", action="store_true")
+    tfr.add_argument("-defer_merging", dest="defer_merging", action="store_true")
+    tfr.add_argument("-disable_fast_concat", dest="disable_fast_concat",
+                     action="store_true")
     tfr.set_defaults(fn=_cmd_transform_fragments)
 
     a2f = sub.add_parser("adam2fastq", help="alignments -> FASTQ")
@@ -642,24 +1125,54 @@ def build_parser() -> argparse.ArgumentParser:
     a2f.add_argument("output2", nargs="?", default=None, help="r2 path for paired output")
     a2f.add_argument("-sort_by_name", dest="sort_by_name", action="store_true")
     a2f.add_argument("-write_suffixes", dest="write_suffixes", action="store_true")
+    a2f.add_argument("-validation", dest="validation", default="LENIENT",
+                     help="STRICT checks that all reads are paired "
+                          "(ADAM2Fastq.scala:36)")
+    a2f.add_argument("-repartition", dest="repartition", type=int, default=-1)
+    a2f.add_argument("-persist_level", dest="persist_level", default=None,
+                     help="persist intermediate data at this StorageLevel "
+                          "(ADAM2Fastq.scala:44)")
+    a2f.add_argument("-no_projection", dest="no_projection", action="store_true",
+                     help="disable the FASTQ-field projection "
+                          "(ADAM2Fastq.scala:46)")
+    a2f.add_argument("-output_oq", dest="output_oq", action="store_true",
+                     help="write original (OQ) quality scores "
+                          "(ADAM2Fastq.scala:40)")
+    a2f.add_argument("-single", dest="single", action="store_true")
+    a2f.add_argument("-disable_fast_concat", dest="disable_fast_concat",
+                     action="store_true")
     a2f.set_defaults(fn=_cmd_adam2fastq)
 
     pr = sub.add_parser("print", help="show the first rows of a dataset")
     pr.add_argument("input")
     pr.add_argument("-limit", dest="limit", type=int, default=20)
     pr.add_argument("-full", dest="full", action="store_true", help="untruncated columns")
+    pr.add_argument("-o", dest="o", default=None,
+                    help="write to a local file (PrintADAM.scala:43)")
+    pr.add_argument("-pretty", dest="pretty", action="store_true",
+                    help="pretty-formatted JSON records (PrintADAM.scala:46)")
     pr.set_defaults(fn=_cmd_print)
 
     ms = sub.add_parser("merge_shards", help="concatenate sharded text output")
     ms.add_argument("input", help="shard directory (part-* files)")
     ms.add_argument("output", help="merged single file")
-    ms.add_argument("-header", dest="header", default=None, help="header file to prepend")
+    ms.add_argument("-header_path", "-header", dest="header_path", default=None,
+                    help="header file to prepend (MergeShards.scala:31)")
+    ms.add_argument("-buffer_size", dest="buffer_size", type=int, default=None,
+                    help="merge copy buffer bytes, default 4MB "
+                         "(MergeShards.scala:33)")
+    ms.add_argument("-write_empty_GZIP_at_eof", dest="write_empty_gzip_at_eof",
+                    action="store_true",
+                    help="append the BGZF empty-block terminator "
+                         "(MergeShards.scala:37)")
+    ms.add_argument("-write_cram_eof", dest="write_cram_eof", action="store_true",
+                    help="append the CRAM EOF container (MergeShards.scala:41)")
     ms.set_defaults(fn=_cmd_merge_shards)
 
     tv = sub.add_parser("transform_variants", help="variant format conversion")
     tv.add_argument("input")
     tv.add_argument("output")
-    tv.add_argument("-sharded", dest="sharded", action="store_true")
+    _gt_var_flags(tv)
     tv.set_defaults(fn=_cmd_transform_variants)
 
     return p

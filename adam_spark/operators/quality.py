@@ -55,10 +55,12 @@ def _validate_bins(bins: list[QualityScoreBin]) -> None:
             raise ValueError(f"bins {a} and {b} overlap")
 
 
-def bin_quality_scores(
-    df: DataFrame, bins: list[QualityScoreBin] | list[str], column: str = "qualityScores"
-) -> DataFrame:
-    """Remap every quality char through the bin table via translate()."""
+def quality_translate_table(
+    bins: list[QualityScoreBin] | list[str],
+) -> tuple[str, str]:
+    """Validated (src, dst) character tables for ``F.translate`` — the
+    driver-side compilation step shared by the flat and nested
+    (fragment) binning paths."""
     parsed = [QualityScoreBin.parse(b) if isinstance(b, str) else b for b in bins]
     _validate_bins(parsed)
     src_chars, dst_chars = [], []
@@ -68,10 +70,40 @@ def bin_quality_scores(
                 src_chars.append(chr(phred + PHRED_OFFSET))
                 dst_chars.append(chr(b.value + PHRED_OFFSET))
                 break
+    return "".join(src_chars), "".join(dst_chars)
+
+
+def bin_quality_scores(
+    df: DataFrame, bins: list[QualityScoreBin] | list[str], column: str = "qualityScores"
+) -> DataFrame:
+    """Remap every quality char through the bin table via translate()."""
+    src_chars, dst_chars = quality_translate_table(bins)
     if not src_chars:
         return df
     return df.withColumn(
-        column, F.translate(F.col(column), "".join(src_chars), "".join(dst_chars))
+        column, F.translate(F.col(column), src_chars, dst_chars)
+    )
+
+
+def bin_fragment_quality_scores(
+    df: DataFrame, bins: list[QualityScoreBin] | list[str]
+) -> DataFrame:
+    """FragmentDataset.binQualityScores (FragmentDataset.scala — nested
+    variant of AlignmentDataset.binQualityScores:1752-1774): rewrite
+    each nested read's quality string. translate() is per-character, so
+    it distributes over the ``alignments`` array unchanged."""
+    src_chars, dst_chars = quality_translate_table(bins)
+    if not src_chars:
+        return df
+    return df.withColumn(
+        "alignments",
+        F.transform(
+            F.col("alignments"),
+            lambda a: a.withField(
+                "qualityScores",
+                F.translate(a["qualityScores"], src_chars, dst_chars),
+            ),
+        ),
     )
 
 

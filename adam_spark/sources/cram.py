@@ -1645,6 +1645,18 @@ def _encode_cram_shard(lines, shard_path: str, ref_index: dict[str, int],
     return (shard_path, len(out), entries, counter - counter_base)
 
 
+def cram_eof_bytes(counter: int = 0) -> bytes:
+    """The CRAM EOF container (zero records, one raw ``EOF`` sentinel
+    block; CRAM 3.0 spec §9 / the reference's MergeShards -write_cram_eof
+    consumer) — the same terminator :func:`save_cram` writes."""
+    eof_block = bytearray()
+    _write_block(eof_block, _CT_EXTERNAL, 0, b"EOF", compress=False)
+    return (
+        _container_header(len(eof_block), -1, 4542278, 0, 0, counter, 0, 1, [])
+        + bytes(eof_block)
+    )
+
+
 def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
               reference=None,
               records_per_container: int | None = None) -> None:
@@ -1726,10 +1738,7 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
                 with open(shard_path, "rb") as sf:
                     shutil.copyfileobj(sf, f)
             # EOF container: zero records, one raw sentinel block
-            eof_block = bytearray()
-            _write_block(eof_block, _CT_EXTERNAL, 0, b"EOF", compress=False)
-            f.write(_container_header(len(eof_block), -1, 4542278, 0, 0, total, 0, 1, []))
-            f.write(bytes(eof_block))
+            f.write(cram_eof_bytes(total))
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
         lines.unpersist()

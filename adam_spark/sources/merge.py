@@ -20,10 +20,20 @@ def merge_shards(
     shard_dir: str,
     output_path: str,
     header_path: str | None = None,
-    buffer_size: int = 4 * 1024 * 1024,
+    buffer_size: int | None = None,
+    write_empty_gzip_at_eof: bool = False,
+    write_cram_eof: bool = False,
 ) -> int:
     """Concatenate ``part-*`` files under ``shard_dir`` into
-    ``output_path``. Returns the number of shards merged."""
+    ``output_path``. Returns the number of shards merged.
+
+    ``write_empty_gzip_at_eof`` appends the 28-byte BGZF empty-block
+    terminator (MergeShards.scala:37 -write_empty_GZIP_at_eof — the
+    marker BAM readers use to detect a complete file);
+    ``write_cram_eof`` appends the CRAM EOF container
+    (MergeShards.scala:41 -write_cram_eof)."""
+    if not buffer_size:
+        buffer_size = 4 * 1024 * 1024
     shards = sorted(
         p
         for p in glob.glob(os.path.join(shard_dir, "part-*"))
@@ -38,4 +48,12 @@ def merge_shards(
         for p in shards:
             with open(p, "rb") as fh:
                 shutil.copyfileobj(fh, out, buffer_size)
+        if write_empty_gzip_at_eof:
+            from adam_spark.sources.bam import _BGZF_EOF
+
+            out.write(_BGZF_EOF)
+        if write_cram_eof:
+            from adam_spark.sources.cram import cram_eof_bytes
+
+            out.write(cram_eof_bytes())
     return len(shards)

@@ -160,8 +160,10 @@ def test_transform_fragments_roundtrip(spark, sam_path, tmp_path):
     frag = str(tmp_path / "frags.adam")
     rc = main(["transform_fragments", sam_path, frag])
     assert rc == 0
+    # -save_as_alignments explodes the nested reads back out
+    # (TransformFragments.scala:55 + run() .toAlignments)
     out = str(tmp_path / "aligned.adam")
-    rc = main(["transform_fragments", frag, out, "-load_as_alignments"])
+    rc = main(["transform_fragments", frag, out, "-save_as_alignments"])
     assert rc == 0
     from adam_spark.sources.parquet import load_parquet
 
@@ -476,3 +478,288 @@ def test_ta_reference_refreshes_md_after_realign(spark, sam_path, tmp_path):
     # with a mismatch run
     assert rows["r3"]["mismatchingPositions"] is not None
     assert rows["r3"]["mismatchingPositions"].startswith("0")
+
+
+# --- round-7 flag long tails for the non-transform_alignments commands ---
+
+def _read_text_output(path):
+    """Read a saved text output whether it's a real file or a Spark
+    text directory of part-* shards."""
+    if os.path.isfile(path):
+        return open(path).read()
+    return "".join(
+        open(os.path.join(path, f)).read()
+        for f in sorted(os.listdir(path)) if f.startswith("part-")
+    )
+
+
+
+VCF_MINI = """##fileformat=VCFv4.3
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+##contig=<ID=chr1,length=1000>
+##contig=<ID=chr2,length=2000>
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA001
+chr2\t300\t.\tC\tT\t10\tPASS\tDP=15\tGT:DP\t1/1:15
+chr1\t100\trs1\tA\tG\t50.5\tPASS\tDP=30\tGT:DP\t0/1:30
+"""
+
+
+@pytest.fixture()
+def vcf_path(tmp_path):
+    f = tmp_path / "in.vcf"
+    f.write_text(VCF_MINI)
+    return str(f)
+
+
+def test_flagstat_o_and_stringency(spark, sam_path, tmp_path):
+    out = tmp_path / "stats.txt"
+    assert main(["flagstat", sam_path, "-o", str(out)]) == 0
+    text = out.read_text()
+    assert "\t" in text and len(text.splitlines()) > 3
+    assert main(["flagstat", sam_path, "-stringency", "BOGUS"]) == 2
+
+
+def test_coverage_strands_and_sort(spark, sam_path, tmp_path):
+    # -sort_lexicographically requires -collapse (Coverage.scala run())
+    assert main(["coverage", sam_path, str(tmp_path / "x.adam"),
+                 "-sort_lexicographically"]) == 2
+    neg = str(tmp_path / "neg.adam")
+    assert main(["coverage", sam_path, neg, "-collapse",
+                 "-only_negative_strands", "-sort_lexicographically"]) == 0
+    pos = str(tmp_path / "pos.adam")
+    assert main(["coverage", sam_path, pos, "-collapse",
+                 "-only_positive_strands"]) == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    # SAM fixture: flags 147 reads are reverse strand (2 reads at 200-210);
+    # positive: r1/r2 at 100, r3 at 500
+    neg_rows = load_parquet(spark, neg, "coverage").df.collect()
+    pos_rows = load_parquet(spark, pos, "coverage").df.collect()
+    assert {(r["start"], r["end"]) for r in neg_rows} == {(199, 209)}
+    assert all(r["count"] == 2.0 for r in neg_rows)
+    assert {r["start"] for r in pos_rows} == {99, 499}
+
+
+def test_count_kmers_sort_histogram_single(spark, sam_path, tmp_path, capsys):
+    out = str(tmp_path / "kmers.txt")
+    rc = main(["count_kmers", sam_path, out, "4",
+               "-sort", "-single", "-print_histogram", "-repartition", "2"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    # histogram lines are (count, #kmers) tuples
+    assert any(line.startswith("(") and "," in line
+               for line in printed.splitlines())
+    assert os.path.isfile(out)
+    lines = [ln for ln in _read_text_output(out).splitlines() if ln]
+    kmers = [ln.split("\t")[0] for ln in lines]
+    assert kmers == sorted(kmers) and len(kmers) > 0
+
+
+def test_count_slice_kmers_maximum_length(spark, tmp_path):
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">chrA\n" + "ACGT" * 10 + "\n")
+    out = str(tmp_path / "k.txt")
+    rc = main(["count_slice_kmers", str(fa), out, "4",
+               "-maximum_length", "16", "-single", "-sort"])
+    assert rc == 0
+    text = open(out).read()
+    assert "ACGT\t" in text
+
+
+def test_view_second_positional_output(spark, sam_path, tmp_path):
+    out = str(tmp_path / "mapped.sam")
+    rc = main(["view", sam_path, out, "-F", "4"])
+    assert rc == 0
+    text = _read_text_output(out)
+    body = [ln for ln in text.splitlines() if not ln.startswith("@")]
+    assert len(body) == 5  # r4 (flag 4) filtered out
+    assert all("\t" in ln for ln in body)
+
+
+def test_transform_features_reference_and_partitioned(spark, tmp_path):
+    bed = tmp_path / "in.bed"
+    bed.write_text("chr1\t10\t20\tfeat1\t5.0\t+\nchr2\t5\t9\tfeat2\t1.0\t-\n")
+    genome = tmp_path / "ref.genome"
+    genome.write_text("chr1\t1000\nchr2\t2000\n")
+    out = str(tmp_path / "feats.adam")
+    rc = main(["transform_features", str(bed), out,
+               "-reference", str(genome), "-num_partitions", "2",
+               "-partition_by_start_pos", "-partition_bin_size", "100"])
+    assert rc == 0
+    from adam_spark.sources.parquet import load_partitioned_parquet
+
+    gf = load_partitioned_parquet(spark, out)
+    assert gf.df.count() == 2
+    assert gf.meta.references["chr1"].length == 1000
+    assert gf.meta.references["chr2"].length == 2000
+
+
+def test_transform_genotypes_nested_annotations_default_off(spark, vcf_path, tmp_path):
+    plain = str(tmp_path / "g.adam")
+    assert main(["transform_genotypes", vcf_path, plain]) == 0
+    nested = str(tmp_path / "gn.adam")
+    assert main(["transform_genotypes", vcf_path, nested,
+                 "-nested_annotations"]) == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    row = load_parquet(spark, plain, "genotype").df.collect()[0]
+    assert row["variant"]["annotation"] is None
+    row_n = load_parquet(spark, nested, "genotype").df.collect()[0]
+    assert row_n["variant"]["annotation"]["readDepth"] in (15, 30)
+
+
+def test_transform_genotypes_sort_and_vcf_out(spark, vcf_path, tmp_path):
+    # conflicting sort flags
+    assert main(["transform_genotypes", vcf_path, str(tmp_path / "x.adam"),
+                 "-sort_on_save", "-sort_lexicographically_on_save"]) == 2
+    out = str(tmp_path / "sorted.vcf")
+    rc = main(["transform_genotypes", vcf_path, out,
+               "-sort_on_save", "-single", "-coalesce", "1"])
+    assert rc == 0
+    body = [ln for ln in _read_text_output(out).splitlines()
+            if ln and not ln.startswith("#")]
+    # contig-index order restored (chr1 before chr2 despite input order)
+    assert body[0].startswith("chr1\t") and body[1].startswith("chr2\t")
+
+
+def test_transform_variants_lex_sort_and_concat(spark, vcf_path, tmp_path):
+    out = str(tmp_path / "lex.vcf")
+    rc = main(["transform_variants", vcf_path, out,
+               "-sort_lexicographically_on_save", "-single",
+               "-disable_fast_concat", "-force_shuffle_coalesce",
+               "-coalesce", "2"])
+    assert rc == 0
+    text = _read_text_output(out)
+    body = [ln for ln in text.splitlines() if ln and not ln.startswith("#")]
+    assert [ln.split("\t")[0] for ln in body] == ["chr1", "chr2"]
+    assert text.startswith("##fileformat")
+
+
+def test_transform_sequences_alphabet_and_create_references(spark, tmp_path):
+    fa = tmp_path / "seqs.fa"
+    fa.write_text(">s1\nACGTACGT\n>s2\nGGGG\n")
+    assert main(["transform_sequences", str(fa), str(tmp_path / "x.adam"),
+                 "-alphabet", "KLINGON"]) == 2
+    out = str(tmp_path / "seqs.adam")
+    rc = main(["transform_sequences", str(fa), out, "-create_references"])
+    assert rc == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    gf = load_parquet(spark, out, "sequence")
+    assert gf.meta.references["s1"].length == 8
+    assert gf.meta.references["s2"].length == 4
+
+
+def test_transform_slices_create_references(spark, tmp_path):
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">chrA\n" + "ACGT" * 6 + "\n")
+    out = str(tmp_path / "slices.adam")
+    rc = main(["transform_slices", str(fa), out,
+               "-maximum_length", "10", "-create_references"])
+    assert rc == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    gf = load_parquet(spark, out, "slice")
+    assert gf.df.count() == 3  # 24bp in 10bp slices
+    assert gf.meta.references["chrA"].length == 24
+
+
+def test_transform_fragments_flag_validation(spark, sam_path, tmp_path):
+    # sorts require -save_as_alignments
+    assert main(["transform_fragments", sam_path, str(tmp_path / "x.adam"),
+                 "-sort_by_read_name"]) == 2
+    # only one sort flag at a time
+    assert main(["transform_fragments", sam_path, str(tmp_path / "y.adam"),
+                 "-save_as_alignments", "-sort_by_read_name",
+                 "-sort_by_reference_position"]) == 2
+
+
+def test_transform_fragments_markdup_bin_sort(spark, sam_path, tmp_path):
+    out = str(tmp_path / "frags.adam")
+    rc = main(["transform_fragments", sam_path, out,
+               "-mark_duplicate_reads", "-bin_quality_scores", "0,41,20"])
+    assert rc == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    rows = load_parquet(spark, out, "fragment").df.collect()
+    reads = [a for r in rows for a in r["alignments"]]
+    # binning rewrote both fixture quality profiles into the 20 bin ('5')
+    assert {q for a in reads for q in a["qualityScores"]} == {"5"}
+    # one of the two identical r1/r2 pairs is marked duplicate
+    dup_frags = {a["readName"] for a in reads if a["duplicateRead"]}
+    assert len(dup_frags) == 1 and dup_frags < {"r1", "r2"}
+    # save_as_alignments + name sort
+    out2 = str(tmp_path / "byname.adam")
+    rc = main(["transform_fragments", out, out2,
+               "-save_as_alignments", "-sort_by_read_name"])
+    assert rc == 0
+    names = [r["readName"]
+             for r in load_parquet(spark, out2, "alignment").df.collect()]
+    assert names == sorted(names)
+
+
+def test_transform_fragments_paired_fastq(spark, tmp_path):
+    r1 = tmp_path / "a_1.fq"
+    r1.write_text(FQ_R1)
+    r2 = tmp_path / "a_2.fq"
+    r2.write_text(FQ_R2)
+    out = str(tmp_path / "pairs.adam")
+    rc = main(["transform_fragments", str(r1), out,
+               "-paired_fastq", str(r2), "-max_read_length", "20"])
+    assert rc == 0
+    from adam_spark.sources.parquet import load_parquet
+
+    rows = load_parquet(spark, out, "fragment").df.collect()
+    assert {r["name"] for r in rows} == {"p1", "p2"}
+    assert all(len(r["alignments"]) == 2 for r in rows)
+
+
+def test_adam2fastq_oq_validation_and_knobs(spark, tmp_path):
+    sam = tmp_path / "oq.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000\n"
+        "u1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\tIIII\tOQ:Z:!!!!\n"
+        "u2\t0\tchr1\t200\t60\t4M\t*\t0\t0\tTTTT\tJJJJ\n"
+    )
+    out = str(tmp_path / "oq.fq")
+    rc = main(["adam2fastq", str(sam), out, "-output_oq",
+               "-repartition", "2", "-persist_level", "MEMORY_ONLY",
+               "-sort_by_name"])
+    assert rc == 0
+    text = _read_text_output(out)
+    # u1 emits its OQ original qualities; u2 keeps its live qualities
+    assert "!!!!" in text and "JJJJ" in text
+    # STRICT paired output over unpaired reads fails with rc 1
+    assert main(["adam2fastq", str(sam), str(tmp_path / "r1.fq"),
+                 str(tmp_path / "r2.fq"), "-validation", "STRICT"]) == 1
+    assert main(["adam2fastq", str(sam), out, "-persist_level", "NOPE"]) == 2
+
+
+def test_print_pretty_and_o(spark, sam_path, tmp_path, capsys):
+    adam = str(tmp_path / "a.adam")
+    assert main(["transform_alignments", sam_path, adam]) == 0
+    assert main(["print", adam, "-limit", "2", "-pretty"]) == 0
+    printed = capsys.readouterr().out
+    assert printed.lstrip().startswith("{")
+    o = tmp_path / "dump.json"
+    assert main(["print", adam, "-limit", "2", "-o", str(o)]) == 0
+    assert o.read_text().lstrip().startswith("{")
+
+
+def test_merge_shards_eof_flags(spark, tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "part-00000").write_text("x")
+    out = str(tmp_path / "merged.bam")
+    rc = main(["merge_shards", str(d), out, "-write_empty_GZIP_at_eof",
+               "-buffer_size", "1024"])
+    assert rc == 0
+    from adam_spark.sources.bam import _BGZF_EOF
+
+    assert open(out, "rb").read() == b"x" + _BGZF_EOF
+    out2 = str(tmp_path / "merged.cram")
+    rc = main(["merge_shards", str(d), out2, "-write_cram_eof"])
+    assert rc == 0
+    from adam_spark.sources.cram import cram_eof_bytes
+
+    assert open(out2, "rb").read() == b"x" + cram_eof_bytes()
