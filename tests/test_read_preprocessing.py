@@ -259,3 +259,46 @@ def test_five_prime_position_sums_both_clips(spark):
     ).collect()
     for r in got:
         assert r["fp"] == r["want"], r
+
+
+# --- MdTagSuite creation + operator-coverage cases (reference
+# MdTagSuite.scala:203-235, 587-627) ---------------------------------------
+def test_md_from_reference_suite_cases():
+    # perfect match (:587)
+    assert C.md_from_reference("8M", "ACCATAGA", "ACCATAGA") == ("8", 0)
+    # one mismatch (:611)
+    assert C.md_from_reference("8M", "ACCATAGA", "ACAATAGA") == ("2A5", 1)
+    # alignment with deletion (:615)
+    assert C.md_from_reference("5M2D3M", "ACCATAGA", "ACCATTTAGA") == ("5^TT3", 0)
+    # alignment with insert (:619)
+    assert C.md_from_reference("3M1I5M", "ACCCATAGA", "ACCATAGA") == ("8", 0)
+    # '=' and 'X' operators compare bases like M (:623)
+    assert C.md_from_reference("3=2X2=1X", "ACCCAAGT", "ACCATAGA") == ("3A0T2A0", 3)
+
+
+def test_md_from_reference_n_and_p_operators():
+    # N skips reference without touching the MD run (MdTagSuite:203
+    # "CIGAR with N operator": 5M100N1D2M over a spliced alignment
+    # yields MD 5^A2)
+    read = "ACGTACC"
+    ref = "ACGTA" + "G" * 100 + "A" + "CC"
+    assert C.md_from_reference("5M100N1D2M", read, ref) == ("5^A2", 0)
+    # multiple N blocks, all-match (:216): MD stays one run
+    read2 = "A" * 20
+    ref2 = "A" * 5 + "G" * 100 + "A" * 10 + "G" * 100 + "A" * 5
+    assert C.md_from_reference("5M100N10M100N5M", read2, ref2) == ("20", 0)
+    # P consumes neither side (:229 "CIGAR with P operators")
+    assert C.md_from_reference("4=1P4=", "ACGTACGT", "ACGTACGT") == ("8", 0)
+
+
+def test_left_align_normalization_suite_reads():
+    # NormalizationUtilsSuite:52 "moving a simple read with single
+    # deletion that cannot shift": ATATATATAT deletion preceded by C
+    assert C.left_align_indel(
+        "10M10D10M", "AAAAACCCCCGGGGGTTTTT", "10^ATATATATAT10"
+    ) == "10M10D10M"
+    # NormalizationUtilsSuite:83 "do not left align a complex read which
+    # is already left aligned": G-run deletion preceded by A reads
+    assert C.left_align_indel(
+        "29M10D31M", "A" * 60, "29^GGGGGGGGGG10G0G0G0G0G0G0G0G0G0G11"
+    ) == "29M10D31M"
