@@ -121,12 +121,16 @@ def unstranded_distance(a: RegionCols, b: RegionCols) -> Column:
     )
 
 
-def pad(a: RegionCols, flank: int) -> RegionCols:
-    """Widen by ``flank`` on both sides, clamped at 0 (:612-633)."""
+def pad(a: RegionCols, flank: int, flank_end: int | None = None) -> RegionCols:
+    """Widen by ``flank`` on both sides — or unevenly by
+    ``(flank, flank_end)`` — clamped at 0 (:612-633; uneven variant
+    ReferenceRegionSuite.scala:589-604)."""
+    if flank_end is None:
+        flank_end = flank
     return RegionCols(
         a.referenceName,
         F.greatest(a.start - F.lit(flank), F.lit(0)),
-        a.end + F.lit(flank),
+        a.end + F.lit(flank_end),
         a.strand,
     )
 

@@ -127,3 +127,18 @@ def test_region_predicate_pushdown(spark, tmp_path):
     assert len(got) == 10 + 10
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
+
+
+def test_pad_uneven_reference_suite(spark):
+    """ReferenceRegionSuite.scala:589-604: uneven pad, and negative
+    coordinates clamp to 0 on the start side only."""
+    df = spark.createDataFrame([(1,)], "x int")
+    a = R.RegionCols(F.lit("c1"), F.lit(10).cast("long"), F.lit(20).cast("long"))
+    p = R.pad(a, 3, 7)
+    pneg = R.pad(a, 15, 2)
+    row = df.select(
+        p.start.alias("s1"), p.end.alias("e1"),
+        pneg.start.alias("s2"), pneg.end.alias("e2"),
+    ).collect()[0]
+    assert (row["s1"], row["e1"]) == (7, 27)
+    assert (row["s2"], row["e2"]) == (0, 22)
