@@ -1183,31 +1183,28 @@ def bloom_decontaminate_docs(spark: SparkSession, sf: str) -> DataFrame:
     Never a false negative (superset of decontaminate_docs, pinned by
     pytest)."""
     from adam_spark.llm.dedup import word_ngrams
-    from adam_spark.llm.sketches import bloom_build, bloom_contains
+    from adam_spark.llm.sketches import bloom_build, bloom_contains_ngrams
 
     docs = load_table(spark, sf, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), 4)).alias("gram")
+    bench = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode(word_ngrams(F.col("text"), 4)).alias("gram"))
+        .distinct()
     )
-    bench = grams.where(F.col("doc_id") % 50 == 0).select("gram").distinct()
-    corp = grams.where(F.col("doc_id") % 50 != 0)
+    corp = docs.where(F.col("doc_id") % 50 != 0)
     bloom = bloom_build(bench, "gram", num_bits=8192, num_hashes=5)
-    probed = bloom_contains(bloom, corp, "gram", num_bits=8192, num_hashes=5)
-    hits = probed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_maybe_hits"),
-    )
+    # r7: the per-ROW probe (one narrow Arrow pass over each doc's gram
+    # array) replaces explode→probe→groupBy — same md5 buckets, same
+    # values, but the probe side now plans with ZERO shuffles; the
+    # explode composition is pinned equal in
+    # tests/test_llm_ops.py::test_bloom_contains_ngrams_per_row_probe
     return (
-        docs.where(F.col("doc_id") % 50 != 0)
-        .select(F.col("doc_id").alias("id"))
-        .join(hits.withColumnRenamed("doc_id", "id"), "id", "left")
+        bloom_contains_ngrams(bloom, corp, "text", n=4, num_bits=8192, num_hashes=5)
         .select(
-            "id",
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("n_maybe_hits", F.lit(0)).cast("long").alias("n_maybe_hits"),
-            (F.coalesce("n_maybe_hits", F.lit(0)) >= 1).alias("contaminated"),
+            F.col("doc_id").alias("id"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_maybe_hits").cast("long").alias("n_maybe_hits"),
+            "contaminated",
         )
         .orderBy("id")
     )

@@ -331,3 +331,77 @@ def bloom_contains(
         for j in range(num_hashes)
     ]
     return items.withColumn("maybe_present", probe(*positions))
+
+
+def bloom_contains_ngrams(
+    bloom: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Per-ROW n-gram decontamination probe: adds ``n_grams``,
+    ``n_maybe_hits`` and ``contaminated`` to each document.
+
+    Same membership policy as explode→:func:`bloom_contains`→groupBy
+    (identical md5 bucket derivation over the same distinct
+    :func:`~adam_spark.llm.dedup.word_ngrams` shingles — pinned in
+    pytest), but the whole pipeline is ONE narrow map: the k bit
+    positions of every gram are Catalyst-derived into a nested array,
+    and a single Arrow-batched UDF tests them against the broadcast
+    dense filter. No explode, no shuffle, no per-doc aggregation —
+    which is what lets the same operator run UNCHANGED on a streaming
+    DataFrame (:func:`adam_spark.streaming.streaming_decontaminate`):
+    stateless rows need no watermark and no state store. At 100 TB the
+    explode→groupBy form shuffles ~G×corpus rows; this form shuffles
+    nothing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from adam_spark.llm.dedup import word_ngrams
+
+    if num_bits > _MAX_BUCKET_SPACE:
+        raise ValueError(
+            f"num_bits {num_bits} exceeds the 16^7 ({_MAX_BUCKET_SPACE}) "
+            "position space of the md5 bucket hash"
+        )
+    num_words = (int(num_bits) + 31) // 32
+    pdf = bloom.select("word", "bits").toPandas()  # ≤ num_bits/32 rows
+    dense = np.zeros(num_words, dtype=np.int64)
+    if len(pdf):
+        dense[pdf["word"].to_numpy(np.int64)] = pdf["bits"].to_numpy(np.int64)
+    bc = docs.sparkSession.sparkContext.broadcast(dense)
+
+    def _row_probe(pos):  # no hints: Series→DataFrame defeats inference
+        a = bc.value
+        n_grams, n_hits = [], []
+        for row in pos:
+            if row is None or len(row) == 0:
+                n_grams.append(0)
+                n_hits.append(0)
+                continue
+            m = np.asarray([np.asarray(g, dtype=np.int64) for g in row])  # G×k
+            hit = (((a[m >> 5] >> (m & 31)) & np.int64(1)) != 0).all(axis=1)
+            n_grams.append(len(row))
+            n_hits.append(int(hit.sum()))
+        return pd.DataFrame({"n_grams": n_grams, "n_maybe_hits": n_hits})
+
+    row_probe = F.pandas_udf(_row_probe, "struct<n_grams: long, n_maybe_hits: long>")
+
+    grams = word_ngrams(F.col(text_col), n)
+    positions = F.transform(
+        grams,
+        lambda g: F.array(
+            *[_bucket(g, F.lit(j), num_bits, seed) for j in range(num_hashes)]
+        ),
+    )
+    return (
+        docs.withColumn("__probe", row_probe(positions))
+        .withColumn("n_grams", F.col("__probe")["n_grams"])
+        .withColumn("n_maybe_hits", F.col("__probe")["n_maybe_hits"])
+        .withColumn("contaminated", F.col("n_maybe_hits") >= 1)
+        .drop("__probe")
+    )

@@ -275,3 +275,40 @@ def streaming_exact_dedup(
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def streaming_decontaminate(
+    docs: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+    drop: bool = True,
+) -> DataFrame:
+    """Decontaminate a document STREAM against a static blocklist Bloom
+    filter (built once, batch-side, with
+    :func:`adam_spark.llm.sketches.bloom_build` over the eval set's
+    n-grams).
+
+    The probe is :func:`~adam_spark.llm.sketches.bloom_contains_ngrams`
+    — a stateless narrow map (broadcast dense filter + one Arrow pass),
+    so it composes with ``readStream`` unchanged: no state store, no
+    watermark, no stream-static join planning. ``drop=True`` filters
+    contaminated documents out of the stream; ``drop=False`` keeps them
+    flagged for a downstream quarantine sink. Never a false negative —
+    anything the filter passes truly shares no ``n``-gram with the
+    blocklist (the training-safety direction); false positives occur at
+    the filter's standard rate and only cost recall.
+    """
+    from adam_spark.llm.sketches import bloom_contains_ngrams
+
+    probed = bloom_contains_ngrams(
+        bloom, docs, text_col=text_col, n=n,
+        num_bits=num_bits, num_hashes=num_hashes,
+    )
+    if drop:
+        return probed.where(~F.col("contaminated")).drop(
+            "n_grams", "n_maybe_hits", "contaminated"
+        )
+    return probed

@@ -1670,3 +1670,58 @@ def test_semantic_dedup_bounded_cache_and_sqrt_default(spark):
     # √400 = 20 centroids by default → cent_ids drawn from first 20 ids
     assert {c for _, c, _ in got} <= set(range(20))
     assert len({c for _, c, _ in got}) > 1
+
+
+def test_bloom_contains_ngrams_per_row_probe(spark, docs):
+    """The per-row n-gram probe (bloom_contains_ngrams) must equal the
+    explode->bloom_contains->groupBy composition exactly — same grams,
+    same md5 buckets, same false positives — while planning as ONE
+    narrow map: no Join, no Exchange anywhere in the probe."""
+    from adam_spark.llm.dedup import word_ngrams
+    from adam_spark.llm.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_contains_ngrams,
+    )
+
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    bgrams = (
+        bench.select(F.explode(word_ngrams(F.col("text"), 4)).alias("gram"))
+        .distinct()
+    )
+    bloom = bloom_build(bgrams, "gram", num_bits=8192, num_hashes=5)
+
+    per_row = bloom_contains_ngrams(
+        bloom, corpus, "text", n=4, num_bits=8192, num_hashes=5
+    ).select("doc_id", "n_grams", "n_maybe_hits", "contaminated")
+    plan = per_row._jdf.queryExecution().executedPlan().toString()
+    for node in ("Join", "Exchange", "CartesianProduct"):
+        assert node not in plan, node
+
+    grams = corpus.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 4)).alias("gram")
+    )
+    composed = (
+        bloom_contains(bloom, grams, "gram", 8192, 5)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("maybe_present"), 1).otherwise(0)).alias(
+                "n_maybe_hits"
+            ),
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_maybe_hits"], r["contaminated"])
+        for r in per_row.collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_maybe_hits"], r["n_maybe_hits"] >= 1)
+        for r in composed.collect()
+    }
+    # docs with zero grams (under 4 tokens) never reach the composed
+    # groupBy; the per-row form reports them directly as (0, 0, False)
+    for k, v in got.items():
+        assert v == want.get(k, (0, 0, False)), (k, v, want.get(k))
+    bloom.unpersist()

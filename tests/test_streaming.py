@@ -4,6 +4,8 @@ into the partitioned layout + incremental coverage."""
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from adam_spark import streaming as st
 from adam_spark.sources.parquet import FLAG_FILE
 
@@ -333,3 +335,72 @@ def test_stream_partitioned_layout_flag_file(spark, tmp_path):
         spark, outdir, regions=[("chr1", 1400, 1600)]
     )
     assert {r["start"] for r in got.df.collect()} == {1499}
+
+
+def test_streaming_decontaminate(spark, tmp_path):
+    """Streaming bloom decontamination: blocklist built batch-side from
+    the eval set, a document stream probed through the stateless narrow
+    pipeline; streamed verdicts == the batch per-row probe, and the
+    drop mode never passes a truly contaminated doc (no false
+    negatives)."""
+    import json
+
+    from adam_spark.llm.dedup import word_ngrams
+    from adam_spark.llm.sketches import (
+        bloom_build,
+        bloom_contains_ngrams,
+    )
+    from adam_spark.streaming import streaming_decontaminate
+
+    rows = [
+        {"doc_id": i,
+         "text": (f"shared benchmark sentence number {i % 5} tail"
+                  if i % 3 == 0 else f"clean body text {i} with words {i*7}")}
+        for i in range(30)
+    ]
+    eval_rows = [{"doc_id": 1000 + j,
+                  "text": f"shared benchmark sentence number {j} tail"}
+                 for j in range(5)]
+    bench = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in eval_rows], ["doc_id", "text"]
+    )
+    bloom = bloom_build(
+        bench.select(F.explode(word_ngrams(F.col("text"), 4)).alias("gram")).distinct(),
+        "gram", num_bits=8192, num_hashes=5,
+    )
+
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    (indir / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[:18]))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(indir))
+    flagged = streaming_decontaminate(
+        stream, bloom, n=4, num_bits=8192, num_hashes=5, drop=False
+    )
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("decon_stream").outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        (indir / "b2.json").write_text("\n".join(json.dumps(r) for r in rows[18:]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in spark.sql("SELECT * FROM decon_stream").collect()
+    }
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], ["doc_id", "text"]
+    )
+    want = {
+        r["doc_id"]: r["contaminated"]
+        for r in bloom_contains_ngrams(
+            bloom, batch, "text", n=4, num_bits=8192, num_hashes=5
+        ).collect()
+    }
+    assert got == want
+    # every i%3==0 doc shares a 4-gram with the eval set → must be flagged
+    assert all(got[i] for i in range(30) if i % 3 == 0)
+    bloom.unpersist()
