@@ -12,9 +12,23 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 
-def reverse_complement(col: Column) -> Column:
-    """Reverse-complement of a DNA string (IUPAC core alphabet)."""
-    return F.reverse(F.translate(col, "ACGTacgtNn", "TGCAtgcaNn"))
+#: case-insensitive complement tables (models/Alphabet.scala:61-116):
+#: lowercase input complements to UPPERCASE, like the reference's
+#: case-insensitive alphabets; symbols outside the alphabet pass
+#: through unchanged (AlphabetSuite.scala:94-110)
+_DNA_SRC = "ACGTNacgtn"
+_DNA_DST = "TGCANTGCAN"
+_IUPAC_SRC = "ACGTMRWSYKVHDBNacgtmrwsykvhdbn"
+_IUPAC_DST = "TGCAKYWSRMBDHVN" * 2
+
+
+def reverse_complement(col: Column, alphabet: str = "dna") -> Column:
+    """Reverse-complement of a DNA string. ``alphabet``: ``"dna"``
+    (ACGTN) or ``"iupac"`` (all 15 ambiguity codes —
+    M↔K, R↔Y, W, S, V↔B, H↔D self/paired complements)."""
+    if alphabet == "iupac":
+        return F.reverse(F.translate(col, _IUPAC_SRC, _IUPAC_DST))
+    return F.reverse(F.translate(col, _DNA_SRC, _DNA_DST))
 
 
 def phred_to_error_probability(col: Column) -> Column:
@@ -52,7 +66,11 @@ def register_functions(spark: SparkSession) -> None:
     with SQL bodies — they inline into Catalyst, no Python round-trip)."""
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION reverse_complement(s STRING) "
-        "RETURNS STRING RETURN reverse(translate(s, 'ACGTacgtNn', 'TGCAtgcaNn'))"
+        f"RETURNS STRING RETURN reverse(translate(s, '{_DNA_SRC}', '{_DNA_DST}'))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION reverse_complement_iupac(s STRING) "
+        f"RETURNS STRING RETURN reverse(translate(s, '{_IUPAC_SRC}', '{_IUPAC_DST}'))"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION phred_to_error_probability(q DOUBLE) "

@@ -113,3 +113,27 @@ def test_attributes_map_and_tag_value(spark):
         Attribute("XT", TagType.INTEGER, 3),
         Attribute("OQ", TagType.STRING, "C5:/,D="),
     ]
+
+
+def test_reverse_complement_alphabet_suite(spark):
+    """AlphabetSuite.scala:94-110: case-insensitive complement
+    (lowercase uppercases), unknown symbols pass through, and the full
+    IUPAC 15-code table is its own complement set."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(
+        reverse_complement(F.lit("atatcgcg")).alias("a"),
+        reverse_complement(F.lit("ATATxcg")).alias("b"),
+        reverse_complement(F.lit("atatcgcg"), alphabet="iupac").alias("c"),
+        reverse_complement(F.lit("ACGTMRWSYKVHDBN"), alphabet="iupac").alias("d"),
+    )
+    r = df.collect()[0]
+    assert r.a == "CGCGATAT"
+    assert r.b == "CGxATAT"
+    assert r.c == "CGCGATAT"
+    assert r.d == "NVHDBMRSWYKACGT"
+    register_functions(spark)
+    row = spark.sql(
+        "SELECT reverse_complement_iupac('ACGTMRWSYKVHDBN') d"
+    ).collect()[0]
+    assert row.d == "NVHDBMRSWYKACGT"
