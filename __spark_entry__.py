@@ -477,6 +477,22 @@ WITH a AS ({_EVROWS_SQL})
 SELECT failedVendorQualityChecks AS qcFailed,
   COUNT(*) AS total,
   COUNT(*) FILTER (duplicateRead) AS duplicates,
+  COUNT(*) FILTER (duplicateRead AND primaryAlignment) AS duplicatesPrimary,
+  COUNT(*) FILTER (duplicateRead AND primaryAlignment AND readMapped AND mateMapped)
+    AS duplicatesPrimaryBothMapped,
+  COUNT(*) FILTER (duplicateRead AND primaryAlignment AND readMapped AND NOT mateMapped)
+    AS duplicatesPrimaryOnlyReadMapped,
+  COUNT(*) FILTER (duplicateRead AND primaryAlignment
+                   AND referenceName IS DISTINCT FROM mateReferenceName)
+    AS duplicatesPrimaryCrossChromosome,
+  COUNT(*) FILTER (duplicateRead AND NOT primaryAlignment) AS duplicatesSecondary,
+  COUNT(*) FILTER (duplicateRead AND NOT primaryAlignment AND readMapped AND mateMapped)
+    AS duplicatesSecondaryBothMapped,
+  COUNT(*) FILTER (duplicateRead AND NOT primaryAlignment AND readMapped AND NOT mateMapped)
+    AS duplicatesSecondaryOnlyReadMapped,
+  COUNT(*) FILTER (duplicateRead AND NOT primaryAlignment
+                   AND referenceName IS DISTINCT FROM mateReferenceName)
+    AS duplicatesSecondaryCrossChromosome,
   COUNT(*) FILTER (readMapped) AS mapped,
   COUNT(*) FILTER (readPaired) AS paired,
   COUNT(*) FILTER (readPaired AND readInFragment = 0) AS read1,

@@ -24,11 +24,30 @@ def flagstat(alignments: DataFrame) -> DataFrame:
     df = alignments.withColumn(
         "__qcfail", F.coalesce(F.col("failedVendorQualityChecks"), F.lit(False))
     )
+    dup = F.col("duplicateRead").eqNullSafe(F.lit(True))
+    prim = dup & F.col("primaryAlignment").eqNullSafe(F.lit(True))
+    sec = dup & F.col("primaryAlignment").eqNullSafe(F.lit(False))
+    cross = ~F.col("referenceName").eqNullSafe(F.col("mateReferenceName"))
     return (
         df.groupBy(F.col("__qcfail").alias("qcFailed"))
         .agg(
             F.count(F.lit(1)).alias("total"),
             _n(F.col("duplicateRead")).alias("duplicates"),
+            # DuplicateMetrics (FlagStat.scala:29-51): primary/secondary
+            # duplicate splits with bothMapped / onlyReadMapped /
+            # crossChromosome sub-counters
+            _n(prim).alias("duplicatesPrimary"),
+            _n(prim & mapped & F.col("mateMapped")).alias("duplicatesPrimaryBothMapped"),
+            _n(prim & mapped & ~F.col("mateMapped").eqNullSafe(F.lit(True))).alias(
+                "duplicatesPrimaryOnlyReadMapped"
+            ),
+            _n(prim & cross).alias("duplicatesPrimaryCrossChromosome"),
+            _n(sec).alias("duplicatesSecondary"),
+            _n(sec & mapped & F.col("mateMapped")).alias("duplicatesSecondaryBothMapped"),
+            _n(sec & mapped & ~F.col("mateMapped").eqNullSafe(F.lit(True))).alias(
+                "duplicatesSecondaryOnlyReadMapped"
+            ),
+            _n(sec & cross).alias("duplicatesSecondaryCrossChromosome"),
             _n(mapped).alias("mapped"),
             _n(paired).alias("paired"),
             _n(paired & (F.col("readInFragment") == 0)).alias("read1"),

@@ -31,6 +31,22 @@ def test_flagstat_counts(fixtures):
         assert got["singleton"] == sum(
             1 for r in sub if r["readMapped"] and not r["mateMapped"] and r["readPaired"]
         )
+        # DuplicateMetrics split (reference FlagStat.scala:29-51,
+        # FlagStatSuite primary/secondary + bothMapped/onlyReadMapped/
+        # crossChromosome assertions)
+        prim = [r for r in sub if r["duplicateRead"] and r["primaryAlignment"]]
+        sec = [r for r in sub if r["duplicateRead"] and r["primaryAlignment"] is False]
+        assert got["duplicatesPrimary"] == len(prim)
+        assert got["duplicatesSecondary"] == len(sec)
+        assert got["duplicatesPrimaryBothMapped"] == sum(
+            1 for r in prim if r["readMapped"] and r["mateMapped"]
+        )
+        assert got["duplicatesPrimaryOnlyReadMapped"] == sum(
+            1 for r in prim if r["readMapped"] and not r["mateMapped"]
+        )
+        assert got["duplicatesPrimaryCrossChromosome"] == sum(
+            1 for r in prim if r["referenceName"] != r["mateReferenceName"]
+        )
 
 
 def test_count_kmers_vs_oracle(fixtures, spark):
