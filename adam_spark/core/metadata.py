@@ -115,6 +115,27 @@ class SequenceDictionary:
                     )
         return SequenceDictionary(merged)
 
+    def is_compatible(self, other: "SequenceDictionary") -> bool:
+        """Equality on the OVERLAP: dictionaries are compatible when
+        every contig name they share has the same length
+        (models/SequenceDictionary.scala isCompatible;
+        SequenceDictionarySuite.scala:105-119 — same elements in a
+        different order are compatible)."""
+        for r in other.references:
+            mine = self._by_name.get(r.name)
+            if mine is not None and mine.length != r.length:
+                return False
+        return True
+
+    def filter_to_reference_names(self, names) -> "SequenceDictionary":
+        """Subset to the given contig names, keeping this dictionary's
+        order (SequenceDictionarySuite.scala:232-274 filter tests);
+        indices are reassigned to stay dense."""
+        keep = set([names] if isinstance(names, str) else names)
+        return SequenceDictionary(
+            [replace(r, index=None) for r in self.references if r.name in keep]
+        )
+
     @staticmethod
     def empty() -> SequenceDictionary:
         return SequenceDictionary([])

@@ -277,3 +277,23 @@ def test_sort_features_by_reference_gene_model_tiebreaks(spark):
         (100, "f1", "10"),
         (100, None, None),
     ]
+
+
+def test_sequence_dictionary_compat_and_filter():
+    """SequenceDictionarySuite.scala:105-119 (compatibility is equality
+    on the overlap, order-insensitive) and :232-274 (filter to
+    reference names keeps order, reassigns dense indices)."""
+    from adam_spark.core.metadata import Reference, SequenceDictionary
+
+    d1 = SequenceDictionary([Reference("chr1", 1000), Reference("chr2", 2000)])
+    d2 = SequenceDictionary([Reference("chr2", 2000), Reference("chr1", 1000)])
+    d3 = SequenceDictionary([Reference("chr1", 999)])
+    d4 = SequenceDictionary([Reference("chr3", 3000)])
+    assert d1.is_compatible(d2) and d2.is_compatible(d1)
+    assert not d1.is_compatible(d3)
+    assert d1.is_compatible(d4)  # no overlap → compatible
+    f = d1.filter_to_reference_names("chr2")
+    assert [r.name for r in f.references] == ["chr2"]
+    assert f["chr2"].index == 0  # dense re-index
+    both = d1.filter_to_reference_names({"chr1", "chr2"})
+    assert [r.name for r in both.references] == ["chr1", "chr2"]
