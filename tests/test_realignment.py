@@ -286,3 +286,18 @@ def test_realigned_soft_clips_preserved():
     # exactly the leading clip survives; the core is M/D only
     assert "S" not in c["cigar"][2:], c["cigar"]
     assert len(c["sequence"]) == 13  # sequence itself is untouched
+
+
+def test_apply_consensus_reference_suite_cases():
+    """ConsensusSuite.scala:25-52 vectors mapped onto _apply_consensus
+    (pos is target-relative; the reference passes absolute regions —
+    consensus at 10 inside a target starting at 5 → local pos 5+1 for
+    the post-anchor insertion, local span 5..10 for the deletion)."""
+    # insertion of TCGA after absolute position 10 in a target 5..16
+    # ("AAAAAAAAAA" → "AAAAAATCGAAAAA")
+    assert ra._apply_consensus("AAAAAAAAAA", (6, "I", 4, "TCGA")) == "AAAAAATCGAAAAA"
+    # deletion of the 10..16 span from target 5..16 ("AAAAATTTTT" → "AAAAA")
+    assert ra._apply_consensus("AAAAATTTTT", (5, "D", 5, "")) == "AAAAA"
+    # empty consensus (zero-length op) returns the reference
+    assert ra._apply_consensus("AAAAAAAAAAAAA", (0, "D", 0, "")) == "AAAAAAAAAAAAA"
+    assert ra._apply_consensus("AAAAAAAAAAAAA", (0, "I", 0, "")) == "AAAAAAAAAAAAA"
