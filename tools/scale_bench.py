@@ -246,6 +246,23 @@ def _ops(spark: SparkSession, scale: str):
     def rd(name):
         return spark.read.parquet(os.path.join(OUT, scale, name))
 
+    def _bloom_probe(docs):
+        from adam_spark.llm.dedup import word_ngrams
+        from adam_spark.llm.sketches import bloom_build, bloom_contains_ngrams
+
+        bench = (
+            docs.where(F.col("doc_id") % 50 == 0)
+            .select(F.explode(word_ngrams(F.col("text"), 4)).alias("gram"))
+            .distinct()
+        )
+        bloom = bloom_build(bench, "gram", num_bits=1 << 20, num_hashes=5)
+        n = bloom_contains_ngrams(
+            bloom, docs.where(F.col("doc_id") % 50 != 0), "text",
+            n=4, num_bits=1 << 20, num_hashes=5,
+        ).count()
+        bloom.unpersist()
+        return n
+
     def _semantic(embs, n_centroids, max_cluster_size, split_mode="salt"):
         from adam_spark.llm.similarity import semantic_dedup
 
@@ -315,6 +332,11 @@ def _ops(spark: SparkSession, scale: str):
             collapse=True,
         ).count(),
         "bqsr_observe": lambda: observe_covariates(rd("bqsr_reads")).count(),
+        # r7b per-row Bloom probe: bench grams from each scale's own
+        # doc_id%50 slice (the contract policy — SHIFT is a multiple of
+        # 50 so the per-copy pattern is preserved), filter fixed-size,
+        # probe a stateless narrow map — slope should be ~linear
+        "bloom_decontaminate_per_row": lambda: _bloom_probe(rd("documents")),
         "cms_heavy_hitters": lambda: cms_heavy_hitters(
             rd("documents").select(
                 F.explode(tokens(F.col("text"))).alias("token")
