@@ -356,28 +356,9 @@ def _cmd_transform_alignments(args) -> int:
         save_partitioned_parquet(out, args.output, partition_size=args.partition_bin_size)
     elif args.partition_size:
         ctx.save(out, args.output, partition_size=args.partition_size)
-    elif single_file and args.disable_fast_concat and args.output.lower().endswith(
-        (".sam", ".fq", ".fastq", ".bed", ".gtf", ".gff3", ".vcf")
-    ):
-        # -disable_fast_concat (.scala:158): the default single-file
-        # path is a one-pass coalesce(1) write ("fast concat" — upstream
-        # stays parallel, one writer task); this variant writes shards
-        # at full parallelism and serially concatenates them driver-side
-        # (util/FileMerger.scala:35's non-parallel branch)
-        import os as _os
-        import shutil as _shutil
-
-        from adam_spark.sources.merge import merge_shards
-
-        # keep the extension so the sharded save dispatches by format
-        _base, _ext = _os.path.splitext(args.output)
-        shard_dir = _base + ".shards" + _ext
-        ctx.save(out, shard_dir, single_file=False, pg_line=pg_line, **save_kwargs)
-        merge_shards(shard_dir, args.output)
-        _shutil.rmtree(shard_dir)
     else:
-        ctx.save(out, args.output, single_file=single_file, pg_line=pg_line,
-                 **save_kwargs)
+        _save_any(out, args.output, single_file, args.disable_fast_concat,
+                  pg_line=pg_line, **save_kwargs)
     return 0
 
 

@@ -533,3 +533,52 @@ def test_remove_repeated_spans_properties(spark, seed):
         assert mid[i]["n_removed"] + len(kept) == len(spans) or (
             text == "" and mid[i]["n_removed"] == 0
         )
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_attribute_parse_roundtrip(data):
+    """str(parse_attribute(s)) == s for every well-formed SAM tag the
+    grammar admits (AttributeUtils regex surface)."""
+    from adam_spark.functions.attributes import parse_attribute
+
+    tag = data.draw(
+        st.text(
+            st.characters(
+                min_codepoint=33, max_codepoint=126, exclude_characters=":\t"
+            ),
+            min_size=2, max_size=4,
+        )
+    )
+    kind = data.draw(st.sampled_from("AifZB"))
+    if kind == "A":
+        value = data.draw(
+            st.characters(min_codepoint=33, max_codepoint=126)
+        )
+        encoded = f"{tag}:A:{value}"
+    elif kind == "i":
+        value = data.draw(st.integers(-2**31, 2**31 - 1))
+        encoded = f"{tag}:i:{value}"
+    elif kind == "f":
+        # repr-stable floats only: round-trip is str(float(x)) == x
+        value = data.draw(st.floats(allow_nan=False, allow_infinity=False))
+        encoded = f"{tag}:f:{value}"
+    elif kind == "Z":
+        value = data.draw(
+            st.text(
+                st.characters(min_codepoint=32, max_codepoint=126,
+                              exclude_characters="\t"),
+                max_size=30,
+            )
+        )
+        encoded = f"{tag}:Z:{value}"
+    else:
+        fmt = data.draw(st.sampled_from("csiCSI"))
+        vals = data.draw(st.lists(st.integers(-100, 100), min_size=1, max_size=8))
+        encoded = f"{tag}:B:{fmt}," + ",".join(str(v) for v in vals)
+    att = parse_attribute(encoded)
+    assert att.tag == tag
+    if kind == "f":
+        assert str(att) == f"{tag}:f:{float(f'{value}')}"
+    else:
+        assert str(att) == encoded
