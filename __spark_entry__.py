@@ -1006,6 +1006,82 @@ def text_profile_docs(spark: SparkSession, sf: str) -> DataFrame:
     return text_profile(load_table(spark, sf, "documents")).orderBy("id")
 
 
+def gopher_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality rule battery (llm/text.gopher_quality — Rae et
+    al. 2021 Appendix A rules as pure Catalyst booleans: word-count and
+    mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis
+    line fractions, alphabetic-word fraction, required stop words,
+    duplicate-line row and character fractions). One narrow map over
+    the corpus; the oracle replicates every rule exactly. Thresholds
+    tuned to the signals the synthetic corpus actually varies
+    (min_words=50 — the paper default — splits it roughly in half, as
+    do min_mean_word_len=4.5 and min_stop_words=1; the line-shape rules
+    are constant-true here and get their both-outcome coverage from the
+    crafted-document pytest battery)."""
+    from adam_spark.llm.text import gopher_quality
+
+    return gopher_quality(
+        load_table(spark, sf, "documents"),
+        min_words=50, min_mean_word_len=4.5, min_stop_words=1,
+    ).orderBy("id")
+
+
+_GOPHER_SQL = """
+WITH base AS (
+  SELECT doc_id AS id, text,
+    list_filter(string_split(text, ' '), x -> x != '') AS toks,
+    list_filter(string_split(lower(text), ' '), x -> x != '') AS ltoks,
+    list_filter(string_split(text, chr(10)), l -> l != '') AS lines
+  FROM documents),
+lc AS (
+  SELECT id,
+    SUM((c - 1) * CAST(len(l) AS BIGINT)) AS dupchars,
+    SUM(c * CAST(len(l) AS BIGINT)) AS totchars
+  FROM (SELECT id, l, COUNT(*) AS c
+        FROM (SELECT id, UNNEST(lines) AS l FROM base) GROUP BY id, l)
+  GROUP BY id),
+ext AS (
+  SELECT base.id, text, toks, ltoks, lines,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))) AS BIGINT)
+      / GREATEST(len(toks), 1) AS mwl,
+    CAST(len(regexp_replace(text, '\\.\\.\\.', '…', 'g'))
+         - len(translate(regexp_replace(text, '\\.\\.\\.', '…', 'g'), '#…', ''))
+         AS DOUBLE) / GREATEST(len(toks), 1) AS symratio,
+    CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+      / GREATEST(len(lines), 1) AS bulletfrac,
+    CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+      / GREATEST(len(lines), 1) AS ellipsisfrac,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+      / GREATEST(len(toks), 1) AS alphafrac,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    w -> list_contains(list_distinct(ltoks), w))) AS stophits,
+    CASE WHEN len(lines) > 1
+         THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS duplinefrac,
+    CASE WHEN COALESCE(lc.totchars, 0) > 0
+         THEN CAST(lc.dupchars AS DOUBLE) / lc.totchars
+         ELSE 0.0 END AS dupcharfrac
+  FROM base LEFT JOIN lc ON base.id = lc.id)
+SELECT id, n_words,
+  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+  (mwl >= 4.5 AND mwl <= 10.0) AS ok_mean_word_len,
+  (symratio <= 0.1) AS ok_symbol_ratio,
+  (bulletfrac <= 0.9) AS ok_bullet_lines,
+  (ellipsisfrac <= 0.3) AS ok_ellipsis_lines,
+  (alphafrac >= 0.8) AS ok_alpha_words,
+  (stophits >= 1) AS ok_stop_words,
+  (duplinefrac <= 0.3) AS ok_dup_lines,
+  (dupcharfrac <= 0.2) AS ok_dup_line_chars,
+  (n_words >= 50 AND n_words <= 100000
+   AND mwl >= 4.5 AND mwl <= 10.0
+   AND symratio <= 0.1 AND bulletfrac <= 0.9 AND ellipsisfrac <= 0.3
+   AND alphafrac >= 0.8 AND stophits >= 1
+   AND duplinefrac <= 0.3 AND dupcharfrac <= 0.2) AS keep
+FROM ext ORDER BY id
+"""
+
+
 def _text_profile_sql() -> str:
     langs = {
         "de": ["der", "die", "das", "und", "zu", "den", "von", "ist"],
@@ -2938,6 +3014,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
         "top_parts_by_revenue": top_parts_by_revenue,
+        # r7b: Gopher quality rule battery (parked — new query, full
+        # oracle; rotation into the window per the documented policy)
+        "gopher_quality_docs": gopher_quality_docs,
     }
 
 
@@ -2976,6 +3055,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontaminate_docs": _BLOOM_DECONTAMINATE_SQL,
         "doc_bigram_lm_score_docs": _DOC_BIGRAM_LM_SQL,
         "text_profile_docs": _text_profile_sql(),
+        "gopher_quality_docs": _GOPHER_SQL,
         "similarity_topk": _SIMILARITY_SQL,
         "dedup_clusters_docs": _clusters_sql(),
         "corpus_source_stats": _CORPUS_STATS_SQL,

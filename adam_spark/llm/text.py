@@ -616,3 +616,122 @@ def bigram_lm_scores(
 
         return eager_release(out, uni)
     return out
+
+
+# --- Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A) ------
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' and ellipsis symbols) / word count — Gopher's
+    symbol-to-word ratio. Both the unicode ellipsis and the literal
+    '...' count (a '...' run counts once via replace-then-count)."""
+    ell = F.regexp_replace(text, r"\.\.\.", "…")
+    n_sym = (
+        F.length(ell) - F.length(F.translate(ell, "#…", ""))
+    ).cast("double")
+    return n_sym / F.greatest(F.size(tokens(text)), F.lit(1)).cast("double")
+
+
+def ellipsis_line_fraction(text: Column) -> Column:
+    """Fraction of (non-empty) lines ending with an ellipsis."""
+    lines = _lines(text)
+    hits = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
+    )
+    return hits / F.greatest(F.size(lines), F.lit(1)).cast("double")
+
+
+#: Gopher's required-stop-word list (Appendix A: a document must
+#: contain at least 2 of these)
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def required_stopword_count(text: Column) -> Column:
+    """How many of the eight Gopher stop words appear as tokens."""
+    toks = distinct_tokens(F.lower(text))
+    return F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+
+
+def duplicate_line_char_fraction(text: Column) -> Column:
+    """Fraction of line CHARACTERS sitting in repeats of an earlier
+    line (Gopher's duplicate-line character fraction). Per-row fold
+    over the sorted line array — chars of every instance beyond a
+    line's first occurrence, over total line chars; no explode."""
+    lines = F.array_sort(_lines(text))
+    total = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+    dup = F.aggregate(
+        lines,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["dup"]
+                + F.when(x.eqNullSafe(acc["prev"]), F.length(x).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dup"),
+        ),
+        lambda acc: acc["dup"],
+    )
+    return F.when(
+        total > 0, dup.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_words: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher quality rule battery (Rae et al. 2021 Appendix A
+    defaults): one boolean per rule plus the conjunction ``keep`` —
+    all pure Catalyst expressions, one narrow map over the corpus, so
+    the filter costs a single scan at any scale and is exactly
+    reproducible in the SQL oracle."""
+    t = F.col(text_col)
+    n_words = F.size(tokens(t)).cast("long")
+    checks = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_word_length(t) >= min_mean_word_len)
+        & (mean_word_length(t) <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_word_ratio(t) <= max_symbol_word_ratio,
+        "ok_bullet_lines": bullet_line_fraction(t) <= max_bullet_line_frac,
+        "ok_ellipsis_lines": ellipsis_line_fraction(t) <= max_ellipsis_line_frac,
+        "ok_alpha_words": alpha_word_fraction(t) >= min_alpha_word_frac,
+        "ok_stop_words": required_stopword_count(t) >= min_stop_words,
+        "ok_dup_lines": duplicate_line_fraction(t) <= max_dup_line_frac,
+        "ok_dup_line_chars": duplicate_line_char_fraction(t)
+        <= max_dup_line_char_frac,
+    }
+    keep = F.lit(True)
+    for c in checks.values():
+        keep = keep & c
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        *[v.alias(k) for k, v in checks.items()],
+        keep.alias("keep"),
+    )

@@ -72,6 +72,7 @@ EXTENDED = [
     "embedding_quantize_stats",
     "semantic_dedup_embeddings",
     "ann_ivf_topk_quantized",
+    "gopher_quality_docs",
 ]
 
 

@@ -1725,3 +1725,43 @@ def test_bloom_contains_ngrams_per_row_probe(spark, docs):
     for k, v in got.items():
         assert v == want.get(k, (0, 0, False)), (k, v, want.get(k))
     bloom.unpersist()
+
+
+def test_gopher_quality_rule_battery(spark):
+    """One crafted document per Gopher rule (Rae et al. 2021 App. A):
+    each trips exactly its own flag at the paper-default thresholds; a
+    clean document passes everything."""
+    from adam_spark.llm.text import gopher_quality
+
+    clean = ("the quick brown fox jumps over that lazy dog and then "
+             "keeps running with great speed toward home base " * 3)
+    docs = [
+        (0, clean),
+        (1, "the of and short"),                              # < 50 words
+        (2, "a " * 60 + "the of"),                            # mean word len < 3
+        (3, ("word " * 58) + "# " * 10 + "the of"),           # symbol ratio > 0.1
+        (4, "\n".join("- the item of number %d here" % i for i in range(20))),  # bullets
+        (5, "\n".join("the line of number %d trails off..." % i for i in range(20))),  # ellipsis
+        (6, ("12345 " * 45) + "the of and that have with to be more words here"),  # alpha < 0.8
+        (7, ("zebra quagga okapi dingo lemur vervet " * 10)),  # no stop words
+        (8, "\n".join(["the same line of text here again"] * 12 +
+                      ["unique line number %d" % i for i in range(8)])),  # dup lines
+    ]
+    out = {
+        r["id"]: r
+        for r in gopher_quality(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[0]["keep"], out[0]
+    assert not out[1]["ok_word_count"]
+    assert not out[2]["ok_mean_word_len"]
+    assert not out[3]["ok_symbol_ratio"]
+    assert not out[4]["ok_bullet_lines"]
+    assert not out[5]["ok_ellipsis_lines"]
+    assert not out[6]["ok_alpha_words"]
+    assert not out[7]["ok_stop_words"]
+    assert not out[8]["ok_dup_lines"]
+    assert not out[8]["ok_dup_line_chars"]
+    for i in range(1, 9):
+        assert not out[i]["keep"]
