@@ -1040,6 +1040,21 @@ lc AS (
   FROM (SELECT id, l, COUNT(*) AS c
         FROM (SELECT id, UNNEST(lines) AS l FROM base) GROUP BY id, l)
   GROUP BY id),
+ng2 AS (
+  SELECT id, MAX(c) AS c2 FROM (
+    SELECT id, g, COUNT(*) AS c FROM (
+      SELECT id, UNNEST(list_transform(range(1, len(ltoks) - 0), i -> ltoks[i] || ' ' || ltoks[i+1])) AS g
+      FROM base) GROUP BY id, g) GROUP BY id),
+ng3 AS (
+  SELECT id, MAX(c) AS c3 FROM (
+    SELECT id, g, COUNT(*) AS c FROM (
+      SELECT id, UNNEST(list_transform(range(1, len(ltoks) - 1), i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2])) AS g
+      FROM base) GROUP BY id, g) GROUP BY id),
+ng4 AS (
+  SELECT id, MAX(c) AS c4 FROM (
+    SELECT id, g, COUNT(*) AS c FROM (
+      SELECT id, UNNEST(list_transform(range(1, len(ltoks) - 2), i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2] || ' ' || ltoks[i+3])) AS g
+      FROM base) GROUP BY id, g) GROUP BY id),
 ext AS (
   SELECT base.id, text, toks, ltoks, lines,
     CAST(len(toks) AS BIGINT) AS n_words,
@@ -1061,8 +1076,14 @@ ext AS (
          ELSE 0.0 END AS duplinefrac,
     CASE WHEN COALESCE(lc.totchars, 0) > 0
          THEN CAST(lc.dupchars AS DOUBLE) / lc.totchars
-         ELSE 0.0 END AS dupcharfrac
-  FROM base LEFT JOIN lc ON base.id = lc.id)
+         ELSE 0.0 END AS dupcharfrac,
+    CASE WHEN len(toks) >= 2 THEN COALESCE(ng2.c2, 0) * 2.0 / len(toks) ELSE 0.0 END AS top2,
+    CASE WHEN len(toks) >= 3 THEN COALESCE(ng3.c3, 0) * 3.0 / len(toks) ELSE 0.0 END AS top3,
+    CASE WHEN len(toks) >= 4 THEN COALESCE(ng4.c4, 0) * 4.0 / len(toks) ELSE 0.0 END AS top4
+  FROM base LEFT JOIN lc ON base.id = lc.id
+  LEFT JOIN ng2 ON base.id = ng2.id
+  LEFT JOIN ng3 ON base.id = ng3.id
+  LEFT JOIN ng4 ON base.id = ng4.id)
 SELECT id, n_words,
   (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
   (mwl >= 4.5 AND mwl <= 10.0) AS ok_mean_word_len,
@@ -1073,11 +1094,15 @@ SELECT id, n_words,
   (stophits >= 1) AS ok_stop_words,
   (duplinefrac <= 0.3) AS ok_dup_lines,
   (dupcharfrac <= 0.2) AS ok_dup_line_chars,
+  (top2 <= 0.20) AS ok_top_2gram,
+  (top3 <= 0.18) AS ok_top_3gram,
+  (top4 <= 0.16) AS ok_top_4gram,
   (n_words >= 50 AND n_words <= 100000
    AND mwl >= 4.5 AND mwl <= 10.0
    AND symratio <= 0.1 AND bulletfrac <= 0.9 AND ellipsisfrac <= 0.3
    AND alphafrac >= 0.8 AND stophits >= 1
-   AND duplinefrac <= 0.3 AND dupcharfrac <= 0.2) AS keep
+   AND duplinefrac <= 0.3 AND dupcharfrac <= 0.2
+   AND top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16) AS keep
 FROM ext ORDER BY id
 """
 

@@ -128,28 +128,32 @@ def alpha_word_fraction(text: Column) -> Column:
     return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def top_bigram_fraction(text: Column) -> Column:
+def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     """Fraction of tokens covered by the single most frequent word
-    bigram (Gopher's top-n-gram repetition filter, n=2).
+    n-gram (Gopher's top-n-gram repetition filter; the paper applies
+    it for n=2..4 — this is the token-fraction analogue of its
+    character fraction, same shape, engine-exact).
 
-    Relational per-row compute: sort the bigram array, then the longest
-    run of equal consecutive elements is the max bigram count — one
+    Relational per-row compute: sort the n-gram array, then the longest
+    run of equal consecutive elements is the max n-gram count — one
     ``aggregate`` fold with a (prev, run, best) struct accumulator, no
     explode/groupBy, so the signal stays a narrow map at corpus scale.
     """
     toks = tokens(F.lower(text))
-    n = F.size(toks)
-    bg = F.array_sort(
+    nt = F.size(toks)
+    grams = F.array_sort(
         F.transform(
-            F.sequence(F.lit(1), n - F.lit(1)),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))),
+            F.sequence(F.lit(1), nt - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
         )
     )
     init = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
     fold = F.aggregate(
-        bg,
+        grams,
         init,
         lambda acc, x: F.struct(
             x.alias("prev"),
@@ -161,7 +165,12 @@ def top_bigram_fraction(text: Column) -> Column:
         ),
         lambda acc: acc["best"],
     )
-    return F.when(n >= 2, fold * 2 / n.cast("double")).otherwise(F.lit(0.0))
+    return F.when(nt >= n, fold * n / nt.cast("double")).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Gopher top-n-gram filter at n=2 (see :func:`top_ngram_fraction`)."""
+    return top_ngram_fraction(text, 2)
 
 
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -705,6 +714,7 @@ def gopher_quality(
     min_stop_words: int = 2,
     max_dup_line_frac: float = 0.3,
     max_dup_line_char_frac: float = 0.2,
+    max_top_ngram_frac: dict[int, float] | None = None,
 ) -> DataFrame:
     """Gopher quality rule battery (Rae et al. 2021 Appendix A
     defaults): one boolean per rule plus the conjunction ``keep`` —
@@ -726,6 +736,12 @@ def gopher_quality(
         "ok_dup_line_chars": duplicate_line_char_fraction(t)
         <= max_dup_line_char_frac,
     }
+    # paper defaults for the top-n-gram repetition rules (token-fraction
+    # analogue of the char thresholds): {2: 0.20, 3: 0.18, 4: 0.16}
+    if max_top_ngram_frac is None:
+        max_top_ngram_frac = {2: 0.20, 3: 0.18, 4: 0.16}
+    for ng, thr in sorted(max_top_ngram_frac.items()):
+        checks[f"ok_top_{ng}gram"] = top_ngram_fraction(t, ng) <= thr
     keep = F.lit(True)
     for c in checks.values():
         keep = keep & c

@@ -1734,7 +1734,8 @@ def test_gopher_quality_rule_battery(spark):
     from adam_spark.llm.text import gopher_quality
 
     clean = ("the quick brown fox jumps over that lazy dog and then "
-             "keeps running with great speed toward home base " * 3)
+             "keeps running with great speed toward home base while "
+             + " ".join(f"distinct{i} filler{i} words{i}" for i in range(20)))
     docs = [
         (0, clean),
         (1, "the of and short"),                              # < 50 words
@@ -1746,6 +1747,9 @@ def test_gopher_quality_rule_battery(spark):
         (7, ("zebra quagga okapi dingo lemur vervet " * 10)),  # no stop words
         (8, "\n".join(["the same line of text here again"] * 12 +
                       ["unique line number %d" % i for i in range(8)])),  # dup lines
+        # top-n-gram repetition: one 4-gram covering >16% of tokens
+        (9, ("alpha beta gamma delta " * 12)
+            + " ".join(f"word{i} the of and" for i in range(10))),
     ]
     out = {
         r["id"]: r
@@ -1763,5 +1767,6 @@ def test_gopher_quality_rule_battery(spark):
     assert not out[7]["ok_stop_words"]
     assert not out[8]["ok_dup_lines"]
     assert not out[8]["ok_dup_line_chars"]
-    for i in range(1, 9):
+    assert not out[9]["ok_top_4gram"]
+    for i in range(1, 10):
         assert not out[i]["keep"]
