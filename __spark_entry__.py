@@ -2923,6 +2923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries. Those 50 are exactly the oracle-checked operator queries —
     # one per §2 / LLM-pipeline operator family.
     #
+    # ROUND-7b WINDOW ROTATION: gopher_quality_docs (new r7b operator,
+    # full oracle) moves in-window; parked in exchange:
+    # language_id_docs — six rounds of driver-green history, and its
+    # exact signal remains in-window as text_profile_docs' lang_guess
+    # column (same language_id() expression).
+    #
     # ROUND-7 WINDOW ROTATION (per the r6 verdict item 2):
     # semantic_dedup_embeddings — the one oracle-checked operator never
     # driver-recorded (it landed after the r6 window was fixed) — moves
@@ -2992,7 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": chunk_docs,
         "sample_mixture_docs": sample_mixture_docs,
         "variant_contexts_sites": variant_contexts_sites,
-        "language_id_docs": language_id_docs,
+        "gopher_quality_docs": gopher_quality_docs,
         "overlap_filter_features": overlap_filter_features,
         "view_flags_orders": view_flags_orders,
         "genotype_filters_battery": genotype_filters_battery,
@@ -3039,9 +3045,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
         "top_parts_by_revenue": top_parts_by_revenue,
-        # r7b: Gopher quality rule battery (parked — new query, full
-        # oracle; rotation into the window per the documented policy)
-        "gopher_quality_docs": gopher_quality_docs,
+        # r7b rotation: language_id_docs parks here after 6 rounds of
+        # driver-green history — its signal stays in-window as
+        # text_profile_docs' lang_guess column — in exchange for
+        # gopher_quality_docs (new operator, full oracle) taking its
+        # in-window slot
+        "language_id_docs": language_id_docs,
     }
 
 
