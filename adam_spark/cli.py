@@ -788,26 +788,34 @@ def _cmd_adam2fastq(args) -> int:
 
 
 def _cmd_print(args) -> int:
-    """PrintADAM parity: show the first rows of any dataset; -pretty
-    emits indented JSON records (PrintADAM.scala displayRaw), -o writes
-    to a local file (PrintADAM.scala:43)."""
+    """PrintADAM parity: show the first rows of one or more datasets
+    (PrintADAM.scala prints every FILE argument); -pretty emits
+    indented JSON records (displayRaw), -o writes to a local file
+    (PrintADAM.scala:43)."""
     from adam_spark.sources.parquet import load_parquet
 
     spark = _spark(args)
-    gf = load_parquet(spark, args.input)
-    if args.pretty or args.o:
-        import json
+    out_fh = open(args.o, "w") if args.o else None
+    try:
+        for path in [args.input, *args.inputs]:
+            gf = load_parquet(spark, path)
+            if args.pretty or args.o:
+                import json
 
-        rows = gf.df.limit(args.limit).toJSON().collect()
-        indent = 2 if args.pretty else None
-        text = "\n".join(json.dumps(json.loads(r), indent=indent) for r in rows)
-        if args.o:
-            with open(args.o, "w") as fh:
-                fh.write(text + "\n")
-        else:
-            print(text)
-    else:
-        gf.df.show(args.limit, truncate=not args.full)
+                rows = gf.df.limit(args.limit).toJSON().collect()
+                indent = 2 if args.pretty else None
+                text = "\n".join(
+                    json.dumps(json.loads(r), indent=indent) for r in rows
+                )
+                if out_fh:
+                    out_fh.write(text + "\n")
+                else:
+                    print(text)
+            else:
+                gf.df.show(args.limit, truncate=not args.full)
+    finally:
+        if out_fh:
+            out_fh.close()
     return 0
 
 
@@ -1126,6 +1134,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     pr = sub.add_parser("print", help="show the first rows of a dataset")
     pr.add_argument("input")
+    pr.add_argument("inputs", nargs="*", default=[],
+                    help="additional datasets (PrintADAM prints each FILE)")
     pr.add_argument("-limit", dest="limit", type=int, default=20)
     pr.add_argument("-full", dest="full", action="store_true", help="untruncated columns")
     pr.add_argument("-o", dest="o", default=None,
