@@ -776,6 +776,22 @@ def _cmd_adam2fastq(args) -> int:
     out = GenomicFrame(df, gf.meta)
     if args.output2:
         save_paired_fastq(out, args.output, args.output2)
+    elif args.disable_fast_concat:
+        # sharded write at full parallelism + serial driver concat
+        # (the ADAMSaveAnyArgs -disable_fast_concat contract)
+        import shutil as _shutil
+
+        from adam_spark.sources.merge import merge_shards
+
+        shard_dir = args.output + ".shards"
+        save_fastq(
+            out, shard_dir,
+            sort_by_name=args.sort_by_name,
+            write_suffixes=args.write_suffixes,
+            single_file=False,
+        )
+        merge_shards(shard_dir, args.output)
+        _shutil.rmtree(shard_dir)
     else:
         save_fastq(
             out,

@@ -729,6 +729,12 @@ def test_adam2fastq_oq_validation_and_knobs(spark, tmp_path):
     text = _read_text_output(out)
     # u1 emits its OQ original qualities; u2 keeps its live qualities
     assert "!!!!" in text and "JJJJ" in text
+    # -disable_fast_concat: sharded write + serial concat to ONE file
+    concat = str(tmp_path / "concat.fq")
+    assert main(["adam2fastq", str(sam), concat, "-sort_by_name",
+                 "-output_oq", "-disable_fast_concat"]) == 0
+    assert os.path.isfile(concat)
+    assert sorted(open(concat).read().split()) == sorted(text.split())
     # STRICT paired output over unpaired reads fails with rc 1
     assert main(["adam2fastq", str(sam), str(tmp_path / "r1.fq"),
                  str(tmp_path / "r2.fq"), "-validation", "STRICT"]) == 1
