@@ -114,3 +114,26 @@ def test_gtf_coordinate_convention(spark, tmp_path):
     assert (row["start"], row["end"]) == (100, 200)
     assert row["geneId"] == "g1"
     assert row["strand"] == "FORWARD"
+
+
+def test_gzipped_text_loads(spark, tmp_path):
+    """Extension dispatch strips .gz (FileExtensions.scala isGzip) and
+    Spark's text reader decompresses transparently — gzipped FASTQ and
+    BED load identically to their plain forms."""
+    import gzip
+
+    from adam_spark import context as ctx
+
+    fq = tmp_path / "reads.fq.gz"
+    with gzip.open(fq, "wt") as fh:
+        fh.write("@r1\nACGT\n+\nIIII\n@r2\nTTTT\n+\nJJJJ\n")
+    gf = ctx.load_alignments(spark, str(fq))
+    rows = {r["readName"]: r["sequence"] for r in gf.df.collect()}
+    assert rows == {"r1": "ACGT", "r2": "TTTT"}
+
+    bed = tmp_path / "feats.bed.gz"
+    with gzip.open(bed, "wt") as fh:
+        fh.write("chr1\t10\t20\tf1\t5.0\t+\nchr2\t5\t9\tf2\t1.0\t-\n")
+    fgf = ctx.load_features(spark, str(bed))
+    assert fgf.df.count() == 2
+    assert {r["referenceName"] for r in fgf.df.collect()} == {"chr1", "chr2"}
