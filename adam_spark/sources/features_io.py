@@ -63,12 +63,27 @@ def load_bed(spark: SparkSession, path: str) -> GenomicFrame:
         .alias("score"),
         _strand(F.try_element_at(t, F.lit(6))).alias("strand"),
         F.when(
-            F.size(t) >= 9,
+            F.size(t) >= 12,
+            # BED12 (ADAMContextSuite "Can read a BED 12 file"): block
+            # structure joins the display fields in attributes
             F.map_from_arrays(
-                F.array(F.lit("thickStart"), F.lit("thickEnd"), F.lit("itemRgb")),
-                F.array(F.try_element_at(t, F.lit(7)), F.try_element_at(t, F.lit(8)), F.try_element_at(t, F.lit(9))),
+                F.array(
+                    F.lit("thickStart"), F.lit("thickEnd"), F.lit("itemRgb"),
+                    F.lit("blockCount"), F.lit("blockSizes"), F.lit("blockStarts"),
+                ),
+                F.array(*[F.try_element_at(t, F.lit(i)) for i in range(7, 13)]),
             ),
-        ).alias("attributes"),
+        )
+        .otherwise(
+            F.when(
+                F.size(t) >= 9,
+                F.map_from_arrays(
+                    F.array(F.lit("thickStart"), F.lit("thickEnd"), F.lit("itemRgb")),
+                    F.array(F.try_element_at(t, F.lit(7)), F.try_element_at(t, F.lit(8)), F.try_element_at(t, F.lit(9))),
+                ),
+            )
+        )
+        .alias("attributes"),
     )
     return GenomicFrame(_conform(df), GenomicMetadata(kind="feature"))
 

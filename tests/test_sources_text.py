@@ -137,3 +137,22 @@ def test_gzipped_text_loads(spark, tmp_path):
     fgf = ctx.load_features(spark, str(bed))
     assert fgf.df.count() == 2
     assert {r["referenceName"] for r in fgf.df.collect()} == {"chr1", "chr2"}
+
+
+def test_bed12_blocks(spark, tmp_path):
+    """BED12 block columns land in attributes (ADAMContextSuite
+    'Can read a BED 12 file')."""
+    from adam_spark.sources.features_io import load_bed
+
+    bed = tmp_path / "b12.bed"
+    bed.write_text(
+        "chr1\t100\t500\tgene1\t0\t+\t120\t480\t255,0,0\t2\t100,100\t0,300\n"
+        "chr1\t10\t20\tthin\t5\t-\n"
+    )
+    rows = {r["name"]: r for r in load_bed(spark, str(bed)).df.collect()}
+    a = rows["gene1"]["attributes"]
+    assert a["blockCount"] == "2"
+    assert a["blockSizes"] == "100,100"
+    assert a["blockStarts"] == "0,300"
+    assert a["thickStart"] == "120" and a["itemRgb"] == "255,0,0"
+    assert rows["thin"]["attributes"] is None
