@@ -31,7 +31,12 @@ def load_fasta_sequences(
     w = Window.partitionBy("file").orderBy("mid")
     lines = (
         spark.read.text(path)
-        .where(F.length(F.trim("value")) > 0)
+        .where(
+            (F.length(F.trim("value")) > 0)
+            # classic FASTA ';' comment lines (ADAMContextSuite "read a
+            # fasta file with comments, gaps, and translation stops")
+            & ~F.trim(F.col("value")).startswith(";")
+        )
         .select(
             F.input_file_name().alias("file"),
             F.monotonically_increasing_id().alias("mid"),

@@ -141,3 +141,23 @@ def test_load_fasta_slices(spark, paths):
     assert rows[0]["start"] == 0 and rows[0]["end"] == 8
     assert rows[2]["start"] == 16 and rows[2]["end"] == 20
     assert all(r["totalLength"] == 20 and r["slices"] == 3 for r in rows)
+
+
+def test_fasta_comments_gaps_stops(spark, tmp_path):
+    """';' comment lines are skipped; gap '-' and stop '*' symbols pass
+    through in the sequence (ADAMContextSuite 'read a fasta file with
+    comments, gaps, and translation stops')."""
+    from adam_spark.sources.fasta import load_fasta_sequences
+
+    fa = tmp_path / "c.fa"
+    fa.write_text(
+        "; a classic FASTA comment\n"
+        ">prot1 description\n"
+        "MKV-LL*\n"
+        "; trailing comment\n"
+        ">prot2\nACGT\n"
+    )
+    rows = {r["name"]: r["sequence"]
+            for r in load_fasta_sequences(spark, str(fa), "PROTEIN").df.collect()}
+    assert rows["prot1"] == "MKV-LL*"
+    assert rows["prot2"] == "ACGT"
