@@ -535,6 +535,18 @@ def _decode_byte_range(
             pos += 4 + bs
 
 
+def _expand_bam_paths(path: str) -> list[str] | None:
+    """Directory or glob → sorted .bam file list; None for a plain
+    single-file path (the common case takes the direct branch)."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "*.bam")))
+    if any(c in path for c in "*?["):
+        return sorted(p for p in _glob.glob(path) if p.lower().endswith(".bam"))
+    return None
+
+
 def load_bam(
     spark: SparkSession, path: str, target_split_bytes: int = 16 << 20
 ) -> GenomicFrame:
@@ -546,6 +558,22 @@ def load_bam(
     parser, so BAM and SAM share one column mapping.
     """
     from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
+
+    # globs and directories (ADAMContext.loadBam glob support;
+    # ADAMContextSuite "loadBam with a glob" / "with a directory" /
+    # "bad glob should fail"): expand, load each file, union records
+    # and merge headers
+    multi = _expand_bam_paths(path)
+    if multi is not None:
+        if not multi:
+            raise FileNotFoundError(f"no .bam files match {path}")
+        gfs = [load_bam(spark, p, target_split_bytes) for p in multi]
+        df = gfs[0].df
+        meta = gfs[0].meta
+        for g in gfs[1:]:
+            df = df.unionByName(g.df)
+            meta = meta.merge(g.meta)
+        return GenomicFrame(df, meta)
 
     path = os.path.abspath(path)
     # driver I/O is O(header blocks) + O(splits): header decode walks the

@@ -295,3 +295,27 @@ def test_save_bam_foreign_reader(spark, sam_path, tmp_path):
         assert f[5] == (w["cigar"] or "*")
         assert f[9] == (w["sequence"] or "*")
         assert f[10] == (w["qualityScores"] or "*")
+
+
+def test_load_bam_glob_and_directory(spark, sam_path, tmp_path):
+    """ADAMContextSuite 'loadBam with a glob' / 'with a directory' /
+    'bad glob should fail': multi-file loads union records and merge
+    headers; an empty match raises."""
+    import pytest as _pytest
+
+    gf = load_sam(spark, sam_path)
+    d = tmp_path / "bams"
+    d.mkdir()
+    half1 = gf.df.where("readName <= 'r2'")
+    half2 = gf.df.where("readName > 'r2'")
+    save_bam(gf.__class__(half1, gf.meta), str(d / "a.bam"))
+    save_bam(gf.__class__(half2, gf.meta), str(d / "b.bam"))
+
+    by_glob = load_bam(spark, str(d / "*.bam"))
+    by_dir = load_bam(spark, str(d))
+    want = {(r["readName"], r["readInFragment"]) for r in gf.df.collect()}
+    assert {(r["readName"], r["readInFragment"]) for r in by_glob.df.collect()} == want
+    assert {(r["readName"], r["readInFragment"]) for r in by_dir.df.collect()} == want
+    assert [r.name for r in by_dir.meta.references.references] == ["chr1", "chr2"]
+    with _pytest.raises(FileNotFoundError):
+        load_bam(spark, str(d / "nothing-*.bam"))
