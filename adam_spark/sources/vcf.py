@@ -271,15 +271,23 @@ def _parse_header(spark: SparkSession, path: str):
 
 def _header_from_lines(lines: list[str]):
     header_lines, refs, sample_names = [], [], []
+    seen_lines, seen_refs = set(), set()
     for line in lines:
         if line.startswith("##"):
+            # directory/glob loads see each file's header; repeats
+            # collapse so contigs don't duplicate in the dictionary
+            # (ADAMContextSuite "load vcf from a directory")
+            if line in seen_lines:
+                continue
+            seen_lines.add(line)
             header_lines.append(line)
             if line.startswith("##contig="):
                 body = line[len("##contig=<") : -1]
                 fields = dict(
                     kv.split("=", 1) for kv in body.split(",") if "=" in kv
                 )
-                if "ID" in fields:
+                if "ID" in fields and fields["ID"] not in seen_refs:
+                    seen_refs.add(fields["ID"])
                     refs.append(
                         Reference(
                             name=fields["ID"],

@@ -212,3 +212,19 @@ def test_ann_roundtrip(spark, tmp_path):
     assert te["rank"] == 1 and te["total"] == 3
     assert te["cdsPosition"] == 20 and te["cdsLength"] == 200
     assert te["distance"] == 42
+
+
+def test_load_vcf_from_directory(spark, tmp_path):
+    """ADAMContextSuite 'load vcf from a directory': per-file headers
+    collapse (no duplicate contigs), bodies union."""
+    d = tmp_path / "vcfs"
+    d.mkdir()
+    hdr = ("##fileformat=VCFv4.3\n##contig=<ID=chr1,length=1000>\n"
+           "##contig=<ID=chr2,length=2000>\n"
+           "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\n")
+    (d / "a.vcf").write_text(hdr + "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT\t0/1\n")
+    (d / "b.vcf").write_text(hdr + "chr2\t300\t.\tC\tT\t10\tPASS\t.\tGT\t1/1\n")
+    gf = vcf_io.load_vcf(spark, str(d))
+    assert gf.df.count() == 2
+    assert [r.name for r in gf.meta.references.references] == ["chr1", "chr2"]
+    assert {r["referenceName"] for r in gf.df.collect()} == {"chr1", "chr2"}
