@@ -243,7 +243,11 @@ def _genotype_struct(
         alleles.alias("alleles"),
         _tnull("double").alias("expectedAlleleDosage"),
         F.try_element_at(ad, F.lit(1)).try_cast("int").alias("referenceReadDepth"),
-        F.try_element_at(ad, (ai + 2).try_cast("int")).try_cast("int").alias("alternateReadDepth"),
+        # ai=-1 marks a gVCF <NON_REF> ref-block row: there is no real
+        # alternate, so no AD slot maps to alternateReadDepth
+        F.when(
+            ai >= 0, F.try_element_at(ad, (ai + 2).try_cast("int")).try_cast("int")
+        ).alias("alternateReadDepth"),
         _dot_null(m.getItem("DP")).try_cast("int").alias("readDepth"),
         _dot_null(m.getItem("MIN_DP")).try_cast("int").alias("minReadDepth"),
         _dot_null(m.getItem("GQ")).try_cast("int").alias("genotypeQuality"),
@@ -333,14 +337,30 @@ def vcf_lines_to_contexts(
         F.coalesce(F.try_element_at(t, F.lit(9)), F.lit("")).alias("format"),
         F.slice(t, 10, max(len(sample_names), 1)).alias("__samples"),
     )
+    # gVCF reference model (VariantContextConverter.scala:360-417): a
+    # trailing symbolic <NON_REF> drops from the per-alt expansion when
+    # real alts exist (GT indices pointing at it fall through to
+    # OTHER_ALT); a ref-block row whose ONLY alt is <NON_REF> keeps one
+    # row with a NULL alternate allele and __ai=-1 so no GT index maps
+    # to ALT
+    real_alts = F.filter(F.col("__alts"), lambda a: a != "<NON_REF>")
+    base = base.withColumn(
+        "__alts",
+        F.when(F.size(real_alts) > 0, real_alts).otherwise(F.col("__alts")),
+    )
     # one row per alt allele (multiallelic split; '.' ALT → single null row)
     split_df = base.select(
         "*",
         F.posexplode(F.col("__alts")).alias("__ai", "__alt_raw"),
     ).select(
         "*",
-        _dot_null(F.col("__alt_raw")).alias("__alt"),
+        F.when(F.col("__alt_raw") == "<NON_REF>", None)
+        .otherwise(_dot_null(F.col("__alt_raw")))
+        .alias("__alt"),
         (F.size("__alts") > 1).alias("__split"),
+    ).withColumn(
+        "__ai",
+        F.when(F.col("__alt_raw") == "<NON_REF>", F.lit(-1)).otherwise(F.col("__ai")),
     )
 
     variant = _variant_struct(F.col("__ai"), F.size("__alts"))

@@ -228,3 +228,36 @@ def test_load_vcf_from_directory(spark, tmp_path):
     assert gf.df.count() == 2
     assert [r.name for r in gf.meta.references.references] == ["chr1", "chr2"]
     assert {r["referenceName"] for r in gf.df.collect()} == {"chr1", "chr2"}
+
+
+def test_gvcf_non_ref_alleles(spark, tmp_path):
+    """gVCF reference model (VariantContextConverter.scala:360-417 +
+    ADAMContextSuite gvcf cases): a ref-block row whose only ALT is
+    <NON_REF> keeps one row with a null alternate; a trailing <NON_REF>
+    after a real alt drops from the expansion with its GT indices
+    falling through to OTHER_ALT."""
+    p = tmp_path / "g.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.3\n##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\n"
+        # pure reference block
+        "chr1\t100\t.\tA\t<NON_REF>\t.\t.\t.\tGT:AD:DP\t0/0:20,0:20\n"
+        # one real alt + trailing reference-model allele
+        "chr1\t200\t.\tC\tT,<NON_REF>\t30\tPASS\t.\tGT:AD:DP\t1/2:2,8,5:15\n"
+    )
+    gf = vcf_io.load_vcf(spark, str(p))
+    rows = sorted(gf.df.collect(), key=lambda r: r["start"])
+    assert len(rows) == 2  # no row materializes for the trailing NON_REF
+    block, snp = rows
+    assert block["variant"]["alternateAllele"] is None
+    g0 = block["genotypes"][0]
+    assert g0["alleles"] == ["REF", "REF"]
+    assert g0["alternateReadDepth"] is None
+    assert g0["referenceReadDepth"] == 20
+    assert snp["variant"]["alternateAllele"] == "T"
+    assert snp["variant"]["splitFromMultiAllelic"] is False
+    g1 = snp["genotypes"][0]
+    # GT 1/2: index 1 is the real alt, index 2 points at the dropped
+    # <NON_REF> → OTHER_ALT
+    assert g1["alleles"] == ["ALT", "OTHER_ALT"]
+    assert g1["alternateReadDepth"] == 8
