@@ -161,7 +161,9 @@ def _cmd_transform_alignments(args) -> int:
     elif args.force_load_parquet:
         gf = ctx._load_parquet(spark, args.input, "alignment")
     else:
-        gf = ctx.load_alignments(spark, args.input)
+        # -stringency reaches the SAM header parse
+        # (TransformAlignments passes its stringency to loadAlignments)
+        gf = ctx.load_alignments(spark, args.input, stringency=args.stringency)
     is_fastq_input = (
         args.force_load_fastq or args.force_load_ifastq or args.paired_fastq
         or args.input.lower().endswith((".fq", ".fastq", ".ifq"))

@@ -41,12 +41,14 @@ def _load_parquet(spark: SparkSession, path: str, kind: str) -> GenomicFrame:
 
 
 def load_alignments(
-    spark: SparkSession, path: str, path2: str | None = None, reference=None
+    spark: SparkSession, path: str, path2: str | None = None, reference=None,
+    stringency: str = "SILENT",
 ) -> GenomicFrame:
     """SAM/BAM / FASTQ / Parquet → alignments (ADAMContext.loadAlignments).
-    ``reference`` is forwarded to the CRAM codec for RR=true files."""
+    ``reference`` is forwarded to the CRAM codec for RR=true files;
+    ``stringency`` governs malformed SAM headers."""
     if _has_ext(path, ".sam"):
-        return _sam.load_sam(spark, path)
+        return _sam.load_sam(spark, path, stringency=stringency)
     if _has_ext(path, ".bam"):
         from adam_spark.sources.bam import load_bam
 

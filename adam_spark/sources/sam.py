@@ -39,10 +39,12 @@ def _ref_len(col_name: str):
     )
 
 
-def load_sam(spark: SparkSession, path: str) -> GenomicFrame:
+def load_sam(
+    spark: SparkSession, path: str, stringency: str = "SILENT"
+) -> GenomicFrame:
     raw = spark.read.text(path)
     df = sam_lines_to_alignments(raw)
-    meta = _header_metadata(raw)
+    meta = _header_metadata(raw, stringency)
     return GenomicFrame(df, meta)
 
 
@@ -131,23 +133,46 @@ def sam_lines_to_alignments(raw: DataFrame) -> DataFrame:
     return schemas.conform(df, schemas.ALIGNMENT)
 
 
-def _header_metadata(raw: DataFrame) -> GenomicMetadata:
+def _header_metadata(raw: DataFrame, stringency: str = "SILENT") -> GenomicMetadata:
     hdr = [r["value"] for r in raw.where(F.col("value").startswith("@")).collect()]
-    return header_metadata_from_lines(hdr)
+    return header_metadata_from_lines(hdr, stringency)
 
 
-def header_metadata_from_lines(hdr: list[str]) -> GenomicMetadata:
+def header_metadata_from_lines(
+    hdr: list[str], stringency: str = "SILENT"
+) -> GenomicMetadata:
     """@SQ/@RG header lines → GenomicMetadata (shared by SAM and the
-    distributed BAM scan, which parses the header driver-side)."""
+    distributed BAM scan, which parses the header driver-side).
+
+    ``stringency`` governs malformed header lines (@SQ without SN, or a
+    non-integer LN — ADAMContextSuite "bad header" cases): STRICT
+    raises, LENIENT warns and skips the bad field, SILENT skips."""
+    import sys as _sys
+
+    def _bad(msg: str) -> None:
+        if stringency == "STRICT":
+            raise ValueError(msg)
+        if stringency == "LENIENT":
+            print(f"warning: {msg}", file=_sys.stderr)
+
     refs, rgs = [], []
     for line in hdr:
         parts = line.split("\t")
         fields = dict(kv.split(":", 1) for kv in parts[1:] if ":" in kv)
-        if parts[0] == "@SQ" and "SN" in fields:
+        if parts[0] == "@SQ":
+            if "SN" not in fields:
+                _bad(f"@SQ header line without SN: {line!r}")
+                continue
+            length = None
+            if "LN" in fields:
+                try:
+                    length = int(fields["LN"])
+                except ValueError:
+                    _bad(f"@SQ header line with non-integer LN: {line!r}")
             refs.append(
                 Reference(
                     name=fields["SN"],
-                    length=int(fields["LN"]) if "LN" in fields else None,
+                    length=length,
                     md5=fields.get("M5"),
                 )
             )

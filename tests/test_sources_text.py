@@ -156,3 +156,23 @@ def test_bed12_blocks(spark, tmp_path):
     assert a["blockStarts"] == "0,300"
     assert a["thickStart"] == "120" and a["itemRgb"] == "255,0,0"
     assert rows["thin"]["attributes"] is None
+
+
+def test_sam_bad_header_stringency(spark, tmp_path):
+    """ADAMContextSuite 'bad header with lenient validation' /
+    'strict stringency should fail': a non-integer LN loads leniently
+    (length dropped) and raises under STRICT."""
+    import pytest as _pytest
+
+    from adam_spark.sources.sam import load_sam
+
+    p = tmp_path / "bad.sam"
+    p.write_text(
+        "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:notanumber\n"
+        "r1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\tIIII\n"
+    )
+    gf = load_sam(spark, str(p), stringency="LENIENT")
+    assert gf.df.count() == 1
+    assert gf.meta.references["chr1"].length is None
+    with _pytest.raises(ValueError):
+        load_sam(spark, str(p), stringency="STRICT")
