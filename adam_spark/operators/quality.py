@@ -57,31 +57,54 @@ def _validate_bins(bins: list[QualityScoreBin]) -> None:
 
 def quality_translate_table(
     bins: list[QualityScoreBin] | list[str],
-) -> tuple[str, str]:
-    """Validated (src, dst) character tables for ``F.translate`` — the
-    driver-side compilation step shared by the flat and nested
-    (fragment) binning paths."""
+) -> tuple[str, str, str]:
+    """Validated (src, dst, uncovered) character tables for
+    ``F.translate`` — the driver-side compilation step shared by the
+    flat and nested (fragment) binning paths. ``uncovered`` holds the
+    Phred chars no bin covers; a read containing one raises at runtime
+    (the reference's "fell into no bins" IllegalStateException,
+    BinQualities.scala:196-199)."""
     parsed = [QualityScoreBin.parse(b) if isinstance(b, str) else b for b in bins]
+    if not parsed:
+        raise ValueError("no quality score bins provided")
     _validate_bins(parsed)
-    src_chars, dst_chars = [], []
+    src_chars, dst_chars, uncovered = [], [], []
     for phred in range(MAX_PHRED + 1):
-        for b in parsed:
-            if b.low <= phred < b.high and phred != b.value:
-                src_chars.append(chr(phred + PHRED_OFFSET))
-                dst_chars.append(chr(b.value + PHRED_OFFSET))
-                break
-    return "".join(src_chars), "".join(dst_chars)
+        covering = [b for b in parsed if b.low <= phred < b.high]
+        if not covering:
+            uncovered.append(chr(phred + PHRED_OFFSET))
+        elif phred != covering[0].value:
+            src_chars.append(chr(phred + PHRED_OFFSET))
+            dst_chars.append(chr(covering[0].value + PHRED_OFFSET))
+    return "".join(src_chars), "".join(dst_chars), "".join(uncovered)
+
+
+def _binned_qual_expr(col: Column, src: str, dst: str, uncovered: str) -> Column:
+    out = F.translate(col, src, dst) if src else col
+    if uncovered:
+        n_bad = F.length(col) - F.length(F.translate(col, uncovered, ""))
+        out = F.when(
+            F.coalesce(n_bad, F.lit(0)) > 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("quality score fell into no bins: "), col
+                )
+            ),
+        ).otherwise(out)
+    return out
 
 
 def bin_quality_scores(
     df: DataFrame, bins: list[QualityScoreBin] | list[str], column: str = "qualityScores"
 ) -> DataFrame:
-    """Remap every quality char through the bin table via translate()."""
-    src_chars, dst_chars = quality_translate_table(bins)
-    if not src_chars:
+    """Remap every quality char through the bin table via translate();
+    null quality strings pass through, scores outside every bin raise
+    (BinQualities.scala binQualities semantics)."""
+    src, dst, uncovered = quality_translate_table(bins)
+    if not src and not uncovered:
         return df
     return df.withColumn(
-        column, F.translate(F.col(column), src_chars, dst_chars)
+        column, _binned_qual_expr(F.col(column), src, dst, uncovered)
     )
 
 
@@ -92,8 +115,8 @@ def bin_fragment_quality_scores(
     variant of AlignmentDataset.binQualityScores:1752-1774): rewrite
     each nested read's quality string. translate() is per-character, so
     it distributes over the ``alignments`` array unchanged."""
-    src_chars, dst_chars = quality_translate_table(bins)
-    if not src_chars:
+    src, dst, uncovered = quality_translate_table(bins)
+    if not src and not uncovered:
         return df
     return df.withColumn(
         "alignments",
@@ -101,7 +124,7 @@ def bin_fragment_quality_scores(
             F.col("alignments"),
             lambda a: a.withField(
                 "qualityScores",
-                F.translate(a["qualityScores"], src_chars, dst_chars),
+                _binned_qual_expr(a["qualityScores"], src, dst, uncovered),
             ),
         ),
     )

@@ -302,3 +302,22 @@ def test_left_align_normalization_suite_reads():
     assert C.left_align_indel(
         "29M10D31M", "A" * 60, "29^GGGGGGGGGG10G0G0G0G0G0G0G0G0G0G11"
     ) == "29M10D31M"
+
+
+def test_bin_quality_gap_and_empty_behaviors(spark):
+    """AlignmentDatasetSuite binning edge cases: empty bin list raises,
+    null quality strings pass through untouched, and a score covered by
+    no bin raises at runtime (BinQualities.scala:196-199 'fell into no
+    bins')."""
+    df = spark.createDataFrame(
+        [("a", "5555"), ("b", None)], "readName string, qualityScores string"
+    )
+    with pytest.raises(ValueError):
+        quality.bin_quality_scores(df, []).collect()
+    # gapped bins are constructible; reads inside the gap raise
+    gapped = quality.bin_quality_scores(df, ["0,10,5", "30,40,35"])
+    ok = {r["readName"]: r["qualityScores"]
+          for r in gapped.where("readName = 'b'").collect()}
+    assert ok["b"] is None  # null quals pass through
+    with pytest.raises(Exception, match="fell into no bins"):
+        gapped.where("readName = 'a'").collect()  # '5' = phred 20, uncovered
