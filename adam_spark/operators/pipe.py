@@ -551,7 +551,8 @@ def _bam_stdin_bytes(
 
 
 def _run_subprocess_raw(
-    cmd: list[str], data: bytes, env: dict | None, timeout: float | None
+    cmd: list[str], data: bytes, env: dict | None, timeout: float | None,
+    on_timeout: str = "error",
 ) -> bytes:
     """Binary twin of ``_run_subprocess``: feeds raw bytes, returns raw
     stdout (same concurrent-drain + kill-on-timeout discipline)."""
@@ -566,6 +567,11 @@ def _run_subprocess_raw(
     except subprocess.TimeoutExpired:
         proc.kill()
         proc.communicate()
+        if on_timeout == "drop":
+            # the reference's optTimeout semantics (GenomicDataset.pipe;
+            # AlignmentDatasetSuite "lose all/some records when a
+            # command times out"): the bin's records drop silently
+            return b""
         raise RuntimeError(f"piped command {cmd!r} timed out after {timeout}s")
     if proc.returncode != 0:
         raise RuntimeError(f"piped command {cmd!r} exited with {proc.returncode}")
@@ -598,7 +604,8 @@ def _sniff_sam_lines(out: bytes) -> list[str]:
 
 
 def _run_subprocess(
-    cmd: list[str], lines: Iterable[str], env: dict | None, timeout: float | None
+    cmd: list[str], lines: Iterable[str], env: dict | None, timeout: float | None,
+    on_timeout: str = "error",
 ) -> list[str]:
     proc = subprocess.Popen(
         cmd,
@@ -618,6 +625,8 @@ def _run_subprocess(
     except subprocess.TimeoutExpired:
         proc.kill()
         proc.communicate()
+        if on_timeout == "drop":
+            return []  # reference optTimeout semantics: bin drops
         raise RuntimeError(f"piped command {cmd!r} timed out after {timeout}s")
     if proc.returncode != 0:
         raise RuntimeError(f"piped command {cmd!r} exited with {proc.returncode}")
@@ -634,6 +643,7 @@ def pipe(
     environment: dict | None = None,
     timeout: float | None = None,
     files: list[str] | None = None,
+    on_timeout: str = "error",
 ) -> GenomicFrame:
     """Run ``cmd`` once per genome bin over the formatted records.
 
@@ -773,12 +783,14 @@ def pipe(
                 data = _bam_stdin_bytes(header, body, bam_refs, bam_ref_index)
             else:
                 data = ("".join(ln + "\n" for ln in header + body)).encode()
-            raw_out = _run_subprocess_raw(cmd_run, data, environment, timeout)
+            raw_out = _run_subprocess_raw(cmd_run, data, environment, timeout,
+                                          on_timeout)
             out_lines = (
                 _sniff_sam_lines(raw_out) if sniff_out else raw_out.decode().splitlines()
             )
         else:
-            out_lines = _run_subprocess(cmd_run, header + body, environment, timeout)
+            out_lines = _run_subprocess(cmd_run, header + body, environment,
+                                        timeout, on_timeout)
         if parse_block is not None:
             parsed = parse_block(out_lines)
         else:

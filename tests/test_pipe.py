@@ -418,3 +418,22 @@ def test_pipe_files_shipped_to_executors(aligned_gf, tmp_path):
     rows = out.df.collect()
     assert 0 < len(rows) == 50
     assert all(r["referenceName"] == "chr1" for r in rows)
+
+
+def test_pipe_timeout_semantics(aligned_gf):
+    """AlignmentDatasetSuite 'lose all records when a command times
+    out' / 'lose no records without a timeout': on_timeout='drop'
+    silently empties the timed-out bins (the reference's optTimeout
+    behavior); the default raises instead."""
+    import pytest as _pytest
+
+    slow = ["sh", "-c", "sleep 5; cat"]
+    out = pipe(aligned_gf, slow, in_format="sam", partitions=2,
+               timeout=1, on_timeout="drop")
+    assert out.df.count() == 0
+    with _pytest.raises(Exception, match="timed out"):
+        pipe(aligned_gf, slow, in_format="sam", partitions=2,
+             timeout=1).df.count()
+    # generous timeout: nothing lost
+    ok = pipe(aligned_gf, "cat", in_format="sam", partitions=2, timeout=60)
+    assert ok.df.count() == 100
