@@ -176,3 +176,17 @@ def test_sam_bad_header_stringency(spark, tmp_path):
     assert gf.meta.references["chr1"].length is None
     with _pytest.raises(ValueError):
         load_sam(spark, str(p), stringency="STRICT")
+
+
+def test_fastq_no_bases(spark, tmp_path):
+    """ADAMContextSuite 'load FASTQ with no bases': empty sequence and
+    quality lines keep the 4-line grouping and load as empty-sequence
+    reads."""
+    from adam_spark.sources.fastq import load_unpaired_fastq
+
+    p = tmp_path / "nb.fq"
+    p.write_text("@empty1\n\n+\n\n@ok\nACGT\n+\nIIII\n")
+    rows = {r["name"]: r for r in load_unpaired_fastq(spark, str(p)).df.collect()}
+    assert set(rows) == {"empty1", "ok"}
+    assert rows["empty1"]["length"] == 0
+    assert rows["ok"]["sequence"] == "ACGT"
