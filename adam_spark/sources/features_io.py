@@ -11,7 +11,7 @@ disk (pass-through); GTF/GFF3/IntervalList are 1-based closed on disk
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adam_spark import schemas
@@ -89,16 +89,36 @@ def load_bed(spark: SparkSession, path: str) -> GenomicFrame:
 
 
 def save_bed(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
+    """BED6 by default; rows whose attributes carry the BED12 block
+    fields re-emit all 12 columns (FeatureDatasetSuite 'round trip
+    BED12 format')."""
+    a = F.col("attributes")
+
+    def _attr(k: str) -> Column:
+        return F.try_element_at(a, F.lit(k))
+
+    bed6 = F.concat_ws(
+        "\t",
+        F.col("referenceName"),
+        F.col("start").cast("string"),
+        F.col("end").cast("string"),
+        F.coalesce(F.col("name"), F.lit(".")),
+        F.coalesce(F.col("score").cast("string"), F.lit(".")),
+        _strand_out(F.col("strand")),
+    )
+    has12 = a.isNotNull() & _attr("blockCount").isNotNull()
+    bed12 = F.concat_ws(
+        "\t",
+        bed6,
+        F.coalesce(_attr("thickStart"), F.col("start").cast("string")),
+        F.coalesce(_attr("thickEnd"), F.col("end").cast("string")),
+        F.coalesce(_attr("itemRgb"), F.lit("0")),
+        _attr("blockCount"),
+        F.coalesce(_attr("blockSizes"), F.lit(".")),
+        F.coalesce(_attr("blockStarts"), F.lit(".")),
+    )
     df = _conform(gf.df).select(
-        F.concat_ws(
-            "\t",
-            F.col("referenceName"),
-            F.col("start").cast("string"),
-            F.col("end").cast("string"),
-            F.coalesce(F.col("name"), F.lit(".")),
-            F.coalesce(F.col("score").cast("string"), F.lit(".")),
-            _strand_out(F.col("strand")),
-        ).alias("value")
+        F.when(has12, bed12).otherwise(bed6).alias("value")
     )
     (df.coalesce(1) if single_file else df).write.text(path)
 
@@ -155,7 +175,12 @@ _GFF_COLS = [
 
 def _gxf_base(spark: SparkSession, path: str):
     lines = spark.read.text(path).where(
-        ~F.col("value").startswith("#") & (F.length(F.trim("value")) > 0)
+        ~F.col("value").startswith("#")
+        & (F.length(F.trim("value")) > 0)
+        # GFF3 files may embed a ##FASTA section (headers + sequence
+        # lines, no tabs) — only 9-field records are features
+        # (FeatureDatasetSuite "ignore FASTA sequence in GFF3 file")
+        & (F.size(F.split(F.col("value"), "\t")) >= 8)
     )
     t = F.split(F.col("value"), "\t")
     return lines, t

@@ -190,3 +190,35 @@ def test_fastq_no_bases(spark, tmp_path):
     assert set(rows) == {"empty1", "ok"}
     assert rows["empty1"]["length"] == 0
     assert rows["ok"]["sequence"] == "ACGT"
+
+
+def test_bed12_roundtrip_and_gff3_fasta_section(spark, tmp_path):
+    """FeatureDatasetSuite 'round trip BED12 format' + 'ignore FASTA
+    sequence in GFF3 file'."""
+    from adam_spark.sources.features_io import load_bed, load_gff3, save_bed
+
+    bed = tmp_path / "in12.bed"
+    line = "chr1\t100\t500\tg1\t5.0\t+\t120\t480\t255,0,0\t2\t100,100\t0,300"
+    bed.write_text(line + "\nchr2\t5\t9\tthin\t1.0\t-\n")
+    gf = load_bed(spark, str(bed))
+    out = str(tmp_path / "out.bed")
+    save_bed(gf, out, single_file=True)
+    import os as _os
+    text = "".join(
+        open(_os.path.join(out, f)).read()
+        for f in sorted(_os.listdir(out)) if f.startswith("part-")
+    )
+    assert line in text
+    assert "chr2\t5\t9\tthin\t1.0\t-" in text
+    back = load_bed(spark, out)
+    r = {x["name"]: x for x in back.df.collect()}
+    assert r["g1"]["attributes"]["blockStarts"] == "0,300"
+
+    gff = tmp_path / "f.gff3"
+    gff.write_text(
+        "##gff-version 3\n"
+        "chr1\tsrc\tgene\t1\t100\t.\t+\t.\tID=g1\n"
+        "##FASTA\n>chr1\nACGTACGT\nACGT\n"
+    )
+    rows = load_gff3(spark, str(gff)).df.collect()
+    assert len(rows) == 1 and rows[0]["referenceName"] == "chr1"
