@@ -49,10 +49,15 @@ def _tnull(dtype) -> Column:
 
 
 def _info_map(info: Column) -> Column:
-    """INFO string → map<string,string>; flags get value 'true'."""
+    """INFO string → map<string,string>; flags get value 'true'; a
+    missing INFO field ('.') is an empty map (VariantContextDatasetSuite
+    'load a gvcf with a missing info field set to .')."""
     return F.map_from_entries(
         F.transform(
-            F.filter(F.split(info, ";"), lambda x: F.length(F.trim(x)) > 0),
+            F.filter(
+                F.split(info, ";"),
+                lambda x: (F.length(F.trim(x)) > 0) & (F.trim(x) != "."),
+            ),
             lambda kv: F.struct(
                 F.substring_index(kv, "=", 1).alias("k"),
                 F.when(

@@ -261,3 +261,24 @@ def test_gvcf_non_ref_alleles(spark, tmp_path):
     # <NON_REF> → OTHER_ALT
     assert g1["alleles"] == ["ALT", "OTHER_ALT"]
     assert g1["alternateReadDepth"] == 8
+
+
+def test_vcf_inf_nan_and_dot_info(spark, tmp_path):
+    """VariantContextDatasetSuite: '+Inf/-Inf' and 'nan' float values
+    parse; INFO '.' is an empty attribute map."""
+    p = tmp_path / "w.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.3\n##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tG\t+Inf\tPASS\t.\n"
+        "chr1\t200\t.\tC\tT\tnan\tPASS\tAF=-Inf\n"
+    )
+    import math
+
+    rows = sorted(vcf_io.load_vcf(spark, str(p)).df.collect(),
+                  key=lambda r: r["start"])
+    v0, v1 = rows[0]["variant"], rows[1]["variant"]
+    assert math.isinf(v0["quality"]) and v0["quality"] > 0
+    assert v0["annotation"]["attributes"] == {}
+    assert math.isnan(v1["quality"])
+    assert math.isinf(v1["annotation"]["alleleFrequency"])
