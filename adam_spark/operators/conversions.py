@@ -107,6 +107,30 @@ def sequences_to_slices(sequences: DataFrame) -> DataFrame:
     )
 
 
+def slices_to_sequences(slices: DataFrame) -> DataFrame:
+    """Each slice becomes its own SEQUENCE record
+    (reference: SliceDataset.toSequences)."""
+    return slices.select(
+        "name", "description", "alphabet", "sequence",
+        F.col("length"), "sampleId", "attributes",
+    )
+
+
+def slices_to_reads(slices: DataFrame) -> DataFrame:
+    """(reference: SliceDataset.toReads)."""
+    return slices.select(
+        "name",
+        "description",
+        "alphabet",
+        "sequence",
+        "length",
+        F.lit(None).cast("string").alias("qualityScores"),
+        F.lit(None).cast("string").alias("qualityScoreVariant"),
+        "sampleId",
+        "attributes",
+    )
+
+
 def slice_sequences(sequences: DataFrame, maximum_length: int) -> DataFrame:
     """Window sequences into fixed-size slices
     (reference: SequenceDataset.slice :306-407). posexplode over window

@@ -96,3 +96,23 @@ def test_reassemble_read_pairs(spark):
     assert {(r["readName"], r["readInFragment"]) for r in rows} == {
         ("a", 0), ("a", 1), ("b", 0), ("b", 1),
     }
+
+
+def test_slices_to_sequences_and_reads(spark, tmp_path):
+    """SliceDatasetSuite 'convert slices to sequences' / 'to reads':
+    each slice projects to its own record, quality columns null."""
+    from adam_spark.operators.conversions import (
+        slices_to_reads,
+        slices_to_sequences,
+    )
+    from adam_spark.sources.fasta import load_fasta_slices
+
+    fa = tmp_path / "s.fa"
+    fa.write_text(">chrA\n" + "ACGT" * 6 + "\n")
+    slices = load_fasta_slices(spark, str(fa), 10).df
+    seqs = slices_to_sequences(slices).collect()
+    assert [len(r["sequence"]) for r in sorted(seqs, key=lambda r: -r["length"])] == [10, 10, 4]
+    assert all(r["name"] == "chrA" for r in seqs)
+    reads = slices_to_reads(slices).collect()
+    assert len(reads) == 3
+    assert all(r["qualityScores"] is None for r in reads)
