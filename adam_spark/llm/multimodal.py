@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -1217,3 +1218,129 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest((F.col("duration_ms") - 1) / every_ms, F.lit(0)).cast("long"))
         ).alias("frame_idx", "step"),
     ).select("asset_id", "frame_idx", (F.col("step") * every_ms).alias("ts_ms"))
+
+
+def decode_wav(data: bytes):
+    """REAL PCM WAV decode (stdlib struct + numpy — PCM is raw, no
+    codec): returns (samples float64 in [-1, 1] mono-mixed, rate).
+    Supports PCM 8/16/32-bit int and 32-bit float (format tags 1 and
+    3); compressed WAV (ADPCM etc.) raises NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    p = 12
+    fmt = None
+    pcm = None
+    while p + 8 <= len(data):
+        cid = data[p : p + 4]
+        csize = struct.unpack_from("<I", data, p + 4)[0]
+        body = data[p + 8 : p + 8 + csize]
+        if cid == b"fmt ":
+            tag, n_ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            fmt = (tag, n_ch, rate, bits)
+        elif cid == b"data":
+            pcm = body
+        p += 8 + csize + (csize & 1)
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    tag, n_ch, rate, bits = fmt
+    if tag == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(pcm, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"PCM bit depth {bits}")
+    elif tag == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(pcm, dtype="<f4").astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV format tag {tag} (compressed WAV)")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("zero_crossing_rate", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio rows → REAL waveform features from the decoded PCM
+    (duration, RMS level, peak, zero-crossing rate — the standard
+    cheap audio-quality/VAD signals). Arrow-batched mapInPandas over
+    the ``audio`` rows only; pure map stage, no shuffle. Undecodable
+    rows yield null features rather than failing the batch (bad assets
+    are data, not errors, at corpus scale)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "asset_id": [], "n_samples": [], "sample_rate": [],
+                "duration_ms": [], "rms": [], "peak": [],
+                "zero_crossing_rate": [],
+            }
+            for aid, d in zip(pdf["asset_id"], pdf["data"]):
+                out["asset_id"].append(aid)
+                try:
+                    x, rate = decode_wav(bytes(d))
+                except Exception:
+                    for k in ("n_samples", "sample_rate", "duration_ms",
+                              "rms", "peak", "zero_crossing_rate"):
+                        out[k].append(None)
+                    continue
+                n = len(x)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(int(rate))
+                out["duration_ms"].append(int(n * 1000 / rate) if rate else None)
+                if n:
+                    out["rms"].append(float(np.sqrt(np.mean(x * x))))
+                    out["peak"].append(float(np.max(np.abs(x))))
+                    out["zero_crossing_rate"].append(
+                        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                        if n > 1 else 0.0
+                    )
+                else:
+                    out["rms"].append(0.0)
+                    out["peak"].append(0.0)
+                    out["zero_crossing_rate"].append(0.0)
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("media_type") == "audio").mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def encode_wav(samples, rate: int, bits: int = 16) -> bytes:
+    """Minimal real PCM WAV writer (mono) — the test/fixture twin of
+    :func:`decode_wav`."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if bits == 16:
+        pcm = (np.clip(x, -1, 1) * 32767.0).astype("<i2").tobytes()
+    elif bits == 8:
+        pcm = (np.clip(x, -1, 1) * 127.0 + 128.0).astype(np.uint8).tobytes()
+    else:
+        raise NotImplementedError(f"encode bit depth {bits}")
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * bits // 8, bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body

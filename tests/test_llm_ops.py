@@ -1770,3 +1770,49 @@ def test_gopher_quality_rule_battery(spark):
     assert not out[9]["ok_top_4gram"]
     for i in range(1, 10):
         assert not out[i]["keep"]
+
+
+def test_audio_decode_and_features(spark):
+    """Real PCM WAV decode + waveform features: a synthesized sine
+    round-trips through encode_wav/decode_wav within quantization
+    error, and extract_audio_features computes RMS/peak/ZCR over the
+    audio rows (bad assets yield null features, not errors)."""
+    import math
+
+    import numpy as np
+
+    from adam_spark.llm.multimodal import (
+        MEDIA,
+        decode_wav,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wav = encode_wav(sine, rate)
+    x, r = decode_wav(wav)
+    assert r == rate and len(x) == rate
+    assert float(np.max(np.abs(x - sine))) < 1e-3  # 16-bit quantization
+    # stereo mixes down; 8-bit decodes
+    import struct
+    wav8 = encode_wav(sine[:100], rate, bits=8)
+    x8, _ = decode_wav(wav8)
+    assert float(np.max(np.abs(x8 - sine[:100]))) < 2e-2
+
+    rows = [
+        (1, "audio", "audio/wav", bytearray(wav), None, None, 1000, rate),
+        (2, "audio", "audio/wav", b"not a wav", None, None, None, None),
+        (3, "image", "image/png", b"xxxx", 4, 4, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    got = {r["asset_id"]: r for r in extract_audio_features(media).collect()}
+    assert set(got) == {1, 2}  # image rows filtered out
+    a = got[1]
+    assert a["n_samples"] == rate and a["duration_ms"] == 1000
+    # sine RMS = amp/sqrt(2); 440 Hz crosses zero ~880 times/sec
+    assert abs(a["rms"] - 0.5 / math.sqrt(2)) < 1e-3
+    assert abs(a["peak"] - 0.5) < 1e-3
+    assert abs(a["zero_crossing_rate"] * rate - 880) < 10
+    assert got[2]["rms"] is None and got[2]["n_samples"] is None
