@@ -282,3 +282,42 @@ def test_vcf_inf_nan_and_dot_info(spark, tmp_path):
     assert v0["annotation"]["attributes"] == {}
     assert math.isnan(v1["quality"])
     assert math.isinf(v1["annotation"]["alleleFrequency"])
+
+
+def test_transcript_effect_reference_vectors(spark, tmp_path):
+    """TranscriptEffectConverterSuite VALID and VEP_POSITION fixture
+    strings (suite :34-38, parse assertions :69-91) through the
+    loader's ANN parser."""
+    VALID = ("T|upstream_gene_variant||TAS1R3|ENSG00000169962|transcript|"
+             "ENST00000339381.5|protein_coding|1/2|c.-485C>T|||4|1/42|453|")
+    VEP = ("T|upstream_gene_variant||TAS1R3|ENSG00000169962|transcript|"
+           "ENST00000339381.5|protein_coding|1/2|c.-485C>T|||4-5/420|1/42|453|")
+    p = tmp_path / "ann.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.3\n##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        f"chr1\t100\t.\tC\tT\t50\tPASS\tANN={VALID}\n"
+        f"chr1\t200\t.\tC\tT\t50\tPASS\tANN={VEP}\n"
+    )
+    rows = sorted(vcf_io.load_vcf(spark, str(p)).df.collect(),
+                  key=lambda r: r["start"])
+    te = rows[0]["variant"]["annotation"]["transcriptEffects"][0]
+    assert te["alternateAllele"] == "T"
+    assert te["effects"] == ["upstream_gene_variant"]
+    assert te["geneName"] == "TAS1R3"
+    assert te["geneId"] == "ENSG00000169962"
+    assert te["featureType"] == "transcript"
+    assert te["featureId"] == "ENST00000339381.5"
+    assert te["biotype"] == "protein_coding"
+    assert te["rank"] == 1 and te["total"] == 2
+    assert te["transcriptHgvs"] == "c.-485C>T"
+    assert te["proteinHgvs"] is None
+    assert te["cdnaPosition"] is None and te["cdnaLength"] is None
+    assert te["cdsPosition"] == 4 and te["cdsLength"] is None
+    assert te["proteinPosition"] == 1 and te["proteinLength"] == 42
+    assert te["distance"] == 453
+    assert not te["messages"]
+    # Ensembl VEP interval position: '4-5/420' in the coding-sequence
+    # slot → position 4 (interval start), length 420
+    te2 = rows[1]["variant"]["annotation"]["transcriptEffects"][0]
+    assert te2["cdsPosition"] == 4 and te2["cdsLength"] == 420
