@@ -80,18 +80,31 @@ class TwoBitFile:
         off += 4 * n_block_count
         (mask_count,) = struct.unpack_from(f"{e}I", data, off)
         off += 4
-        off += 8 * mask_count  # skip mask blocks (case-insensitive output)
+        mask_starts = struct.unpack_from(f"{e}{mask_count}I", data, off)
+        off += 4 * mask_count
+        mask_sizes = struct.unpack_from(f"{e}{mask_count}I", data, off)
+        off += 4 * mask_count
         off += 4  # reserved
-        rec = (dna_size, list(zip(n_starts, n_sizes)), off)
+        rec = (
+            dna_size,
+            list(zip(n_starts, n_sizes)),
+            off,
+            list(zip(mask_starts, mask_sizes)),
+        )
         self._cache[name] = rec
         return rec
 
     def length(self, name: str) -> int:
         return self._record(name)[0]
 
-    def extract(self, name: str, start: int, end: int) -> str:
-        """Bases [start, end) of ``name`` (0-based half-open)."""
-        dna_size, n_blocks, base_off = self._record(name)
+    def extract(self, name: str, start: int, end: int,
+                masked: bool = False) -> str:
+        """Bases [start, end) of ``name`` (0-based half-open).
+        ``masked=True`` lowercases soft-masked (mask-block) runs like
+        the UCSC format intends (TwoBitFileSuite "correctly return
+        masked sequences"); the default stays uppercase because every
+        kernel here compares case-insensitively."""
+        dna_size, n_blocks, base_off, mask_blocks = self._record(name)
         start = max(0, start)
         end = min(end, dna_size)
         if end <= start:
@@ -103,7 +116,7 @@ class TwoBitFile:
             shift = (3 - pos % 4) * 2
             out.append(_BASES[(byte >> shift) & 0x3])
         seq = "".join(out)
-        # overlay N blocks
+        # overlay N blocks (and, opt-in, lowercase the mask blocks)
         chars = None
         for bs, bl in n_blocks:
             lo, hi = max(bs, start), min(bs + bl, end)
@@ -112,6 +125,14 @@ class TwoBitFile:
                     chars = list(seq)
                 for p in range(lo, hi):
                     chars[p - start] = "N"
+        if masked:
+            for bs, bl in mask_blocks:
+                lo, hi = max(bs, start), min(bs + bl, end)
+                if lo < hi:
+                    if chars is None:
+                        chars = list(seq)
+                    for p in range(lo, hi):
+                        chars[p - start] = chars[p - start].lower()
         return "".join(chars) if chars is not None else seq
 
     def to_dict(self) -> dict[str, str]:
@@ -120,21 +141,28 @@ class TwoBitFile:
 
 
 def write_2bit(sequences: dict[str, str], path: str) -> None:
-    """Write sequences to a .2bit file (little-endian)."""
+    """Write sequences to a .2bit file (little-endian). Lowercase input
+    runs become mask blocks (UCSC soft-masking convention), mirrored
+    back by ``extract(..., masked=True)``."""
     recs = []
     for name, seq in sequences.items():
         seq_u = seq.upper()
-        n_blocks = []
-        i = 0
-        while i < len(seq_u):
-            if seq_u[i] == "N":
-                j = i
-                while j < len(seq_u) and seq_u[j] == "N":
-                    j += 1
-                n_blocks.append((i, j - i))
-                i = j
-            else:
-                i += 1
+
+        def _runs(pred):
+            blocks, i = [], 0
+            while i < len(seq):
+                if pred(i):
+                    j = i
+                    while j < len(seq) and pred(j):
+                        j += 1
+                    blocks.append((i, j - i))
+                    i = j
+                else:
+                    i += 1
+            return blocks
+
+        n_blocks = _runs(lambda i: seq_u[i] == "N")
+        mask_blocks = _runs(lambda i: seq[i].islower())
         packed = bytearray()
         acc = 0
         for i, b in enumerate(seq_u):
@@ -149,7 +177,9 @@ def write_2bit(sequences: dict[str, str], path: str) -> None:
         body += struct.pack("<I", len(n_blocks))
         body += struct.pack(f"<{len(n_blocks)}I", *[s for s, _ in n_blocks])
         body += struct.pack(f"<{len(n_blocks)}I", *[l for _, l in n_blocks])
-        body += struct.pack("<I", 0)  # mask count
+        body += struct.pack("<I", len(mask_blocks))
+        body += struct.pack(f"<{len(mask_blocks)}I", *[s for s, _ in mask_blocks])
+        body += struct.pack(f"<{len(mask_blocks)}I", *[l for _, l in mask_blocks])
         body += struct.pack("<I", 0)  # reserved
         body += bytes(packed)
         recs.append((name, body))

@@ -92,3 +92,18 @@ def test_md_tagging_with_2bit(spark, tmp_path):
     ).withColumn("mismatchingPositions", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(None).cast("string"))
     out = compute_mismatching_positions(df, tb.to_dict())
     assert out.collect()[0]["mismatchingPositions"] == "2A5"
+
+
+def test_2bit_mask_blocks(tmp_path):
+    """TwoBitFileSuite 'correctly return masked sequences': lowercase
+    input runs round-trip as mask blocks; default extract stays
+    uppercase, masked=True restores the soft-masked case, N blocks
+    win over masking."""
+    from adam_spark.sources.reference_file import TwoBitFile, write_2bit
+
+    p = str(tmp_path / "m.2bit")
+    write_2bit({"chrM": "ACGTacgtNNNNacGT"}, p)
+    tb = TwoBitFile(p)
+    assert tb.extract("chrM", 0, 16) == "ACGTACGTNNNNACGT"
+    assert tb.extract("chrM", 0, 16, masked=True) == "ACGTacgtNNNNacGT"
+    assert tb.extract("chrM", 2, 7, masked=True) == "GTacg"
