@@ -177,6 +177,25 @@ def header_metadata_from_lines(
                 )
             )
         elif parts[0] == "@RG" and "ID" in fields:
+            pi = fields.get("PI")
+            try:
+                pi = int(pi) if pi is not None else None
+            except ValueError:
+                _bad(f"@RG header line with non-integer PI: {line!r}")
+                pi = None
+            dt = fields.get("DT")
+            epoch = None
+            if dt:
+                try:
+                    from datetime import datetime, timezone
+
+                    epoch = int(
+                        datetime.fromisoformat(dt)
+                        .replace(tzinfo=timezone.utc)
+                        .timestamp()
+                    )
+                except ValueError:
+                    _bad(f"@RG header line with unparseable DT: {line!r}")
             rgs.append(
                 ReadGroup(
                     id=fields["ID"],
@@ -185,6 +204,11 @@ def header_metadata_from_lines(
                     platform=fields.get("PL"),
                     platformUnit=fields.get("PU"),
                     sequencingCenter=fields.get("CN"),
+                    description=fields.get("DS"),
+                    runDateEpoch=epoch,
+                    flowOrder=fields.get("FO"),
+                    keySequence=fields.get("KS"),
+                    predictedMedianInsertSize=pi,
                 )
             )
     return GenomicMetadata(
@@ -258,12 +282,20 @@ def sam_header_lines(meta: GenomicMetadata, pg_line: str | None = None) -> list[
         header.append(f"@SQ\tSN:{r.name}" + (f"\tLN:{r.length}" if r.length else ""))
     for g in meta.read_groups:
         rg = f"@RG\tID:{g.id}"
-        if g.sampleId:
-            rg += f"\tSM:{g.sampleId}"
-        if g.library:
-            rg += f"\tLB:{g.library}"
-        if g.platform:
-            rg += f"\tPL:{g.platform}"
+        for tag, val in (
+            ("SM", g.sampleId), ("LB", g.library), ("PL", g.platform),
+            ("PU", g.platformUnit), ("CN", g.sequencingCenter),
+            ("DS", g.description), ("FO", g.flowOrder),
+            ("KS", g.keySequence), ("PI", g.predictedMedianInsertSize),
+        ):
+            if val is not None:
+                rg += f"\t{tag}:{val}"
+        if g.runDateEpoch is not None:
+            from datetime import datetime, timezone
+
+            rg += "\tDT:" + datetime.fromtimestamp(
+                g.runDateEpoch, tz=timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
         header.append(rg)
     if pg_line:
         header.append(pg_line)

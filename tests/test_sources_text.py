@@ -222,3 +222,28 @@ def test_bed12_roundtrip_and_gff3_fasta_section(spark, tmp_path):
     )
     rows = load_gff3(spark, str(gff)).df.collect()
     assert len(rows) == 1 and rows[0]["referenceName"] == "chr1"
+
+
+def test_read_group_full_field_roundtrip(spark, tmp_path):
+    """ReadGroupDictionarySuite 'round trip a record with all
+    attributes set': every @RG field survives SAM save -> load."""
+    from adam_spark.sources.sam import load_sam, save_sam
+
+    p = tmp_path / "rg.sam"
+    p.write_text(
+        "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\n"
+        "@RG\tID:rg1\tSM:s1\tLB:lib1\tPL:ILLUMINA\tPU:unit1\tCN:center\t"
+        "DS:my group\tFO:ACGT\tKS:TTT\tPI:350\tDT:2020-01-02T00:00:00\n"
+        "r1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\tIIII\tRG:Z:rg1\n"
+    )
+    gf = load_sam(spark, str(p))
+    g = gf.meta.read_groups[0]
+    assert (g.platformUnit, g.sequencingCenter) == ("unit1", "center")
+    assert g.description == "my group"
+    assert (g.flowOrder, g.keySequence) == ("ACGT", "TTT")
+    assert g.predictedMedianInsertSize == 350
+    assert g.runDateEpoch == 1577923200
+    out = str(tmp_path / "out.sam")
+    save_sam(gf, out)
+    g2 = load_sam(spark, out).meta.read_groups[0]
+    assert g2 == g
