@@ -247,3 +247,20 @@ def test_read_group_full_field_roundtrip(spark, tmp_path):
     save_sam(gf, out)
     g2 = load_sam(spark, out).meta.read_groups[0]
     assert g2 == g
+
+
+def test_interval_list_sp_header_with_space(spark, tmp_path):
+    """FeatureDatasetSuite 'allow space in IntervalList SP header
+    value': tab-delimited header fields keep internal spaces."""
+    from adam_spark.sources.features_io import load_interval_list
+
+    p = tmp_path / "t.interval_list"
+    p.write_text(
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        "@SQ\tSN:chr1\tLN:1000\tSP:Homo sapiens\tAS:GRCh38 p14\n"
+        "chr1\t11\t20\t+\tr1\n"
+    )
+    gf = load_interval_list(spark, str(p))
+    assert gf.meta.references["chr1"].length == 1000
+    r = gf.df.collect()[0]
+    assert (r["start"], r["end"]) == (10, 20)
