@@ -161,6 +161,12 @@ FEATURE = StructType(
         _f("transcriptId", StringType()),
         _f("exonId", StringType()),
         _f("proteinId", StringType()),
+        _f("sampleId", StringType()),
+        _f("target", StringType()),
+        _f("gap", StringType()),
+        _f("derivesFrom", StringType()),
+        _f("aliases", ArrayType(StringType(), True)),
+        _f("notes", ArrayType(StringType(), True)),
         _f("parentIds", ArrayType(StringType(), True)),
         _f("dbxrefs", ArrayType(StringType(), True)),
         _f("ontologyTerms", ArrayType(StringType(), True)),

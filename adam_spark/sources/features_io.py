@@ -166,11 +166,141 @@ def save_narrowpeak(gf: GenomicFrame, path: str, single_file: bool = False) -> N
 
 
 # --- GTF / GFF3 -----------------------------------------------------------
-_GFF_COLS = [
-    ("referenceName", 1, "string"),
-    ("source", 2, "string"),
-    ("featureType", 3, "string"),
+# Attribute keys recognized by Features.assignAttributes
+# (reference Features.scala:125-170); everything else stays in the
+# attributes map. On save, Features.gatherAttributes
+# (Features.scala:188-212) re-emits the typed fields in this order,
+# followed by the attributes map.
+_SCALAR_ATTR_FIELDS = [
+    ("ID", "featureId"),
+    ("Name", "name"),
+    ("Target", "target"),
+    ("Gap", "gap"),
+    ("Derives_from", "derivesFrom"),
+    ("gene_id", "geneId"),
+    ("transcript_id", "transcriptId"),
+    ("exon_id", "exonId"),
+    ("protein_id", "proteinId"),
+    ("sampleId", "sampleId"),
 ]
+_LIST_ATTR_FIELDS = [
+    ("Alias", "aliases"),
+    ("Note", "notes"),
+    ("Parent", "parentIds"),
+    ("Dbxref", "dbxrefs"),
+    ("Ontology_term", "ontologyTerms"),
+]
+_RECOGNIZED_ATTR_KEYS = (
+    [k for k, _ in _SCALAR_ATTR_FIELDS]
+    + [k for k, _ in _LIST_ATTR_FIELDS]
+    + ["Is_circular"]
+)
+
+_EMPTY_ATTR_MAP = "cast(map() as map<string,string>)"
+
+
+def _assign_attributes(kvs: Column) -> dict:
+    """Split parsed ``array<struct<k,v>>`` attribute entries into typed
+    feature columns + the residual attributes map, mirroring
+    Features.assignAttributes (Features.scala:125-170): scalars take the
+    last occurrence (repeated setX calls), list fields collect every
+    occurrence and are null when empty, unrecognized keys fall through
+    to ``attributes`` with last-one-wins dedup."""
+
+    def vals_of(key: str) -> Column:
+        return F.transform(
+            F.filter(kvs, lambda x: x["k"] == key), lambda x: x["v"]
+        )
+
+    cols = {}
+    for key, field in _SCALAR_ATTR_FIELDS:
+        cols[field] = F.try_element_at(vals_of(key), F.lit(-1))
+    for key, field in _LIST_ATTR_FIELDS:
+        vals = vals_of(key)
+        if field in ("dbxrefs", "ontologyTerms"):
+            # toDbxref/toOntologyTerm (Features.scala:78-111) drop values
+            # lacking ':'. Deliberate divergence: the reference splits the
+            # value into (db, ':accession') keeping the colon, so its own
+            # re-save doubles the colon ("EMBL::AA816246"); we keep the raw
+            # string, which round-trips bit-exactly.
+            vals = F.filter(vals, lambda v: F.instr(v, ":") > 0)
+        cols[field] = F.when(F.size(vals) > 0, vals)
+    circ = F.lower(F.try_element_at(vals_of("Is_circular"), F.lit(-1)))
+    cols["circular"] = (
+        F.when(circ == "true", F.lit(True)).when(circ == "false", F.lit(False))
+    )
+    remaining = F.filter(
+        kvs, lambda x: ~x["k"].isin(_RECOGNIZED_ATTR_KEYS)
+    )
+    # Fold map_filter+map_concat so duplicate keys never collide under the
+    # default EXCEPTION dedup policy; last occurrence wins like the
+    # reference's `remaining += entry` into a mutable map.
+    cols["attributes"] = F.when(
+        F.size(remaining) > 0,
+        F.aggregate(
+            remaining,
+            F.expr(_EMPTY_ATTR_MAP),
+            lambda m, x: F.map_concat(
+                F.map_filter(m, lambda k, _: k != x["k"]),
+                F.map_from_arrays(F.array(x["k"]), F.array(x["v"])),
+            ),
+        ),
+    )
+    return cols
+
+
+def _gather_attributes() -> Column:
+    """Rebuild the attribute entry list from the typed feature columns,
+    as ``array<struct<k,v>>`` in Features.gatherAttributes order
+    (Features.scala:188-212): ID, Name, Target, Gap, Derives_from,
+    Is_circular, gene_id, transcript_id, exon_id, protein_id, sampleId,
+    then each list field one entry per element, then the attributes map
+    (sorted by key — the reference emits hash order; its suite pins a
+    sorted-looking sequence, so we sort deterministically)."""
+
+    def kv(key: str, col: Column) -> Column:
+        return F.when(
+            col.isNotNull(),
+            F.struct(F.lit(key).alias("k"), col.cast("string").alias("v")),
+        )
+
+    order = [
+        ("ID", F.col("featureId")),
+        ("Name", F.col("name")),
+        ("Target", F.col("target")),
+        ("Gap", F.col("gap")),
+        ("Derives_from", F.col("derivesFrom")),
+        (
+            "Is_circular",
+            F.when(F.col("circular"), "true").when(~F.col("circular"), "false"),
+        ),
+        ("gene_id", F.col("geneId")),
+        ("transcript_id", F.col("transcriptId")),
+        ("exon_id", F.col("exonId")),
+        ("protein_id", F.col("proteinId")),
+        ("sampleId", F.col("sampleId")),
+    ]
+    scalars = F.filter(
+        F.array(*[kv(k, c) for k, c in order]), lambda x: x.isNotNull()
+    )
+
+    def list_kv(key: str, field: str) -> Column:
+        return F.transform(
+            F.coalesce(F.col(field), F.expr("cast(array() as array<string>)")),
+            lambda v: F.struct(F.lit(key).alias("k"), v.alias("v")),
+        )
+
+    attrs_sorted = F.transform(
+        F.array_sort(
+            F.map_entries(F.coalesce(F.col("attributes"), F.expr(_EMPTY_ATTR_MAP)))
+        ),
+        lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+    )
+    return F.concat(
+        scalars,
+        *[list_kv(k, f) for k, f in _LIST_ATTR_FIELDS],
+        attrs_sorted,
+    )
 
 
 def _gxf_base(spark: SparkSession, path: str):
@@ -194,16 +324,19 @@ def load_gtf(spark: SparkSession, path: str) -> GenomicFrame:
     """GTF2 with `key "value";` attributes (reference: GTFParser);
     1-based closed → 0-based half-open."""
     lines, t = _gxf_base(spark, path)
-    attrs = F.try_element_at(t, F.lit(9))
-    # gene_id "g1"; transcript_id "t1"; → map
-    pairs = F.expr(
-        r"""map_from_entries(
+    # `key "value"; ...` → entries; tokens that don't match the
+    # GTFParser PATTERN `\s*([^\s]+)\s"([^"]+)"` are dropped
+    # (FeatureParser.scala:60-74).
+    kvs = F.expr(
+        r"""filter(
           transform(
-            filter(split(try_element_at(split(value, '\t'), 9), ';'), x -> length(trim(x)) > 0),
+            split(try_element_at(split(value, '\t'), 9), ';'),
             x -> struct(
               trim(regexp_extract(x, '^\\s*(\\S+)\\s+', 1)) as k,
-              regexp_extract(x, '"([^"]*)"', 1) as v)))"""
+              regexp_extract(x, '"([^"]+)"', 1) as v)),
+          x -> length(x.k) > 0 and length(x.v) > 0)"""
     )
+    assigned = _assign_attributes(kvs)
     df = lines.select(
         F.try_element_at(t, F.lit(1)).alias("referenceName"),
         _dotnull(F.try_element_at(t, F.lit(2))).alias("source"),
@@ -213,24 +346,21 @@ def load_gtf(spark: SparkSession, path: str) -> GenomicFrame:
         _dotnull(F.try_element_at(t, F.lit(6))).try_cast("double").alias("score"),
         _strand(F.try_element_at(t, F.lit(7))).alias("strand"),
         _dotnull(F.try_element_at(t, F.lit(8))).try_cast("int").alias("frame"),
-        pairs.alias("attributes"),
-    )
-    df = (
-        df.withColumn("geneId", F.col("attributes").getItem("gene_id"))
-        .withColumn("transcriptId", F.col("attributes").getItem("transcript_id"))
-        .withColumn("exonId", F.col("attributes").getItem("exon_id"))
+        *[c.alias(name) for name, c in assigned.items()],
     )
     return GenomicFrame(_conform(df), GenomicMetadata(kind="feature"))
 
 
 def save_gtf(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
-    attr = F.concat_ws(
-        "; ",
-        F.when(F.col("geneId").isNotNull(), F.concat(F.lit('gene_id "'), F.col("geneId"), F.lit('"'))),
-        F.when(
-            F.col("transcriptId").isNotNull(),
-            F.concat(F.lit('transcript_id "'), F.col("transcriptId"), F.lit('"')),
+    """GTF save with full gatherAttributes parity: every typed field plus
+    the attributes map re-emitted as `key "value"; ...`
+    (FeatureDataset.scala:161-176 toGtf)."""
+    attr = F.array_join(
+        F.transform(
+            _gather_attributes(),
+            lambda x: F.concat(x["k"], F.lit(' "'), x["v"], F.lit('"')),
         ),
+        "; ",
     )
     df = _conform(gf.df).select(
         F.concat_ws(
@@ -253,14 +383,20 @@ def load_gff3(spark: SparkSession, path: str) -> GenomicFrame:
     """GFF3 with `key=value;` attributes (reference: GFF3Parser)."""
     lines, t = _gxf_base(spark, path)
     attrs_col = F.try_element_at(t, F.lit(9))
-    amap = F.expr(
-        r"""map_from_entries(
-          transform(
-            filter(split(try_element_at(split(value, '\t'), 9), ';'), x -> instr(x, '=') > 0),
-            x -> struct(
-              trim(try_element_at(split(x, '='), 1)) as k,
-              trim(try_element_at(split(x, '='), 2)) as v)))"""
+    # `key=value;...` → entries, split on the FIRST '=' only so values
+    # containing '=' survive (GFF3Parser.parseAttributes,
+    # FeatureParser.scala:135-147). Multi-valued keys (repeated entries)
+    # are preserved; comma-joined values stay one entry, matching the
+    # reference (which never comma-splits) so they round-trip verbatim.
+    kvs = F.expr(
+        r"""transform(
+          filter(split(try_element_at(split(value, '\t'), 9), ';'),
+                 x -> instr(x, '=') > 0),
+          x -> struct(
+            trim(substr(x, 1, instr(x, '=') - 1)) as k,
+            substr(x, instr(x, '=') + 1) as v))"""
     )
+    assigned = _assign_attributes(kvs)
     df = lines.select(
         F.try_element_at(t, F.lit(1)).alias("referenceName"),
         _dotnull(F.try_element_at(t, F.lit(2))).alias("source"),
@@ -270,31 +406,25 @@ def load_gff3(spark: SparkSession, path: str) -> GenomicFrame:
         _dotnull(F.try_element_at(t, F.lit(6))).try_cast("double").alias("score"),
         _strand(F.try_element_at(t, F.lit(7))).alias("strand"),
         _dotnull(F.try_element_at(t, F.lit(8))).try_cast("int").alias("phase"),
-        amap.alias("attributes"),
-    )
-    df = (
-        df.withColumn("featureId", F.col("attributes").getItem("ID"))
-        .withColumn("name", F.col("attributes").getItem("Name"))
-        .withColumn(
-            "parentIds",
-            F.when(
-                F.col("attributes").getItem("Parent").isNotNull(),
-                F.split(F.col("attributes").getItem("Parent"), ","),
-            ),
-        )
+        *[c.alias(name) for name, c in assigned.items()],
     )
     return GenomicFrame(_conform(df), GenomicMetadata(kind="feature"))
 
 
+GFF3_HEADER = "##gff-version 3.2.1"  # GFF3HeaderWriter.scala:28
+
+
 def save_gff3(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
-    attr = F.concat_ws(
-        ";",
-        F.when(F.col("featureId").isNotNull(), F.concat(F.lit("ID="), F.col("featureId"))),
-        F.when(F.col("name").isNotNull(), F.concat(F.lit("Name="), F.col("name"))),
-        F.when(
-            (F.col("parentIds").isNotNull()) & (F.size("parentIds") > 0),
-            F.concat(F.lit("Parent="), F.concat_ws(",", F.col("parentIds"))),
+    """GFF3 save with full gatherAttributes parity (`key=value;...`,
+    FeatureDataset.scala:259-274 toGff3). Single-file saves start with
+    the `##gff-version 3.2.1` pragma (GFF3HeaderWriter, wired at
+    FeatureDataset.scala:806-812 — header only when asSingleFile)."""
+    attr = F.array_join(
+        F.transform(
+            _gather_attributes(),
+            lambda x: F.concat(x["k"], F.lit("="), x["v"]),
         ),
+        ";",
     )
     df = _conform(gf.df).select(
         F.concat_ws(
@@ -310,7 +440,18 @@ def save_gff3(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
             attr,
         ).alias("value")
     )
-    (df.coalesce(1) if single_file else df).write.text(path)
+    if single_file:
+        hdr = df.sparkSession.createDataFrame([(GFF3_HEADER,)], "value string")
+        out = (
+            hdr.select(F.lit(0).alias("__o"), "value")
+            .unionByName(df.select(F.lit(1).alias("__o"), "value"))
+            .coalesce(1)
+            .sortWithinPartitions("__o")
+            .select("value")
+        )
+        out.write.text(path)
+    else:
+        df.write.text(path)
 
 
 # --- IntervalList ---------------------------------------------------------

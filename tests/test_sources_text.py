@@ -264,3 +264,98 @@ def test_interval_list_sp_header_with_space(spark, tmp_path):
     assert gf.meta.references["chr1"].length == 1000
     r = gf.df.collect()[0]
     assert (r["start"], r["end"]) == (10, 20)
+
+
+def _single_part(out_dir):
+    import os
+
+    part = [f for f in sorted(os.listdir(out_dir)) if f.startswith("part-")][0]
+    return open(os.path.join(out_dir, part)).read()
+
+
+def test_gff3_round_trip_attribute_complete(spark, tmp_path):
+    """FeatureDatasetSuite 'round trip GFF3 format' (:221-255) widened to
+    every typed field Features.gatherAttributes emits
+    (Features.scala:188-212): single-file saves start with the
+    ##gff-version 3.2.1 pragma (GFF3HeaderWriter.scala:28), the first
+    gene's attributes re-emit as ID;Name;<remaining>, and a fully loaded
+    feature (Target/Gap/Derives_from/Is_circular/exon_id/sampleId/
+    Alias*/Note*/Parent/Dbxref/Ontology_term/custom) survives the
+    save->load cycle field-exact with a textually idempotent second save."""
+    from adam_spark.sources.features_io import GFF3_HEADER, load_gff3, save_gff3
+
+    p = tmp_path / "dvl1_shape.gff3"
+    p.write_text(
+        "##gff-version 3\n"
+        "##sequence-region 1 1 248956422\n"
+        "\n"
+        "1\tEnsembl\tgene\t1331314\t1335306\t.\t+\t.\t"
+        "ID=ENSG0001;Name=ENSG0001;biotype=protein_coding\n"
+        "1\tEnsembl\ttranscript\t1331314\t1335306\t.\t+\t.\t"
+        "ID=ENST0001;Name=ENST0001;Parent=ENSG0001;biotype=protein_coding\n"
+        "1\thavana\texon\t1331314\t1331500\t.\t+\t.\t"
+        "ID=ENSE0001;Parent=ENST0001,ENST0002;exon_id=ENSE0001;"
+        "Dbxref=EMBL:AA816246;Ontology_term=SO:0000147;Alias=ex1;Alias=ex1b;"
+        "Note=first exon;Target=EST23 1 187;Gap=M187;Derives_from=ENST0009;"
+        "Is_circular=false;sampleId=s1;custom=x=y\n"
+    )
+    gf = load_gff3(spark, str(p))
+    r = {x["featureId"]: x for x in gf.df.collect()}["ENSE0001"]
+    # Parent stays one comma-joined entry: the reference never splits on
+    # ',' (Features.scala:156 appends entry._2 verbatim)
+    assert r["parentIds"] == ["ENST0001,ENST0002"]
+    assert r["aliases"] == ["ex1", "ex1b"] and r["notes"] == ["first exon"]
+    assert r["dbxrefs"] == ["EMBL:AA816246"]
+    assert r["ontologyTerms"] == ["SO:0000147"]
+    assert (r["target"], r["gap"], r["derivesFrom"]) == ("EST23 1 187", "M187", "ENST0009")
+    assert r["circular"] is False and r["sampleId"] == "s1"
+    assert r["exonId"] == "ENSE0001"
+    # '=' inside a value survives the first-'=' split
+    assert dict(r["attributes"]) == {"custom": "x=y"}
+
+    out = str(tmp_path / "out.gff3")
+    save_gff3(gf, out, single_file=True)
+    lines = _single_part(out).splitlines()
+    assert lines[0] == GFF3_HEADER
+    gene = [l for l in lines if "\tgene\t" in l][0]
+    assert gene.split("\t")[8] == "ID=ENSG0001;Name=ENSG0001;biotype=protein_coding"
+
+    back = load_gff3(spark, out)
+    assert sorted(map(tuple, gf.df.collect())) == sorted(map(tuple, back.df.collect()))
+    out2 = str(tmp_path / "out2.gff3")
+    save_gff3(back, out2, single_file=True)
+    assert _single_part(out) == _single_part(out2)
+
+
+def test_gtf_round_trip_attribute_complete(spark, tmp_path):
+    """FeatureDatasetSuite 'round trip GTF format' (:114-147): typed
+    gene_id/transcript_id lead the attribute column, the remaining
+    attributes map follows sorted by key (the suite pins gene_biotype,
+    gene_name, gene_source in that order), and reload is field-exact."""
+    from adam_spark.sources.features_io import load_gtf, save_gtf
+
+    p = tmp_path / "ens_shape.gtf"
+    p.write_text(
+        '1\tpseudogene\tgene\t11869\t14412\t.\t+\t.\t'
+        'gene_id "ENSGX"; gene_name "DDX11L1"; gene_source "ensembl_havana"; '
+        'gene_biotype "pseudogene";\n'
+        '1\tprocessed_transcript\ttranscript\t11869\t14409\t.\t+\t.\t'
+        'gene_id "ENSGX"; transcript_id "ENSTX"; gene_name "DDX11L1"; '
+        'gene_source "ensembl_havana"; gene_biotype "pseudogene"; '
+        'transcript_name "DDX11L1-002"; transcript_source "havana";\n'
+    )
+    gf = load_gtf(spark, str(p))
+    out = str(tmp_path / "out.gtf")
+    save_gtf(gf, out, single_file=True)
+    gene = [l for l in _single_part(out).splitlines() if "\tgene\t" in l][0]
+    cols = gene.split("\t")
+    assert cols[:8] == ["1", "pseudogene", "gene", "11869", "14412", ".", "+", "."]
+    attrs = [a.strip() for a in cols[8].split(";")]
+    assert attrs == [
+        'gene_id "ENSGX"',
+        'gene_biotype "pseudogene"',
+        'gene_name "DDX11L1"',
+        'gene_source "ensembl_havana"',
+    ]
+    back = load_gtf(spark, out)
+    assert sorted(map(tuple, gf.df.collect())) == sorted(map(tuple, back.df.collect()))
