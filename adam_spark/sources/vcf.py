@@ -179,13 +179,83 @@ def _variant_struct(ai: Column, n_alts: Column) -> Column:
     )
 
 
+# PhredUtils.scala:52-53
+_MLOG10_DIV10 = -2.302585092994046 / 10.0
+_M10_DIV_LOG10 = -10.0 / 2.302585092994046
+
+
+def _phred_to_log_prob(p: Column) -> Column:
+    """PhredUtils.phredToLogProbability (PhredUtils.scala:57-63): a
+    phred-scaled int as the natural log of the success probability
+    ``1 - 10^(-p/10)``. p <= 0 gives ln(0) = -Inf (Spark's log() would
+    return null there, so it is special-cased); below phred 156 the
+    reference rounds through Float; above it uses log1p(-exp(...)) to
+    dodge double underflow."""
+    low = (
+        F.log(F.lit(1.0) - F.pow(F.lit(10.0), -p.cast("double") / F.lit(10.0)))
+        .cast("float")
+        .cast("double")
+    )
+    high = F.log1p(-F.exp(p.cast("double") * F.lit(_MLOG10_DIV10)))
+    return (
+        F.when(p <= 0, F.lit(float("-inf")))
+        .when(p < 156, low)
+        .otherwise(high)
+    )
+
+
+def _log_prob_to_phred(lp: Column) -> Column:
+    """PhredUtils.logProbabilityToPhred (PhredUtils.scala:110-115):
+    inverse of :func:`_phred_to_log_prob`; 0.0 clips to the phred-3233
+    underflow floor."""
+    return F.when(lp == 0.0, F.lit(3233)).otherwise(
+        F.round(F.lit(_M10_DIV_LOG10) * F.log(-F.expm1(lp))).cast("int")
+    )
+
+
+def _diploid_pl_positions(j: Column):
+    """1-based positions of the diploid PL entries for allele pair
+    (0, j): GenotypeLikelihoods.getPLIndecesOfAlleles(0, j) =
+    [0, j(j+1)/2, j(j+1)/2 + j] (VariantContextConverter.scala:1845-1850),
+    shifted +1 for element_at."""
+    mid = (j * (j + 1) / F.lit(2)).cast("int")
+    return F.lit(1), mid + 1, mid + j + 1
+
+
+def _subset_pl_log_probs(pl: Column, j: Column) -> Column:
+    """GLs for (split) allele index ``j``: the three diploid PL entries
+    converted through phredToLogProbability. Null (reference: AIOOBE →
+    warn and skip, VariantContextConverter.scala:952-957) when the PL
+    array is too short; empty when j is 0/negative (the gVCF ref-block
+    case gets Array.empty indices, :1846-1850)."""
+    p1, p2, p3 = _diploid_pl_positions(j)
+    picked = F.array(
+        F.try_element_at(pl, p1), F.try_element_at(pl, p2), F.try_element_at(pl, p3)
+    )
+    return (
+        F.when(j <= 0, F.array().cast("array<double>"))
+        .when(
+            F.size(pl) >= (p3.cast("int")),
+            F.transform(picked, lambda x: _phred_to_log_prob(x.try_cast("int"))),
+        )
+    )
+
+
 def _genotype_struct(
-    sample_name: Column, sample_val: Column, variant: Column, ai: Column
+    sample_name: Column,
+    sample_val: Column,
+    variant: Column,
+    ai: Column,
+    nonref_allele_idx: Column,
 ) -> Column:
     """GENOTYPE-schema struct for one sample cell.
 
     ``ai`` is the 0-based alt index of this (split) row, so VCF allele
     index ``ai+1`` maps to ALT, 0 to REF, other >0 to OTHER_ALT.
+    ``nonref_allele_idx`` is the allele index of a trailing symbolic
+    <NON_REF> (gVCF reference model), or null — when set, the PL entries
+    for the (0, NON_REF) genotypes feed nonReferenceLikelihoods
+    (formatNonRefGenotypeLikelihoods, VariantContextConverter.scala:963-974).
     """
     fkeys = F.split(F.col("format"), ":")
     vals = F.split(sample_val, ":")
@@ -204,28 +274,48 @@ def _genotype_struct(
         ),
     )
     ad = F.split(m.getItem("AD"), ",")
-    gl = F.when(
-        m.getItem("GL").isNotNull(),
-        F.transform(F.split(m.getItem("GL"), ","), lambda x: _dot_null(x).try_cast("double")),
+    # htsjdk folds a GL field into phred-scaled PLs normalized so the
+    # best genotype is 0 (GenotypeLikelihoods.getPLs); a PL field is
+    # taken verbatim. Both then subset to this row's diploid indices and
+    # convert through phredToLogProbability
+    # (formatGenotypeLikelihoods, VariantContextConverter.scala:941-961).
+    gl_field = F.transform(
+        F.split(m.getItem("GL"), ","), lambda x: _dot_null(x).try_cast("double")
+    )
+    pl_ints = F.when(
+        m.getItem("PL").isNotNull(), F.split(m.getItem("PL"), ",")
     ).otherwise(
         F.when(
-            m.getItem("PL").isNotNull(),
+            m.getItem("GL").isNotNull(),
             F.transform(
-                F.split(m.getItem("PL"), ","),
-                lambda x: -_dot_null(x).try_cast("double") / 10.0,
+                gl_field,
+                lambda x: F.round(-10.0 * (x - F.array_max(gl_field)))
+                .cast("int")
+                .cast("string"),
             ),
         )
     )
+    gl = _subset_pl_log_probs(pl_ints, ai + 1)
+    nonref_gl = F.when(
+        nonref_allele_idx.isNotNull() & pl_ints.isNotNull(),
+        _subset_pl_log_probs(pl_ints, nonref_allele_idx),
+    )
     ft = _dot_null(m.getItem("FT"))
+    sb = F.split(m.getItem("SB"), ",")
     vca = F.struct(
-        ft.isNotNull().alias("filtersApplied"),
-        F.when(ft.isNotNull(), ft == "PASS").alias("filtersPassed"),
+        # genotype filters are ALWAYS applied (formatFilters,
+        # VariantContextConverter.scala:1193-1208 "sigh" — htsjdk#741):
+        # a missing/'.'/PASS FT means applied-and-passed
+        F.lit(True).alias("filtersApplied"),
+        (ft.isNull() | (ft == "PASS")).alias("filtersPassed"),
         F.when(ft.isNotNull() & (ft != "PASS"), F.split(ft, ";")).alias("filtersFailed"),
         _tnull("boolean").alias("downsampled"),
         _tnull("double").alias("baseQRankSum"),
-        _tnull("double").alias("fisherStrandBiasPValue"),
-        _tnull("double").alias("rmsMapQ"),
-        _tnull("int").alias("mapq0Reads"),
+        # FORMAT-level FS/MQ/MQ0 (formatFisherStrandBias/formatRmsMapQ/
+        # formatMapQ0, VariantContextConverter.scala:1210-1251)
+        _dot_null(m.getItem("FS")).try_cast("double").alias("fisherStrandBiasPValue"),
+        _dot_null(m.getItem("MQ")).try_cast("double").alias("rmsMapQ"),
+        _dot_null(m.getItem("MQ0")).try_cast("int").alias("mapq0Reads"),
         _tnull("double").alias("mqRankSum"),
         _tnull("double").alias("readPositionRankSum"),
         _tnull("array<double>").alias("genotypePriors"),
@@ -233,7 +323,11 @@ def _genotype_struct(
         _tnull("double").alias("vqslod"),
         _tnull("string").alias("culprit"),
         F.map_filter(
-            m, lambda k, v: ~k.isin("GT", "AD", "DP", "GQ", "PL", "GL", "FT", "PS", "PQ", "SB", "MIN_DP")
+            m,
+            lambda k, v: ~k.isin(
+                "GT", "AD", "DP", "GQ", "PL", "GL", "FT", "PS", "PQ", "SB",
+                "MIN_DP", "FS", "MQ", "MQ0",
+            ),
         ).alias("attributes"),
     )
     return F.struct(
@@ -257,15 +351,23 @@ def _genotype_struct(
         _dot_null(m.getItem("MIN_DP")).try_cast("int").alias("minReadDepth"),
         _dot_null(m.getItem("GQ")).try_cast("int").alias("genotypeQuality"),
         gl.alias("genotypeLikelihoods"),
-        _tnull("array<double>").alias("nonReferenceLikelihoods"),
+        nonref_gl.alias("nonReferenceLikelihoods"),
+        # formatStrandBiasComponents (VariantContextConverter.scala:995-1016)
+        # requires exactly 4 entries; malformed SB is skipped
         F.when(
-            m.getItem("SB").isNotNull(),
-            F.transform(F.split(m.getItem("SB"), ","), lambda x: x.try_cast("int")),
+            F.size(sb) == 4,
+            F.transform(sb, lambda x: x.try_cast("int")),
         ).alias("strandBiasComponents"),
         F.col("__split").alias("splitFromMultiAllelic"),
         F.when(gt.isNotNull(), F.instr(gt, "|") > 0).alias("phased"),
-        _dot_null(m.getItem("PS")).try_cast("int").alias("phaseSetId"),
-        _dot_null(m.getItem("PQ")).try_cast("int").alias("phaseQuality"),
+        # PS/PQ only read off phased genotypes (formatPhaseInfo,
+        # VariantContextConverter.scala:1018-1045)
+        F.when(F.instr(gt, "|") > 0, _dot_null(m.getItem("PS")).try_cast("int")).alias(
+            "phaseSetId"
+        ),
+        F.when(F.instr(gt, "|") > 0, _dot_null(m.getItem("PQ")).try_cast("int")).alias(
+            "phaseQuality"
+        ),
     )
 
 
@@ -350,6 +452,18 @@ def vcf_lines_to_contexts(
     # to ALT
     real_alts = F.filter(F.col("__alts"), lambda a: a != "<NON_REF>")
     base = base.withColumn(
+        # allele index (ref=0) of a trailing <NON_REF>: its 1-based
+        # position in the original alt list (referenceModelIndex,
+        # VariantContextConverter.scala:405-413)
+        # a sites-only '.' ALT behaves like the NON_REF-only case: the
+        # reference's List() branch also passes nonRefIndex Some(1)
+        # (VariantContextConverter.scala:370-377)
+        "__nonref",
+        F.when(
+            F.try_element_at(F.col("__alts"), F.lit(-1)).isin("<NON_REF>", "."),
+            F.size("__alts"),
+        ),
+    ).withColumn(
         "__alts",
         F.when(F.size(real_alts) > 0, real_alts).otherwise(F.col("__alts")),
     )
@@ -364,8 +478,12 @@ def vcf_lines_to_contexts(
         .alias("__alt"),
         (F.size("__alts") > 1).alias("__split"),
     ).withColumn(
+        # -1 marks "no real alternate" (gVCF ref block or sites-only '.'):
+        # no GT index maps to ALT and the GL index list is empty
         "__ai",
-        F.when(F.col("__alt_raw") == "<NON_REF>", F.lit(-1)).otherwise(F.col("__ai")),
+        F.when(F.col("__alt_raw").isin("<NON_REF>", "."), F.lit(-1)).otherwise(
+            F.col("__ai")
+        ),
     )
 
     variant = _variant_struct(F.col("__ai"), F.size("__alts"))
@@ -375,7 +493,9 @@ def vcf_lines_to_contexts(
         genotypes = F.zip_with(
             names_arr,
             F.col("__samples"),
-            lambda nm, sv: _genotype_struct(nm, sv, F.col("__variant"), F.col("__ai")),
+            lambda nm, sv: _genotype_struct(
+                nm, sv, F.col("__variant"), F.col("__ai"), F.col("__nonref")
+            ),
         )
     else:
         genotypes = F.lit(None).cast(schemas.ArrayType(schemas.GENOTYPE, True))
@@ -418,7 +538,11 @@ def load_vcf_genotypes(spark: SparkSession, path: str) -> GenomicFrame:
 def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     """Variant contexts → VCF text (VariantContextDataset.saveAsVcf:427).
 
-    Emits GT:AD:DP:GQ per sample; INFO is rebuilt from
+    FORMAT is rebuilt per row: GT plus whichever of
+    AD/DP/GQ/MIN_DP/PL/FT/PS/PQ/SB/FS/MQ/MQ0 any genotype on the line
+    carries (PL re-phreds genotypeLikelihoods via logProbabilityToPhred,
+    falling back to nonReferenceLikelihoods on gVCF ref-block rows), then
+    the union of genotype attribute keys. INFO is rebuilt from
     ``variant.annotation.attributes`` plus the typed AC/AF/DP fields.
 
     Known deviations (documented, not silent): (1) multiallelic sites
@@ -502,6 +626,87 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     )
     info = F.when(F.length(info_parts) > 0, info_parts).otherwise(".")
 
+    # FORMAT is per-row dynamic (htsjdk writes only keys any genotype on
+    # the line carries): GT always, then each typed field present in at
+    # least one sample, then the union of genotype attribute keys. The
+    # typed-field extractors mirror the reference's extract fns
+    # (VariantContextConverter.scala:1057-1160 + genotypeAnnotation
+    # extracts :1263-1306).
+    _FMT_ORDER = ["AD", "DP", "GQ", "MIN_DP", "PL", "FT", "PS", "PQ", "SB", "FS", "MQ", "MQ0"]
+
+    def _fmt_fields(g: Column) -> dict:
+        vca = g["variantCallingAnnotations"]
+        gl = g["genotypeLikelihoods"]
+        # ref-block rows carry likelihoods only on nonReferenceLikelihoods
+        pl_src = F.when(F.size(gl) > 0, gl).otherwise(
+            F.when(
+                F.size(g["nonReferenceLikelihoods"]) > 0, g["nonReferenceLikelihoods"]
+            )
+        )
+        return {
+            "AD": F.when(
+                g["referenceReadDepth"].isNotNull() & g["alternateReadDepth"].isNotNull(),
+                F.concat_ws(",", g["referenceReadDepth"], g["alternateReadDepth"]),
+            ),
+            "DP": g["readDepth"].cast("string"),
+            "GQ": g["genotypeQuality"].cast("string"),
+            "MIN_DP": g["minReadDepth"].cast("string"),
+            "PL": F.when(
+                pl_src.isNotNull(),
+                F.array_join(
+                    F.transform(pl_src, lambda x: _log_prob_to_phred(x).cast("string")),
+                    ",",
+                ),
+            ),
+            # only failed genotype filters emit FT; applied-and-passed
+            # reloads identically from an absent FT (formatFilters
+            # always-applied semantics)
+            "FT": F.when(
+                F.coalesce(vca["filtersApplied"], F.lit(False))
+                & ~F.coalesce(vca["filtersPassed"], F.lit(True)),
+                F.array_join(vca["filtersFailed"], ";"),
+            ),
+            "PS": g["phaseSetId"].cast("string"),
+            "PQ": g["phaseQuality"].cast("string"),
+            "SB": F.when(
+                F.size(g["strandBiasComponents"]) == 4,
+                F.array_join(
+                    F.transform(g["strandBiasComponents"], lambda x: x.cast("string")), ","
+                ),
+            ),
+            "FS": vca["fisherStrandBiasPValue"].cast("string"),
+            "MQ": vca["rmsMapQ"].cast("string"),
+            "MQ0": vca["mapq0Reads"].cast("string"),
+        }
+
+    gts = F.coalesce(F.col("genotypes"), F.expr("array()").cast(df.schema["genotypes"].dataType))
+    def _has(key: str) -> Column:
+        return F.exists(gts, lambda gg: _fmt_fields(gg)[key].isNotNull())
+
+    has = {k: _has(k) for k in _FMT_ORDER}
+    attr_keys = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    gts,
+                    lambda gg: F.map_keys(
+                        F.coalesce(
+                            gg["variantCallingAnnotations"]["attributes"],
+                            F.expr("cast(map() as map<string,string>)"),
+                        )
+                    ),
+                )
+            )
+        )
+    )
+    fmt_typed = F.concat_ws(
+        ":", F.lit("GT"), *[F.when(has[k], F.lit(k)) for k in _FMT_ORDER]
+    )
+    fmt_col = F.when(
+        F.size(attr_keys) > 0,
+        F.concat(fmt_typed, F.lit(":"), F.array_join(attr_keys, ":")),
+    ).otherwise(fmt_typed)
+
     def cell(name: str) -> Column:
         g = F.try_element_at(
             F.filter(F.col("genotypes"), lambda x: x["sampleId"] == F.lit(name)),
@@ -521,17 +726,27 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         gt = F.when(g.isNull() | g["alleles"].isNull(), "./.").otherwise(
             F.replace(idx, F.lit("\x00"), sep)
         )
-        ad = F.when(
-            g["referenceReadDepth"].isNotNull() & g["alternateReadDepth"].isNotNull(),
-            F.concat_ws(",", g["referenceReadDepth"], g["alternateReadDepth"]),
-        ).otherwise(".")
-        return F.concat_ws(
+        fields = _fmt_fields(g)
+        typed = F.concat_ws(
             ":",
             gt,
-            ad,
-            F.coalesce(g["readDepth"].cast("string"), F.lit(".")),
-            F.coalesce(g["genotypeQuality"].cast("string"), F.lit(".")),
+            *[F.when(has[k], F.coalesce(fields[k], F.lit("."))) for k in _FMT_ORDER],
         )
+        attrs = g["variantCallingAnnotations"]["attributes"]
+        return F.when(
+            F.size(attr_keys) > 0,
+            F.concat(
+                typed,
+                F.lit(":"),
+                F.array_join(
+                    F.transform(
+                        attr_keys,
+                        lambda k: F.coalesce(F.try_element_at(attrs, k), F.lit(".")),
+                    ),
+                    ":",
+                ),
+            ),
+        ).otherwise(typed)
 
     # every field coalesced: concat_ws SKIPS nulls, so one null column
     # would silently shift all following fields left (corrupt VCF)
@@ -547,7 +762,7 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         .when(F.coalesce(v["filtersPassed"], F.lit(False)), "PASS")
         .otherwise(F.coalesce(F.array_join(v["filtersFailed"], ";"), F.lit("."))),
         info,
-        *( [F.lit("GT:AD:DP:GQ")] + [cell(n) for n in sample_names] if sample_names else [] ),
+        *( [fmt_col] + [cell(n) for n in sample_names] if sample_names else [] ),
     )
     body = df.select(
         F.lit(1).alias("__o"),

