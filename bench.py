@@ -71,7 +71,12 @@ EXTENDED = [
     "sample_mixture_docs",
     "embedding_quantize_stats",
     "semantic_dedup_embeddings",
+    # r8: ann_ivf_topk_quantized switched to deterministic centroids for
+    # its exact oracle; the k-means production shape its history was
+    # measuring continues under the _kmeans name, and the deterministic
+    # variant accumulates its own line
     "ann_ivf_topk_quantized",
+    "ann_ivf_topk_quantized_kmeans",
     "gopher_quality_docs",
 ]
 
