@@ -428,6 +428,7 @@ def semantic_dedup(
     max_cluster_size: int = 4096,
     split_mode: str = "salt",
     bounded_cache: bool = False,
+    centroid_sample_fraction: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space, then drop near-duplicates WITHIN each
@@ -480,7 +481,18 @@ def semantic_dedup(
 
     Deterministic default centroids (first ``n_centroids`` rows by id)
     keep an exact SQL oracle; pass :func:`kmeans_centroids` output for
-    production quality. ``bounded_cache=True`` eagerly materializes the
+    production quality. Centroid sourcing at extreme N: the default
+    ``orderBy(id).limit(√N)`` plans as a TakeOrdered (top-K per
+    partition + K-row driver merge, no full sort) and the follow-up
+    collect is √N×dim driver bytes — ~50 MB at N=10¹⁰/dim=64, fine —
+    but at that scale the centroids should be TRAINED, not prefix-
+    sampled: pass ``centroid_sample_fraction`` to source them from
+    :func:`kmeans_centroids` fit on a Bernoulli ``sample()`` of the
+    corpus (the standard IVF recipe: training on ~256×k sampled
+    vectors matches full-corpus training quality), or pass a
+    ``centroids`` frame trained offline. Either way the downstream
+    assignment/join plan is unchanged — centroids are only ever a
+    k-row broadcast. ``bounded_cache=True`` eagerly materializes the
     slim (id, cent_id, flag) result and releases the internal
     assignment persist (:func:`adam_spark.llm.cache.eager_release`).
     """
@@ -489,11 +501,20 @@ def semantic_dedup(
     if centroids is None:
         if n_centroids is None:
             n_centroids = max(16, math.isqrt(max(int(corpus.count()), 1)))
-        centroids = (
-            corpus.orderBy(id_col)
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        )
+        if centroid_sample_fraction is not None:
+            centroids = kmeans_centroids(
+                corpus.sample(fraction=centroid_sample_fraction, seed=13),
+                k=n_centroids,
+                iters=2,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        else:
+            centroids = (
+                corpus.orderBy(id_col)
+                .limit(n_centroids)
+                .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+            )
     from pyspark.sql.types import LongType
 
     cent_rows = centroids.orderBy("cent_id").collect()  # k×dim driver bytes

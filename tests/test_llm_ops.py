@@ -1816,3 +1816,33 @@ def test_audio_decode_and_features(spark):
     assert abs(a["peak"] - 0.5) < 1e-3
     assert abs(a["zero_crossing_rate"] * rate - 880) < 10
     assert got[2]["rms"] is None and got[2]["n_samples"] is None
+
+
+def test_semantic_dedup_sampled_kmeans_centroids(spark):
+    """centroid_sample_fraction sources centroids from kmeans_centroids
+    fit on a Bernoulli sample (the extreme-N recipe from the docstring):
+    the result is IDENTICAL to passing that trained centroid frame
+    explicitly — centroids are only ever a k-row broadcast, so the
+    sourcing path changes nothing downstream — and flags remain valid
+    one-row-per-vector output."""
+    from adam_spark.llm.similarity import kmeans_centroids, semantic_dedup
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(0, 1.0, size=(120, 8))
+    mat[60:] = mat[:60] + rng.normal(0, 0.01, size=(60, 8))  # planted dups
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    embs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    via_param = semantic_dedup(
+        embs, threshold=0.95, n_centroids=4, centroid_sample_fraction=0.5
+    )
+    explicit = kmeans_centroids(
+        embs.sample(fraction=0.5, seed=13), k=4, iters=2
+    )
+    via_frame = semantic_dedup(embs, threshold=0.95, n_centroids=4, centroids=explicit)
+
+    a = sorted(map(tuple, via_param.collect()))
+    b = sorted(map(tuple, via_frame.collect()))
+    assert a == b
+    assert len(a) == 120
+    assert any(r[2] for r in a), "planted dups should be flagged"
