@@ -1787,6 +1787,11 @@ def fragments_group(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("'f' || cast(o_orderkey div 2 as string)").alias("readName"),
             F.expr("cast(o_orderkey % 2 as int)").alias("readInFragment"),
             F.expr("cast((o_orderkey * 11) % 900 as bigint)").alias("insertSize"),
+            # r8: insertSize is read off primary mapped reads only
+            # (SingleReadBucket.toFragment parity) — mark the synthetic
+            # reads as such; values and oracle unchanged
+            F.lit(True).alias("readMapped"),
+            F.lit(True).alias("primaryAlignment"),
         ),
         _schemas.ALIGNMENT,
     )

@@ -176,3 +176,56 @@ def region_predicate(regions: list[tuple[str, int, int]]) -> Column:
             & (F.col("end") > F.lit(start))
         )
     return pred
+
+
+# --- NonoverlappingRegions (models/NonoverlappingRegions.scala) ------------
+def alternating(seq: list, include_first: bool) -> list:
+    """Every other element (NonoverlappingRegions.alternating): the
+    covered/gap bucket selector for the endpoint sweep."""
+    start = 0 if include_first else 1
+    return list(seq[start::2])
+
+
+class NonoverlappingRegions:
+    """Driver-side nonoverlapping-bucket index over one contig's regions
+    (reference models/NonoverlappingRegions.scala — the broadcast-join
+    bucket structure). Overlapping AND adjacent regions merge; the
+    merged clusters' boundaries become ``endpoints``, and queries return
+    the covered (non-gap) buckets they overlap. Our distributed joins
+    bucket by genome bins instead (operators/region_join.py), so this
+    class exists as the exact-semantics pin for the reference suite's
+    vectors and for driver-sized region lists
+    (filter_by_overlapping_regions inputs)."""
+
+    def __init__(self, regions: list[tuple[str, int, int]]):
+        if not regions:
+            raise ValueError("Regions list must be non-empty")
+        names = {r[0] for r in regions}
+        if len(names) != 1:
+            raise ValueError("All regions must be on one contig, saw %s" % names)
+        self.reference_name = next(iter(names))
+        ivs = sorted((int(s), int(e)) for _, s, e in regions)
+        clusters: list[list[int]] = []
+        for s, e in ivs:
+            if clusters and s <= clusters[-1][1]:  # overlap or adjacency
+                clusters[-1][1] = max(clusters[-1][1], e)
+            else:
+                clusters.append([s, e])
+        self._clusters = [(s, e) for s, e in clusters]
+        eps: list[int] = []
+        for s, e in self._clusters:
+            eps.extend((s, e))
+        self.endpoints = sorted(set(eps))
+
+    def find_overlapping_regions(
+        self, query: tuple[str, int, int]
+    ) -> list[tuple[str, int, int]]:
+        qname, qs, qe = query
+        if qname != self.reference_name:
+            return []
+        out = []
+        for s, e in zip(self.endpoints, self.endpoints[1:]):
+            covered = any(cs <= s and e <= ce for cs, ce in self._clusters)
+            if covered and s < qe and qs < e:
+                out.append((self.reference_name, s, e))
+        return out

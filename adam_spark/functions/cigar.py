@@ -197,3 +197,58 @@ def left_align_indel(cigar: str, sequence: str, md: str | None) -> str:
     else:
         out.insert(idx + 1, (shift, "M"))
     return "".join(f"{m}{o}" for m, o in out if m > 0)
+
+
+def move_cigar_left(cigar: str, index: int) -> str:
+    """RichCigar.moveLeft (rich/RichCigar.scala:38-93): move the cigar
+    element at (1-based) ``index`` one base left. The element before it
+    shrinks by one base (dropped entirely at length 1); the element
+    after grows by one (a fresh 1M is appended when none exists).
+    Out-of-range indexes return the cigar unchanged, matching the
+    recursion's base case."""
+    elems = parse_cigar(cigar)
+    head: list[tuple[int, str]] = []
+    rest = list(elems)
+    i = index
+    while True:
+        if i == 1:
+            trim = rest[0] if rest else None
+            move = rest[1] if len(rest) >= 2 else None
+            pad = rest[2] if len(rest) >= 3 else None
+            after = rest[3:]
+            out: list[tuple[int, str]] = []
+            if trim is not None and trim[0] > 1:
+                out.append((trim[0] - 1, trim[1]))
+            if move is not None:
+                out.append(move)
+            if pad is not None:
+                out.append((pad[0] + 1, pad[1]))
+            else:
+                out.append((1, "M"))
+            return "".join(f"{n}{op}" for n, op in head + out + after)
+        if i == 0 or len(rest) < 2:
+            return "".join(f"{n}{op}" for n, op in head + rest)
+        head.append(rest[0])
+        rest = rest[1:]
+        i -= 1
+
+
+def _soft_clipped_at_head(elems: list[tuple[int, str]]) -> int:
+    """RichCigar.getSoftClippedBases (:123-129): the first S run after
+    skipping leading H."""
+    i = 0
+    while i < len(elems) and elems[i][1] == "H":
+        i += 1
+    if i < len(elems) and elems[i][1] == "S":
+        return elems[i][0]
+    return 0
+
+
+def soft_clipped_bases_start(cigar: str) -> int:
+    """RichCigar.softClippedBasesAtStart (:134-140)."""
+    return _soft_clipped_at_head(parse_cigar(cigar))
+
+
+def soft_clipped_bases_end(cigar: str) -> int:
+    """RichCigar.softClippedBasesAtEnd (:146-152)."""
+    return _soft_clipped_at_head(list(reversed(parse_cigar(cigar))))

@@ -21,7 +21,19 @@ def alignments_to_fragments(alignments: DataFrame) -> DataFrame:
     return (
         alignments.groupBy(F.col("readName").alias("name"))
         .agg(
-            F.max("insertSize").alias("insertSize"),
+            # insert size comes from the PRIMARY MAPPED reads only
+            # (SingleReadBucket.toFragment:148-153 reads it off
+            # primaryMapped; the chimeric-supplement suite vector pins
+            # that secondary/supplementary insert sizes are ignored) —
+            # max() over them replaces the reference's order-dependent
+            # .head with a deterministic pick
+            F.max(
+                F.when(
+                    F.coalesce(F.col("readMapped"), F.lit(False))
+                    & F.coalesce(F.col("primaryAlignment"), F.lit(False)),
+                    F.col("insertSize"),
+                )
+            ).alias("insertSize"),
             F.array_sort(
                 F.collect_list(
                     F.struct(F.col("readInFragment").alias("_k"), aln_struct.alias("a"))

@@ -165,3 +165,49 @@ def sort_features_by_reference(df: DataFrame, ascending: bool = True) -> DataFra
         (k.asc_nulls_last() if ascending else k.desc_nulls_last()) for k in keys
     ]
     return df.orderBy(*ordered)
+
+
+# --- GenomicPositionPartitioner boundary math -------------------------------
+class GenomicPositionPartitioner:
+    """Pure boundary math of the reference's custom RDD partitioner
+    (ds/GenomicPartitioners.scala:39-124). DESIGN-SUPERSEDED here: the
+    DataFrame sorts use repartitionByRange, which samples real keys and
+    so beats fixed genome-fraction boundaries under skew — this class
+    exists to pin the reference's exact partition arithmetic (alphabetic
+    contig order, cumulative offsets, min(parts, totalLength) clamp,
+    unmapped → extra top partition) against its suite vectors.
+
+    ``get_partition(None)`` (or ``(None, pos)``) is the UNMAPPED key.
+    """
+
+    def __init__(self, num_parts: int, seq_lengths: dict[str, int]):
+        self.seq_lengths = dict(seq_lengths)
+        names = sorted(self.seq_lengths)
+        self._cumulative: dict[str, int] = {}
+        acc = 0
+        for n in names:
+            self._cumulative[n] = acc
+            acc += self.seq_lengths[n]
+        self.total_length = acc
+        self.parts = int(min(num_parts, self.total_length))
+
+    @property
+    def num_partitions(self) -> int:
+        return self.parts + 1
+
+    @property
+    def cumulative_lengths(self) -> dict[str, int]:
+        return dict(self._cumulative)
+
+    def get_partition(self, key) -> int:
+        if key is None or (isinstance(key, tuple) and key[0] is None):
+            return self.parts
+        name, pos = key
+        if name not in self.seq_lengths:
+            raise ValueError(
+                "Received key (%s) that did not map to a known contig" % name
+            )
+        frac = (self._cumulative[name] + pos) / self.total_length
+        import math as _math
+
+        return min(int(_math.floor(frac * self.parts)), self.num_partitions)

@@ -72,49 +72,110 @@ def _stitch(lines: DataFrame, group_size: int) -> DataFrame:
     return grouped
 
 
-def _record(name_line, seq_line, qual_line, read_in_fragment):
-    """FASTQ record columns → READ-schema columns."""
+#: FastqRecordConverter.scala:43-50: the pair suffixes ([/ +_]1, [/ +_]2)
+#: and Illumina casava metadata ( 1:N:0:2 style) stripped off read names.
+#: Names may contain spaces — the whole header minus the suffix is the
+#: name ("@more desc/1" → "more desc"), per the converter's suffixRegex.
+_SUFFIX_RE = r"[/ +_]1$|[/ +_]2$| [12]:[YN]:[02468]+:[0-9ACTNG+]+$"
+
+
+def _record(name_line, seq_line, qual_line, read_in_fragment, stringency="strict"):
+    """FASTQ record columns → READ-schema columns
+    (FastqRecordConverter.parseReadInFastq:75-124).
+
+    ``stringency``: "strict" keeps the raw quality string (the
+    reference's STRICT branch — length validation happens downstream);
+    "lenient"/"silent" normalize it: '*' → all-B, shorter-than-read →
+    right-padded with B, longer-than-read → error (the reference throws
+    this IAE even under LENIENT)."""
     full = F.regexp_replace(name_line, "^@", "")
+    if stringency == "strict":
+        qual = qual_line
+    else:
+        qual = (
+            F.when(qual_line == "*", F.repeat(F.lit("B"), F.length(seq_line)))
+            .when(
+                F.length(qual_line) > F.length(seq_line),
+                F.raise_error(
+                    F.lit("Quality scores length must not be longer than read length")
+                ),
+            )
+            .otherwise(F.rpad(qual_line, F.length(seq_line), "B"))
+        )
     return [
-        # strip trailing /1 /2 pair suffix, keep first token as name
-        F.regexp_replace(F.substring_index(full, " ", 1), "/[12]$", "").alias("name"),
+        F.regexp_replace(full, _SUFFIX_RE, "").alias("name"),
         # description = EVERYTHING after the first space (multi-word
-        # Illumina headers), not just the last token
+        # Illumina headers) — a READ-schema enrichment beyond the
+        # reference, which folds the whole header into the name
         F.when(
             F.instr(full, " ") > 0, F.regexp_replace(full, r"^\S+\s+", "")
         ).alias("description"),
         F.lit("DNA").alias("alphabet"),
         seq_line.alias("sequence"),
         F.length(seq_line).cast("long").alias("length"),
-        qual_line.alias("qualityScores"),
+        qual.alias("qualityScores"),
         F.lit("FASTQ_SANGER").alias("qualityScoreVariant"),
         F.lit(read_in_fragment).cast("int").alias("readInFragment"),
     ]
 
 
-def load_unpaired_fastq(spark: SparkSession, path: str) -> GenomicFrame:
+def _check_pair_suffix(name_line, rif: int, stringency: str):
+    """FastqRecordConverter.readNameSuffixAndIndexOfPairMustMatch
+    (:55-74): under strict, a read claimed as first-of-pair must not
+    carry a second-read suffix and vice versa; lenient/silent pass
+    through. Returns a filter-shaped error column (true when ok)."""
+    if stringency != "strict":
+        return F.lit(True)
+    wrong = r"[/ +_]2$" if rif == 0 else r"[/ +_]1$"
+    which = "1" if rif == 0 else "2"
+    return F.when(
+        F.regexp_like(F.regexp_replace(name_line, "^@", ""), F.lit(wrong)),
+        F.raise_error(
+            F.concat(
+                F.lit("Found read name "),
+                name_line,
+                F.lit(f" with bad suffix for read {which} of pair"),
+            )
+        ),
+    ).otherwise(F.lit(True))
+
+
+def load_unpaired_fastq(
+    spark: SparkSession, path: str, stringency: str = "strict"
+) -> GenomicFrame:
     """FASTQ → reads (reference: ADAMContext.loadUnpairedFastq:2594)."""
     g = _stitch(_numbered_lines(spark, path), 4)
-    df = g.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0))
+    df = g.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0, stringency))
     return GenomicFrame(schemas.conform(df, _READ_PAIRED), GenomicMetadata(kind="read"))
 
 
-def load_interleaved_fastq(spark: SparkSession, path: str) -> GenomicFrame:
+def load_interleaved_fastq(
+    spark: SparkSession, path: str, stringency: str = "strict"
+) -> GenomicFrame:
     """8-line groups → r1/r2 pairs (ADAMContext.loadInterleavedFastq:2468)."""
     g = _stitch(_numbered_lines(spark, path), 8)
-    r1 = g.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0))
-    r2 = g.select(*_record(F.col("l4"), F.col("l5"), F.col("l7"), 1))
+    g = g.where(_check_pair_suffix(F.col("l0"), 0, stringency)).where(
+        _check_pair_suffix(F.col("l4"), 1, stringency)
+    )
+    r1 = g.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0, stringency))
+    r2 = g.select(*_record(F.col("l4"), F.col("l5"), F.col("l7"), 1, stringency))
     df = r1.unionByName(r2)
     return GenomicFrame(schemas.conform(df, _READ_PAIRED), GenomicMetadata(kind="read"))
 
 
-def load_paired_fastq(spark: SparkSession, path1: str, path2: str) -> GenomicFrame:
+def load_paired_fastq(
+    spark: SparkSession, path1: str, path2: str, stringency: str = "strict"
+) -> GenomicFrame:
     """Two parallel FASTQ files → union with readInFragment 0/1
     (ADAMContext.loadPairedFastq:2539)."""
-    g1 = _stitch(_numbered_lines(spark, path1), 4)
-    g2 = _stitch(_numbered_lines(spark, path2), 4)
-    r1 = g1.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0))
-    r2 = g2.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 1))
+    g1 = _stitch(_numbered_lines(spark, path1), 4).where(
+        _check_pair_suffix(F.col("l0"), 0, stringency)
+    )
+    g2 = _stitch(_numbered_lines(spark, path2), 4).where(
+        _check_pair_suffix(F.col("l0"), 1, stringency)
+    )
+    r1 = g1.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0, stringency))
+    r2 = g2.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 1, stringency))
     df = r1.unionByName(r2)
     return GenomicFrame(schemas.conform(df, _READ_PAIRED), GenomicMetadata(kind="read"))
 

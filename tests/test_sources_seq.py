@@ -66,11 +66,13 @@ def paths(tmp_path):
 def test_load_unpaired_fastq(spark, paths):
     gf = fastq_io.load_unpaired_fastq(spark, paths["r1.fq"])
     rows = {r["name"]: r for r in gf.df.collect()}
-    assert set(rows) == {"read1", "read2"}
-    assert rows["read1"]["sequence"] == "ACGTACGT"
-    assert rows["read1"]["qualityScores"] == "FFFFFFFF"
-    assert rows["read1"]["description"] == "desc1"
-    assert rows["read1"]["length"] == 8
+    # reference name semantics (FastqRecordConverter suffixRegex): the
+    # FULL header is the name — spaces kept — minus pair/casava suffixes
+    assert set(rows) == {"read1 desc1", "read2"}
+    assert rows["read1 desc1"]["sequence"] == "ACGTACGT"
+    assert rows["read1 desc1"]["qualityScores"] == "FFFFFFFF"
+    assert rows["read1 desc1"]["description"] == "desc1"
+    assert rows["read1 desc1"]["length"] == 8
     assert rows["read2"]["description"] is None
 
 
@@ -79,8 +81,8 @@ def test_load_paired_fastq(spark, paths):
     rows = gf.df.collect()
     assert len(rows) == 4
     by_key = {(r["name"], r["readInFragment"]): r for r in rows}
-    assert by_key[("read1", 0)]["sequence"] == "ACGTACGT"
-    assert by_key[("read1", 1)]["sequence"] == "CCCCAAAA"
+    assert by_key[("read1 desc1", 0)]["sequence"] == "ACGTACGT"
+    assert by_key[("read1 desc1", 1)]["sequence"] == "CCCCAAAA"
 
 
 def test_load_interleaved_fastq(spark, paths):
@@ -98,7 +100,7 @@ def test_fastq_alignments_and_roundtrip(spark, paths):
     out = os.path.join(paths["tmp"], "out.fq")
     fastq_io.save_fastq(gf, out, sort_by_name=True, single_file=True)
     back = fastq_io.load_unpaired_fastq(spark, out)
-    assert sorted(r["name"] for r in back.df.collect()) == ["read1", "read2"]
+    assert sorted(r["name"] for r in back.df.collect()) == ["read1 desc1", "read2"]
 
 
 def test_save_paired_fastq(spark, paths):

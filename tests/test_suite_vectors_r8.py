@@ -1,0 +1,257 @@
+"""Reference-suite vector ports, round 8 (the r7 verdict's item 5):
+RichCigarSuite, SingleReadBucketSuite, FastqRecordConverterSuite,
+NonoverlappingRegionsSuite, GenomicPositionPartitionerSuite — concrete
+fixture vectors pinned onto our equivalents, cited per test.
+"""
+
+import pytest
+
+from adam_spark import schemas
+from pyspark.sql import functions as F
+
+
+# --- RichCigarSuite (rich/RichCigarSuite.scala) ------------------------------
+def test_rich_cigar_move_left_vectors():
+    """'moving 2 bp from a deletion/insertion to a match operator'
+    (:27-55), 'moving 1 base in a two element cigar' (:56), 'move to
+    start of read' (:70)."""
+    from adam_spark.functions.cigar import cigar_read_length, move_cigar_left
+
+    for src, once, twice in [
+        ("10M10D10M", "9M10D11M", "8M10D12M"),
+        ("10M10I10M", "9M10I11M", "8M10I12M"),
+    ]:
+        c1 = move_cigar_left(src, 1)
+        c2 = move_cigar_left(c1, 1)
+        assert (c1, c2) == (once, twice)
+        assert cigar_read_length(c2) == cigar_read_length(src)
+    assert move_cigar_left("10M1D", 1) == "9M1D1M"
+    assert move_cigar_left("1M1D1M", 1) == "1D2M"
+
+
+def test_rich_cigar_soft_clip_vectors():
+    """'process right/left/both clipped cigar' (:88-101): soft-clip
+    counts skip hard clips."""
+    from adam_spark.functions.cigar import (
+        soft_clipped_bases_end,
+        soft_clipped_bases_start,
+    )
+
+    assert (soft_clipped_bases_start("10H2S10M"), soft_clipped_bases_end("10H2S10M")) == (2, 0)
+    assert (soft_clipped_bases_start("12M4S5H"), soft_clipped_bases_end("12M4S5H")) == (0, 4)
+    assert (soft_clipped_bases_start("1S12M3S2H"), soft_clipped_bases_end("1S12M3S2H")) == (1, 3)
+
+
+# --- SingleReadBucketSuite (ds/read/SingleReadBucketSuite.scala) -------------
+def _frag(spark, reads):
+    from adam_spark.operators.conversions import alignments_to_fragments
+
+    df = schemas.conform(
+        spark.createDataFrame(reads), schemas.ALIGNMENT
+    )
+    return alignments_to_fragments(df).collect()[0]
+
+
+def test_unmapped_pair_to_fragment(spark):
+    """'convert unmapped pair to fragment' (:25-43)."""
+    f = _frag(
+        spark,
+        [
+            {"readName": "myRead", "sequence": "ACACACAC", "readInFragment": 0, "readPaired": True},
+            {"readName": "myRead", "sequence": "GTGTGTGT", "readInFragment": 1, "readPaired": True},
+        ],
+    )
+    assert f["name"] == "myRead" and len(f["alignments"]) == 2
+    assert f["insertSize"] is None
+
+
+def test_proper_pair_to_fragment(spark):
+    """'convert proper pair to fragment' (:45-80): insert size comes off
+    the primary mapped reads."""
+    base = {"readName": "myRead", "readPaired": True, "readMapped": True,
+            "primaryAlignment": True, "cigar": "8M", "referenceName": "1",
+            "insertSize": 8}
+    f = _frag(
+        spark,
+        [
+            {**base, "sequence": "ACACACAC", "readInFragment": 0, "start": 10, "end": 18},
+            {**base, "sequence": "GTGTGTGT", "readInFragment": 1, "start": 22, "end": 30},
+        ],
+    )
+    assert f["insertSize"] == 8
+    assert f["name"] == "myRead" and len(f["alignments"]) == 2
+
+
+def test_chimeric_pair_to_fragment(spark):
+    """'convert read pair to fragment with first of pair chimeric read'
+    (:82-131): three alignments, and the supplementary read's fields
+    never produce an insert size (primaries carry none here)."""
+    f = _frag(
+        spark,
+        [
+            {"readName": "myRead", "sequence": "ACACACAC", "readInFragment": 0,
+             "readPaired": True, "readMapped": True, "primaryAlignment": True,
+             "cigar": "8M6H", "referenceName": "1", "start": 10, "end": 18},
+            {"readName": "myRead", "sequence": "GTGTGTGT", "readInFragment": 1,
+             "readPaired": True, "readMapped": True, "primaryAlignment": True,
+             "cigar": "8M", "referenceName": "1", "start": 22, "end": 30},
+            {"readName": "myRead", "sequence": "GTGTGT", "readInFragment": 0,
+             "readPaired": True, "readMapped": True, "primaryAlignment": False,
+             "supplementaryAlignment": True, "cigar": "8H6M",
+             "referenceName": "2", "start": 100, "end": 106, "insertSize": 999},
+        ],
+    )
+    assert f["insertSize"] is None  # only PRIMARY mapped insert sizes count
+    assert f["name"] == "myRead" and len(f["alignments"]) == 3
+
+
+# --- FastqRecordConverterSuite (converters/FastqRecordConverterSuite.scala) --
+def _load_names(spark, tmp_path, headers, stringency="strict"):
+    from adam_spark.sources.fastq import load_unpaired_fastq
+
+    p = tmp_path / "v.fq"
+    p.write_text("".join(f"{h}\nATCG\n+\n1234\n" for h in headers))
+    gf = load_unpaired_fastq(spark, str(p), stringency=stringency)
+    return [r["name"] for r in gf.df.collect()]
+
+
+def test_fastq_read_suffix_removal(spark, tmp_path):
+    """'test parseReadInFastq, read suffix removal' (:51-71): [/ +_][12]
+    suffixes strip; multi-word names keep their spaces."""
+    for sep in "/ +_":
+        for idx in "12":
+            assert _load_names(spark, tmp_path, [f"@desc{sep}{idx}"]) == ["desc"]
+            assert _load_names(spark, tmp_path, [f"@more desc{sep}{idx}"]) == ["more desc"]
+
+
+def test_fastq_metadata_removal(spark, tmp_path):
+    """'test parseReadInFastq, read metadata removal' (:73-78): Illumina
+    casava chunks ' 1:N:0:2' / ' 2:Y:4:0' / ' 1:N:0:1234' strip."""
+    heads = ["@desc 1:N:0:2", "@desc 2:Y:4:0", "@desc 1:N:0:1234"]
+    for h in heads:
+        assert _load_names(spark, tmp_path, [h]) == ["desc"]
+
+
+def test_fastq_quality_padding_lenient(spark, tmp_path):
+    """'read quality shorter than read length, padded with B' (:80-84) +
+    'no read quality' (:92-96) under lenient; strict keeps raw."""
+    from adam_spark.sources.fastq import load_unpaired_fastq
+
+    p = tmp_path / "q.fq"
+    p.write_text("@description\nAAA\n+\nZ\n@other\nAAA\n+\n*\n")
+    rows = {
+        r["name"]: r["qualityScores"]
+        for r in load_unpaired_fastq(spark, str(p), stringency="lenient").df.collect()
+    }
+    assert rows["description"] == "ZBB"
+    assert rows["other"] == "BBB"
+    raw = {
+        r["name"]: r["qualityScores"]
+        for r in load_unpaired_fastq(spark, str(p)).df.collect()
+    }
+    assert raw["description"] == "Z" and raw["other"] == "*"
+
+
+def test_fastq_quality_longer_than_read_raises(spark, tmp_path):
+    """'read quality longer than read length' (:85-91): IAE even under
+    lenient."""
+    from adam_spark.sources.fastq import load_unpaired_fastq
+
+    p = tmp_path / "q.fq"
+    p.write_text("@description\nA\n+\nZZ\n")
+    with pytest.raises(Exception, match="longer than read length"):
+        load_unpaired_fastq(spark, str(p), stringency="lenient").df.collect()
+
+
+def test_fastq_pair_suffix_mismatch_raises(spark, tmp_path):
+    """'read name suffix and index of pair must match' (:28-50): /1 in
+    the second-of-pair slot (and vice versa) errors under strict and
+    passes under lenient; unsuffixed names pass either slot."""
+    from adam_spark.sources.fastq import load_interleaved_fastq
+
+    bad = tmp_path / "bad.ifq"
+    bad.write_text("@read/2\nACGT\n+\nFFFF\n@read/1\nTTTT\n+\nIIII\n")
+    with pytest.raises(Exception, match="bad suffix"):
+        load_interleaved_fastq(spark, str(bad)).df.collect()
+    assert load_interleaved_fastq(spark, str(bad), stringency="lenient").df.count() == 2
+    ok = tmp_path / "ok.ifq"
+    ok.write_text("@read\nACGT\n+\nFFFF\n@read\nTTTT\n+\nIIII\n")
+    assert load_interleaved_fastq(spark, str(ok)).df.count() == 2
+
+
+def test_fastq_convert_pair_valid(spark, tmp_path):
+    """'convertPair with valid input' (:97-107): names strip /1 /2, both
+    reads paired with readInFragment 0/1."""
+    from adam_spark.sources.fastq import load_fastq_alignments
+
+    p = tmp_path / "p.ifq"
+    p.write_text("@read/1\nATCGA\n+\nabcde\n@read/2\nTCGAT\n+\n12345\n")
+    rows = sorted(
+        load_fastq_alignments(spark, str(p), interleaved=True).df.collect(),
+        key=lambda r: r["readInFragment"],
+    )
+    assert [r["readName"] for r in rows] == ["read", "read"]
+    assert [r["sequence"] for r in rows] == ["ATCGA", "TCGAT"]
+    assert [r["qualityScores"] for r in rows] == ["abcde", "12345"]
+    assert [r["readPaired"] for r in rows] == [True, True]
+    assert [r["readInFragment"] for r in rows] == [0, 1]
+
+
+# --- NonoverlappingRegionsSuite (models/NonoverlappingRegionsSuite.scala) ----
+def test_nonoverlapping_regions_vectors():
+    """'alternating' (:25), 'Single region returns itself' (:55), 'Two
+    adjacent regions will be merged' (:63), 'Nonoverlapping regions will
+    all be returned' (:71), 'Many overlapping regions will all be
+    merged' (:85)."""
+    from adam_spark.core.regions import NonoverlappingRegions, alternating
+
+    assert alternating([], True) == [] and alternating([1], True) == [1]
+    assert alternating([1, 2], True) == [1] and alternating([1, 2, 3], True) == [1, 3]
+    assert alternating([1, 2, 3, 4], True) == [1, 3]
+    assert alternating([1, 2, 3, 4, 5], True) == [1, 3, 5]
+    assert alternating([], False) == [] and alternating([1], False) == []
+    assert alternating([1, 2], False) == [2] and alternating([1, 2, 3], False) == [2]
+    assert alternating([1, 2, 3, 4], False) == [2, 4]
+    assert alternating([1, 2, 3, 4, 5], False) == [2, 4]
+    assert alternating([1, 2, 3, 4, 5, 6], False) == [2, 4, 6]
+
+    r = NonoverlappingRegions([("chr1", 1, 2)])
+    assert r.find_overlapping_regions(("chr1", 1, 2)) == [("chr1", 1, 2)]
+
+    r = NonoverlappingRegions([("chr1", 10, 20), ("chr1", 20, 30)])
+    assert r.endpoints == [10, 30]
+
+    r = NonoverlappingRegions([("chr1", 1, 2), ("chr1", 3, 5)])
+    assert len(r.find_overlapping_regions(("chr1", 1, 4))) == 2  # gap bucket excluded
+    assert len(r.find_overlapping_regions(("chr1", 4, 5))) == 1
+
+    r = NonoverlappingRegions([("chr1", 1, 3), ("chr1", 2, 4), ("chr1", 3, 5)])
+    assert len(r.find_overlapping_regions(("chr1", 1, 4))) == 1
+
+
+# --- GenomicPositionPartitionerSuite (ds/GenomicPositionPartitionerSuite) ----
+def test_genomic_position_partitioner_vectors():
+    """':30-76': unmapped → top partition, unknown contig raises,
+    min(parts, total length) clamp, two-piece split, alphabetic
+    cumulative lengths, cross-contig positions."""
+    from adam_spark.operators.sorts import GenomicPositionPartitioner as P
+
+    p = P(10, {"foo": 1000})
+    assert p.num_partitions == 11
+    assert p.get_partition(None) == 10
+    with pytest.raises(ValueError):
+        p.get_partition(("chrFoo", 10))
+
+    assert P(10, {"foo": 9}).num_partitions == 10
+
+    p = P(2, {"foo": 10})
+    assert p.get_partition(("foo", 3)) == 0 and p.get_partition(("foo", 7)) == 1
+
+    p = P(3, {"foo": 20, "bar": 10})
+    assert p.cumulative_lengths == {"bar": 0, "foo": 10}
+
+    p = P(3, {"bar": 20, "foo": 10})
+    assert p.get_partition(("foo", 8)) == 2 and p.get_partition(("foo", 18)) == 3
+    assert p.get_partition(("bar", 18)) == 1 and p.get_partition(("bar", 8)) == 0
+    assert p.get_partition(("foo", 0)) == 2 and p.get_partition(("foo", 10)) == 3
+    assert p.get_partition(("bar", 0)) == 0
