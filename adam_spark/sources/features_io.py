@@ -102,7 +102,7 @@ def save_bed(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
         F.col("referenceName"),
         F.col("start").cast("string"),
         F.col("end").cast("string"),
-        F.coalesce(F.col("name"), F.lit(".")),
+        _name_of(),
         F.coalesce(F.col("score").cast("string"), F.lit(".")),
         _strand_out(F.col("strand")),
     )
@@ -153,7 +153,7 @@ def save_narrowpeak(gf: GenomicFrame, path: str, single_file: bool = False) -> N
             F.col("referenceName"),
             F.col("start").cast("string"),
             F.col("end").cast("string"),
-            F.coalesce(F.col("name"), F.lit(".")),
+            _name_of(),
             F.coalesce(F.col("score").try_cast("long").cast("string"), F.lit("0")),
             _strand_out(F.col("strand")),
             F.coalesce(a.getItem("signalValue"), F.lit("0")),
@@ -318,6 +318,24 @@ def _gxf_base(spark: SparkSession, path: str):
 
 def _dotnull(c):
     return F.when(c == ".", None).otherwise(c)
+
+
+def _name_of() -> Column:
+    """Features.nameOf (Features.scala:216-229): the display name for
+    lossy formats (BED, NarrowPeak, IntervalList) — name, else
+    featureId, else the type-specific id for exon/transcript/gene
+    (SO:0000147/0000673/0000704 synonyms), else the featureType itself,
+    else the SO root term 'sequence_feature'."""
+    ft = F.col("featureType")
+    typed = (
+        F.when(ft.isin("exon", "SO:0000147"), F.col("exonId"))
+        .when(ft.isin("transcript", "SO:0000673"), F.col("transcriptId"))
+        .when(ft.isin("gene", "SO:0000704"), F.col("geneId"))
+        .otherwise(ft)
+    )
+    return F.coalesce(
+        F.col("name"), F.col("featureId"), typed, F.lit("sequence_feature")
+    )
 
 
 def load_gtf(spark: SparkSession, path: str) -> GenomicFrame:
@@ -504,7 +522,7 @@ def save_interval_list(gf: GenomicFrame, path: str, single_file: bool = True) ->
             (F.col("start") + 1).cast("string"),
             F.col("end").cast("string"),
             _strand_out(F.col("strand")),
-            F.coalesce(F.col("name"), F.lit(".")),
+            _name_of(),
         ).alias("value")
     )
     hdr_df = gf.df.sparkSession.createDataFrame([(h,) for h in header_lines], "value string")

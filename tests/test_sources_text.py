@@ -359,3 +359,59 @@ def test_gtf_round_trip_attribute_complete(spark, tmp_path):
     ]
     back = load_gtf(spark, out)
     assert sorted(map(tuple, gf.df.collect())) == sorted(map(tuple, back.df.collect()))
+
+
+def test_cross_format_saves_and_name_of(spark, tmp_path):
+    """FeatureDatasetSuite 'save GFF3 as GTF/BED/IntervalList/NarrowPeak
+    format' (:185-220): features loaded from GFF3 re-save to every other
+    text format with count parity; lossy formats name rows via
+    Features.nameOf (:216-229) — name, else ID, else the typed id for
+    gene/transcript/exon, else featureType, else 'sequence_feature'."""
+    from adam_spark.core.metadata import GenomicMetadata, Reference, SequenceDictionary
+    from adam_spark.sources.features_io import (
+        load_bed,
+        load_gff3,
+        load_gtf,
+        load_interval_list,
+        load_narrowpeak,
+        save_bed,
+        save_gtf,
+        save_interval_list,
+        save_narrowpeak,
+    )
+
+    gff = tmp_path / "in.gff3"
+    gff.write_text(
+        "##gff-version 3\n"
+        "1\tEnsembl\tgene\t11\t100\t.\t+\t.\tID=ENSG01;biotype=x\n"
+        "1\tEnsembl\ttranscript\t11\t100\t.\t+\t.\ttranscript_id=ENST01\n"
+        "1\tEnsembl\texon\t11\t50\t.\t+\t.\texon_id=ENSE01\n"
+        "1\tEnsembl\tCDS\t11\t50\t.\t+\t.\tx=y\n"
+        "1\tEnsembl\t.\t11\t50\t.\t+\t.\tx=y\n"
+    )
+    gf = load_gff3(spark, str(gff))
+    gf.meta = GenomicMetadata(
+        references=SequenceDictionary([Reference(name="1", length=1000)]),
+        kind="feature",
+    )
+    n = gf.df.count()
+
+    out = str(tmp_path / "o.gtf")
+    save_gtf(gf, out)
+    assert load_gtf(spark, out).df.count() == n
+
+    out = str(tmp_path / "o.bed")
+    save_bed(gf, out)
+    bed = load_bed(spark, out)
+    assert bed.df.count() == n
+    # nameOf fallback chain on the BED name column
+    names = {r["name"] for r in bed.df.collect()}
+    assert names == {"ENSG01", "ENST01", "ENSE01", "CDS", "sequence_feature"}
+
+    out = str(tmp_path / "o.interval_list")
+    save_interval_list(gf, out)
+    assert load_interval_list(spark, out).df.count() == n
+
+    out = str(tmp_path / "o.narrowPeak")
+    save_narrowpeak(gf, out)
+    assert load_narrowpeak(spark, out).df.count() == n
