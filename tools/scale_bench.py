@@ -275,6 +275,33 @@ def _ops(spark: SparkSession, scale: str):
             bounded_cache=True,
         ).count()
 
+    def _gopher(docs):
+        from adam_spark.llm.text import gopher_quality
+
+        return gopher_quality(docs).count()
+
+    def _boilerplate(docs):
+        from adam_spark.llm.dedup import remove_repeated_spans
+
+        return remove_repeated_spans(
+            docs, delimiter=" ", min_frac=0.5, bounded_cache=True
+        ).count()
+
+    def _bigram_lm(docs):
+        from adam_spark.llm.text import bigram_lm_scores
+
+        return bigram_lm_scores(docs, bounded_cache=True).count()
+
+    def _ivf_quant(embs):
+        # fixed 10-query probe set over a 10×-growing corpus: the cost
+        # driver is the corpus-side assignment map + bucket scan, the
+        # contract shape (queries broadcast)
+        from adam_spark.llm.similarity import ivf_topk_quantized
+
+        return ivf_topk_quantized(
+            embs, embs.where(F.col("vec_id") < 10), k=5, n_probe=4
+        ).count()
+
     return {
         "interval_join_inner": lambda: region_join(
             rd("intervals_l"), rd("intervals_r"), how="inner", bin_size=64
@@ -337,6 +364,12 @@ def _ops(spark: SparkSession, scale: str):
         # 50 so the per-copy pattern is preserved), filter fixed-size,
         # probe a stateless narrow map — slope should be ~linear
         "bloom_decontaminate_per_row": lambda: _bloom_probe(rd("documents")),
+        # r8 additions (r7 verdict item 4): the remaining extended-bench
+        # entries without a measured 10× slope
+        "gopher_quality": lambda: _gopher(rd("documents")),
+        "remove_boilerplate": lambda: _boilerplate(rd("documents")),
+        "doc_bigram_lm_score": lambda: _bigram_lm(rd("documents")),
+        "ann_ivf_topk_quantized": lambda: _ivf_quant(rd("embeddings")),
         "cms_heavy_hitters": lambda: cms_heavy_hitters(
             rd("documents").select(
                 F.explode(tokens(F.col("text"))).alias("token")
