@@ -297,3 +297,24 @@ def _log_prob_to_phred_py(lp: float) -> int:
     if lp == 0.0:
         return 3233
     return round(-10.0 / math.log(10.0) * math.log(-math.expm1(lp)))
+
+
+def test_multiallelic_with_trailing_nonref_vector(spark, tmp_path):
+    """Multiallelic + trailing <NON_REF> (converter :402-433): the
+    symbolic allele drops from the per-alt expansion but its allele
+    index (3 here) still drives nonReferenceLikelihoods — PL positions
+    [0,6,9] — while each real-alt row subsets its own diploid indices
+    and keeps splitFromMultiAllelic."""
+    p = tmp_path / "m.vcf"
+    p.write_text(
+        HEADER
+        + "chr1\t100\t.\tA\tT,G,<NON_REF>\t50\tPASS\t.\tGT:PL\t1/2:0,1,2,3,4,5,6,7,8,9\n"
+    )
+    rows = vcf_io.load_vcf_genotypes(spark, str(p)).df.collect()
+    by = {r["variant"]["alternateAllele"]: r for r in rows}
+    assert set(by) == {"T", "G"}
+    for r in by.values():
+        assert r["splitFromMultiAllelic"] is True
+        assert [_log_prob_to_phred_py(x) for x in r["nonReferenceLikelihoods"]] == [0, 6, 9]
+    assert [_log_prob_to_phred_py(x) for x in by["T"]["genotypeLikelihoods"]] == [0, 1, 2]
+    assert [_log_prob_to_phred_py(x) for x in by["G"]["genotypeLikelihoods"]] == [0, 3, 5]
