@@ -432,7 +432,17 @@ def vcf_lines_to_contexts(
     base = body.select(
         F.try_element_at(t, F.lit(1)).alias("referenceName"),
         (F.try_element_at(t, F.lit(2)).try_cast("long") - 1).alias("start"),
-        (F.try_element_at(t, F.lit(2)).try_cast("long") - 1 + F.length(F.try_element_at(t, F.lit(4)))).alias("end"),
+        # symbolic/structural variants carry their span in INFO END
+        # (htsjdk vc.getEnd; suite 'Convert htsjdk site-only CNV to
+        # ADAM' pins start=9, end=20 off END=20); otherwise
+        # start + len(ref). END stays in annotation.attributes so the
+        # save side re-emits it and the round trip is closed.
+        F.coalesce(
+            _info_map(F.try_element_at(t, F.lit(8))).getItem("END").try_cast("long"),
+            F.try_element_at(t, F.lit(2)).try_cast("long")
+            - 1
+            + F.length(F.try_element_at(t, F.lit(4))),
+        ).alias("end"),
         F.when(F.try_element_at(t, F.lit(3)) != ".", F.split(F.try_element_at(t, F.lit(3)), ";")).alias("names"),
         F.try_element_at(t, F.lit(4)).alias("referenceAllele"),
         F.split(F.try_element_at(t, F.lit(5)), ",").alias("__alts"),

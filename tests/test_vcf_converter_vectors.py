@@ -318,3 +318,22 @@ def test_multiallelic_with_trailing_nonref_vector(spark, tmp_path):
         assert [_log_prob_to_phred_py(x) for x in r["nonReferenceLikelihoods"]] == [0, 6, 9]
     assert [_log_prob_to_phred_py(x) for x in by["T"]["genotypeLikelihoods"]] == [0, 1, 2]
     assert [_log_prob_to_phred_py(x) for x in by["G"]["genotypeLikelihoods"]] == [0, 3, 5]
+
+
+def test_site_only_cnv_and_somatic_vectors(spark, tmp_path):
+    """'Convert htsjdk site-only CNV to ADAM' (:121-137): symbolic <CN0>
+    alternate survives and the span comes from INFO END (start 9,
+    end 20); 'Convert somatic htsjdk site-only SNV' (:107-120): the
+    SOMATIC flag lands on annotation.somatic."""
+    p = tmp_path / "c.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.3\n##contig=<ID=1,length=1000000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "1\t10\t.\tA\t<CN0>\t.\t.\tEND=20\n"
+        "1\t2\t.\tA\tT\t.\t.\tSOMATIC\n"
+    )
+    rows = {r["alternateAllele"]: r for r in vcf_io.load_vcf_variants(spark, str(p)).df.collect()}
+    cnv = rows["<CN0>"]
+    assert (cnv["start"], cnv["end"]) == (9, 20)
+    assert rows["T"]["annotation"]["somatic"] is True
+    assert (rows["T"]["start"], rows["T"]["end"]) == (1, 2)
