@@ -75,10 +75,16 @@ def test_driver_window_invariants():
     assert unknown == [], f"oracle keys not in queries(): {unknown}"
     # the documented rows-only entries stay parked past the cap
     for rows_only in ("pipe_features_cat", "multimodal_features",
-                      "ann_ivf_topk_quantized"):
+                      "ann_ivf_topk_quantized_kmeans"):
         assert rows_only in q, rows_only
         assert q.index(rows_only) >= 50, f"{rows_only} must stay parked"
         assert rows_only not in o
+    # r8 rotation pins: quantized IVF (deterministic centroids) is
+    # in-window WITH an exact oracle; float IVF parks with its r6+r7
+    # driver history but keeps its oracle for capless check_oracle runs
+    assert q.index("ann_ivf_topk_quantized") < 50
+    assert "ann_ivf_topk_quantized" in o
+    assert q.index("ann_ivf_topk") >= 50 and "ann_ivf_topk" in o
     # r7 rotation pins: the one never-driver-recorded oracle query is in
     # the window; its parked exchange partner keeps a family mirror
     assert q.index("semantic_dedup_embeddings") < 50

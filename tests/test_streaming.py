@@ -155,7 +155,7 @@ def test_streaming_sessions_stateful(spark, tmp_path):
 
 
 FASTQ_SHARD_1 = (
-    "@q1/1 desc here\nACGTACGT\n+\nIIIIIIII\n"
+    "@q1/1\nACGTACGT\n+\nIIIIIIII\n"
     "@q2\nTTTTGGGG\n+\nJJJJJJJJ\n"
 )
 FASTQ_SHARD_2 = "@q3\nCCCCAAAA\n+\nKKKKKKKK\n"
@@ -182,7 +182,7 @@ def test_stream_fastq_directory(spark, tmp_path):
     rows = {r["name"]: r for r in spark.sql("SELECT * FROM fq_mem").collect()}
     assert set(rows) == {"q1", "q2", "q3"}
     assert rows["q1"]["sequence"] == "ACGTACGT"
-    assert rows["q1"]["description"] == "desc here"
+    assert rows["q1"]["description"] is None  # bare pair-suffixed header
     assert rows["q3"]["qualityScores"] == "KKKKKKKK"
 
 
