@@ -28,7 +28,15 @@ from adam_spark.sources import vcf as _vcf
 
 
 def _has_ext(path: str, *exts: str) -> bool:
+    """Extension dispatch (util/FileExtensions.scala): strips a trailing
+    compression suffix, and for the alignment container formats also a
+    trailing numeric shard suffix (isBamExt's SRA-s3 workaround,
+    FileExtensions.scala:37-44 — 'file.bam.1' is a BAM)."""
+    import re
+
     base = path.rstrip("/").lower()
+    if any(e in (".sam", ".bam", ".cram") for e in exts):
+        base = re.sub(r"\.[0-9]+$", "", base)
     if base.endswith((".gz", ".bz2", ".bgz")):
         base = base.rsplit(".", 1)[0]
     return base.endswith(tuple(e.lower() for e in exts))

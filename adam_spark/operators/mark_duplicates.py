@@ -240,3 +240,23 @@ def mark_duplicate_fragments(
     aln = fragments_to_alignments(fragments)
     marked = mark_duplicates(aln, library_by_rg)
     return alignments_to_fragments(marked.select(*aln.columns))
+
+
+def unclipped_start(start: Column, cigar: Column) -> Column:
+    """RichAlignment.unclippedStart: alignment start minus ALL leading
+    soft+hard clipped bases ('3H2S5M' unclips by 5)."""
+
+    def _n(pat: str) -> Column:
+        return F.coalesce(F.regexp_extract(cigar, pat, 1).try_cast("long"), F.lit(0))
+
+    return start - _n(r"^(\d+)H") - _n(r"^(?:\d+H)?(\d+)S")
+
+
+def unclipped_end(end: Column, cigar: Column) -> Column:
+    """RichAlignment.unclippedEnd: alignment end plus ALL trailing
+    soft+hard clipped bases."""
+
+    def _n(pat: str) -> Column:
+        return F.coalesce(F.regexp_extract(cigar, pat, 1).try_cast("long"), F.lit(0))
+
+    return end + _n(r"(\d+)S(?:\d+H)?$") + _n(r"(\d+)H$")

@@ -211,6 +211,29 @@ def load_fastq_alignments(
     )
 
 
+def _fastq_strand_out(df: DataFrame):
+    """(sequence, qualityScores) columns for FASTQ output
+    (AlignmentConverter.prepareFastq:264-295): negative-strand reads are
+    written reverse-complemented with reversed quality scores — even
+    when unmapped (the 0x10 flag alone decides) — and null or '*'
+    quality becomes a B-run the length of the sequence."""
+    qual = F.col("qualityScores")
+    qual = F.when(
+        qual.isNull() | (qual == "*"), F.repeat(F.lit("B"), F.length("sequence"))
+    ).otherwise(qual)
+    if "readNegativeStrand" in df.columns:
+        from adam_spark.functions import reverse_complement
+
+        neg = F.coalesce(F.col("readNegativeStrand"), F.lit(False))
+        return (
+            F.when(neg, reverse_complement(F.col("sequence"))).otherwise(
+                F.col("sequence")
+            ),
+            F.when(neg, F.reverse(qual)).otherwise(qual),
+        )
+    return F.col("sequence"), qual
+
+
 def save_fastq(
     gf: GenomicFrame,
     path: str,
@@ -228,17 +251,24 @@ def save_fastq(
         else F.lit(0)
     )
     suffix = (
-        F.when(rif == 0, "/1").otherwise("/2") if write_suffixes else F.lit("")
+        # AlignmentConverter.prepareFastq:255-262: only add /1 or /2 when
+        # the name does not already carry a pair suffix
+        F.when(name_col.rlike("/[12]$"), F.lit(""))
+        .when(rif == 0, "/1")
+        .otherwise("/2")
+        if write_suffixes
+        else F.lit("")
     )
+    seq, qual = _fastq_strand_out(df)
     out = df.select(
         name_col.alias("__name"),
         rif.alias("__rif"),
         F.concat_ws(
             "\n",
             F.concat(F.lit("@"), name_col, suffix),
-            F.col("sequence"),
+            seq,
             F.lit("+"),
-            F.coalesce(F.col("qualityScores"), F.repeat(F.lit("B"), F.length("sequence"))),
+            qual,
         ).alias("value"),
     )
     if sort_by_name:
@@ -252,6 +282,7 @@ def save_paired_fastq(gf: GenomicFrame, path1: str, path2: str) -> None:
     (AlignmentDataset.saveAsPairedFastq:1468)."""
     df = gf.df
     name_col = F.col("readName") if "readName" in df.columns else F.col("name")
+    seq, qual = _fastq_strand_out(df)
     for rif, path, suffix in ((0, path1, "/1"), (1, path2, "/2")):
         part = (
             df.where(F.coalesce(F.col("readInFragment"), F.lit(0)) == rif)
@@ -260,11 +291,9 @@ def save_paired_fastq(gf: GenomicFrame, path1: str, path2: str) -> None:
                 F.concat_ws(
                     "\n",
                     F.concat(F.lit("@"), name_col, F.lit(suffix)),
-                    F.col("sequence"),
+                    seq,
                     F.lit("+"),
-                    F.coalesce(
-                        F.col("qualityScores"), F.repeat(F.lit("B"), F.length("sequence"))
-                    ),
+                    qual,
                 ).alias("value"),
             )
             .orderBy("__name")

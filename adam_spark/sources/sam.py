@@ -117,6 +117,18 @@ def sam_lines_to_alignments(raw: DataFrame) -> DataFrame:
             "mismatchingPositions"
         ),
         F.substring(F.col("attributes").getItem("RG"), 3, 1_000_000).alias("readGroupId"),
+        # realignment provenance tags (AlignmentConverter.scala: OP is
+        # 1-based on disk, OC/OQ verbatim)
+        (
+            F.substring(F.col("attributes").getItem("OP"), 3, 1_000_000).try_cast("long")
+            - 1
+        ).alias("originalStart"),
+        F.substring(F.col("attributes").getItem("OC"), 3, 1_000_000).alias(
+            "originalCigar"
+        ),
+        F.substring(F.col("attributes").getItem("OQ"), 3, 1_000_000).alias(
+            "originalQualityScores"
+        ),
         F.when(b(0x1) & ~b(0x8) & (F.col("pnext1") > 0), F.col("pnext1") - 1).alias(
             "mateAlignmentStart"
         ),
@@ -231,7 +243,7 @@ def sam_body_lines(df: DataFrame) -> DataFrame:
                         F.col("attributes"),
                         F.lit(None).cast("map<string,string>"),
                     ),
-                    lambda k, v: ~k.isin("MD", "RG"),
+                    lambda k, v: ~k.isin("MD", "RG", "OP", "OC", "OQ"),
                 )
             ),
             lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
@@ -267,6 +279,20 @@ def sam_body_lines(df: DataFrame) -> DataFrame:
         F.when(
             F.col("readGroupId").isNotNull(),
             F.concat(F.lit("RG:Z:"), F.col("readGroupId")),
+        ),
+        # AlignmentConverterSuite 'testing the fields in a converted ADAM
+        # Read': originalStart 12 emits OP:i:13; OC/OQ verbatim
+        F.when(
+            F.col("originalStart").isNotNull(),
+            F.concat(F.lit("OP:i:"), (F.col("originalStart") + 1).cast("string")),
+        ),
+        F.when(
+            F.col("originalCigar").isNotNull(),
+            F.concat(F.lit("OC:Z:"), F.col("originalCigar")),
+        ),
+        F.when(
+            F.col("originalQualityScores").isNotNull(),
+            F.concat(F.lit("OQ:Z:"), F.col("originalQualityScores")),
         ),
         F.when(other_tags != "", other_tags),
     ).alias("value")

@@ -255,3 +255,166 @@ def test_genomic_position_partitioner_vectors():
     assert p.get_partition(("bar", 18)) == 1 and p.get_partition(("bar", 8)) == 0
     assert p.get_partition(("foo", 0)) == 2 and p.get_partition(("foo", 10)) == 3
     assert p.get_partition(("bar", 0)) == 0
+
+
+# --- ModPartitionerSuite (ds/ModPartitionerSuite.scala) -----------------------
+def test_mod_partitioner_vectors():
+    """':28-52': |key| mod parts, non-integer keys rejected."""
+    from adam_spark.operators.sorts import ModPartitioner
+
+    p = ModPartitioner(123)
+    assert p.num_partitions == 123
+    assert p.get_partition(12) == 12
+    assert p.get_partition(321) == 75
+    assert p.get_partition(-21) == 21
+    assert p.get_partition(-1234) == 4
+    with pytest.raises(ValueError):
+        p.get_partition("a string")
+
+
+# --- FileExtensionsSuite (util/FileExtensionsSuite.scala) ---------------------
+def test_file_extension_vectors():
+    """'ends in gzip extension' / 'is a vcf extension' / 'is a
+    bam/cram/sam extension' (:24-56) mapped onto the dispatcher's
+    _has_ext, including the numeric shard suffix (file.bam.1)."""
+    from adam_spark.context import _has_ext
+
+    assert _has_ext("file.vcf", ".vcf")
+    assert _has_ext("file.vcf.bgz", ".vcf")
+    assert _has_ext("file.vcf.gz", ".vcf")
+    assert not _has_ext("file.bcf", ".vcf")
+    assert not _has_ext("file.vcf.bgzf", ".vcf")
+    for good in ("file.bam", "file.cram", "file.bam.1", "file.bam.10",
+                 "file.cram.1", "file.cram.10", "file.sam.1", "file.sam.10"):
+        assert _has_ext(good, ".sam", ".bam", ".cram"), good
+    for bad in ("file.vcf", "file.bam.x", "file.cram.y", "file.sam.z"):
+        assert not _has_ext(bad, ".sam", ".bam", ".cram"), bad
+
+
+# --- PhredUtilsSuite (util/PhredUtilsSuite.scala) ----------------------------
+def test_phred_utils_round_trip_vectors(spark):
+    """'convert low/high/overflowing phred score to log and back' +
+    'round trip log probabilities' (:25-63) on the Column
+    implementations used by the VCF converter."""
+    from adam_spark.sources.vcf import _log_prob_to_phred, _phred_to_log_prob
+
+    probes = list(range(0, 200)) + [1000, 3228, 3233, 10000]
+    df = spark.createDataFrame([(p,) for p in probes], "p int").select(
+        "p", _log_prob_to_phred(_phred_to_log_prob(F.col("p"))).alias("rt")
+    )
+    got = {r["p"]: r["rt"] for r in df.collect()}
+    for p in range(0, 200):
+        assert got[p] == p, (p, got[p])
+    assert got[1000] == 1000
+    assert got[3228] == 3228
+    assert got[3233] == 3233  # underflow floor
+    assert got[10000] == 3233  # clips past the floor
+
+
+# --- RichAlignmentSuite (rich/RichAlignmentSuite.scala) ----------------------
+def test_unclipped_start_end_vectors(spark):
+    """'Unclipped Start' (:28) and 'Unclipped End' (:42)."""
+    from adam_spark.operators.mark_duplicates import unclipped_end, unclipped_start
+
+    rows = [
+        ("10M", 42, 52), ("2S8M", 42, 50), ("3H2S5M4S", 42, 47),
+        ("10Mx", 10, 20), ("8M2S", 10, 18), ("6M2S2H", 10, 16),
+    ]
+    df = spark.createDataFrame(rows, "cigar string, start long, end long").select(
+        "cigar",
+        unclipped_start(F.col("start"), F.col("cigar")).alias("us"),
+        unclipped_end(F.col("end"), F.col("cigar")).alias("ue"),
+    )
+    got = {r["cigar"]: (r["us"], r["ue"]) for r in df.collect()}
+    assert got["10M"][0] == 42
+    assert got["2S8M"][0] == 40
+    assert got["3H2S5M4S"][0] == 37
+    assert got["8M2S"][1] == 20
+    assert got["6M2S2H"][1] == 20
+
+
+# --- AlignmentConverterSuite (converters/AlignmentConverterSuite.scala) ------
+def test_sam_op_oc_oq_round_trip(spark, tmp_path):
+    """'testing the fields in a converted ADAM Read' (:64-105):
+    originalStart 12 emits OP:i:13, OC/OQ verbatim; SAM load maps them
+    back to the typed columns and out of the attributes map."""
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import (
+        GenomicMetadata,
+        Reference,
+        SequenceDictionary,
+    )
+    from adam_spark.sources.sam import load_sam, save_sam
+
+    df = schemas.conform(
+        spark.createDataFrame(
+            [
+                {
+                    "readName": "read0", "start": 3, "end": 10,
+                    "readMapped": True, "cigar": "2M3D2M",
+                    "sequence": "AAAA", "qualityScores": "AAAA",
+                    "mappingQuality": 60, "mismatchingPositions": "2^AAA2",
+                    "originalStart": 12, "originalCigar": "2^AAA3",
+                    "originalQualityScores": "IIII",
+                    "referenceName": "referencetest",
+                }
+            ]
+        ),
+        schemas.ALIGNMENT,
+    )
+    meta = GenomicMetadata(
+        references=SequenceDictionary([Reference(name="referencetest", length=5)]),
+        kind="alignment",
+    )
+    out = str(tmp_path / "op.sam")
+    save_sam(GenomicFrame(df, meta), out)
+    import os
+
+    text = "".join(
+        open(os.path.join(out, f)).read()
+        for f in sorted(os.listdir(out))
+        if f.startswith("part-")
+    )
+    body = [l for l in text.splitlines() if not l.startswith("@")][0]
+    assert "OP:i:13" in body and "OC:Z:2^AAA3" in body and "OQ:Z:IIII" in body
+    assert "MD:Z:2^AAA2" in body
+    r = load_sam(spark, out).df.collect()[0]
+    assert r["originalStart"] == 12 and r["originalCigar"] == "2^AAA3"
+    assert r["originalQualityScores"] == "IIII"
+    # this repo's convention keeps every raw tag in the attributes map
+    # (typed columns are authoritative); the saver dedupes, so each tag
+    # appears exactly once on disk
+    for tag in ("OP:i:", "OC:Z:", "OQ:Z:", "MD:Z:"):
+        assert body.count(tag) == 1, tag
+
+
+def test_fastq_negative_strand_revcomp(spark, tmp_path):
+    """'reverse complement reads when converting to fastq' (:177) +
+    'unmapped reads where 0x10 was set' (:231): the strand flag alone
+    triggers revcomp + reversed quals; '*' quality becomes a B run."""
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import GenomicMetadata
+    from adam_spark.sources.fastq import load_unpaired_fastq, save_fastq
+
+    df = schemas.conform(
+        spark.createDataFrame(
+            [
+                {"readName": "neg_mapped", "sequence": "ACGTAC", "qualityScores": "123456",
+                 "readMapped": True, "readNegativeStrand": True},
+                {"readName": "neg_unmapped", "sequence": "AACCGG", "qualityScores": "654321",
+                 "readMapped": False, "readNegativeStrand": True},
+                {"readName": "fwd", "sequence": "ACGTAC", "qualityScores": None,
+                 "readMapped": False, "readNegativeStrand": False},
+            ]
+        ),
+        schemas.ALIGNMENT,
+    )
+    out = str(tmp_path / "rc.fq")
+    save_fastq(GenomicFrame(df, GenomicMetadata(kind="alignment")), out)
+    rows = {r["name"]: r for r in load_unpaired_fastq(spark, out).df.collect()}
+    assert rows["neg_mapped"]["sequence"] == "GTACGT"
+    assert rows["neg_mapped"]["qualityScores"] == "654321"
+    assert rows["neg_unmapped"]["sequence"] == "CCGGTT"
+    assert rows["neg_unmapped"]["qualityScores"] == "123456"
+    assert rows["fwd"]["sequence"] == "ACGTAC"
+    assert rows["fwd"]["qualityScores"] == "BBBBBB"
