@@ -418,3 +418,24 @@ def test_fastq_negative_strand_revcomp(spark, tmp_path):
     assert rows["neg_unmapped"]["qualityScores"] == "123456"
     assert rows["fwd"]["sequence"] == "ACGTAC"
     assert rows["fwd"]["qualityScores"] == "BBBBBB"
+
+
+# --- RecalibratorSuite (ds/read/recalibration/RecalibratorSuite.scala) -------
+def test_recalibration_table_inversion_vectors():
+    """':30-100': the seeded two-key observation table inverts to
+    phred 47 for the (q40, cycle 1, NN) covariate — the exact value the
+    suite pins on the recalibrated read — and the (q50, cycle 2, AC)
+    covariate clamps at the maxQualScore=50 ceiling
+    (TempRecalibrationTable.maxLogP, RecalibrationTable.scala:77-110),
+    which is why the suite's second base stays 50."""
+    from adam_spark.operators.bqsr import build_recalibration_table
+
+    obs = [
+        {"readGroupId": "rg0", "quality": 50, "cycle": 2, "dinuc": "AC",
+         "total": 1000000, "mismatches": 1, "expectedErrors": 10.0},
+        {"readGroupId": "rg0", "quality": 40, "cycle": 1, "dinuc": "NN",
+         "total": 100000, "mismatches": 1, "expectedErrors": 10.0},
+    ]
+    table = build_recalibration_table(obs)
+    assert table[("rg0", 40, 1, "NN")] == 47
+    assert table[("rg0", 50, 2, "AC")] == 50
