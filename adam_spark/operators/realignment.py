@@ -305,7 +305,10 @@ def _known_consensus(
     .getIndelsInRegion), in group-local coordinates."""
     out = []
     for pos, op, n, bases in table.get(contig, []):
-        span = n if op == "D" else 1
+        # deletion consensus spans [pos, pos+len+1) — one base past the
+        # deleted run (Consensus.scala:68-71; IndelTableSuite pins
+        # ACAT>A at 50 → index [51, 55))
+        span = n + 1 if op == "D" else 1
         if pos < ref_end and pos + span > ref_start:
             out.append((pos - ref_start, op, n, bases))
     return out[:max_n]

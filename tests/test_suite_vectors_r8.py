@@ -439,3 +439,36 @@ def test_recalibration_table_inversion_vectors():
     table = build_recalibration_table(obs)
     assert table[("rg0", 40, 1, "NN")] == 47
     assert table[("rg0", 50, 2, "AC")] == 50
+
+
+# --- IndelTableSuite (util/IndelTableSuite.scala) ----------------------------
+def test_indel_table_vectors(spark):
+    """'build indel table from rdd of variants' (:43-76) + the region
+    lookups (:31-41): A>ATT at 1000 → insertion consensus 'TT' spanning
+    [1001, 1002); ACAT>A at 50 → deletion consensus '' spanning
+    [51, 55) (len+1, Consensus.scala:68-71); lookups miss absent
+    contigs and non-overlapping regions."""
+    from adam_spark.operators.realignment import _known_consensus, known_indels_table
+
+    variants = spark.createDataFrame(
+        [
+            ("1", 1000, "A", "ATT"),
+            ("2", 50, "ACAT", "A"),
+        ],
+        "referenceName string, start long, referenceAllele string, alternateAllele string",
+    )
+    table = known_indels_table(variants)
+    ins = _known_consensus(table, "1", 1000, 1010, max_n=10)
+    assert len(ins) == 1
+    pos, op, n, bases = ins[0]
+    assert (op, bases) == ("I", "TT") and pos == 1001 - 1000 and n == 2
+    dele = _known_consensus(table, "2", 40, 60, max_n=10)
+    assert len(dele) == 1
+    pos, op, n, bases = dele[0]
+    assert (op, bases) == ("D", "") and pos == 51 - 40 and n == 3
+    # deletion span reaches one past the run: [51,55) overlaps [54,60)
+    assert len(_known_consensus(table, "2", 54, 60, max_n=10)) == 1
+    assert len(_known_consensus(table, "2", 55, 60, max_n=10)) == 0
+    # absent contig / disjoint region
+    assert _known_consensus(table, "0", 0, 1, max_n=10) == []
+    assert _known_consensus(table, "1", 1002, 1005, max_n=10) == []
