@@ -202,13 +202,64 @@ def _fastq_out_block(lines: list[str]) -> list[dict]:
     return out
 
 
+# Features.gatherAttributes / assignAttributes (Features.scala:125-212)
+# mirrored row-side so piped GFF3/GTF carry the same attribute surface as
+# the file savers (the reference pipes through the very same
+# toGff3/toGtf formatters)
+_FEATURE_ATTR_SCALARS = [
+    ("ID", "featureId"), ("Name", "name"), ("Target", "target"),
+    ("Gap", "gap"), ("Derives_from", "derivesFrom"),
+    ("gene_id", "geneId"), ("transcript_id", "transcriptId"),
+    ("exon_id", "exonId"), ("protein_id", "proteinId"),
+    ("sampleId", "sampleId"),
+]
+_FEATURE_ATTR_LISTS = [
+    ("Alias", "aliases"), ("Note", "notes"), ("Parent", "parentIds"),
+    ("Dbxref", "dbxrefs"), ("Ontology_term", "ontologyTerms"),
+]
+
+
+def _gather_feature_attrs(row: dict) -> list[tuple[str, str]]:
+    out = []
+    for key, field in _FEATURE_ATTR_SCALARS[:5]:
+        if _n(row.get(field)) is not None:
+            out.append((key, str(row[field])))
+    if row.get("circular") is not None:
+        out.append(("Is_circular", "true" if row["circular"] else "false"))
+    for key, field in _FEATURE_ATTR_SCALARS[5:]:
+        if _n(row.get(field)) is not None:
+            out.append((key, str(row[field])))
+    for key, field in _FEATURE_ATTR_LISTS:
+        vals = row.get(field)
+        # Arrow hands list columns over as numpy arrays, which are not
+        # truthy — compare against None explicitly
+        for v in (vals if vals is not None else []):
+            out.append((key, v))
+    attrs = row.get("attributes")
+    for k in sorted(attrs if attrs is not None else {}):
+        out.append((k, attrs[k]))
+    return out
+
+
+def _assign_feature_attrs(entries: list[tuple[str, str]]) -> dict:
+    scalars = {k: f for k, f in _FEATURE_ATTR_SCALARS}
+    lists = {k: f for k, f in _FEATURE_ATTR_LISTS}
+    out: dict = {"attributes": {}}
+    for k, v in entries:
+        if k in scalars:
+            out[scalars[k]] = v
+        elif k in lists:
+            out.setdefault(lists[k], []).append(v)
+        elif k == "Is_circular":
+            out["circular"] = v.lower() == "true"
+        else:
+            out["attributes"][k] = v
+    return out
+
+
 def _gff3_in(row: dict) -> str:
     score = _n(row.get("score"))
-    attrs = []
-    if _n(row.get("featureId")):
-        attrs.append(f"ID={row['featureId']}")
-    if _n(row.get("name")):
-        attrs.append(f"Name={row['name']}")
+    attrs = [f"{k}={v}" for k, v in _gather_feature_attrs(row)]
     return "\t".join(
         [
             _n(row.get("referenceName")) or ".",
@@ -230,12 +281,12 @@ def _gff3_out(line: str) -> dict | None:
     t = line.rstrip("\n").split("\t")
     if len(t) < 8:
         return None
-    attrs = {}
+    entries = []
     if len(t) > 8 and t[8] != ".":
         for kv in t[8].split(";"):
             if "=" in kv:
                 k, v = kv.split("=", 1)
-                attrs[k.strip()] = v.strip()
+                entries.append((k.strip(), v))
     return {
         "referenceName": t[0] if t[0] != "." else None,
         "source": t[1] if t[1] != "." else None,
@@ -244,18 +295,13 @@ def _gff3_out(line: str) -> dict | None:
         "end": int(t[4]),
         "score": float(t[5]) if t[5] != "." else None,
         "strand": {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT"}.get(t[6]),
-        "featureId": attrs.get("ID"),
-        "name": attrs.get("Name"),
+        **_assign_feature_attrs(entries),
     }
 
 
 def _gtf_in(row: dict) -> str:
     score = _n(row.get("score"))
-    attrs = []
-    if _n(row.get("geneId")):
-        attrs.append(f'gene_id "{row["geneId"]}";')
-    if _n(row.get("transcriptId")):
-        attrs.append(f'transcript_id "{row["transcriptId"]}";')
+    attrs = [f'{k} "{v}";' for k, v in _gather_feature_attrs(row)]
     return "\t".join(
         [
             _n(row.get("referenceName")) or ".",
@@ -277,12 +323,12 @@ def _gtf_out(line: str) -> dict | None:
     t = line.rstrip("\n").split("\t")
     if len(t) < 8:
         return None
-    attrs = {}
+    entries = []
     if len(t) > 8 and t[8] != ".":
         import re as _re
 
-        for m in _re.finditer(r'(\w+)\s+"([^"]*)"', t[8]):
-            attrs[m.group(1)] = m.group(2)
+        for m in _re.finditer(r'([^\s"]+)\s+"([^"]+)"', t[8]):
+            entries.append((m.group(1), m.group(2)))
     return {
         "referenceName": t[0] if t[0] != "." else None,
         "source": t[1] if t[1] != "." else None,
@@ -291,8 +337,7 @@ def _gtf_out(line: str) -> dict | None:
         "end": int(t[4]),
         "score": float(t[5]) if t[5] != "." else None,
         "strand": {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT"}.get(t[6]),
-        "geneId": attrs.get("gene_id"),
-        "transcriptId": attrs.get("transcript_id"),
+        **_assign_feature_attrs(entries),
     }
 
 

@@ -437,3 +437,42 @@ def test_pipe_timeout_semantics(aligned_gf):
     # generous timeout: nothing lost
     ok = pipe(aligned_gf, "cat", in_format="sam", partitions=2, timeout=60)
     assert ok.df.count() == 100
+
+
+def test_pipe_gff3_full_attribute_round_trip(spark):
+    """Piped GFF3/GTF carry the full gatherAttributes surface
+    (FeatureDatasetSuite 'don't lose any features when piping as
+    GFF3/GTF format' :920-945, widened to typed fields): cat-identity
+    pipe preserves every typed attribute column and the residual map."""
+    from adam_spark import schemas
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import GenomicMetadata
+    from adam_spark.operators.pipe import pipe
+
+    rows = [
+        {
+            "referenceName": "1", "start": 100, "end": 200,
+            "featureType": "exon", "featureId": "e1", "name": "exon1",
+            "exonId": "ENSE1", "parentIds": ["tx1,tx2"],
+            "aliases": ["a1", "a2"], "dbxrefs": ["EMBL:X1"],
+            "ontologyTerms": ["SO:0000147"], "circular": False,
+            "target": "EST1 1 100", "gap": "M100", "derivesFrom": "tx9",
+            "sampleId": "s1", "attributes": {"custom": "x=y"},
+        }
+    ]
+    gf = GenomicFrame(
+        schemas.conform(spark.createDataFrame(rows), schemas.FEATURE),
+        GenomicMetadata(kind="feature"),
+    )
+    for fmt in ("gff3", "gtf"):
+        out = pipe(gf, ["cat"], in_format=fmt, out_format=fmt)
+        r = out.df.collect()[0]
+        assert r["featureId"] == "e1" and r["name"] == "exon1"
+        assert r["exonId"] == "ENSE1"
+        assert r["parentIds"] == ["tx1,tx2"]
+        assert r["aliases"] == ["a1", "a2"]
+        assert r["dbxrefs"] == ["EMBL:X1"]
+        assert r["ontologyTerms"] == ["SO:0000147"]
+        assert (r["target"], r["gap"], r["derivesFrom"]) == ("EST1 1 100", "M100", "tx9")
+        assert r["circular"] is False and r["sampleId"] == "s1"
+        assert dict(r["attributes"]) == {"custom": "x=y"}, fmt
