@@ -216,6 +216,48 @@ def merge_slices(slices: DataFrame) -> DataFrame:
     )
 
 
+def slices_to_contig_reads(slices: DataFrame) -> DataFrame:
+    """Stitch CONTIGUOUS same-name slices into aligned read spans
+    (reference converters/FragmentConverter.scala convertRdd +
+    FragmentCollector.merge): runs where one slice's end equals the
+    next slice's start concatenate into a single read carrying
+    (referenceName, start, end, sequence); gaps break the run. Distinct
+    from :func:`merge_slices`, which concatenates unconditionally into
+    SEQUENCES (SliceDataset.merge).
+
+    Scale shape: one window pass keyed by name to number the contiguous
+    runs, then a (name, run) groupBy whose shuffle reuses the window's
+    hash partitioning on name."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("name").orderBy("start", "end")
+    brk = F.when(F.col("start") == F.lag("end").over(w), 0).otherwise(1)
+    runs = slices.select(
+        "name", "start", "end", "sequence", F.sum(brk).over(w).alias("__run")
+    )
+    return (
+        runs.groupBy("name", "__run")
+        .agg(
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("start"), F.col("sequence").alias("s"))
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("sequence"),
+        )
+        .select(
+            F.col("name").alias("referenceName"), "start", "end", "sequence"
+        )
+    )
+
+
 # --- features ↔ coverage --------------------------------------------------
 def features_to_coverage(features: DataFrame) -> DataFrame:
     """(reference: FeatureDataset.toCoverage :302/:351-358 — score → count)."""

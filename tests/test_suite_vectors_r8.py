@@ -472,3 +472,39 @@ def test_indel_table_vectors(spark):
     # absent contig / disjoint region
     assert _known_consensus(table, "0", 0, 1, max_n=10) == []
     assert _known_consensus(table, "1", 1002, 1005, max_n=10) == []
+
+
+# --- FragmentConverterSuite (converters/FragmentConverterSuite.scala) --------
+def test_fragment_converter_vectors(spark):
+    """'convert an rdd of contiguous fragments' (:87): adjacent slices
+    stitch into ONE aligned read spanning [0, 28); 'discontinuous
+    fragments' (:57): a gap breaks the run into separate reads;
+    'varied fragments from multiple contigs' (:116): runs are
+    per-contig."""
+    from adam_spark.operators.conversions import slices_to_contig_reads
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "name string, sequence string, start long, end long"
+        )
+
+    contiguous = mk(
+        [("ctg", "ACACACAC", 0, 8), ("ctg", "TGTGTG", 8, 14), ("ctg", "AATTCCGGCCTTAA", 14, 28)]
+    )
+    got = slices_to_contig_reads(contiguous).collect()
+    assert len(got) == 1
+    assert got[0]["sequence"] == "ACACACACTGTGTGAATTCCGGCCTTAA"
+    assert (got[0]["referenceName"], got[0]["start"], got[0]["end"]) == ("ctg", 0, 28)
+
+    disjoint = mk([("ctg", "ACACACAC", 0, 8), ("ctg", "AATTCCGGCCTTAA", 14, 28)])
+    got = {r["start"]: r for r in slices_to_contig_reads(disjoint).collect()}
+    assert len(got) == 2
+    assert got[0]["sequence"] == "ACACACAC" and got[0]["end"] == 8
+    assert got[14]["sequence"] == "AATTCCGGCCTTAA" and got[14]["end"] == 28
+
+    multi = mk(
+        [("ctg1", "ACACACAC", 0, 8), ("ctg2", "TGTGTG", 0, 6), ("ctg2", "AATT", 6, 10)]
+    )
+    got = {r["referenceName"]: r for r in slices_to_contig_reads(multi).collect()}
+    assert got["ctg1"]["sequence"] == "ACACACAC"
+    assert got["ctg2"]["sequence"] == "TGTGTGAATT" and got["ctg2"]["end"] == 10
