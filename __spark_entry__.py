@@ -2571,6 +2571,56 @@ FROM orders ORDER BY readName
 """
 
 
+def slices_contig_reads_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """FragmentConverter.convertRdd (operators/conversions.
+    slices_to_contig_reads): documents cut into three adjacent 50-char
+    slices, with the middle slice dropped for doc_id % 3 == 0 — those
+    documents yield TWO reads (the gap breaks the contiguous run), the
+    rest stitch into one 150-char read."""
+    from adam_spark.operators.conversions import slices_to_contig_reads
+
+    docs = load_table(spark, sf, "documents").where(F.col("n_chars") >= 160)
+    sl = (
+        docs.select(
+            F.expr("'d' || cast(doc_id as string)").alias("name"),
+            F.col("doc_id"),
+            F.explode(F.expr("sequence(0, 2)")).alias("i"),
+            F.col("text"),
+        )
+        .where(~((F.col("doc_id") % 3 == 0) & (F.col("i") == 1)))
+        .select(
+            "name",
+            F.expr("substring(text, cast(i * 50 + 1 as int), 50)").alias("sequence"),
+            (F.col("i") * 50).cast("long").alias("start"),
+            ((F.col("i") + 1) * 50).cast("long").alias("end"),
+        )
+    )
+    return slices_to_contig_reads(sl).orderBy("referenceName", "start")
+
+
+_SLICES_CONTIG_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE n_chars >= 160),
+sl AS (
+  SELECT 'd' || CAST(doc_id AS VARCHAR) AS name,
+         substring(text, CAST(i*50 + 1 AS INT), 50) AS sequence,
+         CAST(i*50 AS BIGINT) AS start, CAST((i+1)*50 AS BIGINT) AS "end"
+  FROM d, range(0, 3) r(i)
+  WHERE NOT (doc_id % 3 = 0 AND i = 1)
+),
+brk AS (
+  SELECT *, CASE WHEN start = lag("end") OVER (PARTITION BY name ORDER BY start, "end")
+                 THEN 0 ELSE 1 END AS b
+  FROM sl
+),
+runs AS (
+  SELECT *, SUM(b) OVER (PARTITION BY name ORDER BY start, "end") AS run FROM brk
+)
+SELECT name AS referenceName, MIN(start) AS start, MAX("end") AS "end",
+       string_agg(sequence, '' ORDER BY start) AS sequence
+FROM runs GROUP BY name, run ORDER BY referenceName, start
+"""
+
+
 def slices_merge_docs(spark: SparkSession, sf: str) -> DataFrame:
     """SliceDataset.merge (:291): stitch adjacent slices back into
     sequences. Documents ≥160 chars are cut into three adjacent 50-char
@@ -3091,6 +3141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gopher_quality_docs (new operator, full oracle) taking its
         # in-window slot
         "language_id_docs": language_id_docs,
+        # r8: FragmentConverter contiguous-run stitching (new operator),
+        # parked with a full oracle — covered capless by check_oracle
+        "slices_contig_reads_docs": slices_contig_reads_docs,
     }
 
 
@@ -3138,6 +3191,7 @@ def oracle_sql() -> dict[str, str]:
         # centroids + full-precision rescore re-ranking (see the query's
         # docstring; bit-equal verified at sf0.001/sf0.01)
         "ann_ivf_topk_quantized": _ANN_IVF_SQL,
+        "slices_contig_reads_docs": _SLICES_CONTIG_SQL,
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "mark_duplicates_orders": _MARKDUP_SQL,
         "coverage_flatten_bin": _COV_FLATTEN_SQL,
