@@ -508,3 +508,59 @@ def test_fragment_converter_vectors(spark):
     got = {r["referenceName"]: r for r in slices_to_contig_reads(multi).collect()}
     assert got["ctg1"]["sequence"] == "ACACACAC"
     assert got["ctg2"]["sequence"] == "TGTGTGAATT" and got["ctg2"]["end"] == 10
+
+
+# --- SnpTableSuite (ds/read/recalibration/SnpTableSuite.scala) ---------------
+def test_known_snps_multi_contig_masking(spark, tmp_path):
+    """'create a snp table from variants on multiple contigs' (:33-48) +
+    'perform lookups on multi-contig snp table' (:80-95), re-expressed
+    on the Spark-first masking (broadcast anti-join on ref:pos instead
+    of the reference's per-contig index arrays): the random.vcf-shaped
+    site set masks exactly its own positions, per contig."""
+    from adam_spark.operators import bqsr
+    from adam_spark.sources.vcf import load_vcf_variants
+
+    p = tmp_path / "random_shape.vcf"
+    sites = [("1", 14396), ("1", 14521), ("1", 63734), ("2", 19189),
+             ("13", 752720), ("13", 752790)]
+    p.write_text(
+        "##fileformat=VCFv4.3\n"
+        "##contig=<ID=1>\n##contig=<ID=2>\n##contig=<ID=13>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        + "".join(f"{c}\t{pos + 1}\t.\tA\tG\t50\tPASS\t.\n" for c, pos in sites)
+    )
+    snps = load_vcf_variants(spark, str(p))
+    got = sorted(
+        (r["referenceName"], r["start"]) for r in snps.df.collect()
+    )
+    assert got == sorted(sites)
+
+    # reads overlapping known sites: the masked base drops from the
+    # observation total, per contig (the maskedSites lookup semantics)
+    reads = schemas.conform(
+        spark.createDataFrame(
+            [
+                {"readName": "r1", "referenceName": "1", "start": 14395,
+                 "end": 14399, "readMapped": True, "cigar": "4M",
+                 "sequence": "ACGT", "qualityScores": "IIII",
+                 "mismatchingPositions": "4", "mappingQuality": 60,
+                 "readGroupId": "rg", "primaryAlignment": True},
+                {"readName": "r2", "referenceName": "13", "start": 752718,
+                 "end": 752722, "readMapped": True, "cigar": "4M",
+                 "sequence": "ACGT", "qualityScores": "IIII",
+                 "mismatchingPositions": "4", "mappingQuality": 60,
+                 "readGroupId": "rg", "primaryAlignment": True},
+                {"readName": "r3", "referenceName": "22", "start": 14395,
+                 "end": 14399, "readMapped": True, "cigar": "4M",
+                 "sequence": "ACGT", "qualityScores": "IIII",
+                 "mismatchingPositions": "4", "mappingQuality": 60,
+                 "readGroupId": "rg", "primaryAlignment": True},
+            ]
+        ),
+        schemas.ALIGNMENT,
+    )
+    obs = bqsr.observe_covariates(reads, known_snps=snps.df).collect()
+    total = sum(r["total"] for r in obs)
+    # r1 loses pos 14396, r2 loses 752720; r3 (contig 22 — no known
+    # sites) keeps all 4 bases
+    assert total == 4 + 3 + 3
