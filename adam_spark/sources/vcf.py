@@ -612,10 +612,18 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
 
     info_parts = F.concat_ws(
         ";",
+        # AA/CIGAR are split out of the attributes map on load, so they
+        # must re-emit from their typed annotation fields or a
+        # load→save cycle silently drops them
+        F.when(
+            ann["ancestralAllele"].isNotNull(),
+            F.concat(F.lit("AA="), ann["ancestralAllele"]),
+        ),
         F.when(ann["alleleCount"].isNotNull(), F.concat(F.lit("AC="), ann["alleleCount"])),
         F.when(
             ann["alleleFrequency"].isNotNull(), F.concat(F.lit("AF="), ann["alleleFrequency"])
         ),
+        F.when(ann["cigar"].isNotNull(), F.concat(F.lit("CIGAR="), ann["cigar"])),
         F.when(ann["readDepth"].isNotNull(), F.concat(F.lit("DP="), ann["readDepth"])),
         ann_field,
         # null (not "") when there are no attributes — concat_ws keeps

@@ -337,3 +337,25 @@ def test_site_only_cnv_and_somatic_vectors(spark, tmp_path):
     assert (cnv["start"], cnv["end"]) == (9, 20)
     assert rows["T"]["annotation"]["somatic"] is True
     assert (rows["T"]["start"], rows["T"]["end"]) == (1, 2)
+
+
+def test_info_aa_cigar_round_trip(spark, tmp_path):
+    """AA and CIGAR are typed annotation fields split out of the
+    attributes map on load (VariantAnnotationConverter keys); the save
+    side re-emits them so load->save->load is lossless."""
+    p = tmp_path / "aa.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.3\n##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tG\t50\tPASS\tAA=C;CIGAR=1M;DP=30\n"
+    )
+    gf = vcf_io.load_vcf(spark, str(p))
+    r = gf.df.collect()[0]["variant"]
+    assert r["annotation"]["ancestralAllele"] == "C"
+    assert r["annotation"]["cigar"] == "1M"
+    text = _save_text(gf, tmp_path, "aa_out.vcf")
+    body = [l for l in text.splitlines() if not l.startswith("#")][0]
+    info = body.split("\t")[7]
+    assert "AA=C" in info and "CIGAR=1M" in info and "DP=30" in info
+    back = vcf_io.load_vcf(spark, str(tmp_path / "aa_out.vcf"))
+    assert sorted(map(repr, gf.df.collect())) == sorted(map(repr, back.df.collect()))
