@@ -359,3 +359,25 @@ def test_info_aa_cigar_round_trip(spark, tmp_path):
     assert "AA=C" in info and "CIGAR=1M" in info and "DP=30" in info
     back = vcf_io.load_vcf(spark, str(tmp_path / "aa_out.vcf"))
     assert sorted(map(repr, gf.df.collect())) == sorted(map(repr, back.df.collect()))
+
+
+def test_variant_filters_save_direction(spark, tmp_path):
+    """'Convert ADAM variant context with null/no/passing/failing
+    filters applied to htsjdk' (:477-560): null/false filtersApplied →
+    '.', passed → PASS, failed → ;-joined FILTER column."""
+    p = tmp_path / "f.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.3\n##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tG\t50\t.\t.\n"
+        "chr1\t200\t.\tC\tT\t50\tPASS\t.\n"
+        "chr1\t300\t.\tG\tA\t50\tFILTER1;FILTER2\t.\n"
+    )
+    gf = vcf_io.load_vcf(spark, str(p))
+    text = _save_text(gf, tmp_path, "f_out.vcf")
+    filt = {
+        int(l.split("\t")[1]): l.split("\t")[6]
+        for l in text.splitlines()
+        if not l.startswith("#")
+    }
+    assert filt == {100: ".", 200: "PASS", 300: "FILTER1;FILTER2"}
