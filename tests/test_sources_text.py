@@ -415,3 +415,84 @@ def test_cross_format_saves_and_name_of(spark, tmp_path):
     out = str(tmp_path / "o.narrowPeak")
     save_narrowpeak(gf, out)
     assert load_narrowpeak(spark, out).df.count() == n
+
+
+def test_gff3_randomized_attribute_round_trip(spark, tmp_path):
+    """Randomized feature rows (seeded) with arbitrary combinations of
+    the sixteen typed fields + residual attributes survive a GFF3
+    save->load cycle field-exact, and a second save is byte-identical
+    (the gather/assign pair is a true inverse on the GFF3-expressible
+    value space — no ';', '=', tabs or newlines in values, the same
+    limitation the reference's unescaped toGff3 has)."""
+    import random
+
+    from adam_spark import schemas
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import GenomicMetadata
+    from adam_spark.sources.features_io import load_gff3, save_gff3
+
+    rng = random.Random(8)
+    alphabet = "abcdefgHIJKLM_.:%+0123 "
+
+    def word(must=False):
+        if not must and rng.random() < 0.4:
+            return None
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9))).strip() or "x"
+
+    rows = []
+    for i in range(25):
+        rows.append(
+            {
+                "referenceName": f"chr{rng.randint(1, 3)}",
+                "start": i * 100,
+                "end": i * 100 + rng.randint(1, 99),
+                "source": word(),
+                "featureType": rng.choice(["gene", "exon", "transcript", None]),
+                "strand": rng.choice(["FORWARD", "REVERSE", "INDEPENDENT"]),
+                "score": rng.choice([None, float(rng.randint(0, 1000))]),
+                "phase": rng.choice([None, 0, 1, 2]),
+                "featureId": word(),
+                "name": word(),
+                "target": word(),
+                "gap": word(),
+                "derivesFrom": word(),
+                "geneId": word(),
+                "transcriptId": word(),
+                "exonId": word(),
+                "proteinId": word(),
+                "sampleId": word(),
+                "circular": rng.choice([None, True, False]),
+                "aliases": [word(True) for _ in range(rng.randint(0, 2))] or None,
+                "notes": [word(True) for _ in range(rng.randint(0, 2))] or None,
+                "parentIds": [word(True) for _ in range(rng.randint(0, 2))] or None,
+                "dbxrefs": [f"DB:{word(True)}" for _ in range(rng.randint(0, 2))] or None,
+                "ontologyTerms": [f"SO:{rng.randint(1, 999)}" for _ in range(rng.randint(0, 2))] or None,
+                "attributes": {
+                    f"k{j}": word(True) for j in range(rng.randint(0, 3))
+                } or None,
+            }
+        )
+    gf = GenomicFrame(
+        schemas.conform(spark.createDataFrame(rows), schemas.FEATURE),
+        GenomicMetadata(kind="feature"),
+    )
+    out = str(tmp_path / "rand.gff3")
+    save_gff3(gf, out, single_file=True)
+    back = load_gff3(spark, out)
+
+    def key(r):
+        return (r["referenceName"], r["start"], r["end"])
+
+    want = {key(r): r for r in gf.df.collect()}
+    got = {key(r): r for r in back.df.collect()}
+    assert set(want) == set(got)
+    for k, w in want.items():
+        g = got[k]
+        for f in schemas.FEATURE.fieldNames():
+            if f == "frame":
+                continue  # GFF3 carries phase, not frame
+            assert g[f] == w[f], (k, f, w[f], g[f])
+
+    out2 = str(tmp_path / "rand2.gff3")
+    save_gff3(back, out2, single_file=True)
+    assert _single_part(out) == _single_part(out2)
