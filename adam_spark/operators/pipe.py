@@ -147,7 +147,7 @@ def _bed_in(row: dict) -> str:
             str(int(_n(row.get("end")) or 0)),
             _n(row.get("name")) or ".",
             str(score) if score is not None else ".",
-            {"FORWARD": "+", "REVERSE": "-"}.get(_n(row.get("strand")), "."),
+            {"FORWARD": "+", "REVERSE": "-", "INDEPENDENT": "."}.get(_n(row.get("strand")), "?"),
         ]
     )
 
@@ -158,7 +158,7 @@ def _bed_out(line: str) -> dict | None:
     t = line.rstrip("\n").split("\t")
     if len(t) < 3:
         return None
-    strand = {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT"}.get(
+    strand = {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT", "?": "UNKNOWN"}.get(
         t[5] if len(t) > 5 else ".", None
     )
     return {
@@ -268,7 +268,7 @@ def _gff3_in(row: dict) -> str:
             str(int(_n(row.get("start")) or 0) + 1),
             str(int(_n(row.get("end")) or 0)),
             str(score) if score is not None else ".",
-            {"FORWARD": "+", "REVERSE": "-"}.get(_n(row.get("strand")), "."),
+            {"FORWARD": "+", "REVERSE": "-", "INDEPENDENT": "."}.get(_n(row.get("strand")), "?"),
             ".",
             ";".join(attrs) or ".",
         ]
@@ -294,7 +294,7 @@ def _gff3_out(line: str) -> dict | None:
         "start": int(t[3]) - 1,
         "end": int(t[4]),
         "score": float(t[5]) if t[5] != "." else None,
-        "strand": {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT"}.get(t[6]),
+        "strand": {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT", "?": "UNKNOWN"}.get(t[6]),
         **_assign_feature_attrs(entries),
     }
 
@@ -310,7 +310,7 @@ def _gtf_in(row: dict) -> str:
             str(int(_n(row.get("start")) or 0) + 1),
             str(int(_n(row.get("end")) or 0)),
             str(score) if score is not None else ".",
-            {"FORWARD": "+", "REVERSE": "-"}.get(_n(row.get("strand")), "."),
+            {"FORWARD": "+", "REVERSE": "-", "INDEPENDENT": "."}.get(_n(row.get("strand")), "?"),
             ".",
             " ".join(attrs) or ".",
         ]
@@ -336,7 +336,7 @@ def _gtf_out(line: str) -> dict | None:
         "start": int(t[3]) - 1,
         "end": int(t[4]),
         "score": float(t[5]) if t[5] != "." else None,
-        "strand": {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT"}.get(t[6]),
+        "strand": {"+": "FORWARD", "-": "REVERSE", ".": "INDEPENDENT", "?": "UNKNOWN"}.get(t[6]),
         **_assign_feature_attrs(entries),
     }
 
@@ -350,7 +350,7 @@ def _narrowpeak_in(row: dict) -> str:
             str(int(_n(row.get("end")) or 0)),
             _n(row.get("name")) or ".",
             str(int(score)) if score is not None else "0",
-            {"FORWARD": "+", "REVERSE": "-"}.get(_n(row.get("strand")), "."),
+            {"FORWARD": "+", "REVERSE": "-", "INDEPENDENT": "."}.get(_n(row.get("strand")), "?"),
             "-1",
             "-1",
             "-1",

@@ -25,20 +25,26 @@ def _conform(df: DataFrame) -> DataFrame:
 
 
 def _strand(col):
+    """Features.toStrand (Features.scala:37-45): '?' is UNKNOWN, not
+    missing; anything else unparsable is null."""
     return (
         F.when(col == "+", "FORWARD")
         .when(col == "-", "REVERSE")
         .when(col == ".", "INDEPENDENT")
+        .when(col == "?", "UNKNOWN")
         .otherwise(F.lit(None).cast("string"))
     )
 
 
 def _strand_out(col):
+    """Features.asString (Features.scala:55-67, emptyUnknown=false as
+    every feature text sink passes): UNKNOWN and missing both emit '?'
+    — only INDEPENDENT writes '.'."""
     return (
         F.when(col == "FORWARD", "+")
         .when(col == "REVERSE", "-")
         .when(col == "INDEPENDENT", ".")
-        .otherwise(".")
+        .otherwise("?")
     )
 
 
