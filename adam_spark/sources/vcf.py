@@ -15,10 +15,14 @@ re-expresses the conversion relationally:
   NO explode + groupBy round-trip, so a load is shuffle-free and scales
   linearly with input splits.
 
-Known simplifications (documented for the judge): ``genotypeLikelihoods``
-come from GL when present else -PL/10 (htsjdk converts PL back to
-log10-likelihoods the same way up to rounding); symbolic/breakend ALTs
-pass through as strings.
+``genotypeLikelihoods`` use the reference's PhredUtils semantics: PL
+values (or GL fields folded to max-normalized PLs, as htsjdk does)
+convert through ``ln(1 - 10^(-p/10))`` with float truncation below
+phred 156 and a log1p branch above, subset to the diploid PL indices of
+the row's (split) allele; a trailing ``<NON_REF>`` populates
+``nonReferenceLikelihoods`` from the reference-model indices.
+Symbolic/breakend ALTs pass through as strings, with INFO END driving
+the span.
 """
 
 from __future__ import annotations
@@ -544,6 +548,41 @@ def load_vcf_genotypes(spark: SparkSession, path: str) -> GenomicFrame:
     return GenomicFrame(df, meta)
 
 
+#: DefaultHeaderLines.allHeaderLines (converters/DefaultHeaderLines.scala:
+#: 34-199) as VCF text: the INFO/FORMAT declarations for every field the
+#: converter reads or writes, emitted when saving a frame whose metadata
+#: carries no loaded header.
+DEFAULT_HEADER_LINES = [
+    '##INFO=<ID=AA,Number=1,Type=String,Description="Ancestral allele">',
+    '##INFO=<ID=AC,Number=A,Type=Integer,Description="Allele count">',
+    '##INFO=<ID=AD,Number=R,Type=Integer,Description="Total read depths for each allele">',
+    '##INFO=<ID=ADF,Number=R,Type=Integer,Description="Read depths for each allele on the forward strand">',
+    '##INFO=<ID=ADR,Number=R,Type=Integer,Description="Read depths for each allele on the reverse strand">',
+    '##INFO=<ID=AF,Number=A,Type=Float,Description="Allele frequency for each allele">',
+    '##INFO=<ID=CIGAR,Number=A,Type=String,Description="Cigar string describing how to align alternate alleles to the reference allele">',
+    '##INFO=<ID=DB,Number=0,Type=Flag,Description="Membership in dbSNP">',
+    '##INFO=<ID=H2,Number=0,Type=Flag,Description="Membership in HapMap2">',
+    '##INFO=<ID=H3,Number=0,Type=Flag,Description="Membership in HapMap3">',
+    '##INFO=<ID=VALIDATED,Number=0,Type=Flag,Description="Validated by follow-up experiment">',
+    '##INFO=<ID=1000G,Number=0,Type=Flag,Description="Membership in 1000 Genomes">',
+    '##INFO=<ID=SOMATIC,Number=0,Type=Flag,Description="Somatic event">',
+    '##INFO=<ID=ANN,Number=.,Type=String,Description="Functional annotations">',
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+    '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">',
+    '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths for the ref and alt alleles in the order listed">',
+    '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Approximate read depth (reads with MQ=255 or with bad mates are filtered)">',
+    '##FORMAT=<ID=MIN_DP,Number=1,Type=Integer,Description="Minimum DP observed within the gVCF block">',
+    '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Normalized, Phred-scaled likelihoods for genotypes as defined in the VCF specification">',
+    '##FORMAT=<ID=SB,Number=4,Type=Integer,Description="Per-sample component statistics which comprise the Fisher\'s Exact Test to detect strand bias.">',
+    '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase set ID">',
+    '##FORMAT=<ID=PQ,Number=1,Type=Float,Description="Read-backed phasing quality">',
+    '##FORMAT=<ID=FT,Number=.,Type=String,Description="Genotype-level filter">',
+    '##FORMAT=<ID=FS,Number=1,Type=Float,Description="Phred-scaled p-value using Fisher\'s exact test to detect strand bias">',
+    '##FORMAT=<ID=MQ,Number=1,Type=Float,Description="Root mean square (RMS) mapping quality">',
+    '##FORMAT=<ID=MQ0,Number=1,Type=Float,Description="Total number of reads with mapping quality=0">',
+]
+
+
 # --- sink -----------------------------------------------------------------
 def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     """Variant contexts → VCF text (VariantContextDataset.saveAsVcf:427).
@@ -792,6 +831,12 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     header = [h for h in gf.meta.header_lines if h.startswith("##")]
     if not any(h.startswith("##fileformat") for h in header):
         header = ["##fileformat=VCFv4.3", *header]
+    # frames built without a loaded VCF header get the reference's
+    # default INFO/FORMAT declarations (DefaultHeaderLines.allHeaderLines,
+    # converters/DefaultHeaderLines.scala — its VariantContextDataset
+    # default), so external parsers see every field this writer can emit
+    if not any(h.startswith(("##INFO", "##FORMAT")) for h in header):
+        header.extend(DEFAULT_HEADER_LINES)
     have_contigs = {h for h in header if h.startswith("##contig=")}
     for r in gf.meta.references.references:
         line_c = f"##contig=<ID={r.name}" + (f",length={r.length}" if r.length else "") + ">"

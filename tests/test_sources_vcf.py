@@ -329,3 +329,33 @@ def test_transcript_effect_reference_vectors(spark, tmp_path):
     # slot → position 4 (interval start), length 420
     te2 = rows[1]["variant"]["annotation"]["transcriptEffects"][0]
     assert te2["cdsPosition"] == 4 and te2["cdsLength"] == 420
+
+
+def test_default_header_lines_on_headerless_save(spark, tmp_path, vcf_path):
+    """Frames built without a loaded VCF header save with the
+    reference's default INFO/FORMAT declarations
+    (DefaultHeaderLines.allHeaderLines, DefaultHeaderLines.scala:34-199);
+    loaded headers are kept verbatim instead."""
+    import os
+
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import GenomicMetadata
+
+    gf = vcf_io.load_vcf(spark, vcf_path)
+    bare = GenomicFrame(gf.df, GenomicMetadata(kind="variant_context"))
+    out = str(tmp_path / "bare.vcf")
+    vcf_io.save_vcf(bare, out, single_file=True)
+    part = [f for f in sorted(os.listdir(out)) if f.startswith("part-")][0]
+    text = open(os.path.join(out, part)).read()
+    assert '##INFO=<ID=AA,Number=1,Type=String,Description="Ancestral allele">' in text
+    assert '##FORMAT=<ID=PL,Number=G,' in text
+    # and it still parses back
+    assert vcf_io.load_vcf(spark, out).df.count() == gf.df.count()
+
+    out2 = str(tmp_path / "kept.vcf")
+    vcf_io.save_vcf(gf, out2, single_file=True)
+    part2 = [f for f in sorted(os.listdir(out2)) if f.startswith("part-")][0]
+    text2 = open(os.path.join(out2, part2)).read()
+    # the loaded header declared its own INFO lines; defaults stay out
+    assert text2.count("##INFO=<ID=DP") == 1
+    assert "Ancestral allele" not in text2
