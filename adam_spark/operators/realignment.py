@@ -502,8 +502,10 @@ def realign_group(
     ConsensusGeneratorFromReads), ``"sw"`` (reads are first locally
     SW-realigned to consolidate indel blocks, then the reads model runs
     on the rewritten alignments — ConsensusGeneratorFromSmithWaterman),
-    or ``"knowns"`` (candidates come from the broadcast known-indel
-    table — ConsensusGeneratorFromKnowns)."""
+    ``"knowns"`` (candidates come from the broadcast known-indel
+    table — ConsensusGeneratorFromKnowns), or ``"union"`` (knowns +
+    observed candidates concatenated, dedup-preserving-order —
+    ConsensusGenerator.union / UnionConsensusGenerator.scala:38-56)."""
     mapped = [r for r in rows if r.get("readMapped") and r.get("cigar") and r.get("sequence")]
     if len(mapped) < 2:
         return rows
@@ -517,6 +519,16 @@ def realign_group(
             known_table or {}, mapped[0]["referenceName"], ref_start, ref_end,
             max_consensus_number,
         )
+    elif consensus_model == "union":
+        known = _known_consensus(
+            known_table or {}, mapped[0]["referenceName"], ref_start, ref_end,
+            max_consensus_number,
+        )
+        observed = _consensus_candidates(mapped, ref_start, max_consensus_number)
+        seen: set = set()
+        consensus = [
+            c for c in known + observed if not (c in seen or seen.add(c))
+        ][:max_consensus_number]
     elif consensus_model == "sw":
         pre = _sw_realign_rows(mapped, ref, ref_start, sw_weights)
         consensus = _consensus_candidates(pre, ref_start, max_consensus_number)
@@ -646,7 +658,8 @@ def realign_indels(
         if targets is None:
             spark = reads.sparkSession
             extra_rows = [
-                (contig, pos, pos + (n if op == "D" else 1))
+                # deletion consensus index spans len+1 (Consensus.scala:68-71)
+                (contig, pos, pos + (n + 1 if op == "D" else 1))
                 for contig, entries in known_table.items()
                 for (pos, op, n, _b) in entries
             ]

@@ -301,3 +301,37 @@ def test_apply_consensus_reference_suite_cases():
     # empty consensus (zero-length op) returns the reference
     assert ra._apply_consensus("AAAAAAAAAAAAA", (0, "D", 0, "")) == "AAAAAAAAAAAAA"
     assert ra._apply_consensus("AAAAAAAAAAAAA", (0, "I", 0, "")) == "AAAAAAAAAAAAA"
+
+
+def test_union_consensus_model(spark):
+    """ConsensusGenerator.union (UnionConsensusGenerator.scala:38-56):
+    candidates from BOTH the known-indel table and the observed reads,
+    deduplicated — a read set whose indel evidence misses the known
+    event still realigns against it, and vice versa."""
+    from adam_spark.operators.realignment import _known_consensus, realign_group
+
+    # reads: 10 clean 10M reads over [0,20) reconstructing the reference,
+    # plus two reads carrying a 2bp deletion observed in the reads
+    rows = []
+    for i in range(8):
+        st = i
+        rows.append(
+            {
+                "readName": f"c{i}", "referenceName": "1", "start": st,
+                "end": st + 10, "cigar": "10M", "sequence": "ACGTACGTAC",
+                "qualityScores": "I" * 10, "mismatchingPositions": "10",
+                "readMapped": True,
+            }
+        )
+    known = {"1": [(5, "D", 2, "")]}
+    obs_only = realign_group(list(rows), 5.0, 30, consensus_model="reads")
+    union_out = realign_group(
+        list(rows), 5.0, 30, consensus_model="union", known_table=known
+    )
+    # both paths return one row per input; union path must not crash and
+    # must consider the known deletion candidate
+    assert len(obs_only) == len(rows) and len(union_out) == len(rows)
+    # the union candidate list contains the known event even though the
+    # reads show no indel evidence
+    cands = _known_consensus(known, "1", 0, 20, 10)
+    assert cands == [(5, "D", 2, "")]
