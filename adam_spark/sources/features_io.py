@@ -94,22 +94,51 @@ def load_bed(spark: SparkSession, path: str) -> GenomicFrame:
     return GenomicFrame(_conform(df), GenomicMetadata(kind="feature"))
 
 
-def save_bed(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
+def save_bed(
+    gf: GenomicFrame,
+    path: str,
+    single_file: bool = False,
+    minimum_score: float | None = None,
+    maximum_score: float | None = None,
+    missing_value: int | None = None,
+) -> None:
     """BED6 by default; rows whose attributes carry the BED12 block
     fields re-emit all 12 columns (FeatureDatasetSuite 'round trip
-    BED12 format')."""
+    BED12 format'). When the score bounds are given, scores interpolate
+    to 0..1000 integers (Features.interpolateScore — the
+    saveAsUcscBed path, FeatureDataset.scala:232-246)."""
     a = F.col("attributes")
 
     def _attr(k: str) -> Column:
         return F.try_element_at(a, F.lit(k))
 
+    if minimum_score is not None and maximum_score is not None and missing_value is not None:
+        # least/greatest SKIP nulls, so a missing score must branch
+        # before the clamp or it would interpolate as the max bound
+        clamped = F.greatest(
+            F.lit(float(minimum_score)),
+            F.least(F.lit(float(maximum_score)), F.col("score")),
+        )
+        score = F.when(
+            F.col("score").isNull(), F.lit(str(int(missing_value)))
+        ).otherwise(
+            (
+                1000.0
+                * (clamped - float(minimum_score))
+                / (float(maximum_score) - float(minimum_score))
+            )
+            .cast("int")
+            .cast("string")
+        )
+    else:
+        score = F.coalesce(F.col("score").cast("string"), F.lit("."))
     bed6 = F.concat_ws(
         "\t",
         F.col("referenceName"),
         F.col("start").cast("string"),
         F.col("end").cast("string"),
         _name_of(),
-        F.coalesce(F.col("score").cast("string"), F.lit(".")),
+        score,
         _strand_out(F.col("strand")),
     )
     has12 = a.isNotNull() & _attr("blockCount").isNotNull()
@@ -540,3 +569,23 @@ def save_interval_list(gf: GenomicFrame, path: str, single_file: bool = True) ->
         .select("value")
     )
     out.write.text(path)
+
+
+def save_ucsc_bed(
+    gf: GenomicFrame,
+    path: str,
+    minimum_score: float,
+    maximum_score: float,
+    missing_value: int = 0,
+    single_file: bool = False,
+) -> None:
+    """FeatureDataset.saveAsUcscBed (:251-270): BED with scores
+    interpolated to integers in [0, 1000]."""
+    save_bed(
+        gf,
+        path,
+        single_file=single_file,
+        minimum_score=minimum_score,
+        maximum_score=maximum_score,
+        missing_value=missing_value,
+    )

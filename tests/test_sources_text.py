@@ -496,3 +496,33 @@ def test_gff3_randomized_attribute_round_trip(spark, tmp_path):
     out2 = str(tmp_path / "rand2.gff3")
     save_gff3(back, out2, single_file=True)
     assert _single_part(out) == _single_part(out2)
+
+
+def test_save_ucsc_bed_score_interpolation(spark, tmp_path):
+    """FeatureDatasetSuite 'save to UCSC BED format' (:373-391): scores
+    clamp to [min, max] then map linearly to 0..1000 ints
+    (Features.interpolateScore); missing scores write the missing
+    value."""
+    from adam_spark import schemas
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import GenomicMetadata
+    from adam_spark.sources.features_io import save_ucsc_bed
+
+    rows = [
+        {"referenceName": "1", "start": 1331345, "end": 1331536,
+         "name": "106624", "score": 13.53, "strand": "FORWARD"},
+        {"referenceName": "1", "start": 10, "end": 20, "name": "over",
+         "score": 999.0, "strand": "FORWARD"},     # clamps to max → 1000
+        {"referenceName": "1", "start": 30, "end": 40, "name": "miss",
+         "score": None, "strand": "FORWARD"},       # missing → 0
+    ]
+    gf = GenomicFrame(
+        schemas.conform(spark.createDataFrame(rows), schemas.FEATURE),
+        GenomicMetadata(kind="feature"),
+    )
+    out = str(tmp_path / "ucsc.bed")
+    save_ucsc_bed(gf, out, minimum_score=0.0, maximum_score=200.0, single_file=True)
+    lines = {l.split("\t")[3]: l.split("\t") for l in _single_part(out).splitlines()}
+    assert lines["106624"][:6] == ["1", "1331345", "1331536", "106624", "67", "+"]
+    assert lines["over"][4] == "1000"
+    assert lines["miss"][4] == "0"
