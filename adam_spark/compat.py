@@ -258,6 +258,19 @@ class FeatureDataset(GenomicDataset):
         out.meta.kind = "coverage"
         return CoverageDataset(out)
 
+    def saveAsUcscBed(
+        self, filePath, asSingleFile=False, minimumScore=0.0,
+        maximumScore=1000.0, missingValue=0,
+    ):
+        """FeatureDataset.saveAsUcscBed (:251-270)."""
+        from adam_spark.sources.features_io import save_ucsc_bed
+
+        save_ucsc_bed(
+            self._gf, filePath,
+            minimum_score=minimumScore, maximum_score=maximumScore,
+            missing_value=missingValue, single_file=asSingleFile,
+        )
+
 
 class FragmentDataset(GenomicDataset):
     def toAlignments(self):
