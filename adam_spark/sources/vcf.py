@@ -43,6 +43,109 @@ from adam_spark.core.metadata import (
 # reserved set — indexed by alt index on multiallelic split.
 _PER_ALT_INFO = {"AC", "AF", "CIGAR"}
 
+# INFO keys the converter maps to typed VariantAnnotation fields — the
+# exact DefaultHeaderLines.infoHeaderLines set (DefaultHeaderLines.scala:
+# 35-95). Everything else (INFO DP included!) flows to the attributes
+# map, per-alt-subset by its declared header Number
+# (makeVariantFormatFn, VariantContextConverter.scala:1674-1782).
+_RESERVED_INFO = {
+    "AA", "AC", "AD", "ADF", "ADR", "AF", "CIGAR", "DB", "H2", "H3",
+    "VALIDATED", "1000G", "SOMATIC", "ANN",
+}
+
+# FORMAT keys mapped to typed Genotype/VariantCallingAnnotations fields
+# (DefaultHeaderLines.formatHeaderLines + htsjdk's GL-folds-into-PL).
+_RESERVED_FORMAT = {
+    "GT", "AD", "DP", "GQ", "PL", "GL", "FT", "PS", "PQ", "SB",
+    "MIN_DP", "FS", "MQ", "MQ0",
+}
+
+
+def _line_decls(header_lines: list[str]):
+    """Parse ``##INFO=<ID=..,Number=..,Type=..>`` / ``##FORMAT=<..>``
+    declarations into {key: (number, type)} dicts. These drive the
+    header-typed attribute extraction the reference builds one closure
+    per header line for (lineToVariantContextExtractor /
+    lineToGenotypeExtractor, VariantContextConverter.scala:1400-1670)."""
+    info, fmt = {}, {}
+    for line in header_lines:
+        for prefix, out in (("##INFO=<", info), ("##FORMAT=<", fmt)):
+            if line.startswith(prefix):
+                body = line[len(prefix):].rstrip(">")
+                fields = {}
+                for kv in body.split(","):
+                    if "=" in kv:
+                        k, v = kv.split("=", 1)
+                        if k in ("ID", "Number", "Type"):
+                            fields[k] = v
+                if "ID" in fields:
+                    out[fields["ID"]] = (
+                        fields.get("Number", "."),
+                        fields.get("Type", "String"),
+                    )
+    return info, fmt
+
+
+def _attr_entries(
+    entries: Column, decls: dict, reserved: set, ai: Column, is_format: bool
+) -> Column:
+    """Per-alt subset attribute entries by their declared header Number,
+    mirroring the reference's header-driven extractors
+    (VariantContextConverter.scala:1400-1782): Number=A takes the alt's
+    element, Number=R joins the reference element with the alt's,
+    Number=G at genotype level joins the diploid PL-index elements (and
+    is unsupported at INFO level, as is Flag at FORMAT level — those
+    keys drop, the lenient arm of the reference's strict throw).
+    Undeclared keys keep their raw value (lenient superset: htsjdk
+    STRICT would reject the file outright)."""
+    a_keys = [k for k, (n, _) in decls.items() if n == "A" and k not in reserved]
+    r_keys = [k for k, (n, _) in decls.items() if n == "R" and k not in reserved]
+    g_keys = [k for k, (n, _) in decls.items() if n == "G" and k not in reserved]
+    flag_keys = [
+        k for k, (n, t) in decls.items()
+        if t == "Flag" and k not in reserved and is_format
+    ]
+    drop = (g_keys if not is_format else []) + flag_keys
+
+    def _sub(e: Column) -> Column:
+        parts = F.split(e["value"], ",")
+        val = e["value"]
+        if a_keys:
+            val = F.when(
+                e["key"].isin(a_keys) & (ai >= 0),
+                F.try_element_at(parts, (ai + 1).try_cast("int")),
+            ).otherwise(val)
+        if r_keys:
+            val = F.when(
+                e["key"].isin(r_keys) & (ai >= 0) & (F.size(parts) > ai + 1),
+                F.concat_ws(
+                    ",",
+                    F.try_element_at(parts, F.lit(1)),
+                    F.try_element_at(parts, (ai + 2).try_cast("int")),
+                ),
+            ).otherwise(val)
+        if is_format and g_keys:
+            j = (ai + 1).try_cast("int")
+            val = F.when(
+                e["key"].isin(g_keys) & (ai >= 0),
+                F.concat_ws(
+                    ",",
+                    F.try_element_at(parts, F.lit(1)),
+                    F.try_element_at(parts, (j * (j + 1) / 2 + 1).cast("int")),
+                    F.try_element_at(parts, (j * (j + 1) / 2 + j + 1).cast("int")),
+                ),
+            ).otherwise(val)
+        return F.struct(e["key"].alias("key"), val.alias("value"))
+
+    kept = F.filter(
+        entries,
+        lambda e: ~e["key"].isin(list(reserved) + drop)
+        if drop
+        else ~e["key"].isin(list(reserved)),
+    )
+    subset = F.transform(kept, _sub)
+    return F.filter(subset, lambda e: e["value"].isNotNull())
+
 
 def _dot_null(c: Column) -> Column:
     return F.when((c == ".") | (c == ""), None).otherwise(c)
@@ -142,30 +245,57 @@ def _transcript_effects(imap: Column, alt: Column) -> Column:
     return F.when(imap.getItem("ANN").isNotNull() & (F.size(matched) > 0), matched)
 
 
-def _variant_struct(ai: Column, n_alts: Column) -> Column:
-    """VARIANT-schema struct from parsed line columns + alt index."""
+def _variant_struct(ai: Column, n_alts: Column, info_decls: dict) -> Column:
+    """VARIANT-schema struct from parsed line columns + alt index.
+
+    Typed-field semantics follow variantAnnotationFormatFns
+    (VariantContextConverter.scala:571-760): annotation.readDepth is the
+    per-alt element of INFO **AD** (Number=R: element 0 is
+    referenceReadDepth) — NOT INFO DP, which the reference leaves to the
+    header-typed attributes map; ADF/ADR fill the forward/reverse pairs
+    the same way; DB/H2/H3/VALIDATED/1000G flags are null when absent
+    (the Option fold leaves the Avro field unset) while SOMATIC alone
+    defaults to false (formatSomatic:631-640)."""
     imap = F.col("__imap")
+
+    def _flag(key: str) -> Column:
+        return F.when(imap.getItem(key).isNotNull(), F.lit(True))
+
+    def _depth_pair(key: str):
+        vals = F.split(imap.getItem(key), ",")
+        ok = F.size(vals) > (ai + 1)
+        ref = F.when(ok, F.try_element_at(vals, F.lit(1))).try_cast("int")
+        alt = F.when(
+            ok, F.try_element_at(vals, (ai + 2).try_cast("int"))
+        ).try_cast("int")
+        return ref, alt
+
+    ad_ref, ad_alt = _depth_pair("AD")
+    adf_ref, adf_alt = _depth_pair("ADF")
+    adr_ref, adr_alt = _depth_pair("ADR")
     ann = F.struct(
         imap.getItem("AA").alias("ancestralAllele"),
         _per_alt(imap, "AC", ai).try_cast("int").alias("alleleCount"),
-        imap.getItem("DP").try_cast("int").alias("readDepth"),
-        _tnull("int").alias("forwardReadDepth"),
-        _tnull("int").alias("reverseReadDepth"),
-        _tnull("int").alias("referenceReadDepth"),
-        _tnull("int").alias("referenceForwardReadDepth"),
-        _tnull("int").alias("referenceReverseReadDepth"),
+        ad_alt.alias("readDepth"),
+        adf_alt.alias("forwardReadDepth"),
+        adr_alt.alias("reverseReadDepth"),
+        ad_ref.alias("referenceReadDepth"),
+        adf_ref.alias("referenceForwardReadDepth"),
+        adr_ref.alias("referenceReverseReadDepth"),
         _per_alt(imap, "AF", ai).try_cast("double").alias("alleleFrequency"),
         _per_alt(imap, "CIGAR", ai).alias("cigar"),
-        imap.getItem("DB").isNotNull().alias("dbSnp"),
-        imap.getItem("H2").isNotNull().alias("hapMap2"),
-        imap.getItem("H3").isNotNull().alias("hapMap3"),
-        imap.getItem("VALIDATED").isNotNull().alias("validated"),
-        imap.getItem("1000G").isNotNull().alias("thousandGenomes"),
-        imap.getItem("SOMATIC").isNotNull().alias("somatic"),
+        _flag("DB").alias("dbSnp"),
+        _flag("H2").alias("hapMap2"),
+        _flag("H3").alias("hapMap3"),
+        _flag("VALIDATED").alias("validated"),
+        _flag("1000G").alias("thousandGenomes"),
+        F.coalesce(_flag("SOMATIC"), F.lit(False)).alias("somatic"),
         _transcript_effects(imap, F.col("__alt")).alias("transcriptEffects"),
-        F.map_filter(imap, lambda k, v: ~k.isin("AA", "AC", "AF", "CIGAR", "DP", "ANN")).alias(
-            "attributes"
-        ),
+        F.map_from_entries(
+            _attr_entries(
+                F.map_entries(imap), info_decls, _RESERVED_INFO, ai, False
+            )
+        ).alias("attributes"),
     )
     return F.struct(
         F.col("referenceName").alias("referenceName"),
@@ -251,6 +381,7 @@ def _genotype_struct(
     variant: Column,
     ai: Column,
     nonref_allele_idx: Column,
+    format_decls: dict | None = None,
 ) -> Column:
     """GENOTYPE-schema struct for one sample cell.
 
@@ -326,12 +457,19 @@ def _genotype_struct(
         _tnull("array<double>").alias("genotypePosteriors"),
         _tnull("double").alias("vqslod"),
         _tnull("string").alias("culprit"),
-        F.map_filter(
-            m,
-            lambda k, v: ~k.isin(
-                "GT", "AD", "DP", "GQ", "PL", "GL", "FT", "PS", "PQ", "SB",
-                "MIN_DP", "FS", "MQ", "MQ0",
-            ),
+        # non-reserved FORMAT keys, per-alt-subset by their declared
+        # header Number (Number=A → idx-1 element, R → ref+alt pair,
+        # G → the diploid PL-index elements; Flag unsupported for
+        # FORMAT lines) — makeGenotypeFormatFn's header-driven
+        # attributeFns (VariantContextConverter.scala:1794-1920)
+        F.map_from_entries(
+            _attr_entries(
+                F.map_entries(m),
+                format_decls or {},
+                _RESERVED_FORMAT,
+                ai,
+                True,
+            )
         ).alias("attributes"),
     )
     return F.struct(
@@ -500,7 +638,8 @@ def vcf_lines_to_contexts(
         ),
     )
 
-    variant = _variant_struct(F.col("__ai"), F.size("__alts"))
+    info_decls, format_decls = _line_decls(header_lines)
+    variant = _variant_struct(F.col("__ai"), F.size("__alts"), info_decls)
     names_arr = F.array(*[F.lit(n) for n in sample_names])
     with_v = split_df.withColumn("__variant", variant)
     if sample_names:
@@ -508,7 +647,12 @@ def vcf_lines_to_contexts(
             names_arr,
             F.col("__samples"),
             lambda nm, sv: _genotype_struct(
-                nm, sv, F.col("__variant"), F.col("__ai"), F.col("__nonref")
+                nm,
+                sv,
+                F.col("__variant"),
+                F.col("__ai"),
+                F.col("__nonref"),
+                format_decls,
             ),
         )
     else:
@@ -649,21 +793,58 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         ),
     )
 
+    def _depth_out(key: str, ref_field: str, alt_field: str) -> Column:
+        """INFO AD/ADF/ADR from the typed depth pair. Half-set pairs
+        raise, as extractReadDepth/Forward/Reverse do under the default
+        STRICT stringency (VariantContextConverter.scala:816-857; suite
+        'read depth without reference read depth' etc.)."""
+        ref, alt = ann[ref_field], ann[alt_field]
+        return F.when(
+            ref.isNotNull() & alt.isNotNull(),
+            F.concat(F.lit(key + "="), ref, F.lit(","), alt),
+        ).when(
+            ref.isNotNull() | alt.isNotNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "Both %s and %s must be specified if either is: "
+                        % (ref_field, alt_field)
+                    ),
+                    F.coalesce(ref.cast("string"), F.lit("null")),
+                    F.lit(","),
+                    F.coalesce(alt.cast("string"), F.lit("null")),
+                )
+            ).cast("string"),
+        )
+
+    def _flag_out(key: str, field: str) -> Column:
+        # extract fns attach the boolean; htsjdk's writer emits a Flag
+        # key only when true (VariantContextConverter.scala:757-798)
+        return F.when(ann[field] == True, F.lit(key))  # noqa: E712
+
     info_parts = F.concat_ws(
         ";",
-        # AA/CIGAR are split out of the attributes map on load, so they
-        # must re-emit from their typed annotation fields or a
-        # load→save cycle silently drops them
+        # typed annotation fields re-emit in DefaultHeaderLines order —
+        # they were split out of the attributes map on load, so a
+        # load→save cycle would silently drop them otherwise
         F.when(
             ann["ancestralAllele"].isNotNull(),
             F.concat(F.lit("AA="), ann["ancestralAllele"]),
         ),
         F.when(ann["alleleCount"].isNotNull(), F.concat(F.lit("AC="), ann["alleleCount"])),
+        _depth_out("AD", "referenceReadDepth", "readDepth"),
+        _depth_out("ADF", "referenceForwardReadDepth", "forwardReadDepth"),
+        _depth_out("ADR", "referenceReverseReadDepth", "reverseReadDepth"),
         F.when(
             ann["alleleFrequency"].isNotNull(), F.concat(F.lit("AF="), ann["alleleFrequency"])
         ),
         F.when(ann["cigar"].isNotNull(), F.concat(F.lit("CIGAR="), ann["cigar"])),
-        F.when(ann["readDepth"].isNotNull(), F.concat(F.lit("DP="), ann["readDepth"])),
+        _flag_out("DB", "dbSnp"),
+        _flag_out("H2", "hapMap2"),
+        _flag_out("H3", "hapMap3"),
+        _flag_out("VALIDATED", "validated"),
+        _flag_out("1000G", "thousandGenomes"),
+        _flag_out("SOMATIC", "somatic"),
         ann_field,
         # null (not "") when there are no attributes — concat_ws keeps
         # empty STRINGS, which would leave a trailing ';' after the last

@@ -605,7 +605,9 @@ def test_transform_genotypes_nested_annotations_default_off(spark, vcf_path, tmp
     row = load_parquet(spark, plain, "genotype").df.collect()[0]
     assert row["variant"]["annotation"] is None
     row_n = load_parquet(spark, nested, "genotype").df.collect()[0]
-    assert row_n["variant"]["annotation"]["readDepth"] in (15, 30)
+    # INFO DP lives in the header-typed attributes map (not the typed
+    # readDepth field, which is fed by INFO AD — DefaultHeaderLines)
+    assert row_n["variant"]["annotation"]["attributes"]["DP"] in ("15", "30")
 
 
 def test_transform_genotypes_sort_and_vcf_out(spark, vcf_path, tmp_path):

@@ -53,7 +53,12 @@ def test_sites_and_multiallelic_split(spark, vcf_path):
     assert r1["variant"]["quality"] == 50.5
     assert r1["variant"]["filtersPassed"] is True
     assert r1["variant"]["splitFromMultiAllelic"] is False
-    assert r1["variant"]["annotation"]["readDepth"] == 30
+    # INFO DP is NOT a typed annotation field — it stays in the
+    # header-typed attributes map; annotation.readDepth comes from INFO
+    # AD (absent here), per variantAnnotationFormatFns
+    # (VariantContextConverter.scala:680-693 + DefaultHeaderLines)
+    assert r1["variant"]["annotation"]["readDepth"] is None
+    assert r1["variant"]["annotation"]["attributes"]["DP"] == "30"
     assert r1["variant"]["annotation"]["alleleFrequency"] == 0.5
     assert r1["variant"]["annotation"]["dbSnp"] is True
     assert r1["variant"]["names"] == ["rs1"]
@@ -130,7 +135,7 @@ def test_vcf_roundtrip(spark, vcf_path, tmp_path):
     }
     r1 = rows[(99, "G")]
     assert r1["variant"]["quality"] == 50.5
-    assert r1["variant"]["annotation"]["readDepth"] == 30
+    assert r1["variant"]["annotation"]["attributes"]["DP"] == "30"
     g = {g["sampleId"]: g for g in r1["genotypes"]}
     assert g["NA001"]["alleles"] == ["REF", "ALT"]
     assert g["NA001"]["referenceReadDepth"] == 12

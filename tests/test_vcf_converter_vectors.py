@@ -381,3 +381,160 @@ def test_variant_filters_save_direction(spark, tmp_path):
         if not l.startswith("#")
     }
     assert filt == {100: ".", 200: "PASS", 300: "FILTER1;FILTER2"}
+
+
+# --- variant annotation depth / membership vectors (suite :1401-1918) ------
+ANNHDR = (
+    "##fileformat=VCFv4.3\n"
+    "##contig=<ID=chr1,length=1000000>\n"
+    '##INFO=<ID=DP,Number=1,Type=Integer,Description="Combined depth">\n'
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+)
+
+
+def _ann(spark, tmp_path, info, alt="G", name="a.vcf"):
+    p = tmp_path / name
+    p.write_text(ANNHDR + f"chr1\t100\t.\tA\t{alt}\t50\tPASS\t{info}\n")
+    rows = vcf_io.load_vcf_variants(spark, str(p)).df.collect()
+    return [r["annotation"] for r in rows]
+
+
+def test_info_depth_pair_vectors(spark, tmp_path):
+    """'no/single read depth going htsjdk->adam' (:1566-1581): INFO AD
+    Number=R → (referenceReadDepth, readDepth); ADF/ADR fill the
+    forward/reverse pairs (formatReadDepth/Forward/Reverse,
+    VariantContextConverter.scala:680-725). INFO DP is NOT a typed
+    field — it stays in attributes (DefaultHeaderLines has no DP INFO
+    line)."""
+    (a,) = _ann(spark, tmp_path, "AD=3,6;ADF=1,2;ADR=2,4;DP=9")
+    assert (a["referenceReadDepth"], a["readDepth"]) == (3, 6)
+    assert (a["referenceForwardReadDepth"], a["forwardReadDepth"]) == (1, 2)
+    assert (a["referenceReverseReadDepth"], a["reverseReadDepth"]) == (2, 4)
+    assert a["attributes"] == {"DP": "9"}
+    (a,) = _ann(spark, tmp_path, "DP=9", name="nodepth.vcf")
+    assert a["readDepth"] is None and a["referenceReadDepth"] is None
+
+
+def test_info_depth_multiallelic_vectors(spark, tmp_path):
+    """'multiple read depths going htsjdk->adam' (:1582-1591): on a
+    multiallelic split, AD element 0 is the shared reference depth and
+    element i+1 goes to the i-th alt's row."""
+    anns = _ann(spark, tmp_path, "AD=4,10,20;ADF=2,3,5;ADR=2,7,15", alt="G,T")
+    by_alt = sorted((a["readDepth"], a) for a in anns)
+    assert [(a["referenceReadDepth"], a["readDepth"]) for _, a in by_alt] == [
+        (4, 10), (4, 20)
+    ]
+    assert [(a["referenceForwardReadDepth"], a["forwardReadDepth"]) for _, a in by_alt] == [
+        (2, 3), (2, 5)
+    ]
+
+
+def test_membership_flag_vectors(spark, tmp_path):
+    """'no/[set] dbsnp|hapmap2|hapmap3|validated|1000G membership'
+    (:1413-1472) + 'not somatic' (:1473-1484): absent flags leave the
+    typed field NULL (the Option fold never calls the setter) except
+    SOMATIC, which alone defaults false (formatSomatic:631-640)."""
+    (a,) = _ann(spark, tmp_path, "DB;H3;1000G")
+    assert (a["dbSnp"], a["hapMap2"], a["hapMap3"]) == (True, None, True)
+    assert (a["validated"], a["thousandGenomes"], a["somatic"]) == (None, True, False)
+    (a,) = _ann(spark, tmp_path, "VALIDATED;SOMATIC", name="b.vcf")
+    assert (a["dbSnp"], a["validated"], a["somatic"]) == (None, True, True)
+    # none of the membership keys leak into attributes
+    assert a["attributes"] == {}
+
+
+def test_membership_flag_save_direction(spark, tmp_path):
+    """'dbsnp membership set adam->htsjdk' etc (:1647-1746): typed
+    membership booleans re-emit as bare INFO flags (htsjdk writes a
+    Flag key only when true), AD/ADF/ADR re-emit from the typed pairs
+    (extractReadDepth:816-827)."""
+    p = tmp_path / "rt.vcf"
+    p.write_text(ANNHDR + "chr1\t100\t.\tA\tG\t50\tPASS\tAD=3,6;DB;VALIDATED;DP=9\n")
+    gf = vcf_io.load_vcf(spark, str(p))
+    text = _save_text(gf, tmp_path, "rt_out.vcf")
+    (body,) = [l for l in text.splitlines() if not l.startswith("#")]
+    info = body.split("\t")[7]
+    assert info == "AD=3,6;DB;VALIDATED;DP=9"
+    # and the save→load fixpoint holds
+    p2 = tmp_path / "rt2.vcf"
+    p2.write_text(text)
+    (a,) = [r["annotation"] for r in vcf_io.load_vcf_variants(spark, str(p2)).df.collect()]
+    assert (a["referenceReadDepth"], a["readDepth"], a["dbSnp"], a["validated"]) == (
+        3, 6, True, True
+    )
+
+
+def test_half_depth_pair_raises_on_save(spark, tmp_path):
+    """'read depth without reference read depth' (:1832-1840, strict
+    IAE): a half-set AD pair fails the save."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    p = tmp_path / "h.vcf"
+    p.write_text(ANNHDR + "chr1\t100\t.\tA\tG\t50\tPASS\tAD=3,6\n")
+    gf = vcf_io.load_vcf(spark, str(p))
+    broken = gf.df.withColumn(
+        "variant",
+        F.col("variant").withField(
+            "annotation",
+            F.col("variant.annotation").withField("referenceReadDepth", F.lit(None).cast("int")),
+        ),
+    )
+    gf2 = vcf_io.GenomicFrame(broken, gf.meta)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        _save_text(gf2, tmp_path, "h_out.vcf")
+
+
+# --- INFO/FORMAT header-typed attribute matrix (suite :1929-2592) ----------
+def test_info_attribute_number_matrix(spark, tmp_path):
+    """'VCF INFO attribute Number=1/4/A/R htsjdk->adam' (:2120-2235):
+    non-reserved INFO keys land in attributes typed by their declared
+    header Number — fixed counts keep the full value, Number=A takes
+    this row's alt element, Number=R joins the reference element with
+    this row's alt element."""
+    hdr = (
+        "##fileformat=VCFv4.3\n"
+        "##contig=<ID=chr1,length=1000000>\n"
+        '##INFO=<ID=ONE,Number=1,Type=Integer,Description="">\n'
+        '##INFO=<ID=FOUR,Number=4,Type=Integer,Description="">\n'
+        '##INFO=<ID=PERA,Number=A,Type=Integer,Description="">\n'
+        '##INFO=<ID=PERR,Number=R,Type=String,Description="">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    )
+    p = tmp_path / "m.vcf"
+    p.write_text(
+        hdr + "chr1\t100\t.\tA\tG,T\t50\tPASS\tONE=5;FOUR=5,10,15,20;PERA=7,8;PERR=ref,g,t\n"
+    )
+    rows = vcf_io.load_vcf_variants(spark, str(p)).df.collect()
+    attrs = {r["alternateAllele"]: r["annotation"]["attributes"] for r in rows}
+    assert attrs["G"] == {"ONE": "5", "FOUR": "5,10,15,20", "PERA": "7", "PERR": "ref,g"}
+    assert attrs["T"] == {"ONE": "5", "FOUR": "5,10,15,20", "PERA": "8", "PERR": "ref,t"}
+
+
+def test_format_attribute_number_matrix(spark, tmp_path):
+    """'VCF FORMAT attribute Number=1/4/A/R/G htsjdk->adam'
+    (:2432-2592): same per-alt subsetting for non-reserved FORMAT keys;
+    Number=G takes the diploid PL-index elements of this row's allele
+    (makeGenotypeFormatFn indices, VariantContextConverter.scala:
+    1846-1850)."""
+    hdr = (
+        "##fileformat=VCFv4.3\n"
+        "##contig=<ID=chr1,length=1000000>\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="">\n'
+        '##FORMAT=<ID=ONE,Number=1,Type=Integer,Description="">\n'
+        '##FORMAT=<ID=PERA,Number=A,Type=Integer,Description="">\n'
+        '##FORMAT=<ID=PERR,Number=R,Type=Integer,Description="">\n'
+        '##FORMAT=<ID=PERG,Number=G,Type=Integer,Description="">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA12878\n"
+    )
+    p = tmp_path / "fm.vcf"
+    p.write_text(
+        hdr
+        + "chr1\t100\t.\tA\tG,T\t50\tPASS\t.\tGT:ONE:PERA:PERR:PERG"
+        + "\t1/2:5:7,8:2,4,6:0,10,20,30,40,50\n"
+    )
+    rows = vcf_io.load_vcf_genotypes(spark, str(p)).df.collect()
+    attrs = {r["variant"]["alternateAllele"]: r["variantCallingAnnotations"]["attributes"] for r in rows}
+    # alt G (allele idx 1): PL indices (0,1,2); alt T (idx 2): (0,3,5)
+    assert attrs["G"] == {"ONE": "5", "PERA": "7", "PERR": "2,4", "PERG": "0,10,20"}
+    assert attrs["T"] == {"ONE": "5", "PERA": "8", "PERR": "2,6", "PERG": "0,30,50"}
