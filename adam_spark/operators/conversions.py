@@ -260,12 +260,33 @@ def slices_to_contig_reads(slices: DataFrame) -> DataFrame:
 
 # --- features ↔ coverage --------------------------------------------------
 def features_to_coverage(features: DataFrame) -> DataFrame:
-    """(reference: FeatureDataset.toCoverage :302/:351-358 — score → count)."""
+    """(reference: FeatureDataset.toCoverage :302/:351-358 — score →
+    count). Invalid rows fail with the reference's requirement messages
+    (models/Coverage.scala:48-53; CoverageSuite error vectors)."""
+
+    def _raise(msg):
+        return F.raise_error(F.lit("requirement failed: " + msg)).cast("double")
+
+    count = (
+        F.when(
+            F.col("referenceName").isNull() | (F.length("referenceName") == 0),
+            _raise("Features must have reference name to convert to Coverage"),
+        )
+        .when(
+            F.col("start").isNull() | F.col("end").isNull(),
+            _raise("Features must have valid position data to convert to Coverage"),
+        )
+        .when(
+            F.col("score").isNull(),
+            _raise("Features must have valid score to convert to Coverage"),
+        )
+        .otherwise(F.col("score").cast("double"))
+    )
     return features.select(
         "referenceName",
         "start",
         "end",
-        F.col("score").cast("double").alias("count"),
+        count.alias("count"),
         F.col("sampleId").alias("optSampleId")
         if "sampleId" in features.columns
         else F.lit(None).cast("string").alias("optSampleId"),
