@@ -538,3 +538,42 @@ def test_format_attribute_number_matrix(spark, tmp_path):
     # alt G (allele idx 1): PL indices (0,1,2); alt T (idx 2): (0,3,5)
     assert attrs["G"] == {"ONE": "5", "PERA": "7", "PERR": "2,4", "PERG": "0,10,20"}
     assert attrs["T"] == {"ONE": "5", "PERA": "8", "PERR": "2,6", "PERG": "0,30,50"}
+
+
+def test_bad_sb_lenient_skip_on_save(spark, tmp_path):
+    """'Convert ADAM SNV w/ genotypes but bad SB to htsjdk with lenient
+    validation' (:293-314): a 2-component strandBiasComponents array is
+    skipped on save (the FORMAT cell carries no SB key)."""
+    p = tmp_path / "sb.vcf"
+    p.write_text(HEADER + "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:SB\t0/1:1,2,3,4\n")
+    gf = vcf_io.load_vcf(spark, str(p))
+    broken = gf.df.withColumn(
+        "genotypes",
+        F.transform(
+            F.col("genotypes"),
+            lambda g: g.withField("strandBiasComponents", F.array(F.lit(0), F.lit(2))),
+        ),
+    )
+    text = _save_text(vcf_io.GenomicFrame(broken, gf.meta), tmp_path, "sb_out.vcf")
+    (body,) = [l for l in text.splitlines() if not l.startswith("#")]
+    assert "SB" not in body.split("\t")[8].split(":")
+
+
+def test_genotypes_to_variants_matches_variant_load(spark, tmp_path):
+    """GenotypeDatasetSuite 'loading genotypes then converting to
+    variants yields same output as loading variants' (:587-605)."""
+    p = tmp_path / "gv.vcf"
+    p.write_text(
+        HEADER
+        + "chr1\t100\trs1\tA\tG,T\t50\tPASS\tAD=3,6,9;DB\tGT:DP\t1/2:18\n"
+        + "chr1\t200\t.\tC\tT\t9\tq10\tAF=0.5\tGT:DP\t0/1:7\n"
+    )
+    from_g = (
+        vcf_io.load_vcf_genotypes(spark, str(p))
+        .df.select("variant.*")
+        .dropDuplicates(["referenceName", "start", "alternateAllele"])
+    )
+    direct = vcf_io.load_vcf_variants(spark, str(p)).df
+    a = sorted(map(str, from_g.collect()))
+    b = sorted(map(str, direct.collect()))
+    assert a == b
