@@ -289,8 +289,75 @@ class FragmentDataset(GenomicDataset):
         )
 
 
+def _rekind(gf: GenomicFrame, df: DataFrame, kind: str) -> GenomicFrame:
+    out = GenomicFrame(df, gf.meta.copy())
+    out.meta.kind = kind
+    return out
+
+
+class ReadDataset(GenomicDataset):
+    """Reference ds/read/ReadDataset.scala — unaligned READ-schema
+    records with conversions into the other sequence-shaped sets."""
+
+    def toAlignments(self):
+        from adam_spark.operators.conversions import reads_to_alignments
+
+        return AlignmentDataset(
+            _rekind(self._gf, reads_to_alignments(self._gf.df), "alignment")
+        )
+
+    def toSequences(self):
+        from adam_spark.operators.conversions import reads_to_sequences
+
+        return SequenceDataset(
+            _rekind(self._gf, reads_to_sequences(self._gf.df), "sequence")
+        )
+
+    def toSlices(self):
+        from adam_spark.operators.conversions import reads_to_slices
+
+        return SliceDataset(_rekind(self._gf, reads_to_slices(self._gf.df), "slice"))
+
+    def saveAsFastq(self, filePath, asSingleFile=False, disableFastConcat=False):
+        from adam_spark.sources.fastq import save_reads_fastq
+
+        save_reads_fastq(self._gf, filePath, single_file=asSingleFile)
+
+    def save(self, filePath, asSingleFile=False, **kw):
+        # .fq/.fastq → FASTQ, else Parquet (ReadDataset.save:365-376)
+        if filePath.endswith(".fq") or filePath.endswith(".fastq"):
+            self.saveAsFastq(filePath, asSingleFile=asSingleFile)
+        else:
+            self._gf.save(filePath, **kw)
+
+
 class SequenceDataset(GenomicDataset):
-    pass
+    def toReads(self):
+        from adam_spark.operators.conversions import sequences_to_reads
+
+        return ReadDataset(_rekind(self._gf, sequences_to_reads(self._gf.df), "read"))
+
+    def toSlices(self):
+        from adam_spark.operators.conversions import sequences_to_slices
+
+        return SliceDataset(
+            _rekind(self._gf, sequences_to_slices(self._gf.df), "slice")
+        )
+
+    def slice(self, maximumLength):
+        from adam_spark.operators.conversions import slice_sequences
+
+        return SliceDataset(
+            _rekind(
+                self._gf, slice_sequences(self._gf.df, maximumLength), "slice"
+            )
+        )
+
+    def saveAsFasta(self, filePath, lineWidth=60, asSingleFile=False,
+                    disableFastConcat=False):
+        from adam_spark.sources.fasta import save_fasta
+
+        save_fasta(self._gf, filePath, line_width=lineWidth, single_file=asSingleFile)
 
 
 class SliceDataset(GenomicDataset):
@@ -303,6 +370,25 @@ class SliceDataset(GenomicDataset):
 
     def countKmers(self, kmerLength):
         return self._gf.count_kmers(kmerLength)
+
+    def toReads(self):
+        from adam_spark.operators.conversions import slices_to_reads
+
+        return ReadDataset(_rekind(self._gf, slices_to_reads(self._gf.df), "read"))
+
+    def toSequences(self):
+        from adam_spark.operators.conversions import slices_to_sequences
+
+        return SequenceDataset(
+            _rekind(self._gf, slices_to_sequences(self._gf.df), "sequence")
+        )
+
+    def merge(self):
+        from adam_spark.operators.conversions import merge_slices
+
+        return SliceDataset(
+            self._gf.transform_df(lambda df: merge_slices(df))
+        )
 
 
 def _vcf_line_type(lineType) -> str:
@@ -435,6 +521,7 @@ class VariantContextDataset(_VCFSupportingMixin, GenomicDataset):
 
 
 _KIND_TO_CLASS = {
+    "read": ReadDataset,
     "alignment": AlignmentDataset,
     "coverage": CoverageDataset,
     "feature": FeatureDataset,
@@ -475,6 +562,9 @@ class ADAMContext:
 
     def loadVariants(self, filePath, stringency=None):
         return VariantDataset(_ctx.load_variants(self._spark, filePath))
+
+    def loadReads(self, filePath):
+        return ReadDataset(_ctx.load_reads(self._spark, filePath))
 
     def loadDnaSequences(self, filePath):
         return SequenceDataset(_ctx.load_sequences(self._spark, filePath, alphabet="DNA"))

@@ -76,11 +76,47 @@ def alignments_to_reads(alignments: DataFrame) -> DataFrame:
     )
 
 
-# --- reads ↔ sequences / slices ------------------------------------------
+# --- reads ↔ sequences / slices / alignments ------------------------------
 def reads_to_sequences(reads: DataFrame) -> DataFrame:
     """(reference: ReadDataset.toSequences :315)."""
     return reads.select(
         "name", "description", "alphabet", "sequence", "length", "sampleId", "attributes"
+    )
+
+
+def reads_to_alignments(reads: DataFrame) -> DataFrame:
+    """Unaligned-read projection into the alignment schema — only
+    name/sequence/qualityScores carry over
+    (reference: ReadDataset.toAlignments :296-308)."""
+    from adam_spark import schemas
+
+    return schemas.conform(
+        reads.select(
+            F.col("name").alias("readName"),
+            "sequence",
+            "qualityScores",
+        ),
+        schemas.ALIGNMENT,
+    )
+
+
+def reads_to_slices(reads: DataFrame) -> DataFrame:
+    """Whole-read slices spanning [0, length), INDEPENDENT strand
+    (reference: ReadDataset.toSlices :336-354)."""
+    return reads.select(
+        "name",
+        "description",
+        "alphabet",
+        "sequence",
+        F.lit(0).cast("long").alias("start"),
+        F.col("length").alias("end"),
+        F.lit("INDEPENDENT").alias("strand"),
+        "length",
+        F.col("length").alias("totalLength"),
+        F.lit(0).alias("index"),
+        F.lit(1).alias("slices"),
+        "sampleId",
+        "attributes",
     )
 
 

@@ -277,6 +277,37 @@ def save_fastq(
     (out.coalesce(1) if single_file else out).write.text(path)
 
 
+def save_reads_fastq(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
+    """READ-schema rows → FASTQ with the description carried on the
+    name line ('@name description'), no pair suffixes or strand flips
+    (reference: ReadDataset.saveAsFastq:384-407 toFastq)."""
+    df = gf.df
+    out = df.select(
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.lit("@"),
+                F.col("name"),
+                # the FASTQ loader keeps the full header in `name` AND
+                # mirrors the after-space part into `description` — skip
+                # the append when it is already the name's suffix, so a
+                # load→save cycle doesn't double it
+                F.when(
+                    F.col("description").isNotNull()
+                    & ~F.col("name").endswith(
+                        F.concat(F.lit(" "), F.col("description"))
+                    ),
+                    F.concat(F.lit(" "), F.col("description")),
+                ).otherwise(""),
+            ),
+            F.col("sequence"),
+            F.lit("+"),
+            F.col("qualityScores"),
+        ).alias("value")
+    )
+    (out.coalesce(1) if single_file else out).write.text(path)
+
+
 def save_paired_fastq(gf: GenomicFrame, path1: str, path2: str) -> None:
     """Split pairs to two files, name-sorted so r1/r2 line up
     (AlignmentDataset.saveAsPairedFastq:1468)."""

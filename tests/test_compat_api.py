@@ -150,3 +150,80 @@ def test_save_as_sam_string(ac, sam_path):
     assert any(l.startswith("@SQ") for l in header)
     assert len(body) == reads.toDF().count()
     assert all(len(l.split("\t")) >= 11 for l in body)
+
+
+# --- ReadDatasetSuite / SequenceDatasetSuite conversions --------------------
+def _read_ds(spark):
+    from adam_spark import schemas
+    from adam_spark.compat import ReadDataset
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.core.metadata import GenomicMetadata
+
+    rows = [
+        ("name1", "description", "DNA", "actg", 4, "9999", None, "sampleId", None),
+        ("name2", "description", "DNA", "actg", 4, "9999", None, "sampleId", None),
+    ]
+    sch = (
+        "name string, description string, alphabet string, sequence string, "
+        "length long, qualityScores string, qualityScoreVariant string, "
+        "sampleId string, attributes map<string,string>"
+    )
+    df = schemas.conform(spark.createDataFrame(rows, sch), schemas.READ)
+    return ReadDataset(GenomicFrame(df, GenomicMetadata(kind="read")))
+
+
+def test_reads_to_alignments_vector(spark):
+    """ReadDatasetSuite 'convert reads to alignments' (:156-170): only
+    name/sequence/qualityScores carry over."""
+    out = _read_ds(spark).toAlignments().toDF().orderBy("readName").collect()
+    assert [(r["readName"], r["sequence"], r["qualityScores"]) for r in out] == [
+        ("name1", "actg", "9999"),
+        ("name2", "actg", "9999"),
+    ]
+    assert out[0]["readMapped"] is None and out[0]["start"] is None
+
+
+def test_reads_to_sequences_vector(spark):
+    """ReadDatasetSuite 'convert reads to sequences' (:172-192)."""
+    out = _read_ds(spark).toSequences().toDF().orderBy("name").collect()
+    for r in out:
+        assert (r["description"], r["alphabet"], r["length"], r["sequence"]) == (
+            "description", "DNA", 4, "actg",
+        )
+        assert r["sampleId"] == "sampleId"
+
+
+def test_reads_to_slices_vector(spark):
+    """ReadDatasetSuite 'convert reads to slices' (:194-221): slices
+    span [0, length) on INDEPENDENT strand with totalLength = length."""
+    out = _read_ds(spark).toSlices().toDF().orderBy("name").collect()
+    for r in out:
+        assert (r["start"], r["end"], r["strand"]) == (0, 4, "INDEPENDENT")
+        assert (r["length"], r["totalLength"], r["sampleId"]) == (4, 4, "sampleId")
+
+
+def test_read_save_fastq_dispatch(spark, tmp_path):
+    """ReadDataset.save dispatches .fq to FASTQ with the description on
+    the name line (ReadDataset.scala:365-407)."""
+    import os
+
+    out = str(tmp_path / "reads.fq")
+    _read_ds(spark).save(out, asSingleFile=True)
+    part = [f for f in sorted(os.listdir(out)) if f.startswith("part-")][0]
+    lines = open(os.path.join(out, part)).read().splitlines()
+    assert lines[0] == "@name1 description"
+    assert lines[1:4] == ["actg", "+", "9999"]
+
+
+def test_sequence_slice_read_cycle(spark):
+    """SequenceDataset.toReads / toSlices / slice(maximumLength) +
+    SliceDataset.toReads/toSequences compose and round-trip names."""
+    seqs = _read_ds(spark).toSequences()
+    assert {r["name"] for r in seqs.toReads().toDF().collect()} == {"name1", "name2"}
+    sl = seqs.slice(2).toDF().orderBy("name", "start").collect()
+    # 4-base sequences at maximumLength=2 → two slices each
+    assert [(r["name"], r["start"], r["end"]) for r in sl if r["name"] == "name1"] == [
+        ("name1", 0, 2), ("name1", 2, 4),
+    ]
+    back = seqs.toSlices().toSequences().toDF().orderBy("name").collect()
+    assert [r["sequence"] for r in back] == ["actg", "actg"]
