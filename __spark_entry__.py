@@ -870,6 +870,54 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 """
 
 
+def dedup_substrings_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicate-substring removal
+    (llm/dedup.remove_duplicate_substrings, after Lee et al. 2022):
+    30-char anchors at stride 7; anchors duplicated across ≥ 2 distinct
+    documents merge into spans and are cut from the text. stride 7
+    keeps the anchor explode at ~len/7 rows per doc at every SF (the
+    semantics are stride-deterministic, so the oracle replicates it)."""
+    from adam_spark.llm.dedup import remove_duplicate_substrings
+
+    return remove_duplicate_substrings(
+        load_table(spark, sf, "documents"), k=30, stride=7
+    ).orderBy("doc_id")
+
+
+_DEDUP_SUBSTRINGS_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-29, 0), 7)) AS p
+  FROM documents
+),
+sh AS (SELECT doc_id, p, substr(text, p, 30) AS s FROM pos),
+hot AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+marks AS (SELECT doc_id, p FROM sh WHERE s IN (SELECT s FROM hot)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p > coalesce(max(p + 30) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM marks
+),
+grp AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl),
+spans AS (SELECT doc_id, min(p) AS s, max(p) + 30 AS e FROM grp GROUP BY doc_id, g),
+seg AS (
+  SELECT sp.doc_id, sp.s, sp.e, d.text,
+         coalesce(lag(sp.e) OVER (PARTITION BY sp.doc_id ORDER BY sp.s), 1) AS prev_e
+  FROM spans sp JOIN documents d USING (doc_id)
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(substr(text, prev_e, s - prev_e), '' ORDER BY s)
+           || substr(any_value(text), max(e), length(any_value(text))) AS text_clean
+  FROM seg GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text_clean, d.text) AS text_clean,
+       CAST(length(d.text) - length(coalesce(r.text_clean, d.text)) AS BIGINT) AS removed_chars
+FROM documents d LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id
+"""
+
+
 def dedup_minhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     # aggressive banding (8 bands × 16 rows) keeps the candidate set small
     # on this highly self-similar corpus; the oracle replicates the LSH
@@ -3144,6 +3192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: FragmentConverter contiguous-run stitching (new operator),
         # parked with a full oracle — covered capless by check_oracle
         "slices_contig_reads_docs": slices_contig_reads_docs,
+        # r8b: exact duplicate-substring removal (Lee et al. 2022 shape),
+        # parked with a full oracle — covered capless by check_oracle
+        "dedup_substrings_docs": dedup_substrings_docs,
     }
 
 
@@ -3192,6 +3243,7 @@ def oracle_sql() -> dict[str, str]:
         # docstring; bit-equal verified at sf0.001/sf0.01)
         "ann_ivf_topk_quantized": _ANN_IVF_SQL,
         "slices_contig_reads_docs": _SLICES_CONTIG_SQL,
+        "dedup_substrings_docs": _DEDUP_SUBSTRINGS_SQL,
         "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
         "mark_duplicates_orders": _MARKDUP_SQL,
         "coverage_flatten_bin": _COV_FLATTEN_SQL,

@@ -26,7 +26,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -738,4 +738,109 @@ def minhash_lsh_pairs_between(
         from adam_spark.llm.cache import eager_release
 
         return eager_release(out, cand)
+    return out
+
+
+def remove_duplicate_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    stride: int = 1,
+    min_docs: int = 2,
+    broadcast_hot: bool | None = None,
+    bounded_cache: bool = False,
+) -> DataFrame:
+    """Exact duplicate-substring removal (the character-level
+    complement of :func:`remove_repeated_spans`, after Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Every ``k``-char window starting at a ``stride``-aligned position is
+    an anchor; anchors whose text occurs in at least ``min_docs``
+    DISTINCT documents are duplicate evidence. Overlapping/adjacent hot
+    anchors merge into spans (gaps-and-islands over a running max-end
+    window), and the spans are cut from the text. Returns one row per
+    input document: (id, text_clean, removed_chars).
+
+    100 TB shape: the anchor explode is the dominant cost — O(chars /
+    stride) rows, shuffled twice ((hash, doc) distinct then a map-side
+    combined count; raise ``stride`` to trade recall for cost). The hot
+    set is joined back via broadcast under HOT_SPAN_BROADCAST_CAP_BYTES
+    with a shuffle-join fallback; the span merge reuses the per-doc
+    partitioning from the join, and the text rebuild is one narrow
+    ``aggregate`` over the collected span list — no driver collects, no
+    UDFs, no suffix array (the full Lee et al. construction is
+    replaced by stride-anchored hashing, which is exact for
+    duplicated regions >= k + stride - 1 chars).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    npos = F.greatest(F.length("text") - F.lit(k - 1), F.lit(0))
+    anchors = base.select(
+        "id",
+        "text",
+        F.explode(
+            F.when(
+                npos >= 1, F.sequence(F.lit(1), npos, F.lit(stride))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+    ).select("id", "p", F.xxhash64(F.col("text").substr(F.col("p"), F.lit(k))).alias("h"))
+
+    per_doc = anchors.select("h", "id").distinct()
+    hot = (
+        per_doc.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    if broadcast_hot is None:
+        n_hot = hot.count()
+        broadcast_hot = n_hot * 16 <= HOT_SPAN_BROADCAST_CAP_BYTES
+    maybe_bc = F.broadcast if broadcast_hot else (lambda x: x)
+    marks = anchors.join(maybe_bc(hot), "h").select("id", "p")
+
+    w = Window.partitionBy("id").orderBy("p")
+    prev_max_end = F.max(F.col("p") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marks.withColumn(
+        "brk", (F.col("p") > F.coalesce(prev_max_end, F.lit(-1))).cast("int")
+    ).withColumn("g", F.sum("brk").over(w))
+    spans = islands.groupBy("id", "g").agg(
+        F.min("p").alias("s"), (F.max("p") + k).alias("e")
+    )
+    span_lists = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans")
+    )
+
+    joined = base.join(span_lists, "id", "left")
+    # fold the sorted spans left-to-right: acc carries the kept text so
+    # far and the 1-based copy cursor
+    acc0 = F.struct(F.lit("").alias("t"), F.lit(1).alias("pos"))
+    folded = F.aggregate(
+        F.col("spans"),
+        acc0,
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["t"], F.col("text").substr(acc["pos"], sp["s"] - acc["pos"])
+            ).alias("t"),
+            sp["e"].alias("pos"),
+        ),
+    )
+    clean = F.when(
+        F.col("spans").isNull(), F.col("text")
+    ).otherwise(
+        F.concat(
+            folded["t"],
+            F.col("text").substr(folded["pos"], F.length("text") - folded["pos"] + 1),
+        )
+    )
+    out = joined.select(
+        F.col("id").alias(id_col),
+        clean.alias("text_clean"),
+        (F.length("text") - F.length(clean)).cast("long").alias("removed_chars"),
+    )
+    if bounded_cache:
+        from adam_spark.llm.cache import eager_release
+
+        return eager_release(out, hot)
     return out

@@ -1846,3 +1846,62 @@ def test_semantic_dedup_sampled_kmeans_centroids(spark):
     assert a == b
     assert len(a) == 120
     assert any(r[2] for r in a), "planted dups should be flagged"
+
+
+def test_remove_duplicate_substrings_planted(spark):
+    """Exact duplicate-substring removal (llm/dedup, Lee et al. 2022
+    shape): a 40-char block shared by two docs is cut from both at
+    k=20/stride=1; unique text survives; a doc that IS the block
+    empties entirely; untouched docs pass through."""
+    from adam_spark.llm.dedup import remove_duplicate_substrings
+
+    block = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcd"  # 40 chars
+    # flanking chars adjacent to the block differ between the docs, so
+    # no k-window crossing the boundary is shared and the merged span is
+    # exactly `block` (with shared flanks the span would extend — the
+    # maximal-match semantics of the suffix-array construction)
+    rows = [
+        (1, "1prefix!" + block + "?suffix1"),
+        (2, "2prefix=" + block + "#suffix2"),
+        (3, block),
+        (4, "totally unique text with no repeats at all, long enough"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_clean"], r["removed_chars"])
+        for r in remove_duplicate_substrings(df, k=20, stride=1).collect()
+    }
+    assert out[1] == ("1prefix!?suffix1", 40)
+    assert out[2] == ("2prefix=#suffix2", 40)
+    assert out[3] == ("", 40)
+    assert out[4][1] == 0 and out[4][0] == rows[3][1]
+
+
+def test_remove_duplicate_substrings_stride_and_merge(spark):
+    """Stride-aligned anchors still merge adjacent islands: two hot
+    regions separated by a unique gap produce two spans, and the
+    shuffle-join fallback (broadcast_hot=False) is bit-identical."""
+    from adam_spark.llm.dedup import remove_duplicate_substrings
+
+    rep1 = "X" * 25
+    rep2 = "Y" * 25
+    rows = [
+        (1, rep1 + "-unique-middle-1-" + rep2),
+        (2, rep1 + "=different=gap==" + rep2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = remove_duplicate_substrings(df, k=10, stride=3).orderBy("doc_id").collect()
+    b = (
+        remove_duplicate_substrings(df, k=10, stride=3, broadcast_hot=False)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r, (_, text) in zip(a, rows):
+        # both runs removed modulo stride-alignment slack at the run
+        # edges (up to `stride` chars can survive per edge); the unique
+        # gap is intact
+        assert r["text_clean"].count("X") <= 3 and r["text_clean"].count("Y") <= 3
+        assert r["removed_chars"] >= 40
+        gap = text.strip("XY")
+        assert gap in r["text_clean"]
