@@ -344,14 +344,21 @@ class SequenceDataset(GenomicDataset):
             _rekind(self._gf, sequences_to_slices(self._gf.df), "slice")
         )
 
-    def slice(self, maximumLength):
-        from adam_spark.operators.conversions import slice_sequences
-
-        return SliceDataset(
-            _rekind(
-                self._gf, slice_sequences(self._gf.df, maximumLength), "slice"
-            )
+    def slice(self, arg):
+        """slice(maximumLength) chunks every sequence; slice(region) /
+        slice([regions]) clips to overlapping query regions
+        (SequenceDataset.scala:306-408 overloads)."""
+        from adam_spark.operators.conversions import (
+            slice_sequences,
+            slice_sequences_by_regions,
         )
+
+        if isinstance(arg, int):
+            out = slice_sequences(self._gf.df, arg)
+        else:
+            regions = [arg] if isinstance(arg, tuple) else list(arg)
+            out = slice_sequences_by_regions(self._gf.df, regions)
+        return SliceDataset(_rekind(self._gf, out, "slice"))
 
     def saveAsFasta(self, filePath, lineWidth=60, asSingleFile=False,
                     disableFastConcat=False):

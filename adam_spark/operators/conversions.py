@@ -155,6 +155,49 @@ def sequences_to_slices(sequences: DataFrame) -> DataFrame:
     )
 
 
+def slice_sequences_by_regions(
+    sequences: DataFrame, regions: list[tuple[str, int, int]]
+) -> DataFrame:
+    """Clip each sequence to the query regions that overlap it
+    (reference: SequenceDataset.slice(region[s]) :347-408): a region
+    matches a sequence by NAME, end clamps to the sequence length
+    (regions may be open-ended), and non-overlapping pairs drop. The
+    region list is a driver-side literal array — one narrow
+    explode+filter, no join."""
+    regs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rn"),
+                F.lit(int(s)).cast("long").alias("rs"),
+                F.lit(int(e)).cast("long").alias("re"),
+            )
+            for n, s, e in regions
+        ]
+    )
+    ex = sequences.select("*", F.explode(regs).alias("__r")).where(
+        (F.col("__r.rn") == F.col("name"))
+        & (F.col("__r.rs") < F.col("length"))
+        & (F.col("__r.re") > 0)
+    )
+    s = F.col("__r.rs")
+    e = F.least(F.col("length"), F.col("__r.re"))
+    return ex.select(
+        "name",
+        "description",
+        "alphabet",
+        F.col("sequence").substr(s + 1, e - s).alias("sequence"),
+        s.alias("start"),
+        e.alias("end"),
+        F.lit("INDEPENDENT").alias("strand"),
+        (e - s).alias("length"),
+        F.col("length").alias("totalLength"),
+        F.lit(None).cast("int").alias("index"),
+        F.lit(None).cast("int").alias("slices"),
+        "sampleId",
+        "attributes",
+    )
+
+
 def slices_to_sequences(slices: DataFrame) -> DataFrame:
     """Each slice becomes its own SEQUENCE record
     (reference: SliceDataset.toSequences)."""

@@ -78,6 +78,8 @@ EXTENDED = [
     "ann_ivf_topk_quantized",
     "ann_ivf_topk_quantized_kmeans",
     "gopher_quality_docs",
+    # r8b: exact duplicate-substring removal (new operator)
+    "dedup_substrings_docs",
 ]
 
 

@@ -227,3 +227,24 @@ def test_sequence_slice_read_cycle(spark):
     ]
     back = seqs.toSlices().toSequences().toDF().orderBy("name").collect()
     assert [r["sequence"] for r in back] == ["actg", "actg"]
+
+
+def test_sequence_slice_by_region_vectors(spark):
+    """SequenceDatasetSuite 'slice sequences overlapping a
+    smaller/larger region' + 'failing to overlap' (:309-350): region
+    matches by name, end clamps to the sequence length, non-overlap
+    drops."""
+    seqs = _read_ds(spark).toSequences()
+    sm = seqs.slice(("name1", 1, 3)).toDF().collect()
+    assert len(sm) == 1
+    r = sm[0]
+    assert (r["sequence"], r["start"], r["end"]) == ("ct", 1, 3)
+    assert (r["length"], r["totalLength"], r["strand"]) == (2, 4, "INDEPENDENT")
+    lg = seqs.slice(("name1", 0, 99)).toDF().collect()
+    assert len(lg) == 1 and lg[0]["sequence"] == "actg" and lg[0]["end"] == 4
+    assert seqs.slice(("name1", 99, 101)).toDF().count() == 0
+    # multiple regions: one per overlapping (sequence, region) pair
+    multi = seqs.slice([("name1", 0, 2), ("name2", 2, 4)]).toDF().collect()
+    assert sorted((r["name"], r["sequence"]) for r in multi) == [
+        ("name1", "ac"), ("name2", "tg"),
+    ]

@@ -292,6 +292,13 @@ def _ops(spark: SparkSession, scale: str):
 
         return bigram_lm_scores(docs, bounded_cache=True).count()
 
+    def _dedup_substrings(docs):
+        from adam_spark.llm.dedup import remove_duplicate_substrings
+
+        return remove_duplicate_substrings(
+            docs, k=30, stride=7, bounded_cache=True
+        ).count()
+
     def _ivf_quant(embs):
         # fixed 10-query probe set over a 10×-growing corpus: the cost
         # driver is the corpus-side assignment map + bucket scan, the
@@ -368,6 +375,9 @@ def _ops(spark: SparkSession, scale: str):
         # entries without a measured 10× slope
         "gopher_quality": lambda: _gopher(rd("documents")),
         "remove_boilerplate": lambda: _boilerplate(rd("documents")),
+        # r8b: exact duplicate-substring removal — anchor explode is the
+        # dominant term, expect ~linear
+        "dedup_substrings": lambda: _dedup_substrings(rd("documents")),
         "doc_bigram_lm_score": lambda: _bigram_lm(rd("documents")),
         "ann_ivf_topk_quantized": lambda: _ivf_quant(rd("embeddings")),
         "cms_heavy_hitters": lambda: cms_heavy_hitters(
