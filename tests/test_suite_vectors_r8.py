@@ -564,3 +564,33 @@ def test_known_snps_multi_contig_masking(spark, tmp_path):
     # r1 loses pos 14396, r2 loses 752720; r3 (contig 22 — no known
     # sites) keeps all 4 bases
     assert total == 4 + 3 + 3
+
+
+def test_index_sequence_read_names_group_into_fragments(spark, tmp_path):
+    """FragmentDatasetSuite 'paired/interleaved read names with index
+    sequences in read names can group into fragments' (:581-614): the
+    Casava 1.8 ' 1:N:0:ATCACG' comment strips from the name, so both
+    mates share it and pair up — 4 fragments of 2 alignments each."""
+    from adam_spark.context import load_alignments
+    from adam_spark.operators.conversions import alignments_to_fragments
+
+    def rec(i, rif):
+        return (
+            f"@MACH:89:FC:1:1101:{1000+i}:2123 {rif}:N:0:ATCACG\n"
+            "ACGTACGT\n+\nIIIIIIII\n"
+        )
+
+    p1, p2 = tmp_path / "p1.fq", tmp_path / "p2.fq"
+    p1.write_text("".join(rec(i, 1) for i in range(4)))
+    p2.write_text("".join(rec(i, 2) for i in range(4)))
+    rows = alignments_to_fragments(
+        load_alignments(spark, str(p1), path2=str(p2)).df
+    ).collect()
+    assert len(rows) == 4
+    assert all(len(r["alignments"]) == 2 for r in rows)
+    assert all(" " not in r["name"] for r in rows)
+
+    ifq = tmp_path / "inter.ifq"
+    ifq.write_text("".join(rec(i, 1) + rec(i, 2) for i in range(4)))
+    rows = alignments_to_fragments(load_alignments(spark, str(ifq)).df).collect()
+    assert len(rows) == 4 and all(len(r["alignments"]) == 2 for r in rows)
