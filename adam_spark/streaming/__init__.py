@@ -27,6 +27,14 @@ Structured Streaming pipelines because they are stateless per line.
   watermark-BOUNDED fingerprint state store
   (``dropDuplicatesWithinWatermark``), the streaming twin of
   llm.dedup.exact_duplicates.
+- :func:`streaming_minhash_candidates` — NEAR-duplicate detection on
+  an unbounded document stream: the batch MinHash+LSH pipeline's
+  stateless stages (signature, banding) run on the stream unchanged,
+  and the bucket lookup becomes an ``applyInPandasWithState`` anchor
+  store keyed by (band, band_hash) with an event-time TTL. Combine the
+  per-band verdicts per document with :func:`near_dup_decisions`
+  inside ``foreachBatch`` (all bands of a document land in the same
+  micro-batch, so that combine is exact, batch-land, stateless).
 """
 
 from __future__ import annotations
@@ -312,3 +320,173 @@ def streaming_decontaminate(
             "n_grams", "n_maybe_hits", "contaminated"
         )
     return probed
+
+
+def streaming_minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    time_col: str = "ts",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    watermark_delay: str = "10 minutes",
+    state_ttl_seconds: int = 3600,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates over a document STREAM.
+
+    The batch pipeline (llm/dedup.py: minhash_signatures → lsh_bands →
+    bucket equi-join) splits cleanly at the shuffle: signatures and
+    band hashes are pure narrow maps, so they run on ``readStream``
+    unchanged and reuse the SAME hash family as the batch operator
+    (identical signatures for identical text — a doc landed by the
+    stream and re-checked by the batch backstop gets the same buckets).
+    The bucket equi-join — the one stateful step — becomes an
+    ``applyInPandasWithState`` ANCHOR store: one (anchor_id, anchor_ts)
+    row per live (band, band_hash) bucket, TTL'd by event time.
+
+    Emits one row per (document, band):
+      doc_id, tse, band, band_hash, anchor_id —
+    ``anchor_id`` is NULL when this document became the bucket's anchor
+    (first seen) and the earlier document's id otherwise. All bands of
+    a document are emitted in the SAME micro-batch, so per-document
+    suppression is an exact stateless combine downstream — see
+    :func:`near_dup_decisions` for the ``foreachBatch`` recipe.
+
+    Deliberate bounded-state trade-offs (documented, not accidental):
+    - one anchor per bucket (not the full membership): a later doc
+      pairs with the bucket's FIRST doc, a star per bucket. Bucket
+      connectivity — what the batch pipeline's duplicate_clusters
+      consumes — is preserved exactly; only which pair witnesses it
+      differs. State is O(live buckets), independent of corpus size.
+    - event-time TTL (``state_ttl_seconds``, should be ≥ the watermark
+      horizon): duplicates arriving farther apart than the TTL are not
+      paired by the stream; the batch operator over the landed corpus
+      is the exact backstop, same contract as streaming_exact_dedup.
+    - candidates are UNVERIFIED (LSH recall/precision, tunable via
+      bands × rows); exact-Jaccard verification composes in
+      ``foreachBatch`` with the batch ``jaccard`` Column over the
+      landed texts.
+
+    Scale shape: per micro-batch the only shuffle is the groupBy on
+    (band, band_hash) — the same key the batch equi-join shuffles on —
+    and the state store holds one tiny row per live bucket.
+    """
+    import pandas as pd
+
+    from adam_spark.llm.dedup import _sig_udf, word_ngrams
+
+    id_type = docs.schema[id_col].dataType
+    id_ddl = id_type.simpleString()
+    ttl = int(state_ttl_seconds)
+
+    shingles = word_ngrams(F.col(text_col), shingle_n)
+    h0s = F.transform(
+        shingles, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
+    )
+    sigs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(time_col).cast("timestamp").alias("__ts"),
+            F.col(time_col).cast("timestamp").cast("long").alias("tse"),
+            h0s.alias("__h0s"),
+        )
+        .withWatermark("__ts", watermark_delay)
+        .where(F.size("__h0s") > 0)
+        .select(
+            "doc_id", "__ts", "tse",
+            _sig_udf(num_hashes)(F.col("__h0s")).alias("signature"),
+        )
+    )
+    # band explode + hash: same band_hash construction as lsh_bands
+    # (md5 over the comma-joined band slice) so stream and batch agree
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        "doc_id", "__ts", "tse",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("signature"),
+    ).select(
+        "doc_id", "__ts", "tse", "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.col("signature"),
+                        F.col("band") * F.lit(rows_per_band) + 1,
+                        F.lit(rows_per_band),
+                    ),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ).alias("band_hash"),
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = [
+            (int(t), i)
+            for pdf in pdfs
+            for t, i in zip(pdf["tse"].tolist(), pdf["doc_id"].tolist())
+        ]
+        if not rows:
+            return
+        rows.sort()
+        if state.exists:
+            anchor_id, anchor_ts = state.get
+        else:
+            anchor_ts, anchor_id = rows[0]
+        out = [
+            (i, t, key[0], key[1], None if i == anchor_id else anchor_id)
+            for t, i in rows
+        ]
+        state.update((anchor_id, anchor_ts))
+        state.setTimeoutTimestamp((max(t for t, _ in rows) + ttl) * 1000)
+        yield pd.DataFrame(
+            out, columns=["doc_id", "tse", "band", "band_hash", "anchor_id"]
+        )
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("tse", LongType()),
+            StructField("band", IntegerType()),
+            StructField("band_hash", StringType()),
+            StructField("anchor_id", id_type),
+        ]
+    )
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=f"anchor_id {id_ddl}, anchor_ts long",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def near_dup_decisions(band_rows: DataFrame) -> DataFrame:
+    """Per-document near-dup verdicts from a micro-batch of
+    :func:`streaming_minhash_candidates` output — the ``foreachBatch``
+    combine (exact because every band of a document is emitted in the
+    same micro-batch):
+
+        query = (streaming_minhash_candidates(stream)
+                 .writeStream.foreachBatch(
+                     lambda b, _: sink(near_dup_decisions(b)))
+                 .start())
+
+    Returns (doc_id, is_near_dup, matched_anchor, n_band_hits):
+    ``is_near_dup`` is true when ANY band bucket already had a
+    different anchor; ``matched_anchor`` is the smallest such anchor id
+    (deterministic witness, feeds duplicate_clusters edges)."""
+    return band_rows.groupBy("doc_id").agg(
+        F.max(F.col("anchor_id").isNotNull()).alias("is_near_dup"),
+        F.min("anchor_id").alias("matched_anchor"),
+        F.sum(F.col("anchor_id").isNotNull().cast("long")).alias("n_band_hits"),
+    )

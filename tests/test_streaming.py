@@ -404,3 +404,119 @@ def test_streaming_decontaminate(spark, tmp_path):
     # every i%3==0 doc shares a 4-gram with the eval set → must be flagged
     assert all(got[i] for i in range(30) if i % 3 == 0)
     bloom.unpersist()
+
+
+def _mh_doc(words, change=None):
+    toks = [f"w{i}" for i in range(60)]
+    if change is not None:
+        toks[change] = "CHANGED"
+    return " ".join(toks)
+
+
+def test_streaming_minhash_candidates_stateful(spark, tmp_path):
+    """Near-dup candidates across MICRO-BATCHES: the bucket anchor
+    store must survive triggers (maxFilesPerTrigger=1 forces one file
+    per micro-batch), and near_dup_decisions must combine the per-band
+    rows into exact per-document verdicts."""
+    import json
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    b1 = [
+        {"doc_id": 1, "text": _mh_doc(60), "ts": "2026-01-01T00:00:00"},
+        {"doc_id": 2, "text": _mh_doc(60, change=30), "ts": "2026-01-01T00:00:10"},
+        {"doc_id": 3, "text": "completely different words entirely unrelated "
+                              "zebra quark lattice phonon", "ts": "2026-01-01T00:00:20"},
+    ]
+    b2 = [
+        {"doc_id": 4, "text": _mh_doc(60), "ts": "2026-01-01T00:10:00"},
+    ]
+    (indir / "b1.json").write_text("\n".join(json.dumps(d) for d in b1))
+    (indir / "b2.json").write_text("\n".join(json.dumps(d) for d in b2))
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    cands = st.streaming_minhash_candidates(
+        stream, num_hashes=32, bands=8, shingle_n=3, watermark_delay="1 hour",
+        state_ttl_seconds=86400,
+    )
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("mh_cands")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM mh_cands")
+    got = st.near_dup_decisions(rows).orderBy("doc_id").collect()
+    by_id = {r["doc_id"]: r for r in got}
+    # every doc emits rows for all 8 bands
+    assert all(
+        r["n_band_hits"] + (rows.where(
+            (F.col("doc_id") == r["doc_id"]) & F.col("anchor_id").isNull()
+        ).count()) == 8
+        for r in got
+    )
+    # doc 1 anchors its buckets; doc 2 (one word in 60 changed) collides
+    # with doc 1 in at least one band; doc 3 is unrelated
+    assert not by_id[1]["is_near_dup"]
+    assert by_id[2]["is_near_dup"] and by_id[2]["matched_anchor"] == 1
+    assert not by_id[3]["is_near_dup"]
+    # doc 4 = exact copy of doc 1's text, arrives in the SECOND
+    # micro-batch: pairing requires the anchor state to have persisted.
+    # identical text → identical signature → all 8 bands collide
+    assert by_id[4]["is_near_dup"] and by_id[4]["matched_anchor"] == 1
+    assert by_id[4]["n_band_hits"] == 8
+
+
+def test_streaming_minhash_matches_batch_buckets(spark):
+    """Stream and batch use the SAME hash family: the band hashes the
+    streaming operator computes for a document equal lsh_bands' output
+    over the same text (the property that lets the batch job act as an
+    exact backstop over the landed corpus)."""
+    from adam_spark.llm.dedup import lsh_bands, minhash_signatures, word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, _mh_doc(60), "2026-01-01T00:00:00")], "doc_id long, text string, ts string"
+    )
+    batch = lsh_bands(
+        minhash_signatures(df, "doc_id", word_ngrams(F.col("text"), 3), num_hashes=32),
+        bands=8,
+    ).select("band", "band_hash")
+    batch_set = {(r["band"], r["band_hash"]) for r in batch.collect()}
+
+    # drive the streaming operator over the same row via a temp dir
+    import json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "one.json"), "w") as fh:
+            fh.write(json.dumps({"doc_id": 1, "text": _mh_doc(60),
+                                 "ts": "2026-01-01T00:00:00"}))
+        stream = spark.readStream.schema(
+            "doc_id LONG, text STRING, ts TIMESTAMP"
+        ).json(d)
+        cands = st.streaming_minhash_candidates(
+            stream, num_hashes=32, bands=8, shingle_n=3
+        )
+        q = (
+            cands.writeStream.format("memory")
+            .queryName("mh_parity")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    stream_set = {
+        (r["band"], r["band_hash"])
+        for r in spark.sql("SELECT band, band_hash FROM mh_parity").collect()
+    }
+    assert stream_set == batch_set
