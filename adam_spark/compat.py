@@ -137,6 +137,81 @@ class GenomicDataset:
             )
         )
 
+    # --- reusable-broadcast join family (GenomicDataset.scala:1087-1655):
+    # broadcast() materializes once; each *Against call probes it with the
+    # broadcast side as the LEFT of the result, exactly like the
+    # non-Against call on the broadcast frame -----------------------------
+    def broadcast(self):
+        return self._gf.broadcast()
+
+    def broadcastRegionJoinAgainst(self, broadcast):
+        return _wrap(self._gf.broadcast_region_join_against(broadcast))
+
+    def rightOuterBroadcastRegionJoinAgainst(self, broadcast):
+        return _wrap(
+            self._gf.broadcast_region_join_against(broadcast, how="right_outer")
+        )
+
+    def broadcastRegionJoinAgainstAndGroupByRight(self, broadcast):
+        return _wrap(self._gf.broadcast_region_join_against(broadcast, group="right"))
+
+    def rightOuterBroadcastRegionJoinAgainstAndGroupByRight(self, broadcast):
+        return _wrap(
+            self._gf.broadcast_region_join_against(
+                broadcast, how="right_outer", group="right"
+            )
+        )
+
+    # --- metadata mutators (GenomicDataset addX/replaceX families) -------
+    def addReference(self, reference):
+        return _wrap(self._gf.add_references([reference]))
+
+    def addReferences(self, references):
+        return _wrap(self._gf.add_references(references))
+
+    def replaceReferences(self, references):
+        return _wrap(self._gf.replace_references(references))
+
+    def addReadGroup(self, readGroup):
+        return _wrap(self._gf.add_read_groups([readGroup]))
+
+    def addReadGroups(self, readGroups):
+        return _wrap(self._gf.add_read_groups(readGroups))
+
+    def replaceReadGroups(self, readGroups):
+        return _wrap(self._gf.replace_read_groups(readGroups))
+
+    def addSample(self, sample):
+        return _wrap(self._gf.add_samples([sample]))
+
+    def addSamples(self, samples):
+        return _wrap(self._gf.add_samples(samples))
+
+    def replaceSamples(self, samples):
+        return _wrap(self._gf.replace_samples(samples))
+
+    def addHeaderLine(self, headerLine):
+        return _wrap(self._gf.add_header_lines([headerLine]))
+
+    def addHeaderLines(self, headerLines):
+        return _wrap(self._gf.add_header_lines(headerLines))
+
+    def replaceHeaderLines(self, headerLines):
+        return _wrap(self._gf.replace_header_lines(headerLines))
+
+    def addProcessingStep(self, step):
+        return _wrap(self._gf.with_processing_step(step))
+
+    def replaceProcessingSteps(self, steps):
+        return _wrap(self._gf.replace_processing_steps(steps))
+
+    # Scala-typed Dataset aliases — one binding in a DataFrame engine
+    def transformDataset(self, fn):
+        return self.transform(fn)
+
+    def transmuteDataset(self, fn, convFn=None):
+        return self.transmute(fn, convFn=convFn)
+
 
 class AlignmentDataset(GenomicDataset):
     def toFragments(self):

@@ -173,6 +173,60 @@ class GenomicFrame:
     def shuffle_region_join(self, other: GenomicFrame, **kw) -> GenomicFrame:
         return self.region_join(other, **kw)
 
+    def broadcast(self) -> "GenomicBroadcast":
+        """Pre-materialize this frame for REPEATED broadcast region joins
+        (GenomicDataset.broadcast, GenomicDataset.scala:1087-1091: collect
+        once into an interval tree, ship once, probe many). The DataFrame
+        analogue: persist() pins the one-time materialization so each
+        subsequent join's BroadcastExchange rebuilds from cached blocks,
+        not from the source scan; within a single plan Catalyst already
+        reuses the exchange (ReuseExchange)."""
+        return GenomicBroadcast(self)
+
+    def broadcast_region_join_against(
+        self, bc: "GenomicBroadcast", how: str = "inner",
+        group: str | None = None, flank: int = 0, **kw
+    ) -> GenomicFrame:
+        """Join THIS frame (probe side) against a pre-broadcast frame
+        (GenomicDataset.scala:1228-1245 broadcastRegionJoinAgainst and
+        :1368/:1530/:1655 variants): the broadcast side is the LEFT of
+        the result, matching ``bc.gf.region_join(self, ...)`` exactly —
+        'Against' only swaps which operand was collected."""
+        return bc.gf.region_join(
+            self, how=how, group=group, flank=flank, broadcast="left", **kw
+        )
+
+    # --- metadata mutators (GenomicDataset addX/replaceX families) -------
+    def _with_meta(self, meta) -> GenomicFrame:
+        return GenomicFrame(self.df, meta)
+
+    def add_references(self, refs) -> GenomicFrame:
+        return self._with_meta(self.meta.add_references(refs))
+
+    def replace_references(self, refs) -> GenomicFrame:
+        return self._with_meta(self.meta.replace_references(refs))
+
+    def add_read_groups(self, groups) -> GenomicFrame:
+        return self._with_meta(self.meta.add_read_groups(groups))
+
+    def replace_read_groups(self, groups) -> GenomicFrame:
+        return self._with_meta(self.meta.replace_read_groups(groups))
+
+    def add_samples(self, samples) -> GenomicFrame:
+        return self._with_meta(self.meta.add_samples(samples))
+
+    def replace_samples(self, samples) -> GenomicFrame:
+        return self._with_meta(self.meta.replace_samples(samples))
+
+    def add_header_lines(self, lines) -> GenomicFrame:
+        return self._with_meta(self.meta.add_header_lines(lines))
+
+    def replace_header_lines(self, lines) -> GenomicFrame:
+        return self._with_meta(self.meta.replace_header_lines(lines))
+
+    def replace_processing_steps(self, steps) -> GenomicFrame:
+        return self._with_meta(self.meta.replace_processing_steps(steps))
+
     def sort(self) -> GenomicFrame:
         """Global (reference-index, start) sort (GenomicDataset.sort:635)."""
         from adam_spark.operators.sorts import sort as _sort
@@ -229,3 +283,22 @@ class GenomicFrame:
         from adam_spark import context as _ctx
 
         _ctx.save(self, path, **kw)
+
+
+class GenomicBroadcast:
+    """Reusable broadcast side for region joins (the DataFrame twin of
+    GenomicBroadcast, GenomicDataset.scala:1087-1091 + models/
+    GenomicBroadcast). Holds the frame persisted so repeated
+    ``*RegionJoinAgainst`` calls rebuild their BroadcastExchange from
+    cached blocks instead of re-running the source plan. ``unpersist``
+    releases the blocks when the probe sequence is done."""
+
+    def __init__(self, gf: GenomicFrame):
+        self.gf = GenomicFrame(gf.df.persist(), gf.meta)
+
+    @property
+    def backing_frame(self) -> GenomicFrame:
+        return self.gf
+
+    def unpersist(self) -> None:
+        self.gf.df.unpersist()

@@ -180,6 +180,62 @@ class GenomicMetadata:
         meta.processing_steps = [*self.processing_steps, step]
         return meta
 
+    # --- metadata mutators (GenomicDataset.scala addX/replaceX families:
+    # addReference(s) :421-446, addReadGroup(s) :3765-3788 via
+    # ReadGroupsDatasets, addSample(s) :448-473, replaceX setters on the
+    # copy constructors). Immutable style: each returns a new metadata. --
+    def add_references(self, refs) -> GenomicMetadata:
+        meta = self.copy()
+        merged = _merge_unique(
+            self.references.references, list(refs), lambda r: r.name
+        )
+        meta.references = SequenceDictionary(merged)
+        return meta
+
+    def replace_references(self, refs) -> GenomicMetadata:
+        meta = self.copy()
+        meta.references = (
+            refs if isinstance(refs, SequenceDictionary)
+            else SequenceDictionary(list(refs))
+        )
+        return meta
+
+    def add_read_groups(self, groups) -> GenomicMetadata:
+        meta = self.copy()
+        meta.read_groups = _merge_unique(self.read_groups, list(groups), lambda g: g.id)
+        return meta
+
+    def replace_read_groups(self, groups) -> GenomicMetadata:
+        meta = self.copy()
+        meta.read_groups = list(groups)
+        return meta
+
+    def add_samples(self, samples) -> GenomicMetadata:
+        meta = self.copy()
+        meta.samples = _merge_unique(self.samples, list(samples), lambda s: s.id)
+        return meta
+
+    def replace_samples(self, samples) -> GenomicMetadata:
+        meta = self.copy()
+        meta.samples = list(samples)
+        return meta
+
+    def add_header_lines(self, lines) -> GenomicMetadata:
+        meta = self
+        for line in lines:
+            meta = meta._with_header_line(line)
+        return meta
+
+    def replace_header_lines(self, lines) -> GenomicMetadata:
+        meta = self.copy()
+        meta.header_lines = list(lines)
+        return meta
+
+    def replace_processing_steps(self, steps) -> GenomicMetadata:
+        meta = self.copy()
+        meta.processing_steps = list(steps)
+        return meta
+
     # --- VCF header-line surface (VCFSupportingGenomicDataset,
     # GenomicDataset.scala:3497-3757; Python mirror ds.py:628-848) ------
     def _with_header_line(self, line: str) -> GenomicMetadata:

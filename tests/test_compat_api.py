@@ -248,3 +248,68 @@ def test_sequence_slice_by_region_vectors(spark):
     assert sorted((r["name"], r["sequence"]) for r in multi) == [
         ("name1", "ac"), ("name2", "tg"),
     ]
+
+
+def test_broadcast_against_family(ac, sam_path, tmp_path):
+    """broadcast() + *RegionJoinAgainst ≡ the non-Against join called on
+    the broadcast frame (GenomicDataset.scala:1228-1245: 'Against' only
+    swaps which operand was collected)."""
+    bed = tmp_path / "r.bed"
+    bed.write_text("chr1\t90\t200\tregionA\nchr1\t400\t600\tregionB\n")
+    reads = ac.loadAlignments(sam_path)
+    feats = ac.loadFeatures(str(bed))
+    bc = feats.broadcast()
+    try:
+        against = reads.broadcastRegionJoinAgainst(bc).toDF()
+        direct = feats.broadcastRegionJoin(reads).toDF()
+        assert sorted(against.columns) == sorted(direct.columns)
+        key = [c for c in against.columns if not c.endswith("_r")]
+        assert (
+            sorted(map(tuple, against.select(*sorted(against.columns)).collect()))
+            == sorted(map(tuple, direct.select(*sorted(against.columns)).collect()))
+        )
+        grouped = reads.broadcastRegionJoinAgainstAndGroupByRight(bc).toDF()
+        assert grouped.count() == 3  # one row per read, hits grouped
+        ro = reads.rightOuterBroadcastRegionJoinAgainst(bc).toDF()
+        assert ro.count() == direct.count()  # every read overlaps a region
+    finally:
+        bc.unpersist()
+
+
+def test_metadata_mutator_family(ac, sam_path, tmp_path):
+    """addX/replaceX metadata families: id-deduped adds, wholesale
+    replaces, and survival through a save round trip."""
+    from adam_spark.core.metadata import ReadGroup, Reference, Sample
+
+    reads = ac.loadAlignments(sam_path)
+    # add a second contig + a duplicate of an existing one (deduped by name)
+    r2 = reads.addReferences(
+        [Reference(name="chr2", length=50000), Reference(name="chr1", length=1)]
+    )
+    names = [r.name for r in r2._gf.meta.references.references]
+    assert names == ["chr1", "chr2"]
+    assert r2._gf.meta.references["chr1"].length == 100000  # first wins
+    # read groups: add dedupes on id, replace is wholesale
+    g2 = reads.addReadGroup(ReadGroup(id="rg2", sampleId="s2"))
+    assert [g.id for g in g2._gf.meta.read_groups] == ["rg1", "rg2"]
+    g3 = g2.replaceReadGroups([ReadGroup(id="only", sampleId="s")])
+    assert [g.id for g in g3._gf.meta.read_groups] == ["only"]
+    # samples
+    s2 = reads.addSample(Sample(id="sampleX"))
+    assert any(s.id == "sampleX" for s in s2._gf.meta.samples)
+    # header lines: add dedupes exact lines, replace is wholesale
+    h = reads.addHeaderLines(["##x=1", "##x=1", "##y=2"])
+    assert h._gf.meta.header_lines.count("##x=1") == 1
+    h2 = h.replaceHeaderLines(["##z=3"])
+    assert h2._gf.meta.header_lines == ["##z=3"]
+    # added reference survives a SAM save (emitted as @SQ)
+    out = str(tmp_path / "o.sam")
+    r2.saveAsSam(out)
+    reloaded = ac.loadAlignments(out)
+    assert "chr2" in reloaded._gf.meta.references
+
+
+def test_transform_dataset_aliases(ac, sam_path):
+    reads = ac.loadAlignments(sam_path)
+    t = reads.transformDataset(lambda df: df.where("start >= 0"))
+    assert t.toDF().count() == 3
