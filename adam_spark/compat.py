@@ -214,6 +214,57 @@ class GenomicDataset:
 
 
 class AlignmentDataset(GenomicDataset):
+    # --- domain filters (AlignmentDataset.scala filterX family) ----------
+    def filterByMappingQuality(self, minimumMappingQuality):
+        from adam_spark.operators import filters as _flt
+
+        return _wrap(self._gf.transform_df(
+            lambda df: _flt.filter_by_mapping_quality(df, minimumMappingQuality)))
+
+    def filterUnalignedReads(self):
+        from adam_spark.operators import filters as _flt
+
+        return _wrap(self._gf.transform_df(_flt.filter_unaligned_reads))
+
+    def filterUnpairedReads(self):
+        from adam_spark.operators import filters as _flt
+
+        return _wrap(self._gf.transform_df(_flt.filter_unpaired_reads))
+
+    def filterDuplicateReads(self):
+        from adam_spark.operators import filters as _flt
+
+        return _wrap(self._gf.transform_df(_flt.filter_duplicate_reads))
+
+    def filterToPrimaryAlignments(self):
+        from adam_spark.operators import filters as _flt
+
+        return _wrap(self._gf.transform_df(_flt.filter_to_primary_alignments))
+
+    def filterToReadGroup(self, readGroupId):
+        return self.filterToReadGroups([readGroupId])
+
+    def filterToReadGroups(self, readGroupIds):
+        from adam_spark.operators import filters as _flt
+
+        return _wrap(self._gf.transform_df(
+            lambda df: _flt.filter_to_read_groups(df, list(readGroupIds))))
+
+    def filterToSample(self, sampleId):
+        return self.filterToSamples([sampleId])
+
+    def filterToSamples(self, sampleIds):
+        from adam_spark.operators import filters as _flt
+
+        return _wrap(self._gf.transform_df(
+            lambda df: _flt.filter_to_samples(df, list(sampleIds))))
+
+    def filterToReferenceName(self, referenceName):
+        from adam_spark.operators import filters as _flt
+
+        return _wrap(self._gf.transform_df(
+            lambda df: _flt.filter_to_reference_name(df, referenceName)))
+
     def toFragments(self):
         from adam_spark.operators.conversions import alignments_to_fragments
 
@@ -326,6 +377,73 @@ class CoverageDataset(GenomicDataset):
 
 
 class FeatureDataset(GenomicDataset):
+    # --- domain filters (FeatureDataset.scala filterX family) ------------
+    def _filter(self, fn, *args):
+        return _wrap(self._gf.transform_df(lambda df: fn(df, *args)))
+
+    def filterToFeatureType(self, featureType):
+        return self.filterToFeatureTypes([featureType])
+
+    def filterToFeatureTypes(self, featureTypes):
+        from adam_spark.operators.filters import filter_to_feature_types
+
+        return self._filter(filter_to_feature_types, list(featureTypes))
+
+    def filterToGene(self, geneId):
+        return self.filterToGenes([geneId])
+
+    def filterToGenes(self, geneIds):
+        from adam_spark.operators.filters import filter_to_genes
+
+        return self._filter(filter_to_genes, list(geneIds))
+
+    def filterToTranscript(self, transcriptId):
+        return self.filterToTranscripts([transcriptId])
+
+    def filterToTranscripts(self, transcriptIds):
+        from adam_spark.operators.filters import filter_to_transcripts
+
+        return self._filter(filter_to_transcripts, list(transcriptIds))
+
+    def filterToExon(self, exonId):
+        return self.filterToExons([exonId])
+
+    def filterToExons(self, exonIds):
+        from adam_spark.operators.filters import filter_to_exons
+
+        return self._filter(filter_to_exons, list(exonIds))
+
+    def filterToProtein(self, proteinId):
+        return self.filterToProteins([proteinId])
+
+    def filterToProteins(self, proteinIds):
+        from adam_spark.operators.filters import filter_to_proteins
+
+        return self._filter(filter_to_proteins, list(proteinIds))
+
+    def filterToParent(self, parentId):
+        return self.filterToParents([parentId])
+
+    def filterToParents(self, parentIds):
+        from adam_spark.operators.filters import filter_to_parent
+
+        return self._filter(filter_to_parent, list(parentIds))
+
+    def filterByScore(self, minimumScore):
+        from adam_spark.operators.filters import filter_by_score
+
+        return self._filter(filter_by_score, minimumScore)
+
+    def filterByAttribute(self, key, value):
+        from adam_spark.operators.filters import filter_by_attribute
+
+        return self._filter(filter_by_attribute, key, value)
+
+    def filterToReferenceName(self, referenceName):
+        from adam_spark.operators.filters import filter_to_reference_name
+
+        return self._filter(filter_to_reference_name, referenceName)
+
     def toCoverage(self):
         from adam_spark.operators.conversions import features_to_coverage
 
@@ -563,6 +681,70 @@ class _VCFSupportingMixin:
 
 
 class VariantDataset(_VCFSupportingMixin, GenomicDataset):
+    # --- domain filters (VariantDataset.scala filterX family) ------------
+    def _filter(self, fn, *args):
+        return _wrap(self._gf.transform_df(lambda df: fn(df, *args)))
+
+    def filterToFiltersPassed(self):
+        from adam_spark.operators.filters import filter_to_filters_passed
+
+        return self._filter(filter_to_filters_passed)
+
+    def filterByQuality(self, minimumQuality):
+        from adam_spark.operators.filters import filter_by_quality
+
+        return self._filter(filter_by_quality, minimumQuality)
+
+    def filterByReadDepth(self, minimumReadDepth):
+        from adam_spark.operators.filters import filter_by_read_depth
+
+        return self._filter(filter_by_read_depth, minimumReadDepth)
+
+    def filterByReferenceReadDepth(self, minimumReferenceReadDepth):
+        from adam_spark.operators.filters import filter_by_reference_read_depth
+
+        return self._filter(filter_by_reference_read_depth, minimumReferenceReadDepth)
+
+    def filterSingleNucleotideVariants(self):
+        from adam_spark.operators.filters import filter_single_nucleotide_variants
+
+        return self._filter(filter_single_nucleotide_variants)
+
+    def filterToSingleNucleotideVariants(self):
+        from adam_spark.operators.filters import filter_to_single_nucleotide_variants
+
+        return self._filter(filter_to_single_nucleotide_variants)
+
+    def filterMultipleNucleotideVariants(self):
+        from adam_spark.operators.filters import filter_multiple_nucleotide_variants
+
+        return self._filter(filter_multiple_nucleotide_variants)
+
+    def filterToMultipleNucleotideVariants(self):
+        from adam_spark.operators.filters import filter_to_multiple_nucleotide_variants
+
+        return self._filter(filter_to_multiple_nucleotide_variants)
+
+    def filterIndels(self):
+        from adam_spark.operators.filters import filter_indels
+
+        return self._filter(filter_indels)
+
+    def filterToIndels(self):
+        from adam_spark.operators.filters import filter_to_indels
+
+        return self._filter(filter_to_indels)
+
+    def filterToReferenceName(self, referenceName):
+        from adam_spark.operators.filters import filter_to_reference_name
+
+        return self._filter(filter_to_reference_name, referenceName)
+
+    def saveVcfHeaders(self, filePath):
+        from adam_spark.sources.vcf import save_vcf_headers
+
+        save_vcf_headers(self._gf, filePath)
+
     def toVariantContexts(self):
         from adam_spark.operators.conversions import variants_to_variant_contexts
 
@@ -575,6 +757,65 @@ class VariantDataset(_VCFSupportingMixin, GenomicDataset):
 
 
 class GenotypeDataset(_VCFSupportingMixin, GenomicDataset):
+    # --- domain filters (GenotypeDataset.scala filterX family) -----------
+    def _filter(self, fn, *args):
+        return _wrap(self._gf.transform_df(lambda df: fn(df, *args)))
+
+    def filterToFiltersPassed(self):
+        # genotype rows gate on variantCallingAnnotations.filtersPassed
+        # (GenotypeDataset.scala:266-268)
+        return _wrap(self._gf.transform_df(
+            lambda df: df.where(df["variantCallingAnnotations.filtersPassed"])))
+
+    def filterByQuality(self, minimumQuality):
+        from adam_spark.operators.filters import filter_by_genotype_quality
+
+        return self._filter(filter_by_genotype_quality, minimumQuality)
+
+    def filterByReadDepth(self, minimumReadDepth):
+        from adam_spark.operators.filters import filter_by_read_depth
+
+        return self._filter(filter_by_read_depth, minimumReadDepth)
+
+    def filterByAlternateReadDepth(self, minimumAlternateReadDepth):
+        from adam_spark.operators.filters import filter_by_alternate_read_depth
+
+        return self._filter(filter_by_alternate_read_depth, minimumAlternateReadDepth)
+
+    def filterByReferenceReadDepth(self, minimumReferenceReadDepth):
+        from adam_spark.operators.filters import filter_by_reference_read_depth
+
+        return self._filter(filter_by_reference_read_depth, minimumReferenceReadDepth)
+
+    def filterNoCalls(self):
+        from adam_spark.operators.filters import filter_no_calls
+
+        return self._filter(filter_no_calls)
+
+    def filterToSample(self, sampleId):
+        return self.filterToSamples([sampleId])
+
+    def filterToSamples(self, sampleIds):
+        from adam_spark.operators.filters import filter_to_samples
+
+        return _wrap(self._gf.transform_df(
+            lambda df: filter_to_samples(df, list(sampleIds), col="sampleId")))
+
+    def filterToReferenceName(self, referenceName):
+        from adam_spark.operators.filters import filter_to_reference_name
+
+        return self._filter(filter_to_reference_name, referenceName)
+
+    def copyVariantEndToAttribute(self):
+        from adam_spark.operators.conversions import copy_variant_end_to_attribute
+
+        return _wrap(self._gf.transform_df(copy_variant_end_to_attribute))
+
+    def saveVcfHeaders(self, filePath):
+        from adam_spark.sources.vcf import save_vcf_headers
+
+        save_vcf_headers(self._gf, filePath)
+
     def toVariants(self, dedupe=False):
         from adam_spark.operators.conversions import genotypes_to_variants
 
@@ -600,6 +841,11 @@ class VariantContextDataset(_VCFSupportingMixin, GenomicDataset):
         from adam_spark.sources.vcf import save_vcf
 
         save_vcf(self._gf, filePath, single_file=asSingleFile)
+
+    def saveVcfHeaders(self, filePath):
+        from adam_spark.sources.vcf import save_vcf_headers
+
+        save_vcf_headers(self._gf, filePath)
 
 
 _KIND_TO_CLASS = {

@@ -7,7 +7,7 @@ groupBy+collect_list reshapes — pure Catalyst.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from adam_spark import schemas
@@ -435,6 +435,35 @@ def variants_to_variant_contexts(variants: DataFrame) -> DataFrame:
         v.alias("variant"),
         F.lit(None).cast(schemas.VARIANT_CONTEXT["genotypes"].dataType).alias("genotypes"),
     )
+
+
+def copy_variant_end_to_attribute(genotypes: DataFrame) -> DataFrame:
+    """Copy the genotype's END into ``variant.annotation.attributes``
+    as the VCF INFO field "END" (GenotypeDataset.copyVariantEndToAttribute,
+    GenotypeDataset.scala:449-463) — the step before a gVCF save so
+    reference blocks re-emit their span. Mirrors the reference's
+    getOrElse(new ...) semantics: a null variant/annotation is replaced
+    by an empty struct so the attribute always lands. Pure narrow map."""
+    v_t = genotypes.schema["variant"].dataType
+    a_t = v_t["annotation"].dataType
+
+    def _empty(struct_t) -> Column:
+        return F.struct(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in struct_t.fields]
+        )
+
+    anno = F.coalesce(F.col("variant.annotation"), _empty(a_t))
+    attrs = F.coalesce(
+        anno["attributes"], F.expr("cast(map() as map<string,string>)")
+    )
+    new_attrs = F.map_concat(
+        F.map_filter(attrs, lambda k, _: k != "END"),
+        F.create_map(F.lit("END"), F.col("end").cast("string")),
+    )
+    new_variant = F.coalesce(F.col("variant"), _empty(v_t)).withField(
+        "annotation", anno.withField("attributes", new_attrs)
+    )
+    return genotypes.withColumn("variant", new_variant)
 
 
 def variant_contexts_to_genotypes(vcs: DataFrame) -> DataFrame:

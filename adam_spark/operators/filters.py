@@ -220,3 +220,8 @@ def filter_by_attribute(df: DataFrame, key: str, value: str) -> DataFrame:
 
 def filter_to_parent(df: DataFrame, parent_ids: Sequence[str]) -> DataFrame:
     return df.where(F.arrays_overlap(F.col("parentIds"), F.array(*[F.lit(p) for p in parent_ids])))
+
+
+def filter_to_proteins(df: DataFrame, protein_ids: Sequence[str]) -> DataFrame:
+    """(reference: FeatureDataset.filterToProteins :486-495)."""
+    return df.where(F.col("proteinId").isin(list(protein_ids)))

@@ -557,7 +557,7 @@ def load_bam(
     decode record ranges in parallel and feed the shared SAM line
     parser, so BAM and SAM share one column mapping.
     """
-    from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
+    from adam_spark.sources.sam import _aligned_with_meta
 
     # globs and directories (ADAMContext.loadBam glob support;
     # ADAMContextSuite "loadBam with a glob" / "with a directory" /
@@ -613,7 +613,7 @@ def load_bam(
     )
     raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
     return GenomicFrame(
-        sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines)
+        *_aligned_with_meta(raw, header_lines)
     )
 
 
@@ -642,7 +642,7 @@ def load_indexed_bam(
     overlap fraction, not the file. Without an index it falls back to
     the distributed full scan plus the overlap predicate."""
     from adam_spark.core.genomic_frame import GenomicFrame as GF
-    from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
+    from adam_spark.sources.sam import _aligned_with_meta
 
     path = os.path.abspath(path)
     bai = path + ".bai"
@@ -672,7 +672,7 @@ def load_indexed_bam(
         lambda t: _decode_chunk_range(path, t, ref_names)
     )
     raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
-    gf = GF(sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines))
+    gf = GF(*_aligned_with_meta(raw, header_lines))
     return gf.filter_by_overlapping_regions(regions)
 
 

@@ -1770,7 +1770,7 @@ def load_cram(spark: SparkSession, path: str, reference=None) -> GenomicFrame:
     the driver seek-walks container headers serially. Executors decode
     containers in parallel (each is self-contained: compression header
     + slice + streams) and feed the shared SAM line parser."""
-    from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
+    from adam_spark.sources.sam import _aligned_with_meta
 
     path = os.path.abspath(path)
     # reference-coded files (RR=true) need the contig sequences on every
@@ -1786,7 +1786,7 @@ def load_cram(spark: SparkSession, path: str, reference=None) -> GenomicFrame:
         offsets = [off for off, _ in containers]
     raw = _scan_containers(spark, path, offsets, ref_names, ref_seqs)
     return GenomicFrame(
-        sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines)
+        *_aligned_with_meta(raw, header_lines)
     )
 
 
@@ -1812,7 +1812,7 @@ def load_indexed_cram(
         return load_cram(spark, path, reference=reference).filter_by_overlapping_regions(
             regions
         )
-    from adam_spark.sources.sam import header_metadata_from_lines, sam_lines_to_alignments
+    from adam_spark.sources.sam import _aligned_with_meta
 
     header_lines, ref_names = _read_file_header(path)
     rid = {n: i for i, n in enumerate(ref_names)}
@@ -1831,6 +1831,6 @@ def load_indexed_cram(
     ref_seqs = _resolve_reference(reference)
     raw = _scan_containers(spark, path, offsets, ref_names, ref_seqs)
     gf = GenomicFrame(
-        sam_lines_to_alignments(raw), header_metadata_from_lines(header_lines)
+        *_aligned_with_meta(raw, header_lines)
     )
     return gf.filter_by_overlapping_regions(regions)

@@ -39,12 +39,38 @@ def _ref_len(col_name: str):
     )
 
 
+def fill_read_group_sample_id(df: DataFrame, meta) -> DataFrame:
+    """Resolve ``readGroupSampleId`` from the header's read-group
+    dictionary (@RG SM), matching AlignmentConverter.scala:221
+    setReadGroupSampleId(recordGroup.getSample). The dictionary is
+    driver-sized, so the lookup is a literal CASE — no join. Reads
+    with no RG (or an RG without SM) stay null."""
+    pairs = [(g.id, g.sampleId) for g in meta.read_groups if g.sampleId is not None]
+    if not pairs or "readGroupId" not in df.columns:
+        return df
+    expr = None
+    for rg_id, sample in pairs:
+        cond = F.col("readGroupId") == F.lit(rg_id)
+        expr = F.when(cond, F.lit(sample)) if expr is None else expr.when(cond, F.lit(sample))
+    return df.withColumn(
+        "readGroupSampleId", F.coalesce(F.col("readGroupSampleId"), expr)
+    )
+
+
+def _aligned_with_meta(raw: DataFrame, header_lines) -> tuple:
+    """(alignments df, metadata) for a raw SAM-lines frame + header
+    lines — the shared assembly used by the BAM/CRAM decoders so every
+    binary loader also resolves readGroupSampleId from @RG SM."""
+    meta = header_metadata_from_lines(header_lines)
+    return fill_read_group_sample_id(sam_lines_to_alignments(raw), meta), meta
+
+
 def load_sam(
     spark: SparkSession, path: str, stringency: str = "SILENT"
 ) -> GenomicFrame:
     raw = spark.read.text(path)
-    df = sam_lines_to_alignments(raw)
     meta = _header_metadata(raw, stringency)
+    df = fill_read_group_sample_id(sam_lines_to_alignments(raw), meta)
     return GenomicFrame(df, meta)
 
 

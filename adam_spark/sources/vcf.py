@@ -728,6 +728,46 @@ DEFAULT_HEADER_LINES = [
 
 
 # --- sink -----------------------------------------------------------------
+def render_vcf_header(gf: GenomicFrame, sample_names: list[str] | None = None) -> list[str]:
+    """Assemble the full VCF header (## lines + #CHROM) for a frame —
+    the text save_vcf writes above the body and what saveVcfHeaders
+    persists standalone."""
+    if sample_names is None:
+        sample_names = [s.id for s in gf.meta.samples]
+    header = [h for h in gf.meta.header_lines if h.startswith("##")]
+    if not any(h.startswith("##fileformat") for h in header):
+        header = ["##fileformat=VCFv4.3", *header]
+    # frames built without a loaded VCF header get the reference's
+    # default INFO/FORMAT declarations (DefaultHeaderLines.allHeaderLines,
+    # converters/DefaultHeaderLines.scala — its VariantContextDataset
+    # default), so external parsers see every field this writer can emit
+    if not any(h.startswith(("##INFO", "##FORMAT")) for h in header):
+        header.extend(DEFAULT_HEADER_LINES)
+    have_contigs = {h for h in header if h.startswith("##contig=")}
+    for r in gf.meta.references.references:
+        line_c = f"##contig=<ID={r.name}" + (f",length={r.length}" if r.length else "") + ">"
+        if line_c not in have_contigs:
+            header.append(line_c)
+    chrom = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+    if sample_names:
+        chrom += "\tFORMAT\t" + "\t".join(sample_names)
+    header.append(chrom)
+    return header
+
+
+def save_vcf_headers(gf: GenomicFrame, path: str) -> None:
+    """Save ONLY the VCF header to ``path/_header``
+    (VariantDataset.saveVcfHeaders, VariantDataset.scala:309-316 —
+    also what saveMetadata drops next to every Parquet save). Driver-
+    side write: the header is metadata-sized by construction."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_header"), "w") as fh:
+        for line in render_vcf_header(gf):
+            fh.write(line + "\n")
+
+
 def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     """Variant contexts → VCF text (VariantContextDataset.saveAsVcf:427).
 
@@ -1009,24 +1049,7 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         line.alias("value"),
     )
 
-    header = [h for h in gf.meta.header_lines if h.startswith("##")]
-    if not any(h.startswith("##fileformat") for h in header):
-        header = ["##fileformat=VCFv4.3", *header]
-    # frames built without a loaded VCF header get the reference's
-    # default INFO/FORMAT declarations (DefaultHeaderLines.allHeaderLines,
-    # converters/DefaultHeaderLines.scala — its VariantContextDataset
-    # default), so external parsers see every field this writer can emit
-    if not any(h.startswith(("##INFO", "##FORMAT")) for h in header):
-        header.extend(DEFAULT_HEADER_LINES)
-    have_contigs = {h for h in header if h.startswith("##contig=")}
-    for r in gf.meta.references.references:
-        line_c = f"##contig=<ID={r.name}" + (f",length={r.length}" if r.length else "") + ">"
-        if line_c not in have_contigs:
-            header.append(line_c)
-    chrom = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
-    if sample_names:
-        chrom += "\tFORMAT\t" + "\t".join(sample_names)
-    header.append(chrom)
+    header = render_vcf_header(gf, sample_names)
 
     hdr_df = df.sparkSession.createDataFrame(
         [(0, "", float(i), h) for i, h in enumerate(header)],

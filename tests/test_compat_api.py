@@ -313,3 +313,85 @@ def test_transform_dataset_aliases(ac, sam_path):
     reads = ac.loadAlignments(sam_path)
     t = reads.transformDataset(lambda df: df.where("start >= 0"))
     assert t.toDF().count() == 3
+
+
+def test_domain_filter_bindings(ac, sam_path, tmp_path):
+    """camelCase domain filters on the typed datasets delegate to
+    operators/filters.py (Scala GenomicDataset filterX families)."""
+    reads = ac.loadAlignments(sam_path)
+    assert reads.filterByMappingQuality(1).toDF().count() == 3
+    assert reads.filterUnalignedReads().toDF().count() == 3
+    assert reads.filterToReadGroup("rg1").toDF().count() == 3
+    assert reads.filterToReadGroups(["nope"]).toDF().count() == 0
+    assert reads.filterToSample("s1").toDF().count() == 3
+    assert reads.filterToReferenceName("chr1").toDF().count() == 3
+    assert reads.filterToPrimaryAlignments().toDF().count() == 3
+
+    gtf = tmp_path / "f.gtf"
+    gtf.write_text(
+        'chr1\tsrc\texon\t1\t100\t.\t+\t.\tgene_id "g1"; transcript_id "t1"; '
+        'exon_id "e1"; protein_id "p1";\n'
+        'chr1\tsrc\tgene\t1\t200\t5\t+\t.\tgene_id "g2";\n'
+    )
+    feats = ac.loadFeatures(str(gtf))
+    assert feats.filterToGene("g1").toDF().count() == 1
+    assert feats.filterToGenes(["g1", "g2"]).toDF().count() == 2
+    assert feats.filterToTranscript("t1").toDF().count() == 1
+    assert feats.filterToExon("e1").toDF().count() == 1
+    assert feats.filterToProtein("p1").toDF().count() == 1
+    assert feats.filterToProteins(["nope"]).toDF().count() == 0
+    assert feats.filterToFeatureType("exon").toDF().count() == 1
+    assert feats.filterByScore(4.0).toDF().count() == 1
+
+
+def test_variant_genotype_filter_bindings(ac, tmp_path):
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.3\n##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+        "chr1\t10\t.\tA\tG\t50\tPASS\tDP=3\tGT:DP:GQ\t0/1:7:40\n"
+        "chr1\t20\t.\tC\tTA\t10\tlowq\tDP=4\tGT:DP:GQ\t1/1:2:10\n"
+        "chr1\t30\t.\tAC\tGT\t90\tPASS\tDP=9\tGT:DP:GQ\t./.:9:50\n"
+    )
+    vars_ = ac.loadVariants(str(vcf))
+    assert vars_.filterToFiltersPassed().toDF().count() == 2
+    assert vars_.filterByQuality(40).toDF().count() == 2
+    assert vars_.filterToSingleNucleotideVariants().toDF().count() == 1
+    assert vars_.filterSingleNucleotideVariants().toDF().count() == 2
+    assert vars_.filterToMultipleNucleotideVariants().toDF().count() == 1
+    assert vars_.filterToIndels().toDF().count() == 1
+    assert vars_.filterToReferenceName("chr1").toDF().count() == 3
+
+    gts = ac.loadGenotypes(str(vcf))
+    # genotype-level filters come from FT, not the variant FILTER column:
+    # no FT → filters applied + passed (htsjdk#741 semantics), so all 3
+    # genotype rows pass even though variant row 2 failed 'lowq'
+    assert gts.filterToFiltersPassed().toDF().count() == 3
+    assert gts.filterByQuality(20).toDF().count() == 2
+    assert gts.filterByReadDepth(5).toDF().count() == 2
+    assert gts.filterNoCalls().toDF().count() == 2
+    assert gts.filterToSample("s1").toDF().count() == 3
+    assert gts.filterToSamples(["other"]).toDF().count() == 0
+
+
+def test_copy_variant_end_and_save_headers(ac, tmp_path):
+    vcf = tmp_path / "v.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.3\n##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n"
+        "chr1\t10\t.\tA\tG\t50\tPASS\tDP=3\tGT\t0/1\n"
+    )
+    gts = ac.loadGenotypes(str(vcf))
+    g2 = gts.copyVariantEndToAttribute()
+    row = g2.toDF().select("variant.annotation.attributes").collect()[0][0]
+    assert row["END"] == "10"  # genotype end (half-open) → INFO END string
+    # idempotent: END is replaced, not doubled
+    g3 = g2.copyVariantEndToAttribute()
+    assert g3.toDF().select("variant.annotation.attributes").collect()[0][0]["END"] == "10"
+
+    out = str(tmp_path / "sink")
+    gts.saveVcfHeaders(out)
+    lines = open(out + "/_header").read().splitlines()
+    assert lines[0] == "##fileformat=VCFv4.3"
+    assert any(l.startswith("##contig=<ID=chr1") for l in lines)
+    assert lines[-1].startswith("#CHROM") and lines[-1].endswith("s1")

@@ -526,3 +526,30 @@ def test_save_ucsc_bed_score_interpolation(spark, tmp_path):
     assert lines["106624"][:6] == ["1", "1331345", "1331536", "106624", "67", "+"]
     assert lines["over"][4] == "1000"
     assert lines["miss"][4] == "0"
+
+
+def test_read_group_sample_id_filled_from_header(spark, tmp_path):
+    """readGroupSampleId resolves from @RG SM on load
+    (AlignmentConverter.scala:221 setReadGroupSampleId) — including
+    through the binary BAM path; reads without an RG stay null."""
+    from adam_spark.sources.bam import load_bam, save_bam
+    from adam_spark.sources.sam import load_sam
+
+    p = tmp_path / "x.sam"
+    p.write_text(
+        "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000\n"
+        "@RG\tID:rg1\tSM:s1\n@RG\tID:rg2\tSM:s2\n"
+        "a\t0\tchr1\t100\t60\t10M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII\tRG:Z:rg1\n"
+        "b\t0\tchr1\t200\t60\t10M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII\tRG:Z:rg2\n"
+        "c\t0\tchr1\t300\t60\t10M\t*\t0\t0\tACGTACGTAC\tIIIIIIIIII\n"
+    )
+    gf = load_sam(spark, str(p))
+    rows = {r["readName"]: r["readGroupSampleId"] for r in gf.df.collect()}
+    assert rows == {"a": "s1", "b": "s2", "c": None}
+    bam = str(tmp_path / "x.bam")
+    save_bam(gf, bam)
+    rows2 = {
+        r["readName"]: r["readGroupSampleId"]
+        for r in load_bam(spark, bam).df.collect()
+    }
+    assert rows2 == rows
