@@ -300,6 +300,10 @@ class AlignmentDataset(GenomicDataset):
     def countKmers(self, kmerLength):
         return self._gf.count_kmers(kmerLength)
 
+    # Scala-typed Dataset alias — one binding in a DataFrame engine
+    def countKmersAsDataset(self, kmerLength):
+        return self.countKmers(kmerLength)
+
     def sortByReadName(self):
         from adam_spark.operators.sorts import sort_by_read_name
 
@@ -570,6 +574,9 @@ class SliceDataset(GenomicDataset):
 
     def countKmers(self, kmerLength):
         return self._gf.count_kmers(kmerLength)
+
+    def countKmersAsDataset(self, kmerLength):
+        return self.countKmers(kmerLength)
 
     def toReads(self):
         from adam_spark.operators.conversions import slices_to_reads
