@@ -267,18 +267,36 @@ def minhash_lsh_pairs(
     # sf0.1 and nothing cold)
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     sigs = minhash_signatures(base, "id", F.col("sh"), num_hashes)
-    # the band table feeds BOTH sides of the self-join, and Spark does
-    # NOT reuse the exchange across the differently-aliased sides (the
-    # signature UDF would run twice) — persist the slim (id, band,
-    # band_hash) table: ~bands rows per doc, a few MB per million docs
-    bandsdf = lsh_bands(sigs, bands).persist(StorageLevel.MEMORY_AND_DISK)
-    bandsdf.count()  # eager: both self-join sides would race a lazy cache
+    # per-doc band-hash ARRAY first (identical hash construction to
+    # lsh_bands), then posexplode for the equi-join: the banded table
+    # feeds BOTH sides of the self-join, and Spark does NOT reuse the
+    # exchange across the differently-aliased sides (the signature UDF
+    # would run twice) — persist the slim (id, bh) table: one row per
+    # doc, bands hashes each
+    rpb = num_hashes // bands
+    bh_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("signature"), j * F.lit(rpb) + 1, F.lit(rpb)),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ),
+    )
+    banded = sigs.select("id", bh_arr.alias("bh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded.count()  # eager: both self-join sides would race a lazy cache
+    bandsdf = banded.select("id", F.posexplode("bh").alias("band", "band_hash"))
     a = bandsdf.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = bandsdf.select(F.col("id").alias("id_b"), "band", "band_hash")
     raw = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "band")
     )
     # verification: |A∩B| once, |A∪B| by arithmetic (no union allocation).
     # The shingle side is one row per document; broadcasting it pins a
@@ -289,39 +307,66 @@ def minhash_lsh_pairs(
     # the 100 TB design point.
     if broadcast_verify is None:
         broadcast_verify = _estimate_shingle_bytes(base) <= VERIFY_BROADCAST_CAP_BYTES
+    sized = base.withColumn("n", F.size("sh"))
     if broadcast_verify:
-        # verify is a pure map (both shingle sides broadcast) — cheaper to
-        # re-verify a pair that matched in several bands than to shuffle
-        # the full candidate stream through a dedup aggregate first; the
-        # pair dedup moves AFTER the threshold filter (rounded jaccard is
-        # identical across a pair's duplicates, so dedup is order-safe)
-        cand = raw
+        # verify is a pure map (both shingle sides broadcast). A pair
+        # that matched in k bands would be verified k times and need a
+        # final dedup shuffle — instead each side's broadcast also
+        # carries the per-doc band-hash array (tiny next to the shingle
+        # arrays already shipped) and the map keeps a pair only at its
+        # FIRST shared band: exactly one verify per pair, zero dedup
+        # exchange. Same stateless first-bin trick as the region join.
+        sized = sized.join(banded, "id")
+        sh_a = sized.select(
+            F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+            F.col("n").alias("n_a"), F.col("bh").alias("bh_a"),
+        )
+        sh_b = sized.select(
+            F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+            F.col("n").alias("n_b"), F.col("bh").alias("bh_b"),
+        )
+        first_shared = F.element_at(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(bands)),
+                lambda j: F.element_at(F.col("bh_a"), j)
+                == F.element_at(F.col("bh_b"), j),
+            ),
+            1,
+        ) - F.lit(1)
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        out = (
+            raw.join(F.broadcast(sh_a), "id_a")
+            .join(F.broadcast(sh_b), "id_b")
+            .where(F.col("band") == first_shared)
+            .withColumn("jaccard", inter / (F.col("n_a") + F.col("n_b") - inter))
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
     else:
         # shuffle verify: every candidate row costs a join shuffle, so
         # dedup first; one exchange serves both dedup and the verify-stage
         # rebalance (hash-partitioning on id_a satisfies the (id_a, id_b)
-        # clustering the dropDuplicates aggregate needs)
+        # clustering the dropDuplicates aggregate needs). The band-hash
+        # arrays are NOT carried here — at large `bands` they would
+        # inflate the shuffled verify rows, and the dedup exchange
+        # already collapses multiplicity.
         cand = raw.repartition(
             df.sparkSession.sparkContext.defaultParallelism, "id_a"
         ).dropDuplicates(["id_a", "id_b"])
-    sized = base.withColumn("n", F.size("sh"))
-    maybe_bc = F.broadcast if broadcast_verify else (lambda x: x)
-    sh_a = sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
-    sh_b = sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    out = (
-        cand.join(maybe_bc(sh_a), "id_a")
-        .join(maybe_bc(sh_b), "id_b")
-        .withColumn("jaccard", inter / (F.col("n_a") + F.col("n_b") - inter))
-        .where(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
-    if broadcast_verify:
-        out = out.dropDuplicates(["id_a", "id_b"])
+        sh_a = sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+        sh_b = sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        out = (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .withColumn("jaccard", inter / (F.col("n_a") + F.col("n_b") - inter))
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
     if bounded_cache:
         from adam_spark.llm.cache import eager_release
 
-        return eager_release(out, bandsdf)
+        return eager_release(out, banded)
     return out
 
 
