@@ -755,6 +755,7 @@ def _verify_pairs_gemm(
     threshold: float,
     id_col: str,
     vec_col: str,
+    srp_first_band: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
     """Score (id_a, id_b) candidate pairs against a broadcast corpus matrix.
 
@@ -762,9 +763,15 @@ def _verify_pairs_gemm(
     executors score each Arrow batch with a vectorized gather and a
     row-wise dot (numerically the same dot/(‖a‖·‖b‖) as the join-based
     fold, modulo summation order — sim is rounded to 6 dp either way).
-    Candidate duplicates (a pair matching in several bands) are verified
-    redundantly — cheaper than deduplicating the full candidate stream —
-    and collapsed after the threshold filter.
+
+    With ``srp_first_band=(dim, rows_per_band, bands, seed)`` the pairs
+    frame must carry a ``band`` column and the UDF keeps each pair only
+    at its FIRST shared band: the per-row band hashes are recomputed on
+    the driver from the already-collected matrix (same projection
+    matrix as srp_band_hashes — bit-identical hashes, no extra
+    collect), so a pair matching in k bands is scored once and the
+    post-threshold dropDuplicates disappears. Without it, candidate
+    duplicates are verified redundantly and collapsed after the filter.
 
     Lifecycle: the broadcast matrix lives until the session's context GC
     drops it (the returned DataFrame's closure holds it; Spark cannot
@@ -780,20 +787,52 @@ def _verify_pairs_gemm(
     )
     norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
     id2ix = {i: ix for ix, i in enumerate(pdf["id"])}
-    bc = corpus.sparkSession.sparkContext.broadcast((id2ix, mat, norms))
+    bh_mat = None
+    if srp_first_band is not None and len(mat):
+        dim, rows_per_band, bands, seed = srp_first_band
+        proj = np.asarray(
+            _srp_matrix(dim, rows_per_band * bands, seed), dtype=np.float64
+        )
+        bits = (mat @ proj.T >= 0).astype(np.int64)
+        weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+        bh_mat = bits.reshape(len(mat), bands, rows_per_band) @ weights  # N×bands
+    bc = corpus.sparkSession.sparkContext.broadcast((id2ix, mat, norms, bh_mat))
+
+    if bh_mat is None:
+
+        @F.pandas_udf("double")
+        def pair_cos(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            idx, m, nrm, _ = bc.value
+            ka = ia.map(idx).to_numpy(dtype=np.int64)
+            kb = ib.map(idx).to_numpy(dtype=np.int64)
+            num = np.einsum("ij,ij->i", m[ka], m[kb])
+            return pd.Series(num / (nrm[ka] * nrm[kb]))
+
+        return (
+            pairs.withColumn("sim", pair_cos("id_a", "id_b"))
+            .where(F.col("sim") >= F.lit(threshold))
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        )
 
     @F.pandas_udf("double")
-    def pair_cos(ia: pd.Series, ib: pd.Series) -> pd.Series:
-        idx, m, nrm = bc.value
+    def pair_cos_first(ia: pd.Series, ib: pd.Series, band: pd.Series) -> pd.Series:
+        idx, m, nrm, bh = bc.value
         ka = ia.map(idx).to_numpy(dtype=np.int64)
         kb = ib.map(idx).to_numpy(dtype=np.int64)
-        num = np.einsum("ij,ij->i", m[ka], m[kb])
-        return pd.Series(num / (nrm[ka] * nrm[kb]))
+        # keep only rows where this band is the pair's first shared band
+        eq = bh[ka] == bh[kb]  # batch×bands; row's own band always True
+        first = eq.argmax(axis=1)
+        keep = first == band.to_numpy(dtype=np.int64)
+        sim = np.full(len(ka), -2.0)  # sentinel below any cosine
+        if keep.any():
+            num = np.einsum("ij,ij->i", m[ka[keep]], m[kb[keep]])
+            sim[keep] = num / (nrm[ka[keep]] * nrm[kb[keep]])
+        return pd.Series(sim)
 
     return (
-        pairs.withColumn("sim", pair_cos("id_a", "id_b"))
+        pairs.withColumn("sim", pair_cos_first("id_a", "id_b", "band"))
         .where(F.col("sim") >= F.lit(threshold))
-        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
 
@@ -864,7 +903,7 @@ def embedding_near_duplicates(
     raw = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "band")
     )
     def _finish(out: DataFrame) -> DataFrame:
         if bounded_cache:
@@ -874,13 +913,21 @@ def embedding_near_duplicates(
         return out
 
     if n_vec * true_dim * 8 <= GEMM_VERIFY_CAP_BYTES:
+        # the verify UDF keeps each pair only at its first shared band
+        # (hash matrix recomputed from the collected vectors — no extra
+        # collect), so candidates are scored once and no dedup runs
         return _finish(
-            _verify_pairs_gemm(corpus, raw, threshold, id_col, vec_col)
+            _verify_pairs_gemm(
+                corpus, raw, threshold, id_col, vec_col,
+                srp_first_band=(dim, rows_per_band, bands, 7),
+            )
         )
     shuffle_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     # one exchange serves dedup + verify rebalance (partitioning on id_a
     # satisfies the (id_a, id_b) clustering of dropDuplicates)
-    cand = raw.repartition(shuffle_parts, "id_a").dropDuplicates(["id_a", "id_b"])
+    cand = raw.select("id_a", "id_b").repartition(
+        shuffle_parts, "id_a"
+    ).dropDuplicates(["id_a", "id_b"])
     # norms precomputed once per VECTOR (N rows) instead of per PAIR —
     # the verify fold then evaluates one dot product per candidate, not
     # three; numerically identical to computing norms inline
