@@ -726,12 +726,6 @@ def minhash_lsh_pairs_between(
     )
     base_n = df_new.select(F.col(id_col).alias("id"), mk.alias("sh"))
     base_r = df_ref.select(F.col(id_col).alias("id"), mk.alias("sh"))
-    bands_n = lsh_bands(minhash_signatures(base_n, "id", F.col("sh"), num_hashes), bands)
-    bands_r = lsh_bands(minhash_signatures(base_r, "id", F.col("sh"), num_hashes), bands)
-    raw = bands_n.select(F.col("id").alias("id_new"), "band", "band_hash").join(
-        bands_r.select(F.col("id").alias("id_ref"), "band", "band_hash"),
-        ["band", "band_hash"],
-    ).select("id_new", "id_ref")
     sh_n = base_n.select(
         F.col("id").alias("id_new"), F.col("sh").alias("sh_n"), F.size("sh").alias("n_n")
     )
@@ -744,21 +738,79 @@ def minhash_lsh_pairs_between(
         est_n + _estimate_shingle_bytes(base_r) <= VERIFY_BROADCAST_CAP_BYTES
     ):
         # both token tables broadcast: verify is a pure map over the raw
-        # candidate stream; re-verifying a pair that matched in several
-        # bands is cheaper than a dedup shuffle first, so dedup last
+        # candidate stream. Each side's slim per-doc band-hash ARRAY
+        # persists once (one row per doc) and serves BOTH the exploded
+        # equi-join side and the broadcast, so the signature UDF runs
+        # once per side and the verify map keeps a pair only at its
+        # FIRST shared band — one exact-Jaccard per pair, no dedup
+        # exchange (same trick as the self-join variant).
+        from pyspark.storagelevel import StorageLevel
+
+        rpb = num_hashes // bands
+        bh_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda j: F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("signature"), j * F.lit(rpb) + 1, F.lit(rpb)),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ),
+        )
+
+        def _banded(base):
+            b = (
+                minhash_signatures(base, "id", F.col("sh"), num_hashes)
+                .select("id", bh_arr.alias("bh"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            b.count()  # eager: two consumers would race a lazy cache
+            return b
+
+        banded_n, banded_r = _banded(base_n), _banded(base_r)
+        raw = (
+            banded_n.select(F.col("id").alias("id_new"), F.posexplode("bh").alias("band", "band_hash"))
+            .join(
+                banded_r.select(F.col("id").alias("id_ref"), F.posexplode("bh").alias("band", "band_hash")),
+                ["band", "band_hash"],
+            )
+            .select("id_new", "id_ref", "band")
+        )
+        sh_n_bh = sh_n.join(
+            banded_n.select(F.col("id").alias("id_new"), F.col("bh").alias("bh_n")), "id_new"
+        )
+        sh_r_bh = sh_r.join(
+            banded_r.select(F.col("id").alias("id_ref"), F.col("bh").alias("bh_r")), "id_ref"
+        )
+        first_shared = F.element_at(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(bands)),
+                lambda j: F.element_at(F.col("bh_n"), j)
+                == F.element_at(F.col("bh_r"), j),
+            ),
+            1,
+        ) - F.lit(1)
         out = (
-            raw.join(F.broadcast(sh_n), "id_new")
-            .join(F.broadcast(sh_r), "id_ref")
+            raw.join(F.broadcast(sh_n_bh), "id_new")
+            .join(F.broadcast(sh_r_bh), "id_ref")
+            .where(F.col("band") == first_shared)
             .withColumn("jaccard", inter / (F.col("n_n") + F.col("n_r") - inter))
             .where(F.col("jaccard") >= F.lit(threshold))
             .select("id_new", "id_ref", F.round("jaccard", 6).alias("jaccard"))
-            .dropDuplicates(["id_new", "id_ref"])
         )
-        if bounded_cache:  # no internal persist on this path: checkpoint
+        if bounded_cache:
             from adam_spark.llm.cache import eager_release
 
-            return eager_release(out)
+            return eager_release(out, banded_n, banded_r)
         return out
+    bands_n = lsh_bands(minhash_signatures(base_n, "id", F.col("sh"), num_hashes), bands)
+    bands_r = lsh_bands(minhash_signatures(base_r, "id", F.col("sh"), num_hashes), bands)
+    raw = bands_n.select(F.col("id").alias("id_new"), "band", "band_hash").join(
+        bands_r.select(F.col("id").alias("id_ref"), "band", "band_hash"),
+        ["band", "band_hash"],
+    ).select("id_new", "id_ref")
     cand = raw.dropDuplicates(["id_new", "id_ref"]).persist(
         StorageLevel.MEMORY_AND_DISK
     )
