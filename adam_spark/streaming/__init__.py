@@ -490,3 +490,40 @@ def near_dup_decisions(band_rows: DataFrame) -> DataFrame:
         F.min("anchor_id").alias("matched_anchor"),
         F.sum(F.col("anchor_id").isNotNull().cast("long")).alias("n_band_hits"),
     )
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    verdicts_path: str,
+    checkpoint: str,
+    **candidate_params,
+):
+    """End-to-end streaming near-dup dedup: run
+    :func:`streaming_minhash_candidates` and land one VERDICT row per
+    document per micro-batch (doc_id, is_near_dup, matched_anchor,
+    n_band_hits) into an append-only parquet table. Returns the
+    started StreamingQuery.
+
+    The intended consumption shape at training time::
+
+        docs = spark.read.parquet(landed_docs)       # your ingest sink
+        bad = spark.read.parquet(verdicts).where("is_near_dup")
+        clean = docs.join(bad, "doc_id", "left_anti")
+
+    Landing verdicts (a few bytes per doc) instead of re-writing the
+    documents keeps the dedup stream independent of however documents
+    themselves are persisted, and the anti-join is a broadcast at
+    typical dup rates. foreachBatch is exact here because every band
+    of a document is emitted in the same micro-batch.
+    """
+    cands = streaming_minhash_candidates(docs, **candidate_params)
+
+    def _land(batch: DataFrame, _epoch: int) -> None:
+        near_dup_decisions(batch).write.mode("append").parquet(verdicts_path)
+
+    return (
+        cands.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -520,3 +520,35 @@ def test_streaming_minhash_matches_batch_buckets(spark):
         for r in spark.sql("SELECT band, band_hash FROM mh_parity").collect()
     }
     assert stream_set == batch_set
+
+
+def test_streaming_minhash_dedup_lands_verdicts(spark, tmp_path):
+    """The end-to-end wrapper writes per-doc verdict rows to parquet;
+    the anti-join recipe yields exactly the non-duplicate docs."""
+    import json
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    rows = [
+        {"doc_id": 1, "text": _mh_doc(60), "ts": "2026-01-01T00:00:00"},
+        {"doc_id": 2, "text": _mh_doc(60), "ts": "2026-01-01T00:00:10"},
+        {"doc_id": 3, "text": "unrelated zebra quark lattice phonon words", "ts": "2026-01-01T00:00:20"},
+    ]
+    (indir / "b.json").write_text("\n".join(json.dumps(d) for d in rows))
+    stream = spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP").json(str(indir))
+    vp, cp = str(tmp_path / "verdicts"), str(tmp_path / "ckpt")
+    q = st.streaming_minhash_dedup(
+        stream, vp, cp, num_hashes=32, bands=8, shingle_n=3
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    verdicts = spark.read.parquet(vp)
+    by_id = {r["doc_id"]: r["is_near_dup"] for r in verdicts.collect()}
+    assert by_id == {1: False, 2: True, 3: False}
+    docs = spark.createDataFrame([(r["doc_id"],) for r in rows], "doc_id long")
+    clean = docs.join(
+        verdicts.where("is_near_dup"), "doc_id", "left_anti"
+    )
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
