@@ -577,3 +577,71 @@ def test_genotypes_to_variants_matches_variant_load(spark, tmp_path):
     a = sorted(map(str, from_g.collect()))
     b = sorted(map(str, direct.collect()))
     assert a == b
+
+
+def test_half_forward_reverse_depth_pairs_raise_on_save(spark, tmp_path):
+    """'(reference) forward/reverse read depth without its pair'
+    (:1861-1876, :1899-1915): every half-set ADF/ADR pair fails the
+    save with the strict IAE, in BOTH halves, like the AD vector."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    cases = [
+        ("ADF=3,6", "referenceForwardReadDepth"),
+        ("ADF=3,6", "forwardReadDepth"),
+        ("ADR=2,5", "referenceReverseReadDepth"),
+        ("ADR=2,5", "reverseReadDepth"),
+    ]
+    for i, (info, null_field) in enumerate(cases):
+        p = tmp_path / f"h{i}.vcf"
+        p.write_text(ANNHDR + f"chr1\t100\t.\tA\tG\t50\tPASS\t{info}\n")
+        gf = vcf_io.load_vcf(spark, str(p))
+        broken = gf.df.withColumn(
+            "variant",
+            F.col("variant").withField(
+                "annotation",
+                F.col("variant.annotation").withField(
+                    null_field, F.lit(None).cast("int")
+                ),
+            ),
+        )
+        gf2 = vcf_io.GenomicFrame(broken, gf.meta)
+        with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+            _save_text(gf2, tmp_path, f"h{i}_out.vcf")
+
+
+def test_full_depth_pairs_round_trip(spark, tmp_path):
+    """'forward/reverse read depth set adam->htsjdk' (:1848-1858,
+    :1886-1897): full ADF/ADR pairs load into the typed fields and
+    re-emit as 'ref,alt' — plus AD alongside."""
+    p = tmp_path / "full.vcf"
+    p.write_text(
+        ANNHDR + "chr1\t100\t.\tA\tG\t50\tPASS\tAD=1,2;ADF=5,10;ADR=3,7\n"
+    )
+    gf = vcf_io.load_vcf(spark, str(p))
+    ann = gf.df.select("variant.annotation.*").collect()[0]
+    assert (ann["referenceForwardReadDepth"], ann["forwardReadDepth"]) == (5, 10)
+    assert (ann["referenceReverseReadDepth"], ann["reverseReadDepth"]) == (3, 7)
+    text = _save_text(gf, tmp_path, "full_out.vcf")
+    body = [l for l in text.splitlines() if not l.startswith("#")][0]
+    info = body.split("\t")[7]
+    assert "AD=1,2" in info and "ADF=5,10" in info and "ADR=3,7" in info
+
+
+def test_multiple_cigars_and_frequencies_round_trip(spark, tmp_path):
+    """'multiple CIGARs going htsjdk->adam' (:1558-1565) + 'multiple
+    allele frequencies' (:1536-1543): Number=A INFO fields subset to
+    THIS row's alt on the multiallelic split, one value per row."""
+    hdr = ANNHDR
+    p = tmp_path / "ma.vcf"
+    p.write_text(
+        hdr + "chr1\t100\t.\tA\tG,T\t50\tPASS\tCIGAR=1X,1M;AF=0.1,0.3\n"
+    )
+    rows = vcf_io.load_vcf(spark, str(p)).df.orderBy("variant.alternateAllele").collect()
+    assert len(rows) == 2
+    by_alt = {
+        r["variant"]["alternateAllele"]: r["variant"]["annotation"] for r in rows
+    }
+    assert by_alt["G"]["cigar"] == "1X" and by_alt["T"]["cigar"] == "1M"
+    assert abs(by_alt["G"]["alleleFrequency"] - 0.1) < 1e-6
+    assert abs(by_alt["T"]["alleleFrequency"] - 0.3) < 1e-6
