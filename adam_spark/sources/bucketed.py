@@ -188,3 +188,33 @@ def bucketed_region_join(
         name = c + suffixes[1] if c in lcols else c
         out.append(F.col(rmap[c]).alias(name))
     return matched.select(out)
+
+
+def save_queryname_bucketed(
+    alignments: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 32,
+) -> None:
+    """Persist alignments bucketed + sorted by ``readName`` — the
+    layout that makes fragment grouping SHUFFLE-FREE.
+
+    The reference's queryname-grouped fast path (FragmentDataset /
+    docs/benchmarks/algorithms.rst:44-51: 'removes the first shuffle
+    when input is queryname-grouped') re-expressed as a Spark layout
+    contract: aligners emit queryname-grouped output; landing it with
+    ``bucketBy(readName).sortBy(readName)`` records that clustering in
+    the catalog, and any later ``groupBy(readName)`` —
+    alignments_to_fragments, mark_duplicate_fragments' first stage —
+    satisfies its required distribution from the layout, so Catalyst
+    plans it with ZERO Exchange (pinned in
+    tests/test_bucketed.py::test_queryname_bucketed_fragments_no_exchange).
+    """
+    (
+        alignments.write.format("parquet")
+        .bucketBy(buckets, "readName")
+        .sortBy("readName")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )

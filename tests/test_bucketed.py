@@ -143,3 +143,37 @@ def test_null_coordinate_rows_survive_layout(spark, tmp_path):
         r["name"] for r in spark.table("t_nulls__wide").collect()
     }
     assert got == {"a", "unplaced", "half"}
+
+
+def test_queryname_bucketed_fragments_no_exchange(spark, tmp_path):
+    """Fragment grouping over a queryname-bucketed layout plans with
+    ZERO Exchange (the reference's queryname-grouped fast path,
+    docs/benchmarks/algorithms.rst:44-51) and matches the plain
+    groupBy result."""
+    from adam_spark.operators.conversions import alignments_to_fragments
+    from adam_spark.sources.bucketed import save_queryname_bucketed
+    from adam_spark import schemas
+
+    rows = []
+    for i in range(200):
+        for mate, flag in ((0, 99), (1, 147)):
+            rows.append((f"r{i:04d}", flag % 2 == 1, f"c{i%3}", i * 10, i * 10 + 10,
+                         mate, True, True, 100 if mate == 0 else -100))
+    df = spark.createDataFrame(
+        rows,
+        "readName string, readPaired boolean, referenceName string, start long, "
+        "end long, readInFragment int, readMapped boolean, primaryAlignment boolean, "
+        "insertSize long",
+    )
+    aln = schemas.conform(df, schemas.ALIGNMENT)
+    save_queryname_bucketed(aln, "qname_bk_t", str(tmp_path / "qname_bk"), buckets=4)
+    loaded = spark.table("qname_bk_t")
+    frags = alignments_to_fragments(loaded)
+    plan = frags._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["name"]: len(r["alignments"]) for r in frags.collect()}
+    assert len(got) == 200 and all(v == 2 for v in got.values())
+    # same result as the shuffle path on the unbucketed frame
+    base = {r["name"]: len(r["alignments"])
+            for r in alignments_to_fragments(aln).collect()}
+    assert got == base
