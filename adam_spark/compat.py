@@ -448,6 +448,12 @@ class FeatureDataset(GenomicDataset):
 
         return self._filter(filter_to_reference_name, referenceName)
 
+    def sortByReference(self, ascending=True, numPartitions=None):
+        from adam_spark.operators.sorts import sort_features_by_reference
+
+        return _wrap(self._gf.transform_df(
+            lambda df: sort_features_by_reference(df, ascending=ascending)))
+
     def toCoverage(self):
         from adam_spark.operators.conversions import features_to_coverage
 

@@ -142,11 +142,20 @@ def sort_features_by_reference(df: DataFrame, ascending: bool = True) -> DataFra
         # map key and ANSI cast throws on non-numeric attribute values.
         return F.try_element_at(F.col("attributes"), F.lit(attr)).try_cast("int")
 
+    # strand compares by ENUM ORDINAL (FORWARD < REVERSE < INDEPENDENT
+    # < UNKNOWN — FeatureDatasetSuite 'sort by reference' pins REVERSE
+    # before INDEPENDENT), not by the string column's alphabetical order
+    strand_ord = (
+        F.when(F.col("strand") == "FORWARD", 0)
+        .when(F.col("strand") == "REVERSE", 1)
+        .when(F.col("strand") == "INDEPENDENT", 2)
+        .when(F.col("strand") == "UNKNOWN", 3)
+    )
     keys = [
         F.col("referenceName"),
         F.col("start"),
         F.col("end"),
-        F.col("strand"),
+        strand_ord,
         F.col("featureId"),
         F.col("featureType"),
         F.col("name"),

@@ -297,3 +297,45 @@ def test_sequence_dictionary_compat_and_filter():
     assert f["chr2"].index == 0  # dense re-index
     both = d1.filter_to_reference_names({"chr1", "chr2"})
     assert [r.name for r in both.references] == ["chr1", "chr2"]
+
+
+def test_sort_features_strand_enum_order(spark):
+    """FeatureDatasetSuite 'sort by reference' (:550-570): same region,
+    strands order FORWARD < REVERSE < INDEPENDENT < UNKNOWN < null —
+    the Strand ENUM ordinal, which alphabetical string order would
+    invert (INDEPENDENT before REVERSE)."""
+    import pyspark.sql.functions as F
+
+    from adam_spark.operators.sorts import sort_features_by_reference
+
+    rows = [
+        ("1", 10, 110, None),
+        ("1", 10, 110, "UNKNOWN"),
+        ("1", 10, 110, "INDEPENDENT"),
+        ("1", 10, 110, "REVERSE"),
+        ("1", 10, 110, "FORWARD"),
+        ("1", 1, 100, None),
+        ("2", 1, 100, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "referenceName string, start long, end long, strand string"
+    )
+    for c, t in [("featureId", "string"), ("featureType", "string"),
+                 ("name", "string"), ("source", "string"), ("phase", "int"),
+                 ("frame", "int"), ("score", "double"), ("geneId", "string"),
+                 ("transcriptId", "string"), ("exonId", "string"),
+                 ("attributes", "map<string,string>")]:
+        df = df.withColumn(c, F.lit(None).cast(t))
+    got = [
+        (r["referenceName"], r["start"], r["strand"])
+        for r in sort_features_by_reference(df).collect()
+    ]
+    assert got == [
+        ("1", 1, None),
+        ("1", 10, "FORWARD"),
+        ("1", 10, "REVERSE"),
+        ("1", 10, "INDEPENDENT"),
+        ("1", 10, "UNKNOWN"),
+        ("1", 10, None),
+        ("2", 1, None),
+    ]
