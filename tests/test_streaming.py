@@ -552,3 +552,54 @@ def test_streaming_minhash_dedup_lands_verdicts(spark, tmp_path):
         verdicts.where("is_near_dup"), "doc_id", "left_anti"
     )
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+
+
+def test_streaming_minhash_state_ttl_expires_anchors(spark, tmp_path):
+    """The documented bounded-state trade-off: duplicates arriving
+    farther apart than the event-time TTL are NOT paired — the bucket
+    anchors expire as the watermark passes their timeout, so the
+    late copy re-anchors instead of flagging. (The batch operator over
+    the landed corpus is the exact backstop.)"""
+    import json
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    text = _mh_doc(60)
+    # batch1: the original. batch2: unrelated doc 2h later — advances
+    # the watermark (delay 1m) far past batch1's TTL (10m). batch3: an
+    # exact copy of doc 1, 4h later.
+    batches = [
+        [{"doc_id": 1, "text": text, "ts": "2026-01-01T00:00:00"}],
+        [{"doc_id": 2, "text": "unrelated zebra quark lattice phonon words",
+          "ts": "2026-01-01T02:00:00"}],
+        [{"doc_id": 3, "text": text, "ts": "2026-01-01T04:00:00"}],
+    ]
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    cands = st.streaming_minhash_candidates(
+        stream, num_hashes=32, bands=8, shingle_n=3,
+        watermark_delay="1 minute", state_ttl_seconds=600,
+    )
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("mh_ttl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # land one file per micro-batch IN ORDER — the file source does
+        # not guarantee same-mtime ordering, and an out-of-order old doc
+        # would be dropped as late data rather than exercising the TTL
+        for i, b in enumerate(batches):
+            (indir / f"b{i}.json").write_text("\n".join(json.dumps(d) for d in b))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM mh_ttl")
+    got = {r["doc_id"]: r for r in st.near_dup_decisions(rows).collect()}
+    # doc 3 is an exact copy of doc 1 but beyond the TTL: NOT flagged
+    assert not got[3]["is_near_dup"]
+    assert not got[1]["is_near_dup"] and not got[2]["is_near_dup"]
