@@ -715,13 +715,16 @@ def srp_band_hashes(
     rows_per_band: int,
     bands: int,
     seed: int = 7,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band, band_hash): signed-random-projection LSH bucketing.
+    """(id, [extra_cols,] band, band_hash): signed-random-projection
+    LSH bucketing.
 
     One Arrow-batched matmul per batch computes every projection bit
     (batch×dim @ dim×n_bits), bits pack into per-band integer hashes —
     a pure narrow map, zero shuffle, embarrassingly parallel over the
-    corpus.
+    corpus (and therefore readStream-composable; ``extra_cols`` carries
+    e.g. an event-time column through for the streaming consumer).
     """
     from pyspark.sql.types import ArrayType, LongType
 
@@ -738,9 +741,10 @@ def srp_band_hashes(
         packed = bits.reshape(len(mat), bands, rows_per_band) @ weights
         return pd.Series(list(packed))
 
-    return df.select(F.col(id_col).alias("id"), bhs(F.col(vec_col)).alias("__bhs")).select(
-        "id", F.posexplode("__bhs").alias("band", "band_hash")
-    )
+    extras = [F.col(c) for c in extra_cols]
+    return df.select(
+        F.col(id_col).alias("id"), *extras, bhs(F.col(vec_col)).alias("__bhs")
+    ).select("id", *extra_cols, F.posexplode("__bhs").alias("band", "band_hash"))
 
 
 #: max corpus-matrix bytes (N·dim·8) broadcast for GEMM pair verification;

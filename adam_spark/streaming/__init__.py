@@ -422,6 +422,19 @@ def streaming_minhash_candidates(
         ).alias("band_hash"),
     )
 
+    return _bucket_anchor_candidates(banded, id_type, ttl)
+
+
+def _bucket_anchor_candidates(banded: DataFrame, id_type, ttl: int) -> DataFrame:
+    """The shared stateful core of the streaming near-dup operators:
+    ``banded`` rows (doc_id, tse, band, band_hash[, …]) group by bucket,
+    one (anchor_id, anchor_ts) state row per live bucket with an
+    event-time TTL, one output row per (doc, band) carrying the bucket
+    anchor (NULL when the doc anchors). Used by both the text
+    (MinHash) and embedding (SRP) candidate streams — the modality
+    only changes the stateless banding in front."""
+    import pandas as pd
+
     def fn(key, pdfs, state):
         if state.hasTimedOut:
             state.remove()
@@ -464,10 +477,57 @@ def streaming_minhash_candidates(
     return banded.groupBy("band", "band_hash").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType=f"anchor_id {id_ddl}, anchor_ts long",
+        stateStructType=f"anchor_id {id_type.simpleString()}, anchor_ts long",
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
+
+
+def streaming_embedding_candidates(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    time_col: str = "ts",
+    dim: int = 64,
+    threshold: float = 0.8,
+    rows_per_band: int | None = None,
+    bands: int | None = None,
+    watermark_delay: str = "10 minutes",
+    state_ttl_seconds: int = 3600,
+) -> DataFrame:
+    """SRP-LSH near-duplicate candidates over an EMBEDDING stream —
+    the cosine twin of :func:`streaming_minhash_candidates`, sharing
+    its bucket-anchor state core and :func:`near_dup_decisions`
+    combine. The stateless front is the batch operator's own
+    ``srp_band_hashes`` (identical projection matrix and bit packing,
+    so stream and batch agree bucket-for-bucket and the batch
+    ``embedding_near_duplicates`` over the landed corpus is the exact
+    backstop). Emitted candidates are UNVERIFIED (LSH precision);
+    exact-cosine verification composes in ``foreachBatch`` against the
+    landed vectors."""
+    from adam_spark.llm.similarity import srp_band_hashes, srp_params
+
+    if rows_per_band is None or bands is None:
+        r_def, b_def = srp_params(threshold)
+        rows_per_band = rows_per_band or r_def
+        bands = bands or b_def
+    id_type = vecs.schema[id_col].dataType
+    base = vecs.select(
+        F.col(id_col).alias("__vid"),
+        F.col(time_col).cast("timestamp").alias("__ts"),
+        F.col(time_col).cast("timestamp").cast("long").alias("tse"),
+        F.col(vec_col).alias("__vec"),
+    ).withWatermark("__ts", watermark_delay)
+    banded = srp_band_hashes(
+        base, "__vid", "__vec", dim, rows_per_band, bands,
+        extra_cols=("__ts", "tse"),
+    ).select(
+        F.col("id").alias("doc_id"), "__ts", "tse", "band",
+        # the shared core keys buckets by string; the SRP hash is a
+        # packed-bit long — cast is lossless and deterministic
+        F.col("band_hash").cast("string").alias("band_hash"),
+    )
+    return _bucket_anchor_candidates(banded, id_type, int(state_ttl_seconds))
 
 
 def near_dup_decisions(band_rows: DataFrame) -> DataFrame:

@@ -603,3 +603,62 @@ def test_streaming_minhash_state_ttl_expires_anchors(spark, tmp_path):
     # doc 3 is an exact copy of doc 1 but beyond the TTL: NOT flagged
     assert not got[3]["is_near_dup"]
     assert not got[1]["is_near_dup"] and not got[2]["is_near_dup"]
+
+
+def test_streaming_embedding_candidates_stateful(spark, tmp_path):
+    """SRP near-dup candidates across micro-batches: identical vector
+    in batch 2 collides with the batch-1 anchor on every band; an
+    orthogonal-ish vector stays clean; bucket parity with the batch
+    srp_band_hashes is pinned."""
+    import json
+
+    base_vec = [1.0, 0.5, -0.25, 2.0] * 4  # dim 16
+    near_vec = list(base_vec); near_vec[0] = 1.01
+    far_vec = [(-1.0) ** i * (i + 1) for i in range(16)]
+    indir = tmp_path / "vecs"
+    indir.mkdir()
+    (indir / "b1.json").write_text("\n".join(json.dumps(d) for d in [
+        {"vec_id": 1, "embedding": base_vec, "ts": "2026-01-01T00:00:00"},
+        {"vec_id": 2, "embedding": far_vec, "ts": "2026-01-01T00:00:05"},
+    ]))
+    (indir / "b2.json").write_text(json.dumps(
+        {"vec_id": 3, "embedding": near_vec, "ts": "2026-01-01T00:05:00"}
+    ))
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    cands = st.streaming_embedding_candidates(
+        stream, dim=16, rows_per_band=4, bands=8,
+        watermark_delay="1 hour", state_ttl_seconds=86400,
+    )
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("srp_cands")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM srp_cands")
+    got = {r["doc_id"]: r for r in st.near_dup_decisions(rows).collect()}
+    assert not got[1]["is_near_dup"] and not got[2]["is_near_dup"]
+    assert got[3]["is_near_dup"] and got[3]["matched_anchor"] == 1
+    assert got[3]["n_band_hits"] >= 4  # near-identical vector: most bands
+
+    # bucket parity with the batch operator's banding
+    from adam_spark.llm.similarity import srp_band_hashes
+
+    batch = srp_band_hashes(
+        spark.createDataFrame([(1, base_vec)], "vec_id long, embedding array<double>"),
+        "vec_id", "embedding", 16, 4, 8,
+    )
+    batch_set = {(r["band"], str(r["band_hash"])) for r in batch.collect()}
+    stream_set = {
+        (r["band"], r["band_hash"])
+        for r in rows.where("doc_id = 1").select("band", "band_hash").collect()
+    }
+    assert stream_set == batch_set
