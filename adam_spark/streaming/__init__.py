@@ -27,6 +27,9 @@ Structured Streaming pipelines because they are stateless per line.
   watermark-BOUNDED fingerprint state store
   (``dropDuplicatesWithinWatermark``), the streaming twin of
   llm.dedup.exact_duplicates.
+- :func:`streaming_embedding_candidates` — SRP-LSH near-dup
+  candidates over an embedding stream (cosine twin of the MinHash
+  variant, same bucket-anchor state core and decisions combine).
 - :func:`streaming_minhash_candidates` — NEAR-duplicate detection on
   an unbounded document stream: the batch MinHash+LSH pipeline's
   stateless stages (signature, banding) run on the stream unchanged,
