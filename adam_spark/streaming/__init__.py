@@ -579,8 +579,28 @@ def streaming_minhash_dedup(
     typical dup rates. foreachBatch is exact here because every band
     of a document is emitted in the same micro-batch.
     """
-    cands = streaming_minhash_candidates(docs, **candidate_params)
+    return _land_verdicts(
+        streaming_minhash_candidates(docs, **candidate_params),
+        verdicts_path, checkpoint,
+    )
 
+
+def streaming_embedding_dedup(
+    vecs: DataFrame,
+    verdicts_path: str,
+    checkpoint: str,
+    **candidate_params,
+):
+    """Embedding twin of :func:`streaming_minhash_dedup`: SRP
+    candidates → per-vector verdict rows appended to parquet; training
+    reads vectors LEFT ANTI JOIN the flagged verdicts."""
+    return _land_verdicts(
+        streaming_embedding_candidates(vecs, **candidate_params),
+        verdicts_path, checkpoint,
+    )
+
+
+def _land_verdicts(cands: DataFrame, verdicts_path: str, checkpoint: str):
     def _land(batch: DataFrame, _epoch: int) -> None:
         near_dup_decisions(batch).write.mode("append").parquet(verdicts_path)
 

@@ -662,3 +662,31 @@ def test_streaming_embedding_candidates_stateful(spark, tmp_path):
         for r in rows.where("doc_id = 1").select("band", "band_hash").collect()
     }
     assert stream_set == batch_set
+
+
+def test_streaming_embedding_dedup_lands_verdicts(spark, tmp_path):
+    import json
+
+    indir = tmp_path / "vecs"
+    indir.mkdir()
+    v = [1.0, -2.0, 0.5, 3.0] * 4
+    rows = [
+        {"vec_id": 1, "embedding": v, "ts": "2026-01-01T00:00:00"},
+        {"vec_id": 2, "embedding": v, "ts": "2026-01-01T00:00:10"},
+        {"vec_id": 3, "embedding": [(-1.0) ** i * (i + 1) for i in range(16)],
+         "ts": "2026-01-01T00:00:20"},
+    ]
+    (indir / "b.json").write_text("\n".join(json.dumps(d) for d in rows))
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<DOUBLE>, ts TIMESTAMP"
+    ).json(str(indir))
+    vp, cp = str(tmp_path / "verdicts"), str(tmp_path / "ckpt")
+    q = st.streaming_embedding_dedup(
+        stream, vp, cp, dim=16, rows_per_band=4, bands=8
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    by_id = {r["doc_id"]: r["is_near_dup"] for r in spark.read.parquet(vp).collect()}
+    assert by_id == {1: False, 2: True, 3: False}
