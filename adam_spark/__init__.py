@@ -8,7 +8,7 @@ thin :class:`GenomicFrame` wrapper; every operator is a DataFrame
 transformation optimized by Catalyst.
 """
 
-from adam_spark.core.genomic_frame import GenomicFrame
+from adam_spark.core.genomic_frame import GenomicBroadcast, GenomicFrame
 from adam_spark.core.metadata import (
     GenomicMetadata,
     ProcessingStep,
@@ -22,6 +22,7 @@ from adam_spark.session import get_spark
 __version__ = "0.1.0"
 
 __all__ = [
+    "GenomicBroadcast",
     "GenomicFrame",
     "GenomicMetadata",
     "ProcessingStep",

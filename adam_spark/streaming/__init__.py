@@ -535,7 +535,8 @@ def streaming_embedding_candidates(
 
 def near_dup_decisions(band_rows: DataFrame) -> DataFrame:
     """Per-document near-dup verdicts from a micro-batch of
-    :func:`streaming_minhash_candidates` output — the ``foreachBatch``
+    :func:`streaming_minhash_candidates` / 
+    :func:`streaming_embedding_candidates` output — the ``foreachBatch``
     combine (exact because every band of a document is emitted in the
     same micro-batch):
 
