@@ -452,7 +452,9 @@ class FeatureDataset(GenomicDataset):
         from adam_spark.operators.sorts import sort_features_by_reference
 
         return _wrap(self._gf.transform_df(
-            lambda df: sort_features_by_reference(df, ascending=ascending)))
+            lambda df: sort_features_by_reference(
+                df, ascending=ascending, num_partitions=numPartitions
+            )))
 
     def toCoverage(self):
         from adam_spark.operators.conversions import features_to_coverage

@@ -890,6 +890,13 @@ def remove_duplicate_substrings(
         .select("h")
     )
     if broadcast_hot is None:
+        # persist before the sizing count: the anchors→distinct→groupBy
+        # pipeline (two full shuffles) otherwise runs twice — once for
+        # count() and again in the join (the remove_repeated_spans
+        # treatment, dedup.py:648)
+        from pyspark.storagelevel import StorageLevel
+
+        hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
         n_hot = hot.count()
         broadcast_hot = n_hot * 16 <= HOT_SPAN_BROADCAST_CAP_BYTES
     maybe_bc = F.broadcast if broadcast_hot else (lambda x: x)

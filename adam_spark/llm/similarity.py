@@ -707,6 +707,40 @@ def srp_params(threshold: float) -> tuple[int, int]:
     return r, max(8, min(64, b))
 
 
+def _srp_band_hash_arrays(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    rows_per_band: int,
+    bands: int,
+    seed: int = 7,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, [extra_cols,] __bhs array<long>): per-doc SRP band-hash
+    arrays, one Arrow-batched matmul per batch (see
+    :func:`srp_band_hashes` for the exploded public form)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_bits = rows_per_band * bands
+    proj = np.asarray(_srp_matrix(dim, n_bits, seed), dtype=np.float64)  # n_bits×dim
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bhs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ proj.T >= 0).astype(np.int64)  # batch×n_bits
+        packed = bits.reshape(len(mat), bands, rows_per_band) @ weights
+        return pd.Series(list(packed))
+
+    extras = [F.col(c) for c in extra_cols]
+    return df.select(
+        F.col(id_col).alias("id"), *extras, bhs(F.col(vec_col)).alias("__bhs")
+    )
+
+
 def srp_band_hashes(
     df: DataFrame,
     id_col: str,
@@ -726,24 +760,8 @@ def srp_band_hashes(
     corpus (and therefore readStream-composable; ``extra_cols`` carries
     e.g. an event-time column through for the streaming consumer).
     """
-    from pyspark.sql.types import ArrayType, LongType
-
-    n_bits = rows_per_band * bands
-    proj = np.asarray(_srp_matrix(dim, n_bits, seed), dtype=np.float64)  # n_bits×dim
-    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def bhs(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (mat @ proj.T >= 0).astype(np.int64)  # batch×n_bits
-        packed = bits.reshape(len(mat), bands, rows_per_band) @ weights
-        return pd.Series(list(packed))
-
-    extras = [F.col(c) for c in extra_cols]
-    return df.select(
-        F.col(id_col).alias("id"), *extras, bhs(F.col(vec_col)).alias("__bhs")
+    return _srp_band_hash_arrays(
+        df, id_col, vec_col, dim, rows_per_band, bands, seed, extra_cols
     ).select("id", *extra_cols, F.posexplode("__bhs").alias("band", "band_hash"))
 
 
@@ -759,7 +777,7 @@ def _verify_pairs_gemm(
     threshold: float,
     id_col: str,
     vec_col: str,
-    srp_first_band: tuple[int, int, int, int] | None = None,
+    band_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Score (id_a, id_b) candidate pairs against a broadcast corpus matrix.
 
@@ -768,14 +786,18 @@ def _verify_pairs_gemm(
     row-wise dot (numerically the same dot/(‖a‖·‖b‖) as the join-based
     fold, modulo summation order — sim is rounded to 6 dp either way).
 
-    With ``srp_first_band=(dim, rows_per_band, bands, seed)`` the pairs
-    frame must carry a ``band`` column and the UDF keeps each pair only
-    at its FIRST shared band: the per-row band hashes are recomputed on
-    the driver from the already-collected matrix (same projection
-    matrix as srp_band_hashes — bit-identical hashes, no extra
-    collect), so a pair matching in k bands is scored once and the
-    post-threshold dropDuplicates disappears. Without it, candidate
-    duplicates are verified redundantly and collapsed after the filter.
+    With ``band_hashes`` (an (id, __bhs array<long>) frame holding the
+    EXECUTOR-computed SRP band-hash arrays that generated the
+    candidates) the pairs frame must carry a ``band`` column and the
+    UDF keeps each pair only at its FIRST shared band, so a pair
+    matching in k bands is scored once and the post-threshold
+    dropDuplicates disappears. The hashes are carried through rather
+    than recomputed from the collected matrix: BLAS summation order can
+    differ between the driver's full-matrix matmul and the executors'
+    batch matmuls, and a sign flip on a near-zero projection would make
+    the pair's own band unequal — silently dropping a true candidate
+    (the MinHash first-shared-band verify uses the same
+    carry-the-arrays treatment, dedup.py).
 
     Lifecycle: the broadcast matrix lives until the session's context GC
     drops it (the returned DataFrame's closure holds it; Spark cannot
@@ -792,14 +814,13 @@ def _verify_pairs_gemm(
     norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
     id2ix = {i: ix for ix, i in enumerate(pdf["id"])}
     bh_mat = None
-    if srp_first_band is not None and len(mat):
-        dim, rows_per_band, bands, seed = srp_first_band
-        proj = np.asarray(
-            _srp_matrix(dim, rows_per_band * bands, seed), dtype=np.float64
-        )
-        bits = (mat @ proj.T >= 0).astype(np.int64)
-        weights = 1 << np.arange(rows_per_band, dtype=np.int64)
-        bh_mat = bits.reshape(len(mat), bands, rows_per_band) @ weights  # N×bands
+    if band_hashes is not None and len(mat):
+        # slim collect: N×bands longs, tiny next to the matrix itself
+        bpdf = band_hashes.select("id", "__bhs").toPandas()
+        bh_map = dict(zip(bpdf["id"], bpdf["__bhs"]))
+        bh_mat = np.asarray(
+            [np.asarray(bh_map[i], dtype=np.int64) for i in pdf["id"]]
+        )  # N×bands
     bc = corpus.sparkSession.sparkContext.broadcast((id2ix, mat, norms, bh_mat))
 
     if bh_mat is None:
@@ -887,15 +908,19 @@ def embedding_near_duplicates(
         bands = bands or b_def
     from pyspark.storagelevel import StorageLevel
 
-    # persisted: feeds both self-join sides (Spark does not reuse the
-    # exchange across differently-aliased sides, so the projection UDF
-    # would otherwise run twice); slim (id, band, band_hash) rows
-    hashed = srp_band_hashes(corpus, id_col, vec_col, dim, rows_per_band, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # persisted in ARRAY form: feeds both self-join sides (Spark does
+    # not reuse the exchange across differently-aliased sides, so the
+    # projection UDF would otherwise run twice) AND, on the GEMM path,
+    # the first-shared-band verify — carrying the executor-computed
+    # hashes through avoids a driver recompute whose BLAS summation
+    # order could flip a near-zero projection bit
+    hashed_arr = _srp_band_hash_arrays(
+        corpus, id_col, vec_col, dim, rows_per_band, bands
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # eager (both self-join sides would race a lazy cache); the count
     # doubles as the corpus-size estimate for strategy selection
-    n_vec = hashed.count() // max(bands, 1)
+    n_vec = hashed_arr.count()
+    hashed = hashed_arr.select("id", F.posexplode("__bhs").alias("band", "band_hash"))
     # measure the TRUE vector width for the broadcast-cap estimate — the
     # `dim` argument only parameterizes the SRP projection; trusting it
     # here would under-estimate the corpus matrix (and overshoot the
@@ -913,17 +938,19 @@ def embedding_near_duplicates(
         if bounded_cache:
             from adam_spark.llm.cache import eager_release
 
-            return eager_release(out, hashed)
+            return eager_release(out, hashed_arr)
         return out
 
     if n_vec * true_dim * 8 <= GEMM_VERIFY_CAP_BYTES:
         # the verify UDF keeps each pair only at its first shared band
-        # (hash matrix recomputed from the collected vectors — no extra
-        # collect), so candidates are scored once and no dedup runs
+        # (executor-computed hash arrays carried through the persisted
+        # table — one slim extra collect, bit-identical to the hashes
+        # that generated the candidates), so candidates are scored once
+        # and no dedup runs
         return _finish(
             _verify_pairs_gemm(
                 corpus, raw, threshold, id_col, vec_col,
-                srp_first_band=(dim, rows_per_band, bands, 7),
+                band_hashes=hashed_arr,
             )
         )
     shuffle_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -132,11 +132,19 @@ def repartition_by_genome(
     )
 
 
-def sort_features_by_reference(df: DataFrame, ascending: bool = True) -> DataFrame:
+def sort_features_by_reference(
+    df: DataFrame, ascending: bool = True, num_partitions: int | None = None
+) -> DataFrame:
     """FeatureDataset.sortByReference (FeatureDataset.scala:935, custom
     FeatureOrdering at :70-106): region first, then feature fields,
     then gene-model structure with numeric exon/intron/rank tiebreaks
-    from the attributes map — nulls last at every level."""
+    from the attributes map — nulls last at every level.
+
+    ``num_partitions`` mirrors the reference's ``sortBy(..,
+    numPartitions)``: a globally range-partitioned sort with the
+    requested partition count (repartitionByRange +
+    sortWithinPartitions — one shuffle, same as orderBy, just with an
+    explicit count instead of spark.sql.shuffle.partitions)."""
     def _i(attr: str) -> Column:
         # try_element_at / try_cast: ANSI element_at throws on a missing
         # map key and ANSI cast throws on non-numeric attribute values.
@@ -173,6 +181,10 @@ def sort_features_by_reference(df: DataFrame, ascending: bool = True) -> DataFra
     ordered = [
         (k.asc_nulls_last() if ascending else k.desc_nulls_last()) for k in keys
     ]
+    if num_partitions is not None:
+        return df.repartitionByRange(num_partitions, *ordered).sortWithinPartitions(
+            *ordered
+        )
     return df.orderBy(*ordered)
 
 

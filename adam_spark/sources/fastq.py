@@ -280,7 +280,21 @@ def save_fastq(
 def save_reads_fastq(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
     """READ-schema rows → FASTQ with the description carried on the
     name line ('@name description'), no pair suffixes or strand flips
-    (reference: ReadDataset.saveAsFastq:384-407 toFastq)."""
+    (reference: ReadDataset.saveAsFastq:384-407 toFastq).
+
+    Documented divergence: the reference's toFastq appends a non-null
+    description unconditionally, because its Read records never carry
+    the description inside the name (the reference has no FASTQ→Read
+    loader at all). This repo's FASTQ loader keeps the reference's
+    FastqRecordConverter name semantics (the FULL header is the name,
+    spaces kept) AND mirrors the after-space part into `description`,
+    so this writer skips the append when the description is already the
+    name's suffix — otherwise a load→save cycle would double it. A
+    user-constructed read whose name legitimately ends with
+    ' '+description therefore serializes without the second copy,
+    unlike the reference; constructing such a read requires writing
+    both fields by hand, and the round-trip-safe behavior is the one
+    users hit in practice."""
     df = gf.df
     out = df.select(
         F.concat_ws(

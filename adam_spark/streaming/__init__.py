@@ -450,16 +450,21 @@ def _bucket_anchor_candidates(banded: DataFrame, id_type, ttl: int) -> DataFrame
         if not rows:
             return
         rows.sort()
+        batch_max = max(t for t, _ in rows)
         if state.exists:
-            anchor_id, anchor_ts = state.get
+            anchor_id, anchor_ts, max_ts = state.get
+            # monotone TTL horizon: a late-but-within-watermark row must
+            # not shrink the timeout a newer row already advertised
+            max_ts = max(max_ts, batch_max)
         else:
             anchor_ts, anchor_id = rows[0]
+            max_ts = batch_max
         out = [
             (i, t, key[0], key[1], None if i == anchor_id else anchor_id)
             for t, i in rows
         ]
-        state.update((anchor_id, anchor_ts))
-        state.setTimeoutTimestamp((max(t for t, _ in rows) + ttl) * 1000)
+        state.update((anchor_id, anchor_ts, max_ts))
+        state.setTimeoutTimestamp((max_ts + ttl) * 1000)
         yield pd.DataFrame(
             out, columns=["doc_id", "tse", "band", "band_hash", "anchor_id"]
         )
@@ -480,7 +485,9 @@ def _bucket_anchor_candidates(banded: DataFrame, id_type, ttl: int) -> DataFrame
     return banded.groupBy("band", "band_hash").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType=f"anchor_id {id_type.simpleString()}, anchor_ts long",
+        stateStructType=(
+            f"anchor_id {id_type.simpleString()}, anchor_ts long, max_ts long"
+        ),
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )

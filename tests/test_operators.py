@@ -278,6 +278,17 @@ def test_sort_features_by_reference_gene_model_tiebreaks(spark):
         (100, None, None),
     ]
 
+    # numPartitions parity (FeatureDataset.scala:935 sortBy(.., n)):
+    # requested partition count honored AND global order preserved
+    parted = sort_features_by_reference(df, num_partitions=2)
+    assert parted.rdd.getNumPartitions() == 2
+    got2 = [
+        (r["start"], r["featureId"],
+         r["attributes"].get("exon_number") if r["attributes"] else None)
+        for r in parted.collect()
+    ]
+    assert got2 == got
+
 
 def test_sequence_dictionary_compat_and_filter():
     """SequenceDictionarySuite.scala:105-119 (compatibility is equality
