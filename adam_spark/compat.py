@@ -276,7 +276,7 @@ class AlignmentDataset(GenomicDataset):
         return CoverageDataset(self._gf.to_coverage())
 
     def saveAsSam(self, filePath, asType=None, isSorted=False, asSingleFile=False):
-        self._gf.save(filePath)
+        self._gf.save(filePath, is_sorted=isSorted)
 
     def saveAsSamString(self):
         """The dataset as one SAM-spec string on the driver
@@ -310,9 +310,24 @@ class AlignmentDataset(GenomicDataset):
         return _wrap(self._gf.transform_df(sort_by_read_name))
 
     def sortByReferencePosition(self):
+        from dataclasses import replace as _replace
+
+        from adam_spark.core.metadata import SequenceDictionary
         from adam_spark.operators.sorts import sort_by_reference_position
 
-        return _wrap(self._gf.transform_df(sort_by_reference_position))
+        out = self._gf.transform_df(sort_by_reference_position)
+        # the reference replaces the dictionary with stripIndices.sorted
+        # (AlignmentDataset.scala:1023-1029): lexicographic name order,
+        # indices reassigned — so a subsequent isSorted save writes the
+        # @SQ lines in the file's record order (pinned vs ordered.sam)
+        out.meta = out.meta.copy()
+        out.meta.references = SequenceDictionary(
+            [
+                _replace(r, index=None)
+                for r in sorted(out.meta.references.references, key=lambda r: r.name)
+            ]
+        )
+        return _wrap(out)
 
     def sortByReferencePositionAndIndex(self):
         from adam_spark.operators.sorts import sort_by_reference_position_and_index

@@ -193,8 +193,11 @@ def load_sequence_dictionary(path: str) -> SequenceDictionary:
 def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> None:
     """Polymorphic save by extension (reference ``save`` dispatch)."""
     pg_line = kwargs.pop("pg_line", None)  # SAM/BAM-only kwarg
+    is_sorted = kwargs.pop("is_sorted", False)  # SAM-only: @HD SO:coordinate
     if _has_ext(path, ".sam"):
-        _sam.save_sam(gf, path, single_file=single_file, pg_line=pg_line)
+        _sam.save_sam(
+            gf, path, single_file=single_file, pg_line=pg_line, is_sorted=is_sorted
+        )
     elif _has_ext(path, ".bam"):
         from adam_spark.sources.bam import save_bam
 

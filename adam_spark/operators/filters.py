@@ -87,6 +87,12 @@ def sam_flags(df: DataFrame) -> Column:
             c = _true(F.col(name))
             if inverted:
                 c = ~c
+            # pair-context bits are only defined when 0x1 is set — the
+            # reference only sets them inside `if (readPaired)`
+            # (AlignmentConverter.scala:476-492); without the gate an
+            # unpaired read's null mateMapped would raise 0x8
+            if name in ("properPair", "mateMapped", "mateNegativeStrand"):
+                c = c & _true(F.col("readPaired"))
         total = total + F.when(c, F.lit(bit)).otherwise(F.lit(0))
     return total
 

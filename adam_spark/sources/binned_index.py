@@ -246,6 +246,13 @@ def read_chunk_bytes(path: str, vbeg: int, vend: int) -> bytes:
     with open(path, "rb") as f:
         pos = cbeg
         while pos <= cend:
+            if pos == cend and uend == 0:
+                # htsjdk writes chunk ends as (next block)<<16 — for the
+                # last chunk that is (file length)<<16, one past the EOF
+                # block; nothing of the end block is needed when the
+                # in-block offset is 0 (pinned on the reference's real
+                # indexed_bams/sorted.bam.bai)
+                break
             total, data = _read_block_fully(f, pos)
             lo = ubeg if pos == cbeg else 0
             hi = uend if pos == cend else len(data)

@@ -700,9 +700,13 @@ def _parse_compression_header(data: bytes):
     _size, off = itf8_decode(data, off)
     n, off = itf8_decode(data, off)
     tag_lines: list[tuple[tuple[str, str], ...]] = []
-    rr = False
+    # spec §8.4 preservation-map DEFAULTS when a key is absent: RR, RN
+    # and AP all default to TRUE (htsjdk omits RR for its RR=true files
+    # — pinned against artificial.cram); this writer always writes the
+    # three keys explicitly, so the defaults only govern foreign files
+    rr = True
     rn_pres = True
-    ap_delta = False
+    ap_delta = True
     sm: bytes | None = None
     for _ in range(n):
         key = bytes(data[off : off + 2])
@@ -1459,6 +1463,18 @@ def _resolve_mate_graph(decoded: list, ref_names: list[str],
 _HDR_PROBE = 4096  # a container header (ours has no landmarks) fits easily
 
 
+def _file_header_text(data: bytes) -> str:
+    """File-header block payload → SAM header text. Spec §8.1 prefixes
+    the text with an int32 length (htsjdk writes it; pinned against
+    artificial.cram); tolerate the bare form for pre-r9 files this
+    writer produced."""
+    if data[:1] != b"@" and len(data) >= 4:
+        n = struct.unpack_from("<i", data, 0)[0]
+        if 0 <= n <= len(data) - 4:
+            return data[4 : 4 + n].decode()
+    return data.decode()
+
+
 def _parse_header_text(header_text: str):
     header_lines = [ln for ln in header_text.splitlines() if ln.startswith("@")]
     ref_names = [
@@ -1484,7 +1500,7 @@ def _read_file_header(path: str):
         ctype, _cid, data, _ = _read_block(block, 0)
         if ctype != _CT_FILE_HEADER:
             raise ValueError("first CRAM container must be the file header")
-    return _parse_header_text(data.decode())
+    return _parse_header_text(_file_header_text(data))
 
 
 def _write_crai(path: str, entries: list[tuple[int, int, int, int, int]]) -> None:
@@ -1573,7 +1589,7 @@ def _index_containers(path: str):
                 ctype, _cid, data, _ = _read_block(block, 0)
                 if ctype != _CT_FILE_HEADER:
                     raise ValueError("first CRAM container must be the file header")
-                header_text = data.decode()
+                header_text = _file_header_text(data)
             elif hdr["n_records"] > 0:
                 containers.append((p, hdr))
             p = body + hdr["length"]
@@ -1721,7 +1737,12 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
         out = bytearray()
         out += _MAGIC + _FILE_ID
         hdr_block = bytearray()
-        _write_block(hdr_block, _CT_FILE_HEADER, 0, text.encode())
+        # spec §8.1: the header text is int32-length-prefixed inside the
+        # block (htsjdk expects the prefix; the reader accepts both)
+        enc = text.encode()
+        _write_block(
+            hdr_block, _CT_FILE_HEADER, 0, struct.pack("<i", len(enc)) + enc
+        )
         out += _container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
         out += hdr_block
 

@@ -155,15 +155,21 @@ def sam_lines_to_alignments(raw: DataFrame) -> DataFrame:
         F.substring(F.col("attributes").getItem("OQ"), 3, 1_000_000).alias(
             "originalQualityScores"
         ),
-        F.when(b(0x1) & ~b(0x8) & (F.col("pnext1") > 0), F.col("pnext1") - 1).alias(
-            "mateAlignmentStart"
-        ),
+        # htsjdk semantics (AlignmentConverter.scala:159-168): mate
+        # fields are set whenever RNEXT resolves to a real reference —
+        # INDEPENDENT of the mate-unmapped flag, so a placed unmapped
+        # mate keeps its mate reference/position (samtools-flagstat's
+        # crossChromosome counters depend on this; pinned against
+        # NA12878.sam in tests/test_reference_goldens.py)
         F.when(
-            b(0x1) & ~b(0x8),
-            F.when(F.col("rnext") == "=", F.col("rname")).otherwise(
-                F.when(F.col("rnext") == "*", None).otherwise(F.col("rnext"))
-            ),
-        ).alias("mateReferenceName"),
+            (F.col("rnext") != "*") & (F.col("pnext1") > 0), F.col("pnext1") - 1
+        ).alias("mateAlignmentStart"),
+        F.when(
+            F.col("rnext") == "=",
+            F.when(F.col("rname") != "*", F.col("rname")),
+        )
+        .when(F.col("rnext") != "*", F.col("rnext"))
+        .alias("mateReferenceName"),
         F.when(F.col("tlen") != 0, F.col("tlen")).alias("insertSize"),
         F.when(b(0x40), 0).when(b(0x80), 1).otherwise(0).alias("readInFragment"),
         "attributes",
@@ -261,18 +267,58 @@ def sam_body_lines(df: DataFrame) -> DataFrame:
     passed through as TAG:TYPE:VALUE."""
     df = schemas.conform(df, schemas.ALIGNMENT)
     flags = sam_flags(df)
+    # typed-column-backed tags, rendered from their authoritative
+    # columns (operators update those, not the raw map values)
+    typed = {
+        "MD": F.when(
+            F.col("mismatchingPositions").isNotNull(),
+            F.concat(F.lit("MD:Z:"), F.col("mismatchingPositions")),
+        ),
+        "RG": F.when(
+            F.col("readGroupId").isNotNull(),
+            F.concat(F.lit("RG:Z:"), F.col("readGroupId")),
+        ),
+        # AlignmentConverterSuite 'testing the fields in a converted ADAM
+        # Read': originalStart 12 emits OP:i:13; OC/OQ verbatim
+        "OP": F.when(
+            F.col("originalStart").isNotNull(),
+            F.concat(F.lit("OP:i:"), (F.col("originalStart") + 1).cast("string")),
+        ),
+        "OC": F.when(
+            F.col("originalCigar").isNotNull(),
+            F.concat(F.lit("OC:Z:"), F.col("originalCigar")),
+        ),
+        "OQ": F.when(
+            F.col("originalQualityScores").isNotNull(),
+            F.concat(F.lit("OQ:Z:"), F.col("originalQualityScores")),
+        ),
+    }
+    attrs = F.coalesce(F.col("attributes"), F.lit(None).cast("map<string,string>"))
+    # tags emit in the map's stored order (the loader keeps file order),
+    # with the typed columns substituted IN PLACE — a load→save cycle is
+    # byte-stable against third-party files (pinned vs ordered.sam /
+    # sorted.sam in tests/test_reference_goldens.py); a typed tag the
+    # map never carried (e.g. freshly computed MD) appends at the end
+    in_place = F.transform(
+        F.map_entries(attrs),
+        lambda e: F.when(e["key"] == "MD", typed["MD"])
+        .when(e["key"] == "RG", typed["RG"])
+        .when(e["key"] == "OP", typed["OP"])
+        .when(e["key"] == "OC", typed["OC"])
+        .when(e["key"] == "OQ", typed["OQ"])
+        .otherwise(F.concat(e["key"], F.lit(":"), e["value"])),
+    )
+    appended = [
+        F.when(~F.coalesce(F.map_contains_key(attrs, tag), F.lit(False)), expr)
+        for tag, expr in typed.items()
+    ]
     other_tags = F.array_join(
-        F.transform(
-            F.map_entries(
-                F.map_filter(
-                    F.coalesce(
-                        F.col("attributes"),
-                        F.lit(None).cast("map<string,string>"),
-                    ),
-                    lambda k, v: ~k.isin("MD", "RG", "OP", "OC", "OQ"),
-                )
+        F.filter(
+            F.concat(
+                F.coalesce(in_place, F.array().cast("array<string>")),
+                F.array(*appended),
             ),
-            lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+            lambda x: x.isNotNull(),
         ),
         "\t",
     )
@@ -298,47 +344,43 @@ def sam_body_lines(df: DataFrame) -> DataFrame:
         F.coalesce(F.col("insertSize").cast("string"), F.lit("0")),
         F.coalesce(F.col("sequence"), F.lit("*")),
         F.coalesce(F.col("qualityScores"), F.lit("*")),
-        F.when(
-            F.col("mismatchingPositions").isNotNull(),
-            F.concat(F.lit("MD:Z:"), F.col("mismatchingPositions")),
-        ),
-        F.when(
-            F.col("readGroupId").isNotNull(),
-            F.concat(F.lit("RG:Z:"), F.col("readGroupId")),
-        ),
-        # AlignmentConverterSuite 'testing the fields in a converted ADAM
-        # Read': originalStart 12 emits OP:i:13; OC/OQ verbatim
-        F.when(
-            F.col("originalStart").isNotNull(),
-            F.concat(F.lit("OP:i:"), (F.col("originalStart") + 1).cast("string")),
-        ),
-        F.when(
-            F.col("originalCigar").isNotNull(),
-            F.concat(F.lit("OC:Z:"), F.col("originalCigar")),
-        ),
-        F.when(
-            F.col("originalQualityScores").isNotNull(),
-            F.concat(F.lit("OQ:Z:"), F.col("originalQualityScores")),
-        ),
         F.when(other_tags != "", other_tags),
     ).alias("value")
     return df.select(line)
 
 
-def sam_header_lines(meta: GenomicMetadata, pg_line: str | None = None) -> list[str]:
+def sam_header_lines(
+    meta: GenomicMetadata,
+    pg_line: str | None = None,
+    sort_order: str = "unsorted",
+) -> list[str]:
     """``pg_line``: optional ``@PG`` program record appended after the
     read groups (the reference writes one per run unless ``-disable_pg``
-    — TransformAlignments.scala:188)."""
-    header = ["@HD\tVN:1.6\tSO:unsorted"]
+    — TransformAlignments.scala:188). ``sort_order`` lands in the @HD
+    SO field (saveAsSam isSorted → "coordinate",
+    AlignmentDataset.scala:691-700).
+
+    @SQ attribute order (SN, LN, M5 upper-cased, UR, SP) and @RG
+    attribute order (SM, CN, DS, DT, FO, KS, LB, PI, PL, PU) follow the
+    reference's htsjdk-record insertion order
+    (SequenceDictionary.scala:353-373, ReadGroupDictionary.scala:302-
+    320) — byte-pinned against ordered.sam/sorted.sam in
+    tests/test_reference_goldens.py."""
+    header = [f"@HD\tVN:1.6\tSO:{sort_order}"]
     for r in meta.references.references:
-        header.append(f"@SQ\tSN:{r.name}" + (f"\tLN:{r.length}" if r.length else ""))
+        sq = f"@SQ\tSN:{r.name}" + (f"\tLN:{r.length}" if r.length else "")
+        if r.md5 is not None:
+            sq += f"\tM5:{r.md5.upper()}"
+        if r.url is not None:
+            sq += f"\tUR:{r.url}"
+        if r.species is not None:
+            sq += f"\tSP:{r.species}"
+        header.append(sq)
     for g in meta.read_groups:
         rg = f"@RG\tID:{g.id}"
         for tag, val in (
-            ("SM", g.sampleId), ("LB", g.library), ("PL", g.platform),
-            ("PU", g.platformUnit), ("CN", g.sequencingCenter),
-            ("DS", g.description), ("FO", g.flowOrder),
-            ("KS", g.keySequence), ("PI", g.predictedMedianInsertSize),
+            ("SM", g.sampleId), ("CN", g.sequencingCenter),
+            ("DS", g.description),
         ):
             if val is not None:
                 rg += f"\t{tag}:{val}"
@@ -348,6 +390,13 @@ def sam_header_lines(meta: GenomicMetadata, pg_line: str | None = None) -> list[
             rg += "\tDT:" + datetime.fromtimestamp(
                 g.runDateEpoch, tz=timezone.utc
             ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        for tag, val in (
+            ("FO", g.flowOrder), ("KS", g.keySequence), ("LB", g.library),
+            ("PI", g.predictedMedianInsertSize), ("PL", g.platform),
+            ("PU", g.platformUnit),
+        ):
+            if val is not None:
+                rg += f"\t{tag}:{val}"
         header.append(rg)
     if pg_line:
         header.append(pg_line)
@@ -355,12 +404,23 @@ def sam_header_lines(meta: GenomicMetadata, pg_line: str | None = None) -> list[
 
 
 def save_sam(
-    gf: GenomicFrame, path: str, single_file: bool = True, pg_line: str | None = None
+    gf: GenomicFrame,
+    path: str,
+    single_file: bool = True,
+    pg_line: str | None = None,
+    is_sorted: bool = False,
+    sort_order: str | None = None,
 ) -> None:
-    """Alignments → SAM text with reconstructed flags + header."""
+    """Alignments → SAM text with reconstructed flags + header.
+    ``sort_order`` overrides the ``is_sorted`` shorthand — the
+    reference's saveAsSam sortOrder param (e.g. "queryname" after
+    sortByReadName; byte-pinned against readname_sorted.sam)."""
     df = schemas.conform(gf.df, schemas.ALIGNMENT)
     body = sam_body_lines(df)
-    header = sam_header_lines(gf.meta, pg_line=pg_line)
+    header = sam_header_lines(
+        gf.meta, pg_line=pg_line,
+        sort_order=sort_order or ("coordinate" if is_sorted else "unsorted"),
+    )
     hdr_df = df.sparkSession.createDataFrame([(h,) for h in header], "value string")
     out = (
         hdr_df.select(F.lit(0).alias("__o"), "value")

@@ -101,6 +101,7 @@ def _attr_entries(
     a_keys = [k for k, (n, _) in decls.items() if n == "A" and k not in reserved]
     r_keys = [k for k, (n, _) in decls.items() if n == "R" and k not in reserved]
     g_keys = [k for k, (n, _) in decls.items() if n == "G" and k not in reserved]
+    flt_keys = [k for k, (_, t) in decls.items() if t == "Float" and k not in reserved]
     flag_keys = [
         k for k, (n, t) in decls.items()
         if t == "Flag" and k not in reserved and is_format
@@ -116,23 +117,56 @@ def _attr_entries(
                 F.try_element_at(parts, (ai + 1).try_cast("int")),
             ).otherwise(val)
         if r_keys:
+            # filterArray (VariantContextConverter.scala:1400-1409) is
+            # all-or-nothing: any requested index out of range → empty
+            # value (pinned on the GIAB excerpt's malformed 3-value
+            # Number=R field with 3 alts, VariantContextDatasetSuite
+            # "read a vcf file with multi-allelic variants to split")
             val = F.when(
-                e["key"].isin(r_keys) & (ai >= 0) & (F.size(parts) > ai + 1),
-                F.concat_ws(
-                    ",",
-                    F.try_element_at(parts, F.lit(1)),
-                    F.try_element_at(parts, (ai + 2).try_cast("int")),
-                ),
+                e["key"].isin(r_keys) & (ai >= 0),
+                F.when(
+                    F.size(parts) > ai + 1,
+                    F.concat_ws(
+                        ",",
+                        F.try_element_at(parts, F.lit(1)),
+                        F.try_element_at(parts, (ai + 2).try_cast("int")),
+                    ),
+                ).otherwise(F.lit("")),
             ).otherwise(val)
         if is_format and g_keys:
             j = (ai + 1).try_cast("int")
             val = F.when(
                 e["key"].isin(g_keys) & (ai >= 0),
-                F.concat_ws(
+                F.when(
+                    F.size(parts) > j * (j + 1) / 2 + j,
+                    F.concat_ws(
+                        ",",
+                        F.try_element_at(parts, F.lit(1)),
+                        F.try_element_at(parts, (j * (j + 1) / 2 + 1).cast("int")),
+                        F.try_element_at(
+                            parts, (j * (j + 1) / 2 + j + 1).cast("int")
+                        ),
+                    ),
+                ).otherwise(F.lit("")),
+            ).otherwise(val)
+        if flt_keys:
+            # header-declared Float attributes re-render element-wise
+            # through float parse + Java toString ("+Inf"→"Infinity",
+            # "nan"→"NaN", "120"→"120.0") — the reference's toFloat
+            # (VariantContextConverter.scala:1332-1345) then
+            # Float.toString on store; Spark's float cast accepts the
+            # same special literals and renders identically. Elements
+            # that don't parse (".") pass through raw (lenient).
+            val = F.when(
+                e["key"].isin(flt_keys) & val.isNotNull() & (val != ""),
+                F.array_join(
+                    F.transform(
+                        F.split(val, ","),
+                        lambda x: F.coalesce(
+                            x.try_cast("float").cast("string"), x
+                        ),
+                    ),
                     ",",
-                    F.try_element_at(parts, F.lit(1)),
-                    F.try_element_at(parts, (j * (j + 1) / 2 + 1).cast("int")),
-                    F.try_element_at(parts, (j * (j + 1) / 2 + j + 1).cast("int")),
                 ),
             ).otherwise(val)
         return F.struct(e["key"].alias("key"), val.alias("value"))
@@ -553,9 +587,50 @@ def _header_from_lines(lines: list[str]):
     return header_lines, refs, sample_names
 
 
+def mix_header_lines(header_lines: list[str]) -> list[str]:
+    """``VariantContextConverter.cleanAndMixInSupportedLines``
+    (VariantContextConverter.scala): dedupe the input header lines,
+    DROP any INFO/FORMAT line whose ID the converter supports (the
+    default declaration replaces it — same ID, canonical Number/Type/
+    Description), collapse unstructured ``##KEY=`` lines to one per key
+    (htsjdk VCFHeader other-metadata map; first in file order wins),
+    then append ``DefaultHeaderLines.allHeaderLines``. fileformat and
+    contig lines are managed separately (version pinned by the writer,
+    contigs regenerated from the sequence dictionary). Divergence: the
+    reference renames type-MISMATCHED supported lines to BAD_<ID> under
+    lenient stringency; this loader drops them with the rest."""
+    default_ids = {}
+    for line in DEFAULT_HEADER_LINES:
+        kind = line.split("=", 1)[0][2:]
+        lid = line.split("<ID=", 1)[1].split(",", 1)[0]
+        default_ids.setdefault(kind, set()).add(lid)
+    out: list[str] = []
+    seen = set()
+    other_keys = set()
+    for line in header_lines:
+        if line in seen:
+            continue
+        if line.startswith(("##fileformat", "##contig=")):
+            continue
+        if line.startswith(("##INFO=<", "##FORMAT=<")):
+            kind = "INFO" if line.startswith("##INFO") else "FORMAT"
+            lid = line.split("<ID=", 1)[1].split(",", 1)[0]
+            if lid in default_ids.get(kind, ()):
+                continue
+        elif not line.startswith("##FILTER=<"):
+            key = line[2:].split("=", 1)[0]
+            if key in other_keys:
+                continue
+            other_keys.add(key)
+        seen.add(line)
+        out.append(line)
+    return out + DEFAULT_HEADER_LINES
+
+
 def load_vcf(spark: SparkSession, path: str) -> GenomicFrame:
     """VCF → variant contexts (one row per site × alt allele)."""
     header_lines, refs, sample_names = _parse_header(spark, path)
+    header_lines = mix_header_lines(header_lines)
 
     body = spark.read.text(path).where(
         ~F.col("value").startswith("#") & (F.length(F.trim("value")) > 0)
@@ -710,7 +785,11 @@ DEFAULT_HEADER_LINES = [
     '##INFO=<ID=VALIDATED,Number=0,Type=Flag,Description="Validated by follow-up experiment">',
     '##INFO=<ID=1000G,Number=0,Type=Flag,Description="Membership in 1000 Genomes">',
     '##INFO=<ID=SOMATIC,Number=0,Type=Flag,Description="Somatic event">',
-    '##INFO=<ID=ANN,Number=.,Type=String,Description="Functional annotations">',
+    "##INFO=<ID=ANN,Number=.,Type=String,Description=\"Functional annotations: "
+    "'Allele | Annotation | Annotation_Impact | Gene_Name | Gene_ID | "
+    "Feature_Type | Feature_ID | Transcript_BioType | Rank | HGVS.c | HGVS.p | "
+    "cDNA.pos / cDNA.length | CDS.pos / CDS.length | AA.pos / AA.length | "
+    "Distance | ERRORS / WARNINGS / INFO'\">",
     '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
     '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">',
     '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths for the ref and alt alleles in the order listed">',
@@ -734,20 +813,36 @@ def render_vcf_header(gf: GenomicFrame, sample_names: list[str] | None = None) -
     persists standalone."""
     if sample_names is None:
         sample_names = [s.id for s in gf.meta.samples]
-    header = [h for h in gf.meta.header_lines if h.startswith("##")]
-    if not any(h.startswith("##fileformat") for h in header):
-        header = ["##fileformat=VCFv4.3", *header]
+    lines = [h for h in gf.meta.header_lines if h.startswith("##")]
     # frames built without a loaded VCF header get the reference's
     # default INFO/FORMAT declarations (DefaultHeaderLines.allHeaderLines,
     # converters/DefaultHeaderLines.scala — its VariantContextDataset
     # default), so external parsers see every field this writer can emit
-    if not any(h.startswith(("##INFO", "##FORMAT")) for h in header):
-        header.extend(DEFAULT_HEADER_LINES)
-    have_contigs = {h for h in header if h.startswith("##contig=")}
-    for r in gf.meta.references.references:
-        line_c = f"##contig=<ID={r.name}" + (f",length={r.length}" if r.length else "") + ">"
-        if line_c not in have_contigs:
-            header.append(line_c)
+    if not any(h.startswith(("##INFO", "##FORMAT")) for h in lines):
+        lines = lines + DEFAULT_HEADER_LINES
+    # htsjdk writer layout (VCFWriter via the reference's saveAsVcf,
+    # byte-pinned against sorted.vcf/sorted.lex.vcf in
+    # tests/test_reference_goldens.py): the version line is the
+    # WRITER'S (4.2, whatever the input declared), every non-contig
+    # metadata line follows in full-text ASCII order (which groups by
+    # key — FILTER < FORMAT < INFO — and sorts IDs within a group; the
+    # '+'-suffixed VQSR tranche sorts before its prefix twin because
+    # '+' < ','), and contig lines come last in sequence-dictionary
+    # order, NOT string order.
+    body_lines = sorted(
+        {h for h in lines if not h.startswith(("##fileformat", "##contig="))}
+    )
+    header = ["##fileformat=VCFv4.2", *body_lines]
+    have_contigs = [h for h in lines if h.startswith("##contig=")]
+    if have_contigs and not gf.meta.references.references:
+        header.extend(have_contigs)
+    else:
+        for r in gf.meta.references.references:
+            header.append(
+                f"##contig=<ID={r.name}"
+                + (f",length={r.length}" if r.length else "")
+                + ">"
+            )
     chrom = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
     if sample_names:
         chrom += "\tFORMAT\t" + "\t".join(sample_names)
@@ -862,46 +957,58 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         # key only when true (VariantContextConverter.scala:757-798)
         return F.when(ann[field] == True, F.lit(key))  # noqa: E712
 
-    info_parts = F.concat_ws(
-        ";",
-        # typed annotation fields re-emit in DefaultHeaderLines order —
-        # they were split out of the attributes map on load, so a
-        # load→save cycle would silently drop them otherwise
-        F.when(
+    # typed annotation fields re-emit merged with the attributes map and
+    # key-sorted — htsjdk's VCFEncoder writes INFO in ASCII key order
+    # (byte-pinned against sorted.vcf: ...ClippingRankSum;DB;DP...,
+    # POSITIVE_TRAIN_SITE between MQ0 and QD, lowercase culprit last)
+    def _e(key: str, text: Column) -> Column:
+        return F.when(
+            text.isNotNull(),
+            F.struct(F.lit(key).alias("k"), text.alias("t")),
+        )
+
+    typed_entries = F.array(
+        _e("AA", F.when(
             ann["ancestralAllele"].isNotNull(),
             F.concat(F.lit("AA="), ann["ancestralAllele"]),
-        ),
-        F.when(ann["alleleCount"].isNotNull(), F.concat(F.lit("AC="), ann["alleleCount"])),
-        _depth_out("AD", "referenceReadDepth", "readDepth"),
-        _depth_out("ADF", "referenceForwardReadDepth", "forwardReadDepth"),
-        _depth_out("ADR", "referenceReverseReadDepth", "reverseReadDepth"),
-        F.when(
-            ann["alleleFrequency"].isNotNull(), F.concat(F.lit("AF="), ann["alleleFrequency"])
-        ),
-        F.when(ann["cigar"].isNotNull(), F.concat(F.lit("CIGAR="), ann["cigar"])),
-        _flag_out("DB", "dbSnp"),
-        _flag_out("H2", "hapMap2"),
-        _flag_out("H3", "hapMap3"),
-        _flag_out("VALIDATED", "validated"),
-        _flag_out("1000G", "thousandGenomes"),
-        _flag_out("SOMATIC", "somatic"),
-        ann_field,
-        # null (not "") when there are no attributes — concat_ws keeps
-        # empty STRINGS, which would leave a trailing ';' after the last
-        # real part
-        F.when(
-            F.size(F.coalesce(ann["attributes"], F.create_map())) > 0,
-            F.array_join(
-                F.transform(
-                    F.map_entries(ann["attributes"]),
-                    lambda e: F.when(e["value"] == "true", e["key"]).otherwise(
-                        F.concat(e["key"], F.lit("="), e["value"])
-                    ),
-                ),
-                ";",
-            ),
+        )),
+        _e("AC", F.when(
+            ann["alleleCount"].isNotNull(),
+            F.concat(F.lit("AC="), ann["alleleCount"]),
+        )),
+        _e("AD", _depth_out("AD", "referenceReadDepth", "readDepth")),
+        _e("ADF", _depth_out("ADF", "referenceForwardReadDepth", "forwardReadDepth")),
+        _e("ADR", _depth_out("ADR", "referenceReverseReadDepth", "reverseReadDepth")),
+        _e("AF", F.when(
+            ann["alleleFrequency"].isNotNull(),
+            F.concat(F.lit("AF="), ann["alleleFrequency"]),
+        )),
+        _e("CIGAR", F.when(
+            ann["cigar"].isNotNull(), F.concat(F.lit("CIGAR="), ann["cigar"])
+        )),
+        _e("DB", _flag_out("DB", "dbSnp")),
+        _e("H2", _flag_out("H2", "hapMap2")),
+        _e("H3", _flag_out("H3", "hapMap3")),
+        _e("VALIDATED", _flag_out("VALIDATED", "validated")),
+        _e("1000G", _flag_out("1000G", "thousandGenomes")),
+        _e("SOMATIC", _flag_out("SOMATIC", "somatic")),
+        _e("ANN", ann_field),
+    )
+    attr_entries = F.transform(
+        F.map_entries(F.coalesce(ann["attributes"], F.create_map())),
+        lambda e: F.struct(
+            e["key"].alias("k"),
+            F.when(e["value"] == "true", e["key"])
+            .otherwise(F.concat(e["key"], F.lit("="), e["value"]))
+            .alias("t"),
         ),
     )
+    info_entries = F.array_sort(
+        F.filter(
+            F.concat(typed_entries, attr_entries), lambda x: x.isNotNull()
+        )
+    )
+    info_parts = F.array_join(F.transform(info_entries, lambda x: x["t"]), ";")
     info = F.when(F.length(info_parts) > 0, info_parts).otherwise(".")
 
     # FORMAT is per-row dynamic (htsjdk writes only keys any genotype on
@@ -936,13 +1043,18 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
                     ",",
                 ),
             ),
-            # only failed genotype filters emit FT; applied-and-passed
-            # reloads identically from an absent FT (formatFilters
-            # always-applied semantics)
+            # htsjdk VCFEncoder genotype-filter encoding (byte-pinned
+            # against sorted.vcf): when the FT key is on the line (some
+            # genotype FAILED — see has["FT"] below), failed genotypes
+            # emit the ;-joined list and every other genotype emits the
+            # literal PASS
             "FT": F.when(
-                F.coalesce(vca["filtersApplied"], F.lit(False))
-                & ~F.coalesce(vca["filtersPassed"], F.lit(True)),
-                F.array_join(vca["filtersFailed"], ";"),
+                vca.isNotNull(),
+                F.when(
+                    F.coalesce(vca["filtersApplied"], F.lit(False))
+                    & ~F.coalesce(vca["filtersPassed"], F.lit(True)),
+                    F.array_join(vca["filtersFailed"], ";"),
+                ).otherwise(F.lit("PASS")),
             ),
             "PS": g["phaseSetId"].cast("string"),
             "PQ": g["phaseQuality"].cast("string"),
@@ -959,6 +1071,20 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
 
     gts = F.coalesce(F.col("genotypes"), F.expr("array()").cast(df.schema["genotypes"].dataType))
     def _has(key: str) -> Column:
+        if key == "FT":
+            # htsjdk includes the FT key only when some genotype on the
+            # line FAILED its filters (calcVCFGenotypeKeys
+            # sawGenotypeFilter = isFiltered); passed-only lines carry
+            # no FT (byte-pinned against sorted.vcf)
+            return F.exists(
+                gts,
+                lambda gg: F.coalesce(
+                    gg["variantCallingAnnotations"]["filtersApplied"], F.lit(False)
+                )
+                & ~F.coalesce(
+                    gg["variantCallingAnnotations"]["filtersPassed"], F.lit(True)
+                ),
+            )
         return F.exists(gts, lambda gg: _fmt_fields(gg)[key].isNotNull())
 
     has = {k: _has(k) for k in _FMT_ORDER}
@@ -977,13 +1103,22 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
             )
         )
     )
-    fmt_typed = F.concat_ws(
-        ":", F.lit("GT"), *[F.when(has[k], F.lit(k)) for k in _FMT_ORDER]
+    # FORMAT = GT first, then ALL present keys (typed + genotype
+    # attributes interleaved) in ASCII order — htsjdk calcVCFGenotypeKeys
+    # sorts the union (byte-pinned against sorted.vcf: GT:AD:DP:FT:GQ:PL)
+    fmt_keys = F.array_sort(
+        F.concat(
+            F.filter(
+                F.array(*[F.when(has[k], F.lit(k)) for k in _FMT_ORDER]),
+                lambda x: x.isNotNull(),
+            ),
+            attr_keys,
+        )
     )
     fmt_col = F.when(
-        F.size(attr_keys) > 0,
-        F.concat(fmt_typed, F.lit(":"), F.array_join(attr_keys, ":")),
-    ).otherwise(fmt_typed)
+        F.size(fmt_keys) > 0,
+        F.concat(F.lit("GT:"), F.array_join(fmt_keys, ":")),
+    ).otherwise(F.lit("GT"))
 
     def cell(name: str) -> Column:
         g = F.try_element_at(
@@ -1005,26 +1140,19 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
             F.replace(idx, F.lit("\x00"), sep)
         )
         fields = _fmt_fields(g)
-        typed = F.concat_ws(
-            ":",
-            gt,
-            *[F.when(has[k], F.coalesce(fields[k], F.lit("."))) for k in _FMT_ORDER],
-        )
         attrs = g["variantCallingAnnotations"]["attributes"]
+
+        def _val(k: Column) -> Column:
+            c = F.try_element_at(attrs, k)
+            for key in _FMT_ORDER:
+                c = F.when(k == key, fields[key]).otherwise(c)
+            return F.coalesce(c, F.lit("."))
+
+        vals = F.transform(fmt_keys, _val)
         return F.when(
-            F.size(attr_keys) > 0,
-            F.concat(
-                typed,
-                F.lit(":"),
-                F.array_join(
-                    F.transform(
-                        attr_keys,
-                        lambda k: F.coalesce(F.try_element_at(attrs, k), F.lit(".")),
-                    ),
-                    ":",
-                ),
-            ),
-        ).otherwise(typed)
+            F.size(fmt_keys) > 0,
+            F.concat(gt, F.lit(":"), F.array_join(vals, ":")),
+        ).otherwise(gt)
 
     # every field coalesced: concat_ws SKIPS nulls, so one null column
     # would silently shift all following fields left (corrupt VCF)
@@ -1035,31 +1163,42 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         F.coalesce(F.array_join(v["names"], ";"), F.lit(".")),
         F.coalesce(v["referenceAllele"], F.lit(".")),
         F.coalesce(v["alternateAllele"], F.lit(".")),
-        F.coalesce(v["quality"].cast("string"), F.lit(".")),
+        # htsjdk formatQualValue: %.2f with an integral ".00" stripped
+        # ("2486.90" stays, "50.00" → "50"; byte-pinned vs sorted.vcf)
+        F.when(
+            v["quality"].isNotNull(),
+            F.regexp_replace(
+                F.format_string("%.2f", v["quality"]), r"\.00$", ""
+            ),
+        ).otherwise("."),
         F.when(~F.coalesce(v["filtersApplied"], F.lit(False)), ".")
         .when(F.coalesce(v["filtersPassed"], F.lit(False)), "PASS")
         .otherwise(F.coalesce(F.array_join(v["filtersFailed"], ";"), F.lit("."))),
         info,
         *( [fmt_col] + [cell(n) for n in sample_names] if sample_names else [] ),
     )
+    # the body keeps the FRAME'S row order (monotonic id per partition,
+    # partitions in order) — the reference's saveAsVcf writes whatever
+    # order sort()/sortLexicographically() produced; a writer-imposed
+    # name sort would break dictionary-index ordering (sorted.vcf's
+    # golden order is 1, 2, 13 — contig INDEX, not name)
     body = df.select(
         F.lit(1).alias("__o"),
-        v["referenceName"].alias("__k1"),
-        v["start"].alias("__k2"),
+        F.monotonically_increasing_id().alias("__k2"),
         line.alias("value"),
     )
 
     header = render_vcf_header(gf, sample_names)
 
     hdr_df = df.sparkSession.createDataFrame(
-        [(0, "", float(i), h) for i, h in enumerate(header)],
-        "__o int, __k1 string, __k2 double, value string",
-    ).select("__o", "__k1", F.col("__k2").try_cast("long").alias("__k2"), "value")
+        [(0, float(i), h) for i, h in enumerate(header)],
+        "__o int, __k2 double, value string",
+    ).select("__o", F.col("__k2").try_cast("long").alias("__k2"), "value")
     out = hdr_df.unionByName(body)
     if single_file:
-        out = out.coalesce(1).sortWithinPartitions("__o", "__k1", "__k2")
+        out = out.coalesce(1).sortWithinPartitions("__o", "__k2")
     else:
-        out = out.orderBy("__o", "__k1", "__k2")
+        out = out.orderBy("__o", "__k2")
     out.select("value").write.text(path)
 
 
@@ -1139,6 +1278,7 @@ def load_indexed_vcf(
                 break
             header.append(line.rstrip("\n"))
     header_lines, refs, sample_names = _header_from_lines(header)
+    header_lines = mix_header_lines(header_lines)
 
     rid = {n: i for i, n in enumerate(idx.names)}
     chunks = merge_chunks(

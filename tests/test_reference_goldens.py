@@ -1,0 +1,416 @@
+"""Golden-pinned runs against the reference's OWN test fixture files
+(`/root/reference/adam-core/src/test/resources` — real SAM/VCF/BED/GTF/
+GFF3/CRAM files, several of them produced by third-party tools). These
+convert shape-parity into byte-parity with samtools/GATK-derived
+outputs and stand in for the descoped external-tool interop:
+
+- ``NA12878.sam`` flagstat counts = FlagStatSuite.scala's exact
+  samtools-flagstat numbers
+- ``artificial.sam`` realignment vs the GATK-produced golden
+  ``artificial.realigned.sam`` (RealignIndelsSuite.scala:184-200 pins
+  size + read4's name/start/cigar/mapq — GATK's own realigner diverges
+  from ADAM on the remaining reads, which is why the reference suite
+  pins only read4; we pin the same contract)
+- ``bqsr1.sam`` + ``bqsr1.vcf`` observation table vs the GATK-derived
+  ``bqsr1-ref.observed`` golden (BaseQualityRecalibrationSuite) —
+  exact (total, mismatches) per (readGroup, quality, cycle, dinuc)
+- coordinate sort + isSorted save byte-identical to ``ordered.sam`` /
+  ``sorted.sam`` (AlignmentDatasetSuite "sorting reads" /
+  "write single sam file back")
+- load→save→load value round trips on the real ``dvl1.200.{bed,gtf,
+  gff3}`` and the Ensembl ``Homo_sapiens.GRCh37.75.trun100.gtf``
+  (FeatureDatasetSuite round-trip tests)
+- htsjdk-written ``artificial.cram`` decodes field-identical to
+  ``artificial.sam`` (reference-based read feature reconstruction)
+- the GIAB multi-allelic excerpt splits per
+  VariantContextDatasetSuite "read a vcf file with multi-allelic
+  variants to split" (17 contexts; malformed Number=R fields go
+  all-or-nothing empty per filterArray semantics)
+
+The fixture files are used as DATA ONLY.
+"""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+R = "/root/reference/adam-core/src/test/resources"
+
+
+def _load(spark, name):
+    from adam_spark.context import load_alignments
+
+    return load_alignments(spark, f"{R}/{name}")
+
+
+# ---------------------------------------------------------------- flagstat
+
+
+def test_flagstat_na12878_matches_flagstatsuite(spark):
+    """FlagStatSuite.scala 'Standard FlagStat test': the full count
+    battery on NA12878.sam (samtools-flagstat parity)."""
+    from adam_spark.operators.flagstat import flagstat
+
+    rows = {
+        r["qcFailed"]: r.asDict()
+        for r in flagstat(_load(spark, "NA12878.sam").df).collect()
+    }
+    passed, failed = rows[False], rows[True]
+    assert passed["total"] == 529 and failed["total"] == 36
+    assert passed["duplicatesPrimary"] == 59 and failed["duplicatesPrimary"] == 16
+    assert (
+        passed["duplicatesPrimaryBothMapped"] == 58
+        and failed["duplicatesPrimaryBothMapped"] == 15
+    )
+    assert (
+        passed["duplicatesPrimaryOnlyReadMapped"] == 1
+        and failed["duplicatesPrimaryOnlyReadMapped"] == 1
+    )
+    assert (
+        passed["duplicatesPrimaryCrossChromosome"] == 0
+        and failed["duplicatesPrimaryCrossChromosome"] == 0
+    )
+    assert passed["duplicatesSecondary"] == 0 and failed["duplicatesSecondary"] == 0
+    assert passed["mapped"] == 529 and failed["mapped"] == 36
+    assert passed["paired"] == 529 and failed["paired"] == 36
+    assert passed["read1"] == 258 and failed["read1"] == 13
+    assert passed["read2"] == 271 and failed["read2"] == 23
+    assert passed["properlyPaired"] == 524 and failed["properlyPaired"] == 32
+    assert (
+        passed["withSelfAndMateMapped"] == 524
+        and failed["withSelfAndMateMapped"] == 32
+    )
+    assert passed["singleton"] == 5 and failed["singleton"] == 4
+    assert (
+        passed["withMateMappedToDiffChromosome"] == 0
+        and failed["withMateMappedToDiffChromosome"] == 0
+    )
+    assert (
+        passed["withMateMappedToDiffChromosomeMapQ5"] == 0
+        and failed["withMateMappedToDiffChromosomeMapQ5"] == 0
+    )
+
+
+# ------------------------------------------------------------- realignment
+
+
+def test_realign_artificial_vs_gatk_golden(spark):
+    """RealignIndelsSuite 'checking realigned reads for artificial
+    input': same row count as the GATK golden, and read4 matches on
+    name/start/cigar/mappingQuality."""
+    from adam_spark.operators.realignment import realign_indels
+
+    out = realign_indels(_load(spark, "artificial.sam").df)
+    golden = _load(spark, "artificial.realigned.sam").df
+    assert out.count() == golden.count() == 10
+
+    cols = ["readName", "start", "cigar", "mappingQuality"]
+    mine = sorted(
+        tuple(r)
+        for r in out.where(F.col("readName") == "read4").select(*cols).collect()
+    )
+    gold = sorted(
+        tuple(r)
+        for r in golden.where(F.col("readName") == "read4").select(*cols).collect()
+    )
+    assert mine == gold
+    # the realigned read4 pair is the suite's anchor: one read pulled
+    # onto the 10D consensus at start 10, its mate untouched at 120
+    assert mine == [
+        ("read4", 10, "24M10D36M", 100),
+        ("read4", 120, "60M", 90),
+    ]
+
+
+# -------------------------------------------------------------------- bqsr
+
+
+def test_bqsr_observation_table_vs_gatk_golden(spark):
+    """BaseQualityRecalibrationSuite: observation table on bqsr1.sam
+    with bqsr1.vcf known sites matches the GATK-derived
+    bqsr1-ref.observed golden exactly — all 16,236 (readGroup, quality,
+    cycle, dinuc) keys with identical (total, mismatches)."""
+    from adam_spark.context import load_variants
+    from adam_spark.operators.bqsr import observe_covariates
+
+    reads = _load(spark, "bqsr1.sam")
+    snps = load_variants(spark, f"{R}/bqsr1.vcf")
+    obs = observe_covariates(reads.df, known_snps=snps.df)
+
+    gold = {}
+    with open(f"{R}/bqsr1-ref.observed") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("ReadGroup"):
+                continue
+            p = line.split(",")
+            gold[(p[0], int(p[1]), int(p[2]), p[3])] = (int(p[4]), int(p[5]))
+    assert len(gold) == 16236
+
+    mine = {
+        (r["readGroupId"], r["quality"], r["cycle"], r["dinuc"]): (
+            r["total"],
+            r["mismatches"],
+        )
+        for r in obs.collect()
+    }
+    assert set(mine) == set(gold)
+    bad = [k for k in gold if mine[k] != gold[k]]
+    assert bad == []
+
+
+# ------------------------------------------------------------------- sorts
+
+
+@pytest.mark.parametrize(
+    "src,gold",
+    [("unordered.sam", "ordered.sam"), ("unsorted.sam", "sorted.sam")],
+)
+def test_sort_save_byte_identical(spark, tmp_path, src, gold):
+    """sortByReferencePosition + saveAsSam(isSorted) reproduces the
+    reference's committed sorted outputs byte-for-byte — header (@HD
+    SO:coordinate, @SQ/@RG attribute order), record order, and tag
+    order all pinned (AlignmentDatasetSuite 'sorting reads' +
+    'write single sam file back')."""
+    from adam_spark.compat import ADAMContext
+
+    ac = ADAMContext(spark)
+    out = tmp_path / "out.sam"
+    ac.loadAlignments(f"{R}/{src}").sortByReferencePosition().saveAsSam(
+        str(out), isSorted=True, asSingleFile=True
+    )
+    part = glob.glob(f"{out}/part-*")[0]
+    mine = open(part).read().rstrip("\n").split("\n")
+    want = open(f"{R}/{gold}").read().rstrip("\n").split("\n")
+    assert mine == want
+
+
+# ---------------------------------------------------------------- features
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dvl1.200.bed",
+        "dvl1.200.gtf",
+        "dvl1.200.gff3",
+        "Homo_sapiens.GRCh37.75.trun100.gtf",
+    ],
+)
+def test_feature_roundtrip_real_files(spark, tmp_path, name):
+    """FeatureDatasetSuite round trips on the real dvl1.200 trio and
+    the Ensembl GTF excerpt: load → save → load preserves every value
+    of every row."""
+    from adam_spark.sources import features_io as feat
+
+    load, save = {
+        "bed": (feat.load_bed, feat.save_bed),
+        "gtf": (feat.load_gtf, feat.save_gtf),
+        "gff3": (feat.load_gff3, feat.save_gff3),
+    }[name.rsplit(".", 1)[-1]]
+
+    gf = load(spark, f"{R}/{name}")
+    out = str(tmp_path / ("out." + name.rsplit(".", 1)[-1]))
+    save(gf, out, single_file=True)
+    gf2 = load(spark, out)
+
+    cols = sorted(gf.df.columns)
+    a = sorted(tuple(str(x) for x in r) for r in gf.df.select(*cols).collect())
+    b = sorted(tuple(str(x) for x in r) for r in gf2.df.select(*cols).collect())
+    assert len(a) == len(b)
+    assert a == b
+
+
+# -------------------------------------------------------------------- cram
+
+
+def test_cram_artificial_matches_sam(spark):
+    """The htsjdk-written artificial.cram (3.0, reference-compressed
+    sequences, int32-length-prefixed header block, RR omitted-means-
+    true preservation map) decodes to the same alignments as
+    artificial.sam."""
+    from adam_spark.sources.cram import load_cram
+
+    cols = [
+        "readName",
+        "start",
+        "end",
+        "cigar",
+        "sequence",
+        "mappingQuality",
+        "readMapped",
+    ]
+    sam = _load(spark, "artificial.sam").df
+    cram = load_cram(spark, f"{R}/artificial.cram", reference=f"{R}/artificial.fa")
+    a = sorted(tuple(r) for r in sam.select(*cols).collect())
+    b = sorted(tuple(r) for r in cram.df.select(*cols).collect())
+    assert a == b
+
+
+# --------------------------------------------------------------------- vcf
+
+
+def test_giab_multiallelic_split(spark):
+    """VariantContextDatasetSuite 'read a vcf file with multi-allelic
+    variants to split' on the GIAB excerpt: 17 contexts after the
+    split; at start 66631043 (ref=GAAGAAAGAAAGA, 3 alts, but AD/ADALL
+    carry only 3 values) every per-allele depth is 0 or null and ADALL
+    subsets to '0,0' or '' (filterArray all-or-nothing,
+    VariantContextConverter.scala:1400-1409)."""
+    from adam_spark.sources.vcf import load_vcf_genotypes
+
+    path = (
+        f"{R}/HG001_GRCh38_GIAB_highconf_CG-IllFB-IllGATKHC-Ion-10X-SOLID"
+        "_CHROM1-X_v.3.3.2_all.fixed-phase-set.excerpt.vcf"
+    )
+    g = load_vcf_genotypes(spark, path).df
+    assert g.count() == 17
+
+    sub = g.where(F.col("start") == 66631043)
+    depths = sub.select("referenceReadDepth", "alternateReadDepth").collect()
+    assert len(depths) == 3
+    for r in depths:
+        assert r["referenceReadDepth"] in (0, None)
+        assert r["alternateReadDepth"] in (0, None)
+
+    adall = [
+        r[0]
+        for r in sub.select(
+            F.col("variantCallingAnnotations.attributes")["ADALL"]
+        ).collect()
+    ]
+    assert sorted(adall) == ["", "0,0", "0,0"]
+
+    # PS is '.' on every row of the excerpt → no phase sets survive
+    assert g.where(F.col("phaseSetId").isNotNull()).count() == 0
+
+
+# ------------------------------------------------------------ vcf writer
+
+
+@pytest.mark.parametrize(
+    "method,gold", [("sort", "sorted.vcf"), ("sort_lexicographically", "sorted.lex.vcf")]
+)
+def test_vcf_sort_save_byte_identical(spark, tmp_path, method, gold):
+    """VariantContextDatasetSuite 'save a file sorted by contig index' /
+    'save a lexicographically sorted file' (:291-319): random.vcf →
+    sort → saveAsVcf single-file reproduces the committed goldens
+    byte-for-byte — header assembly (VCFv4.2 version line, default-line
+    mixing, full-text-ASCII metadata order, dictionary-order contigs),
+    contig-INDEX body order, alphabetized INFO, GT-first-alphabetical
+    FORMAT with FT=PASS cells, and %.2f QUAL all pinned against the
+    htsjdk-written files."""
+    from adam_spark.sources import vcf as vcf_io
+
+    gf = vcf_io.load_vcf(spark, f"{R}/random.vcf")
+    out = getattr(gf, method)()
+    dst = str(tmp_path / "out.vcf")
+    vcf_io.save_vcf(out, dst, single_file=True)
+    part = glob.glob(f"{dst}/part-*")[0]
+    assert open(part).read() == open(f"{R}/{gold}").read()
+
+
+def test_readname_sort_save_byte_identical(spark, tmp_path):
+    """AlignmentDatasetSuite 'sort by read name' (:1836-1850):
+    unsorted.sam → sortByReadName → save with SO:queryname equals the
+    committed readname_sorted.sam byte-for-byte."""
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.operators.sorts import sort_by_read_name
+    from adam_spark.sources.sam import save_sam
+
+    gf = _load(spark, "unsorted.sam")
+    out = GenomicFrame(sort_by_read_name(gf.df), gf.meta)
+    dst = str(tmp_path / "o.sam")
+    save_sam(out, dst, single_file=True, sort_order="queryname")
+    part = glob.glob(f"{dst}/part-*")[0]
+    assert open(part).read() == open(f"{R}/readname_sorted.sam").read()
+
+
+# ------------------------------------------------------------------- 2bit
+
+
+def test_2bit_extract_pins(spark):
+    """TwoBitFileSuite: sequence extraction, soft-mask lowercasing,
+    N blocks, and the dictionary length on the real UCSC-format
+    hg19.chrM.2bit / human_g1k 2bit files."""
+    from adam_spark.sources.reference_file import TwoBitFile
+
+    tb = TwoBitFile(f"{R}/hg19.chrM.2bit")
+    assert tb.names() == ["hg19_chrM"]
+    assert tb.length("hg19_chrM") == 16571
+    assert tb.extract("hg19_chrM", 0, 10) == "GATCACAGGT"
+    assert tb.extract("hg19_chrM", 503, 513) == "CATCCTACCC"
+    assert tb.extract("hg19_chrM", 16561, 16571) == "CATCACGATG"
+    assert tb.extract("hg19_chrM", 2600, 2610, masked=True) == "taatcacttg"
+
+    tb2 = TwoBitFile(f"{R}/human_g1k_v37_chr1_59kb.2bit")
+    assert tb2.extract("1", 9990, 10010, masked=True) == "NNNNNNNNNNTAACCCTAAC"
+
+
+# ------------------------------------------------------- indexed BAM / BAM
+
+
+def test_indexed_bam_region_pins(spark):
+    """ADAMContextSuite loadIndexedBam pins (:458-517) on the real
+    htsjdk-indexed sorted.bam/.bai pair — including the htsjdk
+    file-length end-virtual-offset convention in the .bai."""
+    from adam_spark.sources.bam import load_bam, load_indexed_bam
+
+    p = f"{R}/indexed_bams/sorted.bam"
+    assert load_indexed_bam(spark, p, [("chr2", 100, 101)]).df.count() == 1
+    assert (
+        load_indexed_bam(spark, p, [("chr2", 100, 101), ("3", 10, 17)]).df.count()
+        == 2
+    )
+    # <filename>.bai naming variant
+    assert (
+        load_indexed_bam(
+            spark, f"{R}/indexed_bams/sorted.2.bam", [("1", 1, 100)]
+        ).df.count()
+        == 1
+    )
+    # glob + directory forms hit both indexed files
+    for src in (f"{R}/indexed_bams/sorted*.bam", f"{R}/indexed_bams"):
+        assert (
+            load_indexed_bam(
+                spark, src, [("chr2", 100, 101), ("3", 10, 17)]
+            ).df.count()
+            == 4
+        )
+    assert load_bam(spark, f"{R}/indexed_bams/sorted*.bam").df.count() == 10
+
+
+def test_small_bam_matches_small_sam(spark):
+    """ADAMContextSuite 'loadBam' on bams/small.bam (a real
+    htsjdk-written binary): field-identical to the small.sam text."""
+    from adam_spark.sources.bam import load_bam
+
+    cols = ["readName", "start", "cigar", "sequence", "mappingQuality"]
+    a = sorted(tuple(r) for r in _load(spark, "small.sam").df.select(*cols).collect())
+    b = sorted(
+        tuple(r)
+        for r in load_bam(spark, f"{R}/bams/small.bam").df.select(*cols).collect()
+    )
+    assert len(a) == 20
+    assert a == b
+
+
+# ------------------------------------------------------------------ fastq
+
+
+def test_fastq_codec_equality(spark):
+    """ADAMContextSuite compressed-FASTQ loads: fastq_sample1.fq and its
+    .gz / .bz2 siblings parse to identical records."""
+    from adam_spark.sources.fastq import load_unpaired_fastq
+
+    def rows(ext):
+        df = load_unpaired_fastq(spark, f"{R}/fastq_sample1.fq{ext}").df
+        return sorted(
+            tuple(r) for r in df.select("name", "sequence", "qualityScores").collect()
+        )
+
+    base = rows("")
+    assert len(base) > 0
+    assert rows(".gz") == base
+    assert rows(".bz2") == base

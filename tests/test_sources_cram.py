@@ -336,7 +336,7 @@ def test_core_bitpacked_encodings_decode(spark, tmp_path):
 
     # --- compression header ---
     td = b"\x00" + b"NMi\x00"  # line 0: no tags; line 1: NM:i
-    pres = i8(3) + b"RN\x01" + b"AP\x00" + b"TD" + i8(len(td)) + td
+    pres = i8(4) + b"RR\x00" + b"RN\x01" + b"AP\x00" + b"TD" + i8(len(td)) + td
     pres_block = i8(len(pres)) + pres
     series = [
         (b"BF", huff([4], [0])),
@@ -452,7 +452,7 @@ def test_mate_graph_resolution(spark, tmp_path):
     ]
     cids = {k: 40 + i for i, k in enumerate(ext_series)}
     td = b"\x00"
-    pres = i8(3) + b"RN\x01" + b"AP\x00" + b"TD" + i8(len(td)) + td
+    pres = i8(4) + b"RR\x00" + b"RN\x01" + b"AP\x00" + b"TD" + i8(len(td)) + td
     pres_block = i8(len(pres)) + pres
     series = [(k.encode(), enc(1, i8(cids[k]))) for k in ext_series]
     series.append((b"RN", enc(5, bytes((0,)) + i8(90))))
@@ -551,7 +551,7 @@ def test_single_ref_slice_with_ap_delta(spark, tmp_path):
     ext_series = ["BF", "CF", "RL", "AP", "RG", "TL", "FN", "MQ", "BA", "QS"]
     cids = {k: 40 + i for i, k in enumerate(ext_series)}
     td = b"\x00"
-    pres = i8(3) + b"RN\x01" + b"AP\x01" + b"TD" + i8(len(td)) + td
+    pres = i8(4) + b"RR\x00" + b"RN\x01" + b"AP\x01" + b"TD" + i8(len(td)) + td
     pres_block = i8(len(pres)) + pres
     series = [(k.encode(), enc(1, i8(cids[k]))) for k in ext_series]
     series.append((b"RN", enc(5, bytes((0,)) + i8(90))))
@@ -630,7 +630,7 @@ def test_multi_slice_container_decodes(spark, tmp_path):
 
     ext_series = ["BF", "CF", "RL", "AP", "RG", "TL", "FN", "MQ", "BA", "QS"]
     cids = {k: 40 + i for i, k in enumerate(ext_series)}
-    pres = i8(3) + b"RN\x01" + b"AP\x00" + b"TD" + i8(1) + b"\x00"
+    pres = i8(4) + b"RR\x00" + b"RN\x01" + b"AP\x00" + b"TD" + i8(1) + b"\x00"
     pres_block = i8(len(pres)) + pres
     series = [(k.encode(), enc(1, i8(cids[k]))) for k in ext_series]
     series.append((b"RN", enc(5, bytes((0,)) + i8(90))))
@@ -714,7 +714,7 @@ def test_spec_difference_model_decodes(spark, tmp_path):
         return enc(5, bytes((stop_byte,)) + i8(cid))
 
     # preservation map: RR=true, RN preserved, default SM
-    pres = (i8(4) + b"RR\x01" + b"RN\x01" + b"SM" + cm._SM_DEFAULT
+    pres = (i8(5) + b"RR\x01" + b"RN\x01" + b"AP\x00" + b"SM" + cm._SM_DEFAULT
             + b"TD" + i8(1) + b"\x00")
     pres_block = i8(len(pres)) + pres
     cids = {k: 10 + n for n, k in enumerate(

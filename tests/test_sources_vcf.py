@@ -340,7 +340,10 @@ def test_default_header_lines_on_headerless_save(spark, tmp_path, vcf_path):
     """Frames built without a loaded VCF header save with the
     reference's default INFO/FORMAT declarations
     (DefaultHeaderLines.allHeaderLines, DefaultHeaderLines.scala:34-199);
-    loaded headers are kept verbatim instead."""
+    loaded headers are MIXED with the defaults at load — a supported ID's
+    input declaration is replaced by the canonical default line
+    (cleanAndMixInSupportedLines, VariantContextConverter.scala;
+    byte-pinned against sorted.vcf in tests/test_reference_goldens.py)."""
     import os
 
     from adam_spark.core.genomic_frame import GenomicFrame
@@ -361,6 +364,7 @@ def test_default_header_lines_on_headerless_save(spark, tmp_path, vcf_path):
     vcf_io.save_vcf(gf, out2, single_file=True)
     part2 = [f for f in sorted(os.listdir(out2)) if f.startswith("part-")][0]
     text2 = open(os.path.join(out2, part2)).read()
-    # the loaded header declared its own INFO lines; defaults stay out
+    # the loaded header's own DP declaration is replaced by the default
+    # (same ID → exactly one line) and the default-only lines mix in
     assert text2.count("##INFO=<ID=DP") == 1
-    assert "Ancestral allele" not in text2
+    assert "Ancestral allele" in text2
