@@ -3053,6 +3053,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries. Those 50 are exactly the oracle-checked operator queries —
     # one per §2 / LLM-pipeline operator family.
     #
+    # ROUND-9 WINDOW ROTATION (per the r8 verdict item 4): the two r8
+    # operators with exact oracles but no driver-recorded row —
+    # dedup_substrings_docs (exact duplicate-substring removal) and
+    # slices_contig_reads_docs (FragmentConverter contiguous-run
+    # stitching) — move in-window. Parked in exchange, each with THREE
+    # rounds of green driver history (r6+r7+r8) and an in-window family
+    # representative: mark_duplicates_fragments_orders (same markdup
+    # builder as the staying mark_duplicates_orders; fragment-specific
+    # insertSize path pinned by tests/test_mark_duplicates_suite.py) and
+    # bloom_decontaminate_docs (same decontamination probe family as the
+    # staying decontaminate_docs; Bloom filter math pinned by
+    # tests/test_llm_ops.py).
+    #
     # ROUND-8 WINDOW ROTATION (per the r7 verdict item 3):
     # ann_ivf_topk_quantized — now over the same deterministic first-16
     # centroids as ann_ivf_topk, making the float-IVF SQL oracle exact
@@ -3130,9 +3143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_quantized": ann_ivf_topk_quantized,
         "embedding_quantize_stats": embedding_quantize_stats,
         "mark_duplicates_orders": mark_duplicates_orders,
-        "mark_duplicates_fragments_orders": mark_duplicates_fragments_orders,
+        "dedup_substrings_docs": dedup_substrings_docs,
         "decontaminate_docs": decontaminate_docs,
-        "bloom_decontaminate_docs": bloom_decontaminate_docs,
+        "slices_contig_reads_docs": slices_contig_reads_docs,
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "fragments_group": fragments_group,
         "doc_lm_score_docs": doc_lm_score_docs,
@@ -3199,12 +3212,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gopher_quality_docs (new operator, full oracle) taking its
         # in-window slot
         "language_id_docs": language_id_docs,
-        # r8: FragmentConverter contiguous-run stitching (new operator),
-        # parked with a full oracle — covered capless by check_oracle
-        "slices_contig_reads_docs": slices_contig_reads_docs,
-        # r8b: exact duplicate-substring removal (Lee et al. 2022 shape),
-        # parked with a full oracle — covered capless by check_oracle
-        "dedup_substrings_docs": dedup_substrings_docs,
+        # r9 rotation: parked after three rounds of driver-green rows
+        # (r6-r8) in exchange for dedup_substrings_docs and
+        # slices_contig_reads_docs (see the ROUND-9 note above); family
+        # representatives mark_duplicates_orders and decontaminate_docs
+        # stay in-window
+        "mark_duplicates_fragments_orders": mark_duplicates_fragments_orders,
+        "bloom_decontaminate_docs": bloom_decontaminate_docs,
     }
 
 

@@ -38,6 +38,11 @@ Structured Streaming pipelines because they are stateless per line.
   per-band verdicts per document with :func:`near_dup_decisions`
   inside ``foreachBatch`` (all bands of a document land in the same
   micro-batch, so that combine is exact, batch-land, stateless).
+- :func:`verified_near_dup_decisions` /
+  :func:`streaming_minhash_dedup_verified` — the PRECISION half:
+  exact-Jaccard verification of every candidate pair against the
+  landed corpus inside the sink, pair-for-pair equal to the batch
+  verifier (llm.dedup.minhash_lsh_pairs) at the same threshold.
 """
 
 from __future__ import annotations
@@ -560,6 +565,107 @@ def near_dup_decisions(band_rows: DataFrame) -> DataFrame:
         F.max(F.col("anchor_id").isNotNull()).alias("is_near_dup"),
         F.min("anchor_id").alias("matched_anchor"),
         F.sum(F.col("anchor_id").isNotNull().cast("long")).alias("n_band_hits"),
+    )
+
+
+def verified_near_dup_decisions(
+    band_rows: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Exact-Jaccard VERIFIED verdicts for a micro-batch of
+    :func:`streaming_minhash_candidates` band rows — the precision half
+    of the streaming triple, previously documented as a foreachBatch
+    recipe, now a tested operator.
+
+    ``corpus`` is the landed documents table (the same table the ingest
+    sink appends to — both the anchor and, at verify time, the current
+    document must have landed there). Each candidate (doc, anchor) pair
+    is checked with the SAME exact-Jaccard column the batch verifier
+    uses (llm/dedup.jaccard over distinct word ``shingle_n``-grams), so
+    stream verdicts match :func:`adam_spark.llm.dedup.minhash_lsh_pairs`
+    at the same threshold/shingling for every pair the stream
+    witnessed.
+
+    Returns one row per candidate document:
+    (doc_id, is_near_dup, matched_anchor, n_band_hits, n_verified,
+    best_jaccard) — ``is_near_dup`` now means "some anchor VERIFIED at
+    ≥ threshold", ``matched_anchor`` is the smallest verified anchor id.
+    Pairs whose texts have not landed yet count in ``n_band_hits`` but
+    cannot verify (exactly the batch backstop's job).
+
+    Scale shape: the micro-batch pair set is broadcast into two joins
+    against the corpus scan (filter pushdown on the id column); the
+    corpus is never shuffled, and Jaccard is a narrow Catalyst map —
+    no UDFs.
+    """
+    from adam_spark.llm.dedup import jaccard, word_ngrams
+
+    lsh = band_rows.groupBy("doc_id").agg(
+        F.sum(F.col("anchor_id").isNotNull().cast("long")).alias("n_band_hits"),
+    )
+    pairs = (
+        band_rows.where(F.col("anchor_id").isNotNull())
+        .select("doc_id", F.col("anchor_id").alias("cand"))
+        .distinct()
+    )
+    sh = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.array_distinct(word_ngrams(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    verified = (
+        F.broadcast(pairs)
+        .join(sh.select(F.col("__vid").alias("doc_id"), F.col("__sh").alias("__sh_a")), "doc_id")
+        .join(sh.select(F.col("__vid").alias("cand"), F.col("__sh").alias("__sh_b")), "cand")
+        .withColumn("__j", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .where(F.col("__j") >= F.lit(threshold))
+        .groupBy("doc_id")
+        .agg(
+            F.min("cand").alias("matched_anchor"),
+            F.count(F.lit(1)).alias("n_verified"),
+            F.round(F.max("__j"), 6).alias("best_jaccard"),
+        )
+    )
+    return lsh.join(verified, "doc_id", "left").select(
+        "doc_id",
+        F.col("matched_anchor").isNotNull().alias("is_near_dup"),
+        "matched_anchor",
+        "n_band_hits",
+        F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
+        "best_jaccard",
+    )
+
+
+def streaming_minhash_dedup_verified(
+    docs: DataFrame,
+    corpus_path: str,
+    verdicts_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    **candidate_params,
+):
+    """:func:`streaming_minhash_dedup` with the exact-Jaccard verify
+    composed INSIDE the sink: every micro-batch's candidates are checked
+    against the landed corpus at ``corpus_path`` (re-read each batch so
+    newly landed documents are visible) before a verdict row is
+    appended. Returns the started StreamingQuery."""
+    shingle_n = candidate_params.get("shingle_n", 5)
+    cands = streaming_minhash_candidates(docs, **candidate_params)
+
+    def _land(batch: DataFrame, _epoch: int) -> None:
+        corpus = batch.sparkSession.read.parquet(corpus_path)
+        verified_near_dup_decisions(
+            batch, corpus, threshold=threshold, shingle_n=shingle_n
+        ).write.mode("append").parquet(verdicts_path)
+
+    return (
+        cands.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
     )
 
 

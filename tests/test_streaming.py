@@ -690,3 +690,87 @@ def test_streaming_embedding_dedup_lands_verdicts(spark, tmp_path):
         q.stop()
     by_id = {r["doc_id"]: r["is_near_dup"] for r in spark.read.parquet(vp).collect()}
     assert by_id == {1: False, 2: True, 3: False}
+
+
+def test_streaming_verified_near_dup_matches_batch(spark, tmp_path):
+    """Verify-in-stream precision contract: verdicts from
+    streaming_minhash_dedup_verified match the batch verifier
+    (llm.dedup.minhash_lsh_pairs) pair-for-pair on the same corpus,
+    threshold, and shingling — a banded LSH candidate below the exact
+    Jaccard threshold is REJECTED in-stream, an exact/near copy is
+    confirmed with its Jaccard."""
+    import json
+
+    from adam_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = [
+        (1, _mh_doc(60), "2026-01-01T00:00:00"),
+        (2, _mh_doc(60, change=1), "2026-01-01T00:00:10"),  # near copy of 1
+        (3, "completely different words entirely unrelated zebra quark "
+            "lattice phonon", "2026-01-01T00:00:20"),
+        (4, _mh_doc(60), "2026-01-01T00:10:00"),  # exact copy of 1, batch 2
+        # half the words changed: collides in some band with decent odds
+        # but exact Jaccard is far below threshold → must NOT verify
+        (5, " ".join(("CHANGED%d" % i) if i % 2 else ("w%d" % i)
+                     for i in range(60)), "2026-01-01T00:10:30"),
+    ]
+    corpus_path = str(tmp_path / "corpus")
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs], "doc_id long, text string"
+    )
+    corpus.write.parquet(corpus_path)
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    (indir / "b1.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": t, "ts": ts}) for i, t, ts in docs[:3]
+    ))
+    (indir / "b2.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": t, "ts": ts}) for i, t, ts in docs[3:]
+    ))
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    verdicts_path = str(tmp_path / "verdicts")
+    q = st.streaming_minhash_dedup_verified(
+        stream, corpus_path, verdicts_path, str(tmp_path / "ckpt"),
+        threshold=0.7, num_hashes=32, bands=8, shingle_n=3,
+        watermark_delay="1 hour", state_ttl_seconds=86400,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(verdicts_path).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+
+    # batch verifier on the same corpus/params: the parity oracle
+    batch_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            corpus, "doc_id", "text", num_hashes=32, bands=8,
+            shingle_ngram=3, threshold=0.7,
+        ).collect()
+    }
+
+    # every stream-verified pair is a batch-verified pair with the same
+    # exact Jaccard (stream anchor is the earlier doc → smaller id here)
+    for d, r in got.items():
+        if r["is_near_dup"]:
+            key = (r["matched_anchor"], d)
+            assert key in batch_pairs
+            assert abs(r["best_jaccard"] - batch_pairs[key]) < 1e-6
+
+    assert not got[1]["is_near_dup"]        # anchors its buckets
+    assert got[2]["is_near_dup"] and got[2]["matched_anchor"] == 1
+    assert got[2]["n_verified"] >= 1
+    assert not got[3]["is_near_dup"]
+    assert got[4]["is_near_dup"] and got[4]["matched_anchor"] == 1
+    assert got[4]["n_band_hits"] == 8       # identical signature
+    # doc 5: whatever bands collide, the exact verify must reject
+    assert not got[5]["is_near_dup"] and got[5]["n_verified"] == 0
+    assert (1, 5) not in batch_pairs and (2, 5) not in batch_pairs
