@@ -144,10 +144,15 @@ def filter_by_reference_read_depth(df: DataFrame, minimum: int) -> DataFrame:
 
 
 def filter_no_calls(df: DataFrame) -> DataFrame:
-    """Drop genotypes that are all NO_CALL
-    (reference: GenotypeDataset.filterNoCalls)."""
+    """Drop genotypes containing ANY NO_CALL allele
+    (GenotypeDataset.filterNoCalls — `!array_contains(alleles,
+    'NO_CALL')`, GenotypeDataset.scala:298-300; pinned on the real
+    gvcf_multiallelic fixture in tests/test_reference_goldens.py where
+    half-called `./1` split rows must drop too)."""
     return df.where(
-        ~F.forall(F.col("alleles"), lambda a: a == F.lit("NO_CALL")).eqNullSafe(F.lit(True))
+        ~F.exists(F.col("alleles"), lambda a: a == F.lit("NO_CALL")).eqNullSafe(
+            F.lit(True)
+        )
     )
 
 

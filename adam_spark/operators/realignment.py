@@ -69,7 +69,19 @@ _EVIDENCE_SCHEMA = StructType(
 
 def _read_evidence(cigar: str, md: str, start: int, max_indel_size: int):
     """Candidate target intervals from one read (IndelRealignmentTarget
-    semantics: the indel's reference span; mismatch point targets)."""
+    semantics: the indel's reference span; mismatch point targets).
+
+    Documented divergence from IndelRealignmentTarget.apply
+    (IndelRealignmentTarget.scala:84-120): the reference emits one
+    variation-bearing target only for single-indel reads (multi-indel
+    reads and mismatch-only reads contribute just their read span) and
+    merges targets whose READ ranges overlap; this finder emits every
+    indel span plus MD-mismatch points and merges on evidence overlap —
+    a finer-grained superset. The realigned OUTPUT is pinned equal to
+    the reference's contract on the GATK golden
+    (tests/test_reference_goldens.py::test_realign_artificial_vs_gatk_golden)
+    and to the DuckDB oracle at both SFs; only the internal target
+    shapes differ."""
     starts, ends = [], []
     ref_pos = start
     for n, op in parse_cigar(cigar):

@@ -50,6 +50,34 @@ def _numbered_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+#: InterleavedFastqInputFormat.firstReadSuffix
+#: (adam-core/src/main/java/org/bdgenomics/adam/io/
+#: InterleavedFastqInputFormat.java:61) anchored on the '@' name line
+_FIRST_OF_PAIR_RE = r"^@.+([/ +_]1| 1:[YN]:[02468]+:[0-9ACTNG]+)$"
+
+
+def _resync(lines: DataFrame, start_pred) -> DataFrame:
+    """Drop each file's leading lines up to the first valid record
+    start — FastqRecordReader.positionAtFirstRecord (FastqRecordReader.
+    java:235 + per-format checkBuffer): a split (or truncated shard)
+    beginning mid-record skips forward to the next record boundary.
+    Single-end boundary = a line starting with '@'
+    (SingleFastqInputFormat.java:68-71); interleaved boundary = an '@'
+    name line with a FIRST-of-pair suffix (InterleavedFastqInputFormat.
+    java:82-96). Pinned against the reference's committed
+    *_fastq_sample{2,3,4} truncated fixtures and their .output goldens.
+    One extra windowed min over the per-file partitioning the line
+    numbering already shuffled on — no new exchange."""
+    w = Window.partitionBy("file")
+    first = F.min(F.when(start_pred, F.col("lineno"))).over(w)
+    return (
+        lines.withColumn("__first", first)
+        .where(F.col("__first").isNotNull() & (F.col("lineno") >= F.col("__first")))
+        .withColumn("lineno", F.col("lineno") - F.col("__first"))
+        .drop("__first")
+    )
+
+
 def _stitch(lines: DataFrame, group_size: int) -> DataFrame:
     """Group ``group_size`` consecutive lines into one row with columns
     l0..l{group_size-1}; validates FASTQ structure."""
@@ -144,7 +172,9 @@ def load_unpaired_fastq(
     spark: SparkSession, path: str, stringency: str = "strict"
 ) -> GenomicFrame:
     """FASTQ → reads (reference: ADAMContext.loadUnpairedFastq:2594)."""
-    g = _stitch(_numbered_lines(spark, path), 4)
+    g = _stitch(
+        _resync(_numbered_lines(spark, path), F.col("value").startswith("@")), 4
+    )
     df = g.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0, stringency))
     return GenomicFrame(schemas.conform(df, _READ_PAIRED), GenomicMetadata(kind="read"))
 
@@ -153,7 +183,13 @@ def load_interleaved_fastq(
     spark: SparkSession, path: str, stringency: str = "strict"
 ) -> GenomicFrame:
     """8-line groups → r1/r2 pairs (ADAMContext.loadInterleavedFastq:2468)."""
-    g = _stitch(_numbered_lines(spark, path), 8)
+    g = _stitch(
+        _resync(
+            _numbered_lines(spark, path),
+            F.regexp_like(F.col("value"), F.lit(_FIRST_OF_PAIR_RE)),
+        ),
+        8,
+    )
     g = g.where(_check_pair_suffix(F.col("l0"), 0, stringency)).where(
         _check_pair_suffix(F.col("l4"), 1, stringency)
     )
@@ -168,12 +204,12 @@ def load_paired_fastq(
 ) -> GenomicFrame:
     """Two parallel FASTQ files → union with readInFragment 0/1
     (ADAMContext.loadPairedFastq:2539)."""
-    g1 = _stitch(_numbered_lines(spark, path1), 4).where(
-        _check_pair_suffix(F.col("l0"), 0, stringency)
-    )
-    g2 = _stitch(_numbered_lines(spark, path2), 4).where(
-        _check_pair_suffix(F.col("l0"), 1, stringency)
-    )
+    g1 = _stitch(
+        _resync(_numbered_lines(spark, path1), F.col("value").startswith("@")), 4
+    ).where(_check_pair_suffix(F.col("l0"), 0, stringency))
+    g2 = _stitch(
+        _resync(_numbered_lines(spark, path2), F.col("value").startswith("@")), 4
+    ).where(_check_pair_suffix(F.col("l0"), 1, stringency))
     r1 = g1.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0, stringency))
     r2 = g2.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 1, stringency))
     df = r1.unionByName(r2)

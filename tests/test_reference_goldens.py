@@ -414,3 +414,265 @@ def test_fastq_codec_equality(spark):
     assert len(base) > 0
     assert rows(".gz") == base
     assert rows(".bz2") == base
+
+
+# ------------------------------------------------------- snpeff / variants
+
+
+def test_snpeff_ann_fixture(spark):
+    """ADAMContextSuite 'can read a SnpEff-annotated .vcf file'
+    (:603-645): transcript-effect counts per start on the real SnpEff
+    output, and the full first effect at 14396."""
+    from adam_spark.sources.vcf import load_vcf_variants
+
+    rows = load_vcf_variants(spark, f"{R}/small_snpeff.vcf").df.collect()
+    sizes = {
+        r["start"]: len(r["annotation"]["transcriptEffects"] or []) for r in rows
+    }
+    assert sizes == {14396: 4, 14521: 4, 19189: 3, 63734: 1, 752720: 2}
+    by_start = {r["start"]: r for r in rows}
+    assert by_start[14396]["referenceAllele"] == "CTGT"
+    assert by_start[14396]["alternateAllele"] == "C"
+    te = by_start[14396]["annotation"]["transcriptEffects"][0]
+    assert te["alternateAllele"] == "C"
+    assert "downstream_gene_variant" in te["effects"]
+    assert te["geneName"] == "WASH7P"
+    assert te["geneId"] == "ENSG00000227232"
+    assert te["featureType"] == "transcript"
+    assert te["featureId"] == "ENST00000488147.1"
+    assert te["biotype"] == "unprocessed_pseudogene"
+
+
+def test_freebayes_variant_type_filters(spark):
+    """VariantDatasetSuite filter pins (:647-676) on the real freebayes
+    output: 19 variants; dropping SNVs leaves 3, dropping MNVs leaves
+    18, dropping indels leaves 17."""
+    from adam_spark.operators.filters import (
+        filter_indels,
+        filter_multiple_nucleotide_variants,
+        filter_single_nucleotide_variants,
+    )
+    from adam_spark.sources.vcf import load_vcf_variants
+
+    v = load_vcf_variants(spark, f"{R}/NA12878.chr22.tiny.freebayes.vcf").df
+    assert v.count() == 19
+    assert filter_single_nucleotide_variants(v).count() == 3
+    assert filter_multiple_nucleotide_variants(v).count() == 18
+    assert filter_indels(v).count() == 17
+
+
+def test_gvcf_multiallelic_pins(spark):
+    """GenotypeDatasetSuite on gvcf_multiallelic/multiallelic.vcf:
+    filterNoCalls leaves 3 (:683-692); the first sorted genotype's END
+    is 16157602 (:694-716, the gVCF END attribute)."""
+    from adam_spark.operators.filters import filter_no_calls
+    from adam_spark.sources.vcf import load_vcf_genotypes
+
+    g = load_vcf_genotypes(spark, f"{R}/gvcf_multiallelic/multiallelic.vcf").df
+    assert filter_no_calls(g).count() == 3
+    first = g.orderBy("referenceName", "start").first()
+    assert first["end"] == 16157602
+    # gvcf_dir sibling parses too
+    from adam_spark.sources.vcf import load_vcf
+
+    assert load_vcf(spark, f"{R}/gvcf_dir/gvcf_multiallelic.g.vcf").df.count() == 6
+
+
+def test_small_vcf_genotypes_parquet_region_prune(spark, tmp_path):
+    """GenotypeDatasetSuite 'round trip to parquet' (:119-135): 18
+    genotypes in small.vcf; a region-predicate parquet reload keeps the
+    9 rows at exactly starts {14396, 752720, 752790}."""
+    from adam_spark.sources.parquet import load_partitioned_parquet, save_partitioned_parquet
+    from adam_spark.sources.vcf import load_vcf_genotypes
+
+    g = load_vcf_genotypes(spark, f"{R}/small.vcf")
+    assert g.df.count() == 18
+    out = str(tmp_path / "gt.parquet")
+    save_partitioned_parquet(g, out)
+    pruned = load_partitioned_parquet(
+        spark,
+        out,
+        regions=[("1", 14399, 14400), ("1", 752720, 757721), ("1", 752790, 752793)],
+    ).df
+    assert pruned.count() == 9
+    starts = {r["start"] for r in pruned.select("start").distinct().collect()}
+    assert starts == {14396, 752720, 752790}
+
+
+# ----------------------------------------------------------------- fastq 2
+
+
+def test_paired_fastq_counts(spark):
+    """ADAMContextSuite 'loadAlignments should not fail on single-end
+    and paired-end fastq reads' (:648-657): 488 + 488 → 976 paired."""
+    from adam_spark.sources.fastq import load_fastq_alignments, load_paired_fastq
+
+    assert load_fastq_alignments(spark, f"{R}/bqsr1-r1.fq").df.count() == 488
+    assert load_fastq_alignments(spark, f"{R}/bqsr1-r2.fq").df.count() == 488
+    assert (
+        load_paired_fastq(spark, f"{R}/bqsr1-r1.fq", f"{R}/bqsr1-r2.fq").df.count()
+        == 976
+    )
+
+
+# ------------------------------------------------------- dict / intervals
+
+
+def test_dict_with_accession(spark):
+    """SequenceDictionarySuite 'Convert from SAM sequence dictionary
+    file (with extra fields)' (:46-58): the real Picard .dict parses —
+    contig 1 present (and only 1)."""
+    from adam_spark.context import load_sequence_dictionary
+
+    sd = load_sequence_dictionary(f"{R}/dict_with_accession.dict")
+    names = [r.name for r in sd.references]
+    assert names == ["1"]
+    assert sd.references[0].length == 249250621
+
+
+def test_interval_list_real_files(spark):
+    """ADAMContextSuite 'Can read a .interval_list file' (:179-190):
+    369 rows from the real Picard SeqCap interval list with the
+    gene-name pin on chr1:14415-14499; the hg38 wgs calling regions
+    excerpt and the real ENCODE narrowPeak load too."""
+    from adam_spark.sources import features_io as feat
+
+    il = feat.load_interval_list(spark, f"{R}/SeqCap_EZ_Exome_v3.hg19.interval_list")
+    assert il.df.count() == 369
+    first = il.df.where(
+        (F.col("referenceName") == "chr1")
+        & (F.col("start") == 14415)
+        & (F.col("end") == 14499)
+    ).first()
+    assert first["name"] == (
+        "gn|DDX11L1;gn|RP11-34P13.2;ens|ENSG00000223972;"
+        "ens|ENSG00000227232;vega|OTTHUMG00000000958;vega|OTTHUMG00000000961"
+    )
+    assert (
+        feat.load_interval_list(
+            spark, f"{R}/wgs_calling_regions.hg38.interval_list"
+        ).df.count()
+        == 27
+    )
+    assert (
+        feat.load_narrowpeak(
+            spark, f"{R}/wgEncodeOpenChromDnaseGm19238Pk.trunc10.narrowPeak"
+        ).df.count()
+        == 10
+    )
+
+
+# ----------------------------------------------------------- tags / frags
+
+
+def test_tags_sam_all_attribute_types(spark):
+    """ADAMContextSuite 'can read a small .SAM with all attribute tag
+    types' (:126-130): 7 reads with A/H/B-array (c/i/s/f, signed +
+    unsigned) tags survive the load."""
+    from pyspark.sql import functions as F
+
+    t = _load(spark, "tags.sam").df
+    assert t.count() == 7
+    r = t.where(F.col("readName") == "UnsignedArrays").first()
+    assert r["attributes"]["XB"] == "B:C,1,2,3"
+    assert r["attributes"]["XI"] == "B:I,1,2,3"
+
+
+def test_small_sam_mapq_filter(spark):
+    """ADAMContextSuite 'can filter a .SAM file based on quality'
+    (:132-138): mapped ∧ mapq>30 keeps 18 of small.sam's reads."""
+    s = _load(spark, "small.sam").df
+    assert s.where(F.col("readMapped") & (F.col("mappingQuality") > 30)).count() == 18
+
+
+@pytest.mark.parametrize("name", ["sample1.queryname.sam", "sample1.query.sam"])
+def test_query_grouped_sam_as_fragments(spark, name):
+    """ADAMContextSuite 'load queryname sorted / query grouped sam as
+    fragments' (:658-674): 3 fragments holding 6 alignments."""
+    from adam_spark.context import load_fragments
+
+    fr = load_fragments(spark, f"{R}/{name}")
+    assert fr.df.count() == 3
+    assert fr.df.select(F.explode("alignments")).count() == 6
+
+
+def test_tag_sam_roundtrip_preserves_attributes(spark, tmp_path):
+    """AlignmentDatasetSuite 'writing a small file with tags should
+    produce the expected result' (:512-531): all 10 attributes survive
+    a save→load cycle with identical tag sets."""
+    from adam_spark.context import load_alignments
+    from adam_spark.sources.sam import save_sam
+
+    gf = _load(spark, "tag.sam")
+    dst = str(tmp_path / "t.sam")
+    save_sam(gf, dst, single_file=True)
+    back = load_alignments(spark, dst).df
+    a = gf.df.first()
+    b = back.first()
+    assert gf.df.count() == back.count() == 1
+    assert len(a["attributes"]) == len(b["attributes"]) == 10
+    assert set(a["attributes"]) == set(b["attributes"])
+
+
+# ------------------------------------------------- fastq split resync
+
+
+def _parse_fastq_output_golden(path, marker):
+    """Parse the reference's committed ``*.output`` golden files (the
+    expected records of its Hadoop FASTQ input formats on the
+    deliberately TRUNCATED ``*_sample{2,3,4}`` fixtures)."""
+    recs, cur = [], None
+    for line in open(path):
+        line = line.rstrip("\n")
+        if line.startswith(">>>"):
+            cur = []
+        elif line.startswith("<<<"):
+            recs.append(cur)
+            cur = None
+        elif cur is not None:
+            cur.append(line)
+    reads = []
+    for rec in recs:
+        for j in range(0, len(rec), 4):
+            reads.append((rec[j + 1], rec[j + 3]))  # (sequence, quality)
+    return reads
+
+
+@pytest.mark.parametrize("i", [1, 2, 3, 4, 5])
+def test_interleaved_fastq_resync_goldens(spark, i):
+    """InterleavedFastqInputFormat record-boundary goldens
+    (interleaved_fastq_sample*.ifq.output): files starting mid-record
+    resynchronize at the next FIRST-of-pair name line
+    (InterleavedFastqInputFormat.java:61,82-96), dropping the leading
+    partial pair — including the orphaned second-of-pair read."""
+    from adam_spark.sources.fastq import load_interleaved_fastq
+
+    want = sorted(
+        _parse_fastq_output_golden(
+            f"{R}/interleaved_fastq_sample{i}.ifq.output", "interleaved"
+        )
+    )
+    df = load_interleaved_fastq(spark, f"{R}/interleaved_fastq_sample{i}.ifq").df
+    got = sorted(
+        (r["sequence"], r["qualityScores"])
+        for r in df.select("sequence", "qualityScores").collect()
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("i", [1, 2, 3, 4])
+def test_single_fastq_resync_goldens(spark, i):
+    """SingleFastqInputFormat goldens (single_fastq_sample*.fq.output):
+    single-end resync skips to the first '@' line
+    (SingleFastqInputFormat.java:68-71)."""
+    from adam_spark.sources.fastq import load_unpaired_fastq
+
+    want = sorted(
+        _parse_fastq_output_golden(f"{R}/single_fastq_sample{i}.fq.output", "fastq")
+    )
+    df = load_unpaired_fastq(spark, f"{R}/fastq_sample{i}.fq").df
+    got = sorted(
+        (r["sequence"], r["qualityScores"])
+        for r in df.select("sequence", "qualityScores").collect()
+    )
+    assert got == want
