@@ -547,9 +547,43 @@ def _genotype_struct(
     )
 
 
+def _vcf_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw VCF lines. ``.bgz`` needs special handling: Spark's text
+    reader picks codecs by extension and does not know htslib's
+    ``.bgz`` suffix (``.vcf.gz``/``.bgzf.gz`` decode natively — BGZF is
+    valid multi-member gzip). One whole-file gunzip task per ``.bgz``
+    file, the same parallelism class as Spark's own unsplittable-gzip
+    handling (loadVcf on test.vcf.bgz, ADAMContextSuite; pinned in
+    tests/test_reference_goldens.py)."""
+    import glob as _glob
+    import os
+
+    if path.endswith(".bgz") or (
+        os.path.isdir(path) and _glob.glob(os.path.join(path, "*.bgz"))
+    ):
+        import gzip as _gzip
+        import pandas as pd
+
+        def _gunzip_lines(batches):
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    text = _gzip.decompress(bytes(row["content"])).decode()
+                    yield pd.DataFrame(
+                        {"value": text.rstrip("\n").split("\n")}
+                    )
+
+        return (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("content")
+            .mapInPandas(_gunzip_lines, "value string")
+        )
+    return spark.read.text(path)
+
+
 def _parse_header(spark: SparkSession, path: str):
     hdr_rows = (
-        spark.read.text(path)
+        _vcf_text(spark, path)
         .where(F.col("value").startswith("#"))
         .collect()
     )
@@ -632,7 +666,7 @@ def load_vcf(spark: SparkSession, path: str) -> GenomicFrame:
     header_lines, refs, sample_names = _parse_header(spark, path)
     header_lines = mix_header_lines(header_lines)
 
-    body = spark.read.text(path).where(
+    body = _vcf_text(spark, path).where(
         ~F.col("value").startswith("#") & (F.length(F.trim("value")) > 0)
     )
     return vcf_lines_to_contexts(body, header_lines, refs, sample_names)

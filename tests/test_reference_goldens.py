@@ -676,3 +676,32 @@ def test_single_fastq_resync_goldens(spark, i):
         for r in df.select("sequence", "qualityScores").collect()
     )
     assert got == want
+
+
+def test_vcf_codec_equality(spark):
+    """ADAMContextSuite compressed-VCF loads: test.vcf and its .gz /
+    .bgz / .bgzf.gz siblings parse to the same 7 contexts (the .bgz
+    suffix is htslib's BGZF naming Spark does not know natively)."""
+    from adam_spark.sources.vcf import load_vcf
+
+    base = None
+    for ext in ("", ".gz", ".bgz", ".bgzf.gz"):
+        rows = sorted(
+            (r["referenceName"], r["start"], r["variant"]["alternateAllele"])
+            for r in load_vcf(spark, f"{R}/test.vcf{ext}").df.collect()
+        )
+        assert len(rows) == 7
+        if base is None:
+            base = rows
+        else:
+            assert rows == base
+
+
+def test_realign_na12878_no_drop(spark):
+    """RealignIndelsSuite 'if realigning a target doesn't improve the
+    LOD, don't drop reads' (:591-595) on the real NA12878 excerpt: the
+    read count survives realignment unchanged."""
+    from adam_spark.operators.realignment import realign_indels
+
+    reads = _load(spark, "NA12878.1_854950_855150.sam").df
+    assert reads.count() == realign_indels(reads).count() == 95
