@@ -65,12 +65,23 @@ def load_fasta_sequences(
         ).alias("sequence"),
     )
     hdr = F.regexp_replace(F.col("header"), "^>", "")
+    # parseDescriptionLine (FastaConverters.scala:91-116): a first token
+    # containing '|' is NCBI-style metadata → name stays NULL and the
+    # WHOLE header is the description (pinned on chr20.250k.fa.gz:
+    # name null, description "gi|224384749|gb|CM000682.1| Homo
+    # sapiens…"); otherwise name = first token, description = rest
+    first_tok = F.substring_index(hdr, " ", 1)
+    has_space = F.instr(hdr, " ") > 0
+    rest = F.expr(
+        "substring(regexp_replace(header, '^>', ''), "
+        "instr(regexp_replace(header, '^>', ''), ' ') + 1)"
+    )
+    meta_form = has_space & (F.instr(first_tok, "|") > 0)
     df = assembled.select(
-        F.substring_index(hdr, " ", 1).alias("name"),
-        F.when(
-            F.instr(hdr, " ") > 0,
-            F.expr("substring(regexp_replace(header, '^>', ''), instr(regexp_replace(header, '^>', ''), ' ') + 1)"),
-        ).alias("description"),
+        F.when(~meta_form, first_tok).alias("name"),
+        F.when(meta_form, F.trim(hdr))
+        .when(has_space, F.trim(rest))
+        .alias("description"),
         F.lit(alphabet).alias("alphabet"),
         F.upper(F.col("sequence")).alias("sequence"),
         F.length("sequence").cast("long").alias("length"),
@@ -106,10 +117,17 @@ def save_fasta(
     gf: GenomicFrame, path: str, line_width: int = 60, single_file: bool = False
 ) -> None:
     """Sequences/slices → FASTA, line-wrapped (SequenceDataset.scala:508)."""
+    # name may be NULL with the full header held in description (NCBI
+    # metadata form, parseDescriptionLine) — emit whichever parts exist
     header = F.concat(
         F.lit(">"),
-        F.col("name"),
-        F.when(F.col("description").isNotNull(), F.concat(F.lit(" "), F.col("description"))).otherwise(""),
+        F.concat_ws(
+            " ",
+            *[
+                F.when(F.col(c).isNotNull(), F.col(c))
+                for c in ("name", "description")
+            ],
+        ),
     )
     wrapped = F.array_join(
         F.transform(

@@ -705,3 +705,47 @@ def test_realign_na12878_no_drop(spark):
 
     reads = _load(spark, "NA12878.1_854950_855150.sam").df
     assert reads.count() == realign_indels(reads).count() == 95
+
+
+# ------------------------------------------------- fasta / genome dicts
+
+
+def test_fasta_sequence_pins(spark):
+    """ADAMContextSuite FASTA pins (:1050-1083): trinity.fa → 5
+    sequences; chr20.250k.fa.gz → one 251,930-base sequence whose NCBI
+    metadata header ('gi|…') yields name NULL + full-header description
+    (parseDescriptionLine, FastaConverters.scala:91-116); sliced at
+    10 kb → 26 slices."""
+    from adam_spark.sources.fasta import load_fasta_sequences, load_fasta_slices
+
+    assert load_fasta_sequences(spark, f"{R}/trinity.fa").df.count() == 5
+    (s,) = load_fasta_sequences(spark, f"{R}/chr20.250k.fa.gz").df.collect()
+    assert s["name"] is None
+    assert s["description"] == (
+        "gi|224384749|gb|CM000682.1| Homo sapiens chromosome 20, "
+        "GRCh37 primary reference assembly"
+    )
+    assert s["length"] == 251930
+    assert load_fasta_slices(spark, f"{R}/chr20.250k.fa.gz", 10000).df.count() == 26
+
+
+@pytest.mark.parametrize("name", ["hg19.genome", "hg19.genome.txt", "chromInfo.txt"])
+def test_genome_file_sequence_dictionaries(spark, name):
+    """ADAMContextSuite Bedtools .genome / UCSC chromInfo loads
+    (:715-745): 93 records with the chr1 and chr17_gl000206_random
+    length pins."""
+    from adam_spark.context import load_sequence_dictionary
+
+    sd = load_sequence_dictionary(f"{R}/{name}")
+    m = {r.name: r.length for r in sd.references}
+    assert len(m) == 93
+    assert m["chr1"] == 249250621
+    assert m["chr17_gl000206_random"] == 41001
+
+
+def test_sample_coverage_bed(spark):
+    """CoverageDatasetSuite 'can read a bed file to coverage'
+    (:177-187): 3 coverage rows from the real sample_coverage.bed."""
+    from adam_spark.context import load_coverage
+
+    assert load_coverage(spark, f"{R}/sample_coverage.bed").df.count() == 3
