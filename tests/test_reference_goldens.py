@@ -749,3 +749,42 @@ def test_sample_coverage_bed(spark):
     from adam_spark.context import load_coverage
 
     assert load_coverage(spark, f"{R}/sample_coverage.bed").df.count() == 3
+
+
+def test_sorted_variants_partitioned_contexts(spark, tmp_path):
+    """VariantContextDatasetSuite 'load partitioned parquet to variant
+    context datasets' (:525-545) on the GATK-produced
+    sorted-variants.vcf: 6 contexts; region reload at 2:19000-21000 +
+    13:752700-752750 keeps exactly 2; the GATKCommandLine header line
+    and the '13' reference survive the save/load metadata cycle."""
+    from adam_spark.sources.parquet import (
+        load_partitioned_parquet,
+        save_partitioned_parquet,
+    )
+    from adam_spark.sources.vcf import load_vcf
+
+    vcs = load_vcf(spark, f"{R}/sorted-variants.vcf")
+    assert vcs.df.count() == 6
+    assert any(r.name == "13" for r in vcs.meta.references.references)
+    assert any("GATKCommandLine" in h for h in vcs.meta.header_lines)
+
+    out = str(tmp_path / "vc")
+    save_partitioned_parquet(vcs, out, partition_size=1000000)
+    back = load_partitioned_parquet(spark, out)
+    assert back.df.count() == 6
+    assert any("GATKCommandLine" in h for h in back.meta.header_lines)
+    assert (
+        load_partitioned_parquet(
+            spark, out, regions=[("2", 19000, 21000), ("13", 752700, 752750)]
+        ).df.count()
+        == 2
+    )
+
+
+def test_bad_header_sam_lenient(spark):
+    """ADAMContextSuite 'can read a small .SAM file with a bad header
+    with lenient validation' (:102-108): all 20 reads load despite the
+    malformed @SQ line (this loader is lenient by default; the
+    reference's STRICT SAMFormatException path is htsjdk-side and out
+    of scope)."""
+    assert _load(spark, "small.badheader.sam").df.count() == 20
