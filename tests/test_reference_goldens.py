@@ -788,3 +788,38 @@ def test_bad_header_sam_lenient(spark):
     reference's STRICT SAMFormatException path is htsjdk-side and out
     of scope)."""
     assert _load(spark, "small.badheader.sam").df.count() == 20
+
+
+def test_index_sequence_names_group_into_fragments(spark):
+    """FragmentDatasetSuite (:581-613): paired + interleaved FASTQ with
+    Casava index-sequence read names (' 1:N:0:ATCANG') strip to the
+    same base name and group into 4 fragments of 2 alignments each."""
+    from adam_spark.operators.conversions import alignments_to_fragments
+    from adam_spark.sources.fastq import load_fastq_alignments
+
+    pr = load_fastq_alignments(
+        spark,
+        f"{R}/read_names_with_index_sequences_pair1.fq",
+        f"{R}/read_names_with_index_sequences_pair2.fq",
+    )
+    fr = alignments_to_fragments(pr.df)
+    assert fr.count() == 4
+    assert [r[0] for r in fr.select(F.size("alignments")).collect()] == [2, 2, 2, 2]
+
+    il = load_fastq_alignments(
+        spark,
+        f"{R}/read_names_with_index_sequences_interleaved.fq",
+        interleaved=True,
+    )
+    fr2 = alignments_to_fragments(il.df)
+    assert fr2.count() == 4
+    assert [r[0] for r in fr2.select(F.size("alignments")).collect()] == [2, 2, 2, 2]
+
+
+def test_gff3_embedded_fasta_ignored(spark):
+    """FeatureDatasetSuite 'ignore FASTA sequence in GFF3 file'
+    (:257-261): ctg123.fasta.gff3's ##FASTA section is skipped — 12
+    features."""
+    from adam_spark.sources import features_io as feat
+
+    assert feat.load_gff3(spark, f"{R}/ctg123.fasta.gff3").df.count() == 12
