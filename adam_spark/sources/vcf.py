@@ -1104,65 +1104,39 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         }
 
     gts = F.coalesce(F.col("genotypes"), F.expr("array()").cast(df.schema["genotypes"].dataType))
-    def _has(key: str) -> Column:
-        if key == "FT":
-            # htsjdk includes the FT key only when some genotype on the
-            # line FAILED its filters (calcVCFGenotypeKeys
-            # sawGenotypeFilter = isFiltered); passed-only lines carry
-            # no FT (byte-pinned against sorted.vcf)
-            return F.exists(
-                gts,
-                lambda gg: F.coalesce(
-                    gg["variantCallingAnnotations"]["filtersApplied"], F.lit(False)
-                )
-                & ~F.coalesce(
-                    gg["variantCallingAnnotations"]["filtersPassed"], F.lit(True)
-                ),
-            )
-        return F.exists(gts, lambda gg: _fmt_fields(gg)[key].isNotNull())
 
-    has = {k: _has(k) for k in _FMT_ORDER}
-    attr_keys = F.array_sort(
-        F.array_distinct(
-            F.flatten(
-                F.transform(
-                    gts,
-                    lambda gg: F.map_keys(
-                        F.coalesce(
-                            gg["variantCallingAnnotations"]["attributes"],
-                            F.expr("cast(map() as map<string,string>)"),
-                        )
-                    ),
-                )
-            )
-        )
-    )
-    # FORMAT = GT first, then ALL present keys (typed + genotype
-    # attributes interleaved) in ASCII order — htsjdk calcVCFGenotypeKeys
-    # sorts the union (byte-pinned against sorted.vcf: GT:AD:DP:FT:GQ:PL)
-    fmt_keys = F.array_sort(
-        F.concat(
-            F.filter(
-                F.array(*[F.when(has[k], F.lit(k)) for k in _FMT_ORDER]),
-                lambda x: x.isNotNull(),
+    # render every genotype ONCE into (sampleId, GT, key→value map,
+    # failed) — the per-genotype work (PL re-phred, depth joins, FT)
+    # lives in a single materialized column, so the per-sample cells
+    # and the key-presence checks below are cheap lookups instead of
+    # re-inlined copies of the whole extractor tree (a 20× wall-clock
+    # difference at 200k rows — see MEASURED.md round-9 VCF save row)
+    def _gt_entry(gg: Column) -> Column:
+        fields = _fmt_fields(gg)
+        typed_entries = F.filter(
+            F.array(
+                *[
+                    F.when(
+                        fields[k].isNotNull(),
+                        F.struct(F.lit(k).alias("key"), fields[k].alias("value")),
+                    )
+                    for k in _FMT_ORDER
+                ]
             ),
-            attr_keys,
+            lambda x: x.isNotNull(),
         )
-    )
-    fmt_col = F.when(
-        F.size(fmt_keys) > 0,
-        F.concat(F.lit("GT:"), F.array_join(fmt_keys, ":")),
-    ).otherwise(F.lit("GT"))
-
-    def cell(name: str) -> Column:
-        g = F.try_element_at(
-            F.filter(F.col("genotypes"), lambda x: x["sampleId"] == F.lit(name)),
-            F.lit(1),
+        attr_entries = F.map_entries(
+            F.coalesce(
+                gg["variantCallingAnnotations"]["attributes"],
+                F.expr("cast(map() as map<string,string>)"),
+            )
         )
-        sep = F.when(F.coalesce(g["phased"], F.lit(False)), F.lit("|")).otherwise(F.lit("/"))
+        sep = F.when(F.coalesce(gg["phased"], F.lit(False)), F.lit("|")).otherwise(
+            F.lit("/")
+        )
         idx = F.array_join(
             F.transform(
-                g["alleles"],
+                gg["alleles"],
                 lambda a: F.when(a == "REF", "0")
                 .when(a == "ALT", "1")
                 .when(a == "OTHER_ALT", "2")
@@ -1170,19 +1144,54 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
             ),
             "\x00",
         )
-        gt = F.when(g.isNull() | g["alleles"].isNull(), "./.").otherwise(
+        gt = F.when(gg["alleles"].isNull(), "./.").otherwise(
             F.replace(idx, F.lit("\x00"), sep)
         )
-        fields = _fmt_fields(g)
-        attrs = g["variantCallingAnnotations"]["attributes"]
+        failed = F.coalesce(
+            gg["variantCallingAnnotations"]["filtersApplied"], F.lit(False)
+        ) & ~F.coalesce(gg["variantCallingAnnotations"]["filtersPassed"], F.lit(True))
+        return F.struct(
+            gg["sampleId"].alias("s"),
+            gt.alias("gt"),
+            F.map_from_entries(F.concat(typed_entries, attr_entries)).alias("m"),
+            failed.alias("failed"),
+        )
 
-        def _val(k: Column) -> Column:
-            c = F.try_element_at(attrs, k)
-            for key in _FMT_ORDER:
-                c = F.when(k == key, fields[key]).otherwise(c)
-            return F.coalesce(c, F.lit("."))
+    if sample_names:
+        df = df.withColumn("__gcells", F.transform(gts, _gt_entry))
+    gcells = F.col("__gcells")
 
-        vals = F.transform(fmt_keys, _val)
+    # htsjdk includes the FT key only when some genotype on the line
+    # FAILED its filters (calcVCFGenotypeKeys sawGenotypeFilter =
+    # isFiltered); passed-only lines carry no FT (byte-pinned against
+    # sorted.vcf)
+    has_ft = F.exists(gcells, lambda e: e["failed"])
+    # FORMAT = GT first, then ALL present keys (typed + genotype
+    # attributes interleaved) in ASCII order — htsjdk calcVCFGenotypeKeys
+    # sorts the union (byte-pinned against sorted.vcf: GT:AD:DP:FT:GQ:PL)
+    all_keys = F.array_distinct(
+        F.flatten(F.transform(gcells, lambda e: F.map_keys(e["m"])))
+    )
+    if sample_names:
+        df = df.withColumn(
+            "__fmtk",
+            F.array_sort(F.filter(all_keys, lambda k: (k != "FT") | has_ft)),
+        )
+    fmt_keys = F.col("__fmtk")
+    fmt_col = F.when(
+        F.size(fmt_keys) > 0,
+        F.concat(F.lit("GT:"), F.array_join(fmt_keys, ":")),
+    ).otherwise(F.lit("GT"))
+
+    def cell(name: str) -> Column:
+        g = F.try_element_at(
+            F.filter(gcells, lambda e: e["s"] == F.lit(name)), F.lit(1)
+        )
+        gt = F.coalesce(g["gt"], F.lit("./."))
+        vals = F.transform(
+            fmt_keys,
+            lambda k: F.coalesce(F.try_element_at(g["m"], k), F.lit(".")),
+        )
         return F.when(
             F.size(fmt_keys) > 0,
             F.concat(gt, F.lit(":"), F.array_join(vals, ":")),
@@ -1211,11 +1220,12 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         info,
         *( [fmt_col] + [cell(n) for n in sample_names] if sample_names else [] ),
     )
-    # the body keeps the FRAME'S row order (monotonic id per partition,
-    # partitions in order) — the reference's saveAsVcf writes whatever
-    # order sort()/sortLexicographically() produced; a writer-imposed
-    # name sort would break dictionary-index ordering (sorted.vcf's
-    # golden order is 1, 2, 13 — contig INDEX, not name)
+    # the body keeps the FRAME'S row order (header flag + monotonic id
+    # as the explicit sort key — plan-level union ordering is NOT
+    # guaranteed through AQE): the reference's saveAsVcf writes whatever
+    # order sort()/sortLexicographically() produced, and a
+    # writer-imposed name sort would break dictionary-index ordering
+    # (sorted.vcf's golden order is 1, 2, 13 — contig INDEX, not name)
     body = df.select(
         F.lit(1).alias("__o"),
         F.monotonically_increasing_id().alias("__k2"),
@@ -1230,10 +1240,22 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     ).select("__o", F.col("__k2").try_cast("long").alias("__k2"), "value")
     out = hdr_df.unionByName(body)
     if single_file:
+        # one partition, one in-memory sort by the tiny (flag, id) key —
+        # the rendered lines are computed exactly once in this stage
         out = out.coalesce(1).sortWithinPartitions("__o", "__k2")
+        out.select("value").write.text(path)
     else:
-        out = out.orderBy("__o", "__k2")
-    out.select("value").write.text(path)
+        # orderBy samples the input to pick range bounds, which would
+        # render every line twice — persist the rendered lines so the
+        # sampling pass and the write both read the cache (A/B in
+        # MEASURED.md round-9: 73.9 → 33.9 s at 204k rows)
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            out.orderBy("__o", "__k2").select("value").write.text(path)
+        finally:
+            out.unpersist()
 
 
 # --- tabix-indexed path ----------------------------------------------------
