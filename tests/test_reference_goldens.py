@@ -843,3 +843,15 @@ def test_feature_cross_format_conversions(spark, tmp_path, ext):
     out = str(tmp_path / f"o.{ext}")
     saver(gf, out, single_file=True)
     assert loader(spark, out).df.count() == 195
+
+
+def test_filter_to_samples_na12878(spark):
+    """AlignmentDatasetSuite 'filter RDD bound alignments to samples'
+    (:1825-1833) on NA12878.sam: readGroupSampleId fills from @RG SM on
+    load (the r8 parity fix), so sample filtering matches 565/0."""
+    from adam_spark.compat import ADAMContext
+
+    a = ADAMContext(spark).loadAlignments(f"{R}/NA12878.sam")
+    assert a.toDF().count() == 565
+    assert a.filterToSamples(["NA12878", "not a sample"]).toDF().count() == 565
+    assert a.filterToSamples(["not a sample"]).toDF().count() == 0
