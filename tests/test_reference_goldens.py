@@ -855,3 +855,34 @@ def test_filter_to_samples_na12878(spark):
     assert a.toDF().count() == 565
     assert a.filterToSamples(["NA12878", "not a sample"]).toDF().count() == 565
     assert a.filterToSamples(["not a sample"]).toDF().count() == 0
+
+
+def test_reads12_sam_roundtrip_value_equal(spark, tmp_path):
+    """AlignmentDatasetSuite 'round trip from ADAM to SAM and back'
+    (:313-335) on reads12.sam (200 real bwa-produced reads): every
+    field of every read survives save→load; all reads mapped
+    ('SAM conversion sets read mapped flag properly', :398-403)."""
+    from adam_spark.context import load_alignments
+    from adam_spark.sources.sam import save_sam
+
+    a = load_alignments(spark, f"{R}/reads12.sam")
+    assert a.df.count() == 200
+    assert a.df.where(~F.col("readMapped")).count() == 0
+    dst = str(tmp_path / "r.sam")
+    save_sam(a, dst, single_file=True)
+    b = load_alignments(spark, dst)
+    cols = sorted(a.df.columns)
+    assert sorted(map(repr, a.df.select(*cols).collect())) == sorted(
+        map(repr, b.df.select(*cols).collect())
+    )
+
+
+def test_long_fastq_reads(spark):
+    """AlignmentDatasetSuite 'load long FASTQ reads' (:405-417): the 8
+    Nanopore-length reads parse with their exact lengths (no
+    max-read-length cap in this line-stitched loader)."""
+    from adam_spark.context import load_alignments
+
+    fq = load_alignments(spark, f"{R}/combined_2018-05-18.9900-10050.fastq").df
+    lens = sorted(r[0] for r in fq.select(F.length("sequence")).collect())
+    assert lens == sorted([10038, 9987, 10010, 9935, 10016, 10042, 9906, 10044])
