@@ -886,3 +886,19 @@ def test_long_fastq_reads(spark):
     fq = load_alignments(spark, f"{R}/combined_2018-05-18.9900-10050.fastq").df
     lens = sorted(r[0] for r in fq.select(F.length("sequence")).collect())
     assert lens == sorted([10038, 9987, 10010, 9935, 10016, 10042, 9906, 10044])
+
+
+def test_fastq_nobases_and_noqual(spark):
+    """AlignmentDatasetSuite 'load FASTQ with no bases' (:419-425) +
+    'convert malformed FASTQ (no quality scores)' (:427-438): empty
+    sequences parse as 2 zero-length reads; '*' quality under lenient
+    stringency normalizes to all-B of read length."""
+    from adam_spark.sources.fastq import load_unpaired_fastq
+
+    nb = load_unpaired_fastq(spark, f"{R}/fastq_nobases.fq").df
+    assert nb.count() == 2
+    assert nb.agg(F.sum(F.length("sequence"))).first()[0] == 0
+
+    nq = load_unpaired_fastq(spark, f"{R}/fastq_noqual.fq", stringency="lenient").df
+    rows = {r["sequence"]: r["qualityScores"] for r in nq.collect()}
+    assert rows == {"GATTACA": "BBBBBBB", "ACATTAG": "BBBBBBB"}
