@@ -44,8 +44,11 @@ def load_fasta_sequences(
         )
         .withColumn("lineno", F.row_number().over(w))
         .withColumn("is_hdr", F.col("line").startswith(">"))
+        # a LEADING headerless block is a legitimate record — legacy
+        # FASTA, FastaConverters.parseDescriptionLine's optLine=None arm
+        # (pinned on legacy.fa: comment-prefixed first sequence) — so
+        # rec 0 is kept, with a null header
         .withColumn("rec", F.sum(F.col("is_hdr").cast("int")).over(w))
-        .where(F.col("rec") > 0)  # tolerate leading junk before first '>'
     )
     assembled = lines.groupBy("file", "rec").agg(
         F.max(F.when(F.col("is_hdr"), F.col("line"))).alias("header"),
@@ -63,28 +66,29 @@ def load_fasta_sequences(
             ),
             "",
         ).alias("sequence"),
-    )
+    ).where(F.length("sequence") > 0)
     hdr = F.regexp_replace(F.col("header"), "^>", "")
-    # parseDescriptionLine (FastaConverters.scala:91-116): a first token
-    # containing '|' is NCBI-style metadata → name stays NULL and the
-    # WHOLE header is the description (pinned on chr20.250k.fa.gz:
-    # name null, description "gi|224384749|gb|CM000682.1| Homo
-    # sapiens…"); otherwise name = first token, description = rest
-    first_tok = F.substring_index(hdr, " ", 1)
-    has_space = F.instr(hdr, " ") > 0
-    rest = F.expr(
-        "substring(regexp_replace(header, '^>', ''), "
-        "instr(regexp_replace(header, '^>', ''), ' ') + 1)"
-    )
+    # parseDescriptionLine (FastaConverters.scala:91-116): split at the
+    # first WHITESPACE (space or tab — the HLA fixture's header is
+    # tab-separated); a first token containing '|' is NCBI-style
+    # metadata → name stays NULL and the WHOLE header is the
+    # description (pinned on chr20.250k.fa.gz); otherwise name = first
+    # token, description = rest
+    first_tok = F.regexp_extract(hdr, r"^\S+", 0)
+    has_space = F.regexp_like(hdr, F.lit(r"\s"))
+    rest = F.regexp_replace(hdr, r"^\S+\s+", "")
     meta_form = has_space & (F.instr(first_tok, "|") > 0)
+    # cleanSequence (FastaConverters.scala:80-82): legacy translation-
+    # stop '*' suffixes strip off
+    seq = F.regexp_replace(F.upper(F.col("sequence")), r"\*$", "")
     df = assembled.select(
-        F.when(~meta_form, first_tok).alias("name"),
+        F.when(F.col("header").isNotNull() & ~meta_form, first_tok).alias("name"),
         F.when(meta_form, F.trim(hdr))
         .when(has_space, F.trim(rest))
         .alias("description"),
         F.lit(alphabet).alias("alphabet"),
-        F.upper(F.col("sequence")).alias("sequence"),
-        F.length("sequence").cast("long").alias("length"),
+        seq.alias("sequence"),
+        F.length(seq).cast("long").alias("length"),
     )
     return GenomicFrame(
         schemas.conform(df, schemas.SEQUENCE), GenomicMetadata(kind="sequence")

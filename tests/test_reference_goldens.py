@@ -902,3 +902,42 @@ def test_fastq_nobases_and_noqual(spark):
     nq = load_unpaired_fastq(spark, f"{R}/fastq_noqual.fq", stringency="lenient").df
     rows = {r["sequence"]: r["qualityScores"] for r in nq.collect()}
     assert rows == {"GATTACA": "BBBBBBB", "ACATTAG": "BBBBBBB"}
+
+
+def test_hla_faidx_and_name_split(spark):
+    """IndexedFastaFileSuite 'correctly gets sequence' + ADAMContextSuite
+    'read a HLA fasta from GRCh38' (:402-414): the tab-separated header
+    splits at the first WHITESPACE ('HLA-DQB1*05:01:01:02'), and the
+    .fai-indexed extract returns the pinned 50-mer. Convention note:
+    the reference's IndexedFastaFile.extract treats region bounds as
+    htsjdk 1-based-inclusive (extract(1,50) = first 50 bases) while its
+    own TwoBitFile is 0-based half-open; this engine is uniformly
+    0-based half-open, so the same bases are extract(0, 50)."""
+    from adam_spark.sources.fasta import load_fasta_sequences
+    from adam_spark.sources.reference_file import load_reference_file
+
+    (s,) = load_fasta_sequences(spark, f"{R}/HLA_DQB1_05_01_01_02.fa").df.collect()
+    assert s["name"] == "HLA-DQB1*05:01:01:02"
+
+    rf = load_reference_file(f"{R}/HLA_DQB1_05_01_01_02.fa")
+    assert (
+        rf.extract("HLA-DQB1*05:01:01:02", 0, 50)
+        == "TTCTAAGACCTTTGCTCTTCTCCCCAGGACTTAAGGCTCTTCAGCGTGTC"
+    )
+
+
+def test_legacy_fasta_comments_gaps_stops(spark):
+    """ADAMContextSuite 'read a fasta file with comments, gaps, and
+    translation stops' (:439-455) on legacy.fa: a comment-prefixed
+    HEADERLESS first sequence is a record; trailing '*' translation
+    stops strip (cleanSequence); alignment gaps '-' survive. Lengths
+    148 / 229 / 284."""
+    from adam_spark.sources.fasta import load_fasta_sequences
+
+    rows = sorted(
+        load_fasta_sequences(spark, f"{R}/legacy.fa", alphabet="PROTEIN").df.collect(),
+        key=lambda r: r["length"],
+    )
+    assert [r["length"] for r in rows] == [148, 229, 284]
+    assert all("*" not in r["sequence"] for r in rows)
+    assert "-" in rows[2]["sequence"]

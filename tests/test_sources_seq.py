@@ -161,5 +161,8 @@ def test_fasta_comments_gaps_stops(spark, tmp_path):
     )
     rows = {r["name"]: r["sequence"]
             for r in load_fasta_sequences(spark, str(fa), "PROTEIN").df.collect()}
-    assert rows["prot1"] == "MKV-LL*"
+    # cleanSequence strips the trailing translation stop
+    # (FastaConverters.scala:80-82; pinned on legacy.fa in
+    # tests/test_reference_goldens.py)
+    assert rows["prot1"] == "MKV-LL"
     assert rows["prot2"] == "ACGT"
