@@ -352,8 +352,11 @@ def test_ta_force_load_flags(spark, sam_path, tmp_path):
 
     # interleaved FASTQ under .txt: alternating r1/r2 records pair up
     ifq = tmp_path / "inter.txt"
+    # first-of-pair suffixes are required by the interleaved record
+    # boundary (InterleavedFastqInputFormat.java:61; unsuffixed files
+    # read as zero records, as in the reference)
     ifq.write_text(
-        "@p1\nACGTACGTAC\n+\nIIIIIIIIII\n@p1\nGGGGCCCCAA\n+\nIIIIIIIIII\n"
+        "@p1/1\nACGTACGTAC\n+\nIIIIIIIIII\n@p1/2\nGGGGCCCCAA\n+\nIIIIIIIIII\n"
     )
     out3 = str(tmp_path / "o3.adam")
     assert main(["transform_alignments", str(ifq), out3, "-force_load_ifastq"]) == 0

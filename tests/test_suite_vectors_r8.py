@@ -169,14 +169,26 @@ def test_fastq_pair_suffix_mismatch_raises(spark, tmp_path):
     passes under lenient; unsuffixed names pass either slot."""
     from adam_spark.sources.fastq import load_interleaved_fastq
 
+    # a FIRST-of-pair suffix in the second slot reaches the converter
+    # check (the record-reader resync can only anchor on first-of-pair
+    # lines, InterleavedFastqInputFormat.java:61 — so a /2-led file is
+    # resynced past the orphan instead, see below)
     bad = tmp_path / "bad.ifq"
-    bad.write_text("@read/2\nACGT\n+\nFFFF\n@read/1\nTTTT\n+\nIIII\n")
+    bad.write_text("@read/1\nACGT\n+\nFFFF\n@read/1\nTTTT\n+\nIIII\n")
     with pytest.raises(Exception, match="bad suffix"):
         load_interleaved_fastq(spark, str(bad)).df.collect()
     assert load_interleaved_fastq(spark, str(bad), stringency="lenient").df.count() == 2
+    # /2-led file: the input-format resync skips the leading orphan
+    # (pinned against the committed truncated-fixture goldens); the
+    # remaining half-pair yields no complete record
+    orphan = tmp_path / "orphan.ifq"
+    orphan.write_text("@read/2\nACGT\n+\nFFFF\n@read/1\nTTTT\n+\nIIII\n")
+    assert load_interleaved_fastq(spark, str(orphan)).df.count() == 0
+    # unsuffixed names never match the interleaved record boundary —
+    # the reference's input format reads zero records from such a file
     ok = tmp_path / "ok.ifq"
     ok.write_text("@read\nACGT\n+\nFFFF\n@read\nTTTT\n+\nIIII\n")
-    assert load_interleaved_fastq(spark, str(ok)).df.count() == 2
+    assert load_interleaved_fastq(spark, str(ok)).df.count() == 0
 
 
 def test_fastq_convert_pair_valid(spark, tmp_path):
