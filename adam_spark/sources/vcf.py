@@ -1063,9 +1063,25 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
             )
         )
         return {
+            # half-set depth pairs raise, as extractAllelicDepth does
+            # (suite 'throw iae if missing one component of gt read
+            # depth adam->htsjdk', VariantContextConverter.scala)
             "AD": F.when(
                 g["referenceReadDepth"].isNotNull() & g["alternateReadDepth"].isNotNull(),
                 F.concat_ws(",", g["referenceReadDepth"], g["alternateReadDepth"]),
+            ).when(
+                g["referenceReadDepth"].isNotNull() | g["alternateReadDepth"].isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "Both referenceReadDepth and alternateReadDepth "
+                            "must be specified if either is: "
+                        ),
+                        F.coalesce(g["referenceReadDepth"].cast("string"), F.lit("null")),
+                        F.lit(","),
+                        F.coalesce(g["alternateReadDepth"].cast("string"), F.lit("null")),
+                    )
+                ).cast("string"),
             ),
             "DP": g["readDepth"].cast("string"),
             "GQ": g["genotypeQuality"].cast("string"),

@@ -321,3 +321,22 @@ def test_somatic_save_direction(spark, tmp_path):
     text = _save_text(gf, tmp_path)
     assert "SOMATIC" in _info_of(text, 100).split(";")
     assert "SOMATIC" not in _info_of(text, 200)
+
+
+def test_genotype_half_depth_raises_on_save(spark, tmp_path):
+    """'throw iae if missing one component of gt read depth
+    adam->htsjdk' (:853-866): a genotype carrying only one of
+    referenceReadDepth/alternateReadDepth fails the save."""
+    p = tmp_path / "h.vcf"
+    p.write_text(CONTIG + "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA12878\n"
+                 + "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:AD\t0/1:3,6\n")
+    gf = vcf_io.load_vcf(spark, str(p))
+    broken = gf.df.withColumn(
+        "genotypes",
+        F.transform(
+            F.col("genotypes"),
+            lambda g: g.withField("alternateReadDepth", F.lit(None).cast("int")),
+        ),
+    )
+    with pytest.raises(Exception, match="referenceReadDepth"):
+        _save_text(vcf_io.GenomicFrame(broken, gf.meta), tmp_path, "h_out.vcf")
