@@ -941,3 +941,19 @@ def test_legacy_fasta_comments_gaps_stops(spark):
     assert [r["length"] for r in rows] == [148, 229, 284]
     assert all("*" not in r["sequence"] for r in rows)
     assert "-" in rows[2]["sequence"]
+
+
+def test_2bit_write_roundtrip_real_chrm(spark, tmp_path):
+    """Writer fidelity on real UCSC data: hg19.chrM extracted with soft
+    masks, re-written with write_2bit, and re-read — byte-equal
+    sequence, mask blocks preserved."""
+    from adam_spark.sources.reference_file import TwoBitFile, write_2bit
+
+    tb = TwoBitFile(f"{R}/hg19.chrM.2bit")
+    seq = tb.extract("hg19_chrM", 0, tb.length("hg19_chrM"), masked=True)
+    dst = str(tmp_path / "o.2bit")
+    write_2bit({"hg19_chrM": seq}, dst)
+    tb2 = TwoBitFile(dst)
+    assert tb2.length("hg19_chrM") == 16571
+    assert tb2.extract("hg19_chrM", 0, 16571, masked=True) == seq
+    assert tb2.extract("hg19_chrM", 2600, 2610, masked=True) == "taatcacttg"
