@@ -59,117 +59,135 @@ PHRED_OFFSET = 33
 # 1. target finding
 # --------------------------------------------------------------------------
 
-_EVIDENCE_SCHEMA = StructType(
-    [
-        StructField("tstarts", ArrayType(LongType()), True),
-        StructField("tends", ArrayType(LongType()), True),
-    ]
-)
-
-
-def _read_evidence(cigar: str, md: str, start: int, max_indel_size: int):
-    """Candidate target intervals from one read (IndelRealignmentTarget
-    semantics: the indel's reference span; mismatch point targets).
-
-    Documented divergence from IndelRealignmentTarget.apply
-    (IndelRealignmentTarget.scala:84-120): the reference emits one
-    variation-bearing target only for single-indel reads (multi-indel
-    reads and mismatch-only reads contribute just their read span) and
-    merges targets whose READ ranges overlap; this finder emits every
-    indel span plus MD-mismatch points and merges on evidence overlap —
-    a finer-grained superset. The realigned OUTPUT is pinned equal to
-    the reference's contract on the GATK golden
-    (tests/test_reference_goldens.py::test_realign_artificial_vs_gatk_golden)
-    and to the DuckDB oracle at both SFs; only the internal target
-    shapes differ."""
-    starts, ends = [], []
-    ref_pos = start
-    for n, op in parse_cigar(cigar):
-        if op == "I":
-            starts.append(ref_pos)
-            ends.append(ref_pos + 1)
-        elif op == "D":
-            if n <= max_indel_size:
-                starts.append(ref_pos)
-                ends.append(ref_pos + n)
-            ref_pos += n
-        elif op in "M=X":
-            ref_pos += n
-        elif op == "N":
-            ref_pos += n
-    if md:
-        pairs = aligned_pairs(cigar, start)
-        for aligned_idx in walk_md(md).mismatch_aligned:
-            if aligned_idx < len(pairs):
-                p = pairs[aligned_idx].ref_pos
-                starts.append(p)
-                ends.append(p + 1)
-    return starts, ends
-
-
 def find_realignment_targets(
     reads: DataFrame,
     max_indel_size: int = 500,
     max_target_size: int = 3000,
     extra_targets: DataFrame | None = None,
 ) -> DataFrame:
-    """(referenceName, start, end) merged target regions.
+    """Merged realignment target READ ranges (referenceName, start, end)
+    — reference semantics end to end:
+
+    - a read contributes a target only when its cigar carries EXACTLY
+      ONE indel within ``max_indel_size``; the target's variation is
+      that indel's reference span and its read range is the alignment
+      span. No-indel and multi-indel reads contribute nothing — their
+      empty targets are filtered (IndelRealignmentTarget.apply,
+      IndelRealignmentTarget.scala:84-120; findTargets
+      ``filter(!_.isEmpty)``, RealignmentTargetFinder.scala:110-113).
+    - read-range-sorted targets chain-merge while one side's VARIATION
+      overlaps the other's read range, hulling both ranges
+      (TargetOrdering.overlap :69-72 + merge :164-176).
+    - merged targets whose read range exceeds ``max_target_size`` drop
+      entirely (findTargets :121-124).
+
+    Pinned on the reference's own fixtures: artificial.sam merges to
+    ONE target; the NA12878.1_922305 insertion pile realigns 41 reads
+    at lodThreshold=0 (tests/test_reference_goldens.py).
 
     ``extra_targets``: optional (referenceName, start, end) regions to
     union in before merging — the knowns model's ``targetsToAdd``
-    (ConsensusGeneratorFromKnowns.scala:31-60)."""
+    (ConsensusGeneratorFromKnowns.scala:31-60); each is its own
+    variation+read range.
 
-    @F.pandas_udf(_EVIDENCE_SCHEMA)
-    def _ev(cigar: pd.Series, md: pd.Series, start: pd.Series) -> pd.DataFrame:
-        rows = [
-            _read_evidence(c, m if isinstance(m, str) else None, int(s), max_indel_size)
-            if isinstance(c, str)
-            else ([], [])
-            for c, m, s in zip(cigar, md, start)
-        ]
-        return pd.DataFrame(rows, columns=["tstarts", "tends"])
+    Scale shape: the single-indel extraction is a narrow Catalyst
+    aggregate over cigar tokens (no MD parsing, no UDF); the chain
+    merge runs per contig in applyInPandas over the (tiny) single-indel
+    target set — the reference itself folds the whole TargetSet
+    sequentially into one in-memory TreeSet."""
+    import pandas as pd
 
-    ev = (
-        reads.where(F.col("readMapped") & F.col("cigar").isNotNull())
-        .select(
-            "referenceName",
-            _ev(F.col("cigar"), F.col("mismatchingPositions"), F.col("start")).alias("e"),
+    tok = F.expr(r"regexp_extract_all(cigar, '(\\d+[MIDNSHP=X])', 1)")
+    acc0 = F.struct(
+        F.col("start").cast("long").alias("pos"),
+        F.lit(0).alias("n"),
+        F.lit(None).cast("long").alias("vs"),
+        F.lit(None).cast("long").alias("ve"),
+    )
+
+    def _step(acc, t):
+        ln = F.regexp_extract(t, r"^(\d+)", 1).cast("long")
+        op = F.regexp_extract(t, r"([MIDNSHP=X])$", 1)
+        gated = ln <= F.lit(max_indel_size)
+        is_i = (op == "I") & gated
+        is_d = (op == "D") & gated
+        return F.struct(
+            (
+                acc["pos"]
+                + F.when(op.isin("M", "D", "N", "=", "X"), ln).otherwise(F.lit(0))
+            ).alias("pos"),
+            (acc["n"] + F.when(is_i | is_d, 1).otherwise(0)).alias("n"),
+            F.when(is_i | is_d, acc["pos"]).otherwise(acc["vs"]).alias("vs"),
+            F.when(is_i, acc["pos"] + 1)
+            .when(is_d, acc["pos"] + ln)
+            .otherwise(acc["ve"])
+            .alias("ve"),
+        )
+
+    agg = F.aggregate(tok, acc0, _step)
+    per_read = (
+        reads.where(
+            F.coalesce(F.col("readMapped"), F.lit(False))
+            & F.col("cigar").isNotNull()
+            & F.col("start").isNotNull()
+            & F.col("end").isNotNull()
         )
         .select(
             "referenceName",
-            F.explode(F.arrays_zip(F.col("e.tstarts").alias("s"), F.col("e.tends").alias("t"))).alias("z"),
+            F.col("start").cast("long").alias("rr_start"),
+            F.col("end").cast("long").alias("rr_end"),
+            agg.alias("__a"),
         )
+        .where(F.col("__a")["n"] == 1)
         .select(
             "referenceName",
-            F.col("z.s").alias("start"),
-            F.col("z.t").alias("end"),
+            "rr_start",
+            "rr_end",
+            F.col("__a")["vs"].alias("v_start"),
+            F.col("__a")["ve"].alias("v_end"),
         )
         .distinct()
     )
     if extra_targets is not None:
-        ev = ev.unionByName(
-            extra_targets.select("referenceName", "start", "end")
+        per_read = per_read.unionByName(
+            extra_targets.select(
+                "referenceName",
+                F.col("start").cast("long").alias("rr_start"),
+                F.col("end").cast("long").alias("rr_end"),
+                F.col("start").cast("long").alias("v_start"),
+                F.col("end").cast("long").alias("v_end"),
+            )
         ).distinct()
-    return _merge_intervals(ev, max_target_size)
 
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rr_start", "rr_end"])
+        out: list[list[int]] = []
+        cur: list[int] | None = None
+        for r in pdf.itertuples(index=False):
+            if cur is None:
+                cur = [r.rr_start, r.rr_end, r.v_start, r.v_end]
+                continue
+            # TargetOrdering.overlap: running VARIATION hull vs incoming
+            # read range, or incoming variation vs running read-range hull
+            o1 = cur[2] < r.rr_end and r.rr_start < cur[3]
+            o2 = r.v_start < cur[1] and cur[0] < r.v_end
+            if o1 or o2:
+                cur[0] = min(cur[0], r.rr_start)
+                cur[1] = max(cur[1], r.rr_end)
+                cur[2] = min(cur[2], r.v_start)
+                cur[3] = max(cur[3], r.v_end)
+            else:
+                out.append(cur)
+                cur = [r.rr_start, r.rr_end, r.v_start, r.v_end]
+        if cur is not None:
+            out.append(cur)
+        keep = [
+            (key[0], a, b) for a, b, _, _ in out if b - a <= max_target_size
+        ]
+        return pd.DataFrame(keep, columns=["referenceName", "start", "end"])
 
-def _merge_intervals(ev: DataFrame, max_target_size: int) -> DataFrame:
-    """Merge overlapping intervals: run-length grouping per contig."""
-    w = Window.partitionBy("referenceName").orderBy("start", "end")
-    return (
-        ev.withColumn(
-            "maxend",
-            F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        )
-        .withColumn(
-            "newgrp",
-            F.when(F.col("maxend").isNull() | (F.col("start") > F.col("maxend")), 1).otherwise(0),
-        )
-        .withColumn("grp", F.sum("newgrp").over(w))
-        .groupBy("referenceName", "grp")
-        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
-        .where((F.col("end") - F.col("start")) <= max_target_size)
-        .select("referenceName", "start", "end")
+    return per_read.groupBy("referenceName").applyInPandas(
+        _merge, "referenceName string, start long, end long"
     )
 
 

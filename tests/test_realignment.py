@@ -37,13 +37,29 @@ def _df(spark, rows):
     return spark.createDataFrame([tuple(r.values()) for r in rows], SCHEMA)
 
 
-def test_read_evidence_extraction():
-    s, e = ra._read_evidence("4M2D4M", "4^CC4", 100, 500)
-    assert (104, 106) in list(zip(s, e))  # deletion span
-    s, e = ra._read_evidence("4M2I4M", "8", 100, 500)
-    assert (104, 105) in list(zip(s, e))  # insertion point
-    s, e = ra._read_evidence("8M", "3G4", 100, 500)
-    assert (103, 104) in list(zip(s, e))  # mismatch point
+def test_read_evidence_extraction(spark):
+    """IndelRealignmentTarget.apply semantics (reference
+    IndelRealignmentTarget.scala:84-120): exactly-one-indel reads seed
+    a target; mismatch-only and multi-indel reads contribute NOTHING
+    (their empty targets are filtered before merging)."""
+    # single deletion: target read range = the read span
+    t = ra.find_realignment_targets(
+        _df(spark, [_read("a", 100, "ACGTACGT", "4M2D4M", "4^CC4")])
+    ).collect()
+    assert [(r["start"], r["end"]) for r in t] == [(100, 110)]
+    # single insertion
+    t = ra.find_realignment_targets(
+        _df(spark, [_read("b", 100, "ACGTACGT", "4M2I2M", "6")])
+    ).collect()
+    assert [(r["start"], r["end"]) for r in t] == [(100, 106)]
+    # mismatch-only: no target
+    assert ra.find_realignment_targets(
+        _df(spark, [_read("c", 100, "ACGTACGT", "8M", "3G4")])
+    ).count() == 0
+    # two indels: no target
+    assert ra.find_realignment_targets(
+        _df(spark, [_read("d", 100, "ACGTACGT", "2M2D4M2D2M", "2^CC4^GG2")])
+    ).count() == 0
 
 
 def test_find_targets_merging(spark):
@@ -54,7 +70,10 @@ def test_find_targets_merging(spark):
     ]
     t = ra.find_realignment_targets(_df(spark, rows)).collect()
     assert len(t) == 1
-    assert t[0]["referenceName"] == "chr1" and t[0]["start"] == 14 and t[0]["end"] == 16
+    # the merged target spans the HULL of the contributing READ ranges
+    # (RealignmentTargetFinder merge semantics; the clean read adds
+    # nothing)
+    assert t[0]["referenceName"] == "chr1" and t[0]["start"] == 10 and t[0]["end"] == 22
 
 
 def test_local_reference_and_consensus():
@@ -211,10 +230,19 @@ def test_sw_consensus_rescues_unobserved_indel(spark):
     original CIGAR contained."""
     rows = _naive_deletion_reads(read_len=12, starts=(10, 12, 14, 15))
     df = _df(spark, rows)
+    # reference target semantics: a mismatch-only pile produces NO
+    # targets, so the default run is a no-op — the SW generator only
+    # reprocesses reads within a target group. Supply the region as an
+    # explicit target (the targetsToAdd mechanism) to isolate SW.
     base = {r["readName"]: r for r in ra.realign_indels(df, lod_threshold=0.5).collect()}
     assert all("D" not in base[n]["cigar"] for n in base)
 
-    out = ra.realign_indels(df, lod_threshold=0.5, consensus_model="sw")
+    targets = spark.createDataFrame(
+        [("chr1", 10, 27)], "referenceName string, start long, end long"
+    )
+    out = ra.realign_indels(
+        df, lod_threshold=0.5, consensus_model="sw", targets=targets
+    )
     got = {r["readName"]: r for r in out.collect()}
     assert len(got) == len(rows)
     rescued = [n for n in got if "2D" in got[n]["cigar"]]

@@ -957,3 +957,31 @@ def test_2bit_write_roundtrip_real_chrm(spark, tmp_path):
     assert tb2.length("hg19_chrM") == 16571
     assert tb2.extract("hg19_chrM", 0, 16571, masked=True) == seq
     assert tb2.extract("hg19_chrM", 2600, 2610, masked=True) == "taatcacttg"
+
+
+def test_realign_insertion_pile_922305(spark):
+    """RealignIndelsSuite 'realign reads to an insertion' (:301-315) on
+    the real NA12878 insertion pile: at lodThreshold=0 with unclipped
+    reads, exactly 41 reads move, and read
+    H06HDADXX130110:1:1114:19044:27806 lands at start 922057 — requires
+    the reference's read-range target merging (a fragmented target set
+    realigns nothing here)."""
+    from adam_spark.operators.realignment import realign_indels
+
+    reads = _load(spark, "NA12878.1_922305.G_GC_hom.sam").df.where(
+        ~F.coalesce(F.col("supplementaryAlignment"), F.lit(False))
+    )
+    cols = ["readName", "readInFragment", "start", "cigar", "mappingQuality"]
+    base = {
+        (r["readName"], r["readInFragment"]): tuple(r)
+        for r in reads.select(*cols).collect()
+    }
+    out = realign_indels(reads, lod_threshold=0.0, unclip_reads=True)
+    got = {
+        (r["readName"], r["readInFragment"]): tuple(r)
+        for r in out.select(*cols).collect()
+    }
+    moved = [k for k in base if got.get(k) != base[k]]
+    assert len(moved) == 41
+    probe = got[("H06HDADXX130110:1:1114:19044:27806", 0)]
+    assert probe[2] == 922057
