@@ -985,3 +985,32 @@ def test_realign_insertion_pile_922305(spark):
     assert len(moved) == 41
     probe = got[("H06HDADXX130110:1:1114:19044:27806", 0)]
     assert probe[2] == 922057
+
+
+@pytest.mark.parametrize("model", ["knowns", "union"])
+def test_realign_artificial_with_knowns(spark, model):
+    """RealignIndelsSuite 'checking realigned reads for artificial
+    input using knowns' (:220-246) + 'using knowns and reads'
+    (:248-276): the known AGGGGGGGGGG→A deletion at artificial:33
+    drives the same read4 outcome as the from-reads model, matching
+    the GATK golden's count and read4 pins."""
+    from adam_spark.operators.realignment import realign_indels
+
+    reads = _load(spark, "artificial.sam")
+    knowns = spark.createDataFrame(
+        [("artificial", 33, "AGGGGGGGGGG", "A")],
+        "referenceName string, start long, referenceAllele string, "
+        "alternateAllele string",
+    )
+    out = realign_indels(reads.df, consensus_model=model, known_indels=knowns)
+    golden = _load(spark, "artificial.realigned.sam").df
+    assert out.count() == golden.count() == 10
+    cols = ["readName", "start", "cigar", "mappingQuality"]
+    mine = sorted(
+        tuple(r)
+        for r in out.where(F.col("readName") == "read4").select(*cols).collect()
+    )
+    assert mine == [
+        ("read4", 10, "24M10D36M", 100),
+        ("read4", 120, "60M", 90),
+    ]
