@@ -1014,3 +1014,23 @@ def test_realign_artificial_with_knowns(spark, model):
         ("read4", 10, "24M10D36M", 100),
         ("read4", 120, "60M", 90),
     ]
+
+
+def test_cram_save_roundtrip_real_file(spark, tmp_path):
+    """AlignmentDatasetSuite 'round trip with single CRAM file produces
+    equivalent Read values' (:337-360): the htsjdk-written
+    artificial.cram reloads identically after a save through this
+    writer (reference-compressed sequences both directions)."""
+    from adam_spark.sources.cram import load_cram, save_cram
+
+    gf = load_cram(spark, f"{R}/artificial.cram", reference=f"{R}/artificial.fa")
+    dst = str(tmp_path / "o.cram")
+    save_cram(gf, dst, reference=f"{R}/artificial.fa")
+    back = load_cram(spark, dst, reference=f"{R}/artificial.fa")
+    cols = [
+        "readName", "start", "end", "cigar",
+        "sequence", "qualityScores", "mappingQuality",
+    ]
+    a = sorted(tuple(r) for r in gf.df.select(*cols).collect())
+    b = sorted(tuple(r) for r in back.df.select(*cols).collect())
+    assert a == b and len(a) == 10
