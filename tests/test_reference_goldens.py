@@ -1034,3 +1034,31 @@ def test_cram_save_roundtrip_real_file(spark, tmp_path):
     a = sorted(tuple(r) for r in gf.df.select(*cols).collect())
     b = sorted(tuple(r) for r in back.df.select(*cols).collect())
     assert a == b and len(a) == 10
+
+
+def test_bed_format_pins(spark, tmp_path):
+    """FeatureDatasetSuite BED pins: 'round trip BED6 format'
+    (:299-320) first-line fields on dvl1.200.bed; 'round trip BED12
+    format' (:342-371) BYTE-identical re-save of small.1_12.bed
+    (checkFiles golden); 'save to UCSC BED format' (:373-391) rescales
+    the score into 0-1000 (13.53 on a 0-200 scale → 67)."""
+    from adam_spark.sources import features_io as feat
+
+    gf = feat.load_bed(spark, f"{R}/dvl1.200.bed")
+    out6 = str(tmp_path / "o6.bed")
+    feat.save_bed(gf, out6, single_file=True)
+    first = open(glob.glob(f"{out6}/part-*")[0]).readline().rstrip("\n").split("\t")
+    assert first == ["1", "1331345", "1331536", "106624", "13.53", "+"]
+
+    gf12 = feat.load_bed(spark, f"{R}/small.1_12.bed")
+    out12 = str(tmp_path / "o12.bed")
+    feat.save_bed(gf12, out12, single_file=True)
+    assert (
+        open(glob.glob(f"{out12}/part-*")[0]).read()
+        == open(f"{R}/small.1_12.bed").read()
+    )
+
+    outu = str(tmp_path / "u.bed")
+    feat.save_ucsc_bed(gf, outu, single_file=True, minimum_score=0.0, maximum_score=200.0)
+    ufirst = open(glob.glob(f"{outu}/part-*")[0]).readline().rstrip("\n").split("\t")
+    assert ufirst == ["1", "1331345", "1331536", "106624", "67", "+"]
