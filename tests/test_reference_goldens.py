@@ -1062,3 +1062,40 @@ def test_bed_format_pins(spark, tmp_path):
     feat.save_ucsc_bed(gf, outu, single_file=True, minimum_score=0.0, maximum_score=200.0)
     ufirst = open(glob.glob(f"{outu}/part-*")[0]).readline().rstrip("\n").split("\t")
     assert ufirst == ["1", "1331345", "1331536", "106624", "67", "+"]
+
+
+def test_gtf_and_interval_list_save_pins(spark, tmp_path):
+    """FeatureDatasetSuite 'round trip GTF format' (:114-147) +
+    'round trip IntervalList format' (:436-472): the first saved GTF
+    record of the Ensembl excerpt carries the exact 9 columns and
+    4 ordered attributes; the SeqCap interval list re-renders its
+    first and refseq-bearing records exactly."""
+    from adam_spark.sources import features_io as feat
+
+    gf = feat.load_gtf(spark, f"{R}/Homo_sapiens.GRCh37.75.trun100.gtf")
+    outg = str(tmp_path / "o.gtf")
+    feat.save_gtf(gf, outg, single_file=True)
+    first = open(glob.glob(f"{outg}/part-*")[0]).readline().rstrip("\n")
+    assert first == (
+        "1\tpseudogene\tgene\t11869\t14412\t.\t+\t.\t"
+        'gene_id "ENSG00000223972"; gene_biotype "pseudogene"; '
+        'gene_name "DDX11L1"; gene_source "ensembl_havana"'
+    )
+
+    il = feat.load_interval_list(spark, f"{R}/SeqCap_EZ_Exome_v3.hg19.interval_list")
+    outi = str(tmp_path / "o.il")
+    feat.save_interval_list(il, outi, single_file=True)
+    lines = [
+        l.rstrip("\n")
+        for l in open(glob.glob(f"{outi}/part-*")[0])
+        if not l.startswith("@")
+    ]
+    assert lines[0] == (
+        "chr1\t14416\t14499\t+\tgn|DDX11L1;gn|RP11-34P13.2;"
+        "ens|ENSG00000223972;ens|ENSG00000227232;"
+        "vega|OTTHUMG00000000958;vega|OTTHUMG00000000961"
+    )
+    assert (
+        "chr7\t142111442\t142111617\t+\tgn|TRBV5-7;ens|ENSG00000211731;"
+        "refseq|NG_001333"
+    ) in lines
