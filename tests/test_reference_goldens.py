@@ -1099,3 +1099,19 @@ def test_gtf_and_interval_list_save_pins(spark, tmp_path):
         "chr7\t142111442\t142111617\t+\tgn|TRBV5-7;ens|ENSG00000211731;"
         "refseq|NG_001333"
     ) in lines
+
+
+def test_narrowpeak_save_pin(spark, tmp_path):
+    """FeatureDatasetSuite 'round trip NarrowPeak format' (:523-548):
+    the first saved record of the real ENCODE narrowPeak renders all
+    10 columns exactly (signalValue/pValue precision, -1 qValue
+    sentinel, peak offset)."""
+    from adam_spark.sources import features_io as feat
+
+    gf = feat.load_narrowpeak(
+        spark, f"{R}/wgEncodeOpenChromDnaseGm19238Pk.trunc10.narrowPeak"
+    )
+    out = str(tmp_path / "o.np")
+    feat.save_narrowpeak(gf, out, single_file=True)
+    first = open(glob.glob(f"{out}/part-*")[0]).readline().rstrip("\n")
+    assert first == "chr1\t713849\t714434\tchr1.1\t1000\t.\t0.2252\t9.16\t-1\t263"
