@@ -1115,3 +1115,16 @@ def test_narrowpeak_save_pin(spark, tmp_path):
     feat.save_narrowpeak(gf, out, single_file=True)
     first = open(glob.glob(f"{out}/part-*")[0]).readline().rstrip("\n")
     assert first == "chr1\t713849\t714434\tchr1.1\t1000\t.\t0.2252\t9.16\t-1\t263"
+
+
+def test_hs37d5_dict(spark):
+    """ADAMContextSuite 'load HTSJDK sequence dictionary' (:704-713):
+    the real hs37d5 Picard dictionary parses to 85 records with the
+    chr1 and NC_007605 (EBV decoy) length pins."""
+    from adam_spark.context import load_sequence_dictionary
+
+    sd = load_sequence_dictionary(f"{R}/hs37d5.dict")
+    m = {r.name: r.length for r in sd.references}
+    assert len(m) == 85
+    assert m["1"] == 249250621
+    assert m["NC_007605"] == 171823
