@@ -1128,3 +1128,28 @@ def test_hs37d5_dict(spark):
     assert len(m) == 85
     assert m["1"] == 249250621
     assert m["NC_007605"] == 171823
+
+
+def test_bin_quality_scores_bqsr1(spark):
+    """FragmentDatasetSuite 'bin quality scores in fragments'
+    (:321-336) on the real bqsr1.sam: binning (0-20→10, 20-40→30,
+    40-60→50) yields exactly 92,899 Phred-30 and 7,101 Phred-10
+    bases."""
+    from adam_spark.operators.quality import QualityScoreBin, bin_quality_scores
+
+    reads = _load(spark, "bqsr1.sam").df
+    out = bin_quality_scores(
+        reads,
+        [QualityScoreBin(0, 20, 10), QualityScoreBin(20, 40, 30), QualityScoreBin(40, 60, 50)],
+    )
+    counts = (
+        out.select(F.explode(F.split(F.col("qualityScores"), "")).alias("c"))
+        .where(F.col("c") != "")
+        .select((F.ascii("c") - 33).alias("q"))
+        .groupBy("q")
+        .count()
+        .collect()
+    )
+    m = {r["q"]: r["count"] for r in counts}
+    assert m[30] == 92899
+    assert m[10] == 7101
