@@ -1153,3 +1153,20 @@ def test_bin_quality_scores_bqsr1(spark):
     m = {r["q"]: r["count"] for r in counts}
     assert m[30] == 92899
     assert m[10] == 7101
+
+
+def test_genotype_feature_region_joins_small_files(spark):
+    """GenotypeDatasetSuite 'use broadcast join to pull down genotypes
+    mapped to targets' (:146-170) on the real small.vcf × small.1.bed:
+    9 inner matches; the right-outer variant keeps 3 unmatched targets
+    (12 rows, 3 with a null left side)."""
+    from adam_spark.compat import ADAMContext
+
+    ac = ADAMContext(spark)
+    g = ac.loadGenotypes(f"{R}/small.vcf")
+    t = ac.loadFeatures(f"{R}/small.1.bed")
+    assert g.broadcastRegionJoin(t).toDF().count() == 9
+    ro = g.rightOuterBroadcastRegionJoin(t).toDF()
+    assert ro.count() == 12
+    left_col = ro.columns[0]
+    assert ro.where(F.col(left_col).isNull()).count() == 3
