@@ -27,6 +27,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: last internally-persisted intermediate per operator tag — bounds a
+#: long-lived session's cache accumulation at ONE live entry per
+#: operator even when callers never opt into ``bounded_cache``
+_LAST_PERSISTED: dict[str, DataFrame] = {}
+
+
+def rotate_persist(tag: str, df: DataFrame, level) -> DataFrame:
+    """Persist ``df`` and release the intermediate the SAME operator
+    persisted on its previous call (if any).
+
+    The default (``bounded_cache=False``) contract keeps the current
+    call's intermediate cached so the lazily-returned result reuses it;
+    without rotation, N calls in one session leave N dead cache entries
+    behind. Rotation caps that at one per operator. Trade-off: if a
+    caller interleaves two corpora (build result A, build result B,
+    THEN execute A), A's intermediate recomputes once — correctness is
+    unaffected (unpersist never is), only the cache reuse."""
+    prev = _LAST_PERSISTED.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass  # previous session may be stopped
+    df = df.persist(level)
+    _LAST_PERSISTED[tag] = df
+    return df
+
+
 def eager_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     """Materialize ``result`` eagerly (localCheckpoint), then unpersist
     every intermediate. Safe by construction: the checkpoint is a

@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from adam_spark.llm.cache import rotate_persist
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens, empties dropped (portable to DuckDB)."""
@@ -83,8 +85,10 @@ def exact_duplicates(
     # Spark does NOT reuse the scan across the two differently-shaped
     # subtrees of the self-join — unpersisted, the md5 scan runs twice
     # (measured 4.4× at sf0.1).
-    keyed = df.select(F.col(id_col).alias("id"), fp.alias("fingerprint")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    keyed = rotate_persist(
+        "dedup.exact.keyed",
+        df.select(F.col(id_col).alias("id"), fp.alias("fingerprint")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     # materialize EAGERLY: the join's two subtrees are scheduled
     # concurrently, and a lazily-populated cache lets both sides miss it
@@ -286,8 +290,10 @@ def minhash_lsh_pairs(
             )
         ),
     )
-    banded = sigs.select("id", bh_arr.alias("bh")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    banded = rotate_persist(
+        "dedup.minhash.banded",
+        sigs.select("id", bh_arr.alias("bh")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     banded.count()  # eager: both self-join sides would race a lazy cache
     bandsdf = banded.select("id", F.posexplode("bh").alias("band", "band_hash"))
@@ -471,7 +477,11 @@ def simhash_duplicates(
     # groupBy + AQE-split join instead of a hot-key window. Persisting the
     # slim (id, simhash) table stops the 16-wide Catalyst fold from running
     # once per self-join side (measured 6.2× at sf0.1 unpersisted).
-    fps = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    fps = rotate_persist(
+        "dedup.simhash.fps",
+        simhash(df, id_col, text_col, bits),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     fps.count()  # eager: both self-join sides would race a lazy cache
     canon = fps.groupBy("simhash").agg(F.min("id").alias("canonical_id"))
     out = (
@@ -637,15 +647,16 @@ def remove_repeated_spans(
     ).withColumn("lkey", F.md5(F.trim("span")))
     # two-stage distinct-doc count: (lkey, id) dedupe partially combines
     # map-side, then the per-key count is a plain partial-aggregated sum
-    hot = (
+    hot = rotate_persist(
+        "dedup.spans.hot",
         spans.where(F.trim("span") != "")
         .select("lkey", "id")
         .distinct()
         .groupBy("lkey")
         .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= F.lit(int(min_docs)))
-        .select("lkey")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("lkey"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     n_hot = hot.count()  # eager persist + size for the broadcast decision
     if broadcast_hot is None:
@@ -760,16 +771,18 @@ def minhash_lsh_pairs_between(
             ),
         )
 
-        def _banded(base):
-            b = (
+        def _banded(base, tag):
+            b = rotate_persist(
+                tag,
                 minhash_signatures(base, "id", F.col("sh"), num_hashes)
-                .select("id", bh_arr.alias("bh"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .select("id", bh_arr.alias("bh")),
+                StorageLevel.MEMORY_AND_DISK,
             )
             b.count()  # eager: two consumers would race a lazy cache
             return b
 
-        banded_n, banded_r = _banded(base_n), _banded(base_r)
+        banded_n = _banded(base_n, "dedup.incremental.banded_new")
+        banded_r = _banded(base_r, "dedup.incremental.banded_ref")
         raw = (
             banded_n.select(F.col("id").alias("id_new"), F.posexplode("bh").alias("band", "band_hash"))
             .join(
@@ -811,8 +824,10 @@ def minhash_lsh_pairs_between(
         bands_r.select(F.col("id").alias("id_ref"), "band", "band_hash"),
         ["band", "band_hash"],
     ).select("id_new", "id_ref")
-    cand = raw.dropDuplicates(["id_new", "id_ref"]).persist(
-        StorageLevel.MEMORY_AND_DISK
+    cand = rotate_persist(
+        "dedup.incremental.cand",
+        raw.dropDuplicates(["id_new", "id_ref"]),
+        StorageLevel.MEMORY_AND_DISK,
     )
     n_cand = cand.count()
     if broadcast_candidates is None:
@@ -896,7 +911,9 @@ def remove_duplicate_substrings(
         # treatment, dedup.py:648)
         from pyspark.storagelevel import StorageLevel
 
-        hot = hot.persist(StorageLevel.MEMORY_AND_DISK)
+        hot = rotate_persist(
+            "dedup.substrings.hot", hot, StorageLevel.MEMORY_AND_DISK
+        )
         n_hot = hot.count()
         broadcast_hot = n_hot * 16 <= HOT_SPAN_BROADCAST_CAP_BYTES
     maybe_bc = F.broadcast if broadcast_hot else (lambda x: x)

@@ -59,17 +59,28 @@ _FIRST_OF_PAIR_RE = r"^@.+([/ +_]1| 1:[YN]:[02468]+:[0-9ACTNG]+)$"
 def _resync(lines: DataFrame, start_pred) -> DataFrame:
     """Drop each file's leading lines up to the first valid record
     start — FastqRecordReader.positionAtFirstRecord (FastqRecordReader.
-    java:235 + per-format checkBuffer): a split (or truncated shard)
-    beginning mid-record skips forward to the next record boundary.
-    Single-end boundary = a line starting with '@'
-    (SingleFastqInputFormat.java:68-71); interleaved boundary = an '@'
+    java:235-302 + per-format checkBuffer): a split (or truncated
+    shard) beginning mid-record skips forward to the next record
+    boundary. Single-end candidate = a line starting with '@'
+    (SingleFastqInputFormat.java:68-71); interleaved candidate = an '@'
     name line with a FIRST-of-pair suffix (InterleavedFastqInputFormat.
-    java:82-96). Pinned against the reference's committed
+    java:82-96). A candidate alone is ambiguous — a quality line can
+    begin with '@' (Phred 31) — so the reference reads two lines ahead
+    (FastqRecordReader.java:270-300): if the NEXT line starts with '@'
+    the candidate WAS a quality line and the boundary is that next
+    line; else the candidate is accepted only when the line two ahead
+    starts with '+'. Pinned against the reference's committed
     *_fastq_sample{2,3,4} truncated fixtures and their .output goldens.
-    One extra windowed min over the per-file partitioning the line
+    Windowed leads + min over the per-file partitioning the line
     numbering already shuffled on — no new exchange."""
+    wo = Window.partitionBy("file").orderBy("lineno")
+    lead1 = F.lead("value", 1).over(wo)
+    lead2 = F.lead("value", 2).over(wo)
+    boundary = F.when(
+        start_pred & lead1.startswith("@"), F.col("lineno") + 1
+    ).when(start_pred & lead2.startswith("+"), F.col("lineno"))
     w = Window.partitionBy("file")
-    first = F.min(F.when(start_pred, F.col("lineno"))).over(w)
+    first = F.min(boundary).over(w)
     return (
         lines.withColumn("__first", first)
         .where(F.col("__first").isNotNull() & (F.col("lineno") >= F.col("__first")))

@@ -627,8 +627,21 @@ def mix_header_lines(header_lines: list[str]) -> list[str]:
     DROP any INFO/FORMAT line whose ID the converter supports (the
     default declaration replaces it — same ID, canonical Number/Type/
     Description), collapse unstructured ``##KEY=`` lines to one per key
-    (htsjdk VCFHeader other-metadata map; first in file order wins),
-    then append ``DefaultHeaderLines.allHeaderLines``. fileformat and
+    with the FIRST in file order winning, then append
+    ``DefaultHeaderLines.allHeaderLines``.
+
+    The per-key collapse is NOT in cleanAndMixInSupportedLines itself
+    (its other-line arm is ``case l => Some(l)``, verbatim) — it is
+    inherited from the extraction step feeding it:
+    ``VariantContextConverter.headerLines`` (VariantContextConverter.
+    scala:271-276) reads ``header.getOtherHeaderLines``, htsjdk 2.19's
+    per-KEY other-metadata map, so repeated same-key lines (including
+    structured-looking ones htsjdk 2.19 has no typed class for, e.g.
+    ``##ALT=<ID=DEL>``/``<ID=DUP>`` or multiple ``##GATKCommandLine``
+    entries) collapse before the converter ever sees them. Pinned by
+    the byte-golden ``sorted.vcf`` (random.vcf carries THREE
+    GATKCommandLine lines; the golden keeps exactly the first,
+    CombineVariants). fileformat and
     contig lines are managed separately (version pinned by the writer,
     contigs regenerated from the sequence dictionary). Divergence: the
     reference renames type-MISMATCHED supported lines to BAD_<ID> under

@@ -379,6 +379,15 @@ def streaming_minhash_candidates(
     Scale shape: per micro-batch the only shuffle is the groupBy on
     (band, band_hash) — the same key the batch equi-join shuffles on —
     and the state store holds one tiny row per live bucket.
+
+    .. note:: **checkpoint compatibility** — the state row widened from
+       (anchor_id, anchor_ts) to (anchor_id, anchor_ts, max_ts) when
+       the TTL anchor switched to the bucket's newest-seen event time.
+       Structured Streaming validates the state schema on restart, so a
+       checkpoint written by the 2-column version cannot be resumed by
+       this code: discard the old checkpoint directory (the batch
+       backstop re-pairs anything the restarted stream misses — same
+       recovery contract as a TTL expiry).
     """
     import pandas as pd
 

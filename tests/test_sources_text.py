@@ -192,6 +192,35 @@ def test_fastq_no_bases(spark, tmp_path):
     assert rows["ok"]["sequence"] == "ACGT"
 
 
+def test_fastq_resync_quality_line_at_shard_start(spark, tmp_path):
+    """FastqRecordReader.positionAtFirstRecord look-ahead
+    (FastqRecordReader.java:270-300): a truncated shard whose FIRST
+    line is a quality string beginning with '@' (Phred 31) must not be
+    mistaken for a record boundary — the reference reads ahead and,
+    seeing the next line start with '@', anchors on THAT line
+    instead."""
+    from adam_spark.sources.fastq import load_unpaired_fastq
+
+    p = tmp_path / "trunc.fq"
+    # '@AAAA' is the orphaned quality line of a record whose first
+    # three lines were cut off by the shard boundary
+    p.write_text("@AAAA\n@r2\nACGT\n+\nIIII\n@r3\nTTTT\n+\nJJJJ\n")
+    rows = {r["name"]: r for r in load_unpaired_fastq(spark, str(p)).df.collect()}
+    assert set(rows) == {"r2", "r3"}
+    assert rows["r2"]["sequence"] == "ACGT"
+    assert rows["r3"]["qualityScores"] == "JJJJ"
+
+    # candidate accepted only when line+2 starts with '+': a shard
+    # starting at a quality '@' line deeper in the record is skipped
+    q = tmp_path / "trunc2.fq"
+    q.write_text("@AAAA\nGGGG\n+\nIIII\n@r9\nCCCC\n+\nKKKK\n")
+    # '@AAAA' here LOOKS like a full record (next line not '@', line+2
+    # is '+') — indistinguishable from a real record, accepted, exactly
+    # as the reference would
+    names = {r["name"] for r in load_unpaired_fastq(spark, str(q)).df.collect()}
+    assert names == {"AAAA", "r9"}
+
+
 def test_bed12_roundtrip_and_gff3_fasta_section(spark, tmp_path):
     """FeatureDatasetSuite 'round trip BED12 format' + 'ignore FASTA
     sequence in GFF3 file'."""

@@ -41,6 +41,36 @@ def test_header_metadata(spark, vcf_path):
     assert any(h.startswith("##INFO=<ID=DP") for h in gf.meta.header_lines)
 
 
+def test_other_header_lines_collapse_per_key_first_wins(spark, tmp_path):
+    """Repeated same-key "other" header lines collapse to ONE per key,
+    FIRST in file order winning — not a shortcut: the reference
+    extracts other lines through htsjdk 2.19's per-KEY metadata map
+    (VariantContextConverter.headerLines:271-276,
+    header.getOtherHeaderLines) before cleanAndMixInSupportedLines's
+    verbatim pass-through, and the byte-golden sorted.vcf pins it
+    (random.vcf has THREE ##GATKCommandLine lines; the golden keeps
+    exactly the first, CombineVariants)."""
+    f = tmp_path / "alts.vcf"
+    f.write_text(
+        "##fileformat=VCFv4.2\n"
+        "##ALT=<ID=DEL,Description=\"Deletion\">\n"
+        "##ALT=<ID=DUP,Description=\"Duplication\">\n"
+        "##GATKCommandLine=<ID=HaplotypeCaller,Version=3.5>\n"
+        "##GATKCommandLine=<ID=CombineGVCFs,Version=3.5>\n"
+        "##contig=<ID=chr1,length=1000>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA001\tNA002\n"
+        "chr1\t100\t.\tA\t<DEL>\t.\tPASS\tEND=200\tGT\t0/1\t0/0\n"
+    )
+    gf = vcf_io.load_vcf(spark, str(f))
+    hl = gf.meta.header_lines
+    assert [h for h in hl if h.startswith("##ALT=")] == [
+        '##ALT=<ID=DEL,Description="Deletion">'
+    ]
+    assert [h for h in hl if h.startswith("##GATKCommandLine=")] == [
+        "##GATKCommandLine=<ID=HaplotypeCaller,Version=3.5>"
+    ]
+
+
 def test_sites_and_multiallelic_split(spark, vcf_path):
     gf = vcf_io.load_vcf(spark, vcf_path)
     rows = gf.df.orderBy("referenceName", "start", "variant.alternateAllele").collect()
