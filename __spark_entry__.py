@@ -523,8 +523,8 @@ def kmer_count_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 _KMER_SQL = """
 WITH s AS (SELECT substr(text, 1, 50) AS q FROM documents),
-k AS (SELECT UNNEST(list_transform(range(1, CAST(len(q) AS BIGINT) - 2), i -> substr(q, CAST(i AS INT), 4))) AS kmer
-      FROM s WHERE len(q) >= 4)
+k AS (SELECT UNNEST(list_transform(range(1, GREATEST(CAST(len(q) AS BIGINT) - 2, 2)), i -> substr(q, CAST(i AS INT), 4))) AS kmer
+      FROM s WHERE len(q) >= 1)
 SELECT kmer, COUNT(*) AS count FROM k GROUP BY kmer ORDER BY kmer
 """
 

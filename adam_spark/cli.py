@@ -544,11 +544,11 @@ def _cmd_transform_variants(args) -> int:
 
 def _cmd_count_slice_kmers(args) -> int:
     from adam_spark import context as ctx
-    from adam_spark.operators.kmers import count_kmers
+    from adam_spark.operators.kmers import count_slice_kmers
 
     spark = _spark(args)
     gf = ctx.load_slices(spark, args.input, maximum_length=args.maximum_length)
-    return _kmer_output(count_kmers(gf.df, args.kmer_length), args)
+    return _kmer_output(count_slice_kmers(gf.df, args.kmer_length), args)
 
 
 def _cmd_transform_genotypes(args) -> int:

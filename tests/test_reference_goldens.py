@@ -1170,3 +1170,52 @@ def test_genotype_feature_region_joins_small_files(spark):
     assert ro.count() == 12
     left_col = ro.columns[0]
     assert ro.where(F.col(left_col).isNull()).count() == 3
+
+
+# ------------------------------------------------- adam-cli kmer goldens
+
+RCLI = "/root/reference/adam-cli/src/test/resources"
+
+
+def _kmer_golden_lines(out):
+    import os as _os
+
+    if _os.path.isfile(out):
+        return sorted(open(out).read().splitlines())
+    lines = []
+    for f in sorted(_os.listdir(out)):
+        if f.startswith("part-"):
+            lines += open(_os.path.join(out, f)).read().splitlines()
+    return sorted(lines)
+
+
+def test_count_read_kmers_cli_golden(spark, tmp_path):
+    """CountReadKmersSuite 'count kmers to single file'
+    (adam-cli CountReadKmersSuite.scala:24-31): count_kmers on
+    sorted.sam at k=21 reproduces the committed sorted.counts.txt —
+    every read is SHORTER than 21, so the golden is entirely Scala
+    sliding()'s partial-window semantics (each short read contributes
+    its whole sequence once). Content-compared as sorted line sets: the
+    reference's byte order is reduceByKey partition/hash iteration
+    order, which no DataFrame plan reproduces."""
+    from adam_spark.cli import main
+
+    out = str(tmp_path / "k")
+    rc = main(["count_kmers", "-single", f"{R}/sorted.sam", out, "21"])
+    assert rc == 0
+    want = sorted(open(f"{RCLI}/sorted.counts.txt").read().splitlines())
+    assert _kmer_golden_lines(out) == want
+
+
+def test_count_slice_kmers_cli_golden(spark, tmp_path):
+    """CountSliceKmersSuite 'count slice kmers to single file'
+    (adam-cli CountSliceKmersSuite.scala:24-31): count_slice_kmers on
+    artificial.fa at k=21 reproduces artificial.counts.txt through the
+    flank-adjacent prepass (SliceDataset.countKmers)."""
+    from adam_spark.cli import main
+
+    out = str(tmp_path / "k")
+    rc = main(["count_slice_kmers", "-single", f"{RCLI}/artificial.fa", out, "21"])
+    assert rc == 0
+    want = sorted(open(f"{RCLI}/artificial.counts.txt").read().splitlines())
+    assert _kmer_golden_lines(out) == want
