@@ -27,6 +27,8 @@ the span.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -547,38 +549,151 @@ def _genotype_struct(
     )
 
 
+def _bgz_text_range(path: str, start: int, end: int, first: bool):
+    """Executor task: the text lines OWNED by compressed byte range
+    [start, end) of a BGZF file — Hadoop LineRecordReader split
+    semantics lifted to block-compressed text:
+
+    - a block belongs to the one range containing its START offset
+      (``_next_block_offset`` resyncs mid-block range starts);
+    - with L = this range's uncompressed length, the task emits every
+      line whose local start s satisfies s <= L — INCLUSIVE, matching
+      LineRecordReader's ``pos <= end`` — decompressing FORWARD blocks
+      as needed to terminate the last owned line;
+    - every task but the first discards through its first newline (that
+      line was the previous range's final emit). A range whose data has
+      no newline at all sits inside one giant line and owns nothing.
+    """
+    import os as _os
+
+    from adam_spark.sources.bam import _next_block_offset, _read_block_fully
+
+    fsize = _os.path.getsize(path)
+    with open(path, "rb") as f:
+        off = start if first else _next_block_offset(f, start, fsize)
+        own = bytearray()
+        while off is not None and off < min(end, fsize):
+            total, data = _read_block_fully(f, off)
+            own += data
+            off += total
+        if not first and own.find(b"\n") < 0:
+            # owns nothing: empty range, or the interior of one giant
+            # line an earlier range reads forward through
+            return
+        L = len(own)
+        buf = bytearray(own)
+        # terminate the last owned line: extend until a newline at
+        # index >= L (the first task with no blocks before `end` never
+        # loops — off already sits at its first forward block)
+        while buf.find(b"\n", L) < 0 and off is not None and off < fsize:
+            total, data = _read_block_fully(f, off)
+            buf += data
+            off += total
+    data = bytes(buf)
+    pos = 0
+    if not first:
+        nl = data.find(b"\n")
+        if nl < 0 or nl >= L:
+            # the whole own region is the interior of one line — it
+            # started in an earlier range, which read forward past us
+            return
+        pos = nl + 1
+    while pos <= L and pos < len(data):
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            yield data[pos:].decode()
+            return
+        yield data[pos:nl].decode()
+        pos = nl + 1
+
+
+def _bgz_text(
+    spark: SparkSession, files: list[str], target_split_bytes: int = 16 << 20
+) -> DataFrame:
+    """Distributed text scan over BGZF files (htslib ``.bgz``): the
+    driver does O(1) work per file (size + first-block probe), byte
+    ranges are pure arithmetic, and executors resync to block
+    boundaries themselves — the same split machinery as load_bam
+    (sources/bam.py), so a 100 GB .bgz VCF scans as parallel ranges
+    instead of one whole-file-in-memory task. A ``.bgz``-named file
+    that is NOT BGZF (plain gzip, detected by probing the first block
+    header for the BC subfield) falls back to one whole-file gunzip
+    task, Spark's own unsplittable-gzip parallelism class."""
+    import struct as _struct
+
+    from adam_spark.sources.bam import _block_at
+
+    par = spark.sparkContext.defaultParallelism
+    tasks: list[dict] = []
+    whole: list[str] = []
+    for path in files:
+        path = os.path.abspath(path)
+        fsize = os.path.getsize(path)
+        try:
+            with open(path, "rb") as f:
+                _block_at(f, 0)
+        except (ValueError, _struct.error):
+            whole.append(path)
+            continue
+        n_ranges = max(1, par * 2, fsize // target_split_bytes)
+        # never more ranges than ~64 KiB each — a range smaller than
+        # one BGZF block would mostly resync to nothing
+        n_ranges = int(min(n_ranges, max(1, fsize // (64 << 10))))
+        bounds = [(fsize * i) // n_ranges for i in range(n_ranges + 1)]
+        bounds[-1] = fsize
+        for i in range(n_ranges):
+            if bounds[i] >= bounds[i + 1]:
+                continue
+            tasks.append(
+                dict(path=path, start=bounds[i], end=bounds[i + 1], first=i == 0)
+            )
+    sc = spark.sparkContext
+    out = None
+    if tasks:
+        rdd = sc.parallelize(tasks, max(1, len(tasks))).flatMap(
+            lambda t: _bgz_text_range(**t)
+        )
+        out = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
+    if whole:
+        import gzip as _gzip
+
+        def _gunzip(paths):
+            for p in paths:
+                text = _gzip.decompress(open(p, "rb").read()).decode()
+                for ln in text.rstrip("\n").split("\n"):
+                    yield (ln,)
+
+        wdf = spark.createDataFrame(
+            sc.parallelize(whole, len(whole)).mapPartitions(_gunzip),
+            "value string",
+        )
+        out = wdf if out is None else out.unionByName(wdf)
+    return out
+
+
 def _vcf_text(spark: SparkSession, path: str) -> DataFrame:
     """Raw VCF lines. ``.bgz`` needs special handling: Spark's text
     reader picks codecs by extension and does not know htslib's
     ``.bgz`` suffix (``.vcf.gz``/``.bgzf.gz`` decode natively — BGZF is
-    valid multi-member gzip). One whole-file gunzip task per ``.bgz``
-    file, the same parallelism class as Spark's own unsplittable-gzip
-    handling (loadVcf on test.vcf.bgz, ADAMContextSuite; pinned in
-    tests/test_reference_goldens.py)."""
+    valid multi-member gzip). ``.bgz`` files route through the
+    splittable BGZF block-range scan (``_bgz_text``); in a mixed
+    directory/glob, NON-bgz siblings still read via ``spark.read.text``
+    and the two scans union — a directory with one .bgz no longer
+    forces (or breaks) gunzip for its plain-text parts."""
     import glob as _glob
-    import os
 
-    if path.endswith(".bgz") or (
-        os.path.isdir(path) and _glob.glob(os.path.join(path, "*.bgz"))
-    ):
-        import gzip as _gzip
-        import pandas as pd
-
-        def _gunzip_lines(batches):
-            for pdf in batches:
-                for _, row in pdf.iterrows():
-                    text = _gzip.decompress(bytes(row["content"])).decode()
-                    yield pd.DataFrame(
-                        {"value": text.rstrip("\n").split("\n")}
-                    )
-
-        return (
-            spark.read.format("binaryFile")
-            .load(path)
-            .select("content")
-            .mapInPandas(_gunzip_lines, "value string")
-        )
-    return spark.read.text(path)
+    if os.path.isdir(path):
+        entries = sorted(_glob.glob(os.path.join(path, "*")))
+    else:
+        entries = sorted(_glob.glob(path)) or [path]
+    bgz = [p for p in entries if p.endswith(".bgz") and os.path.isfile(p)]
+    rest = [p for p in entries if not p.endswith(".bgz") and os.path.isfile(p)]
+    if not bgz:
+        return spark.read.text(path)
+    out = _bgz_text(spark, bgz)
+    if rest:
+        out = out.unionByName(spark.read.text(rest))
+    return out
 
 
 def _parse_header(spark: SparkSession, path: str):
