@@ -1226,16 +1226,42 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
             # genotype FAILED — see has["FT"] below), failed genotypes
             # emit the ;-joined list and every other genotype emits the
             # literal PASS
+            # extractFilters genotype direction (VariantContextConverter.
+            # scala:1261-1278): applied-but-passed-null and
+            # failed-without-list raise, as the reference requires
             "FT": F.when(
                 vca.isNotNull(),
                 F.when(
-                    F.coalesce(vca["filtersApplied"], F.lit(False))
-                    & ~F.coalesce(vca["filtersPassed"], F.lit(True)),
-                    F.array_join(vca["filtersFailed"], ";"),
+                    F.coalesce(vca["filtersApplied"], F.lit(False)),
+                    F.when(
+                        vca["filtersPassed"].isNull(),
+                        F.raise_error(
+                            F.lit("Filters were applied but filters passed is null")
+                        ).cast("string"),
+                    )
+                    .when(vca["filtersPassed"], F.lit("PASS"))
+                    .when(
+                        F.size(vca["filtersFailed"]) > 0,
+                        F.array_join(vca["filtersFailed"], ";"),
+                    )
+                    .otherwise(
+                        F.raise_error(
+                            F.lit(
+                                "Genotype marked as filtered, but no failed "
+                                "filters listed"
+                            )
+                        ).cast("string")
+                    ),
                 ).otherwise(F.lit("PASS")),
             ),
-            "PS": g["phaseSetId"].cast("string"),
-            "PQ": g["phaseQuality"].cast("string"),
+            # extractPhaseInfo (VariantContextConverter.scala:1161-1177):
+            # PS/PQ attach only when the genotype is phased
+            "PS": F.when(
+                F.coalesce(g["phased"], F.lit(False)), g["phaseSetId"]
+            ).cast("string"),
+            "PQ": F.when(
+                F.coalesce(g["phased"], F.lit(False)), g["phaseQuality"]
+            ).cast("string"),
             "SB": F.when(
                 F.size(g["strandBiasComponents"]) == 4,
                 F.array_join(
@@ -1358,9 +1384,25 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
                 F.format_string("%.2f", v["quality"]), r"\.00$", ""
             ),
         ).otherwise("."),
+        # extractFilters (VariantContextConverter.scala:541-561):
+        # applied-but-passed-null and failed-without-list are the
+        # reference's require/IAE contracts, not silent fallbacks
         F.when(~F.coalesce(v["filtersApplied"], F.lit(False)), ".")
-        .when(F.coalesce(v["filtersPassed"], F.lit(False)), "PASS")
-        .otherwise(F.coalesce(F.array_join(v["filtersFailed"], ";"), F.lit("."))),
+        .when(
+            v["filtersPassed"].isNull(),
+            F.raise_error(
+                F.lit("Filters were applied but filters passed is null")
+            ).cast("string"),
+        )
+        .when(v["filtersPassed"], "PASS")
+        .when(
+            F.size(v["filtersFailed"]) > 0, F.array_join(v["filtersFailed"], ";")
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("Variant marked as filtered, but no failed filters listed")
+            ).cast("string")
+        ),
         info,
         *( [fmt_col] + [cell(n) for n in sample_names] if sample_names else [] ),
     )
