@@ -173,12 +173,23 @@ def _attr_entries(
             ).otherwise(val)
         return F.struct(e["key"].alias("key"), val.alias("value"))
 
-    kept = F.filter(
-        entries,
-        lambda e: ~e["key"].isin(list(reserved) + drop)
-        if drop
-        else ~e["key"].isin(list(reserved)),
-    )
+    def _keep(e: Column) -> Column:
+        k = (
+            ~e["key"].isin(list(reserved) + drop)
+            if drop
+            else ~e["key"].isin(list(reserved))
+        )
+        if is_format:
+            # htsjdk AbstractVCFCodec.createGenotypeMap skips genotype
+            # attribute cells whose whole value is '.' (MISSING_VALUE),
+            # so the reference's extractors never see them — a missing
+            # cell loads as an ABSENT key, which is also what makes the
+            # save round trip a fixed point (union-FORMAT lines render
+            # '.' for samples lacking a key; the reload drops it again)
+            k = k & (e["value"] != ".")
+        return k
+
+    kept = F.filter(entries, _keep)
     subset = F.transform(kept, _sub)
     return F.filter(subset, lambda e: e["value"].isNotNull())
 

@@ -1,0 +1,183 @@
+"""Property-based round-trip fuzzing for the VCF converter (round-10
+verdict item 6): a seeded, deterministic generator over the typed
+INFO/FORMAT attribute space — Number ∈ {0,1,4,A,R,G} × Type ∈
+{Integer,Float,String,Character,Flag}, with missing keys, '.' cells,
+multiallelic sites and no-call genotypes sprinkled in — pinning the
+fixed-point contract load(save(load(x))) == load(x) through the
+htsjdk-parity writer (the reference suite's htsjdk→adam→htsjdk shape,
+VariantContextConverterSuite.scala, randomized instead of enumerated).
+
+The FIRST load canonicalizes (Float re-render through Java
+Float.toString, per-alt Number subsetting, unsupported-cell drops), so
+the fixed point is the right equality: everything the engine claims to
+represent must survive its own save."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from adam_spark.sources import vcf as vcf_io
+
+_INFO_SPACE = [
+    ("0", "Flag"),
+    ("1", "Integer"), ("1", "Float"), ("1", "String"), ("1", "Character"),
+    ("4", "Integer"), ("4", "Float"), ("4", "String"),
+    ("A", "Integer"), ("A", "Float"), ("A", "String"), ("A", "Character"),
+    ("R", "Integer"), ("R", "Float"), ("R", "String"), ("R", "Character"),
+    ("G", "String"),  # unsupported at INFO: must drop on load, stay dropped
+]
+
+_FORMAT_SPACE = [
+    ("1", "Integer"), ("1", "Float"), ("1", "String"), ("1", "Character"),
+    ("4", "Integer"), ("4", "Float"), ("4", "String"),
+    ("A", "Integer"), ("A", "Float"), ("A", "String"), ("A", "Character"),
+    ("R", "Integer"), ("R", "Float"), ("R", "String"), ("R", "Character"),
+    ("G", "Integer"), ("G", "Float"), ("G", "String"),
+    ("0", "Flag"),  # unsupported at FORMAT: must drop on load
+]
+
+
+def _value(rng: random.Random, typ: str) -> str:
+    if typ == "Integer":
+        return str(rng.randint(-1000, 100000))
+    if typ == "Float":
+        return rng.choice(
+            [
+                lambda: f"{rng.uniform(-100, 100):.4g}",
+                lambda: str(rng.randint(0, 99)),
+                lambda: "+Inf",
+                lambda: "-Inf",
+                lambda: "nan",
+            ]
+        )()
+    if typ == "Character":
+        return rng.choice("abcdefgXYZ*")
+    return "".join(rng.choices("ACGTlowmq_xyz0123456789", k=rng.randint(1, 8)))
+
+
+def _cells(rng: random.Random, number: str, typ: str, n_alt: int, ploidy: int = 2) -> str:
+    count = {
+        "0": 0,
+        "1": 1,
+        "4": 4,
+        "A": n_alt,
+        "R": n_alt + 1,
+        # diploid genotype count over (n_alt + 1) alleles
+        "G": (n_alt + 1) * (n_alt + 2) // 2,
+    }[number]
+    if count == 0:
+        return ""
+    return ",".join(_value(rng, typ) for _ in range(count))
+
+
+def _make_vcf(rng: random.Random, n_rows: int = 30):
+    info_keys = {f"IK{i}": nt for i, nt in enumerate(_INFO_SPACE)}
+    fmt_keys = {f"FK{i}": nt for i, nt in enumerate(_FORMAT_SPACE)}
+    hdr = ["##fileformat=VCFv4.3", "##contig=<ID=chr1,length=100000000>"]
+    for k, (n, t) in info_keys.items():
+        hdr.append(f'##INFO=<ID={k},Number={n},Type={t},Description="fuzz">')
+    hdr.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="">')
+    for k, (n, t) in fmt_keys.items():
+        hdr.append(f'##FORMAT=<ID={k},Number={n},Type={t},Description="fuzz">')
+    hdr.append(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2"
+    )
+    lines = []
+    for i in range(n_rows):
+        pos = 100 + i * 50
+        n_alt = rng.choice([1, 1, 1, 2])
+        ref = rng.choice(["A", "C", "G", "TTA"])
+        alts = ",".join(
+            rng.sample([a for a in ["A", "C", "G", "T"] if a != ref[0]], n_alt)
+        )
+        qual = rng.choice([".", "50", "99.5", "0"])
+        filt = rng.choice(["PASS", ".", "lowmq", "lowmq;lowdp"])
+        info_parts = []
+        for k, (n, t) in info_keys.items():
+            if rng.random() < 0.35:
+                continue  # missing key
+            if t == "Flag":
+                info_parts.append(k)
+            else:
+                info_parts.append(f"{k}={_cells(rng, n, t, n_alt)}")
+        info = ";".join(info_parts) or "."
+        fks = [k for k in fmt_keys if rng.random() >= 0.35]
+        fmt = ":".join(["GT"] + fks)
+        cells = []
+        for _s in range(2):
+            gt = rng.choice(
+                ["0/1", "1/1", "0|1", "./.", "0/0"]
+                + (["1/2", "2|2"] if n_alt == 2 else [])
+            )
+            vals = [gt]
+            for k in fks:
+                n, t = fmt_keys[k]
+                if t == "Flag":
+                    vals.append("1")  # malformed anyway; must drop
+                elif rng.random() < 0.15:
+                    vals.append(".")  # missing cell
+                else:
+                    vals.append(_cells(rng, n, t, n_alt))
+            cells.append(":".join(vals))
+        lines.append(
+            f"chr1\t{pos}\t.\t{ref}\t{alts}\t{qual}\t{filt}\t{info}\t{fmt}\t"
+            + "\t".join(cells)
+        )
+    return "\n".join(hdr + lines) + "\n"
+
+
+def _canon(gf):
+    """Comparable projection: per (start, alt) — variant attrs map,
+    typed fields, and per-sample genotype attrs."""
+    rows = gf.df.select(
+        "start",
+        F.col("variant.alternateAllele").alias("alt"),
+        F.col("variant.quality").alias("qual"),
+        F.col("variant.filtersApplied").alias("fa"),
+        F.col("variant.filtersPassed").alias("fp"),
+        F.col("variant.filtersFailed").alias("ff"),
+        F.col("variant.annotation.attributes").alias("vattrs"),
+        F.expr(
+            "transform(genotypes, g -> struct(g.sampleId as s, g.alleles as al,"
+            " g.phased as ph, g.variantCallingAnnotations.attributes as ga))"
+        ).alias("gts"),
+    ).collect()
+    out = {}
+    for r in rows:
+        key = (r["start"], r["alt"])
+        out[key] = (
+            r["qual"],
+            r["fa"],
+            r["fp"],
+            tuple(r["ff"] or ()),
+            dict(r["vattrs"] or {}),
+            tuple(
+                (g["s"], tuple(g["al"] or ()), g["ph"], tuple(sorted((g["ga"] or {}).items())))
+                for g in sorted(r["gts"], key=lambda g: g["s"])
+            ),
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 42, 20260816])
+def test_attribute_space_round_trip_fixed_point(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    p = tmp_path / "fuzz.vcf"
+    p.write_text(_make_vcf(rng))
+    first = vcf_io.load_vcf(spark, str(p))
+    out = str(tmp_path / "fuzz_out.vcf")
+    vcf_io.save_vcf(first, out, single_file=True)
+    second = vcf_io.load_vcf(spark, out)
+
+    a, b = _canon(first), _canon(second)
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key] == b[key], f"fixed point broken at {key} (seed {seed})"
+
+    # unsupported cells really dropped (INFO Number=G, FORMAT Flag)
+    for attrs in (v[4] for v in a.values()):
+        assert "IK16" not in attrs
+    for gts in (v[5] for v in a.values()):
+        for g in gts:
+            assert all(k != "FK18" for k, _ in g[3])
