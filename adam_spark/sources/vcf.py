@@ -1364,19 +1364,50 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
         F.concat(F.lit("GT:"), F.array_join(fmt_keys, ":")),
     ).otherwise(F.lit("GT"))
 
-    def cell(name: str) -> Column:
-        g = F.try_element_at(
-            F.filter(gcells, lambda e: e["s"] == F.lit(name)), F.lit(1)
-        )
-        gt = F.coalesce(g["gt"], F.lit("./."))
+    # render every sample's cell in ONE pass over the genotype array
+    # into a sampleId→cell map; per-sample columns are then single map
+    # lookups. The previous shape re-filtered the genotype array per
+    # sample column — O(samples²) work per row AND an expression tree
+    # growing with samples × render-size, which dominated the writer's
+    # fixed per-job cost (Catalyst analysis/codegen of the mega-tree;
+    # see MEASURED.md round-10 row)
+    def _render_cell(e: Column) -> Column:
         vals = F.transform(
             fmt_keys,
-            lambda k: F.coalesce(F.try_element_at(g["m"], k), F.lit(".")),
+            lambda k: F.coalesce(F.try_element_at(e["m"], k), F.lit(".")),
         )
         return F.when(
             F.size(fmt_keys) > 0,
-            F.concat(gt, F.lit(":"), F.array_join(vals, ":")),
-        ).otherwise(gt)
+            F.concat(e["gt"], F.lit(":"), F.array_join(vals, ":")),
+        ).otherwise(e["gt"])
+
+    if sample_names:
+        df = df.withColumn(
+            "__rcells",
+            F.map_from_entries(
+                F.transform(
+                    gcells,
+                    lambda e: F.struct(
+                        e["s"].alias("k"), _render_cell(e).alias("v")
+                    ),
+                )
+            ),
+        )
+    # a sample with no genotype row on this line renders an all-missing
+    # cell (./. + '.' per key), same as the old per-sample fallback
+    empty_cell = F.when(
+        F.size(fmt_keys) > 0,
+        F.concat(
+            F.lit("./."),
+            F.lit(":"),
+            F.array_join(F.transform(fmt_keys, lambda _: F.lit(".")), ":"),
+        ),
+    ).otherwise(F.lit("./."))
+
+    def cell(name: str) -> Column:
+        return F.coalesce(
+            F.try_element_at(F.col("__rcells"), F.lit(name)), empty_cell
+        )
 
     # every field coalesced: concat_ws SKIPS nulls, so one null column
     # would silently shift all following fields left (corrupt VCF)
