@@ -207,6 +207,57 @@ def _bqsr_reads(spark: SparkSession, c: int) -> DataFrame:
     )
 
 
+def _realign_reads(spark: SparkSession, c: int) -> DataFrame:
+    """The realign_indels contract query's three read classes (clean /
+    deletion-consensus / misaligned-over-deletion, __spark_entry__.
+    realign_indels_reads), spread over 16 indel piles per copy via
+    referenceName = 'c'||k%16. Copies suffix the reference, so target
+    COUNT grows 10× while per-target pile sizes stay constant — the
+    shape the r9 target-finder rewrite (narrow Catalyst aggregate +
+    per-contig chain-merge) must scale along."""
+    import __spark_entry__ as entry
+    from adam_spark.functions.cigar import md_from_reference
+
+    ct = entry._MD_CONTIG
+    del_seq = ct[114:118] + ct[120:128]
+    mis_seq = ct[115:118] + ct[120:127]
+    mis_md, _ = md_from_reference("10M", mis_seq, ct[115:125])
+    o = load_table(spark, BASE, "orders")
+    return o.select(
+        _ref(c, F.expr("'c' || cast(o_orderkey % 16 as string)")).alias(
+            "referenceName"
+        ),
+        F.expr("'r' || cast(o_orderkey as string)").alias("readName"),
+        F.expr(
+            "case when o_orderkey % 3 = 0 then o_orderkey % 100 "
+            "when o_orderkey % 3 = 1 then 114 else 115 end"
+        ).cast("long").alias("start"),
+        F.expr(
+            "case when o_orderkey % 3 = 0 then o_orderkey % 100 + 10 "
+            "when o_orderkey % 3 = 1 then 128 else 125 end"
+        ).cast("long").alias("end"),
+        F.expr(
+            f"case when o_orderkey % 3 = 0 then substring('{ct}', cast(o_orderkey % 100 + 1 as int), 10) "
+            f"when o_orderkey % 3 = 1 then '{del_seq}' else '{mis_seq}' end"
+        ).alias("sequence"),
+        F.expr(
+            "case when o_orderkey % 3 = 1 then repeat('I', 12) else repeat('I', 10) end"
+        ).alias("qualityScores"),
+        F.expr(
+            "case when o_orderkey % 3 = 0 then '10M' "
+            "when o_orderkey % 3 = 1 then '4M2D8M' else '10M' end"
+        ).alias("cigar"),
+        F.lit(True).alias("readMapped"),
+        F.expr(
+            f"case when o_orderkey % 3 = 0 then '10' "
+            f"when o_orderkey % 3 = 1 then '4^{ct[118:120]}8' else '{mis_md}' end"
+        ).alias("mismatchingPositions"),
+        F.lit(40).alias("mappingQuality"),
+        F.lit(False).alias("duplicateRead"),
+        F.lit(True).alias("primaryAlignment"),
+    )
+
+
 BUILDERS = {
     "documents": _documents,
     "embeddings": _embeddings,
@@ -214,7 +265,40 @@ BUILDERS = {
     "intervals_r": _intervals_r,
     "alignments": _alignments,
     "bqsr_reads": _bqsr_reads,
+    "realign_reads": _realign_reads,
 }
+
+
+def _vcf_contexts(spark: SparkSession, scale: str):
+    """Variant contexts for the save_vcf slope: random.vcf (6 sites ×
+    3 samples, the r9 writer A/B's input) replicated with shifted
+    starts — 20.4k rows at s1, 204k at s10. The writer has no joins;
+    plain row growth is linear by design."""
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.sources.parquet import load_parquet, save_parquet
+    from adam_spark.sources.vcf import load_vcf
+
+    path = os.path.join(OUT, scale, "vcontexts")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gf = load_vcf(
+            spark, "/root/reference/adam-core/src/test/resources/random.vcf"
+        )
+        reps = 3400 if scale == "s1" else 34000
+        big = (
+            gf.df.crossJoin(
+                spark.range(reps).select(F.col("id").alias("__rep"))
+            )
+            .withColumn("start", F.col("start") + F.col("__rep") * 1000)
+            .withColumn(
+                "variant",
+                F.col("variant").withField(
+                    "start", F.col("variant.start") + F.col("__rep") * 1000
+                ),
+            )
+            .drop("__rep")
+        )
+        save_parquet(GenomicFrame(big, gf.meta), path)
+    return load_parquet(spark, path)
 
 
 def materialize(spark: SparkSession) -> None:
@@ -309,7 +393,28 @@ def _ops(spark: SparkSession, scale: str):
             embs, embs.where(F.col("vec_id") < 10), k=5, n_probe=4
         ).count()
 
+    def _realign(reads):
+        from adam_spark.operators.realignment import realign_indels
+
+        return realign_indels(reads).count()
+
+    def _save_vcf(gf):
+        import shutil
+
+        from adam_spark.sources.vcf import save_vcf
+
+        dst = os.path.join(OUT, "tmp_vcf_out")
+        shutil.rmtree(dst, ignore_errors=True)
+        n = gf.df.count()
+        save_vcf(gf, dst, single_file=False)
+        return n
+
     return {
+        # r10 additions (r9 verdict item 4): measured slopes for the two
+        # r9 rewrites — the reference-semantics realignment target
+        # finder and the htsjdk-parity VCF writer
+        "realign_indels": lambda: _realign(rd("realign_reads")),
+        "save_vcf_multi": lambda: _save_vcf(_vcf_contexts(spark, scale)),
         "interval_join_inner": lambda: region_join(
             rd("intervals_l"), rd("intervals_r"), how="inner", bin_size=64
         ).count(),
