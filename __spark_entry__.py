@@ -3053,6 +3053,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries. Those 50 are exactly the oracle-checked operator queries —
     # one per §2 / LLM-pipeline operator family.
     #
+    # ROUND-10 WINDOW ROTATION (per the r9 verdict item 7): promoted
+    # in-window — interval_join_left_outer (the OUTER-join family had no
+    # driver-recorded representative; capless-green every round since
+    # r7) and quality_binning_reads (binQualityScores kernel, capless
+    # green + r9 bqsr1.sam golden 92,899/7,101). Parked in exchange,
+    # each with FOUR rounds of driver-green history (r6-r9) and an
+    # in-window family representative: doc_lm_score_docs
+    # (doc_bigram_lm_score_docs keeps the vocab/LM machinery in-window)
+    # and sort_by_read_name_rank (sort_reads_by_index_rank keeps the
+    # sorts builder in-window).
+    #
     # ROUND-9 WINDOW ROTATION (per the r8 verdict item 4): the two r8
     # operators with exact oracles but no driver-recorded row —
     # dedup_substrings_docs (exact duplicate-substring removal) and
@@ -3148,7 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slices_contig_reads_docs": slices_contig_reads_docs,
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "fragments_group": fragments_group,
-        "doc_lm_score_docs": doc_lm_score_docs,
+        "interval_join_left_outer": _ij("left_outer"),
         "doc_bigram_lm_score_docs": doc_bigram_lm_score_docs,
         "chunk_docs": chunk_docs,
         "sample_mixture_docs": sample_mixture_docs,
@@ -3166,7 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bqsr_recalibrate_reads": bqsr_recalibrate_reads,
         "slices_flank_adjacent": slices_flank_adjacent,
         "sort_reads_by_index_rank": sort_reads_by_index_rank,
-        "sort_by_read_name_rank": sort_by_read_name_rank,
+        "quality_binning_reads": quality_binning_reads,
         "corpus_source_stats": corpus_source_stats,
         "sample_stratified_docs": sample_stratified_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
@@ -3175,7 +3186,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top of this dict) ---
         "pipe_features_cat": pipe_features_cat,
         "multimodal_features": multimodal_features,
-        "interval_join_left_outer": _ij("left_outer"),
+        # r10 rotation: doc_lm_score_docs and sort_by_read_name_rank park
+        # here after FOUR rounds of driver-green history each (r6-r9);
+        # their in-window family representatives are
+        # doc_bigram_lm_score_docs (same vocab/LM machinery) and
+        # sort_reads_by_index_rank (same sorts builder)
+        "doc_lm_score_docs": doc_lm_score_docs,
+        "sort_by_read_name_rank": sort_by_read_name_rank,
         "interval_join_full_outer": _ij("full_outer"),
         # r7: parked after its r6 driver-recorded green row (same
         # parameterized builder as four in-window joins) to make room
@@ -3189,7 +3206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_docs": slice_docs,
         "variants_dedup_sites": variants_dedup_sites,
         "doc_winnowing": doc_winnowing,
-        "quality_binning_reads": quality_binning_reads,
         "reassemble_pairs_orders": reassemble_pairs_orders,
         # r8 rotation: float IVF parks here after r6+r7 driver-green rows;
         # its machinery stays in-window via ann_ivf_topk_quantized (same
