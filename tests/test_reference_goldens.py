@@ -1219,3 +1219,37 @@ def test_count_slice_kmers_cli_golden(spark, tmp_path):
     assert rc == 0
     want = sorted(open(f"{RCLI}/artificial.counts.txt").read().splitlines())
     assert _kmer_golden_lines(out) == want
+
+
+def test_gvcf_end_attribute_save_round_trip(spark, tmp_path):
+    """GenotypeDatasetSuite 'round trip gVCF END attribute ...'
+    (:694-760): the first sorted genotype of
+    gvcf_multiallelic/multiallelic.vcf spans to END=16157602; after
+    copyVariantEndToAttribute → toVariantContexts → saveAsVcf → reload,
+    both the genotype end and the variant end still read 16157602 (the
+    END INFO attribute re-emitted and re-parsed)."""
+    import glob as _glob
+
+    from adam_spark.operators.conversions import (
+        copy_variant_end_to_attribute,
+        genotypes_to_variant_contexts,
+    )
+    from adam_spark.sources.vcf import GenomicFrame, load_vcf_genotypes, save_vcf
+
+    g = load_vcf_genotypes(spark, f"{R}/gvcf_multiallelic/multiallelic.vcf")
+    first = g.df.orderBy("referenceName", "start").first()
+    assert first["end"] == 16157602
+    assert first["variant"]["end"] == 16157602
+
+    vcs = GenomicFrame(
+        genotypes_to_variant_contexts(copy_variant_end_to_attribute(g.df)), g.meta
+    )
+    out = str(tmp_path / "gvcf_out.vcf")
+    save_vcf(vcs, out, single_file=True)
+    part = _glob.glob(f"{out}/part-*")[0]
+    assert any(
+        "END=16157602" in ln for ln in open(part) if not ln.startswith("#")
+    )
+    back = load_vcf_genotypes(spark, out).df.orderBy("referenceName", "start").first()
+    assert back["end"] == 16157602
+    assert back["variant"]["end"] == 16157602
