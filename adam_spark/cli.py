@@ -528,7 +528,10 @@ def _cmd_transform_variants(args) -> int:
               file=sys.stderr)
         return 2
     spark = _spark(args)
-    gf = ctx.load_variant_contexts(spark, args.input)
+    # TransformVariants.run() loads VARIANTS (sc.loadVariants) — the
+    # toVariants step drops FORMAT header lines and samples, so the
+    # VCF output is sites-only (byte-pinned vs sorted-variants.vcf)
+    gf = ctx.load_variants(spark, args.input)
     df = _maybe_coalesce(gf.df, args.coalesce, args.force_shuffle_coalesce)
     df = _maybe_sort(df, args.sort_on_save, args.sort_lexicographically_on_save,
                      gf.meta.references)
@@ -565,11 +568,17 @@ def _cmd_transform_genotypes(args) -> int:
     spark = _spark(args)
     gf = ctx.load_genotypes(spark, args.input)
     df = gf.df
-    if not args.nested_annotations and "variant" in df.columns:
+    is_vcf_in = args.input.lower().rstrip("/").endswith(
+        (".vcf", ".vcf.gz", ".vcf.bgz", ".vcf.bgzf.gz")
+    )
+    if not args.nested_annotations and is_vcf_in and "variant" in df.columns:
         # the reference populates genotype.variant.annotation only with
         # -nested_annotations (TransformGenotypes.scala:57-59, disabled
         # by default); this loader always carries it, so the default
-        # path nulls it out
+        # path nulls it out. The property gates the htsjdk→Avro
+        # CONVERSION only (VariantContextConverter.genotypeVariant:
+        # 350-356) — a parquet input carries whatever was stored, so
+        # the strip applies only when the input is VCF
         ann_type = df.schema["variant"].dataType["annotation"].dataType
         df = df.withColumn(
             "variant",

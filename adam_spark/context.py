@@ -222,6 +222,17 @@ def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> Non
     elif path.lower().endswith((".vcf.gz", ".vcf.bgz")):
         _vcf.save_vcf_bgzf(gf, path)  # bgzip + tabix index
     elif _has_ext(path, ".vcf"):
+        if gf.meta.kind == "variant":
+            # sites-only save (VariantDataset.toVariantContexts :349 →
+            # saveAsVcf): wrap VARIANT rows into contexts with no
+            # genotypes; the frame's metadata already lost its FORMAT
+            # lines and samples at toVariants time
+            from adam_spark.core.genomic_frame import GenomicFrame
+            from adam_spark.operators.conversions import (
+                variants_to_variant_contexts,
+            )
+
+            gf = GenomicFrame(variants_to_variant_contexts(gf.df), gf.meta)
         _vcf.save_vcf(gf, path, single_file=single_file)
     elif _has_ext(path, ".fa", ".fasta"):
         _fasta.save_fasta(gf, path, single_file=single_file, **kwargs)

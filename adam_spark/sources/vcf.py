@@ -923,11 +923,22 @@ def vcf_lines_to_contexts(
 
 
 def load_vcf_variants(spark: SparkSession, path: str) -> GenomicFrame:
-    """VCF → site-level VARIANT rows (ADAMContext.loadVariants path)."""
+    """VCF → site-level VARIANT rows (ADAMContext.loadVariants path).
+
+    ``VariantContextDataset.toVariants`` (VariantContextDataset.scala:
+    336-344) FILTERS the FORMAT header lines out of the resulting
+    VariantDataset and carries no samples — a sites-only save therefore
+    writes neither FORMAT declarations nor sample columns (pinned
+    byte-exact against the adam-cli goldens sorted-variants.vcf /
+    sorted-variants.lex.vcf)."""
     gf = load_vcf(spark, path)
     df = gf.df.select("variant.*")
     meta = gf.meta.copy()
     meta.kind = "variant"
+    meta.header_lines = [
+        h for h in meta.header_lines if not h.startswith("##FORMAT=")
+    ]
+    meta.samples = []
     return GenomicFrame(schemas.conform(df, schemas.VARIANT), meta)
 
 
