@@ -322,6 +322,20 @@ def _cmd_transform_alignments(args) -> int:
         df = sorts.sort_by_read_name(df)
     elif args.sort_by_reference_position:
         df = sorts.sort_by_reference_position(df)
+        # the reference replaces the dictionary with stripIndices.sorted
+        # (AlignmentDataset.scala:1023-1029) so the isSorted save writes
+        # @SQ in the file's record order (byte-pinned vs ordered.sam)
+        from dataclasses import replace as _replace
+
+        from adam_spark.core.metadata import SequenceDictionary
+
+        gf = gf.__class__(gf.df, gf.meta.copy())
+        gf.meta.references = SequenceDictionary(
+            [
+                _replace(r, index=None)
+                for r in sorted(gf.meta.references.references, key=lambda r: r.name)
+            ]
+        )
     elif args.sort_by_reference_position_and_index:
         df = sorts.sort_by_reference_position_and_index(df, gf.meta.references)
     if args.cache:
@@ -350,6 +364,13 @@ def _cmd_transform_alignments(args) -> int:
     single_file = (args.single or not args.sharded) and not args.defer_merging
     is_fastq_out = args.output.lower().endswith((".fq", ".fastq"))
     save_kwargs = {}
+    # isSorted flows to the SAM header exactly when a sort ran
+    # (TransformAlignments.scala:646): @HD SO:queryname for the
+    # read-name sort, SO:coordinate + dictionary-ordered @SQ otherwise
+    if args.sort_by_read_name:
+        save_kwargs["sort_order"] = "queryname"
+    elif args.sort_by_reference_position or args.sort_by_reference_position_and_index:
+        save_kwargs["is_sorted"] = True
     if is_fastq_out and args.sort_fastq_output:
         save_kwargs["sort_by_name"] = True  # .scala:137-138
     if args.partition_by_start_pos:

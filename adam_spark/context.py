@@ -194,9 +194,11 @@ def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> Non
     """Polymorphic save by extension (reference ``save`` dispatch)."""
     pg_line = kwargs.pop("pg_line", None)  # SAM/BAM-only kwarg
     is_sorted = kwargs.pop("is_sorted", False)  # SAM-only: @HD SO:coordinate
+    sort_order = kwargs.pop("sort_order", None)  # SAM-only: explicit @HD SO
     if _has_ext(path, ".sam"):
         _sam.save_sam(
-            gf, path, single_file=single_file, pg_line=pg_line, is_sorted=is_sorted
+            gf, path, single_file=single_file, pg_line=pg_line,
+            is_sorted=is_sorted, sort_order=sort_order,
         )
     elif _has_ext(path, ".bam"):
         from adam_spark.sources.bam import save_bam

@@ -1319,3 +1319,82 @@ def test_transform_genotypes_cli_byte_golden(spark, tmp_path, flag, gold):
     assert main(["transform_genotypes", mid, out, flag, "-single"]) == 0
     part = glob.glob(f"{out}/part-*")[0]
     assert open(part).read() == open(f"{R}/{gold}").read()
+
+
+@pytest.mark.parametrize(
+    "extra,gold",
+    [
+        ([], "unordered.sam"),
+        (["-sort_by_reference_position"], "ordered.sam"),
+    ],
+)
+def test_transform_alignments_cli_byte_golden(spark, tmp_path, extra, gold):
+    """TransformAlignmentsSuite 'unordered sam to [un]ordered sam'
+    (adam-cli TransformAlignmentsSuite.scala:24-38): -single
+    -disable_pg reproduces the input (order-preserving save) or the
+    committed ordered.sam byte-for-byte through the CLI."""
+    from adam_spark.cli import main
+
+    out = str(tmp_path / "out.sam")
+    rc = main(
+        ["transform_alignments", "-single", "-disable_pg"]
+        + extra + [f"{R}/unordered.sam", out]
+    )
+    assert rc == 0
+    part = glob.glob(f"{out}/part-*")[0]
+    assert open(part).read() == open(f"{R}/{gold}").read()
+
+
+@pytest.mark.parametrize(
+    "extra,gold",
+    [
+        ([], "unordered.sam"),
+        (["-sort_by_reference_position"], "ordered.sam"),
+    ],
+)
+def test_transform_alignments_cli_parquet_byte_golden(spark, tmp_path, extra, gold):
+    """TransformAlignmentsSuite 'unordered sam, to adam, to [ordered]
+    sam' (:40-58): the same byte-goldens through the alignments-parquet
+    intermediate — read-group/program/dictionary metadata round-trips
+    losslessly enough for byte parity."""
+    from adam_spark.cli import main
+
+    mid = str(tmp_path / "unordered.adam")
+    assert main(["transform_alignments", "-disable_pg", f"{R}/unordered.sam", mid]) == 0
+    out = str(tmp_path / "out.sam")
+    rc = main(
+        ["transform_alignments", "-single", "-disable_pg"] + extra + [mid, out]
+    )
+    assert rc == 0
+    part = glob.glob(f"{out}/part-*")[0]
+    assert open(part).read() == open(f"{R}/{gold}").read()
+
+
+@pytest.mark.parametrize(
+    "extra,gold",
+    [
+        ([], "unordered.sam"),
+        (["-sort_by_reference_position"], "ordered.sam"),
+    ],
+)
+def test_merge_shards_cli_byte_golden(spark, tmp_path, extra, gold):
+    """MergeShardsSuite 'merge shards from unordered sam' / 'unordered
+    sam to ordered sam' (adam-cli MergeShardsSuite.scala:25-48):
+    -defer_merging leaves shards + header, merge_shards reassembles the
+    byte-identical single file."""
+    import os as _os
+
+    from adam_spark.cli import main
+
+    out = str(tmp_path / "merged.sam")
+    rc = main(
+        ["transform_alignments", "-single", "-defer_merging", "-disable_pg"]
+        + extra + [f"{R}/unordered.sam", out]
+    )
+    assert rc == 0
+    # the deferred save leaves a shard directory; find its header+tail
+    shard_dir = out if _os.path.isdir(out) else out + "_tail"
+    assert _os.path.isdir(shard_dir)
+    merged = str(tmp_path / "final.sam")
+    assert main(["merge_shards", shard_dir, merged]) == 0
+    assert open(merged).read() == open(f"{R}/{gold}").read()
