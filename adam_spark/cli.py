@@ -740,16 +740,33 @@ def _cmd_transform_fragments(args) -> int:
         from adam_spark.operators import sorts
 
         adf = fragments_to_alignments(df)
+        meta = gf.meta.copy()
+        save_kwargs = {}
         if args.sort_by_read_name:
             adf = sorts.sort_by_read_name(adf)
+            save_kwargs["sort_order"] = "queryname"
         elif args.sort_by_reference_position:
             adf = sorts.sort_by_reference_position(adf)
+            # stripIndices.sorted dictionary replacement + SO:coordinate
+            # (same contract as transform_alignments; byte-pinned vs
+            # sorted.sam through this command)
+            from dataclasses import replace as _replace
+
+            from adam_spark.core.metadata import SequenceDictionary
+
+            meta.references = SequenceDictionary(
+                [
+                    _replace(r, index=None)
+                    for r in sorted(meta.references.references, key=lambda r: r.name)
+                ]
+            )
+            save_kwargs["is_sorted"] = True
         elif args.sort_by_reference_position_and_index:
             adf = sorts.sort_by_reference_position_and_index(adf, gf.meta.references)
-        meta = gf.meta.copy()
+            save_kwargs["is_sorted"] = True
         meta.kind = "alignment"
         _save_any(GenomicFrame(adf, meta), args.output, _resolve_single(args),
-                  args.disable_fast_concat)
+                  args.disable_fast_concat, **save_kwargs)
     else:
         _save_any(GenomicFrame(df, gf.meta), args.output, _resolve_single(args),
                   args.disable_fast_concat)

@@ -1398,3 +1398,24 @@ def test_merge_shards_cli_byte_golden(spark, tmp_path, extra, gold):
     merged = str(tmp_path / "final.sam")
     assert main(["merge_shards", shard_dir, merged]) == 0
     assert open(merged).read() == open(f"{R}/{gold}").read()
+
+
+def test_transform_fragments_cli_sorted_sam_byte_golden(spark, tmp_path):
+    """TransformFragmentsSuite 'load reads as sam and save them sorted'
+    (adam-cli TransformFragmentsSuite.scala:45-54): -load_as_alignments
+    -save_as_alignments -single -sort_by_reference_position on
+    unsorted.sam reproduces sorted.sam byte-for-byte through the
+    fragments command."""
+    from adam_spark.cli import main
+
+    out = str(tmp_path / "out.sam")
+    rc = main(
+        [
+            "transform_fragments", f"{R}/unsorted.sam", out,
+            "-load_as_alignments", "-save_as_alignments",
+            "-single", "-sort_by_reference_position",
+        ]
+    )
+    assert rc == 0
+    part = glob.glob(f"{out}/part-*")[0]
+    assert open(part).read() == open(f"{R}/sorted.sam").read()
