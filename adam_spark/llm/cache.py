@@ -40,12 +40,27 @@ def rotate_persist(tag: str, df: DataFrame, level) -> DataFrame:
     The default (``bounded_cache=False``) contract keeps the current
     call's intermediate cached so the lazily-returned result reuses it;
     without rotation, N calls in one session leave N dead cache entries
-    behind. Rotation caps that at one per operator. Trade-off: if a
-    caller interleaves two corpora (build result A, build result B,
-    THEN execute A), A's intermediate recomputes once — correctness is
-    unaffected (unpersist never is), only the cache reuse."""
-    prev = _LAST_PERSISTED.pop(tag, None)
+    behind. Rotation caps that at one per operator.
+
+    Same-plan reuse: when the new intermediate is plan-identical to the
+    still-cached previous one (the repeated-call pattern — a bench
+    best-of-N, a retried job), the previous DataFrame is returned
+    as-is, preserving the warm-cache hit Spark's CacheManager would
+    have given via plan matching (unpersist-then-repersist would force
+    a full recompute every call). Trade-off: if a caller interleaves
+    two DIFFERENT corpora (build result A, build result B, THEN execute
+    A), A's intermediate recomputes once — correctness is unaffected
+    (unpersist never is), only the cache reuse."""
+    prev = _LAST_PERSISTED.get(tag)
     if prev is not None:
+        try:
+            if prev.is_cached and prev._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            ):
+                return prev
+        except Exception:
+            pass  # plan comparison is best-effort only
+        _LAST_PERSISTED.pop(tag, None)
         try:
             prev.unpersist(False)
         except Exception:
