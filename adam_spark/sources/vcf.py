@@ -707,7 +707,48 @@ def _vcf_text(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+def _header_lines_local(path: str) -> list[str]:
+    """Stream ONE file's leading '#' lines driver-side — O(header
+    bytes), not O(file). gzip.open covers .gz, .bgzf.gz and .bgz alike
+    (BGZF is multi-member gzip and the stream decompresses lazily, so a
+    100 GB .bgz costs one block here)."""
+    import gzip as _gzip
+
+    opener = _gzip.open if path.endswith((".gz", ".bgz")) else open
+    out: list[str] = []
+    with opener(path, "rt") as f:
+        for line in f:
+            if not line.startswith("#"):
+                break
+            out.append(line.rstrip("\n"))
+    return out
+
+
 def _parse_header(spark: SparkSession, path: str):
+    """Header lines for a VCF path (file / directory / glob).
+
+    Reads each file's head DRIVER-SIDE like htsjdk's codecs do (the
+    reference's loadVcf reads headers through
+    VCFHeaderReader.readHeaderFrom before any job runs) — previously
+    this was a full distributed scan of every byte just to keep the
+    '#'-prefixed lines, i.e. every load paid a second whole-input pass
+    at 100 TB. Falls back to the distributed scan for paths the driver
+    cannot open (non-local filesystems)."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        entries = sorted(_glob.glob(os.path.join(path, "*")))
+    else:
+        entries = sorted(_glob.glob(path)) or [path]
+    files = [p for p in entries if os.path.isfile(p)]
+    if files:
+        try:
+            lines: list[str] = []
+            for p in files:
+                lines.extend(_header_lines_local(p))
+            return _header_from_lines(lines)
+        except OSError:
+            pass
     hdr_rows = (
         _vcf_text(spark, path)
         .where(F.col("value").startswith("#"))
