@@ -65,11 +65,47 @@ def _aligned_with_meta(raw: DataFrame, header_lines) -> tuple:
     return fill_read_group_sample_id(sam_lines_to_alignments(raw), meta), meta
 
 
+def _header_lines_driver(path: str) -> list[str] | None:
+    """Each file's leading '@' lines, streamed DRIVER-SIDE — O(header
+    bytes) instead of the full distributed scan+filter pass (htsjdk
+    reads SAM headers the same way before any job runs). Returns None
+    when the driver cannot open the path (non-local filesystem) so the
+    caller falls back to the distributed collect."""
+    import glob as _glob
+    import gzip as _gzip
+    import os as _os
+
+    if _os.path.isdir(path):
+        entries = sorted(_glob.glob(_os.path.join(path, "*")))
+    else:
+        entries = sorted(_glob.glob(path)) or [path]
+    files = [p for p in entries if _os.path.isfile(p)]
+    if not files:
+        return None
+    lines: list[str] = []
+    try:
+        for p in files:
+            opener = _gzip.open if p.endswith(".gz") else open
+            with opener(p, "rt") as f:
+                for line in f:
+                    if not line.startswith("@"):
+                        break
+                    lines.append(line.rstrip("\n"))
+    except OSError:
+        return None
+    return lines
+
+
 def load_sam(
     spark: SparkSession, path: str, stringency: str = "SILENT"
 ) -> GenomicFrame:
     raw = spark.read.text(path)
-    meta = _header_metadata(raw, stringency)
+    hdr = _header_lines_driver(path)
+    meta = (
+        header_metadata_from_lines(hdr, stringency)
+        if hdr is not None
+        else _header_metadata(raw, stringency)
+    )
     df = fill_read_group_sample_id(sam_lines_to_alignments(raw), meta)
     return GenomicFrame(df, meta)
 
