@@ -521,13 +521,21 @@ def load_interval_list(spark: SparkSession, path: str) -> GenomicFrame:
         _strand(F.try_element_at(t, F.lit(4))).alias("strand"),
         F.try_element_at(t, F.lit(5)).alias("name"),
     )
-    # header → sequence dictionary (driver-side; header is small)
+    # header → sequence dictionary (driver-side; header is small).
+    # Stream the file heads on the driver when local — O(header bytes),
+    # not a distributed filter over the whole input (same treatment as
+    # the SAM/VCF header reads)
     from adam_spark.core.metadata import Reference, SequenceDictionary
+    from adam_spark.sources.sam import _header_lines_driver
 
-    hdr = [
-        r["value"]
-        for r in raw.where(F.col("value").startswith("@SQ")).collect()
-    ]
+    head = _header_lines_driver(path)
+    if head is not None:
+        hdr = [h for h in head if h.startswith("@SQ")]
+    else:
+        hdr = [
+            r["value"]
+            for r in raw.where(F.col("value").startswith("@SQ")).collect()
+        ]
     refs = []
     for line in hdr:
         fields = dict(
