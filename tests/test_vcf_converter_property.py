@@ -99,6 +99,8 @@ def _make_vcf(rng: random.Random, n_rows: int = 30):
                 continue  # missing key
             if t == "Flag":
                 info_parts.append(k)
+            elif rng.random() < 0.10:
+                info_parts.append(f"{k}=.")  # missing-value INFO cell
             else:
                 info_parts.append(f"{k}={_cells(rng, n, t, n_alt)}")
         info = ";".join(info_parts) or "."
