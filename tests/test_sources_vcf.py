@@ -466,3 +466,36 @@ def test_bgz_mixed_directory_and_plain_gzip_fallback(spark, tmp_path):
     )
     gf2 = vcf_io.load_vcf(spark, str(fake))
     assert [r["start"] for r in gf2.df.collect()] == [299]
+
+
+def test_bgz_splittable_adversarial_boundaries(spark, tmp_path):
+    """Split-ownership edges of the BGZF text scan: ranges SMALLER than
+    one block (empty ranges own nothing), one line spanning dozens of
+    blocks (interior ranges defer to the owner's forward read), and a
+    file with no trailing newline (last line still owned exactly
+    once)."""
+    from adam_spark.sources.bam import bgzf_compress_to
+    from adam_spark.sources.vcf import _bgz_text
+
+    text = "".join(f"line{i}\n" for i in range(5000))
+    p1 = tmp_path / "tiny.bgz"
+    bgzf_compress_to(str(p1), text.encode(), block_size=512)
+    got = sorted(
+        r["value"] for r in _bgz_text(spark, [str(p1)], target_split_bytes=300).collect()
+    )
+    assert got == sorted(text.rstrip("\n").split("\n"))
+
+    text2 = "start\n" + ("X" * 500_000) + "\nend\n"
+    p2 = tmp_path / "giant.bgz"
+    bgzf_compress_to(str(p2), text2.encode(), block_size=1024)
+    got2 = sorted(
+        r["value"] for r in _bgz_text(spark, [str(p2)], target_split_bytes=2048).collect()
+    )
+    assert got2 == sorted(text2.rstrip("\n").split("\n"))
+
+    p3 = tmp_path / "nonl.bgz"
+    bgzf_compress_to(str(p3), b"a\nb\nc", block_size=2)
+    got3 = sorted(
+        r["value"] for r in _bgz_text(spark, [str(p3)], target_split_bytes=1).collect()
+    )
+    assert got3 == ["a", "b", "c"]
