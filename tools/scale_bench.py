@@ -269,6 +269,27 @@ BUILDERS = {
 }
 
 
+def _bgz_file(scale: str) -> str:
+    """A generated multi-block .bgz VCF: 400k body lines at s1, 4M at
+    s10 — plain row growth, the splittable block-range scan's cost is
+    decompress + line-split per range."""
+    path = os.path.join(OUT, scale, "scan.vcf.bgz")
+    if not os.path.exists(path):
+        from adam_spark.sources.bam import bgzf_compress_to
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        n = 400_000 if scale == "s1" else 4_000_000
+        header = (
+            "##fileformat=VCFv4.2\n##contig=<ID=chr1,length=500000000>\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        )
+        body = "".join(
+            f"chr1\t{i + 1}\t.\tA\tG\t50\tPASS\tDP={i % 97}\n" for i in range(n)
+        )
+        bgzf_compress_to(path, (header + body).encode())
+    return path
+
+
 def _vcf_contexts(spark: SparkSession, scale: str):
     """Variant contexts for the save_vcf slope: random.vcf (6 sites ×
     3 samples, the r9 writer A/B's input) replicated with shifted
@@ -415,6 +436,9 @@ def _ops(spark: SparkSession, scale: str):
         # finder and the htsjdk-parity VCF writer
         "realign_indels": lambda: _realign(rd("realign_reads")),
         "save_vcf_multi": lambda: _save_vcf(_vcf_contexts(spark, scale)),
+        "bgz_vcf_scan": lambda: __import__(
+            "adam_spark.sources.vcf", fromlist=["_bgz_text"]
+        )._bgz_text(spark, [_bgz_file(scale)]).count(),
         "interval_join_inner": lambda: region_join(
             rd("intervals_l"), rd("intervals_r"), how="inner", bin_size=64
         ).count(),
