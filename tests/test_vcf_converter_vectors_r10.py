@@ -334,3 +334,39 @@ def test_variant_quality_save_direction(spark, tmp_path):
         if not l.startswith("#")
     }
     assert quals == {"100": "50", "200": ".", "300": "47.50"}
+
+
+def test_min_depth_quality_save_direction(spark, tmp_path):
+    """'no/extract depth', 'no/extract min depth', 'no/extract quality'
+    adam->htsjdk (suite :850-929): set fields re-emit as DP/MIN_DP/GQ
+    cells; null fields leave the key OFF the FORMAT line entirely
+    (htsjdk writes keys only when some genotype carries them)."""
+    hdr = (
+        CONTIG
+        + '##FORMAT=<ID=GT,Number=1,Type=String,Description="">\n'
+        + '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="">\n'
+        + '##FORMAT=<ID=MIN_DP,Number=1,Type=Integer,Description="">\n'
+        + '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="">\n'
+        + "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+    )
+    p = tmp_path / "md.vcf"
+    p.write_text(hdr + "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:DP:MIN_DP:GQ\t0/1:20:18:50\n")
+    gf = vcf_io.load_vcf(spark, str(p))
+    fmt, cell = _fmt_cell(_save_text(gf, tmp_path, "set.vcf"), 100)
+    assert cell["DP"] == "20" and cell["MIN_DP"] == "18" and cell["GQ"] == "50"
+
+    # null the three fields -> keys absent on re-save
+    mut = gf.df.withColumn(
+        "genotypes",
+        F.transform(
+            "genotypes",
+            lambda g: g.withField("readDepth", F.lit(None).cast("int"))
+            .withField("minReadDepth", F.lit(None).cast("int"))
+            .withField("genotypeQuality", F.lit(None).cast("int")),
+        ),
+    )
+    fmt2, _ = _fmt_cell(
+        _save_text(vcf_io.GenomicFrame(mut, gf.meta), tmp_path, "null.vcf"), 100
+    )
+    for key in ("DP", "MIN_DP", "GQ"):
+        assert key not in fmt2.split(":")
