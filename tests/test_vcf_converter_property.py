@@ -26,6 +26,7 @@ _INFO_SPACE = [
     ("A", "Integer"), ("A", "Float"), ("A", "String"), ("A", "Character"),
     ("R", "Integer"), ("R", "Float"), ("R", "String"), ("R", "Character"),
     ("G", "String"),  # unsupported at INFO: must drop on load, stay dropped
+    (".", "String"), (".", "Integer"),  # UNBOUNDED: full value verbatim
 ]
 
 _FORMAT_SPACE = [
@@ -35,6 +36,7 @@ _FORMAT_SPACE = [
     ("R", "Integer"), ("R", "Float"), ("R", "String"), ("R", "Character"),
     ("G", "Integer"), ("G", "Float"), ("G", "String"),
     ("0", "Flag"),  # unsupported at FORMAT: must drop on load
+    (".", "String"),  # UNBOUNDED: full value verbatim
 ]
 
 
@@ -65,6 +67,7 @@ def _cells(rng: random.Random, number: str, typ: str, n_alt: int, ploidy: int = 
         "R": n_alt + 1,
         # diploid genotype count over (n_alt + 1) alleles
         "G": (n_alt + 1) * (n_alt + 2) // 2,
+        ".": rng.randint(1, 5),  # unbounded: any length
     }[number]
     if count == 0:
         return ""
