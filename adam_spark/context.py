@@ -104,21 +104,35 @@ def load_coverage(spark: SparkSession, path: str) -> GenomicFrame:
     return GenomicFrame(df, meta)
 
 
+def _load_bcf(spark: SparkSession, path: str) -> GenomicFrame:
+    from adam_spark.sources.bcf import load_bcf
+
+    return load_bcf(spark, path)
+
+
 def load_variants(spark: SparkSession, path: str) -> GenomicFrame:
     if _has_ext(path, ".vcf"):
         return _vcf.load_vcf_variants(spark, path)
+    if _has_ext(path, ".bcf"):
+        return _vcf.contexts_to_variants_frame(_load_bcf(spark, path))
     return _load_parquet(spark, path, "variant")
 
 
 def load_genotypes(spark: SparkSession, path: str) -> GenomicFrame:
     if _has_ext(path, ".vcf"):
         return _vcf.load_vcf_genotypes(spark, path)
+    if _has_ext(path, ".bcf"):
+        return _vcf.contexts_to_genotypes_frame(_load_bcf(spark, path))
     return _load_parquet(spark, path, "genotype")
 
 
 def load_variant_contexts(spark: SparkSession, path: str) -> GenomicFrame:
     if _has_ext(path, ".vcf"):
         return _vcf.load_vcf(spark, path)
+    if _has_ext(path, ".bcf"):
+        # BCFv2.2 — a surface the reference ships fixtures and
+        # (ignored) tests for but cannot itself read (htsjdk #507)
+        return _load_bcf(spark, path)
     return _load_parquet(spark, path, "variant_context")
 
 

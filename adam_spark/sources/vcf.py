@@ -963,8 +963,8 @@ def vcf_lines_to_contexts(
     return GenomicFrame(df, meta)
 
 
-def load_vcf_variants(spark: SparkSession, path: str) -> GenomicFrame:
-    """VCF → site-level VARIANT rows (ADAMContext.loadVariants path).
+def contexts_to_variants_frame(gf: GenomicFrame) -> GenomicFrame:
+    """Variant contexts → site-level VARIANT frame.
 
     ``VariantContextDataset.toVariants`` (VariantContextDataset.scala:
     336-344) FILTERS the FORMAT header lines out of the resulting
@@ -972,7 +972,6 @@ def load_vcf_variants(spark: SparkSession, path: str) -> GenomicFrame:
     writes neither FORMAT declarations nor sample columns (pinned
     byte-exact against the adam-cli goldens sorted-variants.vcf /
     sorted-variants.lex.vcf)."""
-    gf = load_vcf(spark, path)
     df = gf.df.select("variant.*")
     meta = gf.meta.copy()
     meta.kind = "variant"
@@ -983,13 +982,22 @@ def load_vcf_variants(spark: SparkSession, path: str) -> GenomicFrame:
     return GenomicFrame(schemas.conform(df, schemas.VARIANT), meta)
 
 
-def load_vcf_genotypes(spark: SparkSession, path: str) -> GenomicFrame:
-    """VCF → per-sample GENOTYPE rows (ADAMContext.loadGenotypes path)."""
-    gf = load_vcf(spark, path)
+def contexts_to_genotypes_frame(gf: GenomicFrame) -> GenomicFrame:
+    """Variant contexts → per-sample GENOTYPE frame."""
     df = gf.df.select(F.explode("genotypes").alias("g")).select("g.*")
     meta = gf.meta.copy()
     meta.kind = "genotype"
     return GenomicFrame(df, meta)
+
+
+def load_vcf_variants(spark: SparkSession, path: str) -> GenomicFrame:
+    """VCF → site-level VARIANT rows (ADAMContext.loadVariants path)."""
+    return contexts_to_variants_frame(load_vcf(spark, path))
+
+
+def load_vcf_genotypes(spark: SparkSession, path: str) -> GenomicFrame:
+    """VCF → per-sample GENOTYPE rows (ADAMContext.loadGenotypes path)."""
+    return contexts_to_genotypes_frame(load_vcf(spark, path))
 
 
 #: DefaultHeaderLines.allHeaderLines (converters/DefaultHeaderLines.scala:

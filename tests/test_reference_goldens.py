@@ -1419,3 +1419,31 @@ def test_transform_fragments_cli_sorted_sam_byte_golden(spark, tmp_path):
     assert rc == 0
     part = glob.glob(f"{out}/part-*")[0]
     assert open(part).read() == open(f"{R}/sorted.sam").read()
+
+
+# ------------------------------------------------------ BCF (htsjdk #507)
+
+
+@pytest.mark.parametrize("name", ["test.uncompressed.bcf", "test.compressed.bcf"])
+def test_bcf_fixtures_load(spark, name):
+    """ADAMContextSuite 'can read an uncompressed/BGZF compressed
+    BCFv2.2 file' (:261-271) — IGNORED in the reference because htsjdk
+    cannot parse these files (htsjdk issue #507). The native BCFv2.2
+    decoder reads both, pins the suite's count === 7, and the decoded
+    contexts are ROW-IDENTICAL to load_vcf on test.vcf (same sites, the
+    canonical VCF 4.1 spec example)."""
+    from adam_spark.context import load_genotypes, load_variant_contexts, load_variants
+    from adam_spark.sources.vcf import load_vcf
+
+    gf = load_variant_contexts(spark, f"{R}/{name}")
+    assert gf.df.count() == 7
+    assert [s.id for s in gf.meta.samples] == ["NA00001", "NA00002", "NA00003"]
+
+    want = sorted(map(repr, load_vcf(spark, f"{R}/test.vcf").df.collect()))
+    got = sorted(map(repr, gf.df.collect()))
+    assert got == want
+
+    # dispatch through the variant/genotype projections too
+    assert load_variants(spark, f"{R}/{name}").df.count() == 7
+    g = load_genotypes(spark, f"{R}/{name}")
+    assert g.df.count() == 21  # 7 contexts × 3 samples
