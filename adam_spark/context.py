@@ -237,6 +237,17 @@ def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> Non
         _feat.save_interval_list(gf, path, single_file=single_file)
     elif path.lower().endswith((".vcf.gz", ".vcf.bgz")):
         _vcf.save_vcf_bgzf(gf, path)  # bgzip + tabix index
+    elif _has_ext(path, ".bcf"):
+        from adam_spark.sources.bcf import save_bcf
+
+        if gf.meta.kind == "variant":
+            from adam_spark.core.genomic_frame import GenomicFrame
+            from adam_spark.operators.conversions import (
+                variants_to_variant_contexts,
+            )
+
+            gf = GenomicFrame(variants_to_variant_contexts(gf.df), gf.meta)
+        save_bcf(gf, path)
     elif _has_ext(path, ".vcf"):
         if gf.meta.kind == "variant":
             # sites-only save (VariantDataset.toVariantContexts :349 →

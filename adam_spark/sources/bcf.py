@@ -57,9 +57,13 @@ def _read_vals(data: bytes, pos: int, t: int, n: int):
     if t == 3:
         return list(struct.unpack_from(f"<{n}i", data, pos)), pos + 4 * n
     if t == 5:
-        return list(struct.unpack_from(f"<{n}f", data, pos)), pos + 4 * n
+        # floats surface as RAW uint32 bits: the missing/EOV sentinels
+        # are SIGNALING-NaN payloads (0x7F80000{1,2}) that a pass
+        # through a Python double would quiet into different bits
+        return list(struct.unpack_from(f"<{n}I", data, pos)), pos + 4 * n
     if t == 7:
-        return [data[pos : pos + n].decode()], pos + n
+        # fixed-width char vectors pad with NULs (htslib convention)
+        return [data[pos : pos + n].decode().rstrip("\x00")], pos + n
     raise ValueError(f"unsupported BCF value type {t}")
 
 
@@ -141,10 +145,13 @@ def _render_value(t: int, vals: list) -> str:
                 break
             out.append("." if v == _INT_MISSING[t] else str(v))
         elif t == 5:
-            bits = struct.unpack("<I", struct.pack("<f", v))[0]
-            if bits == 0x7F800002:
+            if v == 0x7F800002:
                 break
-            out.append("." if bits == 0x7F800001 else _fmt_float(v))
+            out.append(
+                "."
+                if v == 0x7F800001
+                else _fmt_float(struct.unpack("<f", struct.pack("<I", v))[0])
+            )
         else:
             out.append(v)
     return ",".join(out)
@@ -291,3 +298,380 @@ def load_bcf(spark: SparkSession, path: str) -> GenomicFrame:
     )
     body = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
     return vcf_lines_to_contexts(body, header_lines, refs, sample_names)
+
+
+# --- writer ----------------------------------------------------------------
+
+#: htslib reserves the top 8 values of each integer width for
+#: missing/end-of-vector sentinels; width minimization must not collide
+_INT8_RANGE = (-120, 127)
+_INT16_RANGE = (-32760, 32767)
+
+
+def _typed_desc(t: int, n: int) -> bytes:
+    if n < 15:
+        return bytes([(n << 4) | t])
+    return bytes([0xF0 | t]) + _typed_ints([n])
+
+
+def _typed_ints(vals: list[int], pad_to: int | None = None) -> bytes:
+    """Width-minimized typed int vector; None elements are MISSING and
+    padding (up to ``pad_to``) is END-OF-VECTOR."""
+    present = [v for v in vals if v is not None]
+    lo = min(present) if present else 0
+    hi = max(present) if present else 0
+    if _INT8_RANGE[0] <= lo and hi <= _INT8_RANGE[1]:
+        t, fmt, miss, eov = 1, "b", -0x80, -0x7F
+    elif _INT16_RANGE[0] <= lo and hi <= _INT16_RANGE[1]:
+        t, fmt, miss, eov = 2, "h", -0x8000, -0x7FFF
+    else:
+        t, fmt, miss, eov = 3, "i", -0x80000000, -0x7FFFFFFF
+    out = [miss if v is None else v for v in vals]
+    if pad_to is not None:
+        out += [eov] * (pad_to - len(out))
+    n = len(out)
+    return _typed_desc(t, n) + struct.pack(f"<{n}{fmt}", *out)
+
+
+def _float_bits(v: float | None) -> int:
+    """float → raw float32 bits; None → the MISSING payload. The
+    sentinels are specific quiet-NaN payloads (0x7F80000{1,2}) which a
+    round trip THROUGH a Python float would squash to the canonical
+    NaN — always pack them at the bit level."""
+    if v is None:
+        return 0x7F800001
+    return struct.unpack("<I", struct.pack("<f", v))[0]
+
+
+def _typed_floats(vals: list[float | None], pad_to: int | None = None) -> bytes:
+    bits = [_float_bits(v) for v in vals]
+    if pad_to is not None:
+        bits += [0x7F800002] * (pad_to - len(bits))
+    n = len(bits)
+    return _typed_desc(5, n) + struct.pack(f"<{n}I", *bits)
+
+
+def _typed_str(s: str, pad_to: int | None = None) -> bytes:
+    b = s.encode()
+    if pad_to is not None:
+        b += b"\x00" * (pad_to - len(b))
+    return _typed_desc(7, len(b)) + b
+
+
+def _encode_cell(typ: str, raw: str, pad_to: int | None = None) -> bytes:
+    """One INFO value / FORMAT sample cell → typed bytes. ``pad_to`` is
+    the record-wide per-key width for FORMAT vectors."""
+    if raw == "" or raw == ".":
+        if typ == "Integer":
+            return _typed_ints([None], pad_to=pad_to)
+        if typ == "Float":
+            return _typed_floats([None], pad_to=pad_to)
+        return _typed_str(".", pad_to=pad_to)
+    if typ == "Integer":
+        return _typed_ints(
+            [None if x == "." else int(x) for x in raw.split(",")], pad_to=pad_to
+        )
+    if typ == "Float":
+        return _typed_floats(
+            [None if x == "." else float(x) for x in raw.split(",")], pad_to=pad_to
+        )
+    return _typed_str(raw, pad_to=pad_to)
+
+
+def _cell_width(typ: str, raw: str) -> int:
+    if typ in ("Integer", "Float"):
+        return 1 if raw in ("", ".") else raw.count(",") + 1
+    return len(raw.encode()) if raw not in ("", ".") else 1
+
+
+def _encode_gt(raw: str) -> list[int]:
+    vals: list[int] = []
+    phased_next = False
+    tok = ""
+    for ch in raw + "/":
+        if ch in "/|":
+            allele = 0 if tok == "." else (int(tok) + 1) << 1
+            vals.append(allele | (1 if phased_next else 0))
+            phased_next = ch == "|"
+            tok = ""
+        else:
+            tok += ch
+    return vals
+
+
+def _encode_record(
+    line: str,
+    str_ix: dict[str, int],
+    contig_ix: dict[str, int],
+    info_types: dict[str, str],
+    fmt_types: dict[str, str],
+    flag_keys: set[str],
+) -> bytes:
+    cols = line.split("\t")
+    chrom, pos1, vid, ref, alt, qual, filt, info = cols[:8]
+    alleles = [ref] + ([] if alt == "." else alt.split(","))
+    shared = bytearray()
+    shared += struct.pack(
+        "<iii", contig_ix[chrom], int(pos1) - 1, len(ref) if ref != "." else 0
+    )
+    if qual == ".":
+        shared += struct.pack("<I", 0x7F800001)
+    else:
+        shared += struct.pack("<f", float(qual))
+    info_items = []
+    if info != ".":
+        for part in info.split(";"):
+            if "=" in part:
+                k, v = part.split("=", 1)
+            else:
+                k, v = part, None
+            info_items.append((k, v))
+    n_sample = max(0, len(cols) - 9)
+    fmt_keys = cols[8].split(":") if len(cols) > 8 and cols[8] else []
+    shared += struct.pack("<I", (len(alleles) << 16) | len(info_items))
+    shared += struct.pack("<I", (len(fmt_keys) << 24) | n_sample)
+    shared += _typed_str(vid) if vid != "." else _typed_desc(7, 0)
+    for a in alleles:
+        shared += _typed_str(a)
+    if filt == ".":
+        shared += _typed_ints([])
+    else:
+        shared += _typed_ints([str_ix[f] for f in filt.split(";")])
+    for k, v in info_items:
+        shared += _typed_ints([str_ix[k]])
+        if k in flag_keys or v is None:
+            shared += _typed_desc(0, 0)
+        else:
+            shared += _encode_cell(info_types.get(k, "String"), v)
+
+    indiv = bytearray()
+    if fmt_keys:
+        cells = [c.split(":") for c in cols[9:]]
+        for ki, k in enumerate(fmt_keys):
+            raws = [c[ki] if ki < len(c) else "." for c in cells]
+            indiv += _typed_ints([str_ix[k]])
+            if k == "GT":
+                gts = [_encode_gt(r) for r in raws]
+                width = max((len(g) for g in gts), default=1)
+                vec = []
+                for g in gts:
+                    vec += g + [-0x7F] * (width - len(g))  # int8 EOV pad
+                indiv += _typed_desc(1, width) + struct.pack(
+                    f"<{len(vec)}b", *vec
+                )
+            else:
+                # ONE shared descriptor prefixes the whole per-sample
+                # block, so the element type and width must be uniform
+                # across samples (the spec's FORMAT layout)
+                typ = fmt_types.get(k, "String")
+                width = max(_cell_width(typ, r) for r in raws)
+                if typ == "Integer":
+                    allvals = [
+                        [None]
+                        if r in (".", "")
+                        else [None if x == "." else int(x) for x in r.split(",")]
+                        for r in raws
+                    ]
+                    flat = [v for vs in allvals for v in vs if v is not None]
+                    lo, hi = (min(flat), max(flat)) if flat else (0, 0)
+                    if _INT8_RANGE[0] <= lo and hi <= _INT8_RANGE[1]:
+                        t, fc, miss, eov = 1, "b", -0x80, -0x7F
+                    elif _INT16_RANGE[0] <= lo and hi <= _INT16_RANGE[1]:
+                        t, fc, miss, eov = 2, "h", -0x8000, -0x7FFF
+                    else:
+                        t, fc, miss, eov = 3, "i", -0x80000000, -0x7FFFFFFF
+                    blob = bytearray()
+                    for vs in allvals:
+                        row = [miss if v is None else v for v in vs]
+                        row += [eov] * (width - len(row))
+                        blob += struct.pack(f"<{width}{fc}", *row)
+                    indiv += _typed_desc(t, width) + blob
+                elif typ == "Float":
+                    blob = bytearray()
+                    for r in raws:
+                        vs = (
+                            [None]
+                            if r in (".", "")
+                            else [None if x == "." else float(x) for x in r.split(",")]
+                        )
+                        bits = [_float_bits(v) for v in vs]
+                        bits += [0x7F800002] * (width - len(bits))
+                        blob += struct.pack(f"<{width}I", *bits)
+                    indiv += _typed_desc(5, width) + blob
+                else:
+                    blob = bytearray()
+                    for r in raws:
+                        b = (r if r not in ("", ".") else ".").encode()
+                        blob += b + b"\x00" * (width - len(b))
+                    indiv += _typed_desc(7, width) + blob
+
+    return (
+        struct.pack("<II", len(shared), len(indiv)) + bytes(shared) + bytes(indiv)
+    )
+
+
+def _bcf_header_blob(header_lines: list[str], refs) -> tuple[bytes, dict, dict, dict, dict, set]:
+    """BCF header text (IDX-annotated) + encode dictionaries."""
+    import re
+
+    str_ix: dict[str, int] = {"PASS": 0}
+    info_types: dict[str, str] = {}
+    fmt_types: dict[str, str] = {}
+    flag_keys: set[str] = set()
+    out_lines: list[str] = []
+    for ln in header_lines:
+        if ln.startswith(("##FILTER=<", "##INFO=<", "##FORMAT=<")):
+            body = ln.split("<", 1)[1][:-1]
+            m = re.match(r"ID=([^,>]+)", body)
+            lid = m.group(1) if m else None
+            if lid is not None and lid not in str_ix:
+                str_ix[lid] = len(str_ix)
+            tm = re.search(r"Type=([A-Za-z]+)", body)
+            if lid and tm:
+                if ln.startswith("##INFO=<"):
+                    info_types[lid] = tm.group(1)
+                    if tm.group(1) == "Flag":
+                        flag_keys.add(lid)
+                elif ln.startswith("##FORMAT=<"):
+                    fmt_types[lid] = tm.group(1)
+            if lid is not None:
+                out_lines.append(ln[:-1] + f",IDX={str_ix[lid]}>")
+                continue
+        out_lines.append(ln)
+    # contigs last with their own dictionary (render_vcf_header already
+    # emits them; annotate with IDX in dictionary order)
+    contig_ix: dict[str, int] = {}
+    final_lines: list[str] = []
+    for ln in out_lines:
+        if ln.startswith("##contig=<"):
+            m = re.match(r"##contig=<ID=([^,>]+)", ln)
+            name = m.group(1)
+            contig_ix[name] = len(contig_ix)
+            final_lines.append(ln[:-1] + f",IDX={contig_ix[name]}>")
+        else:
+            final_lines.append(ln)
+    text = "\n".join(final_lines) + "\n\x00"
+    blob = b"BCF\x02\x02" + struct.pack("<I", len(text)) + text.encode()
+    return blob, str_ix, contig_ix, info_types, fmt_types, flag_keys
+
+
+def save_bcf(gf: GenomicFrame, path: str) -> None:
+    """Variant contexts → single-file BCFv2.2 (BGZF-framed).
+
+    Shards encode + compress fully distributed (BGZF members
+    concatenate, the save_bam merge shape); the driver writes the
+    dictionary-annotated header member, appends shards in partition
+    order, and closes with the BGZF EOF sentinel. Undeclared attribute
+    keys found in the rendered lines get Number=. Type=String
+    declarations appended so the BCF dictionary is complete (bcftools
+    errors on undeclared keys; this writer is lenient the same way the
+    text loader is). Round trip pinned by load_bcf equality tests +
+    the converter fuzzer corpus."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from adam_spark.sources.bam import _BGZF_EOF, bgzf_blocks_bytes
+    from adam_spark.sources.vcf import _render_vcf
+
+    header_lines, body = _render_vcf(gf)
+    from pyspark import StorageLevel
+
+    ordered = (
+        body.coalesce(1).sortWithinPartitions("__o", "__k2").select("value")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # pass 1: the distinct INFO/FORMAT keys actually present, so the
+        # dictionary (and declarations) cover undeclared attributes
+        t = F.split(F.col("value"), "\t")
+        info_keys = (
+            ordered.select(
+                F.explode(F.split(F.try_element_at(t, F.lit(8)), ";")).alias("kv")
+            )
+            .select(F.substring_index("kv", "=", 1).alias("k"))
+            .where(F.col("k") != ".")
+            .distinct()
+            .collect()
+        )
+        fmt_keys = (
+            ordered.select(
+                F.explode(
+                    F.split(F.coalesce(F.try_element_at(t, F.lit(9)), F.lit("")), ":")
+                ).alias("k")
+            )
+            .where(F.col("k") != "")
+            .distinct()
+            .collect()
+        )
+        declared = set()
+        for ln in header_lines:
+            if ln.startswith(("##INFO=<", "##FORMAT=<", "##FILTER=<")):
+                declared.add(ln.split("<ID=", 1)[1].split(",", 1)[0].rstrip(">"))
+        hdr = [ln for ln in header_lines if not ln.startswith("#CHROM")]
+        chrom_line = [ln for ln in header_lines if ln.startswith("#CHROM")]
+        for r in info_keys:
+            if r["k"] not in declared:
+                hdr.append(
+                    f'##INFO=<ID={r["k"]},Number=.,Type=String,Description="undeclared">'
+                )
+                declared.add(r["k"])
+        for r in fmt_keys:
+            if r["k"] not in declared and r["k"] != "GT":
+                hdr.append(
+                    f'##FORMAT=<ID={r["k"]},Number=.,Type=String,Description="undeclared">'
+                )
+                declared.add(r["k"])
+        if "GT" in {r["k"] for r in fmt_keys} and not any(
+            "##FORMAT=<ID=GT," in ln for ln in hdr
+        ):
+            hdr.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+        if not any(ln.startswith("##FILTER=<ID=PASS") for ln in hdr):
+            hdr.insert(1, '##FILTER=<ID=PASS,Description="All filters passed">')
+        # filter names appearing only in data must enter the dictionary
+        # THROUGH the header, or the reader has no string for the index
+        filt_names = (
+            ordered.select(
+                F.explode(F.split(F.try_element_at(t, F.lit(7)), ";")).alias("f")
+            )
+            .where(~F.col("f").isin(".", "PASS", ""))
+            .distinct()
+            .collect()
+        )
+        for r in filt_names:
+            if r["f"] not in declared:
+                hdr.append(f'##FILTER=<ID={r["f"]},Description="undeclared">')
+                declared.add(r["f"])
+        hdr += chrom_line
+        blob, str_ix, contig_ix, info_types, fmt_types, flag_keys = _bcf_header_blob(
+            hdr, gf.meta.references
+        )
+
+        shard_dir = tempfile.mkdtemp(
+            prefix="bcf-shards-", dir=os.path.dirname(os.path.abspath(path)) or "."
+        )
+
+        def _encode_shard(i, it):
+            buf = bytearray()
+            for row in it:
+                buf += _encode_record(
+                    row["value"], str_ix, contig_ix, info_types, fmt_types, flag_keys
+                )
+            sblob, _ = bgzf_blocks_bytes(bytes(buf))
+            sp = os.path.join(shard_dir, f"part-{i:05d}")
+            with open(sp, "wb") as f:
+                f.write(sblob)
+            return [sp]
+
+        shards = ordered.rdd.mapPartitionsWithIndex(_encode_shard).collect()
+        hblob, _ = bgzf_blocks_bytes(blob)
+        with open(path, "wb") as f:
+            f.write(hblob)
+            for sp in sorted(shards):
+                with open(sp, "rb") as sf:
+                    f.write(sf.read())
+                os.remove(sp)
+            f.write(_BGZF_EOF)
+        os.rmdir(shard_dir)
+    finally:
+        ordered.unpersist()

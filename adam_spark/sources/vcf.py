@@ -1096,8 +1096,11 @@ def save_vcf_headers(gf: GenomicFrame, path: str) -> None:
             fh.write(line + "\n")
 
 
-def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
-    """Variant contexts → VCF text (VariantContextDataset.saveAsVcf:427).
+def _render_vcf(gf: GenomicFrame) -> tuple[list[str], DataFrame]:
+    """Variant contexts → (header lines, body-lines DataFrame) —
+    the shared renderer behind save_vcf / save_vcf_bgzf / save_bcf
+    (VariantContextDataset.saveAsVcf:427). The body carries
+    (__o, __k2, value) where (__o, __k2) is the frame-order sort key.
 
     FORMAT is rebuilt per row: GT plus whichever of
     AD/DP/GQ/MIN_DP/PL/FT/PS/PQ/SB/FS/MQ/MQ0 any genotype on the line
@@ -1521,8 +1524,13 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     )
 
     header = render_vcf_header(gf, sample_names)
+    return header, body
 
-    hdr_df = df.sparkSession.createDataFrame(
+
+def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
+    """Variant contexts → VCF text files (see ``_render_vcf``)."""
+    header, body = _render_vcf(gf)
+    hdr_df = body.sparkSession.createDataFrame(
         [(0, float(i), h) for i, h in enumerate(header)],
         "__o int, __k2 double, value string",
     ).select("__o", F.col("__k2").try_cast("long").alias("__k2"), "value")

@@ -499,3 +499,44 @@ def test_bgz_splittable_adversarial_boundaries(spark, tmp_path):
         r["value"] for r in _bgz_text(spark, [str(p3)], target_split_bytes=1).collect()
     )
     assert got3 == ["a", "b", "c"]
+
+
+def _strip_split_flag(df):
+    """save_vcf's documented deviation (1): split multiallelic rows
+    write as separate biallelic lines, so the reload cannot know they
+    were split — normalize the flag out for save→load equality."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn(
+        "variant", F.col("variant").withField("splitFromMultiAllelic", F.lit(False))
+    )
+    if "genotypes" in df.columns:
+        out = out.withColumn(
+            "genotypes",
+            F.transform(
+                "genotypes",
+                lambda g: g.withField("splitFromMultiAllelic", F.lit(False))
+                .withField(
+                    "variant",
+                    g["variant"].withField("splitFromMultiAllelic", F.lit(False)),
+                ),
+            ),
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", ["test.vcf", "random.vcf", "small.vcf"])
+def test_bcf_save_load_round_trip(spark, tmp_path, name):
+    """save_bcf → load_bcf is the identity on variant contexts (modulo
+    the split flag, inherited from the shared text renderer): the
+    binary typed encoding, dictionary assembly, GT packing and
+    missing/EOV sentinels all round-trip on the reference's own VCFs."""
+    from adam_spark.sources.bcf import load_bcf, save_bcf
+
+    R = "/root/reference/adam-core/src/test/resources"
+    gf = vcf_io.load_vcf(spark, f"{R}/{name}")
+    out = str(tmp_path / "out.bcf")
+    save_bcf(gf, out)
+    a = sorted(map(repr, _strip_split_flag(gf.df).collect()))
+    b = sorted(map(repr, _strip_split_flag(load_bcf(spark, out).df).collect()))
+    assert a == b

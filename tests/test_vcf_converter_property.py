@@ -174,6 +174,19 @@ def test_attribute_space_round_trip_fixed_point(spark, tmp_path, seed):
     out = str(tmp_path / "fuzz_out.vcf")
     vcf_io.save_vcf(first, out, single_file=True)
     second = vcf_io.load_vcf(spark, out)
+    _assert_fixed_point(first, second, seed)
+
+    # the BINARY codec must satisfy the same fixed point: typed-int
+    # width minimization, float32 cells, char vectors, GT packing,
+    # missing/EOV sentinels — all through save_bcf → load_bcf
+    from adam_spark.sources.bcf import load_bcf, save_bcf
+
+    bout = str(tmp_path / "fuzz_out.bcf")
+    save_bcf(first, bout)
+    _assert_fixed_point(first, load_bcf(spark, bout), seed)
+
+
+def _assert_fixed_point(first, second, seed):
 
     a, b = _canon(first), _canon(second)
     assert set(a) == set(b)
