@@ -31,11 +31,11 @@ from pyspark.sql import SparkSession
 from adam_spark.core.genomic_frame import GenomicFrame
 
 #: missing / end-of-vector sentinels per integer width; floats use the
-#: quiet-NaN payloads 0x7F800001 / 0x7F800002
+#: SIGNALING-NaN payloads 0x7F800001 / 0x7F800002, which are handled
+#: at the raw-bits level everywhere (a pass through a Python double
+#: quiets them into different bit patterns)
 _INT_MISSING = {1: -0x80, 2: -0x8000, 3: -0x80000000}
 _INT_EOV = {1: -0x7F, 2: -0x7FFF, 3: -0x7FFFFFFF}
-_FLOAT_MISSING = struct.unpack("<f", struct.pack("<I", 0x7F800001))[0]
-_FLOAT_EOV = struct.unpack("<f", struct.pack("<I", 0x7F800002))[0]
 
 
 def _read_typed_desc(data: bytes, pos: int) -> tuple[int, int, int]:
