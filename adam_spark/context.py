@@ -235,32 +235,28 @@ def save(gf: GenomicFrame, path: str, single_file: bool = True, **kwargs) -> Non
         _feat.save_narrowpeak(gf, path, single_file=single_file)
     elif _has_ext(path, ".interval_list"):
         _feat.save_interval_list(gf, path, single_file=single_file)
-    elif path.lower().endswith((".vcf.gz", ".vcf.bgz")):
-        _vcf.save_vcf_bgzf(gf, path)  # bgzip + tabix index
-    elif _has_ext(path, ".bcf"):
-        from adam_spark.sources.bcf import save_bcf
-
-        if gf.meta.kind == "variant":
-            from adam_spark.core.genomic_frame import GenomicFrame
-            from adam_spark.operators.conversions import (
-                variants_to_variant_contexts,
-            )
-
-            gf = GenomicFrame(variants_to_variant_contexts(gf.df), gf.meta)
-        save_bcf(gf, path)
-    elif _has_ext(path, ".vcf"):
+    elif (path.lower().endswith((".vcf.gz", ".vcf.bgz"))
+          or _has_ext(path, ".bcf", ".vcf")):
         if gf.meta.kind == "variant":
             # sites-only save (VariantDataset.toVariantContexts :349 →
             # saveAsVcf): wrap VARIANT rows into contexts with no
             # genotypes; the frame's metadata already lost its FORMAT
-            # lines and samples at toVariants time
+            # lines and samples at toVariants time. Applies uniformly
+            # to .vcf / .vcf.gz / .vcf.bgz / .bcf saves.
             from adam_spark.core.genomic_frame import GenomicFrame
             from adam_spark.operators.conversions import (
                 variants_to_variant_contexts,
             )
 
             gf = GenomicFrame(variants_to_variant_contexts(gf.df), gf.meta)
-        _vcf.save_vcf(gf, path, single_file=single_file)
+        if path.lower().endswith((".vcf.gz", ".vcf.bgz")):
+            _vcf.save_vcf_bgzf(gf, path)  # bgzip + tabix index
+        elif _has_ext(path, ".bcf"):
+            from adam_spark.sources.bcf import save_bcf
+
+            save_bcf(gf, path)
+        else:
+            _vcf.save_vcf(gf, path, single_file=single_file)
     elif _has_ext(path, ".fa", ".fasta"):
         _fasta.save_fasta(gf, path, single_file=single_file, **kwargs)
     else:

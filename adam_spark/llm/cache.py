@@ -24,13 +24,22 @@ Catalyst to prune the checkpointed plan.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 
-#: last internally-persisted intermediate per operator tag — bounds a
-#: long-lived session's cache accumulation at ONE live entry per
-#: operator even when callers never opt into ``bounded_cache``
-_LAST_PERSISTED: dict[str, DataFrame] = {}
+#: last internally-persisted intermediate per (session, operator tag) —
+#: bounds a long-lived session's cache accumulation at ONE live entry
+#: per operator even when callers never opt into ``bounded_cache``.
+#: Keyed by session so two concurrent SparkSessions never rotate each
+#: other's entries, and guarded by a lock so two threads running the
+#: same operator concurrently cannot unpersist each other's
+#: still-in-use intermediate (results would stay correct — unpersist
+#: never affects correctness — but the warm-cache guarantee the
+#: self-join double-scan call sites rely on would silently vanish).
+_LAST_PERSISTED: dict[tuple[int, str], DataFrame] = {}
+_LOCK = threading.Lock()
 
 
 def rotate_persist(tag: str, df: DataFrame, level) -> DataFrame:
@@ -50,24 +59,32 @@ def rotate_persist(tag: str, df: DataFrame, level) -> DataFrame:
     a full recompute every call). Trade-off: if a caller interleaves
     two DIFFERENT corpora (build result A, build result B, THEN execute
     A), A's intermediate recomputes once — correctness is unaffected
-    (unpersist never is), only the cache reuse."""
-    prev = _LAST_PERSISTED.get(tag)
-    if prev is not None:
-        try:
-            if prev.is_cached and prev._jdf.queryExecution().analyzed().sameResult(
-                df._jdf.queryExecution().analyzed()
-            ):
-                return prev
-        except Exception:
-            pass  # plan comparison is best-effort only
-        _LAST_PERSISTED.pop(tag, None)
-        try:
-            prev.unpersist(False)
-        except Exception:
-            pass  # previous session may be stopped
-    df = df.persist(level)
-    _LAST_PERSISTED[tag] = df
-    return df
+    (unpersist never is), only the cache reuse.
+
+    The ``sameResult`` probe goes through private py4j internals
+    (``_jdf.queryExecution().analyzed().sameResult``) — there is no
+    public plan-equality API; it is wrapped best-effort so an internals
+    change degrades to repersist, never to an error.
+    """
+    key = (id(df.sparkSession), tag)
+    with _LOCK:
+        prev = _LAST_PERSISTED.get(key)
+        if prev is not None:
+            try:
+                if prev.is_cached and prev._jdf.queryExecution().analyzed().sameResult(
+                    df._jdf.queryExecution().analyzed()
+                ):
+                    return prev
+            except Exception:
+                pass  # plan comparison is best-effort only
+            _LAST_PERSISTED.pop(key, None)
+            try:
+                prev.unpersist(False)
+            except Exception:
+                pass  # previous session may be stopped
+        df = df.persist(level)
+        _LAST_PERSISTED[key] = df
+        return df
 
 
 def eager_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:

@@ -99,6 +99,7 @@ def _dictionaries(header_text: str):
     htslib always annotate IDX; fall back to declaration order)."""
     str_dict: dict[int, str] = {}
     contig_dict: dict[int, str] = {}
+    next_implicit = 1  # 0 is reserved for PASS (htslib pre-occupies it)
     for line in header_text.splitlines():
         if line.startswith("##contig=<"):
             fields = dict(
@@ -115,13 +116,20 @@ def _dictionaries(header_text: str):
                 if "=" in kv and not kv.startswith("Description")
             )
             if "ID" in fields:
-                idx = int(fields["IDX"]) if "IDX" in fields else None
-                if idx is None:
-                    # implicit dictionary: first occurrence of each ID,
-                    # PASS preassigned 0
+                if "IDX" in fields:
+                    idx = int(fields["IDX"])
+                else:
+                    # implicit dictionary: first occurrence of each ID
+                    # in declaration order, counting up from 1 — PASS
+                    # always maps to 0 whether or not (and wherever)
+                    # it is declared, exactly htslib's bcf_hdr_sync
                     if fields["ID"] in str_dict.values():
                         continue
-                    idx = len(str_dict) if str_dict or fields["ID"] == "PASS" else 1
+                    if fields["ID"] == "PASS":
+                        idx = 0
+                    else:
+                        idx = next_implicit
+                        next_implicit += 1
                 str_dict.setdefault(idx, fields["ID"])
     str_dict.setdefault(0, "PASS")
     return str_dict, contig_dict
@@ -555,18 +563,22 @@ def _bcf_header_blob(header_lines: list[str], refs) -> tuple[bytes, dict, dict, 
     return blob, str_ix, contig_ix, info_types, fmt_types, flag_keys
 
 
-def save_bcf(gf: GenomicFrame, path: str) -> None:
+def save_bcf(gf: GenomicFrame, path: str) -> dict:
     """Variant contexts → single-file BCFv2.2 (BGZF-framed).
 
     Shards encode + compress fully distributed (BGZF members
-    concatenate, the save_bam merge shape); the driver writes the
-    dictionary-annotated header member, appends shards in partition
-    order, and closes with the BGZF EOF sentinel. Undeclared attribute
-    keys found in the rendered lines get Number=. Type=String
-    declarations appended so the BCF dictionary is complete (bcftools
-    errors on undeclared keys; this writer is lenient the same way the
-    text loader is). Round trip pinned by load_bcf equality tests +
-    the converter fuzzer corpus."""
+    concatenate, the save_bam merge shape): the rendered lines persist
+    once, ``orderBy`` range-partitions the global frame-order sort (its
+    sampling pass reads the cache, the save_vcf:1550 trick), and each
+    task record-encodes + BGZF-compresses its own shard file; the
+    driver writes the dictionary-annotated header member, appends
+    shards in partition order, and closes with the BGZF EOF sentinel.
+    Undeclared attribute keys found in the rendered lines get Number=.
+    Type=String declarations appended, and contig names absent from the
+    sequence dictionary get synthesized ##contig lines, so the BCF
+    dictionaries are complete (bcftools errors on undeclared keys; this
+    writer is lenient the same way the text loader is). Round trip
+    pinned by load_bcf equality tests + the converter fuzzer corpus."""
     import os
     import tempfile
 
@@ -578,9 +590,7 @@ def save_bcf(gf: GenomicFrame, path: str) -> None:
     header_lines, body = _render_vcf(gf)
     from pyspark import StorageLevel
 
-    ordered = (
-        body.coalesce(1).sortWithinPartitions("__o", "__k2").select("value")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ordered = body.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # pass 1: the distinct INFO/FORMAT keys actually present, so the
         # dictionary (and declarations) cover undeclared attributes
@@ -642,6 +652,24 @@ def save_bcf(gf: GenomicFrame, path: str) -> None:
             if r["f"] not in declared:
                 hdr.append(f'##FILTER=<ID={r["f"]},Description="undeclared">')
                 declared.add(r["f"])
+        # contig names absent from the header (frame loaded from a VCF
+        # with no ##contig declarations — common) must still enter the
+        # contig dictionary, or _encode_record KeyErrors on rid lookup
+        declared_contigs = {
+            ln.split("<ID=", 1)[1].split(",", 1)[0].rstrip(">")
+            for ln in hdr
+            if ln.startswith("##contig=<")
+        }
+        chrom_rows = (
+            ordered.select(F.try_element_at(t, F.lit(1)).alias("c"))
+            .distinct()
+            .collect()
+        )
+        for name in sorted(
+            r["c"] for r in chrom_rows
+            if r["c"] is not None and r["c"] not in declared_contigs
+        ):
+            hdr.append(f"##contig=<ID={name}>")
         hdr += chrom_line
         blob, str_ix, contig_ix, info_types, fmt_types, flag_keys = _bcf_header_blob(
             hdr, gf.meta.references
@@ -663,7 +691,12 @@ def save_bcf(gf: GenomicFrame, path: str) -> None:
                 f.write(sblob)
             return [sp]
 
-        shards = ordered.rdd.mapPartitionsWithIndex(_encode_shard).collect()
+        shards = (
+            ordered.orderBy("__o", "__k2")
+            .select("value")
+            .rdd.mapPartitionsWithIndex(_encode_shard)
+            .collect()
+        )
         hblob, _ = bgzf_blocks_bytes(blob)
         with open(path, "wb") as f:
             f.write(hblob)
@@ -673,5 +706,6 @@ def save_bcf(gf: GenomicFrame, path: str) -> None:
                 os.remove(sp)
             f.write(_BGZF_EOF)
         os.rmdir(shard_dir)
+        return {"shards": len(shards)}
     finally:
         ordered.unpersist()

@@ -76,9 +76,15 @@ def _resync(lines: DataFrame, start_pred) -> DataFrame:
     wo = Window.partitionBy("file").orderBy("lineno")
     lead1 = F.lead("value", 1).over(wo)
     lead2 = F.lead("value", 2).over(wo)
+    p0 = start_pred(F.col("value"))
+    # branch 1 requires the NEXT line to itself satisfy the start
+    # predicate (FastqRecordReader advances to the next CANDIDATE, not
+    # any '@' line): in interleaved mode a quality line matching the
+    # first-of-pair regex followed by an '@name/2' line must NOT set
+    # the boundary on the /2 record — '/2' fails the /1 predicate here
     boundary = F.when(
-        start_pred & lead1.startswith("@"), F.col("lineno") + 1
-    ).when(start_pred & lead2.startswith("+"), F.col("lineno"))
+        p0 & lead1.startswith("@") & start_pred(lead1), F.col("lineno") + 1
+    ).when(p0 & lead2.startswith("+"), F.col("lineno"))
     w = Window.partitionBy("file")
     first = F.min(boundary).over(w)
     return (
@@ -184,7 +190,7 @@ def load_unpaired_fastq(
 ) -> GenomicFrame:
     """FASTQ → reads (reference: ADAMContext.loadUnpairedFastq:2594)."""
     g = _stitch(
-        _resync(_numbered_lines(spark, path), F.col("value").startswith("@")), 4
+        _resync(_numbered_lines(spark, path), lambda c: c.startswith("@")), 4
     )
     df = g.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0, stringency))
     return GenomicFrame(schemas.conform(df, _READ_PAIRED), GenomicMetadata(kind="read"))
@@ -197,7 +203,7 @@ def load_interleaved_fastq(
     g = _stitch(
         _resync(
             _numbered_lines(spark, path),
-            F.regexp_like(F.col("value"), F.lit(_FIRST_OF_PAIR_RE)),
+            lambda c: F.regexp_like(c, F.lit(_FIRST_OF_PAIR_RE)),
         ),
         8,
     )
@@ -216,10 +222,10 @@ def load_paired_fastq(
     """Two parallel FASTQ files → union with readInFragment 0/1
     (ADAMContext.loadPairedFastq:2539)."""
     g1 = _stitch(
-        _resync(_numbered_lines(spark, path1), F.col("value").startswith("@")), 4
+        _resync(_numbered_lines(spark, path1), lambda c: c.startswith("@")), 4
     ).where(_check_pair_suffix(F.col("l0"), 0, stringency))
     g2 = _stitch(
-        _resync(_numbered_lines(spark, path2), F.col("value").startswith("@")), 4
+        _resync(_numbered_lines(spark, path2), lambda c: c.startswith("@")), 4
     ).where(_check_pair_suffix(F.col("l0"), 1, stringency))
     r1 = g1.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 0, stringency))
     r2 = g2.select(*_record(F.col("l0"), F.col("l1"), F.col("l3"), 1, stringency))

@@ -1555,56 +1555,93 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
 
 
 # --- tabix-indexed path ----------------------------------------------------
-def save_vcf_bgzf(gf: GenomicFrame, path: str) -> None:
+def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
     """Variant contexts → bgzipped VCF + tabix index (``path.tbi``).
 
-    The VCF text renders through :func:`save_vcf`; the BGZF writer
-    returns per-block compressed offsets, which map each data line's
-    uncompressed span to virtual offsets for the .tbi
-    (reference consumer: ADAMContext.loadIndexedVcf:2760-2776)."""
-    import glob
+    Fully distributed (the ParallelFileMerger shape,
+    util/ParallelFileMerger.scala:34): the rendered lines persist once,
+    ``orderBy`` range-partitions the global sort (header lines sort
+    first, so they simply live in shard 0's BGZF blocks), and each task
+    BGZF-compresses its own shard file while recording a per-shard
+    manifest of (uncompressed length, block compressed-offsets, record
+    line-spans). The driver never materializes row data: it concatenates
+    shards in partition order, prefix-sums the shard compressed offsets,
+    and maps each record's shard-local uncompressed span to global BGZF
+    virtual offsets for the .tbi (each shard's blocks restart at local
+    uncompressed offset 0, so ``u % block_size`` stays exact per shard).
+    Reference consumer: ADAMContext.loadIndexedVcf:2760-2776."""
     import os
-    import shutil
     import tempfile
 
-    from adam_spark.sources.bam import bgzf_compress_to
+    from pyspark import StorageLevel
+
+    from adam_spark.sources.bam import _BGZF_EOF, bgzf_blocks_bytes
     from adam_spark.sources.binned_index import new_index, voffset, write_tbi
 
-    tmp = tempfile.mkdtemp(prefix="adam_spark_vcfgz_")
+    bs = 60_000
+    header, body = _render_vcf(gf)
+    hdr_df = body.sparkSession.createDataFrame(
+        [(0, i, h) for i, h in enumerate(header)],
+        "__o int, __k2 long, value string",
+    )
+    shard_dir = tempfile.mkdtemp(
+        prefix="vcfgz-shards-", dir=os.path.dirname(os.path.abspath(path)) or "."
+    )
+
+    def _compress_shard(i, it):
+        buf = bytearray()
+        recs: list[tuple[str, int, int, int, int]] = []
+        for row in it:
+            line = row["value"]
+            u0 = len(buf)
+            buf += line.encode() + b"\n"
+            if line and not line.startswith("#"):
+                f = line.split("\t", 5)
+                beg = int(f[1]) - 1
+                recs.append((f[0], beg, beg + len(f[3]), u0, len(buf)))
+        blob, offsets = bgzf_blocks_bytes(bytes(buf), block_size=bs)
+        sp = os.path.join(shard_dir, f"part-{i:05d}")
+        with open(sp, "wb") as out:
+            out.write(blob)
+        return [(i, sp, len(blob), offsets, recs)]
+
+    out = hdr_df.unionByName(body).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        save_vcf(gf, os.path.join(tmp, "plain.vcf"), single_file=True)
-        parts = sorted(glob.glob(os.path.join(tmp, "plain.vcf", "part-*")))
-        data = b"".join(open(p, "rb").read() for p in parts)
+        manifests = (
+            out.orderBy("__o", "__k2")
+            .select("value")
+            .rdd.mapPartitionsWithIndex(_compress_shard)
+            .collect()
+        )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        out.unpersist()
+    manifests.sort(key=lambda m: m[0])
 
     names: list[str] = []
     rid: dict[str, int] = {}
-    spans: list[tuple[int, int, int, int, int]] = []
-    u = 0
-    for line in data.split(b"\n"):
-        nxt = u + len(line) + 1
-        if line and not line.startswith(b"#"):
-            f = line.split(b"\t", 5)
-            ref = f[0].decode()
+    for _, _, _, _, recs in manifests:
+        for ref, *_rest in recs:
             if ref not in rid:
                 rid[ref] = len(names)
                 names.append(ref)
-            beg = int(f[1]) - 1
-            end = beg + len(f[3])
-            spans.append((rid[ref], beg, end, u, min(nxt, len(data))))
-        u = nxt
-
-    bs = 60_000
-    coffsets = bgzf_compress_to(path, data, block_size=bs)
     idx = new_index(names)
-    for r, beg, end, u0, u1 in spans:
-        idx.add_record(
-            r, beg, end,
-            voffset(coffsets[u0 // bs], u0 % bs),
-            voffset(coffsets[u1 // bs], u1 % bs),
-        )
+    base = 0
+    with open(path, "wb") as f:
+        for _, sp, clen, offsets, recs in manifests:
+            with open(sp, "rb") as sf:
+                f.write(sf.read())
+            os.remove(sp)
+            for ref, beg, end, u0, u1 in recs:
+                idx.add_record(
+                    rid[ref], beg, end,
+                    voffset(base + offsets[u0 // bs], u0 % bs),
+                    voffset(base + offsets[u1 // bs], u1 % bs),
+                )
+            base += clen
+        f.write(_BGZF_EOF)
+    os.rmdir(shard_dir)
     write_tbi(idx, path + ".tbi")
+    return {"shards": len(manifests)}
 
 
 def load_indexed_vcf(

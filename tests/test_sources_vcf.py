@@ -540,3 +540,179 @@ def test_bcf_save_load_round_trip(spark, tmp_path, name):
     a = sorted(map(repr, _strip_split_flag(gf.df).collect()))
     b = sorted(map(repr, _strip_split_flag(load_bcf(spark, out).df).collect()))
     assert a == b
+
+
+def test_bcf_implicit_dictionary_no_idx():
+    """BCF headers WITHOUT IDX= annotations build the implicit string
+    dictionary htslib-style: PASS always maps to 0 (wherever — and
+    whether — it is declared) and the remaining IDs count up from 1 in
+    declaration order. A len(dict)-based assignment silently collides
+    and drops IDs when PASS is not the first declared line."""
+    from adam_spark.sources.bcf import _dictionaries
+
+    header = "\n".join(
+        [
+            "##fileformat=VCFv4.3",
+            '##FILTER=<ID=q10,Description="low qual">',
+            '##FILTER=<ID=s50,Description="low support">',
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">',
+            '##FILTER=<ID=PASS,Description="All filters passed">',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+            "##contig=<ID=chr1>",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        ]
+    )
+    str_dict, contig_dict = _dictionaries(header)
+    assert str_dict == {0: "PASS", 1: "q10", 2: "s50", 3: "DP", 4: "GT"}
+    assert contig_dict == {0: "chr1"}
+
+
+def test_save_bcf_synthesizes_missing_contigs(spark, tmp_path):
+    """A frame loaded from a VCF with NO ##contig declarations (so an
+    empty sequence dictionary) still saves as BCF: the writer scans the
+    body's distinct CHROM names and appends synthesized ##contig lines,
+    completing the rid dictionary instead of KeyErroring."""
+    from adam_spark.sources.bcf import load_bcf, save_bcf
+
+    txt = (
+        "##fileformat=VCFv4.3\n"
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr2\t100\t.\tA\tG\t50\tPASS\tDP=3\n"
+        "chr1\t200\t.\tC\tT\t9\tPASS\tDP=5\n"
+    )
+    p = tmp_path / "noctg.vcf"
+    p.write_text(txt)
+    gf = vcf_io.load_vcf(spark, str(p))
+    assert len(gf.meta.references.references) == 0
+    out = str(tmp_path / "noctg.bcf")
+    save_bcf(gf, out)
+    got = sorted(
+        (r["referenceName"], r["start"])
+        for r in load_bcf(spark, out).df.collect()
+    )
+    assert got == [("chr1", 199), ("chr2", 99)]
+
+
+def _multi_shard_conf(spark, n=4):
+    """Force a small orderBy to keep n range partitions (AQE would
+    coalesce them away at test sizes)."""
+    keys = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": str(n),
+    }
+    old = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    return old
+
+
+def _restore_conf(spark, old):
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def _synth_vcf_text(n_rows):
+    lines = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=chr1,length=10000000>",
+        "##contig=<ID=chr2,length=10000000>",
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+    ]
+    for i in range(n_rows):
+        ref = "chr1" if i < n_rows // 2 else "chr2"
+        pos = 1 + (i % (n_rows // 2)) * 97
+        lines.append(
+            f"{ref}\t{pos}\t.\tA\tG\t50\tPASS\tDP={i % 90}\tGT:DP\t0/1:{i % 60}"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def test_save_bcf_distributed_shards(spark, tmp_path):
+    """save_bcf encodes + BGZF-compresses in MULTIPLE tasks (the r10
+    coalesce(1) is gone): with 4 range partitions pinned, the writer
+    reports 4 shards, the concatenated members parse as ONE BCF stream,
+    and the record order is the global frame order (orderBy across
+    shard boundaries, not just within them)."""
+    from adam_spark.sources.bcf import bcf_records_to_vcf_lines, load_bcf, save_bcf
+
+    p = tmp_path / "big.vcf"
+    p.write_text(_synth_vcf_text(2000))
+    gf = vcf_io.load_vcf(spark, str(p))
+    out = str(tmp_path / "big.bcf")
+    old = _multi_shard_conf(spark, 4)
+    try:
+        stats = save_bcf(gf, out)
+    finally:
+        _restore_conf(spark, old)
+    assert stats["shards"] == 4
+    # exact file order, decoded without Spark: matches the input's
+    # line order (frame order == load order for a single text file)
+    decoded = bcf_records_to_vcf_lines(open(out, "rb").read())
+    got = [(ln.split("\t")[0], int(ln.split("\t")[1])) for ln in decoded]
+    want = [
+        (ln.split("\t")[0], int(ln.split("\t")[1]))
+        for ln in _synth_vcf_text(2000).splitlines()
+        if not ln.startswith("#")
+    ]
+    assert got == want
+    assert load_bcf(spark, out).df.count() == 2000
+
+
+def test_save_vcf_bgzf_distributed_shards(spark, tmp_path):
+    """save_vcf_bgzf compresses shards on EXECUTORS (the r10 version
+    joined every part on the driver): 4 shards are reported, the
+    concatenated BGZF members decompress to the full corpus, and the
+    prefix-summed .tbi addresses records across shard boundaries."""
+    import gzip
+
+    from adam_spark.sources.vcf import load_indexed_vcf, save_vcf_bgzf
+
+    p = tmp_path / "big.vcf"
+    p.write_text(_synth_vcf_text(3000))
+    gf = vcf_io.load_vcf(spark, str(p))
+    gz = str(tmp_path / "big.vcf.gz")
+    old = _multi_shard_conf(spark, 4)
+    try:
+        stats = save_vcf_bgzf(gf, gz)
+    finally:
+        _restore_conf(spark, old)
+    assert stats["shards"] == 4
+    with gzip.open(gz, "rt") as f:
+        body = [ln for ln in f if not ln.startswith("#")]
+    assert len(body) == 3000
+    regions = [("chr1", 40_000, 90_000), ("chr2", 10, 25_000)]
+    got = load_indexed_vcf(spark, gz, regions)
+    want = gf.filter_by_overlapping_regions(regions)
+    a = sorted((r["referenceName"], r["start"]) for r in got.df.collect())
+    b = sorted((r["referenceName"], r["start"]) for r in want.df.collect())
+    assert a == b and len(a) > 0
+
+
+def test_variant_frame_saves_to_vcf_gz(spark, tmp_path, vcf_path):
+    """kind='variant' (sites-only) frames save through the
+    .vcf.gz/.vcf.bgz branch too — r10 regression: the wrap to variant
+    contexts was applied to the .vcf and .bcf branches only, so
+    transform_variants in.vcf out.vcf.gz crashed in _render_vcf."""
+    import gzip
+
+    from adam_spark.context import load_variants, save
+
+    gf = load_variants(spark, vcf_path)
+    gz = str(tmp_path / "sites.vcf.gz")
+    save(gf, gz)
+    with gzip.open(gz, "rt") as f:
+        body = [ln for ln in f if not ln.startswith("#")]
+    # 3 input lines, one multiallelic (T,G) split per-alt → 4 sites
+    assert len(body) == 4
+    assert all(len(ln.rstrip("\n").split("\t")) == 8 for ln in body)
