@@ -3053,6 +3053,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries. Those 50 are exactly the oracle-checked operator queries —
     # one per §2 / LLM-pipeline operator family.
     #
+    # ROUND-11 WINDOW ROTATION (per the r10 verdict item 7): promoted
+    # in-window — interval_join_group_right (5+ rounds capless-green;
+    # the group-join direction never driver-recorded) and
+    # coverage_binned (aggregated-coverage builder, 5+ rounds
+    # capless-green). Parked in exchange, each with 3+ rounds of
+    # driver-green history (r8-r10) and an in-window family
+    # representative: interval_join_group_left (the symmetric direction
+    # of the SAME group-join builder stays in-window) and
+    # coverage_collapse (coverage_from_reads + coverage_binned keep the
+    # coverage family in-window).
+    #
     # ROUND-10 WINDOW ROTATION (per the r9 verdict item 7): promoted
     # in-window — interval_join_left_outer (the OUTER-join family had no
     # driver-recorded representative; capless-green every round since
@@ -3136,9 +3147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_inner": _ij("inner"),
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "interval_join_flank_broadcast": _ij("inner", flank=5, broadcast="left"),
-        "interval_join_group_left": interval_join_group_left,
+        "interval_join_group_right": interval_join_group_right,
         "bucketed_join_intervals": bucketed_join_intervals,
-        "coverage_collapse": coverage_collapse,
+        "coverage_binned": coverage_binned,
         "coverage_from_reads": coverage_from_reads,
         "flagstat_events": flagstat_events,
         "kmer_count_docs": kmer_count_docs,
@@ -3198,8 +3209,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parameterized builder as four in-window joins) to make room
         # for semantic_dedup_embeddings
         "interval_join_right_outer": _ij("right_outer"),
-        "interval_join_group_right": interval_join_group_right,
-        "coverage_binned": coverage_binned,
+        # r11 rotation: interval_join_group_left and coverage_collapse
+        # park here after 3+ rounds of driver-green history (r8-r10);
+        # their in-window family representatives are
+        # interval_join_group_right (same group-join builder, symmetric
+        # direction) and coverage_from_reads + coverage_binned
+        "interval_join_group_left": interval_join_group_left,
+        "coverage_collapse": coverage_collapse,
         "coverage_downsample": coverage_downsample,
         "coverage_flatten_bin": coverage_flatten_bin,
         "sort_reads_rank": sort_reads_rank,
