@@ -185,21 +185,37 @@ def _render_gt(vals: list[int], t: int) -> str:
     return out
 
 
+def _flag_keys(header_text: str) -> set[str]:
+    return {
+        line.split("<ID=", 1)[1].split(",", 1)[0]
+        for line in header_text.splitlines()
+        if line.startswith("##INFO=<") and "Type=Flag" in line
+    }
+
+
 def bcf_records_to_vcf_lines(raw: bytes) -> list[str]:
     """Decode every BCF record into an equivalent VCF body line."""
     data = _bcf_payload(raw)
     l_text = struct.unpack_from("<I", data, 5)[0]
     header_text = data[9 : 9 + l_text].rstrip(b"\x00").decode()
     str_dict, contig_dict = _dictionaries(header_text)
-    flag_keys = {
-        line.split("<ID=", 1)[1].split(",", 1)[0]
-        for line in header_text.splitlines()
-        if line.startswith("##INFO=<") and "Type=Flag" in line
-    }
+    return _records_from_buffer(
+        data, 9 + l_text, len(data), str_dict, contig_dict, _flag_keys(header_text)
+    )
 
+
+def _records_from_buffer(
+    data: bytes,
+    pos: int,
+    end: int,
+    str_dict: dict[int, str],
+    contig_dict: dict[int, str],
+    flag_keys: set[str],
+) -> list[str]:
+    """Decode the records in ``data[pos:end]`` (which must start at a
+    record boundary — the whole body, or a .csi-addressed chunk) into
+    VCF body lines."""
     lines: list[str] = []
-    pos = 9 + l_text
-    end = len(data)
     while pos + 8 <= end:
         l_shared, l_indiv = struct.unpack_from("<II", data, pos)
         pos += 8
@@ -274,38 +290,147 @@ def bcf_records_to_vcf_lines(raw: bytes) -> list[str]:
     return lines
 
 
-def load_bcf(spark: SparkSession, path: str) -> GenomicFrame:
-    """BCFv2.2 → variant contexts, through the shared text parser."""
-    import os
+def _bcf_header_driver_side(path: str):
+    """Driver-side header read, O(header bytes): (header_text, parsed
+    header lines, refs, sample names) — the IDX= dictionary annotations
+    strip off the text header exactly as htsjdk does on read."""
     import re
 
-    from adam_spark.sources.vcf import (
-        _header_from_lines,
-        mix_header_lines,
-        vcf_lines_to_contexts,
-    )
+    from adam_spark.sources.vcf import _header_from_lines, mix_header_lines
 
-    # header: driver-side, O(header bytes) (gzip streams lazily)
     with open(path, "rb") as f:
         head = f.read(1 << 20)  # header text is bounded; fixtures ~1 KB
     try:
         header_text = bcf_header_text(head)
     except (ValueError, struct.error, EOFError):
         header_text = bcf_header_text(open(path, "rb").read())
-    # htsjdk strips the IDX= dictionary annotations on read; so do we
     header_lines_raw = [
         re.sub(r",IDX=\d+(?=[,>])", "", ln) for ln in header_text.splitlines()
     ]
     header_lines, refs, sample_names = _header_from_lines(header_lines_raw)
-    header_lines = mix_header_lines(header_lines)
+    return header_text, mix_header_lines(header_lines), refs, sample_names
 
+
+def _csi_body_chunks(path: str) -> list[tuple[int, int]]:
+    """All record-bearing virtual-offset chunks of a BCF, merged, from
+    its .csi sidecar — adjacent records coalesce, so the result is a
+    small disjoint cover of the body that tasks can split on."""
+    from adam_spark.sources.binned_index import merge_chunks, read_csi
+
+    idx = read_csi(path + ".csi")
+    return merge_chunks(
+        [c for r in idx.refs for chunks in r.bins.values() for c in chunks]
+    )
+
+
+def load_bcf(spark: SparkSession, path: str) -> GenomicFrame:
+    """BCFv2.2 → variant contexts, through the shared text parser.
+
+    With a ``.csi`` sidecar (written by :func:`save_bcf`) the scan is
+    SPLITTABLE: the index's chunk cover partitions the body into
+    byte-range decode tasks (the load_indexed_vcf task-grouping shape)
+    — each task BGZF-seeks its chunks and decodes only those records.
+    Without an index the file decodes in one task (BCF records are not
+    resyncable mid-stream — the same parallelism class as Spark's
+    unsplittable gzip)."""
+    import os
+
+    from adam_spark.sources.vcf import vcf_lines_to_contexts
+
+    header_text, header_lines, refs, sample_names = _bcf_header_driver_side(path)
     sc = spark.sparkContext
     apath = os.path.abspath(path)
-    rdd = sc.parallelize([apath], 1).flatMap(
-        lambda p: bcf_records_to_vcf_lines(open(p, "rb").read())
-    )
+
+    if os.path.exists(apath + ".csi"):
+        str_dict, contig_dict = _dictionaries(header_text)
+        flags = _flag_keys(header_text)
+        chunks = _csi_body_chunks(apath)
+
+        def _lines(task_chunks):
+            from adam_spark.sources.binned_index import read_chunk_bytes
+
+            for vb, ve in task_chunks:
+                buf = read_chunk_bytes(apath, vb, ve)
+                yield from _records_from_buffer(
+                    buf, 0, len(buf), str_dict, contig_dict, flags
+                )
+
+        par = sc.defaultParallelism
+        n_tasks = max(1, min(len(chunks), par * 2))
+        task_chunks: list[list[tuple[int, int]]] = [[] for _ in range(n_tasks)]
+        for i, c in enumerate(chunks):
+            task_chunks[i % n_tasks].append(c)
+        task_chunks = [t for t in task_chunks if t]
+        rdd = sc.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(_lines)
+    else:
+        rdd = sc.parallelize([apath], 1).flatMap(
+            lambda p: bcf_records_to_vcf_lines(open(p, "rb").read())
+        )
     body = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
     return vcf_lines_to_contexts(body, header_lines, refs, sample_names)
+
+
+def load_indexed_bcf(
+    spark: SparkSession, path: str, regions: list[tuple[str, int, int]]
+) -> GenomicFrame:
+    """Region-restricted BCF load via the .csi sidecar (the
+    load_indexed_vcf shape over the binary records): only the
+    index-addressed BGZF chunks overlapping the query regions are read
+    and decoded — I/O scales with the overlap fraction, not the file.
+    The coarse bin prefilter is followed by an exact per-record overlap
+    predicate on (CHROM, POS-1, POS-1+len(REF))."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from adam_spark.sources.binned_index import merge_chunks, read_csi
+    from adam_spark.sources.vcf import vcf_lines_to_contexts
+
+    apath = os.path.abspath(path)
+    header_text, header_lines, refs, sample_names = _bcf_header_driver_side(apath)
+    str_dict, contig_dict = _dictionaries(header_text)
+    flags = _flag_keys(header_text)
+    rid = {name: i for i, name in contig_dict.items()}
+
+    idx = read_csi(apath + ".csi")
+    chunks = merge_chunks(
+        [
+            c
+            for (rname, beg, end) in regions
+            if rname in rid
+            for c in idx.chunks_for(rid[rname], beg, end)
+        ]
+    )
+
+    def _lines(task_chunks):
+        from adam_spark.sources.binned_index import read_chunk_bytes
+
+        for vb, ve in task_chunks:
+            buf = read_chunk_bytes(apath, vb, ve)
+            yield from _records_from_buffer(
+                buf, 0, len(buf), str_dict, contig_dict, flags
+            )
+
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+    n_tasks = max(1, min(len(chunks), par * 2))
+    task_chunks: list[list[tuple[int, int]]] = [[] for _ in range(n_tasks)]
+    for i, c in enumerate(chunks):
+        task_chunks[i % n_tasks].append(c)
+    task_chunks = [t for t in task_chunks if t]
+    rdd = sc.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(_lines)
+    body = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
+
+    t = F.split(F.col("value"), "\t")
+    ref_c = F.try_element_at(t, F.lit(1))
+    beg_c = F.try_element_at(t, F.lit(2)).try_cast("long") - 1
+    end_c = beg_c + F.length(F.try_element_at(t, F.lit(4)))
+    pred = F.lit(False)
+    for rname, beg, end in regions:
+        pred = pred | (
+            (ref_c == F.lit(rname)) & (beg_c < F.lit(end)) & (end_c > F.lit(beg))
+        )
+    return vcf_lines_to_contexts(body.where(pred), header_lines, refs, sample_names)
 
 
 # --- writer ----------------------------------------------------------------
@@ -679,33 +804,68 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
             prefix="bcf-shards-", dir=os.path.dirname(os.path.abspath(path)) or "."
         )
 
+        bs = 60_000
+
         def _encode_shard(i, it):
             buf = bytearray()
+            recs: list[tuple[int, int, int, int, int]] = []
             for row in it:
+                line = row["value"]
+                u0 = len(buf)
                 buf += _encode_record(
-                    row["value"], str_ix, contig_ix, info_types, fmt_types, flag_keys
+                    line, str_ix, contig_ix, info_types, fmt_types, flag_keys
                 )
-            sblob, _ = bgzf_blocks_bytes(bytes(buf))
+                chrom, pos1, _, ref = line.split("\t", 4)[:4]
+                beg = int(pos1) - 1
+                recs.append(
+                    (contig_ix[chrom], beg, beg + max(len(ref), 1), u0, len(buf))
+                )
+            sblob, offsets = bgzf_blocks_bytes(bytes(buf), block_size=bs)
             sp = os.path.join(shard_dir, f"part-{i:05d}")
             with open(sp, "wb") as f:
                 f.write(sblob)
-            return [sp]
+            return [(i, sp, len(sblob), offsets, recs)]
 
-        shards = (
+        manifests = (
             ordered.orderBy("__o", "__k2")
             .select("value")
             .rdd.mapPartitionsWithIndex(_encode_shard)
             .collect()
         )
+        manifests.sort(key=lambda m: m[0])
         hblob, _ = bgzf_blocks_bytes(blob)
+        # .csi sidecar: record spans map to global BGZF virtual offsets
+        # via the prefix-summed shard compressed offsets (each shard's
+        # blocks restart at local uncompressed offset 0, the
+        # save_vcf_bgzf shape)
+        from adam_spark.sources.binned_index import new_index, voffset, write_csi
+
+        spans: list[tuple[int, int, int, int, int]] = []
+        base = len(hblob)
         with open(path, "wb") as f:
             f.write(hblob)
-            for sp in sorted(shards):
+            for _, sp, clen, offsets, recs in manifests:
                 with open(sp, "rb") as sf:
                     f.write(sf.read())
                 os.remove(sp)
+                for rid, beg, rend, u0, u1 in recs:
+                    spans.append(
+                        (rid, beg, rend,
+                         voffset(base + offsets[u0 // bs], u0 % bs),
+                         voffset(base + offsets[u1 // bs], u1 % bs))
+                    )
+                base += clen
             f.write(_BGZF_EOF)
         os.rmdir(shard_dir)
-        return {"shards": len(shards)}
+        try:
+            idx = new_index(list(contig_ix))
+            for rid, beg, rend, vb, ve in spans:
+                idx.add_record(rid, beg, rend, vb, ve)
+            write_csi(idx, path + ".csi")
+        except ValueError:
+            # a coordinate past 2^29 is outside the 5-level binning —
+            # the BCF itself is valid, only the sidecar is skipped
+            pass
+        return {"shards": len(manifests)}
     finally:
         ordered.unpersist()

@@ -215,6 +215,69 @@ def read_tbi(path: str) -> BinnedIndex:
     )
 
 
+def write_csi(idx: BinnedIndex, path: str, min_shift: int = 14, depth: int = 5) -> None:
+    """Serialize as a CSIv1 index (BGZF-wrapped, per the hts-specs CSI
+    layout). With the default (min_shift=14, depth=5) the bin numbering
+    is IDENTICAL to the 5-level UCSC scheme this module's ``reg2bin``
+    produces, so the in-memory :class:`BinnedIndex` serializes as-is;
+    each bin's ``loffset`` is the minimum chunk start (a conservative
+    spec-valid value — the reader walks chunks, not loffsets). The aux
+    block is empty (BCF carries contig names in its own header
+    dictionary; only tabix-over-CSI stores names there)."""
+    from adam_spark.sources.bam import bgzf_compress_to
+
+    out = bytearray()
+    out += b"CSI\x01"
+    out += struct.pack("<3i", min_shift, depth, 0)  # l_aux = 0
+    out += struct.pack("<i", len(idx.refs))
+    for r in idx.refs:
+        out += struct.pack("<i", len(r.bins))
+        for b in sorted(r.bins):
+            chunks = r.bins[b]
+            loffset = min((vb for vb, _ in chunks), default=0)
+            out += struct.pack("<IQi", b, loffset, len(chunks))
+            for vb, ve in chunks:
+                out += struct.pack("<QQ", vb, ve)
+    bgzf_compress_to(path, bytes(out))
+
+
+def read_csi(path: str) -> BinnedIndex:
+    """Read a CSIv1 index written by :func:`write_csi` (min_shift=14 /
+    depth=5 only — the binning this module computes). The linear index
+    stays empty (CSI's per-bin loffset replaces it); ``chunks_for``
+    degrades to bin-chunk lookup without linear pruning."""
+    from adam_spark.sources.bam import bgzf_decompress
+
+    data = bgzf_decompress(path)
+    if data[:4] != b"CSI\x01":
+        raise ValueError(f"{path} is not a CSI index")
+    min_shift, depth, l_aux = struct.unpack_from("<3i", data, 4)
+    if (min_shift, depth) != (14, 5):
+        raise ValueError(
+            f"unsupported CSI parameters min_shift={min_shift} depth={depth};"
+            " this reader implements the 5-level/14-bit scheme only"
+        )
+    off = 16 + l_aux
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, off)
+        off += 4
+        r = _RefIndex()
+        for _ in range(n_bin):
+            b, _loffset, n_chunk = struct.unpack_from("<IQi", data, off)
+            off += 16
+            chunks = []
+            for _ in range(n_chunk):
+                vb, ve = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((vb, ve))
+            r.bins[b] = chunks
+        refs.append(r)
+    return BinnedIndex(names=[], refs=refs)
+
+
 def write_bai(idx: BinnedIndex, path: str) -> None:
     """Serialize as a .bai (plain binary, not BGZF-wrapped)."""
     out = bytearray()

@@ -716,3 +716,94 @@ def test_variant_frame_saves_to_vcf_gz(spark, tmp_path, vcf_path):
     # 3 input lines, one multiallelic (T,G) split per-alt → 4 sites
     assert len(body) == 4
     assert all(len(ln.rstrip("\n").split("\t")) == 8 for ln in body)
+
+
+def test_bcf_csi_sidecar_and_indexed_load(spark, tmp_path):
+    """save_bcf writes a .csi sidecar; load_indexed_bcf reads only the
+    index-addressed chunks and returns exactly the overlap-filtered
+    records (the load_indexed_vcf contract, on the binary records)."""
+    import os
+
+    from adam_spark.sources.bcf import load_indexed_bcf, save_bcf
+
+    p = tmp_path / "big.vcf"
+    p.write_text(_synth_vcf_text(3000))
+    gf = vcf_io.load_vcf(spark, str(p))
+    out = str(tmp_path / "big.bcf")
+    old = _multi_shard_conf(spark, 4)
+    try:
+        save_bcf(gf, out)
+    finally:
+        _restore_conf(spark, old)
+    assert os.path.exists(out + ".csi")
+    regions = [("chr1", 40_000, 90_000), ("chr2", 10, 25_000)]
+    got = load_indexed_bcf(spark, out, regions)
+    want = gf.filter_by_overlapping_regions(regions)
+    a = sorted((r["referenceName"], r["start"]) for r in got.df.collect())
+    b = sorted((r["referenceName"], r["start"]) for r in want.df.collect())
+    assert a == b and len(a) > 0
+    # samples/genotypes survive the indexed path
+    row = got.df.limit(1).collect()[0]
+    assert row["genotypes"][0]["sampleId"] == "s1"
+
+
+def test_bcf_csi_narrows_the_scan(tmp_path, spark):
+    """The .csi chunk query for a small region addresses (and decodes)
+    a small fraction of the file's records — the point of the index."""
+    from adam_spark.sources.bcf import (
+        _bcf_header_driver_side,
+        _dictionaries,
+        _flag_keys,
+        save_bcf,
+    )
+    from adam_spark.sources.bcf import _records_from_buffer
+    from adam_spark.sources.binned_index import read_chunk_bytes, read_csi
+
+    p = tmp_path / "big.vcf"
+    p.write_text(_synth_vcf_text(3000))
+    gf = vcf_io.load_vcf(spark, str(p))
+    out = str(tmp_path / "big.bcf")
+    save_bcf(gf, out)
+    header_text, *_ = _bcf_header_driver_side(out)
+    str_dict, contig_dict = _dictionaries(header_text)
+    idx = read_csi(out + ".csi")
+    small = idx.chunks_for(0, 1000, 3000)
+    decoded = [
+        ln
+        for vb, ve in small
+        for ln in _records_from_buffer(
+            read_chunk_bytes(out, vb, ve), 0,
+            len(read_chunk_bytes(out, vb, ve)),
+            str_dict, contig_dict, _flag_keys(header_text),
+        )
+    ]
+    # chr1 rows at pos 1+97k overlapping [1000,3000): k in 11..30 → 20
+    hits = [ln for ln in decoded if ln.startswith("chr1\t")
+            and 1000 <= int(ln.split("\t")[1]) - 1 < 3000]
+    assert len(hits) == 20
+    # the coarse bin cover decodes far less than the 3000-record file
+    assert len(decoded) < 3000 / 4, len(decoded)
+
+
+def test_bcf_splittable_scan_with_csi(spark, tmp_path):
+    """With a .csi present, load_bcf decodes in MULTIPLE byte-range
+    tasks and returns rows identical to the unsplit decode."""
+    import os
+
+    from adam_spark.sources.bcf import load_bcf, save_bcf
+
+    p = tmp_path / "big.vcf"
+    p.write_text(_synth_vcf_text(2000))
+    gf = vcf_io.load_vcf(spark, str(p))
+    out = str(tmp_path / "big.bcf")
+    old = _multi_shard_conf(spark, 4)
+    try:
+        save_bcf(gf, out)
+    finally:
+        _restore_conf(spark, old)
+    split = load_bcf(spark, out)
+    a = sorted(map(repr, split.df.collect()))
+    os.rename(out + ".csi", out + ".csi.bak")  # force the one-task path
+    single = load_bcf(spark, out)
+    b = sorted(map(repr, single.df.collect()))
+    assert a == b and len(a) == 2000

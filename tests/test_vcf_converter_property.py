@@ -40,8 +40,21 @@ _FORMAT_SPACE = [
 ]
 
 
+#: the BCF writer's width-minimization boundaries (bcf.py _INT8_RANGE /
+#: _INT16_RANGE leave htslib's reserved sentinel values out of each
+#: width) — drawing these into the fuzz pool aims the fixed point at
+#: the exact promote/stay edges
+_INT_EDGES = [
+    -120, -121, -127, -128, 127, 128,
+    -32760, -32761, -32768, 32767, 32768,
+    2147483520, -2147483520,
+]
+
+
 def _value(rng: random.Random, typ: str) -> str:
     if typ == "Integer":
+        if rng.random() < 0.25:
+            return str(rng.choice(_INT_EDGES))
         return str(rng.randint(-1000, 100000))
     if typ == "Float":
         return rng.choice(
@@ -199,3 +212,41 @@ def _assert_fixed_point(first, second, seed):
     for gts in (v[5] for v in a.values()):
         for g in gts:
             assert all(k != "FK18" for k, _ in g[3])
+
+
+def test_bcf_width_minimization_edges(spark, tmp_path):
+    """Deterministic vectors at the BCF writer's typed-int edges
+    (round-11 verdict item 6): values straddling the int8/int16
+    promotion boundaries (the reserved-sentinel ranges at
+    bcf.py _INT8_RANGE/_INT16_RANGE), Number=. vectors RAGGED across
+    samples (per-key shared width → EOV padding), and a >15-element
+    vector (the descriptor's count-in-following-typed-int escape).
+    Fixed point through save_bcf → load_bcf."""
+    from adam_spark.sources.bcf import load_bcf, save_bcf
+
+    long_vec = ",".join(str(3 * i - 20) for i in range(23))  # 23 > 15
+    hdr = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=chr1,length=100000000>",
+        '##INFO=<ID=EDGE,Number=.,Type=Integer,Description="">',
+        '##INFO=<ID=LONG,Number=.,Type=Integer,Description="">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="">',
+        '##FORMAT=<ID=RAG,Number=.,Type=Integer,Description="">',
+        '##FORMAT=<ID=RAGF,Number=.,Type=Float,Description="">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3",
+    ]
+    rows = []
+    for i, edge in enumerate(_INT_EDGES):
+        pos = 100 + i * 10
+        # ragged ints: 1, 3 and missing cells; ragged floats too
+        rows.append(
+            f"chr1\t{pos}\t.\tA\tG\t50\tPASS\tEDGE={edge},0;LONG={long_vec}"
+            f"\tGT:RAG:RAGF\t0/1:{edge}:1.5"
+            f"\t1/1:{edge},0,-1:0.25,-8.0,2.0\t0/0:.:."
+        )
+    p = tmp_path / "edges.vcf"
+    p.write_text("\n".join(hdr + rows) + "\n")
+    first = vcf_io.load_vcf(spark, str(p))
+    bout = str(tmp_path / "edges.bcf")
+    save_bcf(first, bout)
+    _assert_fixed_point(first, load_bcf(spark, bout), "edges")
