@@ -494,7 +494,9 @@ def save_gff3(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
         ).alias("value")
     )
     if single_file:
-        hdr = df.sparkSession.createDataFrame([(GFF3_HEADER,)], "value string")
+        from adam_spark.sources.merge import local_lines_df
+
+        hdr = local_lines_df(df.sparkSession, [(GFF3_HEADER,)], "value string")
         out = (
             hdr.select(F.lit(0).alias("__o"), "value")
             .unionByName(df.select(F.lit(1).alias("__o"), "value"))
@@ -568,7 +570,11 @@ def save_interval_list(gf: GenomicFrame, path: str, single_file: bool = True) ->
             _name_of(),
         ).alias("value")
     )
-    hdr_df = gf.df.sparkSession.createDataFrame([(h,) for h in header_lines], "value string")
+    from adam_spark.sources.merge import local_lines_df
+
+    hdr_df = local_lines_df(
+        gf.df.sparkSession, [(h,) for h in header_lines], "value string"
+    )
     out = (
         hdr_df.select(F.lit(0).alias("__o"), "value")
         .unionByName(df.select(F.lit(1).alias("__o"), "value"))

@@ -16,6 +16,19 @@ import os
 import shutil
 
 
+def local_lines_df(spark, rows: list, schema: str):
+    """One-PARTITION DataFrame from a small driver-side row list (the
+    header-lines branch of the single-file savers).
+
+    ``spark.createDataFrame`` slices local data into defaultParallelism
+    partitions; reading those slices through a downstream
+    ``coalesce(1)`` costs ~100 ms PER SLICE inside the collapsed task
+    (measured round 11: a 46-row header DataFrame added ~4 s of fixed
+    cost to EVERY single-file VCF/SAM/GFF3 save on local[32]). One
+    explicit slice keeps the header a single cheap parent partition."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def merge_shards(
     shard_dir: str,
     output_path: str,

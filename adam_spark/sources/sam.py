@@ -457,7 +457,9 @@ def save_sam(
         gf.meta, pg_line=pg_line,
         sort_order=sort_order or ("coordinate" if is_sorted else "unsorted"),
     )
-    hdr_df = df.sparkSession.createDataFrame([(h,) for h in header], "value string")
+    from adam_spark.sources.merge import local_lines_df
+
+    hdr_df = local_lines_df(df.sparkSession, [(h,) for h in header], "value string")
     out = (
         hdr_df.select(F.lit(0).alias("__o"), "value")
         .unionByName(body.select(F.lit(1).alias("__o"), "value"))
