@@ -143,4 +143,9 @@ def save_fasta(
         "\n",
     )
     df = gf.df.select(F.concat_ws("\n", header, wrapped).alias("value"))
-    (df.coalesce(1) if single_file else df).write.text(path)
+    if single_file:
+        from adam_spark.sources.merge import write_text_single_file
+
+        write_text_single_file(df, path)
+    else:
+        df.write.text(path)

@@ -327,7 +327,12 @@ def save_fastq(
     if sort_by_name:
         out = out.orderBy("__name", "__rif")
     out = out.select("value")
-    (out.coalesce(1) if single_file else out).write.text(path)
+    if single_file:
+        from adam_spark.sources.merge import write_text_single_file
+
+        write_text_single_file(out, path)
+    else:
+        out.write.text(path)
 
 
 def save_reads_fastq(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
@@ -372,7 +377,12 @@ def save_reads_fastq(gf: GenomicFrame, path: str, single_file: bool = False) -> 
             F.col("qualityScores"),
         ).alias("value")
     )
-    (out.coalesce(1) if single_file else out).write.text(path)
+    if single_file:
+        from adam_spark.sources.merge import write_text_single_file
+
+        write_text_single_file(out, path)
+    else:
+        out.write.text(path)
 
 
 def save_paired_fastq(gf: GenomicFrame, path1: str, path2: str) -> None:
@@ -397,4 +407,6 @@ def save_paired_fastq(gf: GenomicFrame, path1: str, path2: str) -> None:
             .orderBy("__name")
             .select("value")
         )
-        part.coalesce(1).write.text(path)
+        from adam_spark.sources.merge import write_text_single_file
+
+        write_text_single_file(part, path)

@@ -155,7 +155,12 @@ def save_bed(
     df = _conform(gf.df).select(
         F.when(has12, bed12).otherwise(bed6).alias("value")
     )
-    (df.coalesce(1) if single_file else df).write.text(path)
+    if single_file:
+        from adam_spark.sources.merge import write_text_single_file
+
+        write_text_single_file(df, path)
+    else:
+        df.write.text(path)
 
 
 # --- NarrowPeak -----------------------------------------------------------
@@ -197,7 +202,12 @@ def save_narrowpeak(gf: GenomicFrame, path: str, single_file: bool = False) -> N
             F.coalesce(a.getItem("peak"), F.lit("-1")),
         ).alias("value")
     )
-    (df.coalesce(1) if single_file else df).write.text(path)
+    if single_file:
+        from adam_spark.sources.merge import write_text_single_file
+
+        write_text_single_file(df, path)
+    else:
+        df.write.text(path)
 
 
 # --- GTF / GFF3 -----------------------------------------------------------
@@ -429,7 +439,12 @@ def save_gtf(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
             attr,
         ).alias("value")
     )
-    (df.coalesce(1) if single_file else df).write.text(path)
+    if single_file:
+        from adam_spark.sources.merge import write_text_single_file
+
+        write_text_single_file(df, path)
+    else:
+        df.write.text(path)
 
 
 def load_gff3(spark: SparkSession, path: str) -> GenomicFrame:

@@ -29,6 +29,53 @@ def local_lines_df(spark, rows: list, schema: str):
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
+def write_text_single_file(body_df, path: str, header_lines: list[str] | None = None) -> dict:
+    """Single-file text save, the reference ``-single`` shape
+    (util/FileMerger.scala:35): the body renders and writes
+    DISTRIBUTED — one text shard per partition, no shuffle, partition
+    order preserved — and the driver streams the shards (header first)
+    into ``<path>/part-00000``. Replaces the former
+    ``coalesce(1)`` single-task render+write: at 100 TB the
+    render/convert work stays on the executors and only the final
+    sequential concat is driver I/O, exactly like the reference's
+    FileMerger. Byte-identical to the coalesce shape: concatenating
+    part files in name order IS the coalesced partition order.
+
+    ``body_df`` must have a ``value`` string column; ``header_lines``
+    (no trailing newlines) prepend before the first shard."""
+    import tempfile
+
+    shard_dir = path + ".__shards"
+    body_df.select("value").write.mode("overwrite").text(shard_dir)
+    hdr_path = None
+    if header_lines:
+        fd = tempfile.NamedTemporaryFile(
+            "w", dir=os.path.dirname(os.path.abspath(path)) or ".",
+            suffix=".hdr", delete=False,
+        )
+        fd.write("".join(h + "\n" for h in header_lines))
+        fd.close()
+        hdr_path = fd.name
+    try:
+        os.makedirs(path, exist_ok=True)
+        out_part = os.path.join(path, "part-00000")
+        try:
+            n = merge_shards(shard_dir, out_part, header_path=hdr_path)
+        except FileNotFoundError:
+            # an empty frame writes no shards; the file is header-only
+            n = 0
+            with open(out_part, "wb") as out:
+                if hdr_path:
+                    with open(hdr_path, "rb") as hf:
+                        shutil.copyfileobj(hf, out)
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+        return {"shards": n}
+    finally:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        if hdr_path:
+            os.remove(hdr_path)
+
+
 def merge_shards(
     shard_dir: str,
     output_path: str,

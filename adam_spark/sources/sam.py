@@ -457,13 +457,16 @@ def save_sam(
         gf.meta, pg_line=pg_line,
         sort_order=sort_order or ("coordinate" if is_sorted else "unsorted"),
     )
-    from adam_spark.sources.merge import local_lines_df
+    from adam_spark.sources.merge import local_lines_df, write_text_single_file
 
+    if single_file:
+        # distributed render + FileMerger concat with the header
+        # prepended (the reference's -single shape)
+        write_text_single_file(body, path, header_lines=header)
+        return
     hdr_df = local_lines_df(df.sparkSession, [(h,) for h in header], "value string")
     out = (
         hdr_df.select(F.lit(0).alias("__o"), "value")
         .unionByName(body.select(F.lit(1).alias("__o"), "value"))
     )
-    if single_file:
-        out = out.coalesce(1).sortWithinPartitions("__o")
     out.select("value").write.text(path)

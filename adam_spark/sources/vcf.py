@@ -1563,31 +1563,32 @@ def _build_render_columns(sample_names: list[str], gt_dtype) -> dict:
 def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
     """Variant contexts → VCF text files (see ``_render_vcf``)."""
     header, body = _render_vcf(gf)
-    from adam_spark.sources.merge import local_lines_df
+    from adam_spark.sources.merge import local_lines_df, write_text_single_file
 
+    if single_file:
+        # render DISTRIBUTED (one shard per partition, frame order is
+        # the partition order — no shuffle, no sort key needed), then
+        # FileMerger-concat with the header prepended (the reference's
+        # -single shape, util/FileMerger.scala:35)
+        write_text_single_file(body, path, header_lines=header)
+        return
     hdr_df = local_lines_df(
         body.sparkSession,
         [(0, i, h) for i, h in enumerate(header)],
         "__o int, __k2 long, value string",
     )
     out = hdr_df.unionByName(body)
-    if single_file:
-        # one partition, one in-memory sort by the tiny (flag, id) key —
-        # the rendered lines are computed exactly once in this stage
-        out = out.coalesce(1).sortWithinPartitions("__o", "__k2")
-        out.select("value").write.text(path)
-    else:
-        # orderBy samples the input to pick range bounds, which would
-        # render every line twice — persist the rendered lines so the
-        # sampling pass and the write both read the cache (A/B in
-        # MEASURED.md round-9: 73.9 → 33.9 s at 204k rows)
-        from pyspark import StorageLevel
+    # orderBy samples the input to pick range bounds, which would
+    # render every line twice — persist the rendered lines so the
+    # sampling pass and the write both read the cache (A/B in
+    # MEASURED.md round-9: 73.9 → 33.9 s at 204k rows)
+    from pyspark import StorageLevel
 
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            out.orderBy("__o", "__k2").select("value").write.text(path)
-        finally:
-            out.unpersist()
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out.orderBy("__o", "__k2").select("value").write.text(path)
+    finally:
+        out.unpersist()
 
 
 # --- tabix-indexed path ----------------------------------------------------

@@ -807,3 +807,32 @@ def test_bcf_splittable_scan_with_csi(spark, tmp_path):
     single = load_bcf(spark, out)
     b = sorted(map(repr, single.df.collect()))
     assert a == b and len(a) == 2000
+
+
+def test_single_file_save_renders_distributed(spark, tmp_path):
+    """save_vcf(single_file=True) renders in MULTIPLE tasks (the former
+    coalesce(1) single-task render is gone): the body repartitioned
+    into 4 writes 4 shards, and the FileMerger concat is byte-identical
+    to the same frame saved from one partition."""
+    import glob
+
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.sources.merge import write_text_single_file
+    from adam_spark.sources.vcf import _render_vcf
+
+    p = tmp_path / "big.vcf"
+    p.write_text(_synth_vcf_text(2000))
+    gf = vcf_io.load_vcf(spark, str(p))
+    header, body = _render_vcf(gf)
+    one = str(tmp_path / "one.vcf")
+    many = str(tmp_path / "many.vcf")
+    s1 = write_text_single_file(body.coalesce(1), one, header_lines=header)
+    # repartitionByRange on the frame-order key keeps row order across
+    # the 4 shards, so the concat must be byte-identical
+    s4 = write_text_single_file(
+        body.repartitionByRange(4, "__k2"), many, header_lines=header
+    )
+    assert s1["shards"] == 1 and s4["shards"] == 4
+    a = open(glob.glob(one + "/part-*")[0]).read()
+    b = open(glob.glob(many + "/part-*")[0]).read()
+    assert a == b and a.count("\n") == 2000 + len(header)
