@@ -509,17 +509,9 @@ def save_gff3(gf: GenomicFrame, path: str, single_file: bool = False) -> None:
         ).alias("value")
     )
     if single_file:
-        from adam_spark.sources.merge import local_lines_df
+        from adam_spark.sources.merge import write_text_single_file
 
-        hdr = local_lines_df(df.sparkSession, [(GFF3_HEADER,)], "value string")
-        out = (
-            hdr.select(F.lit(0).alias("__o"), "value")
-            .unionByName(df.select(F.lit(1).alias("__o"), "value"))
-            .coalesce(1)
-            .sortWithinPartitions("__o")
-            .select("value")
-        )
-        out.write.text(path)
+        write_text_single_file(df, path, header_lines=[GFF3_HEADER])
     else:
         df.write.text(path)
 
@@ -585,19 +577,9 @@ def save_interval_list(gf: GenomicFrame, path: str, single_file: bool = True) ->
             _name_of(),
         ).alias("value")
     )
-    from adam_spark.sources.merge import local_lines_df
+    from adam_spark.sources.merge import write_text_single_file
 
-    hdr_df = local_lines_df(
-        gf.df.sparkSession, [(h,) for h in header_lines], "value string"
-    )
-    out = (
-        hdr_df.select(F.lit(0).alias("__o"), "value")
-        .unionByName(df.select(F.lit(1).alias("__o"), "value"))
-        .coalesce(1)
-        .sortWithinPartitions("__o")
-        .select("value")
-    )
-    out.write.text(path)
+    write_text_single_file(df, path, header_lines=header_lines)
 
 
 def save_ucsc_bed(
