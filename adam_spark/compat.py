@@ -906,6 +906,25 @@ class ADAMContext:
 
         return AlignmentDataset(load_indexed_bam(self._spark, filePath, list(viewRegions)))
 
+    def loadIndexedVcf(self, filePath, viewRegions, stringency=None):
+        # Scala-API surface (ADAMContext.scala:2760-2776); the reference
+        # python wrapper never exposed it — provided here because the
+        # tabix path exists natively (sources/vcf.load_indexed_vcf)
+        from adam_spark.sources.vcf import load_indexed_vcf
+
+        return VariantContextDataset(
+            load_indexed_vcf(self._spark, filePath, list(viewRegions))
+        )
+
+    def loadIndexedBcf(self, filePath, viewRegions, stringency=None):
+        # beyond-reference extension: .csi-indexed BCF (the reference
+        # has no working BCF path at all, htsjdk #507)
+        from adam_spark.sources.bcf import load_indexed_bcf
+
+        return VariantContextDataset(
+            load_indexed_bcf(self._spark, filePath, list(viewRegions))
+        )
+
     def loadCoverage(self, filePath, stringency=None):
         return CoverageDataset(_ctx.load_coverage(self._spark, filePath))
 

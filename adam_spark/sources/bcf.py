@@ -17,9 +17,13 @@ descriptor byte (low nibble = type, high nibble = count, 15 = count in
 a following typed int). GT cells are ints encoding
 ``(allele + 1) << 1 | phased``.
 
-Scale shape: one decode task per FILE (BCF records are not resyncable
-mid-stream without a .csi index — same parallelism class as Spark's
-unsplittable gzip). The header reads driver-side, O(header bytes).
+Scale shape: with a ``.csi`` sidecar (written by :func:`save_bcf`)
+the scan is SPLITTABLE — the index's merged chunk cover partitions the
+body into byte-range decode tasks, and :func:`load_indexed_bcf` reads
+only the chunks overlapping query regions. Without an index, one
+decode task per FILE (BCF records are not resyncable mid-stream —
+same parallelism class as Spark's unsplittable gzip). The header reads
+driver-side, O(header bytes).
 """
 
 from __future__ import annotations

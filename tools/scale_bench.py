@@ -430,7 +430,44 @@ def _ops(spark: SparkSession, scale: str):
         save_vcf(gf, dst, single_file=False)
         return n
 
+    def _save_vcf_single(gf):
+        import shutil
+
+        from adam_spark.sources.vcf import save_vcf
+
+        dst = os.path.join(OUT, "tmp_vcf_single_out")
+        shutil.rmtree(dst, ignore_errors=True)
+        n = gf.df.count()
+        save_vcf(gf, dst, single_file=True)
+        return n
+
+    def _save_bcf(gf):
+        import shutil
+
+        from adam_spark.sources.bcf import save_bcf
+
+        dst = os.path.join(OUT, "tmp_bcf_out.bcf")
+        shutil.rmtree(dst, ignore_errors=True)
+        n = gf.df.count()
+        stats = save_bcf(gf, dst)
+        print(f"  save_bcf shards={stats['shards']}", flush=True)
+        return n
+
+    def _save_vcf_bgzf(gf):
+        from adam_spark.sources.vcf import save_vcf_bgzf
+
+        dst = os.path.join(OUT, "tmp_vcfgz_out.vcf.gz")
+        n = gf.df.count()
+        stats = save_vcf_bgzf(gf, dst)
+        print(f"  save_vcf_bgzf shards={stats['shards']}", flush=True)
+        return n
+
     return {
+        # r11 additions (r10 verdict item 1): the distributed
+        # single-file family — multi-task encode/compress slopes
+        "save_vcf_single": lambda: _save_vcf_single(_vcf_contexts(spark, scale)),
+        "save_bcf_single": lambda: _save_bcf(_vcf_contexts(spark, scale)),
+        "save_vcf_bgzf": lambda: _save_vcf_bgzf(_vcf_contexts(spark, scale)),
         # r10 additions (r9 verdict item 4): measured slopes for the two
         # r9 rewrites — the reference-semantics realignment target
         # finder and the htsjdk-parity VCF writer
@@ -532,8 +569,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     materialize(spark)
 
+    only = set(sys.argv[1:])  # optional: run a named subset
     for scale in ("s1", "s10"):
         for name, fn in _ops(spark, scale).items():
+            if only and name not in only:
+                continue
             if results.get(name, {}).get(scale):
                 continue
             best, rows = float("inf"), None
@@ -551,7 +591,7 @@ def main() -> None:
                 json.dump(results, f, indent=2)
 
     for name, r in results.items():
-        if name.startswith("_"):
+        if name.startswith("_") or "s1" not in r or "s10" not in r:
             continue
         r["slope"] = round(r["s10"]["sec"] / max(r["s1"]["sec"], 1e-9), 2)
         r["row_ratio"] = round(
