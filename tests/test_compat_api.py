@@ -398,3 +398,41 @@ def test_copy_variant_end_and_save_headers(ac, tmp_path):
     assert lines[0] == "##fileformat=VCFv4.2"
     assert any(l.startswith("##contig=<ID=chr1") for l in lines)
     assert lines[-1].startswith("#CHROM") and lines[-1].endswith("s1")
+
+
+def test_load_indexed_vcf_and_bcf_compat(spark, tmp_path):
+    """ADAMContext.loadIndexedVcf (Scala surface, ADAMContext.scala:
+    2760) and the beyond-reference loadIndexedBcf both return
+    VariantContextDatasets restricted to the query regions."""
+    from adam_spark.compat import ADAMContext
+    from adam_spark.sources.bcf import save_bcf
+    from adam_spark.sources.vcf import load_vcf, save_vcf_bgzf
+
+    lines = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=chr1,length=1000000>",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+    ]
+    for i in range(200):
+        lines.append(f"chr1\t{1 + i * 97}\t.\tA\tG\t50\tPASS\t.\tGT\t0/1")
+    src = tmp_path / "x.vcf"
+    src.write_text("\n".join(lines) + "\n")
+    gf = load_vcf(spark, str(src))
+    gz = str(tmp_path / "x.vcf.gz")
+    save_vcf_bgzf(gf, gz)
+    bcf = str(tmp_path / "x.bcf")
+    save_bcf(gf, bcf)
+
+    ac = ADAMContext(spark)
+    regions = [("chr1", 1000, 3000)]
+    want = sorted(
+        r["start"]
+        for r in gf.filter_by_overlapping_regions(regions).df.collect()
+    )
+    got_vcf = sorted(
+        r["start"] for r in ac.loadIndexedVcf(gz, regions).toDF().collect()
+    )
+    got_bcf = sorted(
+        r["start"] for r in ac.loadIndexedBcf(bcf, regions).toDF().collect()
+    )
+    assert got_vcf == want and got_bcf == want and len(want) > 0
