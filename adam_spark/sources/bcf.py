@@ -696,12 +696,15 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
     """Variant contexts → single-file BCFv2.2 (BGZF-framed).
 
     Shards encode + compress fully distributed (BGZF members
-    concatenate, the save_bam merge shape): the rendered lines persist
-    once, ``orderBy`` range-partitions the global frame-order sort (its
-    sampling pass reads the cache, the save_vcf:1550 trick), and each
-    task record-encodes + BGZF-compresses its own shard file; the
-    driver writes the dictionary-annotated header member, appends
-    shards in partition order, and closes with the BGZF EOF sentinel.
+    concatenate, the save_bam merge shape) with ZERO shuffles: the
+    rendered body's partition order already IS the frame order (the
+    render is a narrow projection), so each task record-encodes +
+    BGZF-compresses its own partition's shard file and the driver
+    appends shards in partition-index order — reproducing the global
+    frame order without a sort exchange. The rendered lines persist
+    once, shared by the dictionary key scans and the encode pass. The
+    driver writes the dictionary-annotated header member first and
+    closes with the BGZF EOF sentinel.
     Undeclared attribute keys found in the rendered lines get Number=.
     Type=String declarations appended, and contig names absent from the
     sequence dictionary get synthesized ##contig lines, so the BCF
@@ -831,8 +834,7 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
             return [(i, sp, len(sblob), offsets, recs)]
 
         manifests = (
-            ordered.orderBy("__o", "__k2")
-            .select("value")
+            ordered.select("value")
             .rdd.mapPartitionsWithIndex(_encode_shard)
             .collect()
         )

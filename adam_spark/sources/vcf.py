@@ -1595,22 +1595,25 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
 def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
     """Variant contexts → bgzipped VCF + tabix index (``path.tbi``).
 
-    Fully distributed (the ParallelFileMerger shape,
-    util/ParallelFileMerger.scala:34): the rendered lines persist once,
-    ``orderBy`` range-partitions the global sort (header lines sort
-    first, so they simply live in shard 0's BGZF blocks), and each task
-    BGZF-compresses its own shard file while recording a per-shard
-    manifest of (uncompressed length, block compressed-offsets, record
-    line-spans). The driver never materializes row data: it concatenates
-    shards in partition order, prefix-sums the shard compressed offsets,
-    and maps each record's shard-local uncompressed span to global BGZF
-    virtual offsets for the .tbi (each shard's blocks restart at local
-    uncompressed offset 0, so ``u % block_size`` stays exact per shard).
-    Reference consumer: ADAMContext.loadIndexedVcf:2760-2776."""
+    Fully distributed with ZERO shuffles (the ParallelFileMerger
+    shape, util/ParallelFileMerger.scala:34): the one-partition header
+    DataFrame unions AHEAD of the body, so the union's partition list
+    is [header, body partitions...] in frame order — each task
+    BGZF-compresses its own partition's shard file in a single pass
+    (no sort exchange, no sampling double-render, no persist) while
+    recording a per-shard manifest of (uncompressed length, block
+    compressed-offsets, record line-spans). The driver never
+    materializes row data: it concatenates shards in partition-index
+    order, prefix-sums the shard compressed offsets, and maps each
+    record's shard-local uncompressed span to global BGZF virtual
+    offsets for the .tbi (each shard's blocks restart at local
+    uncompressed offset 0, so ``u % block_size`` stays exact per
+    shard). The index pair is order-independent (chunks are per-bin
+    virtual-offset ranges), matching the frame-order file the multi
+    writer has always produced. Reference consumer:
+    ADAMContext.loadIndexedVcf:2760-2776."""
     import os
     import tempfile
-
-    from pyspark import StorageLevel
 
     from adam_spark.sources.bam import _BGZF_EOF, bgzf_blocks_bytes
     from adam_spark.sources.binned_index import new_index, voffset, write_tbi
@@ -1645,16 +1648,12 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
             out.write(blob)
         return [(i, sp, len(blob), offsets, recs)]
 
-    out = hdr_df.unionByName(body).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        manifests = (
-            out.orderBy("__o", "__k2")
-            .select("value")
-            .rdd.mapPartitionsWithIndex(_compress_shard)
-            .collect()
-        )
-    finally:
-        out.unpersist()
+    manifests = (
+        hdr_df.unionByName(body)
+        .select("value")
+        .rdd.mapPartitionsWithIndex(_compress_shard)
+        .collect()
+    )
     manifests.sort(key=lambda m: m[0])
 
     names: list[str] = []

@@ -594,29 +594,17 @@ def test_save_bcf_synthesizes_missing_contigs(spark, tmp_path):
     assert got == [("chr1", 199), ("chr2", 99)]
 
 
-def _multi_shard_conf(spark, n=4):
-    """Force a small orderBy to keep n range partitions (AQE would
-    coalesce them away at test sizes)."""
-    keys = {
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
-        "spark.sql.shuffle.partitions": str(n),
-    }
-    old = {}
-    for k, v in keys.items():
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-        spark.conf.set(k, v)
-    return old
+def _range4(gf, n=4):
+    """Frame repartitioned into n range partitions on (referenceName,
+    start), sorted within — frame order stays the global coordinate
+    order (the synthetic rows have unique (ref, start) keys), so the
+    zero-shuffle shard writers must reproduce it across n shards."""
+    from adam_spark.core.genomic_frame import GenomicFrame
 
-
-def _restore_conf(spark, old):
-    for k, v in old.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
+    df = gf.df.repartitionByRange(
+        n, "referenceName", "start"
+    ).sortWithinPartitions("referenceName", "start")
+    return GenomicFrame(df, gf.meta)
 
 
 def _synth_vcf_text(n_rows):
@@ -648,16 +636,13 @@ def test_save_bcf_distributed_shards(spark, tmp_path):
 
     p = tmp_path / "big.vcf"
     p.write_text(_synth_vcf_text(2000))
-    gf = vcf_io.load_vcf(spark, str(p))
+    gf = _range4(vcf_io.load_vcf(spark, str(p)))
     out = str(tmp_path / "big.bcf")
-    old = _multi_shard_conf(spark, 4)
-    try:
-        stats = save_bcf(gf, out)
-    finally:
-        _restore_conf(spark, old)
+    stats = save_bcf(gf, out)
     assert stats["shards"] == 4
     # exact file order, decoded without Spark: matches the input's
-    # line order (frame order == load order for a single text file)
+    # line order (the range-partitioned frame's (ref, start) order ==
+    # the synthetic file's line order)
     decoded = bcf_records_to_vcf_lines(open(out, "rb").read())
     got = [(ln.split("\t")[0], int(ln.split("\t")[1])) for ln in decoded]
     want = [
@@ -680,14 +665,10 @@ def test_save_vcf_bgzf_distributed_shards(spark, tmp_path):
 
     p = tmp_path / "big.vcf"
     p.write_text(_synth_vcf_text(3000))
-    gf = vcf_io.load_vcf(spark, str(p))
+    gf = _range4(vcf_io.load_vcf(spark, str(p)))
     gz = str(tmp_path / "big.vcf.gz")
-    old = _multi_shard_conf(spark, 4)
-    try:
-        stats = save_vcf_bgzf(gf, gz)
-    finally:
-        _restore_conf(spark, old)
-    assert stats["shards"] == 4
+    stats = save_vcf_bgzf(gf, gz)
+    assert stats["shards"] == 5  # 1 header partition + 4 body shards
     with gzip.open(gz, "rt") as f:
         body = [ln for ln in f if not ln.startswith("#")]
     assert len(body) == 3000
@@ -728,13 +709,9 @@ def test_bcf_csi_sidecar_and_indexed_load(spark, tmp_path):
 
     p = tmp_path / "big.vcf"
     p.write_text(_synth_vcf_text(3000))
-    gf = vcf_io.load_vcf(spark, str(p))
+    gf = _range4(vcf_io.load_vcf(spark, str(p)))
     out = str(tmp_path / "big.bcf")
-    old = _multi_shard_conf(spark, 4)
-    try:
-        save_bcf(gf, out)
-    finally:
-        _restore_conf(spark, old)
+    save_bcf(gf, out)
     assert os.path.exists(out + ".csi")
     regions = [("chr1", 40_000, 90_000), ("chr2", 10, 25_000)]
     got = load_indexed_bcf(spark, out, regions)
@@ -794,13 +771,9 @@ def test_bcf_splittable_scan_with_csi(spark, tmp_path):
 
     p = tmp_path / "big.vcf"
     p.write_text(_synth_vcf_text(2000))
-    gf = vcf_io.load_vcf(spark, str(p))
+    gf = _range4(vcf_io.load_vcf(spark, str(p)))
     out = str(tmp_path / "big.bcf")
-    old = _multi_shard_conf(spark, 4)
-    try:
-        save_bcf(gf, out)
-    finally:
-        _restore_conf(spark, old)
+    save_bcf(gf, out)
     split = load_bcf(spark, out)
     a = sorted(map(repr, split.df.collect()))
     os.rename(out + ".csi", out + ".csi.bak")  # force the one-task path
