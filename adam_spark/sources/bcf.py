@@ -863,15 +863,18 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
                 base += clen
             f.write(_BGZF_EOF)
         os.rmdir(shard_dir)
-        try:
-            idx = new_index(list(contig_ix))
-            for rid, beg, rend, vb, ve in spans:
-                idx.add_record(rid, beg, rend, vb, ve)
-            write_csi(idx, path + ".csi")
-        except ValueError:
-            # a coordinate past 2^29 is outside the 5-level binning —
-            # the BCF itself is valid, only the sidecar is skipped
-            pass
+        # depth scales to the longest coordinate (the reason CSI
+        # exists: contigs past the 2^29 tabix/BAI limit)
+        from adam_spark.sources.binned_index import max_bin_coord
+
+        max_end = max((rend for _, _, rend, _, _ in spans), default=0)
+        depth = 5
+        while max_bin_coord(14, depth) < max_end and depth < 10:
+            depth += 1
+        idx = new_index(list(contig_ix), depth=depth)
+        for rid, beg, rend, vb, ve in spans:
+            idx.add_record(rid, beg, rend, vb, ve)
+        write_csi(idx, path + ".csi")
         return {"shards": len(manifests)}
     finally:
         ordered.unpersist()

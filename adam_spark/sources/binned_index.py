@@ -24,36 +24,47 @@ import struct
 from dataclasses import dataclass, field
 
 
-# --- binning (SAM spec §5.3) ----------------------------------------------
-_LEVELS = ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681))
-
-
+# --- binning (SAM spec §5.3, generalized per the CSI spec) -----------------
 #: the 5-level UCSC scheme addresses < 2^29; longer contigs need CSI
-#: (real tabix refuses them too — silent out-of-range bins would write
-#: indexes htsjdk/bcftools reject or misread)
+#: with a larger depth (real tabix refuses them too — silent
+#: out-of-range bins would write indexes htsjdk/bcftools reject)
 MAX_BIN_COORD = 1 << 29
 
 
-def reg2bin(beg: int, end: int) -> int:
-    """Smallest bin fully containing [beg, end) (0-based half-open)."""
-    if end > MAX_BIN_COORD:
+def max_bin_coord(min_shift: int = 14, depth: int = 5) -> int:
+    return 1 << (min_shift + 3 * depth)
+
+
+def reg2bin(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> int:
+    """Smallest bin fully containing [beg, end) (0-based half-open) —
+    the hts-specs CSI ``reg2bin`` loop; the default (14, 5) reproduces
+    the classic BAI/tabix numbering exactly."""
+    if end > max_bin_coord(min_shift, depth):
         raise ValueError(
-            f"coordinate {end} exceeds the 5-level binning limit (2^29); "
-            "this index format cannot address it (CSI territory)"
+            f"coordinate {end} exceeds the binning limit "
+            f"2^{min_shift + 3 * depth} (min_shift={min_shift}, "
+            f"depth={depth}); raise the CSI depth to address it"
         )
     end -= 1
-    for shift, base in reversed(_LEVELS):
-        if beg >> shift == end >> shift:
-            return base + (beg >> shift)
+    s, t = min_shift, ((1 << (3 * depth)) - 1) // 7
+    for level in range(depth, 0, -1):
+        if beg >> s == end >> s:
+            return t + (beg >> s)
+        s += 3
+        t -= 1 << (3 * (level - 1))
     return 0
 
 
-def reg2bins(beg: int, end: int) -> list[int]:
+def reg2bins(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> list[int]:
     """Every bin overlapping [beg, end), coarsest first."""
     end -= 1
     bins = [0]
-    for shift, base in _LEVELS:
-        bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    s = min_shift + 3 * (depth - 1)
+    base = 1
+    for level in range(1, depth + 1):
+        bins.extend(range(base + (beg >> s), base + (end >> s) + 1))
+        base = base * 8 + 1
+        s -= 3
     return bins
 
 
@@ -78,7 +89,10 @@ class _RefIndex:
 @dataclass
 class BinnedIndex:
     """In-memory binned index; ``names`` empty for .bai (BAM header
-    supplies contig order)."""
+    supplies contig order). ``min_shift``/``depth`` default to the
+    classic BAI/tabix (14, 5) scheme; CSI indexes may raise ``depth``
+    to address contigs past 2^29 bp (wheat-scale chromosomes — the
+    reason CSI exists)."""
 
     names: list[str]
     refs: list[_RefIndex]
@@ -89,10 +103,12 @@ class BinnedIndex:
     col_end: int = 0
     meta_char: int = ord("#")
     skip: int = 0
+    min_shift: int = 14
+    depth: int = 5
 
     def add_record(self, ref_id: int, beg: int, end: int, vbeg: int, vend: int) -> None:
         r = self.refs[ref_id]
-        b = reg2bin(beg, max(end, beg + 1))
+        b = reg2bin(beg, max(end, beg + 1), self.min_shift, self.depth)
         chunks = r.bins.setdefault(b, [])
         if chunks and chunks[-1][1] == vbeg:
             chunks[-1] = (chunks[-1][0], vend)  # extend adjacent chunk
@@ -115,7 +131,7 @@ class BinnedIndex:
         win = beg >> _LINEAR_SHIFT
         min_voff = r.linear[win] if win < len(r.linear) else 0
         out = []
-        for b in reg2bins(beg, max(end, beg + 1)):
+        for b in reg2bins(beg, max(end, beg + 1), self.min_shift, self.depth):
             for vb, ve in r.bins.get(b, ()):
                 if ve > min_voff:
                     # the linear index proves nothing before min_voff can
@@ -180,7 +196,11 @@ def _decode_refs(data: bytes, off: int, n_ref: int) -> tuple[list[_RefIndex], in
 
 
 def write_tbi(idx: BinnedIndex, path: str) -> None:
-    """Serialize as a tabix index (BGZF-wrapped, per the spec)."""
+    """Serialize as a tabix index (BGZF-wrapped, per the spec). The
+    .tbi format is hard-wired to the (14, 5) scheme — deeper indexes
+    must go through :func:`write_csi`."""
+    if (idx.min_shift, idx.depth) != (14, 5):
+        raise ValueError(".tbi cannot express a non-(14,5) binning; use write_csi")
     from adam_spark.sources.bam import bgzf_compress_to
 
     names_blob = b"".join(n.encode() + b"\x00" for n in idx.names)
@@ -215,20 +235,31 @@ def read_tbi(path: str) -> BinnedIndex:
     )
 
 
-def write_csi(idx: BinnedIndex, path: str, min_shift: int = 14, depth: int = 5) -> None:
+def write_csi(idx: BinnedIndex, path: str, tabix_aux: bool = False) -> None:
     """Serialize as a CSIv1 index (BGZF-wrapped, per the hts-specs CSI
-    layout). With the default (min_shift=14, depth=5) the bin numbering
-    is IDENTICAL to the 5-level UCSC scheme this module's ``reg2bin``
-    produces, so the in-memory :class:`BinnedIndex` serializes as-is;
-    each bin's ``loffset`` is the minimum chunk start (a conservative
-    spec-valid value — the reader walks chunks, not loffsets). The aux
-    block is empty (BCF carries contig names in its own header
-    dictionary; only tabix-over-CSI stores names there)."""
+    layout), honoring the index's (min_shift, depth): the default
+    (14, 5) numbering is IDENTICAL to the 5-level UCSC scheme, and a
+    deeper index addresses contigs past 2^29 bp. Each bin's
+    ``loffset`` is the minimum chunk start (a conservative spec-valid
+    value — the reader walks chunks, not loffsets). With
+    ``tabix_aux`` the aux block carries the tabix column config +
+    contig names (htslib's tbx layout — what ``tabix -C`` writes for
+    text formats); plain BCF indexes leave aux empty (BCF carries
+    contig names in its own header dictionary)."""
     from adam_spark.sources.bam import bgzf_compress_to
 
+    aux = b""
+    if tabix_aux:
+        names_blob = b"".join(n.encode() + b"\x00" for n in idx.names)
+        aux = struct.pack(
+            "<7i",
+            idx.fmt, idx.col_seq, idx.col_beg, idx.col_end,
+            idx.meta_char, idx.skip, len(names_blob),
+        ) + names_blob
     out = bytearray()
     out += b"CSI\x01"
-    out += struct.pack("<3i", min_shift, depth, 0)  # l_aux = 0
+    out += struct.pack("<3i", idx.min_shift, idx.depth, len(aux))
+    out += aux
     out += struct.pack("<i", len(idx.refs))
     for r in idx.refs:
         out += struct.pack("<i", len(r.bins))
@@ -242,21 +273,32 @@ def write_csi(idx: BinnedIndex, path: str, min_shift: int = 14, depth: int = 5) 
 
 
 def read_csi(path: str) -> BinnedIndex:
-    """Read a CSIv1 index written by :func:`write_csi` (min_shift=14 /
-    depth=5 only — the binning this module computes). The linear index
-    stays empty (CSI's per-bin loffset replaces it); ``chunks_for``
-    degrades to bin-chunk lookup without linear pruning."""
+    """Read a CSIv1 index written by :func:`write_csi` (any
+    min_shift/depth). A tabix aux block, when present, supplies the
+    column config + contig names. The linear index stays empty (CSI's
+    per-bin loffset replaces it); ``chunks_for`` degrades to bin-chunk
+    lookup without linear pruning."""
     from adam_spark.sources.bam import bgzf_decompress
 
     data = bgzf_decompress(path)
     if data[:4] != b"CSI\x01":
         raise ValueError(f"{path} is not a CSI index")
     min_shift, depth, l_aux = struct.unpack_from("<3i", data, 4)
-    if (min_shift, depth) != (14, 5):
-        raise ValueError(
-            f"unsupported CSI parameters min_shift={min_shift} depth={depth};"
-            " this reader implements the 5-level/14-bit scheme only"
+    names: list[str] = []
+    meta: dict = {}
+    if l_aux >= 28:
+        fmt, col_seq, col_beg, col_end, meta_char, skip, l_nm = struct.unpack_from(
+            "<7i", data, 16
         )
+        if 0 <= l_nm <= l_aux - 28:
+            names = [
+                n.decode()
+                for n in data[44 : 44 + l_nm].split(b"\x00")[:-1]
+            ]
+            meta = dict(
+                fmt=fmt, col_seq=col_seq, col_beg=col_beg, col_end=col_end,
+                meta_char=meta_char, skip=skip,
+            )
     off = 16 + l_aux
     (n_ref,) = struct.unpack_from("<i", data, off)
     off += 4
@@ -275,7 +317,9 @@ def read_csi(path: str) -> BinnedIndex:
                 chunks.append((vb, ve))
             r.bins[b] = chunks
         refs.append(r)
-    return BinnedIndex(names=[], refs=refs)
+    return BinnedIndex(
+        names=names, refs=refs, min_shift=min_shift, depth=depth, **meta
+    )
 
 
 def write_bai(idx: BinnedIndex, path: str) -> None:

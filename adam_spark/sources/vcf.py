@@ -1663,7 +1663,7 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
             if ref not in rid:
                 rid[ref] = len(names)
                 names.append(ref)
-    idx = new_index(names)
+    spans: list[tuple[int, int, int, int, int]] = []
     base = 0
     with open(path, "wb") as f:
         for _, sp, clen, offsets, recs in manifests:
@@ -1671,15 +1671,30 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
                 f.write(sf.read())
             os.remove(sp)
             for ref, beg, end, u0, u1 in recs:
-                idx.add_record(
-                    rid[ref], beg, end,
-                    voffset(base + offsets[u0 // bs], u0 % bs),
-                    voffset(base + offsets[u1 // bs], u1 % bs),
+                spans.append(
+                    (rid[ref], beg, end,
+                     voffset(base + offsets[u0 // bs], u0 % bs),
+                     voffset(base + offsets[u1 // bs], u1 % bs))
                 )
             base += clen
         f.write(_BGZF_EOF)
     os.rmdir(shard_dir)
-    write_tbi(idx, path + ".tbi")
+    # coordinates within tabix's 2^29 limit → classic .tbi; beyond it
+    # (wheat-scale contigs) → tabix-over-CSI with a deeper binning,
+    # exactly htslib's `tabix -C` behavior
+    from adam_spark.sources.binned_index import max_bin_coord, write_csi
+
+    max_end = max((e for _, _, e, _, _ in spans), default=0)
+    depth = 5
+    while max_bin_coord(14, depth) < max_end and depth < 10:
+        depth += 1
+    idx = new_index(names, depth=depth)
+    for r, beg, end, vb, ve in spans:
+        idx.add_record(r, beg, end, vb, ve)
+    if depth == 5:
+        write_tbi(idx, path + ".tbi")
+    else:
+        write_csi(idx, path + ".csi", tabix_aux=True)
     return {"shards": len(manifests)}
 
 
@@ -1695,10 +1710,20 @@ def load_indexed_vcf(
     import gzip as _gzip
     import os
 
-    from adam_spark.sources.binned_index import merge_chunks, read_chunk_bytes, read_tbi
+    from adam_spark.sources.binned_index import (
+        merge_chunks,
+        read_chunk_bytes,
+        read_csi,
+        read_tbi,
+    )
 
     path = os.path.abspath(path)
-    idx = read_tbi(path + ".tbi")
+    if os.path.exists(path + ".tbi"):
+        idx = read_tbi(path + ".tbi")
+    else:
+        # tabix-over-CSI sidecar (long-contig fallback; names ride in
+        # the aux block)
+        idx = read_csi(path + ".csi")
     header: list[str] = []
     with _gzip.open(path, "rt") as f:  # streams only the header blocks
         for line in f:

@@ -231,3 +231,73 @@ def test_binning_edge_cases():
     idx.add_record(0, 100_000, 100_050, voffset(5000, 0), voffset(5000, 80))
     got = idx.chunks_for(0, -100, 60)
     assert (voffset(0, 0), voffset(0, 100)) in got
+
+
+def test_long_contig_csi_fallback_vcf_gz(spark, tmp_path):
+    """Contigs past tabix's 2^29 limit (wheat-scale chromosomes — the
+    reason CSI exists): save_vcf_bgzf writes a tabix-over-CSI sidecar
+    with a deeper binning instead of failing, and load_indexed_vcf
+    reads regions through it (names from the CSI aux block)."""
+    import os
+
+    from adam_spark.sources.vcf import load_indexed_vcf, load_vcf, save_vcf_bgzf
+
+    lines = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=chr3B,length=1000000000>",  # ~1 Gb (wheat 3B)
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+    ]
+    for i in range(500):
+        pos = 1 + i * 1_900_000  # spans far past 2^29 = 536,870,912
+        lines.append(f"chr3B\t{pos}\t.\tA\tG\t50\tPASS\t.\tGT\t0/1")
+    src = tmp_path / "wheat.vcf"
+    src.write_text("\n".join(lines) + "\n")
+    gf = load_vcf(spark, str(src))
+    gz = str(tmp_path / "wheat.vcf.gz")
+    save_vcf_bgzf(gf, gz)
+    assert not os.path.exists(gz + ".tbi")
+    assert os.path.exists(gz + ".csi")
+    regions = [("chr3B", 600_000_000, 700_000_000)]  # entirely past 2^29
+    got = sorted(
+        r["start"] for r in load_indexed_vcf(spark, gz, regions).df.collect()
+    )
+    want = sorted(
+        r["start"]
+        for r in gf.filter_by_overlapping_regions(regions).df.collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_long_contig_csi_bcf(spark, tmp_path):
+    """save_bcf scales the CSI depth for >2^29 coordinates; indexed and
+    splittable loads both work on the deep index."""
+    import os
+
+    from adam_spark.sources.bcf import load_bcf, load_indexed_bcf, save_bcf
+    from adam_spark.sources.binned_index import read_csi
+    from adam_spark.sources.vcf import load_vcf
+
+    lines = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=chr3B,length=1000000000>",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+    ]
+    for i in range(500):
+        lines.append(f"chr3B\t{1 + i * 1_900_000}\t.\tA\tG\t50\tPASS\t.\tGT\t0/1")
+    src = tmp_path / "wheat.vcf"
+    src.write_text("\n".join(lines) + "\n")
+    gf = load_vcf(spark, str(src))
+    bcf = str(tmp_path / "wheat.bcf")
+    save_bcf(gf, bcf)
+    assert os.path.exists(bcf + ".csi")
+    assert read_csi(bcf + ".csi").depth > 5
+    regions = [("chr3B", 600_000_000, 700_000_000)]
+    got = sorted(
+        r["start"] for r in load_indexed_bcf(spark, bcf, regions).df.collect()
+    )
+    want = sorted(
+        r["start"]
+        for r in gf.filter_by_overlapping_regions(regions).df.collect()
+    )
+    assert got == want and len(got) > 0
+    assert load_bcf(spark, bcf).df.count() == 500  # splittable scan path
