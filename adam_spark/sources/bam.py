@@ -646,12 +646,14 @@ def load_indexed_bam(
 
     path = os.path.abspath(path)
     bai = path + ".bai"
-    if not os.path.exists(bai):
+    csi = path + ".csi"
+    if not os.path.exists(bai) and not os.path.exists(csi):
         return load_bam(spark, path).filter_by_overlapping_regions(regions)
 
-    from adam_spark.sources.binned_index import merge_chunks, read_bai
+    from adam_spark.sources.binned_index import merge_chunks, read_bai, read_csi
 
-    idx = read_bai(bai)
+    # .csi is the long-contig fallback save_bam writes past 2^29
+    idx = read_bai(bai) if os.path.exists(bai) else read_csi(csi)
     header_lines, ref_names, _, _ = _read_bam_header_lazy(path)
     rid = {n: i for i, n in enumerate(ref_names)}
     chunks = merge_chunks(
@@ -847,10 +849,25 @@ def save_bam(
         shutil.rmtree(shard_dir, ignore_errors=True)
 
     if write_index:
-        from adam_spark.sources.binned_index import new_index, voffset, write_bai
+        from adam_spark.sources.binned_index import (
+            max_bin_coord,
+            new_index,
+            voffset,
+            write_bai,
+            write_csi,
+        )
 
-        idx = new_index([r.name for r in refs])
-        idx.names = []  # .bai carries no names; contig order = BAM header
+        # .bai caps at 2^29; longer contigs (plant genomes) get a
+        # depth-scaled .csi instead — htslib's `samtools index -c`
+        max_end = max(
+            (end for _, _, spans in bases for _, _, end, _, _ in spans),
+            default=0,
+        )
+        depth = 5
+        while max_bin_coord(14, depth) < max_end and depth < 10:
+            depth += 1
+        idx = new_index([r.name for r in refs], depth=depth)
+        idx.names = []  # .bai/.csi carry no names; contig order = BAM header
         for base, offsets, spans in bases:
             def coff(u: int) -> int:
                 o = offsets[u // bs] if u // bs < len(offsets) else offsets[-1]
@@ -860,4 +877,7 @@ def save_bam(
                 vb = voffset(coff(u0), u0 % bs)
                 ve = voffset(coff(u1), u1 % bs)
                 idx.add_record(rid_, beg, end, vb, ve)
-        write_bai(idx, path + ".bai")
+        if depth == 5:
+            write_bai(idx, path + ".bai")
+        else:
+            write_csi(idx, path + ".csi")

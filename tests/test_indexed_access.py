@@ -301,3 +301,34 @@ def test_long_contig_csi_bcf(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert load_bcf(spark, bcf).df.count() == 500  # splittable scan path
+
+
+def test_long_contig_csi_bam(spark, tmp_path):
+    """BAM on a >2^29 contig: save_bam writes a depth-scaled .csi
+    instead of a .bai (the "samtools index -c" behavior), and
+    load_indexed_bam seeks through it."""
+    import os
+
+    from adam_spark.sources.bam import load_bam, load_indexed_bam, save_bam
+    from adam_spark.sources.binned_index import read_csi
+    from adam_spark.sources.sam import load_sam
+
+    sam = tmp_path / "wheat.sam"
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr3B\tLN:1000000000\n")
+        for i in range(2000):
+            pos = 1 + i * 450_000  # up to ~900 Mb, past 2^29
+            f.write(
+                f"r{i:05d}\t0\tchr3B\t{pos}\t60\t50M\t*\t0\t0\t{'A'*50}\t{'I'*50}\n"
+            )
+    bam = str(tmp_path / "wheat.bam")
+    save_bam(load_sam(spark, str(sam)).sort(), bam)
+    assert not os.path.exists(bam + ".bai")
+    assert os.path.exists(bam + ".csi")
+    assert read_csi(bam + ".csi").depth > 5
+    regions = [("chr3B", 600_000_000, 650_000_000)]
+    got = load_indexed_bam(spark, bam, regions)
+    want = load_bam(spark, bam).filter_by_overlapping_regions(regions)
+    a = sorted(r["readName"] for r in got.df.collect())
+    b = sorted(r["readName"] for r in want.df.collect())
+    assert a == b and len(a) > 0
