@@ -766,10 +766,14 @@ def _encode_shard(lines, shard_path: str, ref_index: dict[str, int],
                   collect_spans: bool):
     """Executor task: SAM lines → one BGZF shard file (no EOF member).
 
-    Returns one tuple: (shard_path, compressed_len, block_offsets,
-    spans) where spans hold (rid, beg, end, u0, u1) with uncompressed
-    offsets RELATIVE to the shard — the driver shifts them by the
-    shard's global base when it builds the .bai."""
+    Returns one tuple: (shard_path, compressed_len, index manifest)
+    where the manifest is a :class:`ShardIndexAgg` payload — per-(rid,
+    bin) chunk extents + per-16kb-window minima over shard-LOCAL
+    virtual offsets, O(bins-touched) not O(records) — which the driver
+    prefix-shifts by the shard's global base when it builds the
+    .bai/.csi."""
+    from adam_spark.sources.binned_index import ShardIndexAgg, voffset
+
     body = bytearray()
     spans: list[tuple[int, int, int, int, int]] = []
     for line in lines:
@@ -783,9 +787,17 @@ def _encode_shard(lines, shard_path: str, ref_index: dict[str, int],
                 end = beg + max(1, _cigar_ref_len(f[5]) if f[5] != "*" else 1)
                 spans.append((rid_, beg, end, u0, len(body)))
     blob, offsets = bgzf_blocks_bytes(bytes(body))
+    bs = BGZF_BLOCK_SIZE
+    agg = ShardIndexAgg()
+    for rid_, beg, end, u0, u1 in spans:
+        agg.add(
+            rid_, beg, end,
+            voffset(offsets[u0 // bs], u0 % bs),
+            voffset(offsets[u1 // bs], u1 % bs),
+        )
     with open(shard_path, "wb") as f:
         f.write(blob)
-    return (shard_path, len(blob), offsets, spans, len(body))
+    return (shard_path, len(blob), agg.manifest())
 
 
 def save_bam(
@@ -834,16 +846,14 @@ def save_bam(
             .collect()
         )
         header_blob, _ = bgzf_blocks_bytes(out)
-        bs = BGZF_BLOCK_SIZE  # voffset math must match the shard encoder's blocks
-        bases = []  # (compressed base, block offsets, spans)
+        bases = []  # (compressed base, O(bins) shard index manifest)
         with open(path, "wb") as f:
             f.write(header_blob)
-            for shard_path, clen, offsets, spans, _ulen in shards:
+            for shard_path, clen, manifest in shards:
                 if clen:
-                    bases.append((f.tell(), offsets, spans))
+                    bases.append((f.tell(), manifest))
                     with open(shard_path, "rb") as sf:
                         shutil.copyfileobj(sf, f)
-            eof_off = f.tell()
             f.write(_BGZF_EOF)
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
@@ -852,31 +862,20 @@ def save_bam(
         from adam_spark.sources.binned_index import (
             max_bin_coord,
             new_index,
-            voffset,
             write_bai,
             write_csi,
         )
 
         # .bai caps at 2^29; longer contigs (plant genomes) get a
         # depth-scaled .csi instead — htslib's `samtools index -c`
-        max_end = max(
-            (end for _, _, spans in bases for _, _, end, _, _ in spans),
-            default=0,
-        )
+        max_end = max((m[2] for _, m in bases), default=0)
         depth = 5
         while max_bin_coord(14, depth) < max_end and depth < 10:
             depth += 1
         idx = new_index([r.name for r in refs], depth=depth)
         idx.names = []  # .bai/.csi carry no names; contig order = BAM header
-        for base, offsets, spans in bases:
-            def coff(u: int) -> int:
-                o = offsets[u // bs] if u // bs < len(offsets) else offsets[-1]
-                return base + o
-
-            for rid_, beg, end, u0, u1 in spans:
-                vb = voffset(coff(u0), u0 % bs)
-                ve = voffset(coff(u1), u1 % bs)
-                idx.add_record(rid_, beg, end, vb, ve)
+        for base, (bins, linear, _, _) in bases:
+            idx.add_shard(bins, linear, base)
         if depth == 5:
             write_bai(idx, path + ".bai")
         else:

@@ -814,6 +814,8 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
         bs = 60_000
 
         def _encode_shard(i, it):
+            from adam_spark.sources.binned_index import ShardIndexAgg, voffset
+
             buf = bytearray()
             recs: list[tuple[int, int, int, int, int]] = []
             for row in it:
@@ -828,10 +830,20 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
                     (contig_ix[chrom], beg, beg + max(len(ref), 1), u0, len(buf))
                 )
             sblob, offsets = bgzf_blocks_bytes(bytes(buf), block_size=bs)
+            # index metadata aggregates to per-(ref, bin) chunk extents
+            # HERE, on the executor — the driver receives O(bins) per
+            # shard, never O(records) (the 100 TB constraint)
+            agg = ShardIndexAgg()
+            for rid, beg, rend, u0, u1 in recs:
+                agg.add(
+                    rid, beg, rend,
+                    voffset(offsets[u0 // bs], u0 % bs),
+                    voffset(offsets[u1 // bs], u1 % bs),
+                )
             sp = os.path.join(shard_dir, f"part-{i:05d}")
             with open(sp, "wb") as f:
                 f.write(sblob)
-            return [(i, sp, len(sblob), offsets, recs)]
+            return [(i, sp, len(sblob), agg.bins, agg.max_end)]
 
         manifests = (
             ordered.select("value")
@@ -840,41 +852,36 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
         )
         manifests.sort(key=lambda m: m[0])
         hblob, _ = bgzf_blocks_bytes(blob)
-        # .csi sidecar: record spans map to global BGZF virtual offsets
+        # .csi sidecar: shard-local virtual offsets shift to global ones
         # via the prefix-summed shard compressed offsets (each shard's
-        # blocks restart at local uncompressed offset 0, the
-        # save_vcf_bgzf shape)
-        from adam_spark.sources.binned_index import new_index, voffset, write_csi
+        # blocks restart at local uncompressed offset 0); depth scales
+        # to the longest coordinate (the reason CSI exists: contigs
+        # past the 2^29 tabix/BAI limit)
+        from adam_spark.sources.binned_index import (
+            max_bin_coord,
+            new_index,
+            write_csi,
+        )
 
-        spans: list[tuple[int, int, int, int, int]] = []
-        base = len(hblob)
-        with open(path, "wb") as f:
-            f.write(hblob)
-            for _, sp, clen, offsets, recs in manifests:
-                with open(sp, "rb") as sf:
-                    f.write(sf.read())
-                os.remove(sp)
-                for rid, beg, rend, u0, u1 in recs:
-                    spans.append(
-                        (rid, beg, rend,
-                         voffset(base + offsets[u0 // bs], u0 % bs),
-                         voffset(base + offsets[u1 // bs], u1 % bs))
-                    )
-                base += clen
-            f.write(_BGZF_EOF)
-        os.rmdir(shard_dir)
-        # depth scales to the longest coordinate (the reason CSI
-        # exists: contigs past the 2^29 tabix/BAI limit)
-        from adam_spark.sources.binned_index import max_bin_coord
-
-        max_end = max((rend for _, _, rend, _, _ in spans), default=0)
+        max_end = max((m[4] for m in manifests), default=0)
         depth = 5
         while max_bin_coord(14, depth) < max_end and depth < 10:
             depth += 1
         idx = new_index(list(contig_ix), depth=depth)
-        for rid, beg, rend, vb, ve in spans:
-            idx.add_record(rid, beg, rend, vb, ve)
+        index_chunks = 0
+        base = len(hblob)
+        with open(path, "wb") as f:
+            f.write(hblob)
+            for _, sp, clen, bins, _ in manifests:
+                with open(sp, "rb") as sf:
+                    f.write(sf.read())
+                os.remove(sp)
+                idx.add_shard(bins, {}, base)
+                index_chunks += sum(len(c) for c in bins.values())
+                base += clen
+            f.write(_BGZF_EOF)
+        os.rmdir(shard_dir)
         write_csi(idx, path + ".csi")
-        return {"shards": len(manifests)}
+        return {"shards": len(manifests), "index_manifest_chunks": index_chunks}
     finally:
         ordered.unpersist()

@@ -121,6 +121,45 @@ class BinnedIndex:
             if r.linear[w] == 0 or vbeg < r.linear[w]:
                 r.linear[w] = vbeg
 
+    def add_shard(
+        self,
+        bins: dict,
+        linear: dict,
+        base: int,
+        ref_ids: dict | None = None,
+        from_depth: int | None = None,
+    ) -> None:
+        """Fold one shard's :class:`ShardIndexAgg` manifest, called in
+        partition-index order: shift the shard-local virtual offsets by
+        the shard's compressed ``base`` byte offset (``v + (base <<
+        16)`` — in-block offsets are depth-0 exact because every shard's
+        blocks restart at local uncompressed 0), remap the aggregation
+        bins down to this index's depth, and append with the same
+        adjacent-chunk coalescing ``add_record`` uses — so for sorted
+        data the folded index is byte-identical to the per-record
+        build. ``ref_ids`` maps the agg's ref keys to this index's ref
+        ids (identity when the tasks already binned by rid)."""
+        from_depth = AGG_DEPTH if from_depth is None else from_depth
+        shift = base << 16
+        for (ref_key, b_agg), chunks in bins.items():
+            rid = ref_ids[ref_key] if ref_ids is not None else ref_key
+            b = rebin(b_agg, from_depth, self.depth)
+            lst = self.refs[rid].bins.setdefault(b, [])
+            for vb, ve in chunks:
+                gvb, gve = vb + shift, ve + shift
+                if lst and lst[-1][1] == gvb:
+                    lst[-1] = (lst[-1][0], gve)
+                else:
+                    lst.append((gvb, gve))
+        for (ref_key, w), vb in linear.items():
+            rid = ref_ids[ref_key] if ref_ids is not None else ref_key
+            r = self.refs[rid]
+            if len(r.linear) <= w:
+                r.linear.extend([0] * (w + 1 - len(r.linear)))
+            gv = vb + shift
+            if r.linear[w] == 0 or gv < r.linear[w]:
+                r.linear[w] = gv
+
     def chunks_for(self, ref_id: int, beg: int, end: int) -> list[tuple[int, int]]:
         """Merged chunks that may contain records overlapping [beg, end)."""
         if not (0 <= ref_id < len(self.refs)):
@@ -139,6 +178,107 @@ class BinnedIndex:
                     # standard tabix optimization)
                     out.append((max(vb, min_voff), ve))
         return merge_chunks(out)
+
+
+#: executor-side aggregation depth: every shard task bins its records
+#: at this fixed deep CSI scheme (addresses 2^44 bp) so the driver can
+#: pick the FINAL depth from the global max coordinate and remap with
+#: :func:`rebin` — no second pass over the data
+AGG_DEPTH = 10
+#: per-bin chunk-list cap inside a shard aggregation; past it the list
+#: collapses to one covering extent, keeping each shard's manifest
+#: strictly O(bins-touched) even for pathologically unsorted input
+_AGG_CHUNK_CAP = 64
+
+_LEVEL_BASES = [((1 << (3 * lvl)) - 1) // 7 for lvl in range(AGG_DEPTH + 2)]
+
+
+def rebin(b: int, from_depth: int, to_depth: int) -> int:
+    """Remap a bin number between CSI depths (same min_shift).
+
+    A bin's physical window size is fixed by its level counted from the
+    BOTTOM (the finest level is 2^min_shift at every depth; deeper
+    schemes add coarser levels on top), so the level from the top
+    shifts by the depth delta while the in-level position (beg >> s)
+    is unchanged. Raises when the bin is coarser than ``to_depth``'s
+    root — i.e. the record did not fit the target addressing space."""
+    if from_depth == to_depth:
+        return b
+    lvl = 0
+    while lvl + 1 <= from_depth and _LEVEL_BASES[lvl + 1] <= b:
+        lvl += 1
+    new_lvl = lvl - (from_depth - to_depth)
+    if new_lvl < 0:
+        raise ValueError(
+            f"bin {b} (level {lvl} of depth {from_depth}) does not fit a "
+            f"depth-{to_depth} index"
+        )
+    return _LEVEL_BASES[new_lvl] + (b - _LEVEL_BASES[lvl])
+
+
+class ShardIndexAgg:
+    """Executor-side index aggregation for the parallel single-file
+    writers: O(bins-touched) per shard instead of O(records).
+
+    Each shard task feeds its records' (ref, beg, end) + shard-LOCAL
+    virtual offsets; the task returns only per-(ref, bin) coalesced
+    chunk lists, per-(ref, 16kb-window) min offsets, and the max end
+    coordinate. The driver prefix-shifts the local virtual offsets by
+    each shard's compressed base (``v + (base << 16)`` — exactly how it
+    already shifts block offsets), picks the final depth from the
+    global max coordinate, and folds shards in partition order with
+    :meth:`BinnedIndex.add_shard`. For position-sorted data the result
+    is IDENTICAL to the former per-record ``add_record`` stream; at
+    100 TB the driver holds O(bins × shards) tuples, not O(records).
+
+    ``ref_key`` may be any hashable (a numeric rid when the task knows
+    the contig dictionary, a contig NAME when the driver assigns rids
+    on fold); ``ref_order`` records first appearance so the driver can
+    reproduce the stream's contig-discovery order."""
+
+    __slots__ = (
+        "min_shift", "depth", "bins", "linear", "max_end", "ref_order", "_seen"
+    )
+
+    def __init__(self, min_shift: int = 14, depth: int = AGG_DEPTH):
+        self.min_shift = min_shift
+        self.depth = depth
+        self.bins: dict[tuple, list[tuple[int, int]]] = {}
+        self.linear: dict[tuple, int] = {}
+        self.max_end = 0
+        self.ref_order: list = []
+        self._seen: set = set()
+
+    def add(self, ref_key, beg: int, end: int, vbeg: int, vend: int) -> None:
+        if ref_key not in self._seen:
+            self._seen.add(ref_key)
+            self.ref_order.append(ref_key)
+        end = max(end, beg + 1)
+        if end > self.max_end:
+            self.max_end = end
+        b = reg2bin(beg, end, self.min_shift, self.depth)
+        key = (ref_key, b)
+        chunks = self.bins.setdefault(key, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)
+        elif len(chunks) >= _AGG_CHUNK_CAP:
+            # shard-local voffsets are monotone, so the first chunk's
+            # start / new end form a valid covering extent
+            chunks[:] = [(chunks[0][0], vend)]
+        else:
+            chunks.append((vbeg, vend))
+        win_lo = beg >> _LINEAR_SHIFT
+        win_hi = (end - 1) >> _LINEAR_SHIFT
+        for w in range(win_lo, win_hi + 1):
+            lk = (ref_key, w)
+            cur = self.linear.get(lk)
+            if cur is None or vbeg < cur:
+                self.linear[lk] = vbeg
+
+    def manifest(self) -> tuple[dict, dict, int, list]:
+        """Plain-data payload to return from the task (picklable,
+        O(bins) + O(windows))."""
+        return (self.bins, self.linear, self.max_end, self.ref_order)
 
 
 def merge_chunks(chunks: list[tuple[int, int]]) -> list[tuple[int, int]]:

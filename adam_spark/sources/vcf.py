@@ -1632,6 +1632,8 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
     )
 
     def _compress_shard(i, it):
+        from adam_spark.sources.binned_index import ShardIndexAgg
+
         buf = bytearray()
         recs: list[tuple[str, int, int, int, int]] = []
         for row in it:
@@ -1643,10 +1645,21 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
                 beg = int(f[1]) - 1
                 recs.append((f[0], beg, beg + len(f[3]), u0, len(buf)))
         blob, offsets = bgzf_blocks_bytes(bytes(buf), block_size=bs)
+        # index metadata aggregates on the EXECUTOR to per-(contig,
+        # bin) chunk extents + per-16kb-window minima, keyed by contig
+        # NAME (the tasks don't know the global rid assignment) — the
+        # driver receives O(bins + windows) per shard, never O(records)
+        agg = ShardIndexAgg()
+        for ref, beg, end, u0, u1 in recs:
+            agg.add(
+                ref, beg, end,
+                voffset(offsets[u0 // bs], u0 % bs),
+                voffset(offsets[u1 // bs], u1 % bs),
+            )
         sp = os.path.join(shard_dir, f"part-{i:05d}")
         with open(sp, "wb") as out:
             out.write(blob)
-        return [(i, sp, len(blob), offsets, recs)]
+        return [(i, sp, len(blob), agg.manifest())]
 
     manifests = (
         hdr_df.unionByName(body)
@@ -1656,46 +1669,42 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
     )
     manifests.sort(key=lambda m: m[0])
 
+    # contig-discovery order = shard order × per-shard first appearance,
+    # identical to the former per-record driver scan
     names: list[str] = []
     rid: dict[str, int] = {}
-    for _, _, _, _, recs in manifests:
-        for ref, *_rest in recs:
+    for _, _, _, (_, _, _, ref_order) in manifests:
+        for ref in ref_order:
             if ref not in rid:
                 rid[ref] = len(names)
                 names.append(ref)
-    spans: list[tuple[int, int, int, int, int]] = []
-    base = 0
-    with open(path, "wb") as f:
-        for _, sp, clen, offsets, recs in manifests:
-            with open(sp, "rb") as sf:
-                f.write(sf.read())
-            os.remove(sp)
-            for ref, beg, end, u0, u1 in recs:
-                spans.append(
-                    (rid[ref], beg, end,
-                     voffset(base + offsets[u0 // bs], u0 % bs),
-                     voffset(base + offsets[u1 // bs], u1 % bs))
-                )
-            base += clen
-        f.write(_BGZF_EOF)
-    os.rmdir(shard_dir)
     # coordinates within tabix's 2^29 limit → classic .tbi; beyond it
     # (wheat-scale contigs) → tabix-over-CSI with a deeper binning,
     # exactly htslib's `tabix -C` behavior
     from adam_spark.sources.binned_index import max_bin_coord, write_csi
 
-    max_end = max((e for _, _, e, _, _ in spans), default=0)
+    max_end = max((m[3][2] for m in manifests), default=0)
     depth = 5
     while max_bin_coord(14, depth) < max_end and depth < 10:
         depth += 1
     idx = new_index(names, depth=depth)
-    for r, beg, end, vb, ve in spans:
-        idx.add_record(r, beg, end, vb, ve)
+    index_chunks = 0
+    base = 0
+    with open(path, "wb") as f:
+        for _, sp, clen, (bins, linear, _, _) in manifests:
+            with open(sp, "rb") as sf:
+                f.write(sf.read())
+            os.remove(sp)
+            idx.add_shard(bins, linear, base, ref_ids=rid)
+            index_chunks += sum(len(c) for c in bins.values())
+            base += clen
+        f.write(_BGZF_EOF)
+    os.rmdir(shard_dir)
     if depth == 5:
         write_tbi(idx, path + ".tbi")
     else:
         write_csi(idx, path + ".csi", tabix_aux=True)
-    return {"shards": len(manifests)}
+    return {"shards": len(manifests), "index_manifest_chunks": index_chunks}
 
 
 def load_indexed_vcf(

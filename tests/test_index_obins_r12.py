@@ -1,0 +1,158 @@
+"""Round 12: the .bai/.csi/.tbi builders aggregate index metadata on
+the EXECUTORS — O(bins-touched) per shard, never O(records) — and the
+driver folds shard manifests with prefix-shifted virtual offsets.
+
+Pins (r11 verdict "What's wrong #1"): at 100 TB ≈ 10^9-10^10 records a
+per-record span manifest would OOM the driver; per-(ref, bin) chunk
+extents are what the index FILE stores anyway, so folding them loses
+nothing (reference never writes indexes on save — this is the repo's
+own beyond-parity surface, kept scale-safe)."""
+
+import random
+
+import pytest
+
+from adam_spark.sources.binned_index import (
+    AGG_DEPTH,
+    ShardIndexAgg,
+    new_index,
+    rebin,
+    reg2bin,
+    voffset,
+)
+from adam_spark.sources import vcf as vcf_io
+
+
+def test_rebin_matches_direct_binning():
+    """Binning a record at the fixed executor depth (AGG_DEPTH) and
+    remapping down to the final index depth is EXACTLY reg2bin at that
+    depth — the finest shared window is depth-invariant; only the
+    level numbering shifts."""
+    rng = random.Random(12)
+    for _ in range(5000):
+        d = rng.choice([5, 6, 7, 8])
+        maxc = 1 << (14 + 3 * d)
+        beg = rng.randrange(0, maxc - 1)
+        span = rng.choice([1, 7, 1000, 60_000, 10**7, max(maxc - beg - 1, 1)])
+        end = min(beg + span, maxc)
+        b_agg = reg2bin(beg, end, 14, AGG_DEPTH)
+        assert rebin(b_agg, AGG_DEPTH, d) == reg2bin(beg, end, 14, d)
+    # identity + out-of-space refusal
+    assert rebin(4681, 5, 5) == 4681
+    with pytest.raises(ValueError):
+        # a record spanning the whole depth-6 space is coarser than any
+        # depth-5 bin
+        rebin(reg2bin(0, 1 << (14 + 18), 14, 6), 6, 5)
+
+
+def test_shard_fold_identical_to_per_record_build():
+    """new_index + add_shard over per-shard ShardIndexAgg manifests
+    reproduces the former per-record add_record stream BIT-EXACTLY
+    (bins, chunks, linear windows) for sorted multi-shard data —
+    including chunk adjacency across shard boundaries."""
+    rng = random.Random(7)
+    for trial in range(25):
+        n_refs = rng.randint(1, 3)
+        depth = rng.choice([5, 6])
+        names = [f"c{i}" for i in range(n_refs)]
+        per_record = new_index(names, depth=depth)
+        folded = new_index(names, depth=depth)
+        base = rng.randint(100, 5000)
+        for _s in range(rng.randint(1, 5)):
+            agg = ShardIndexAgg()
+            u, pos = 0, 0
+            recs = []
+            for _ in range(rng.randint(0, 150)):
+                rid = rng.randrange(n_refs)
+                pos += rng.randint(0, 4000)
+                ln = rng.randint(1, 300)
+                vb = voffset(u // 9, u % 9)
+                u += rng.randint(5, 120)
+                ve = voffset(u // 9, u % 9)
+                recs.append((rid, pos, pos + ln, vb, ve))
+            for rid, beg, end, vb, ve in recs:
+                shift = base << 16
+                per_record.add_record(rid, beg, end, vb + shift, ve + shift)
+                agg.add(rid, beg, end, vb, ve)
+            bins, linear, _max_end, _order = agg.manifest()
+            folded.add_shard(bins, linear, base)
+            base += rng.randint(1000, 50_000)
+        for r1, r2 in zip(per_record.refs, folded.refs):
+            assert r1.bins == r2.bins
+            assert r1.linear == r2.linear
+
+
+def test_shard_agg_is_o_bins_even_unsorted():
+    """A pathological bin-alternating stream (adjacency never fires)
+    still keeps every per-bin chunk list under the collapse cap — the
+    manifest is O(bins-touched), never O(records)."""
+    agg = ShardIndexAgg()
+    n = 50_000
+    for i in range(n):
+        beg = (i % 2) * (1 << 20)
+        agg.add(0, beg, beg + 10, i * 100, i * 100 + 50)
+    assert len(agg.bins) == 2
+    assert max(len(c) for c in agg.bins.values()) <= 64
+    assert sum(len(c) for c in agg.bins.values()) < n // 100
+    # the collapsed extent still covers every record
+    (vb0, ve0) = sorted(agg.bins.values(), key=lambda c: c[0][0])[0][0]
+    assert vb0 == 0
+
+
+def _dense_vcf_text(n_rows):
+    lines = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=chr1,length=10000000>",
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+    ]
+    # 30 bp spacing: ~546 records per 16 kb window — a DENSE file where
+    # records >> bins, the shape where O(records) manifests explode
+    for i in range(n_rows):
+        lines.append(f"chr1\t{1 + i * 30}\t.\tA\tG\t50\tPASS\tDP={i % 90}")
+    return "\n".join(lines) + "\n"
+
+
+def _range4(gf, n=4):
+    from adam_spark.core.genomic_frame import GenomicFrame
+
+    df = gf.df.repartitionByRange(
+        n, "referenceName", "start"
+    ).sortWithinPartitions("referenceName", "start")
+    return GenomicFrame(df, gf.meta)
+
+
+def test_save_manifest_chunks_scale_with_bins(spark, tmp_path):
+    """Integration pin over both writers: a dense 4-shard save reports
+    index manifest sizes bounded by bins × shards, orders of magnitude
+    below the record count — and the indexes still serve exact region
+    queries."""
+    from adam_spark.sources.bcf import save_bcf
+    from adam_spark.sources.vcf import load_indexed_vcf, save_vcf_bgzf
+
+    n = 4000
+    p = tmp_path / "dense.vcf"
+    p.write_text(_dense_vcf_text(n))
+    gf = _range4(vcf_io.load_vcf(spark, str(p)))
+
+    # positions span ~120 kb -> ~8 finest 16 kb bins + parents; with 4
+    # shards the per-(ref,bin) extents stay two orders below n
+    stats_bcf = save_bcf(gf, str(tmp_path / "dense.bcf"))
+    assert stats_bcf["shards"] == 4
+    assert stats_bcf["index_manifest_chunks"] <= 64 * 4
+    assert stats_bcf["index_manifest_chunks"] < n // 10
+
+    gz = str(tmp_path / "dense.vcf.gz")
+    stats_gz = save_vcf_bgzf(gf, gz)
+    assert stats_gz["index_manifest_chunks"] <= 64 * 4
+    assert stats_gz["index_manifest_chunks"] < n // 10
+
+    regions = [("chr1", 30_000, 45_000)]
+    got = sorted(
+        r["start"] for r in load_indexed_vcf(spark, gz, regions).df.collect()
+    )
+    want = sorted(
+        r["start"]
+        for r in gf.filter_by_overlapping_regions(regions).df.collect()
+    )
+    assert got == want and len(got) == 500
