@@ -55,10 +55,14 @@ def _resolve_single(args) -> bool:
 def _save_any(gf, output: str, single_file: bool,
               disable_fast_concat: bool = False, **save_kwargs) -> None:
     """Save dispatch plus the ``-disable_fast_concat`` variant
-    (util/FileMerger.scala:35's non-parallel branch): the default
-    single-file path is a one-pass coalesce(1) write (upstream stays
-    parallel, one writer task); with fast concat disabled, shards write
-    at full parallelism and the driver serially concatenates them."""
+    (util/FileMerger.scala:35's non-parallel branch). The default
+    single-file path is the FileMerger shape: shards render and write
+    at full parallelism and the driver streams them into one file
+    (sources/merge.write_text_single_file). ``-disable_fast_concat``
+    reaches the same bytes through the explicit two-step — a sharded
+    save to a directory, then a separate merge_shards concat pass —
+    mirroring the reference's flag, which switches the merge away from
+    the filesystem's native parallel concat."""
     from adam_spark import context as ctx
 
     if single_file and disable_fast_concat and output.lower().endswith(_TEXT_SAVE_EXTS):

@@ -665,11 +665,12 @@ def load_indexed_bam(
         ]
     )
     par = spark.sparkContext.defaultParallelism
-    n_tasks = max(1, min(len(chunks), par * 2))
-    task_chunks: list[list[tuple[int, int]]] = [[] for _ in range(n_tasks)]
-    for i, c in enumerate(chunks):
-        task_chunks[i % n_tasks].append(c)
-    task_chunks = [t for t in task_chunks if t]
+    # contiguous byte-balanced slices (not strides): partition-index
+    # order reproduces file order, so order-sensitive downstream
+    # single-file saves keep the record order of the source file
+    from adam_spark.sources.binned_index import split_chunks_contiguous
+
+    task_chunks = split_chunks_contiguous(chunks, max(1, min(len(chunks), par * 2)))
     rdd = spark.sparkContext.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(
         lambda t: _decode_chunk_range(path, t, ref_names)
     )
@@ -876,7 +877,20 @@ def save_bam(
         idx.names = []  # .bai/.csi carry no names; contig order = BAM header
         for base, (bins, linear, _, _) in bases:
             idx.add_shard(bins, linear, base)
+        # a re-save can flip the index format (short vs long contigs);
+        # the reader PREFERS .bai, so a stale sibling from a previous
+        # save would silently serve region queries for old data
         if depth == 5:
+            if os.path.exists(path + ".csi"):
+                os.remove(path + ".csi")
             write_bai(idx, path + ".bai")
         else:
+            if os.path.exists(path + ".bai"):
+                os.remove(path + ".bai")
             write_csi(idx, path + ".csi")
+    else:
+        # the data changed; any index from a previous indexed save at
+        # this path no longer addresses it
+        for stale in (path + ".bai", path + ".csi"):
+            if os.path.exists(stale):
+                os.remove(stale)

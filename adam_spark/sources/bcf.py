@@ -318,12 +318,25 @@ def _bcf_header_driver_side(path: str):
 def _csi_body_chunks(path: str) -> list[tuple[int, int]]:
     """All record-bearing virtual-offset chunks of a BCF, merged, from
     its .csi sidecar — adjacent records coalesce, so the result is a
-    small disjoint cover of the body that tasks can split on."""
+    small disjoint cover of the body that tasks can split on.
+
+    Bins past the scheme's maximum valid bin are htslib's METADATA
+    pseudo-bin (bcftools writes one per contig; its two pseudo-chunks
+    encode mapped/unmapped record COUNTS, not byte ranges — harvesting
+    them as ranges would decode garbage). Mere .csi existence triggers
+    this path, so foreign bcftools indexes must be handled."""
     from adam_spark.sources.binned_index import merge_chunks, read_csi
 
     idx = read_csi(path + ".csi")
+    bin_limit = ((1 << (3 * (idx.depth + 1))) - 1) // 7
     return merge_chunks(
-        [c for r in idx.refs for chunks in r.bins.values() for c in chunks]
+        [
+            c
+            for r in idx.refs
+            for b, chunks in r.bins.items()
+            if b < bin_limit
+            for c in chunks
+        ]
     )
 
 
@@ -360,11 +373,14 @@ def load_bcf(spark: SparkSession, path: str) -> GenomicFrame:
                 )
 
         par = sc.defaultParallelism
-        n_tasks = max(1, min(len(chunks), par * 2))
-        task_chunks: list[list[tuple[int, int]]] = [[] for _ in range(n_tasks)]
-        for i, c in enumerate(chunks):
-            task_chunks[i % n_tasks].append(c)
-        task_chunks = [t for t in task_chunks if t]
+        # contiguous byte-balanced slices (not strides): partition-index
+        # order reproduces FILE order, matching the unindexed path and
+        # the reference loader (round-robin interleaved row order)
+        from adam_spark.sources.binned_index import split_chunks_contiguous
+
+        task_chunks = split_chunks_contiguous(
+            chunks, max(1, min(len(chunks), par * 2))
+        )
         rdd = sc.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(_lines)
     else:
         rdd = sc.parallelize([apath], 1).flatMap(
@@ -417,11 +433,12 @@ def load_indexed_bcf(
 
     sc = spark.sparkContext
     par = sc.defaultParallelism
-    n_tasks = max(1, min(len(chunks), par * 2))
-    task_chunks: list[list[tuple[int, int]]] = [[] for _ in range(n_tasks)]
-    for i, c in enumerate(chunks):
-        task_chunks[i % n_tasks].append(c)
-    task_chunks = [t for t in task_chunks if t]
+    # contiguous byte-balanced slices (not strides): partition-index
+    # order reproduces file order, so order-sensitive downstream
+    # single-file saves keep the record order of the source file
+    from adam_spark.sources.binned_index import split_chunks_contiguous
+
+    task_chunks = split_chunks_contiguous(chunks, max(1, min(len(chunks), par * 2)))
     rdd = sc.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(_lines)
     body = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
 

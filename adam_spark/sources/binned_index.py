@@ -482,6 +482,32 @@ def read_bai(path: str) -> BinnedIndex:
     return BinnedIndex(names=[], refs=refs)
 
 
+def split_chunks_contiguous(
+    chunks: list[tuple[int, int]], n_tasks: int
+) -> list[list[tuple[int, int]]]:
+    """Partition an ordered chunk list into ≤ ``n_tasks`` CONTIGUOUS
+    runs balanced by compressed byte size — task i holds a slice, not a
+    stride, so concatenating partitions in index order reproduces file
+    order (round-robin interleaved rows across tasks; order-sensitive
+    single-file saves downstream would reorder records). Greedy fill to
+    the mean task size; a giant chunk takes a task alone."""
+    if not chunks:
+        return []
+    n_tasks = max(1, n_tasks)
+    total = sum((ve >> 16) - (vb >> 16) + 1 for vb, ve in chunks)
+    target = max(1, total // n_tasks)
+    out: list[list[tuple[int, int]]] = [[]]
+    acc = 0
+    for vb, ve in chunks:
+        size = (ve >> 16) - (vb >> 16) + 1
+        if out[-1] and acc + size > target and len(out) < n_tasks:
+            out.append([])
+            acc = 0
+        out[-1].append((vb, ve))
+        acc += size
+    return out
+
+
 # --- chunk decode (shared by indexed BAM/VCF readers) ----------------------
 def read_chunk_bytes(path: str, vbeg: int, vend: int) -> bytes:
     """Decompressed bytes of one virtual-offset chunk [vbeg, vend)."""

@@ -1556,10 +1556,10 @@ def _scan_containers(spark: SparkSession, path: str, offsets: list[int],
     offsets = list(dict.fromkeys(offsets))
     par = spark.sparkContext.defaultParallelism
     n_tasks = max(1, min(len(offsets), par * 2))
-    chunks: list[list[int]] = [[] for _ in range(n_tasks)]
-    for i, off in enumerate(offsets):
-        chunks[i % n_tasks].append(off)
-    chunks = [c for c in chunks if c]
+    # contiguous slices (not round-robin strides): partition-index order
+    # reproduces container/file order, matching the single-task path
+    step = -(-len(offsets) // n_tasks) if offsets else 1
+    chunks = [offsets[i : i + step] for i in range(0, len(offsets), step)]
     rdd = spark.sparkContext.parallelize(chunks, max(1, len(chunks))).flatMap(
         lambda c: _decode_container_range(path, c, ref_names, ref_seqs)
     )

@@ -58,6 +58,14 @@ def write_text_single_file(body_df, path: str, header_lines: list[str] | None = 
         hdr_path = fd.name
     try:
         os.makedirs(path, exist_ok=True)
+        # overwrite semantics must cover STALE shards: the merged output
+        # is only part-00000, but a previous multi-shard save at this
+        # path may have left part-00001+ which directory-globbing
+        # readers would pick up as duplicate rows
+        for stale in glob.glob(os.path.join(path, "part-*")) + glob.glob(
+            os.path.join(path, "_SUCCESS")
+        ):
+            os.remove(stale)
         out_part = os.path.join(path, "part-00000")
         try:
             n = merge_shards(shard_dir, out_part, header_path=hdr_path)

@@ -1124,7 +1124,10 @@ def _render_vcf(gf: GenomicFrame) -> tuple[list[str], DataFrame]:
     df = gf.df
     sample_names = [s.id for s in gf.meta.samples]
     cols = _render_columns_cached(
-        df.sparkSession, sample_names, df.schema["genotypes"].dataType
+        df.sparkSession,
+        sample_names,
+        df.schema["genotypes"].dataType,
+        df.schema["variant"].dataType,
     )
     if sample_names:
         df = (
@@ -1148,18 +1151,24 @@ def _render_vcf(gf: GenomicFrame) -> tuple[list[str], DataFrame]:
     return header, body
 
 
-#: built render Columns per (application, sample list, genotypes dtype)
-#: — the tree is a pure function of those, and constructing it costs
-#: ~1.4 s of py4j round trips (measured round 11); repeated saves in
-#: one session (a bench best-of-N, a multi-output pipeline) reuse it
+#: built render Columns per (application, sample list, genotypes dtype,
+#: variant dtype) — the tree is a pure function of those, and
+#: constructing it costs ~1.4 s of py4j round trips (measured round
+#: 11); repeated saves in one session (a bench best-of-N, a
+#: multi-output pipeline) reuse it. The variant dtype is in the key so
+#: two frames with differing variant/annotation schemas in one session
+#: never reuse a tree built for the other.
 _RENDER_COLS_CACHE: dict = {}
 
 
-def _render_columns_cached(spark, sample_names: list[str], gt_dtype) -> dict:
+def _render_columns_cached(
+    spark, sample_names: list[str], gt_dtype, variant_dtype=None
+) -> dict:
     key = (
         spark.sparkContext.applicationId,
         tuple(sample_names),
         str(gt_dtype),
+        str(variant_dtype),
     )
     cols = _RENDER_COLS_CACHE.get(key)
     if cols is None:
@@ -1700,9 +1709,16 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
             base += clen
         f.write(_BGZF_EOF)
     os.rmdir(shard_dir)
+    # a re-save at the same path can flip the index format (short vs
+    # long contigs); the readers PREFER .tbi, so a stale sibling from a
+    # previous save would silently serve region queries for old data
     if depth == 5:
+        if os.path.exists(path + ".csi"):
+            os.remove(path + ".csi")
         write_tbi(idx, path + ".tbi")
     else:
+        if os.path.exists(path + ".tbi"):
+            os.remove(path + ".tbi")
         write_csi(idx, path + ".csi", tabix_aux=True)
     return {"shards": len(manifests), "index_manifest_chunks": index_chunks}
 
@@ -1760,11 +1776,12 @@ def load_indexed_vcf(
                     yield ln.decode()
 
     par = spark.sparkContext.defaultParallelism
-    n_tasks = max(1, min(len(chunks), par * 2))
-    task_chunks: list[list[tuple[int, int]]] = [[] for _ in range(n_tasks)]
-    for i, c in enumerate(chunks):
-        task_chunks[i % n_tasks].append(c)
-    task_chunks = [t for t in task_chunks if t]
+    # contiguous byte-balanced slices (not strides): partition-index
+    # order reproduces file order, so order-sensitive downstream
+    # single-file saves keep the record order of the source file
+    from adam_spark.sources.binned_index import split_chunks_contiguous
+
+    task_chunks = split_chunks_contiguous(chunks, max(1, min(len(chunks), par * 2)))
     rdd = spark.sparkContext.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(
         _lines
     )
