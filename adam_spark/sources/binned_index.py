@@ -84,6 +84,9 @@ _LINEAR_SHIFT = 14  # 16 kb linear-index windows
 class _RefIndex:
     bins: dict[int, list[tuple[int, int]]] = field(default_factory=dict)
     linear: list[int] = field(default_factory=list)
+    #: per-bin loffset as read from a CSI file (CSI carries no linear
+    #: index; this is its replacement for start-offset pruning)
+    loffset: dict[int, int] = field(default_factory=dict)
 
 
 @dataclass
@@ -160,6 +163,22 @@ class BinnedIndex:
             if r.linear[w] == 0 or gv < r.linear[w]:
                 r.linear[w] = gv
 
+    def _loffset_floor(self, r: _RefIndex, beg: int) -> int:
+        """CSI start-offset pruning floor: the loffset of the closest
+        indexed bin at or before ``beg``'s deepest-level bin — htslib's
+        ``hts_itr_query`` walk (previous sibling within a level, else
+        parent) when no linear index exists. Every record overlapping
+        the query in a position-sorted file starts at or after it."""
+        b = _LEVEL_BASES[self.depth] + (beg >> self.min_shift)
+        while True:
+            lo = r.loffset.get(b)
+            if lo is not None:
+                return lo
+            if b == 0:
+                return 0
+            first_sibling = (((b - 1) >> 3) << 3) + 1
+            b = b - 1 if b > first_sibling else (b - 1) >> 3
+
     def chunks_for(self, ref_id: int, beg: int, end: int) -> list[tuple[int, int]]:
         """Merged chunks that may contain records overlapping [beg, end)."""
         if not (0 <= ref_id < len(self.refs)):
@@ -168,7 +187,13 @@ class BinnedIndex:
         beg = max(beg, 0)  # negative (flank-padded) queries would index
         # linear[-1] — the LAST window's offset — and prune valid chunks
         win = beg >> _LINEAR_SHIFT
-        min_voff = r.linear[win] if win < len(r.linear) else 0
+        if win < len(r.linear):
+            min_voff = r.linear[win]
+        elif r.loffset:
+            # CSI files carry per-bin loffsets instead of a linear index
+            min_voff = self._loffset_floor(r, beg)
+        else:
+            min_voff = 0
         out = []
         for b in reg2bins(beg, max(end, beg + 1), self.min_shift, self.depth):
             for vb, ve in r.bins.get(b, ()):
@@ -416,8 +441,8 @@ def read_csi(path: str) -> BinnedIndex:
     """Read a CSIv1 index written by :func:`write_csi` (any
     min_shift/depth). A tabix aux block, when present, supplies the
     column config + contig names. The linear index stays empty (CSI's
-    per-bin loffset replaces it); ``chunks_for`` degrades to bin-chunk
-    lookup without linear pruning."""
+    per-bin ``loffset`` replaces it); ``chunks_for`` prunes chunk
+    starts with the htslib loffset walk instead."""
     from adam_spark.sources.bam import bgzf_decompress
 
     data = bgzf_decompress(path)
@@ -448,7 +473,7 @@ def read_csi(path: str) -> BinnedIndex:
         off += 4
         r = _RefIndex()
         for _ in range(n_bin):
-            b, _loffset, n_chunk = struct.unpack_from("<IQi", data, off)
+            b, loffset, n_chunk = struct.unpack_from("<IQi", data, off)
             off += 16
             chunks = []
             for _ in range(n_chunk):
@@ -456,6 +481,7 @@ def read_csi(path: str) -> BinnedIndex:
                 off += 16
                 chunks.append((vb, ve))
             r.bins[b] = chunks
+            r.loffset[b] = loffset
         refs.append(r)
     return BinnedIndex(
         names=names, refs=refs, min_shift=min_shift, depth=depth, **meta

@@ -156,3 +156,48 @@ def test_save_manifest_chunks_scale_with_bins(spark, tmp_path):
         for r in gf.filter_by_overlapping_regions(regions).df.collect()
     )
     assert got == want and len(got) == 500
+
+
+def test_csi_loffset_prunes_chunks(spark, tmp_path):
+    """CSI reads use the per-bin loffset for start-offset pruning (the
+    htslib hts_itr_query walk) — a query late in a dense low-coordinate
+    contig must address FEWER chunk bytes than the no-loffset bin
+    lookup, and still return the exact record set."""
+    from adam_spark.sources.bcf import load_indexed_bcf, save_bcf
+    from adam_spark.sources.binned_index import read_csi
+
+    n = 20_000
+    p = tmp_path / "dense.vcf"
+    text = _dense_vcf_text(n)  # 30 bp spacing -> ~600 kb span
+    # one early structural record spanning a 2^17 window boundary: it
+    # lands in a COARSE (level-3) bin, which every query on this contig
+    # prefilters — exactly the chunk the loffset walk must prune away
+    # for queries past it
+    hdr, body = text.split("#CHROM", 1)
+    sv = f"chr1\t2\t.\t{'A' * 150_000}\tG\t50\tPASS\tDP=1\n"
+    p.write_text(hdr + "#CHROM" + body.split("\n", 1)[0] + "\n" + sv
+                 + body.split("\n", 1)[1])
+    gf = _range4(vcf_io.load_vcf(spark, str(p)))
+    out = str(tmp_path / "dense.bcf")
+    save_bcf(gf, out)
+
+    idx = read_csi(out + ".csi")
+    assert 73 in idx.refs[0].bins  # the SV sits in level-3 bin 0
+    beg, end = 500_000, 560_000
+    pruned = idx.chunks_for(0, beg, end)
+    # strip the loffsets -> the degraded bin-chunk lookup
+    for r in idx.refs:
+        r.loffset.clear()
+    unpruned = idx.chunks_for(0, beg, end)
+
+    def nbytes(chunks):
+        return sum((ve >> 16) - (vb >> 16) for vb, ve in chunks)
+
+    assert nbytes(pruned) < nbytes(unpruned), (pruned, unpruned)
+
+    got = sorted(
+        r["start"]
+        for r in load_indexed_bcf(spark, out, [("chr1", beg, end)]).df.collect()
+    )
+    want = [s for s in (i * 30 for i in range(n)) if beg <= s < end]
+    assert got == want and len(got) == 2000
