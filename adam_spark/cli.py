@@ -34,6 +34,29 @@ def _parse_regions(spec: str) -> list[tuple[str, int, int]]:
     return regions
 
 
+def _indexed_contexts(spark, path: str, regions):
+    """Region-pruned variant-context load through an index sidecar, or
+    ``None`` when the input has no usable index (caller falls back to
+    the full scan + overlap filter). Mirrors how the compat surface
+    routes loadIndexedBcf/loadIndexedVcf — the CLI's
+    ``-region_predicate`` reads only the index-addressed chunks instead
+    of scanning the whole file."""
+    import os as _os
+
+    lp = path.lower().rstrip("/")
+    if lp.endswith(".bcf") and _os.path.exists(path + ".csi"):
+        from adam_spark.sources.bcf import load_indexed_bcf
+
+        return load_indexed_bcf(spark, path, regions)
+    if lp.endswith((".vcf.gz", ".vcf.bgz", ".vcf.bgzf.gz")) and (
+        _os.path.exists(path + ".tbi") or _os.path.exists(path + ".csi")
+    ):
+        from adam_spark.sources.vcf import load_indexed_vcf
+
+        return load_indexed_vcf(spark, path, regions)
+    return None
+
+
 _STRINGENCIES = ("SILENT", "LENIENT", "STRICT")
 
 #: text formats eligible for the -disable_fast_concat serial-concat path
@@ -165,9 +188,25 @@ def _cmd_transform_alignments(args) -> int:
     elif args.force_load_parquet:
         gf = ctx._load_parquet(spark, args.input, "alignment")
     else:
-        # -stringency reaches the SAM header parse
-        # (TransformAlignments passes its stringency to loadAlignments)
-        gf = ctx.load_alignments(spark, args.input, stringency=args.stringency)
+        gf = None
+        if args.region_predicate and args.input.lower().endswith(".bam"):
+            import os as _os
+
+            # an index sidecar narrows the scan to the chunks the
+            # regions address (the loadIndexedBam shape); the overlap
+            # filter below still applies, so semantics are unchanged
+            if _os.path.exists(args.input + ".bai") or _os.path.exists(
+                args.input + ".csi"
+            ):
+                from adam_spark.sources.bam import load_indexed_bam
+
+                gf = load_indexed_bam(
+                    spark, args.input, _parse_regions(args.region_predicate)
+                )
+        if gf is None:
+            # -stringency reaches the SAM header parse
+            # (TransformAlignments passes its stringency to loadAlignments)
+            gf = ctx.load_alignments(spark, args.input, stringency=args.stringency)
     is_fastq_input = (
         args.force_load_fastq or args.force_load_ifastq or args.paired_fastq
         or args.input.lower().endswith((".fq", ".fastq", ".ifq"))
@@ -556,7 +595,19 @@ def _cmd_transform_variants(args) -> int:
     # TransformVariants.run() loads VARIANTS (sc.loadVariants) — the
     # toVariants step drops FORMAT header lines and samples, so the
     # VCF output is sites-only (byte-pinned vs sorted-variants.vcf)
-    gf = ctx.load_variants(spark, args.input)
+    if args.region_predicate:
+        regions = _parse_regions(args.region_predicate)
+        pruned = _indexed_contexts(spark, args.input, regions)
+        if pruned is not None:
+            from adam_spark.sources import vcf as _vcf
+
+            gf = _vcf.contexts_to_variants_frame(pruned)
+        else:
+            gf = ctx.load_variants(spark, args.input).filter_by_overlapping_regions(
+                regions
+            )
+    else:
+        gf = ctx.load_variants(spark, args.input)
     df = _maybe_coalesce(gf.df, args.coalesce, args.force_shuffle_coalesce)
     df = _maybe_sort(df, args.sort_on_save, args.sort_lexicographically_on_save,
                      gf.meta.references)
@@ -591,7 +642,19 @@ def _cmd_transform_genotypes(args) -> int:
               file=sys.stderr)
         return 2
     spark = _spark(args)
-    gf = ctx.load_genotypes(spark, args.input)
+    if args.region_predicate:
+        regions = _parse_regions(args.region_predicate)
+        pruned = _indexed_contexts(spark, args.input, regions)
+        if pruned is not None:
+            from adam_spark.sources import vcf as _vcf
+
+            gf = _vcf.contexts_to_genotypes_frame(pruned)
+        else:
+            gf = ctx.load_genotypes(spark, args.input).filter_by_overlapping_regions(
+                regions
+            )
+    else:
+        gf = ctx.load_genotypes(spark, args.input)
     df = gf.df
     is_vcf_in = args.input.lower().rstrip("/").endswith(
         (".vcf", ".vcf.gz", ".vcf.bgz", ".vcf.bgzf.gz")
@@ -1108,6 +1171,12 @@ def build_parser() -> argparse.ArgumentParser:
                             action="store_true")
         parser.add_argument("-partition_bin_size", dest="partition_bin_size",
                             type=int, default=1_000_000)
+        parser.add_argument("-region_predicate", dest="region_predicate",
+                            default=None,
+                            help="load only regions, e.g. 'chr1:0-1000,"
+                                 "chr2:50-100'; indexed inputs (.bcf+.csi,"
+                                 " .vcf.gz+.tbi/.csi) read only the "
+                                 "index-addressed chunks")
 
     tg = sub.add_parser("transform_genotypes", help="genotype format conversion")
     tg.add_argument("input")

@@ -774,3 +774,116 @@ def test_merge_shards_eof_flags(spark, tmp_path):
     from adam_spark.sources.cram import cram_eof_bytes
 
     assert open(out2, "rb").read() == b"x" + cram_eof_bytes()
+
+
+def test_region_predicate_routes_through_indexed_bcf(spark, tmp_path, monkeypatch):
+    """transform_variants/transform_genotypes -region_predicate on a
+    .bcf with a .csi sidecar routes through load_indexed_bcf (a
+    narrowed, index-addressed scan — pinned by byte accounting + a call
+    spy), and the output carries exactly the region's records."""
+    import adam_spark.sources.bcf as bcf_mod
+    from adam_spark.sources import vcf as vcf_io
+    from adam_spark.sources.bcf import save_bcf
+    from adam_spark.sources.binned_index import read_csi
+
+    lines = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=chr1,length=10000000>",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1",
+    ]
+    for i in range(3000):
+        lines.append(f"chr1\t{1 + i * 97}\t.\tA\tG\t50\tPASS\t.\tGT\t0/1")
+    src = tmp_path / "v.vcf"
+    src.write_text("\n".join(lines) + "\n")
+    bcf = str(tmp_path / "v.bcf")
+    save_bcf(vcf_io.load_vcf(spark, str(src)), bcf)
+
+    # the index addresses a small fraction of the body for this region
+    # (virtual-offset distance: monotone in (block, in-block) position)
+    idx = read_csi(bcf + ".csi")
+
+    def vdist(chunks):
+        return sum(ve - vb for vb, ve in chunks)
+
+    region_span = vdist(idx.chunks_for(0, 5_000, 8_000))
+    full_span = vdist(idx.chunks_for(0, 0, 10_000_000))
+    assert 0 < region_span < full_span / 4
+
+    calls = []
+    real = bcf_mod.load_indexed_bcf
+
+    def spy(spark_, path, regions):
+        calls.append((path, tuple(regions)))
+        return real(spark_, path, regions)
+
+    monkeypatch.setattr(bcf_mod, "load_indexed_bcf", spy)
+
+    out_v = str(tmp_path / "region.vcf")
+    rc = main(["transform_variants", bcf, out_v,
+               "-region_predicate", "chr1:5000-8000", "-single"])
+    assert rc == 0 and len(calls) == 1
+    body = [ln for ln in _read_text_output(out_v).splitlines()
+            if ln and not ln.startswith("#")]
+    # pos-1 in [5000, 8000): 1+97k with 5000 <= 97k < 8000 -> k in 52..82
+    want = [1 + 97 * k for k in range(3000) if 5000 <= 97 * k < 8000]
+    assert sorted(int(ln.split("\t")[1]) for ln in body) == want
+
+    out_g = str(tmp_path / "region_g.vcf")
+    rc = main(["transform_genotypes", bcf, out_g,
+               "-region_predicate", "chr1:5000-8000", "-single"])
+    assert rc == 0 and len(calls) == 2
+    gbody = [ln for ln in _read_text_output(out_g).splitlines()
+             if ln and not ln.startswith("#")]
+    assert sorted(int(ln.split("\t")[1]) for ln in gbody) == want
+    assert all(ln.rstrip("\n").endswith("0/1") for ln in gbody)
+
+    # unindexed fallback: same rows through the full scan + filter
+    os.remove(bcf + ".csi")
+    out_f = str(tmp_path / "fallback.vcf")
+    rc = main(["transform_variants", bcf, out_f,
+               "-region_predicate", "chr1:5000-8000", "-single"])
+    assert rc == 0 and len(calls) == 2  # spy NOT called again
+    fbody = [ln for ln in _read_text_output(out_f).splitlines()
+             if ln and not ln.startswith("#")]
+    assert sorted(int(ln.split("\t")[1]) for ln in fbody) == want
+
+
+def test_region_predicate_routes_through_indexed_bam(spark, tmp_path, monkeypatch):
+    """transform_alignments -region_predicate on a .bam with a .bai
+    sidecar routes through load_indexed_bam; semantics match the
+    full-scan filter (the overlap predicate still applies)."""
+    import adam_spark.sources.bam as bam_mod
+    from adam_spark.sources.bam import save_bam
+    from adam_spark.sources.sam import load_sam
+
+    lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:10000000"]
+    for i in range(2000):
+        lines.append(
+            f"r{i:04d}\t0\tchr1\t{1 + i * 53}\t60\t20M\t*\t0\t0\t{'A'*20}\t{'I'*20}"
+        )
+    src = tmp_path / "a.sam"
+    src.write_text("\n".join(lines) + "\n")
+    bam = str(tmp_path / "a.bam")
+    save_bam(load_sam(spark, str(src)), bam)
+    assert os.path.exists(bam + ".bai")
+
+    calls = []
+    real = bam_mod.load_indexed_bam
+
+    def spy(spark_, path, regions):
+        calls.append(path)
+        return real(spark_, path, regions)
+
+    monkeypatch.setattr(bam_mod, "load_indexed_bam", spy)
+    out = str(tmp_path / "region.sam")
+    rc = main(["transform_alignments", bam, out,
+               "-region_predicate", "chr1:10000-20000", "-single"])
+    assert rc == 0 and calls == [bam]
+    body = [ln for ln in _read_text_output(out).splitlines()
+            if ln and not ln.startswith("@")]
+    # 20M reads at pos-1 = 53i overlap [10000,20000) iff 53i+20 > 10000
+    # and 53i < 20000
+    want = sorted(1 + 53 * i for i in range(2000)
+                  if 53 * i + 20 > 10_000 and 53 * i < 20_000)
+    assert sorted(int(ln.split("\t")[3]) for ln in body) == want
