@@ -3142,15 +3142,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest), and dedup_ngram_docs (brute-force twin of minhash,
     # equality pinned by test_minhash_lsh_equals_bruteforce — not
     # registered at all).
+    # ROUND-12 WINDOW ROTATION (per the r11 verdict item 7): promote
+    # two long-parked capless-green queries for driver-recorded rows —
+    # interval_join_right_outer (parked since r7 with an r6 green row;
+    # same parameterized builder as the in-window joins) and
+    # coverage_downsample (parked since r6; aggregated-coverage
+    # builder). Parked in exchange, each with SEVEN rounds of
+    # driver-green history (r5-r11): interval_join_flank_broadcast
+    # (the flank+broadcast arms stay pytest- and capless-pinned, the
+    # builder stays in-window via inner/group_right/left_outer/
+    # right_outer, and it stays in the bench headline group) and
+    # coverage_from_reads (family stays in-window via coverage_binned,
+    # promoted r11).
     return {
         "events_sessions": events_sessions,
         "interval_join_inner": _ij("inner"),
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "interval_join_flank_broadcast": _ij("inner", flank=5, broadcast="left"),
+        "interval_join_right_outer": _ij("right_outer"),
         "interval_join_group_right": interval_join_group_right,
         "bucketed_join_intervals": bucketed_join_intervals,
         "coverage_binned": coverage_binned,
-        "coverage_from_reads": coverage_from_reads,
+        "coverage_downsample": coverage_downsample,
         "flagstat_events": flagstat_events,
         "kmer_count_docs": kmer_count_docs,
         "dedup_exact_docs": dedup_exact_docs,
@@ -3205,10 +3217,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score_docs": doc_lm_score_docs,
         "sort_by_read_name_rank": sort_by_read_name_rank,
         "interval_join_full_outer": _ij("full_outer"),
-        # r7: parked after its r6 driver-recorded green row (same
-        # parameterized builder as four in-window joins) to make room
-        # for semantic_dedup_embeddings
-        "interval_join_right_outer": _ij("right_outer"),
+        # r12 rotation: flank_broadcast and coverage_from_reads park
+        # here after seven rounds of driver-green history each (r5-r11)
+        # in exchange for interval_join_right_outer and
+        # coverage_downsample taking driver-recorded slots; both stay
+        # in the bench headline group
+        "interval_join_flank_broadcast": _ij("inner", flank=5, broadcast="left"),
+        "coverage_from_reads": coverage_from_reads,
         # r11 rotation: interval_join_group_left and coverage_collapse
         # park here after 3+ rounds of driver-green history (r8-r10);
         # their in-window family representatives are
@@ -3216,7 +3231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # direction) and coverage_from_reads + coverage_binned
         "interval_join_group_left": interval_join_group_left,
         "coverage_collapse": coverage_collapse,
-        "coverage_downsample": coverage_downsample,
         "coverage_flatten_bin": coverage_flatten_bin,
         "sort_reads_rank": sort_reads_rank,
         "slice_docs": slice_docs,
