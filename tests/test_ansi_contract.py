@@ -88,5 +88,13 @@ def test_driver_window_invariants():
     # r7 rotation pins: the one never-driver-recorded oracle query is in
     # the window; its parked exchange partner keeps a family mirror
     assert q.index("semantic_dedup_embeddings") < 50
-    assert q.index("interval_join_right_outer") >= 50
     assert q.index("interval_join_inner") < 50  # family representative
+    # r12 rotation pins: right_outer and coverage_downsample promoted
+    # for driver-recorded rows; their 7-round-green exchange partners
+    # park with in-window family mirrors (inner joins, coverage_binned)
+    assert q.index("interval_join_right_outer") < 50
+    assert q.index("coverage_downsample") < 50
+    assert q.index("interval_join_flank_broadcast") >= 50
+    assert "interval_join_flank_broadcast" in o
+    assert q.index("coverage_from_reads") >= 50 and "coverage_from_reads" in o
+    assert q.index("coverage_binned") < 50  # family representative
