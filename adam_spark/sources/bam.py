@@ -847,15 +847,16 @@ def save_bam(
             .collect()
         )
         header_blob, _ = bgzf_blocks_bytes(out)
-        bases = []  # (compressed base, O(bins) shard index manifest)
-        with open(path, "wb") as f:
-            f.write(header_blob)
-            for shard_path, clen, manifest in shards:
-                if clen:
-                    bases.append((f.tell(), manifest))
-                    with open(shard_path, "rb") as sf:
-                        shutil.copyfileobj(sf, f)
-            f.write(_BGZF_EOF)
+        from adam_spark.sources.merge import concat_files_parallel
+
+        live = [(sp, m) for sp, clen, m in shards if clen]
+        # shard sizes are known, so output offsets are a prefix sum and
+        # the copies run as parallel positioned writes (the reference's
+        # ParallelFileMerger, util/ParallelFileMerger.scala:34)
+        offsets = concat_files_parallel(
+            path, [sp for sp, _ in live], header_blob, _BGZF_EOF
+        )
+        bases = list(zip(offsets, (m for _, m in live)))
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
 

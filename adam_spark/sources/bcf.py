@@ -17,13 +17,15 @@ descriptor byte (low nibble = type, high nibble = count, 15 = count in
 a following typed int). GT cells are ints encoding
 ``(allele + 1) << 1 | phased``.
 
-Scale shape: with a ``.csi`` sidecar (written by :func:`save_bcf`)
-the scan is SPLITTABLE — the index's merged chunk cover partitions the
-body into byte-range decode tasks, and :func:`load_indexed_bcf` reads
-only the chunks overlapping query regions. Without an index, one
-decode task per FILE (BCF records are not resyncable mid-stream —
-same parallelism class as Spark's unsplittable gzip). The header reads
-driver-side, O(header bytes).
+Scale shape: the scan is SPLITTABLE in every BGZF case. With a
+``.csi`` sidecar (written by :func:`save_bcf`) the index's merged
+chunk cover partitions the body into byte-range decode tasks, and
+:func:`load_indexed_bcf` reads only the chunks overlapping query
+regions. Without an index (any foreign BCF) the split is arithmetic
+over the compressed bytes — tasks resync to a BGZF block boundary and
+then to a record boundary with a BAMSplitGuesser-style chain check
+(:func:`_plausible_bcf_record`). Only a RAW (uncompressed) BCF decodes
+in one task. The header reads driver-side, O(header bytes).
 """
 
 from __future__ import annotations
@@ -294,6 +296,165 @@ def _records_from_buffer(
     return lines
 
 
+def _plausible_bcf_record(
+    buf, off: int, n_contigs: int, n_samples: int, chain: int = 3, extend=None
+) -> bool:
+    """BCF record-boundary check, the BAMSplitGuesser shape
+    (bam._plausible_record): a chain of ``chain`` records must carry
+    sane section lengths, an in-bounds contig id/position, ≥1 allele,
+    and — the strongest discriminator — a sample count EQUAL to the
+    header's (htslib requires every record to carry it). ``extend``
+    grows ``buf`` with the next block when the chain outruns it; a
+    clean stop exactly at EOF is a real boundary, anything else
+    unverifiable is rejected (never a blind accept)."""
+
+    def need(upto: int) -> bool:
+        while upto > len(buf):
+            if extend is None or not extend():
+                return False
+        return True
+
+    for _ in range(chain):
+        if off == len(buf) and (extend is None or not extend()):
+            return True  # clean record boundary at end of file
+        if not need(off + 32):
+            return False
+        l_shared, l_indiv = struct.unpack_from("<II", buf, off)
+        if l_shared < 24 or l_shared > (1 << 26) or l_indiv > (1 << 26):
+            return False
+        rid, pos, rlen = struct.unpack_from("<iii", buf, off + 8)
+        if not (0 <= rid < n_contigs) or not (-1 <= pos < (1 << 31) - 1) or rlen < 0:
+            return False
+        n_allele_info, n_fmt_sample = struct.unpack_from("<II", buf, off + 24)
+        n_sample, n_fmt = n_fmt_sample & 0xFFFFFF, n_fmt_sample >> 24
+        if (n_allele_info >> 16) < 1 or n_sample != n_samples:
+            return False
+        if n_sample == 0 and (n_fmt or l_indiv):
+            return False
+        off += 8 + l_shared + l_indiv
+    return True
+
+
+def _bcf_body_start(path: str) -> tuple[int, int] | None:
+    """Driver-side, O(header blocks): (compressed block offset,
+    intra-block offset) where the record stream begins in a
+    BGZF-framed BCF — the split arithmetic's origin. ``None`` when the
+    file is not BGZF (raw BCF stays a single decode task)."""
+    import os
+
+    from adam_spark.sources.bam import _read_block_fully
+
+    with open(path, "rb") as f:
+        if f.read(2) != b"\x1f\x8b":
+            return None
+        fsize = os.path.getsize(path)
+        buf = bytearray()
+        off = cum = 0
+        l_text = None
+        while off < fsize:
+            total, data = _read_block_fully(f, off)
+            if l_text is None:
+                buf += data
+                if len(buf) >= 9:
+                    if buf[:5] != b"BCF\x02\x02":
+                        raise ValueError(f"{path} is not a BCFv2.2 stream")
+                    l_text = struct.unpack_from("<I", buf, 5)[0]
+            if l_text is not None:
+                target = 9 + l_text
+                if cum + len(data) > target:
+                    return (off, target - cum)
+                if cum + len(data) == target:
+                    return (off + total, 0)  # body starts at next block
+            cum += len(data)
+            off += total
+    return (off, 0)  # header-only file: empty body at EOF
+
+
+def _decode_bcf_byte_range(
+    path: str,
+    start: int,
+    end: int,
+    first_intra: int,
+    resync: bool,
+    n_contigs: int,
+    n_samples: int,
+    str_dict: dict[int, str],
+    contig_dict: dict[int, str],
+    flags: set[str],
+):
+    """Executor task: decode BCF records STARTING inside compressed
+    byte range [start, end) — the bam._decode_byte_range contract:
+    resync to the first BGZF block at/after ``start``, then to the
+    first plausible record boundary; read forward past the range end to
+    finish a trailing record that spans into the next range."""
+    import os
+
+    from adam_spark.sources.bam import _block_at, _inflate_block, _next_block_offset
+
+    fsize = os.path.getsize(path)
+    with open(path, "rb") as f:
+        if resync:
+            first = _next_block_offset(f, start, fsize)
+            if first is None or first >= end:
+                return
+        else:
+            first = start
+        data = bytearray()
+        next_off = first
+        while next_off < end and next_off < fsize:
+            total, _ = _block_at(f, next_off)
+            data += _inflate_block(f, next_off, total)
+            next_off += total
+        owned = len(data)
+        if owned == 0:
+            return
+
+        def extend() -> bool:
+            nonlocal next_off
+            if next_off >= fsize:
+                return False
+            total, _ = _block_at(f, next_off)
+            data.extend(_inflate_block(f, next_off, total))
+            next_off += total
+            return True
+
+        pos = first_intra
+        if resync:
+            pos = next(
+                (
+                    o
+                    for o in range(owned)
+                    if _plausible_bcf_record(
+                        data, o, n_contigs, n_samples, extend=extend
+                    )
+                ),
+                None,
+            )
+            if pos is None:
+                return
+        trimmed = 0
+        while pos < owned:
+            if pos - trimmed > (8 << 20):
+                del data[: pos - trimmed]
+                trimmed = pos
+            while pos - trimmed + 8 > len(data):
+                if not extend():
+                    if pos - trimmed == len(data):
+                        return  # clean EOF
+                    raise ValueError("truncated BCF record header")
+            l_shared, l_indiv = struct.unpack_from("<II", data, pos - trimmed)
+            rec_len = 8 + l_shared + l_indiv
+            while pos - trimmed + rec_len > len(data):
+                if not extend():
+                    raise ValueError("truncated BCF record body")
+            p = pos - trimmed
+            yield from _records_from_buffer(
+                bytes(data[p : p + rec_len]), 0, rec_len,
+                str_dict, contig_dict, flags,
+            )
+            pos += rec_len
+
+
 def _bcf_header_driver_side(path: str):
     """Driver-side header read, O(header bytes): (header_text, parsed
     header lines, refs, sample names) — the IDX= dictionary annotations
@@ -340,16 +501,22 @@ def _csi_body_chunks(path: str) -> list[tuple[int, int]]:
     )
 
 
-def load_bcf(spark: SparkSession, path: str) -> GenomicFrame:
+def load_bcf(
+    spark: SparkSession, path: str, target_split_bytes: int = 16 << 20
+) -> GenomicFrame:
     """BCFv2.2 → variant contexts, through the shared text parser.
 
-    With a ``.csi`` sidecar (written by :func:`save_bcf`) the scan is
-    SPLITTABLE: the index's chunk cover partitions the body into
-    byte-range decode tasks (the load_indexed_vcf task-grouping shape)
-    — each task BGZF-seeks its chunks and decodes only those records.
-    Without an index the file decodes in one task (BCF records are not
-    resyncable mid-stream — the same parallelism class as Spark's
-    unsplittable gzip)."""
+    The scan is SPLITTABLE in every BGZF case. With a ``.csi`` sidecar
+    (written by :func:`save_bcf`) the index's chunk cover partitions
+    the body into byte-range decode tasks — each task BGZF-seeks its
+    chunks and decodes only those records. Without an index the split
+    is ARITHMETIC over the compressed bytes (the load_bam shape):
+    tasks resync to a BGZF block boundary, then to the first plausible
+    record boundary (:func:`_plausible_bcf_record` — the
+    BAMSplitGuesser chain check over l_shared/l_indiv/rid/pos/n_sample)
+    and decode records starting inside their range, reading past the
+    range end for a trailing spanning record. Only a RAW (uncompressed)
+    BCF falls back to one decode task."""
     import os
 
     from adam_spark.sources.vcf import vcf_lines_to_contexts
@@ -383,9 +550,52 @@ def load_bcf(spark: SparkSession, path: str) -> GenomicFrame:
         )
         rdd = sc.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(_lines)
     else:
-        rdd = sc.parallelize([apath], 1).flatMap(
-            lambda p: bcf_records_to_vcf_lines(open(p, "rb").read())
-        )
+        body_start = _bcf_body_start(apath)
+        str_dict, contig_dict = _dictionaries(header_text)
+        if body_start is None or not contig_dict:
+            # raw uncompressed BCF (or no contigs → no records): one task
+            rdd = sc.parallelize([apath], 1).flatMap(
+                lambda p: bcf_records_to_vcf_lines(open(p, "rb").read())
+            )
+        else:
+            flags = _flag_keys(header_text)
+            n_contigs = max(contig_dict) + 1
+            n_samples = len(sample_names)
+            records_off, records_intra = body_start
+            fsize = os.path.getsize(apath)
+            body_bytes = fsize - records_off
+            tasks = []
+            if body_bytes > 0:
+                par = sc.defaultParallelism
+                n_ranges = max(1, par * 2, body_bytes // target_split_bytes)
+                # never more ranges than ~64 KiB each — a range smaller
+                # than one BGZF block would mostly resync to nothing
+                n_ranges = int(min(n_ranges, max(1, body_bytes // (64 << 10))))
+                bounds = [
+                    records_off + (body_bytes * i) // n_ranges
+                    for i in range(n_ranges + 1)
+                ]
+                bounds[-1] = fsize
+                for i in range(n_ranges):
+                    if bounds[i] >= bounds[i + 1]:
+                        continue
+                    tasks.append(
+                        dict(
+                            path=apath,
+                            start=bounds[i],
+                            end=bounds[i + 1],
+                            first_intra=records_intra if i == 0 else 0,
+                            resync=i > 0,
+                            n_contigs=n_contigs,
+                            n_samples=n_samples,
+                            str_dict=str_dict,
+                            contig_dict=contig_dict,
+                            flags=flags,
+                        )
+                    )
+            rdd = sc.parallelize(tasks, max(1, len(tasks))).flatMap(
+                lambda t: _decode_bcf_byte_range(**t)
+            )
     body = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
     return vcf_lines_to_contexts(body, header_lines, refs, sample_names)
 
@@ -886,17 +1096,17 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
             depth += 1
         idx = new_index(list(contig_ix), depth=depth)
         index_chunks = 0
-        base = len(hblob)
-        with open(path, "wb") as f:
-            f.write(hblob)
-            for _, sp, clen, bins, _ in manifests:
-                with open(sp, "rb") as sf:
-                    f.write(sf.read())
-                os.remove(sp)
-                idx.add_shard(bins, {}, base)
-                index_chunks += sum(len(c) for c in bins.values())
-                base += clen
-            f.write(_BGZF_EOF)
+        # parallel positioned-write concat (ParallelFileMerger shape);
+        # the returned prefix offsets are exactly the manifest shifts
+        from adam_spark.sources.merge import concat_files_parallel
+
+        offs = concat_files_parallel(
+            path, [m[1] for m in manifests], hblob, _BGZF_EOF
+        )
+        for (_, sp, _, bins, _), base in zip(manifests, offs):
+            idx.add_shard(bins, {}, base)
+            index_chunks += sum(len(c) for c in bins.values())
+            os.remove(sp)
         os.rmdir(shard_dir)
         write_csi(idx, path + ".csi")
         return {"shards": len(manifests), "index_manifest_chunks": index_chunks}

@@ -1746,20 +1746,19 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
         out += _container_header(len(hdr_block), 0, 0, 0, 0, 0, 0, 1, [])
         out += hdr_block
 
-        crai_entries: list = []
-        with open(path, "wb") as f:
-            f.write(bytes(out))
-            for shard_path, clen, entries, _n in shards:
-                if not clen:
-                    continue
-                base = f.tell()
-                crai_entries.extend(
-                    (base + off, ln, sid, st_, sp) for off, ln, sid, st_, sp in entries
-                )
-                with open(shard_path, "rb") as sf:
-                    shutil.copyfileobj(sf, f)
-            # EOF container: zero records, one raw sentinel block
-            f.write(cram_eof_bytes(total))
+        # parallel positioned-write concat (ParallelFileMerger shape);
+        # EOF container: zero records, one raw sentinel block
+        from adam_spark.sources.merge import concat_files_parallel
+
+        live = [(sp, entries) for sp, clen, entries, _n in shards if clen]
+        offsets = concat_files_parallel(
+            path, [sp for sp, _ in live], bytes(out), cram_eof_bytes(total)
+        )
+        crai_entries: list = [
+            (base + off, ln, sid, st_, span)
+            for (_sp, entries), base in zip(live, offsets)
+            for off, ln, sid, st_, span in entries
+        ]
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
         lines.unpersist()

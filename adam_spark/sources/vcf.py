@@ -1698,16 +1698,15 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
         depth += 1
     idx = new_index(names, depth=depth)
     index_chunks = 0
-    base = 0
-    with open(path, "wb") as f:
-        for _, sp, clen, (bins, linear, _, _) in manifests:
-            with open(sp, "rb") as sf:
-                f.write(sf.read())
-            os.remove(sp)
-            idx.add_shard(bins, linear, base, ref_ids=rid)
-            index_chunks += sum(len(c) for c in bins.values())
-            base += clen
-        f.write(_BGZF_EOF)
+    # parallel positioned-write concat (ParallelFileMerger shape); the
+    # returned prefix offsets are exactly the manifest shifts
+    from adam_spark.sources.merge import concat_files_parallel
+
+    offs = concat_files_parallel(path, [m[1] for m in manifests], b"", _BGZF_EOF)
+    for (_, sp, _, (bins, linear, _, _)), base in zip(manifests, offs):
+        idx.add_shard(bins, linear, base, ref_ids=rid)
+        index_chunks += sum(len(c) for c in bins.values())
+        os.remove(sp)
     os.rmdir(shard_dir)
     # a re-save at the same path can flip the index format (short vs
     # long contigs); the readers PREFER .tbi, so a stale sibling from a

@@ -157,3 +157,105 @@ def test_load_bcf_splittable_preserves_file_order(spark, tmp_path):
     loaded = load_bcf(spark, out)
     starts = [r["start"] for r in loaded.df.select("start").collect()]
     assert starts == sorted(starts) == [pos - 1 for pos in positions]
+
+
+def test_parallel_concat_matches_sequential_bytes(tmp_path):
+    """concat_files_parallel (the ParallelFileMerger shape,
+    util/ParallelFileMerger.scala:34) writes byte-identical output to
+    the sequential copy, returns the same prefix offsets, and handles
+    header/EOF blobs and empty parts."""
+    import random
+
+    from adam_spark.sources.binned_index import voffset  # noqa: F401
+    from adam_spark.sources.merge import concat_files_parallel
+
+    rng = random.Random(12)
+    parts = []
+    for i in range(17):
+        p = tmp_path / f"part-{i:05d}"
+        p.write_bytes(rng.randbytes(rng.choice([0, 1, 7_000, 300_000])))
+        parts.append(str(p))
+    hdr, eof = b"HEADER" * 10, b"EOF!"
+
+    seq_out, par_out = str(tmp_path / "seq.bin"), str(tmp_path / "par.bin")
+    off_seq = concat_files_parallel(seq_out, parts, hdr, eof, parallel=False)
+    off_par = concat_files_parallel(par_out, parts, hdr, eof, parallel=True)
+    assert off_seq == off_par
+    a, b = open(seq_out, "rb").read(), open(par_out, "rb").read()
+    assert a == b
+    assert a.startswith(hdr) and a.endswith(eof)
+    assert len(a) == len(hdr) + sum(os.path.getsize(p) for p in parts) + len(eof)
+    # offsets are the exact prefix sums
+    pos = len(hdr)
+    for p, off in zip(parts, off_par):
+        assert off == pos
+        pos += os.path.getsize(p)
+
+    # env opt-in (the reference's isHdfs gate analog): default is the
+    # sequential stream; ADAM_SPARK_MERGE_PARALLELISM enables threads
+    env_out = str(tmp_path / "env.bin")
+    os.environ["ADAM_SPARK_MERGE_PARALLELISM"] = "4"
+    try:
+        concat_files_parallel(env_out, parts, hdr, eof)
+    finally:
+        del os.environ["ADAM_SPARK_MERGE_PARALLELISM"]
+    assert open(env_out, "rb").read() == a
+
+
+def test_unindexed_bcf_scan_is_splittable(spark, tmp_path):
+    """A BGZF BCF with NO .csi sidecar (any foreign file) scans in
+    MULTIPLE arithmetic byte-range tasks (the load_bam shape): tasks
+    resync to a block then to a plausible record boundary
+    (_plausible_bcf_record), rows come back in exact file order with
+    content intact. Closes the documented one-task limitation."""
+    from adam_spark.sources.bcf import load_bcf, save_bcf
+
+    h = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=chr1,length=100000000>",
+        '##INFO=<ID=NOTE,Number=1,Type=String,Description="">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2",
+    ]
+    n = 60_000
+    rows = [
+        f"chr1\t{1 + i * 37}\t.\tAC\tG\t50\tPASS\tNOTE=x{i % 997}y\tGT\t0/1\t1/1"
+        for i in range(n)
+    ]
+    src = tmp_path / "v.vcf"
+    src.write_text("\n".join(h + rows) + "\n")
+    import adam_spark.sources.vcf as vcf_io2
+
+    out = str(tmp_path / "v.bcf")
+    save_bcf(vcf_io2.load_vcf(spark, str(src)), out)
+    os.remove(out + ".csi")
+
+    got = load_bcf(spark, out, target_split_bytes=64 << 10)
+    assert got.df.rdd.getNumPartitions() > 2
+    starts = [r["start"] for r in got.df.select("start").collect()]
+    assert starts == [i * 37 for i in range(n)]
+    row = got.df.where("start = 370").collect()[0]
+    assert row["variant"]["annotation"]["attributes"]["NOTE"] == "x10y"
+    assert row["genotypes"][1]["sampleId"] == "s2"
+
+
+def test_bcf_split_guesser_exact():
+    """_plausible_bcf_record accepts EVERY true record boundary and
+    rejects EVERY interior offset of a real encoded body (the
+    BAMSplitGuesser zero-false-accept contract)."""
+    import struct
+
+    from adam_spark.sources.bcf import _encode_record, _plausible_bcf_record
+
+    str_ix = {"PASS": 0, "GT": 1, "DP": 2}
+    contig_ix = {"chr1": 0}
+    buf = bytearray()
+    bounds = set()
+    for i in range(200):
+        bounds.add(len(buf))
+        line = f"chr1\t{1 + i * 13}\t.\tA\tG\t50\tPASS\t.\tGT:DP\t0/1:{i % 60}"
+        buf += _encode_record(line, str_ix, contig_ix, {}, {"DP": "Integer"}, set())
+    data = bytes(buf)
+    for off in range(len(data)):
+        assert _plausible_bcf_record(data, off, 1, 1) == (off in bounds), off
+    assert _plausible_bcf_record(data, len(data), 1, 1)  # clean EOF
