@@ -777,16 +777,27 @@ def _encode_shard(lines, shard_path: str, ref_index: dict[str, int],
 
     body = bytearray()
     spans: list[tuple[int, int, int, int, int]] = []
+    counts: dict[int, list[int]] = {}  # rid -> [n_mapped, n_unmapped]
+    no_coor = 0
     for line in lines:
         u0 = len(body)
         body += sam_line_to_bam_record(line, ref_index)
         if collect_spans:
             f = line.split("\t", 6)
             rid_ = ref_index.get(f[2], -1)
-            if rid_ >= 0 and not (int(f[1]) & 0x4):
-                beg = int(f[3]) - 1
-                end = beg + max(1, _cigar_ref_len(f[5]) if f[5] != "*" else 1)
-                spans.append((rid_, beg, end, u0, len(body)))
+            if rid_ < 0:
+                no_coor += 1  # unplaced: the .bai n_no_coor trailer
+            else:
+                c = counts.setdefault(rid_, [0, 0])
+                if int(f[1]) & 0x4:
+                    c[1] += 1  # placed-unmapped: counted, not binned
+                else:
+                    c[0] += 1
+                    beg = int(f[3]) - 1
+                    end = beg + max(
+                        1, _cigar_ref_len(f[5]) if f[5] != "*" else 1
+                    )
+                    spans.append((rid_, beg, end, u0, len(body)))
     blob, offsets = bgzf_blocks_bytes(bytes(body))
     bs = BGZF_BLOCK_SIZE
     agg = ShardIndexAgg()
@@ -798,7 +809,7 @@ def _encode_shard(lines, shard_path: str, ref_index: dict[str, int],
         )
     with open(shard_path, "wb") as f:
         f.write(blob)
-    return (shard_path, len(blob), agg.manifest())
+    return (shard_path, len(blob), agg.manifest(), counts, no_coor)
 
 
 def save_bam(
@@ -849,14 +860,22 @@ def save_bam(
         header_blob, _ = bgzf_blocks_bytes(out)
         from adam_spark.sources.merge import concat_files_parallel
 
-        live = [(sp, m) for sp, clen, m in shards if clen]
+        live = [(sp, m, c, nc) for sp, clen, m, c, nc in shards if clen]
         # shard sizes are known, so output offsets are a prefix sum and
         # the copies run as parallel positioned writes (the reference's
         # ParallelFileMerger, util/ParallelFileMerger.scala:34)
         offsets = concat_files_parallel(
-            path, [sp for sp, _ in live], header_blob, _BGZF_EOF
+            path, [sp for sp, *_ in live], header_blob, _BGZF_EOF
         )
-        bases = list(zip(offsets, (m for _, m in live)))
+        bases = list(zip(offsets, (m for _, m, _, _ in live)))
+        ref_counts: dict[int, list[int]] = {}
+        n_no_coor = 0
+        for _, _, c, nc in live:
+            n_no_coor += nc
+            for r_id, (n_map, n_unmap) in c.items():
+                t = ref_counts.setdefault(r_id, [0, 0])
+                t[0] += n_map
+                t[1] += n_unmap
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
 
@@ -876,8 +895,13 @@ def save_bam(
             depth += 1
         idx = new_index([r.name for r in refs], depth=depth)
         idx.names = []  # .bai/.csi carry no names; contig order = BAM header
-        for base, (bins, linear, _, _) in bases:
+        for base, (bins, linear, _, _, _) in bases:
             idx.add_shard(bins, linear, base)
+        # htslib metadata pseudo-bins + unplaced trailer: the payload
+        # `samtools idxstats` reads without touching the BAM
+        for r_id, (n_map, n_unmap) in ref_counts.items():
+            idx.set_ref_stats(r_id, n_map, n_unmap)
+        idx.n_no_coor = n_no_coor
         # a re-save can flip the index format (short vs long contigs);
         # the reader PREFERS .bai, so a stale sibling from a previous
         # save would silently serve region queries for old data

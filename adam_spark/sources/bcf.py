@@ -1070,7 +1070,7 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
             sp = os.path.join(shard_dir, f"part-{i:05d}")
             with open(sp, "wb") as f:
                 f.write(sblob)
-            return [(i, sp, len(sblob), agg.bins, agg.max_end)]
+            return [(i, sp, len(sblob), agg.manifest())]
 
         manifests = (
             ordered.select("value")
@@ -1090,7 +1090,7 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
             write_csi,
         )
 
-        max_end = max((m[4] for m in manifests), default=0)
+        max_end = max((m[3][2] for m in manifests), default=0)
         depth = 5
         while max_bin_coord(14, depth) < max_end and depth < 10:
             depth += 1
@@ -1103,11 +1103,18 @@ def save_bcf(gf: GenomicFrame, path: str) -> dict:
         offs = concat_files_parallel(
             path, [m[1] for m in manifests], hblob, _BGZF_EOF
         )
-        for (_, sp, _, bins, _), base in zip(manifests, offs):
+        totals: dict[int, int] = {}
+        for (_, sp, _, (bins, _, _, _, counts)), base in zip(manifests, offs):
             idx.add_shard(bins, {}, base)
             index_chunks += sum(len(c) for c in bins.values())
+            for r_id, c in counts.items():
+                totals[r_id] = totals.get(r_id, 0) + c
             os.remove(sp)
         os.rmdir(shard_dir)
+        # htslib metadata pseudo-bins (`bcftools index -s` payload)
+        for r_id, total in totals.items():
+            idx.set_ref_stats(r_id, total)
+        idx.n_no_coor = 0
         write_csi(idx, path + ".csi")
         return {"shards": len(manifests), "index_manifest_chunks": index_chunks}
     finally:

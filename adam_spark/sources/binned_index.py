@@ -108,6 +108,19 @@ class BinnedIndex:
     skip: int = 0
     min_shift: int = 14
     depth: int = 5
+    #: htslib metadata pseudo-bin payload per ref id:
+    #: (off_beg, off_end, n_mapped, n_unmapped) — what `samtools
+    #: idxstats` / `bcftools index -s` read; written when non-empty
+    meta: dict = field(default_factory=dict)
+    #: count of unplaced records (no ref/pos), the optional u64 trailer
+    n_no_coor: int | None = None
+
+    @property
+    def bin_limit(self) -> int:
+        """Number of valid bins for this (min_shift-independent) depth;
+        htslib's metadata pseudo-bin is ``bin_limit + 1`` (37450 for
+        the classic 5-level scheme)."""
+        return ((1 << (3 * (self.depth + 1))) - 1) // 7
 
     def add_record(self, ref_id: int, beg: int, end: int, vbeg: int, vend: int) -> None:
         r = self.refs[ref_id]
@@ -178,6 +191,16 @@ class BinnedIndex:
                 return 0
             first_sibling = (((b - 1) >> 3) << 3) + 1
             b = b - 1 if b > first_sibling else (b - 1) >> 3
+
+    def set_ref_stats(self, rid: int, n_mapped: int, n_unmapped: int = 0) -> None:
+        """Record the htslib metadata pseudo-bin payload for one ref:
+        counts from the fold, byte span from the folded bins."""
+        r = self.refs[rid]
+        starts = [vb for chunks in r.bins.values() for vb, _ in chunks]
+        ends = [ve for chunks in r.bins.values() for _, ve in chunks]
+        self.meta[rid] = (
+            min(starts, default=0), max(ends, default=0), n_mapped, n_unmapped
+        )
 
     def chunks_for(self, ref_id: int, beg: int, end: int) -> list[tuple[int, int]]:
         """Merged chunks that may contain records overlapping [beg, end)."""
@@ -262,7 +285,8 @@ class ShardIndexAgg:
     reproduce the stream's contig-discovery order."""
 
     __slots__ = (
-        "min_shift", "depth", "bins", "linear", "max_end", "ref_order", "_seen"
+        "min_shift", "depth", "bins", "linear", "max_end", "ref_order",
+        "counts", "_seen",
     )
 
     def __init__(self, min_shift: int = 14, depth: int = AGG_DEPTH):
@@ -272,12 +296,16 @@ class ShardIndexAgg:
         self.linear: dict[tuple, int] = {}
         self.max_end = 0
         self.ref_order: list = []
+        #: records added per ref key — feeds the htslib metadata
+        #: pseudo-bin (n_mapped) on the driver
+        self.counts: dict = {}
         self._seen: set = set()
 
     def add(self, ref_key, beg: int, end: int, vbeg: int, vend: int) -> None:
         if ref_key not in self._seen:
             self._seen.add(ref_key)
             self.ref_order.append(ref_key)
+        self.counts[ref_key] = self.counts.get(ref_key, 0) + 1
         end = max(end, beg + 1)
         if end > self.max_end:
             self.max_end = end
@@ -300,10 +328,11 @@ class ShardIndexAgg:
             if cur is None or vbeg < cur:
                 self.linear[lk] = vbeg
 
-    def manifest(self) -> tuple[dict, dict, int, list]:
+    def manifest(self) -> tuple[dict, dict, int, list, dict]:
         """Plain-data payload to return from the task (picklable,
         O(bins) + O(windows))."""
-        return (self.bins, self.linear, self.max_end, self.ref_order)
+        return (self.bins, self.linear, self.max_end, self.ref_order,
+                self.counts)
 
 
 def merge_chunks(chunks: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -323,23 +352,35 @@ def new_index(names: list[str], **meta) -> BinnedIndex:
 
 # --- binary layouts --------------------------------------------------------
 def _encode_refs(idx: BinnedIndex) -> bytes:
+    """(14,5)-scheme ref blocks for .bai/.tbi, including htslib's
+    metadata pseudo-bin 37450 per ref when stats are present: two
+    pseudo-chunks (off_beg, off_end) and (n_mapped, n_unmapped) — the
+    payload `samtools idxstats` reads without touching the BAM."""
     out = bytearray()
-    for r in idx.refs:
-        out += struct.pack("<i", len(r.bins))
+    for i, r in enumerate(idx.refs):
+        meta = idx.meta.get(i)
+        out += struct.pack("<i", len(r.bins) + (1 if meta else 0))
         for b in sorted(r.bins):
             chunks = r.bins[b]
             out += struct.pack("<Ii", b, len(chunks))
             for vb, ve in chunks:
                 out += struct.pack("<QQ", vb, ve)
+        if meta:
+            off_beg, off_end, n_mapped, n_unmapped = meta
+            out += struct.pack("<Ii4Q", 37450, 2, off_beg, off_end,
+                               n_mapped, n_unmapped)
         out += struct.pack("<i", len(r.linear))
         for v in r.linear:
             out += struct.pack("<Q", v)
     return bytes(out)
 
 
-def _decode_refs(data: bytes, off: int, n_ref: int) -> tuple[list[_RefIndex], int]:
+def _decode_refs(
+    data: bytes, off: int, n_ref: int, bin_limit: int = 37449
+) -> tuple[list[_RefIndex], int, dict]:
     refs = []
-    for _ in range(n_ref):
+    meta: dict = {}
+    for i in range(n_ref):
         (n_bin,) = struct.unpack_from("<i", data, off)
         off += 4
         r = _RefIndex()
@@ -351,13 +392,20 @@ def _decode_refs(data: bytes, off: int, n_ref: int) -> tuple[list[_RefIndex], in
                 vb, ve = struct.unpack_from("<QQ", data, off)
                 off += 16
                 chunks.append((vb, ve))
-            r.bins[b] = chunks
+            if b >= bin_limit:
+                # htslib metadata pseudo-bin: pseudo-chunks are stats,
+                # not byte ranges — never merge them into the bin map
+                if len(chunks) == 2:
+                    meta[i] = (chunks[0][0], chunks[0][1],
+                               chunks[1][0], chunks[1][1])
+            else:
+                r.bins[b] = chunks
         (n_intv,) = struct.unpack_from("<i", data, off)
         off += 4
         r.linear = [struct.unpack_from("<Q", data, off + 8 * i)[0] for i in range(n_intv)]
         off += 8 * n_intv
         refs.append(r)
-    return refs, off
+    return refs, off, meta
 
 
 def write_tbi(idx: BinnedIndex, path: str) -> None:
@@ -378,6 +426,8 @@ def write_tbi(idx: BinnedIndex, path: str) -> None:
     )
     out += names_blob
     out += _encode_refs(idx)
+    if idx.n_no_coor is not None:
+        out += struct.pack("<Q", idx.n_no_coor)
     bgzf_compress_to(path, bytes(out))
 
 
@@ -393,10 +443,14 @@ def read_tbi(path: str) -> BinnedIndex:
     off = 36
     names = [n.decode() for n in data[off : off + l_nm].split(b"\x00")[:-1]]
     off += l_nm
-    refs, _ = _decode_refs(data, off, n_ref)
+    refs, off, meta = _decode_refs(data, off, n_ref)
+    n_no_coor = (
+        struct.unpack_from("<Q", data, off)[0] if off + 8 <= len(data) else None
+    )
     return BinnedIndex(
         names=names, refs=refs, fmt=fmt, col_seq=col_seq, col_beg=col_beg,
-        col_end=col_end, meta_char=meta_char, skip=skip,
+        col_end=col_end, meta_char=meta_char, skip=skip, meta=meta,
+        n_no_coor=n_no_coor,
     )
 
 
@@ -426,14 +480,22 @@ def write_csi(idx: BinnedIndex, path: str, tabix_aux: bool = False) -> None:
     out += struct.pack("<3i", idx.min_shift, idx.depth, len(aux))
     out += aux
     out += struct.pack("<i", len(idx.refs))
-    for r in idx.refs:
-        out += struct.pack("<i", len(r.bins))
+    meta_bin = idx.bin_limit + 1
+    for i, r in enumerate(idx.refs):
+        meta = idx.meta.get(i)
+        out += struct.pack("<i", len(r.bins) + (1 if meta else 0))
         for b in sorted(r.bins):
             chunks = r.bins[b]
             loffset = min((vb for vb, _ in chunks), default=0)
             out += struct.pack("<IQi", b, loffset, len(chunks))
             for vb, ve in chunks:
                 out += struct.pack("<QQ", vb, ve)
+        if meta:
+            off_beg, off_end, n_mapped, n_unmapped = meta
+            out += struct.pack("<IQi4Q", meta_bin, 0, 2, off_beg, off_end,
+                               n_mapped, n_unmapped)
+    if idx.n_no_coor is not None:
+        out += struct.pack("<Q", idx.n_no_coor)
     bgzf_compress_to(path, bytes(out))
 
 
@@ -467,8 +529,10 @@ def read_csi(path: str) -> BinnedIndex:
     off = 16 + l_aux
     (n_ref,) = struct.unpack_from("<i", data, off)
     off += 4
+    bin_limit = ((1 << (3 * (depth + 1))) - 1) // 7
     refs = []
-    for _ in range(n_ref):
+    stats: dict = {}
+    for i in range(n_ref):
         (n_bin,) = struct.unpack_from("<i", data, off)
         off += 4
         r = _RefIndex()
@@ -480,11 +544,21 @@ def read_csi(path: str) -> BinnedIndex:
                 vb, ve = struct.unpack_from("<QQ", data, off)
                 off += 16
                 chunks.append((vb, ve))
-            r.bins[b] = chunks
-            r.loffset[b] = loffset
+            if b >= bin_limit:
+                # htslib metadata pseudo-bin — stats, not byte ranges
+                if len(chunks) == 2:
+                    stats[i] = (chunks[0][0], chunks[0][1],
+                                chunks[1][0], chunks[1][1])
+            else:
+                r.bins[b] = chunks
+                r.loffset[b] = loffset
         refs.append(r)
+    n_no_coor = (
+        struct.unpack_from("<Q", data, off)[0] if off + 8 <= len(data) else None
+    )
     return BinnedIndex(
-        names=names, refs=refs, min_shift=min_shift, depth=depth, **meta
+        names=names, refs=refs, min_shift=min_shift, depth=depth,
+        meta=stats, n_no_coor=n_no_coor, **meta
     )
 
 
@@ -494,6 +568,8 @@ def write_bai(idx: BinnedIndex, path: str) -> None:
     out += b"BAI\x01"
     out += struct.pack("<i", len(idx.refs))
     out += _encode_refs(idx)
+    if idx.n_no_coor is not None:
+        out += struct.pack("<Q", idx.n_no_coor)
     with open(path, "wb") as f:
         f.write(bytes(out))
 
@@ -504,8 +580,11 @@ def read_bai(path: str) -> BinnedIndex:
     if data[:4] != b"BAI\x01":
         raise ValueError(f"{path} is not a .bai index")
     (n_ref,) = struct.unpack_from("<i", data, 4)
-    refs, _ = _decode_refs(data, 8, n_ref)
-    return BinnedIndex(names=[], refs=refs)
+    refs, off, meta = _decode_refs(data, 8, n_ref)
+    n_no_coor = (
+        struct.unpack_from("<Q", data, off)[0] if off + 8 <= len(data) else None
+    )
+    return BinnedIndex(names=[], refs=refs, meta=meta, n_no_coor=n_no_coor)
 
 
 def split_chunks_contiguous(

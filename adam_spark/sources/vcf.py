@@ -1682,7 +1682,7 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
     # identical to the former per-record driver scan
     names: list[str] = []
     rid: dict[str, int] = {}
-    for _, _, _, (_, _, _, ref_order) in manifests:
+    for _, _, _, (_, _, _, ref_order, _) in manifests:
         for ref in ref_order:
             if ref not in rid:
                 rid[ref] = len(names)
@@ -1703,11 +1703,19 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
     from adam_spark.sources.merge import concat_files_parallel
 
     offs = concat_files_parallel(path, [m[1] for m in manifests], b"", _BGZF_EOF)
-    for (_, sp, _, (bins, linear, _, _)), base in zip(manifests, offs):
+    totals: dict[str, int] = {}
+    for (_, sp, _, (bins, linear, _, _, counts)), base in zip(manifests, offs):
         idx.add_shard(bins, linear, base, ref_ids=rid)
         index_chunks += sum(len(c) for c in bins.values())
+        for ref, c in counts.items():
+            totals[ref] = totals.get(ref, 0) + c
         os.remove(sp)
     os.rmdir(shard_dir)
+    # htslib metadata pseudo-bins: per-contig record counts + byte span
+    # (`tabix`/`bcftools index -s` read these without touching the data)
+    for ref, total in totals.items():
+        idx.set_ref_stats(rid[ref], total)
+    idx.n_no_coor = 0
     # a re-save at the same path can flip the index format (short vs
     # long contigs); the readers PREFER .tbi, so a stale sibling from a
     # previous save would silently serve region queries for old data

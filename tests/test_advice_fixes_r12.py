@@ -259,3 +259,74 @@ def test_bcf_split_guesser_exact():
     for off in range(len(data)):
         assert _plausible_bcf_record(data, off, 1, 1) == (off in bounds), off
     assert _plausible_bcf_record(data, len(data), 1, 1)  # clean EOF
+
+
+def test_index_metadata_pseudo_bins(spark, tmp_path):
+    """Written indexes carry htslib's metadata pseudo-bin (bin 37450
+    for (14,5); bin_limit+1 for CSI) with per-ref (off_beg, off_end,
+    n_mapped, n_unmapped) pseudo-chunks plus the unplaced-count trailer
+    — the payload `samtools idxstats` / `bcftools index -s` read. The
+    readers divert pseudo-bins into .meta (never the bin map), and
+    region queries are unaffected."""
+    from adam_spark.core.genomic_frame import GenomicFrame  # noqa: F401
+    from adam_spark.sources.bam import load_indexed_bam, save_bam
+    from adam_spark.sources.bcf import save_bcf
+    from adam_spark.sources.binned_index import read_bai, read_csi, read_tbi
+    from adam_spark.sources.sam import load_sam
+    from adam_spark.sources.vcf import save_vcf_bgzf
+
+    # BAM: 30 mapped chr1 + 4 placed-unmapped chr1 + 2 unplaced
+    lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:10000000"]
+    for i in range(30):
+        lines.append(
+            f"m{i}\t0\tchr1\t{100 + i * 50}\t60\t10M\t*\t0\t0\t{'A'*10}\t{'I'*10}"
+        )
+    for i in range(4):
+        lines.append(
+            f"u{i}\t4\tchr1\t{100 + i * 50}\t0\t*\t*\t0\t0\t{'A'*10}\t{'I'*10}"
+        )
+    for i in range(2):
+        lines.append(f"n{i}\t4\t*\t0\t0\t*\t*\t0\t0\t{'A'*10}\t{'I'*10}")
+    sam = tmp_path / "a.sam"
+    sam.write_text("\n".join(lines) + "\n")
+    bam = str(tmp_path / "a.bam")
+    save_bam(load_sam(spark, str(sam)), bam)
+    idx = read_bai(bam + ".bai")
+    off_beg, off_end, n_mapped, n_unmapped = idx.meta[0]
+    # the ADAM schema drops positions from unmapped reads, so the
+    # renderer emits placed-unmapped as unplaced (RNAME '*') — they
+    # count into the n_no_coor trailer, not the per-ref pseudo-bin
+    assert (n_mapped, n_unmapped) == (30, 0)
+    assert idx.n_no_coor == 6
+    assert 0 < off_beg < off_end
+    assert 37450 not in idx.refs[0].bins  # diverted, not a byte range
+    got = load_indexed_bam(spark, bam, [("chr1", 0, 500)])
+    assert got.df.count() == len(
+        [i for i in range(30) if 100 + i * 50 - 1 < 500]
+    )
+
+    # VCF.gz (.tbi) and BCF (.csi): n_mapped = record count per contig
+    h = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=chr1,length=10000000>",
+        "##contig=<ID=chr2,length=10000000>",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+    ]
+    rows = [f"chr1\t{1 + i * 97}\t.\tA\tG\t50\tPASS\t." for i in range(80)]
+    rows += [f"chr2\t{1 + i * 97}\t.\tA\tG\t50\tPASS\t." for i in range(20)]
+    src = tmp_path / "v.vcf"
+    src.write_text("\n".join(h + rows) + "\n")
+    import adam_spark.sources.vcf as vcf_io2
+
+    gf = vcf_io2.load_vcf(spark, str(src))
+    gz = str(tmp_path / "v.vcf.gz")
+    save_vcf_bgzf(gf, gz)
+    tbi = read_tbi(gz + ".tbi")
+    assert tbi.meta[0][2] == 80 and tbi.meta[1][2] == 20
+    assert tbi.n_no_coor == 0
+
+    bcf = str(tmp_path / "v.bcf")
+    save_bcf(gf, bcf)
+    csi = read_csi(bcf + ".csi")
+    assert csi.meta[0][2] == 80 and csi.meta[1][2] == 20
+    assert csi.n_no_coor == 0

@@ -74,7 +74,7 @@ def test_shard_fold_identical_to_per_record_build():
                 shift = base << 16
                 per_record.add_record(rid, beg, end, vb + shift, ve + shift)
                 agg.add(rid, beg, end, vb, ve)
-            bins, linear, _max_end, _order = agg.manifest()
+            bins, linear, _max_end, _order, _counts = agg.manifest()
             folded.add_shard(bins, linear, base)
             base += rng.randint(1000, 50_000)
         for r1, r2 in zip(per_record.refs, folded.refs):
