@@ -144,8 +144,68 @@ def save_fasta(
     )
     df = gf.df.select(F.concat_ws("\n", header, wrapped).alias("value"))
     if single_file:
-        from adam_spark.sources.merge import write_text_single_file
+        # single-file saves also emit a samtools-faidx sidecar
+        # (part-00000.fai) so the output is random-accessible by
+        # IndexedFastaFile / samtools without a rebuild pass: each
+        # shard task returns O(sequences-in-shard) (name, length,
+        # local first-base offset) entries alongside its text bytes,
+        # and the driver prefix-shifts them — the same manifest shape
+        # as the binary index writers.
+        import glob as _glob
+        import os
+        import tempfile
 
-        write_text_single_file(df, path)
+        from adam_spark.sources.merge import concat_files_parallel
+
+        fai_df = gf.df.select(
+            F.concat_ws("\n", header, wrapped).alias("value"),
+            F.substring_index(
+                F.coalesce(F.col("name"), F.col("description"), F.lit("")),
+                " ", 1,
+            ).alias("__fai_name"),
+            F.length("sequence").alias("__fai_len"),
+            # first base sits right after the header line's newline
+            (F.length(header) + 1).cast("long").alias("__fai_skip"),
+        )
+        shard_dir = tempfile.mkdtemp(
+            prefix="fa-shards-", dir=os.path.dirname(os.path.abspath(path)) or "."
+        )
+
+        def _enc(i, it):
+            buf = bytearray()
+            entries: list[tuple[str, int, int]] = []
+            for row in it:
+                entries.append(
+                    (row["__fai_name"], row["__fai_len"],
+                     len(buf) + row["__fai_skip"])
+                )
+                buf += row["value"].encode() + b"\n"
+            sp = os.path.join(shard_dir, f"part-{i:05d}")
+            with open(sp, "wb") as f:
+                f.write(bytes(buf))
+            return [(i, sp, entries)]
+
+        manifests = fai_df.rdd.mapPartitionsWithIndex(_enc).collect()
+        manifests.sort(key=lambda m: m[0])
+        os.makedirs(path, exist_ok=True)
+        for stale in _glob.glob(os.path.join(path, "part-*")) + _glob.glob(
+            os.path.join(path, "_SUCCESS")
+        ):
+            os.remove(stale)
+        out_part = os.path.join(path, "part-00000")
+        offs = concat_files_parallel(out_part, [m[1] for m in manifests])
+        with open(out_part + ".fai", "w") as fai:
+            for (_, sp, entries), base in zip(manifests, offs):
+                for name, seq_len, skip in entries:
+                    if not name or seq_len <= 0:
+                        continue  # unnamed/empty records are not seekable
+                    linebases = min(seq_len, line_width)
+                    fai.write(
+                        f"{name}\t{seq_len}\t{base + skip}\t"
+                        f"{linebases}\t{linebases + 1}\n"
+                    )
+                os.remove(sp)
+        os.rmdir(shard_dir)
+        open(os.path.join(path, "_SUCCESS"), "w").close()
     else:
         df.write.text(path)

@@ -210,6 +210,12 @@ class IndexedFastaFile:
     """
 
     def __init__(self, path: str):
+        import os
+
+        if os.path.isdir(path):
+            # Spark-style single-file save dir (save_fasta single_file
+            # writes part-00000 + part-00000.fai inside it)
+            path = os.path.join(path, "part-00000")
         self.path = path
         self._index: dict[str, tuple[int, int, int, int]] = {}
         try:

@@ -330,3 +330,45 @@ def test_index_metadata_pseudo_bins(spark, tmp_path):
     csi = read_csi(bcf + ".csi")
     assert csi.meta[0][2] == 80 and csi.meta[1][2] == 20
     assert csi.n_no_coor == 0
+
+
+def test_save_fasta_single_file_emits_faidx(spark, tmp_path):
+    """save_fasta(single_file=True) writes a samtools-faidx sidecar
+    (part-00000.fai) with exact per-sequence byte offsets — the output
+    is random-accessible by IndexedFastaFile (and samtools) without a
+    rebuild pass, across shard boundaries."""
+    import random
+
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.sources.fasta import load_fasta_sequences, save_fasta
+    from adam_spark.sources.reference_file import IndexedFastaFile
+
+    rng = random.Random(3)
+    seqs = {
+        f"ctg{i:02d}": "".join(rng.choice("ACGT") for _ in range(rng.randint(5, 400)))
+        for i in range(12)
+    }
+    src = tmp_path / "in.fa"
+    src.write_text("".join(f">{n} extra words\n{s}\n" for n, s in seqs.items()))
+    gf = load_fasta_sequences(spark, str(src))
+    gf = GenomicFrame(gf.df.repartition(4), gf.meta)
+
+    out = str(tmp_path / "out.fa")
+    save_fasta(gf, out, single_file=True)
+    assert os.path.exists(os.path.join(out, "part-00000.fai"))
+    fai_lines = open(os.path.join(out, "part-00000.fai")).read().splitlines()
+    assert len(fai_lines) == 12
+
+    idx = IndexedFastaFile(out)  # directory form resolves part-00000
+    for name, s in seqs.items():
+        assert idx.extract(name, 0, len(s)) == s
+        if len(s) > 10:
+            assert idx.extract(name, 3, 9) == s[3:9]
+
+    # the merged FASTA text itself is unchanged by the sidecar work
+    text = open(os.path.join(out, "part-00000")).read()
+    back = {}
+    for block in text.split(">")[1:]:
+        hdr, *body = block.splitlines()
+        back[hdr.split()[0]] = "".join(body)
+    assert back == seqs
