@@ -737,6 +737,34 @@ def doc_lm_score_docs(spark: SparkSession, sf: str) -> DataFrame:
     return unigram_lm_scores(load_table(spark, sf, "documents")).orderBy("id")
 
 
+_QUALITY_CLASSIFIER_SQL = """
+WITH w0 AS (
+  SELECT printf('%03x', i) AS bucket,
+         CAST((ascii(substr(printf('%03x', i), 1, 1)) * 7
+             + ascii(substr(printf('%03x', i), 2, 1)) * 3
+             + ascii(substr(printf('%03x', i), 3, 1)) * 5) % 101 AS BIGINT) AS raw
+  FROM range(4096) t(i)
+), w AS (
+  SELECT bucket, raw - 50 AS weight FROM w0 WHERE raw % 3 <> 0
+), tk0 AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+  FROM documents
+), tk AS (
+  SELECT id, substr(md5(tok), 1, 3) AS bucket FROM tk0
+), sc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(weight) AS BIGINT) AS feat_hits,
+         CAST(COALESCE(sum(weight), 0) AS BIGINT) AS score_sum
+  FROM tk LEFT JOIN w USING (bucket) GROUP BY id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(feat_hits, 0) AS BIGINT) AS feat_hits,
+       CAST(COALESCE(score_sum, 0) AS BIGINT) AS score_sum
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.id ORDER BY id
+"""
+
 _DOC_LM_SQL = """
 WITH tk AS (
   SELECT doc_id AS id,
@@ -1062,6 +1090,38 @@ FROM q GROUP BY source ORDER BY source
 
 def text_profile_docs(spark: SparkSession, sf: str) -> DataFrame:
     return text_profile(load_table(spark, sf, "documents")).orderBy("id")
+
+
+def quality_classifier_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style hashed linear classifier score
+    (llm/text.hashed_classifier_score — the CCNet quality-filter
+    shape): lower-cased whitespace tokens map into a 4096-bucket
+    feature table by the first 3 hex chars of md5(token) (the hashing
+    trick, engine-portable), and each document's score is the sum of
+    its matched feature weights. The weight table here is synthetic and
+    DETERMINISTIC — weight = ((ascii(h1)*7 + ascii(h2)*3 + ascii(h3)*5)
+    % 101) - 50 over the bucket's hex chars, with every third raw
+    value dropped so out-of-vocabulary buckets exercise the left join —
+    so the SQL oracle rebuilds the exact same table from range(4096).
+    All columns exact integers. Scale shape: narrow bucket map,
+    broadcast feature join (4096 rows), one map-side-combined groupBy;
+    the corpus never shuffles beyond the per-doc sum."""
+    from adam_spark.llm.text import hashed_classifier_score
+
+    docs = load_table(spark, sf, "documents")
+    b = F.format_string("%03x", F.col("id"))
+    raw = (
+        F.ascii(F.substring(b, 1, 1)) * 7
+        + F.ascii(F.substring(b, 2, 1)) * 3
+        + F.ascii(F.substring(b, 3, 1)) * 5
+    ) % 101
+    weights = (
+        spark.range(4096)
+        .select(b.alias("bucket"), raw.alias("raw"))
+        .where((F.col("raw") % 3) != 0)
+        .select("bucket", (F.col("raw") - 50).cast("long").alias("weight"))
+    )
+    return hashed_classifier_score(docs, weights).orderBy("id")
 
 
 def gopher_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -3265,6 +3325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stay in-window
         "mark_duplicates_fragments_orders": mark_duplicates_fragments_orders,
         "bloom_decontaminate_docs": bloom_decontaminate_docs,
+        # r12: fastText-style hashed linear classifier (new operator;
+        # parked past the cap with a full exact oracle — capless
+        # check_oracle covers it, window promotion next rotation)
+        "quality_classifier_docs": quality_classifier_docs,
     }
 
 
@@ -3292,6 +3356,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_boilerplate_docs": _REMOVE_BOILERPLATE_SQL,
         "embedding_quantize_stats": _EMB_QUANT_SQL,
         "doc_lm_score_docs": _DOC_LM_SQL,
+        "quality_classifier_docs": _QUALITY_CLASSIFIER_SQL,
         "dedup_incremental_docs": _minhash_between_sql(),
         "chunk_docs": _CHUNK_SQL,
         "sample_mixture_docs": _SAMPLE_MIXTURE_SQL,

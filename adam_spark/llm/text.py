@@ -751,3 +751,69 @@ def gopher_quality(
         *[v.alias(k) for k, v in checks.items()],
         keep.alias("keep"),
     )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_prefix_len: int = 3,
+    broadcast_weights: bool | None = None,
+) -> DataFrame:
+    """fastText-style hashed LINEAR classifier score per document — the
+    CCNet/quality-filter shape: tokens map into a fixed feature table
+    by the hashing trick and the document's score is the sum of the
+    matched feature weights.
+
+    Features are lower-cased whitespace tokens bucketed by the first
+    ``hash_prefix_len`` hex chars of ``md5(token)`` (``16^k`` buckets;
+    md5 is engine-portable, so a DuckDB oracle reproduces the bucketing
+    exactly). ``weights`` is a ``(bucket, weight)`` DataFrame — weight
+    in INTEGER micro-units, the repo convention for engine-exact
+    scores; buckets absent from the table are out-of-vocabulary and
+    contribute nothing. Returns ``(id, n_tokens, feat_hits,
+    score_sum)`` with every column exact-integer; token-less documents
+    keep their row with zeros.
+
+    Scale shape: one narrow map computes buckets (no UDF), the weight
+    lookup is an equi-join against a table of at most ``16^k`` rows —
+    broadcast under the measured cap (a 4096-row feature table always
+    is), shuffle fallback above it — and the per-document sum is one
+    map-side-combined groupBy. The corpus is never shuffled beyond that
+    aggregation; nothing collects on the driver.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    ).select(
+        "id", F.substring(F.md5("tok"), 1, hash_prefix_len).alias("bucket")
+    )
+    w = weights.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+    if broadcast_weights is None:
+        broadcast_weights = 16 ** hash_prefix_len * 64 <= VOCAB_BROADCAST_CAP_BYTES
+    maybe_bc = F.broadcast if broadcast_weights else (lambda x: x)
+    scored = (
+        toks.join(maybe_bc(w), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("weight").cast("long").alias("feat_hits"),
+            F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score_sum"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("feat_hits", F.lit(0)).cast("long").alias("feat_hits"),
+            F.coalesce("score_sum", F.lit(0)).cast("long").alias("score_sum"),
+        )
+    )

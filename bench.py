@@ -80,6 +80,8 @@ EXTENDED = [
     "gopher_quality_docs",
     # r8b: exact duplicate-substring removal (new operator)
     "dedup_substrings_docs",
+    # r12: fastText-style hashed linear classifier (new operator)
+    "quality_classifier_docs",
 ]
 
 

@@ -372,3 +372,36 @@ def test_save_fasta_single_file_emits_faidx(spark, tmp_path):
         hdr, *body = block.splitlines()
         back[hdr.split()[0]] = "".join(body)
     assert back == seqs
+
+
+def test_hashed_classifier_score(spark):
+    """fastText-style hashed linear classifier: md5-prefix bucketing,
+    OOV buckets contribute nothing, token-less docs keep zero rows, and
+    the broadcast and shuffle join paths agree exactly."""
+    import hashlib
+
+    from adam_spark.llm.text import hashed_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma"), (3, ""), (4, "ALPHA")],
+        "doc_id long, text string",
+    )
+
+    def bucket(tok):
+        return hashlib.md5(tok.encode()).hexdigest()[:3]
+
+    # weights cover alpha's bucket only -> beta/gamma are OOV
+    weights = spark.createDataFrame(
+        [(bucket("alpha"), 7)], "bucket string, weight long"
+    )
+    for bc in (True, False):
+        rows = {
+            r["id"]: (r["n_tokens"], r["feat_hits"], r["score_sum"])
+            for r in hashed_classifier_score(
+                docs, weights, broadcast_weights=bc
+            ).collect()
+        }
+        assert rows[1] == (3, 2, 14)   # alpha twice, beta OOV
+        assert rows[2] == (1, 0, 0)    # fully OOV
+        assert rows[3] == (0, 0, 0)    # token-less doc keeps its row
+        assert rows[4] == (1, 1, 7)    # lower-cased before hashing
