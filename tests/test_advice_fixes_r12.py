@@ -405,3 +405,24 @@ def test_hashed_classifier_score(spark):
         assert rows[2] == (1, 0, 0)    # fully OOV
         assert rows[3] == (0, 0, 0)    # token-less doc keeps its row
         assert rows[4] == (1, 1, 7)    # lower-cased before hashing
+
+
+def test_bcf_split_guesser_exact_sites_only():
+    """Same zero-false-accept sweep for a SITES-ONLY body (n_sample=0
+    adds the l_indiv==0 / n_fmt==0 constraints the guesser checks)."""
+    from adam_spark.sources.bcf import _encode_record, _plausible_bcf_record
+
+    str_ix = {"PASS": 0, "DP": 1}
+    contig_ix = {"chr1": 0, "chr2": 1}
+    buf = bytearray()
+    bounds = set()
+    for i in range(150):
+        bounds.add(len(buf))
+        ref = "chr1" if i % 2 else "chr2"
+        line = f"{ref}\t{1 + i * 29}\t.\tAC\tG,T\t50\tPASS\tDP={i % 90}"
+        buf += _encode_record(line, str_ix, contig_ix, {"DP": "Integer"}, {}, set())
+    data = bytes(buf)
+    for off in range(len(data)):
+        assert _plausible_bcf_record(data, off, 2, 0) == (off in bounds), off
+    # a sample-count mismatch rejects every offset outright
+    assert not any(_plausible_bcf_record(data, off, 2, 3) for off in range(len(data)))
