@@ -759,6 +759,7 @@ def hashed_classifier_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_prefix_len: int = 3,
+    word_ngrams: int = 1,
     broadcast_weights: bool | None = None,
 ) -> DataFrame:
     """fastText-style hashed LINEAR classifier score per document — the
@@ -776,6 +777,12 @@ def hashed_classifier_score(
     score_sum)`` with every column exact-integer; token-less documents
     keep their row with zeros.
 
+    ``word_ngrams`` > 1 adds fastText's signature higher-order
+    features: every space-joined word n-gram up to that order hashes
+    into the same bucket space (pure array transforms over the token
+    array — no extra shuffle, no UDF). ``n_tokens`` stays the UNIGRAM
+    count; ``feat_hits``/``score_sum`` run over all feature orders.
+
     Scale shape: one narrow map computes buckets (no UDF), the weight
     lookup is an equi-join against a table of at most ``16^k`` rows —
     broadcast under the measured cap (a 4096-row feature table always
@@ -783,17 +790,42 @@ def hashed_classifier_score(
     map-side-combined groupBy. The corpus is never shuffled beyond that
     aggregation; nothing collects on the driver.
     """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+
+    def _grams(n):
+        # space-joined word n-grams; sequence(1, 0) counts DOWN, so
+        # short documents need the explicit empty-array guard
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    feats = _grams(1)
+    for n in range(2, word_ngrams + 1):
+        feats = F.concat(feats, _grams(n))
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
-        ).alias("tok"),
+        F.size(words).cast("long").alias("__n_tokens"),
+        F.explode(feats).alias("tok"),
     ).select(
-        "id", F.substring(F.md5("tok"), 1, hash_prefix_len).alias("bucket")
+        "id", "__n_tokens",
+        F.substring(F.md5("tok"), 1, hash_prefix_len).alias("bucket"),
     )
-    w = weights.select(
-        F.col("bucket").cast("string").alias("bucket"),
-        F.col("weight").cast("long").alias("weight"),
+    # one weight per bucket is the feature-table contract; duplicate
+    # keys (hash collisions in a caller-built table) SUM, the hashing
+    # trick's standard collision semantics
+    w = (
+        weights.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("weight").cast("long").alias("weight"))
     )
     if broadcast_weights is None:
         broadcast_weights = 16 ** hash_prefix_len * 64 <= VOCAB_BROADCAST_CAP_BYTES
@@ -802,7 +834,7 @@ def hashed_classifier_score(
         toks.join(maybe_bc(w), "bucket", "left")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.max("__n_tokens").alias("n_tokens"),
             F.count("weight").cast("long").alias("feat_hits"),
             F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score_sum"),
         )

@@ -426,3 +426,42 @@ def test_bcf_split_guesser_exact_sites_only():
         assert _plausible_bcf_record(data, off, 2, 0) == (off in bounds), off
     # a sample-count mismatch rejects every offset outright
     assert not any(_plausible_bcf_record(data, off, 2, 3) for off in range(len(data)))
+
+
+def test_hashed_classifier_word_ngrams(spark):
+    """word_ngrams=2 adds fastText's bigram features: 'a b' hashes into
+    the same bucket space via pure array transforms (no extra shuffle),
+    n_tokens stays the unigram count, and a one-word document yields no
+    bigrams (the sequence(1,0) guard)."""
+    import hashlib
+
+    from adam_spark.llm.text import hashed_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a")], "doc_id long, text string"
+    )
+
+    def bucket(feat):
+        return hashlib.md5(feat.encode()).hexdigest()[:3]
+
+    # NOTE: md5('a')[:3] == md5('a b')[:3] == '0cc' — a real 3-hex
+    # collision; the operator sums duplicate-bucket weights (the
+    # hashing trick's standard collision semantics), so bucket 0cc
+    # carries 100 + 1 = 101
+    weights = spark.createDataFrame(
+        [(bucket("a b"), 100), (bucket("b c"), 10), (bucket("a"), 1)],
+        "bucket string, weight long",
+    )
+    rows = {
+        r["id"]: (r["n_tokens"], r["feat_hits"], r["score_sum"])
+        for r in hashed_classifier_score(docs, weights, word_ngrams=2).collect()
+    }
+    # features of doc 1: a(101) b(-) c(-) 'a b'(101) 'b c'(10)
+    assert rows[1] == (3, 3, 212)
+    assert rows[2] == (1, 1, 101)  # no bigram from one word
+    # unigram mode: only a hits (101)
+    rows1 = {
+        r["id"]: r["score_sum"]
+        for r in hashed_classifier_score(docs, weights).collect()
+    }
+    assert rows1 == {1: 101, 2: 101}
