@@ -428,6 +428,64 @@ def _cmd_transform_alignments(args) -> int:
     return 0
 
 
+def _cmd_idxstats(args) -> int:
+    """samtools-idxstats analog (beyond the reference CLI): per-contig
+    `name  length  n_mapped  n_unmapped` plus a trailing `*` row for
+    unplaced reads, answered ENTIRELY from the index sidecar's metadata
+    pseudo-bins when one exists (.bai/.csi next to a .bam — O(index)
+    driver I/O, the data file is never opened); without an index it
+    falls back to one distributed scan + groupBy."""
+    import os as _os
+
+    spark = None
+    lines: list[str] = []
+    bam_like = args.input.lower().endswith(".bam")
+    idx = None
+    if bam_like:
+        from adam_spark.sources.binned_index import read_bai, read_csi
+
+        if _os.path.exists(args.input + ".bai"):
+            idx = read_bai(args.input + ".bai")
+        elif _os.path.exists(args.input + ".csi"):
+            idx = read_csi(args.input + ".csi")
+    if idx is not None and (idx.meta or idx.n_no_coor is not None):
+        from adam_spark.sources.bam import _read_bam_header_lazy
+
+        header_lines, ref_names, _, _ = _read_bam_header_lazy(args.input)
+        lengths = {}
+        for ln in header_lines:
+            if ln.startswith("@SQ"):
+                f = dict(t.split(":", 1) for t in ln.split("\t")[1:] if ":" in t)
+                if "SN" in f:
+                    lengths[f["SN"]] = int(f.get("LN", 0))
+        for rid_, name in enumerate(ref_names):
+            m = idx.meta.get(rid_, (0, 0, 0, 0))
+            lines.append(f"{name}\t{lengths.get(name, 0)}\t{m[2]}\t{m[3]}")
+        lines.append(f"*\t0\t0\t{idx.n_no_coor or 0}")
+    else:
+        from adam_spark import context as ctx
+
+        spark = _spark(args)
+        gf = ctx.load_alignments(spark, args.input)
+        counts = {
+            r["referenceName"]: (r["m"], r["u"])
+            for r in gf.df.groupBy("referenceName")
+            .agg(
+                F.sum(F.when(F.col("readMapped"), 1).otherwise(0)).alias("m"),
+                F.sum(F.when(~F.coalesce("readMapped", F.lit(False)), 1)
+                      .otherwise(0)).alias("u"),
+            )
+            .collect()
+        }
+        for ref in gf.meta.references.references:
+            m, u = counts.get(ref.name, (0, 0))
+            lines.append(f"{ref.name}\t{ref.length or 0}\t{m}\t{u}")
+        un = counts.get(None, (0, 0))
+        lines.append(f"*\t0\t0\t{un[0] + un[1]}")
+    print("\n".join(lines))
+    return 0
+
+
 def _cmd_flagstat(args) -> int:
     from adam_spark import context as ctx
     from adam_spark.operators.flagstat import flagstat
@@ -1057,6 +1115,11 @@ def build_parser() -> argparse.ArgumentParser:
     ta.add_argument("-reference", dest="reference", default=None,
                     help="reference file (.2bit/FASTA): refresh MD tags after -realign_indels")
     ta.set_defaults(fn=_cmd_transform_alignments)
+
+    ix = sub.add_parser("idxstats", help="samtools-idxstats per-contig counts"
+                        " (from the index sidecar when present)")
+    ix.add_argument("input")
+    ix.set_defaults(fn=_cmd_idxstats)
 
     fs = sub.add_parser("flagstat", help="samtools-flagstat counters")
     fs.add_argument("input")

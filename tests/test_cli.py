@@ -887,3 +887,35 @@ def test_region_predicate_routes_through_indexed_bam(spark, tmp_path, monkeypatc
     want = sorted(1 + 53 * i for i in range(2000)
                   if 53 * i + 20 > 10_000 and 53 * i < 20_000)
     assert sorted(int(ln.split("\t")[3]) for ln in body) == want
+
+
+def test_idxstats_cli(spark, tmp_path, capsys):
+    """idxstats answers from the index sidecar's metadata pseudo-bins
+    when present (no data scan) and matches the full-scan fallback."""
+    from adam_spark.sources.bam import save_bam
+    from adam_spark.sources.sam import load_sam
+
+    lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:5000000", "@SQ\tSN:chr2\tLN:700"]
+    for i in range(25):
+        ref = "chr1" if i < 20 else "chr2"
+        lines.append(
+            f"r{i}\t0\t{ref}\t{50 + i * 11}\t60\t10M\t*\t0\t0\t{'A'*10}\t{'I'*10}"
+        )
+    lines.append(f"u0\t4\t*\t0\t0\t*\t*\t0\t0\t{'A'*10}\t{'I'*10}")
+    sam = tmp_path / "a.sam"
+    sam.write_text("\n".join(lines) + "\n")
+    bam = str(tmp_path / "a.bam")
+    save_bam(load_sam(spark, str(sam)), bam)
+
+    want = "chr1\t5000000\t20\t0\nchr2\t700\t5\t0\n*\t0\t0\t1"
+    assert main(["idxstats", bam]) == 0
+    assert capsys.readouterr().out.strip() == want
+
+    # fallback: no index -> distributed scan, same numbers
+    os.remove(bam + ".bai")
+    assert main(["idxstats", bam]) == 0
+    assert capsys.readouterr().out.strip() == want
+
+    # SAM input (never indexed) also goes through the scan path
+    assert main(["idxstats", str(sam)]) == 0
+    assert capsys.readouterr().out.strip() == want
