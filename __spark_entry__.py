@@ -3214,6 +3214,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # right_outer, and it stays in the bench headline group) and
     # coverage_from_reads (family stays in-window via coverage_binned,
     # promoted r11).
+    # ROUND-13 WINDOW ROTATION (per the r12 verdict item 3): promote
+    # quality_classifier_docs (new r12 operator, full exact oracle,
+    # capless-green in r12's judge run, never driver-recorded). Parked
+    # in exchange: sample_stratified_docs (driver-green r6-r12; the
+    # sampling family stays in-window via sample_mixture_docs, and the
+    # stratified arm stays pytest-pinned).
     return {
         "events_sessions": events_sessions,
         "interval_join_inner": _ij("inner"),
@@ -3262,7 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_reads_by_index_rank": sort_reads_by_index_rank,
         "quality_binning_reads": quality_binning_reads,
         "corpus_source_stats": corpus_source_stats,
-        "sample_stratified_docs": sample_stratified_docs,
+        "quality_classifier_docs": quality_classifier_docs,
         "tfidf_top_terms_docs": tfidf_top_terms_docs,
         "pack_sequences_docs": pack_sequences_docs,
         # --- entries past the driver's 50-query cap (see the note at the
@@ -3325,10 +3331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stay in-window
         "mark_duplicates_fragments_orders": mark_duplicates_fragments_orders,
         "bloom_decontaminate_docs": bloom_decontaminate_docs,
-        # r12: fastText-style hashed linear classifier (new operator;
-        # parked past the cap with a full exact oracle — capless
-        # check_oracle covers it, window promotion next rotation)
-        "quality_classifier_docs": quality_classifier_docs,
+        # r13 rotation: sample_stratified_docs parks here after seven
+        # rounds of driver-green history (r6-r12) in exchange for
+        # quality_classifier_docs (promoted per the r12 verdict item 3);
+        # the sampling family stays in-window via sample_mixture_docs
+        "sample_stratified_docs": sample_stratified_docs,
     }
 
 

@@ -200,8 +200,13 @@ def _cmd_transform_alignments(args) -> int:
             ):
                 from adam_spark.sources.bam import load_indexed_bam
 
+                # -stringency reaches the header parse on this arm too
+                # (the fallback passes it to load_alignments; without
+                # this, whether a malformed header raised depended on
+                # whether a .bai happened to exist)
                 gf = load_indexed_bam(
-                    spark, args.input, _parse_regions(args.region_predicate)
+                    spark, args.input, _parse_regions(args.region_predicate),
+                    stringency=args.stringency,
                 )
         if gf is None:
             # -stringency reaches the SAM header parse
@@ -434,12 +439,22 @@ def _cmd_idxstats(args) -> int:
     unplaced reads, answered ENTIRELY from the index sidecar's metadata
     pseudo-bins when one exists (.bai/.csi next to a .bam — O(index)
     driver I/O, the data file is never opened); without an index it
-    falls back to one distributed scan + groupBy."""
+    falls back to one distributed scan + groupBy.
+
+    Variant inputs (.vcf.gz/.vcf.bgz/.bcf with a .tbi/.csi sidecar)
+    print `bcftools index -s` rows instead: `name  length-or-.
+    n_records`, one per contig WITH records, from the same metadata
+    pseudo-bins (the payload save_vcf_bgzf/save_bcf write) — the
+    header read is O(header) and the data body is never scanned. The
+    index-less fallback counts loaded rows, which on per-alt-line
+    files (what this repo's writers produce) equals the record count."""
     import os as _os
 
     spark = None
     lines: list[str] = []
-    bam_like = args.input.lower().endswith(".bam")
+    low = args.input.lower()
+    bam_like = low.endswith(".bam")
+    vcf_like = low.endswith((".vcf.gz", ".vcf.bgz", ".bcf"))
     idx = None
     if bam_like:
         from adam_spark.sources.binned_index import read_bai, read_csi
@@ -448,6 +463,67 @@ def _cmd_idxstats(args) -> int:
             idx = read_bai(args.input + ".bai")
         elif _os.path.exists(args.input + ".csi"):
             idx = read_csi(args.input + ".csi")
+    elif vcf_like:
+        from adam_spark.sources.binned_index import read_csi, read_tbi
+
+        if _os.path.exists(args.input + ".tbi"):
+            idx = read_tbi(args.input + ".tbi")
+        elif _os.path.exists(args.input + ".csi"):
+            idx = read_csi(args.input + ".csi")
+    if vcf_like:
+        if idx is not None and idx.meta:
+            # contig dictionary (rid order + lengths): the BCF header
+            # or the VCF '##contig' lines — O(header) driver reads
+            if low.endswith(".bcf"):
+                from adam_spark.sources.bcf import _bcf_header_driver_side
+
+                _, _, refs_, _ = _bcf_header_driver_side(args.input)
+            else:
+                from adam_spark.sources.vcf import (
+                    _header_from_lines,
+                    _header_lines_local,
+                )
+
+                _, refs_, _ = _header_from_lines(
+                    _header_lines_local(args.input)
+                )
+            lengths = {r.name: r.length for r in refs_}
+            # .tbi / tabix-over-CSI carry rid-ordered names in the
+            # index itself; a plain BCF .csi doesn't (BCF keeps them
+            # in its own header dictionary)
+            names = list(idx.names) or [r.name for r in refs_]
+            for rid_, name in enumerate(names):
+                m = idx.meta.get(rid_)
+                if m and m[2] + m[3] > 0:
+                    lng = lengths.get(name)
+                    lines.append(f"{name}\t{lng if lng else '.'}\t{m[2] + m[3]}")
+        else:
+            from adam_spark import context as ctx
+
+            spark = _spark(args)
+            gf = ctx.load_variant_contexts(spark, args.input)
+            counts = {
+                r["referenceName"]: r["n"]
+                for r in gf.df.groupBy("referenceName")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            lengths = {
+                r.name: r.length for r in gf.meta.references.references
+            }
+            ordered = [
+                r.name
+                for r in gf.meta.references.references
+                if counts.get(r.name)
+            ] + sorted(
+                k for k in counts
+                if k is not None and k not in lengths
+            )
+            for name in ordered:
+                lng = lengths.get(name)
+                lines.append(f"{name}\t{lng if lng else '.'}\t{counts[name]}")
+        print("\n".join(lines))
+        return 0
     if idx is not None and (idx.meta or idx.n_no_coor is not None):
         from adam_spark.sources.bam import _read_bam_header_lazy
 
@@ -477,9 +553,18 @@ def _cmd_idxstats(args) -> int:
             )
             .collect()
         }
+        listed = set()
         for ref in gf.meta.references.references:
             m, u = counts.get(ref.name, (0, 0))
             lines.append(f"{ref.name}\t{ref.length or 0}\t{m}\t{u}")
+            listed.add(ref.name)
+        # contigs present in the data but absent from the sequence
+        # dictionary still get a row (length 0) — samtools idxstats
+        # totals always sum to the read count, so dropping unlisted
+        # groupBy keys would silently lose reads from the totals
+        for name in sorted(k for k in counts if k is not None and k not in listed):
+            m, u = counts[name]
+            lines.append(f"{name}\t0\t{m}\t{u}")
         un = counts.get(None, (0, 0))
         lines.append(f"*\t0\t0\t{un[0] + un[1]}")
     print("\n".join(lines))
@@ -1117,7 +1202,8 @@ def build_parser() -> argparse.ArgumentParser:
     ta.set_defaults(fn=_cmd_transform_alignments)
 
     ix = sub.add_parser("idxstats", help="samtools-idxstats per-contig counts"
-                        " (from the index sidecar when present)")
+                        " for BAM, `bcftools index -s` rows for"
+                        " .vcf.gz/.bcf (from the index sidecar when present)")
     ix.add_argument("input")
     ix.set_defaults(fn=_cmd_idxstats)
 

@@ -60,11 +60,12 @@ def load_alignments(
     if _has_ext(path, ".bam"):
         from adam_spark.sources.bam import load_bam
 
-        return load_bam(spark, path)
+        return load_bam(spark, path, stringency=stringency)
     if _has_ext(path, ".cram"):
         from adam_spark.sources.cram import load_cram
 
-        return load_cram(spark, path, reference=reference)
+        return load_cram(spark, path, reference=reference,
+                         stringency=stringency)
     if _has_ext(path, ".fq", ".fastq", ".ifq"):
         return _fastq.load_fastq_alignments(spark, path, path2)
     return _load_parquet(spark, path, "alignment")

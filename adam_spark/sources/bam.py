@@ -91,7 +91,9 @@ def bgzf_blocks_bytes(data: bytes, block_size: int = BGZF_BLOCK_SIZE) -> tuple[b
     return bytes(out), offsets
 
 
-def bgzf_compress_to(path: str, data: bytes, block_size: int = BGZF_BLOCK_SIZE) -> list[int]:
+def bgzf_compress_to(
+    path: str, data: bytes, block_size: int = BGZF_BLOCK_SIZE, fs=None
+) -> list[int]:
     """Write ``data`` as BGZF blocks + EOF sentinel.
 
     Returns the compressed file offset of each block PLUS the sentinel
@@ -100,10 +102,16 @@ def bgzf_compress_to(path: str, data: bytes, block_size: int = BGZF_BLOCK_SIZE) 
     ``u % block_size`` (a ``u`` exactly at the data end maps into the
     empty sentinel block — still a valid virtual offset).
     """
+    from adam_spark.sources.filesystem import get_fs
+
+    fs, path = get_fs(path, fs)
     blob, offsets = bgzf_blocks_bytes(data, block_size)
-    with open(path, "wb") as out:
+    out = fs.open_write(path)
+    try:
         out.write(blob)
         out.write(_BGZF_EOF)
+    finally:
+        out.close()
     return offsets
 
 
@@ -548,7 +556,8 @@ def _expand_bam_paths(path: str) -> list[str] | None:
 
 
 def load_bam(
-    spark: SparkSession, path: str, target_split_bytes: int = 16 << 20
+    spark: SparkSession, path: str, target_split_bytes: int = 16 << 20,
+    stringency: str = "SILENT",
 ) -> GenomicFrame:
     """BAM → alignments via a distributed BGZF block-range scan.
 
@@ -567,7 +576,7 @@ def load_bam(
     if multi is not None:
         if not multi:
             raise FileNotFoundError(f"no .bam files match {path}")
-        gfs = [load_bam(spark, p, target_split_bytes) for p in multi]
+        gfs = [load_bam(spark, p, target_split_bytes, stringency) for p in multi]
         df = gfs[0].df
         meta = gfs[0].meta
         for g in gfs[1:]:
@@ -613,7 +622,7 @@ def load_bam(
     )
     raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
     return GenomicFrame(
-        *_aligned_with_meta(raw, header_lines)
+        *_aligned_with_meta(raw, header_lines, stringency)
     )
 
 
@@ -633,7 +642,8 @@ def _decode_chunk_range(path: str, chunks: list[tuple[int, int]], ref_names: lis
 
 
 def load_indexed_bam(
-    spark: SparkSession, path: str, regions: list[tuple[str, int, int]]
+    spark: SparkSession, path: str, regions: list[tuple[str, int, int]],
+    stringency: str = "SILENT",
 ) -> GenomicFrame:
     """Region-filtered BAM load (reference: ADAMContext.loadIndexedBam
     :2125-2308). With a ``.bai`` next to the file (``save_bam`` writes
@@ -648,7 +658,9 @@ def load_indexed_bam(
     bai = path + ".bai"
     csi = path + ".csi"
     if not os.path.exists(bai) and not os.path.exists(csi):
-        return load_bam(spark, path).filter_by_overlapping_regions(regions)
+        return load_bam(
+            spark, path, stringency=stringency
+        ).filter_by_overlapping_regions(regions)
 
     from adam_spark.sources.binned_index import merge_chunks, read_bai, read_csi
 
@@ -675,7 +687,7 @@ def load_indexed_bam(
         lambda t: _decode_chunk_range(path, t, ref_names)
     )
     raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
-    gf = GF(*_aligned_with_meta(raw, header_lines))
+    gf = GF(*_aligned_with_meta(raw, header_lines, stringency))
     return gf.filter_by_overlapping_regions(regions)
 
 
@@ -764,7 +776,7 @@ def _cigar_ref_len(cigar: str) -> int:
 
 
 def _encode_shard(lines, shard_path: str, ref_index: dict[str, int],
-                  collect_spans: bool):
+                  collect_spans: bool, fs=None):
     """Executor task: SAM lines → one BGZF shard file (no EOF member).
 
     Returns one tuple: (shard_path, compressed_len, index manifest)
@@ -807,13 +819,21 @@ def _encode_shard(lines, shard_path: str, ref_index: dict[str, int],
             voffset(offsets[u0 // bs], u0 % bs),
             voffset(offsets[u1 // bs], u1 % bs),
         )
-    with open(shard_path, "wb") as f:
+    if fs is None:
+        from adam_spark.sources.filesystem import LocalFileSystem
+
+        fs = LocalFileSystem()
+    f = fs.open_write(shard_path)
+    try:
         f.write(blob)
+    finally:
+        f.close()
     return (shard_path, len(blob), agg.manifest(), counts, no_coor)
 
 
 def save_bam(
-    gf: GenomicFrame, path: str, write_index: bool = True, pg_line: str | None = None
+    gf: GenomicFrame, path: str, write_index: bool = True,
+    pg_line: str | None = None, fs=None,
 ) -> None:
     """Alignments → single-file BAM via PARALLEL shard compression.
 
@@ -827,10 +847,12 @@ def save_bam(
     ``write_index`` also emits ``path + ".bai"`` (per-record span
     metadata returns to the driver shifted by each shard's base; skip
     the index for pure-throughput exports)."""
-    import shutil
-    import tempfile
-
+    from adam_spark.sources.filesystem import get_fs
     from adam_spark.sources.sam import sam_body_lines, sam_header_lines
+
+    # resolved ONCE here; the handle rides the task closures so shard
+    # bytes stream executor->store directly (HDFS/S3 via pyarrow.fs)
+    fs, path = get_fs(path, fs)
 
     header = sam_header_lines(gf.meta, pg_line=pg_line)
     refs = [r for r in gf.meta.references.references]
@@ -842,7 +864,9 @@ def save_bam(
         nb = r.name.encode() + b"\x00"
         out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", r.length or 0)
 
-    shard_dir = tempfile.mkdtemp(prefix="bam-shards-", dir=os.path.dirname(os.path.abspath(path)) or ".")
+    shard_dir = path + ".__shards"
+    fs.rmtree(shard_dir)
+    fs.makedirs(shard_dir)
     try:
         shards = (
             sam_body_lines(gf.df)
@@ -850,8 +874,8 @@ def save_bam(
             .mapPartitionsWithIndex(
                 lambda i, it: [
                     _encode_shard(
-                        it, os.path.join(shard_dir, f"part-{i:05d}"), ref_index,
-                        write_index,
+                        it, fs.join(shard_dir, f"part-{i:05d}"), ref_index,
+                        write_index, fs,
                     )
                 ]
             )
@@ -865,7 +889,7 @@ def save_bam(
         # the copies run as parallel positioned writes (the reference's
         # ParallelFileMerger, util/ParallelFileMerger.scala:34)
         offsets = concat_files_parallel(
-            path, [sp for sp, *_ in live], header_blob, _BGZF_EOF
+            path, [sp for sp, *_ in live], header_blob, _BGZF_EOF, fs=fs
         )
         bases = list(zip(offsets, (m for _, m, _, _ in live)))
         ref_counts: dict[int, list[int]] = {}
@@ -877,7 +901,7 @@ def save_bam(
                 t[0] += n_map
                 t[1] += n_unmap
     finally:
-        shutil.rmtree(shard_dir, ignore_errors=True)
+        fs.rmtree(shard_dir)
 
     if write_index:
         from adam_spark.sources.binned_index import (
@@ -906,16 +930,16 @@ def save_bam(
         # the reader PREFERS .bai, so a stale sibling from a previous
         # save would silently serve region queries for old data
         if depth == 5:
-            if os.path.exists(path + ".csi"):
-                os.remove(path + ".csi")
-            write_bai(idx, path + ".bai")
+            if fs.exists(path + ".csi"):
+                fs.remove(path + ".csi")
+            write_bai(idx, path + ".bai", fs=fs)
         else:
-            if os.path.exists(path + ".bai"):
-                os.remove(path + ".bai")
-            write_csi(idx, path + ".csi")
+            if fs.exists(path + ".bai"):
+                fs.remove(path + ".bai")
+            write_csi(idx, path + ".csi", fs=fs)
     else:
         # the data changed; any index from a previous indexed save at
         # this path no longer addresses it
         for stale in (path + ".bai", path + ".csi"):
-            if os.path.exists(stale):
-                os.remove(stale)
+            if fs.exists(stale):
+                fs.remove(stale)

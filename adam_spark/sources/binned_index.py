@@ -408,7 +408,7 @@ def _decode_refs(
     return refs, off, meta
 
 
-def write_tbi(idx: BinnedIndex, path: str) -> None:
+def write_tbi(idx: BinnedIndex, path: str, fs=None) -> None:
     """Serialize as a tabix index (BGZF-wrapped, per the spec). The
     .tbi format is hard-wired to the (14, 5) scheme — deeper indexes
     must go through :func:`write_csi`."""
@@ -428,7 +428,7 @@ def write_tbi(idx: BinnedIndex, path: str) -> None:
     out += _encode_refs(idx)
     if idx.n_no_coor is not None:
         out += struct.pack("<Q", idx.n_no_coor)
-    bgzf_compress_to(path, bytes(out))
+    bgzf_compress_to(path, bytes(out), fs=fs)
 
 
 def read_tbi(path: str) -> BinnedIndex:
@@ -454,18 +454,68 @@ def read_tbi(path: str) -> BinnedIndex:
     )
 
 
-def write_csi(idx: BinnedIndex, path: str, tabix_aux: bool = False) -> None:
+def _bin_bot_window(b: int, depth: int) -> int:
+    """Index of a bin's bottom-left leaf window (htslib
+    ``hts_bin_bot``): the first min_shift-sized window the bin covers,
+    counted in leaf units."""
+    lvl = 0
+    while lvl + 1 <= depth and _LEVEL_BASES[lvl + 1] <= b:
+        lvl += 1
+    return (b - _LEVEL_BASES[lvl]) << (3 * (depth - lvl))
+
+
+def _csi_loffsets(r: _RefIndex, depth: int) -> dict[int, int]:
+    """Per-bin loffsets with htslib semantics (``update_loff`` in
+    hts.c): the forward-filled LINEAR-index value at each bin's
+    bottom-left window — leading zeros filled from the ref's first
+    chunk offset. This is a true pruning floor: the linear minimum
+    covers records that OVERLAP the window from coarser (parent) bins,
+    so a reader's ``max(vb, loffset)`` clamp never truncates a
+    window-spanning record (the min-chunk-start-within-bin value the
+    old writer used is NOT safe — r12 advice, high)."""
+    if not r.linear:
+        # no linear index (e.g. an index built only from a foreign CSI
+        # read-back): 0 disables pruning rather than risking a floor
+        # that discards parent-bin records
+        return {b: 0 for b in r.bins}
+    filled = list(r.linear)
+    offset0 = min(
+        (vb for chunks in r.bins.values() for vb, _ in chunks), default=0
+    )
+    prev = offset0
+    for i, v in enumerate(filled):
+        if v == 0:
+            filled[i] = prev
+        else:
+            prev = v
+    out = {}
+    last = filled[-1] if filled else offset0
+    for b in r.bins:
+        w = _bin_bot_window(b, depth)
+        out[b] = filled[w] if w < len(filled) else last
+    return out
+
+
+def write_csi(idx: BinnedIndex, path: str, tabix_aux: bool = False, fs=None) -> None:
     """Serialize as a CSIv1 index (BGZF-wrapped, per the hts-specs CSI
     layout), honoring the index's (min_shift, depth): the default
     (14, 5) numbering is IDENTICAL to the 5-level UCSC scheme, and a
     deeper index addresses contigs past 2^29 bp. Each bin's
-    ``loffset`` is the minimum chunk start (a conservative spec-valid
-    value — the reader walks chunks, not loffsets). With
-    ``tabix_aux`` the aux block carries the tabix column config +
-    contig names (htslib's tbx layout — what ``tabix -C`` writes for
-    text formats); plain BCF indexes leave aux empty (BCF carries
-    contig names in its own header dictionary)."""
+    ``loffset`` carries htslib semantics (:func:`_csi_loffsets`) so
+    both this module's ``chunks_for`` walk and foreign htslib readers
+    prune safely. With ``tabix_aux`` the aux block carries the tabix
+    column config + contig names (htslib's tbx layout — what ``tabix
+    -C`` writes for text formats); plain BCF indexes leave aux empty
+    (BCF carries contig names in its own header dictionary)."""
     from adam_spark.sources.bam import bgzf_compress_to
+
+    if idx.min_shift != _LINEAR_SHIFT and any(r.linear for r in idx.refs):
+        # the in-memory linear index is built at 16 kb windows; a
+        # non-14 min_shift would misalign bottom windows
+        raise ValueError(
+            f"CSI loffsets need min_shift == {_LINEAR_SHIFT} when a "
+            f"linear index is present (got {idx.min_shift})"
+        )
 
     aux = b""
     if tabix_aux:
@@ -483,11 +533,11 @@ def write_csi(idx: BinnedIndex, path: str, tabix_aux: bool = False) -> None:
     meta_bin = idx.bin_limit + 1
     for i, r in enumerate(idx.refs):
         meta = idx.meta.get(i)
+        loffsets = _csi_loffsets(r, idx.depth)
         out += struct.pack("<i", len(r.bins) + (1 if meta else 0))
         for b in sorted(r.bins):
             chunks = r.bins[b]
-            loffset = min((vb for vb, _ in chunks), default=0)
-            out += struct.pack("<IQi", b, loffset, len(chunks))
+            out += struct.pack("<IQi", b, loffsets[b], len(chunks))
             for vb, ve in chunks:
                 out += struct.pack("<QQ", vb, ve)
         if meta:
@@ -496,7 +546,7 @@ def write_csi(idx: BinnedIndex, path: str, tabix_aux: bool = False) -> None:
                                n_mapped, n_unmapped)
     if idx.n_no_coor is not None:
         out += struct.pack("<Q", idx.n_no_coor)
-    bgzf_compress_to(path, bytes(out))
+    bgzf_compress_to(path, bytes(out), fs=fs)
 
 
 def read_csi(path: str) -> BinnedIndex:
@@ -562,16 +612,22 @@ def read_csi(path: str) -> BinnedIndex:
     )
 
 
-def write_bai(idx: BinnedIndex, path: str) -> None:
+def write_bai(idx: BinnedIndex, path: str, fs=None) -> None:
     """Serialize as a .bai (plain binary, not BGZF-wrapped)."""
+    from adam_spark.sources.filesystem import get_fs
+
+    fs, path = get_fs(path, fs)
     out = bytearray()
     out += b"BAI\x01"
     out += struct.pack("<i", len(idx.refs))
     out += _encode_refs(idx)
     if idx.n_no_coor is not None:
         out += struct.pack("<Q", idx.n_no_coor)
-    with open(path, "wb") as f:
+    f = fs.open_write(path)
+    try:
         f.write(bytes(out))
+    finally:
+        f.close()
 
 
 def read_bai(path: str) -> BinnedIndex:

@@ -1503,7 +1503,8 @@ def _read_file_header(path: str):
     return _parse_header_text(_file_header_text(data))
 
 
-def _write_crai(path: str, entries: list[tuple[int, int, int, int, int]]) -> None:
+def _write_crai(path: str, entries: list[tuple[int, int, int, int, int]],
+                fs=None) -> None:
     """CRAI sidecar (spec §1: gzip text, one line per slice:
     seq_id, start, span, container offset, slice landmark, slice size).
 
@@ -1514,12 +1515,19 @@ def _write_crai(path: str, entries: list[tuple[int, int, int, int, int]]) -> Non
     the offset list lets ``load_cram`` skip the serial driver walk.
     The alignment-start column is 1-BASED on disk per the CRAI spec
     (internal spans are 0-based half-open)."""
+    from adam_spark.sources.filesystem import get_fs
+
+    fs, path = get_fs(path, fs)
     lines = [
         f"{seq_id}\t{start + 1 if seq_id >= 0 else 0}\t{span}\t{off}\t0\t{length}"
         for off, length, seq_id, start, span in entries
     ]
-    with gzip.open(path + ".crai", "wt") as f:
-        f.write("\n".join(lines) + ("\n" if lines else ""))
+    raw = fs.open_write(path + ".crai")
+    try:
+        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
+            f.write(("\n".join(lines) + ("\n" if lines else "")).encode())
+    finally:
+        raw.close()
 
 
 def _read_crai(path: str) -> list[tuple[int, int, int, int, int]] | None:
@@ -1614,7 +1622,7 @@ def _resolve_reference(reference) -> dict[str, str] | None:
 def _encode_cram_shard(lines, shard_path: str, ref_index: dict[str, int],
                        counter_base: int, codec: str,
                        ref_seqs: dict[str, str] | None,
-                       records_per_container: int):
+                       records_per_container: int, fs=None):
     """Executor task: SAM lines → one shard file of whole CRAM
     containers (each self-contained). Returns (shard_path,
     compressed_len, [(rel_offset, length, seq_id, start, span)],
@@ -1656,8 +1664,15 @@ def _encode_cram_shard(lines, shard_path: str, ref_index: dict[str, int],
         if len(chunk) >= records_per_container:
             flush()
     flush()
-    with open(shard_path, "wb") as f:
+    if fs is None:
+        from adam_spark.sources.filesystem import LocalFileSystem
+
+        fs = LocalFileSystem()
+    f = fs.open_write(shard_path)
+    try:
         f.write(bytes(out))
+    finally:
+        f.close()
     return (shard_path, len(out), entries, counter - counter_base)
 
 
@@ -1675,7 +1690,7 @@ def cram_eof_bytes(counter: int = 0) -> bytes:
 
 def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
               reference=None,
-              records_per_container: int | None = None) -> None:
+              records_per_container: int | None = None, fs=None) -> None:
     """Alignments → single-file CRAM via PARALLEL container encoding.
 
     Containers are self-contained (compression header + slice +
@@ -1698,12 +1713,14 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
     substituted bases — the model behind real CRAM's ~40%-smaller-than-
     BAM storage (docs/benchmarks/storage.rst:27-30). Reading such a
     file requires passing the same reference to :func:`load_cram`."""
-    import shutil
-    import tempfile
-
     from pyspark.storagelevel import StorageLevel
 
+    from adam_spark.sources.filesystem import get_fs
     from adam_spark.sources.sam import sam_body_lines, sam_header_lines
+
+    # resolved ONCE here; the handle rides the task closures so shard
+    # bytes stream executor->store directly (HDFS/S3 via pyarrow.fs)
+    fs, path = get_fs(path, fs)
 
     rpc = records_per_container or _RECORDS_PER_CONTAINER
     ref_seqs = _resolve_reference(reference)
@@ -1713,9 +1730,9 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
     text = "\n".join(header) + "\n"
 
     lines = sam_body_lines(gf.df).persist(StorageLevel.MEMORY_AND_DISK)
-    shard_dir = tempfile.mkdtemp(
-        prefix="cram-shards-", dir=os.path.dirname(os.path.abspath(path)) or "."
-    )
+    shard_dir = path + ".__shards"
+    fs.rmtree(shard_dir)
+    fs.makedirs(shard_dir)
     try:
         counts = lines.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
         bases = [0]
@@ -1727,8 +1744,8 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
             .mapPartitionsWithIndex(
                 lambda i, it: [
                     _encode_cram_shard(
-                        it, os.path.join(shard_dir, f"part-{i:05d}"), ref_index,
-                        bases[i], codec, ref_seqs, rpc,
+                        it, fs.join(shard_dir, f"part-{i:05d}"), ref_index,
+                        bases[i], codec, ref_seqs, rpc, fs,
                     )
                 ]
             )
@@ -1752,7 +1769,8 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
 
         live = [(sp, entries) for sp, clen, entries, _n in shards if clen]
         offsets = concat_files_parallel(
-            path, [sp for sp, _ in live], bytes(out), cram_eof_bytes(total)
+            path, [sp for sp, _ in live], bytes(out), cram_eof_bytes(total),
+            fs=fs,
         )
         crai_entries: list = [
             (base + off, ln, sid, st_, span)
@@ -1760,9 +1778,9 @@ def save_cram(gf: GenomicFrame, path: str, codec: str = "gzip",
             for off, ln, sid, st_, span in entries
         ]
     finally:
-        shutil.rmtree(shard_dir, ignore_errors=True)
+        fs.rmtree(shard_dir)
         lines.unpersist()
-    _write_crai(path, crai_entries)
+    _write_crai(path, crai_entries, fs=fs)
 
 
 def _decode_container_range(path: str, offsets: list[int], ref_names: list[str],
@@ -1782,7 +1800,10 @@ def _decode_container_range(path: str, offsets: list[int], ref_names: list[str],
                                         legacy_qs=legacy_qs)
 
 
-def load_cram(spark: SparkSession, path: str, reference=None) -> GenomicFrame:
+def load_cram(
+    spark: SparkSession, path: str, reference=None,
+    stringency: str = "SILENT",
+) -> GenomicFrame:
     """CRAM → alignments via a distributed per-container scan
     (reference: ADAMContext.loadBam:2027-2111 CRAM dispatch). With a
     ``.crai`` sidecar (``save_cram`` writes one) driver I/O is O(1):
@@ -1806,7 +1827,7 @@ def load_cram(spark: SparkSession, path: str, reference=None) -> GenomicFrame:
         offsets = [off for off, _ in containers]
     raw = _scan_containers(spark, path, offsets, ref_names, ref_seqs)
     return GenomicFrame(
-        *_aligned_with_meta(raw, header_lines)
+        *_aligned_with_meta(raw, header_lines, stringency)
     )
 
 

@@ -118,7 +118,8 @@ def create_references(gf: GenomicFrame) -> SequenceDictionary:
 
 
 def save_fasta(
-    gf: GenomicFrame, path: str, line_width: int = 60, single_file: bool = False
+    gf: GenomicFrame, path: str, line_width: int = 60,
+    single_file: bool = False, fs=None,
 ) -> None:
     """Sequences/slices → FASTA, line-wrapped (SequenceDataset.scala:508)."""
     # name may be NULL with the full header held in description (NCBI
@@ -151,11 +152,12 @@ def save_fasta(
         # local first-base offset) entries alongside its text bytes,
         # and the driver prefix-shifts them — the same manifest shape
         # as the binary index writers.
-        import glob as _glob
-        import os
-        import tempfile
-
+        from adam_spark.sources.filesystem import get_fs
         from adam_spark.sources.merge import concat_files_parallel
+
+        # resolved ONCE; the handle rides the task closure so shard
+        # bytes stream executor->store directly
+        fs, path = get_fs(path, fs)
 
         fai_df = gf.df.select(
             F.concat_ws("\n", header, wrapped).alias("value"),
@@ -164,48 +166,72 @@ def save_fasta(
                 " ", 1,
             ).alias("__fai_name"),
             F.length("sequence").alias("__fai_len"),
-            # first base sits right after the header line's newline
-            (F.length(header) + 1).cast("long").alias("__fai_skip"),
+            # first base sits right after the header line's newline;
+            # the shard buffer advances in UTF-8 BYTES, so the skip
+            # must too (octet_length, not length — a non-ASCII
+            # description would shift every later offset)
+            (F.octet_length(header) + 1).cast("long").alias("__fai_skip"),
         )
-        shard_dir = tempfile.mkdtemp(
-            prefix="fa-shards-", dir=os.path.dirname(os.path.abspath(path)) or "."
-        )
+        shard_dir = path + ".__shards"
+        fs.rmtree(shard_dir)
+        fs.makedirs(shard_dir)
 
         def _enc(i, it):
+            # the per-sequence (name, length, local offset) entries go
+            # to a shard-local sidecar, NOT the driver manifest: the
+            # driver fold stays O(shards) and streams the .fai in O(1)
+            # memory even for a many-million-record FASTA
             buf = bytearray()
-            entries: list[tuple[str, int, int]] = []
-            for row in it:
-                entries.append(
-                    (row["__fai_name"], row["__fai_len"],
-                     len(buf) + row["__fai_skip"])
-                )
-                buf += row["value"].encode() + b"\n"
-            sp = os.path.join(shard_dir, f"part-{i:05d}")
-            with open(sp, "wb") as f:
+            sp = fs.join(shard_dir, f"part-{i:05d}")
+            ef = fs.open_write(sp + ".entries")
+            try:
+                for row in it:
+                    name, seq_len = row["__fai_name"], row["__fai_len"]
+                    if name and seq_len > 0:  # unnamed/empty: not seekable
+                        ef.write(
+                            f"{name}\t{seq_len}\t"
+                            f"{len(buf) + row['__fai_skip']}\n".encode()
+                        )
+                    buf += row["value"].encode() + b"\n"
+            finally:
+                ef.close()
+            f = fs.open_write(sp)
+            try:
                 f.write(bytes(buf))
-            return [(i, sp, entries)]
+            finally:
+                f.close()
+            return [(i, sp)]
 
         manifests = fai_df.rdd.mapPartitionsWithIndex(_enc).collect()
         manifests.sort(key=lambda m: m[0])
-        os.makedirs(path, exist_ok=True)
-        for stale in _glob.glob(os.path.join(path, "part-*")) + _glob.glob(
-            os.path.join(path, "_SUCCESS")
+        fs.makedirs(path)
+        for stale in fs.glob(fs.join(path, "part-*")) + fs.glob(
+            fs.join(path, "_SUCCESS")
         ):
-            os.remove(stale)
-        out_part = os.path.join(path, "part-00000")
-        offs = concat_files_parallel(out_part, [m[1] for m in manifests])
-        with open(out_part + ".fai", "w") as fai:
-            for (_, sp, entries), base in zip(manifests, offs):
-                for name, seq_len, skip in entries:
-                    if not name or seq_len <= 0:
-                        continue  # unnamed/empty records are not seekable
-                    linebases = min(seq_len, line_width)
-                    fai.write(
-                        f"{name}\t{seq_len}\t{base + skip}\t"
-                        f"{linebases}\t{linebases + 1}\n"
-                    )
-                os.remove(sp)
-        os.rmdir(shard_dir)
-        open(os.path.join(path, "_SUCCESS"), "w").close()
+            fs.remove(stale)
+        out_part = fs.join(path, "part-00000")
+        offs = concat_files_parallel(
+            out_part, [m[1] for m in manifests], fs=fs
+        )
+        fai = fs.open_write(out_part + ".fai")
+        try:
+            for (_, sp), base in zip(manifests, offs):
+                ef = fs.open_read(sp + ".entries")
+                try:
+                    for line in ef.read().decode().splitlines():
+                        name, seq_len, skip = line.split("\t")
+                        linebases = min(int(seq_len), line_width)
+                        fai.write(
+                            f"{name}\t{seq_len}\t{base + int(skip)}\t"
+                            f"{linebases}\t{linebases + 1}\n".encode()
+                        )
+                finally:
+                    ef.close()
+                fs.remove(sp + ".entries")
+                fs.remove(sp)
+        finally:
+            fai.close()
+        fs.rmtree(shard_dir)
+        fs.touch(fs.join(path, "_SUCCESS"))
     else:
         df.write.text(path)

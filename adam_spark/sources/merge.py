@@ -29,7 +29,9 @@ def local_lines_df(spark, rows: list, schema: str):
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
-def write_text_single_file(body_df, path: str, header_lines: list[str] | None = None) -> dict:
+def write_text_single_file(
+    body_df, path: str, header_lines: list[str] | None = None, fs=None
+) -> dict:
     """Single-file text save, the reference ``-single`` shape
     (util/FileMerger.scala:35): the body renders and writes
     DISTRIBUTED — one text shard per partition, no shuffle, partition
@@ -42,46 +44,69 @@ def write_text_single_file(body_df, path: str, header_lines: list[str] | None = 
     part files in name order IS the coalesced partition order.
 
     ``body_df`` must have a ``value`` string column; ``header_lines``
-    (no trailing newlines) prepend before the first shard."""
-    import tempfile
+    (no trailing newlines) prepend before the first shard.
 
+    Non-local targets (``scheme://`` or explicit ``fs``) flow through
+    the :mod:`filesystem` seam: shard tasks stream their bytes straight
+    to the store via the pickled handle (executor→store, never through
+    the driver) and the final concat reads back through the same
+    handle — the FileMerger-on-HDFS shape, minus Hadoop's temp-dir
+    rename pass that object stores pay for."""
+    from adam_spark.sources.filesystem import LocalFileSystem, get_fs
+
+    fs, path = get_fs(path, fs)
+    local = isinstance(fs, LocalFileSystem)
     shard_dir = path + ".__shards"
-    body_df.select("value").write.mode("overwrite").text(shard_dir)
-    hdr_path = None
-    if header_lines:
-        fd = tempfile.NamedTemporaryFile(
-            "w", dir=os.path.dirname(os.path.abspath(path)) or ".",
-            suffix=".hdr", delete=False,
-        )
-        fd.write("".join(h + "\n" for h in header_lines))
-        fd.close()
-        hdr_path = fd.name
+    if local:
+        # Spark's native text writer is the fast path when the driver
+        # and executors share the filesystem
+        body_df.select("value").write.mode("overwrite").text(shard_dir)
+    else:
+        fs.rmtree(shard_dir)
+        fs.makedirs(shard_dir)
+
+        def _write_shard(i, it):
+            out = fs.open_write(fs.join(shard_dir, f"part-{i:05d}"))
+            try:
+                wrote = False
+                for row in it:
+                    out.write(row["value"].encode() + b"\n")
+                    wrote = True
+            finally:
+                out.close()
+            return [(i, wrote)]
+
+        body_df.select("value").rdd.mapPartitionsWithIndex(
+            _write_shard
+        ).collect()
+    header_blob = (
+        "".join(h + "\n" for h in header_lines).encode() if header_lines else b""
+    )
     try:
-        os.makedirs(path, exist_ok=True)
+        fs.makedirs(path)
         # overwrite semantics must cover STALE shards: the merged output
         # is only part-00000, but a previous multi-shard save at this
         # path may have left part-00001+ which directory-globbing
         # readers would pick up as duplicate rows
-        for stale in glob.glob(os.path.join(path, "part-*")) + glob.glob(
-            os.path.join(path, "_SUCCESS")
+        for stale in fs.glob(fs.join(path, "part-*")) + fs.glob(
+            fs.join(path, "_SUCCESS")
         ):
-            os.remove(stale)
-        out_part = os.path.join(path, "part-00000")
+            fs.remove(stale)
+        out_part = fs.join(path, "part-00000")
         try:
-            n = merge_shards(shard_dir, out_part, header_path=hdr_path)
+            n = merge_shards(shard_dir, out_part, header_blob=header_blob, fs=fs)
         except FileNotFoundError:
             # an empty frame writes no shards; the file is header-only
             n = 0
-            with open(out_part, "wb") as out:
-                if hdr_path:
-                    with open(hdr_path, "rb") as hf:
-                        shutil.copyfileobj(hf, out)
-        open(os.path.join(path, "_SUCCESS"), "w").close()
+            out = fs.open_write(out_part)
+            try:
+                out.write(header_blob)
+            finally:
+                out.close()
+        fs.touch(fs.join(path, "_SUCCESS"))
         return {"shards": n}
     finally:
-        shutil.rmtree(shard_dir, ignore_errors=True)
-        if hdr_path:
-            os.remove(hdr_path)
+        fs.rmtree(shard_dir)
 
 
 def _merge_parallelism() -> int:
@@ -106,6 +131,7 @@ def concat_files_parallel(
     eof_blob: bytes = b"",
     buffer_size: int = 4 * 1024 * 1024,
     parallel: bool | None = None,
+    fs=None,
 ) -> list[int]:
     """Concatenate ``parts`` (in list order) into ``output_path`` —
     the reference's FileMerger/ParallelFileMerger pair
@@ -117,9 +143,17 @@ def concat_files_parallel(
     deployment opts in, mirroring the reference's isHdfs gate;
     ``parallel=False`` forces the sequential byte-copy (the
     ``-disable_fast_concat`` path). Returns each part's output byte
-    offset (callers use them to prefix-shift index manifests)."""
+    offset (callers use them to prefix-shift index manifests).
+
+    With a non-local ``fs`` the copy always streams sequentially —
+    object stores have no positioned write (the reference's isHdfs
+    gate makes the same call: ParallelFileMerger is an HDFS-only
+    optimization)."""
+    from adam_spark.sources.filesystem import get_fs
+
+    fs, output_path = get_fs(output_path, fs)
     threads = _merge_parallelism() if parallel is None else (8 if parallel else 0)
-    sizes = [os.path.getsize(p) for p in parts]
+    sizes = [fs.size(p) for p in parts]
     offsets: list[int] = []
     pos = len(header_blob)
     for s in sizes:
@@ -127,19 +161,27 @@ def concat_files_parallel(
         pos += s
     total = pos + len(eof_blob)
 
-    if threads > 1 and len(parts) > 1:
-        with open(output_path, "wb") as f:
-            f.truncate(total)
-            if header_blob:
-                f.write(header_blob)
-            if eof_blob:
-                f.seek(pos)
-                f.write(eof_blob)
+    if threads > 1 and len(parts) > 1 and fs.supports_positioned_writes:
+        fs.truncate(output_path, total)
+        if header_blob or eof_blob:
+            out = fs.open_positioned(output_path)
+            try:
+                out.write(header_blob)
+                if eof_blob:
+                    out.seek(pos)
+                    out.write(eof_blob)
+            finally:
+                out.close()
 
         def _copy(part: str, off: int) -> None:
-            with open(output_path, "r+b") as out, open(part, "rb") as src:
+            out = fs.open_positioned(output_path)
+            src = fs.open_read(part)
+            try:
                 out.seek(off)
                 shutil.copyfileobj(src, out, buffer_size)
+            finally:
+                src.close()
+                out.close()
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -147,12 +189,18 @@ def concat_files_parallel(
             # list() propagates the first copy error
             list(ex.map(_copy, parts, offsets))
     else:
-        with open(output_path, "wb") as f:
+        f = fs.open_write(output_path)
+        try:
             f.write(header_blob)
             for part in parts:
-                with open(part, "rb") as src:
+                src = fs.open_read(part)
+                try:
                     shutil.copyfileobj(src, f, buffer_size)
+                finally:
+                    src.close()
             f.write(eof_blob)
+        finally:
+            f.close()
     return offsets
 
 
@@ -164,6 +212,8 @@ def merge_shards(
     write_empty_gzip_at_eof: bool = False,
     write_cram_eof: bool = False,
     parallel: bool | None = None,
+    header_blob: bytes | None = None,
+    fs=None,
 ) -> int:
     """Concatenate ``part-*`` files under ``shard_dir`` into
     ``output_path``. Returns the number of shards merged.
@@ -178,19 +228,26 @@ def merge_shards(
     -write_empty_GZIP_at_eof — the marker BAM readers use to detect a
     complete file); ``write_cram_eof`` appends the CRAM EOF container
     (MergeShards.scala:41 -write_cram_eof)."""
+    from adam_spark.sources.filesystem import get_fs
+
+    fs, shard_dir = get_fs(shard_dir, fs)
     if not buffer_size:
         buffer_size = 4 * 1024 * 1024
     shards = sorted(
         p
-        for p in glob.glob(os.path.join(shard_dir, "part-*"))
+        for p in fs.glob(fs.join(shard_dir, "part-*"))
         if not p.endswith((".crc", "_SUCCESS"))
     )
     if not shards:
         raise FileNotFoundError(f"no part-* shards under {shard_dir}")
-    header_blob = b""
-    if header_path:
-        with open(header_path, "rb") as hf:
-            header_blob = hf.read()
+    if header_blob is None:
+        header_blob = b""
+        if header_path:
+            hf = fs.open_read(header_path)
+            try:
+                header_blob = hf.read()
+            finally:
+                hf.close()
     eof_blob = b""
     if write_empty_gzip_at_eof:
         from adam_spark.sources.bam import _BGZF_EOF
@@ -201,6 +258,7 @@ def merge_shards(
 
         eof_blob = cram_eof_bytes()
     concat_files_parallel(
-        output_path, shards, header_blob, eof_blob, buffer_size, parallel
+        output_path, shards, header_blob, eof_blob, buffer_size, parallel,
+        fs=fs,
     )
     return len(shards)

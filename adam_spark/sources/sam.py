@@ -57,11 +57,16 @@ def fill_read_group_sample_id(df: DataFrame, meta) -> DataFrame:
     )
 
 
-def _aligned_with_meta(raw: DataFrame, header_lines) -> tuple:
+def _aligned_with_meta(
+    raw: DataFrame, header_lines, stringency: str = "SILENT"
+) -> tuple:
     """(alignments df, metadata) for a raw SAM-lines frame + header
     lines — the shared assembly used by the BAM/CRAM decoders so every
-    binary loader also resolves readGroupSampleId from @RG SM."""
-    meta = header_metadata_from_lines(header_lines)
+    binary loader also resolves readGroupSampleId from @RG SM.
+    ``stringency`` governs malformed header lines exactly as in
+    ``load_sam`` (htsjdk applies ValidationStringency to BAM headers
+    too)."""
+    meta = header_metadata_from_lines(header_lines, stringency)
     return fill_read_group_sample_id(sam_lines_to_alignments(raw), meta), meta
 
 

@@ -1096,7 +1096,9 @@ def save_vcf_headers(gf: GenomicFrame, path: str) -> None:
             fh.write(line + "\n")
 
 
-def _render_vcf(gf: GenomicFrame) -> tuple[list[str], DataFrame]:
+def _render_vcf(
+    gf: GenomicFrame, stringency: str = "LENIENT"
+) -> tuple[list[str], DataFrame]:
     """Variant contexts → (header lines, body-lines DataFrame) —
     the shared renderer behind save_vcf / save_vcf_bgzf / save_bcf
     (VariantContextDataset.saveAsVcf:427). The body carries
@@ -1128,6 +1130,7 @@ def _render_vcf(gf: GenomicFrame) -> tuple[list[str], DataFrame]:
         sample_names,
         df.schema["genotypes"].dataType,
         df.schema["variant"].dataType,
+        stringency,
     )
     if sample_names:
         df = (
@@ -1162,23 +1165,27 @@ _RENDER_COLS_CACHE: dict = {}
 
 
 def _render_columns_cached(
-    spark, sample_names: list[str], gt_dtype, variant_dtype=None
+    spark, sample_names: list[str], gt_dtype, variant_dtype=None,
+    stringency: str = "LENIENT",
 ) -> dict:
     key = (
         spark.sparkContext.applicationId,
         tuple(sample_names),
         str(gt_dtype),
         str(variant_dtype),
+        stringency,
     )
     cols = _RENDER_COLS_CACHE.get(key)
     if cols is None:
-        cols = _build_render_columns(sample_names, gt_dtype)
+        cols = _build_render_columns(sample_names, gt_dtype, stringency)
         _RENDER_COLS_CACHE.clear()  # one live entry: keys are few but big
         _RENDER_COLS_CACHE[key] = cols
     return cols
 
 
-def _build_render_columns(sample_names: list[str], gt_dtype) -> dict:
+def _build_render_columns(
+    sample_names: list[str], gt_dtype, stringency: str = "LENIENT"
+) -> dict:
     """The VCF line render expression tree (see ``_render_vcf``), as
     reusable unresolved Columns: ``gcells``/``fmtk``/``rcells`` stage
     the per-genotype work into named columns (inlining them would
@@ -1397,11 +1404,38 @@ def _build_render_columns(sample_names: list[str], gt_dtype) -> dict:
             "PQ": F.when(
                 F.coalesce(g["phased"], F.lit(False)), g["phaseQuality"]
             ).cast("string"),
-            "SB": F.when(
-                F.size(g["strandBiasComponents"]) == 4,
-                F.array_join(
-                    F.transform(g["strandBiasComponents"], lambda x: x.cast("string")), ","
-                ),
+            # a non-empty SB that is not 4 components: skipped under
+            # LENIENT (the default, pinned by the bad-SB vector),
+            # raised under STRICT — the reference's strict arm
+            # (VariantContextConverterSuite.scala:274 "Convert ADAM SNV
+            # w/ genotypes but bad SB to htsjdk with strict validation")
+            "SB": (
+                F.when(
+                    g["strandBiasComponents"].isNotNull()
+                    & (F.size(g["strandBiasComponents"]) > 0)
+                    & (F.size(g["strandBiasComponents"]) != 4),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "Strand bias components must have 4 "
+                                "entries. Instead, found "
+                            ),
+                            F.size(g["strandBiasComponents"]).cast("string"),
+                        )
+                    ).cast("string"),
+                )
+                if stringency == "STRICT"
+                else F.when(F.lit(False), F.lit(""))
+            ).otherwise(
+                F.when(
+                    F.size(g["strandBiasComponents"]) == 4,
+                    F.array_join(
+                        F.transform(
+                            g["strandBiasComponents"], lambda x: x.cast("string")
+                        ),
+                        ",",
+                    ),
+                )
             ),
             "FS": vca["fisherStrandBiasPValue"].cast("string"),
             "MQ": vca["rmsMapQ"].cast("string"),
@@ -1569,9 +1603,18 @@ def _build_render_columns(sample_names: list[str], gt_dtype) -> dict:
     }
 
 
-def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
-    """Variant contexts → VCF text files (see ``_render_vcf``)."""
-    header, body = _render_vcf(gf)
+def save_vcf(
+    gf: GenomicFrame, path: str, single_file: bool = True,
+    stringency: str = "LENIENT",
+) -> None:
+    """Variant contexts → VCF text files (see ``_render_vcf``).
+
+    ``stringency``: ``"STRICT"`` raises on malformed per-genotype
+    fields the lenient renderer would silently skip (currently: a
+    non-empty strandBiasComponents array that is not 4 entries —
+    VariantContextConverterSuite.scala:274's strict arm); the LENIENT
+    default keeps the htsjdk-lenient behavior the byte goldens pin."""
+    header, body = _render_vcf(gf, stringency=stringency)
     from adam_spark.sources.merge import local_lines_df, write_text_single_file
 
     if single_file:
@@ -1601,7 +1644,7 @@ def save_vcf(gf: GenomicFrame, path: str, single_file: bool = True) -> None:
 
 
 # --- tabix-indexed path ----------------------------------------------------
-def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
+def save_vcf_bgzf(gf: GenomicFrame, path: str, fs=None) -> dict:
     """Variant contexts → bgzipped VCF + tabix index (``path.tbi``).
 
     Fully distributed with ZERO shuffles (the ParallelFileMerger
@@ -1621,12 +1664,13 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
     virtual-offset ranges), matching the frame-order file the multi
     writer has always produced. Reference consumer:
     ADAMContext.loadIndexedVcf:2760-2776."""
-    import os
-    import tempfile
-
     from adam_spark.sources.bam import _BGZF_EOF, bgzf_blocks_bytes
     from adam_spark.sources.binned_index import new_index, voffset, write_tbi
+    from adam_spark.sources.filesystem import get_fs
 
+    # resolved ONCE here; the handle rides the task closures so shard
+    # bytes stream executor->store directly (HDFS/S3 via pyarrow.fs)
+    fs, path = get_fs(path, fs)
     bs = 60_000
     header, body = _render_vcf(gf)
     from adam_spark.sources.merge import local_lines_df
@@ -1636,9 +1680,9 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
         [(0, i, h) for i, h in enumerate(header)],
         "__o int, __k2 long, value string",
     )
-    shard_dir = tempfile.mkdtemp(
-        prefix="vcfgz-shards-", dir=os.path.dirname(os.path.abspath(path)) or "."
-    )
+    shard_dir = path + ".__shards"
+    fs.rmtree(shard_dir)
+    fs.makedirs(shard_dir)
 
     def _compress_shard(i, it):
         from adam_spark.sources.binned_index import ShardIndexAgg
@@ -1665,9 +1709,12 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
                 voffset(offsets[u0 // bs], u0 % bs),
                 voffset(offsets[u1 // bs], u1 % bs),
             )
-        sp = os.path.join(shard_dir, f"part-{i:05d}")
-        with open(sp, "wb") as out:
+        sp = fs.join(shard_dir, f"part-{i:05d}")
+        out = fs.open_write(sp)
+        try:
             out.write(blob)
+        finally:
+            out.close()
         return [(i, sp, len(blob), agg.manifest())]
 
     manifests = (
@@ -1702,15 +1749,17 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
     # returned prefix offsets are exactly the manifest shifts
     from adam_spark.sources.merge import concat_files_parallel
 
-    offs = concat_files_parallel(path, [m[1] for m in manifests], b"", _BGZF_EOF)
+    offs = concat_files_parallel(
+        path, [m[1] for m in manifests], b"", _BGZF_EOF, fs=fs
+    )
     totals: dict[str, int] = {}
     for (_, sp, _, (bins, linear, _, _, counts)), base in zip(manifests, offs):
         idx.add_shard(bins, linear, base, ref_ids=rid)
         index_chunks += sum(len(c) for c in bins.values())
         for ref, c in counts.items():
             totals[ref] = totals.get(ref, 0) + c
-        os.remove(sp)
-    os.rmdir(shard_dir)
+        fs.remove(sp)
+    fs.rmdir(shard_dir)
     # htslib metadata pseudo-bins: per-contig record counts + byte span
     # (`tabix`/`bcftools index -s` read these without touching the data)
     for ref, total in totals.items():
@@ -1720,13 +1769,13 @@ def save_vcf_bgzf(gf: GenomicFrame, path: str) -> dict:
     # long contigs); the readers PREFER .tbi, so a stale sibling from a
     # previous save would silently serve region queries for old data
     if depth == 5:
-        if os.path.exists(path + ".csi"):
-            os.remove(path + ".csi")
-        write_tbi(idx, path + ".tbi")
+        if fs.exists(path + ".csi"):
+            fs.remove(path + ".csi")
+        write_tbi(idx, path + ".tbi", fs=fs)
     else:
-        if os.path.exists(path + ".tbi"):
-            os.remove(path + ".tbi")
-        write_csi(idx, path + ".csi", tabix_aux=True)
+        if fs.exists(path + ".tbi"):
+            fs.remove(path + ".tbi")
+        write_csi(idx, path + ".csi", tabix_aux=True, fs=fs)
     return {"shards": len(manifests), "index_manifest_chunks": index_chunks}
 
 

@@ -871,9 +871,9 @@ def test_region_predicate_routes_through_indexed_bam(spark, tmp_path, monkeypatc
     calls = []
     real = bam_mod.load_indexed_bam
 
-    def spy(spark_, path, regions):
+    def spy(spark_, path, regions, **kw):
         calls.append(path)
-        return real(spark_, path, regions)
+        return real(spark_, path, regions, **kw)
 
     monkeypatch.setattr(bam_mod, "load_indexed_bam", spy)
     out = str(tmp_path / "region.sam")
@@ -918,4 +918,60 @@ def test_idxstats_cli(spark, tmp_path, capsys):
 
     # SAM input (never indexed) also goes through the scan path
     assert main(["idxstats", str(sam)]) == 0
+    assert capsys.readouterr().out.strip() == want
+
+
+def test_idxstats_vcf_and_bcf(spark, tmp_path, capsys, monkeypatch):
+    """idxstats on .vcf.gz/.bcf prints `bcftools index -s` rows
+    (name, length-or-., n_records) from the index sidecar's metadata
+    pseudo-bins — O(index + header) driver I/O, NO SparkSession — and
+    the index-less distributed fallback prints identical rows."""
+    import adam_spark.cli as cli_mod
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.sources import vcf as vcf_io
+    from adam_spark.sources.bcf import save_bcf
+    from adam_spark.sources.vcf import save_vcf_bgzf
+
+    lines = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=chr1,length=5000000>",
+        "##contig=<ID=chr2,length=900>",
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+    ]
+    for i in range(40):
+        ref = "chr1" if i < 30 else "chr2"
+        lines.append(f"{ref}\t{10 + i * 17}\t.\tA\tG\t50\tPASS\tDP=1")
+    src = tmp_path / "v.vcf"
+    src.write_text("\n".join(lines) + "\n")
+    gf = vcf_io.load_vcf(spark, str(src))
+    gf = GenomicFrame(
+        gf.df.repartitionByRange(3, "referenceName", "start")
+        .sortWithinPartitions("referenceName", "start"),
+        gf.meta,
+    )
+    gz = str(tmp_path / "v.vcf.gz")
+    save_vcf_bgzf(gf, gz)
+    bcf = str(tmp_path / "v.bcf")
+    save_bcf(gf, bcf)
+    want = "chr1\t5000000\t30\nchr2\t900\t10"
+
+    # indexed path never builds a session (O(index) pin: a call spy
+    # that fails the test if _spark is reached)
+    def _boom(args):
+        raise AssertionError("indexed idxstats must not start Spark")
+
+    monkeypatch.setattr(cli_mod, "_spark", _boom)
+    assert main(["idxstats", gz]) == 0
+    assert capsys.readouterr().out.strip() == want
+    assert main(["idxstats", bcf]) == 0
+    assert capsys.readouterr().out.strip() == want
+    monkeypatch.undo()
+
+    # fallback: drop the sidecars -> one distributed scan, same rows
+    os.remove(gz + ".tbi")
+    os.remove(bcf + ".csi")
+    assert main(["idxstats", gz]) == 0
+    assert capsys.readouterr().out.strip() == want
+    assert main(["idxstats", bcf]) == 0
     assert capsys.readouterr().out.strip() == want

@@ -561,6 +561,43 @@ def test_bad_sb_lenient_skip_on_save(spark, tmp_path):
     assert "SB" not in body.split("\t")[8].split(":")
 
 
+def test_bad_sb_strict_raises_on_save(spark, tmp_path):
+    """'Convert ADAM SNV w/ genotypes but bad SB to htsjdk with strict
+    validation' (VariantContextConverterSuite.scala:274): the same
+    2-component strandBiasComponents array RAISES under
+    stringency=STRICT — and a well-formed 4-component one still saves."""
+    p = tmp_path / "sb.vcf"
+    p.write_text(HEADER + "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:SB\t0/1:1,2,3,4\n")
+    gf = vcf_io.load_vcf(spark, str(p))
+    broken = gf.df.withColumn(
+        "genotypes",
+        F.transform(
+            F.col("genotypes"),
+            lambda g: g.withField("strandBiasComponents", F.array(F.lit(0), F.lit(2))),
+        ),
+    )
+    with pytest.raises(Exception, match="Strand bias components must have 4"):
+        vcf_io.save_vcf(
+            vcf_io.GenomicFrame(broken, gf.meta),
+            str(tmp_path / "strict_out.vcf"),
+            single_file=True,
+            stringency="STRICT",
+        )
+    # the good 4-component row passes STRICT and renders SB unchanged
+    out = str(tmp_path / "good_out.vcf")
+    vcf_io.save_vcf(gf, out, single_file=True, stringency="STRICT")
+    import os
+
+    part = [f for f in sorted(os.listdir(out)) if f.startswith("part-")][0]
+    (body,) = [
+        l
+        for l in open(os.path.join(out, part)).read().splitlines()
+        if not l.startswith("#")
+    ]
+    fmt, cell = body.split("\t")[8:10]
+    assert fmt.split(":")[-1] == "SB" and cell.split(":")[-1] == "1,2,3,4"
+
+
 def test_genotypes_to_variants_matches_variant_load(spark, tmp_path):
     """GenotypeDatasetSuite 'loading genotypes then converting to
     variants yields same output as loading variants' (:587-605)."""
