@@ -296,8 +296,58 @@ def _records_from_buffer(
     return lines
 
 
+#: byte width per BCF typed-value type (0 missing, ints, float, char)
+_TYPE_WIDTH = {0: 0, 1: 1, 2: 2, 3: 4, 5: 4, 7: 1}
+
+
+def _shared_walk_ok(buf, p: int, end: int, n_allele: int, n_info: int,
+                    str_dict=None) -> bool:
+    """Walk a candidate record's SHARED section typed values (ID,
+    alleles, FILTER vector, INFO pairs) and require the cursor to land
+    EXACTLY on the section end — the decisive resync check for
+    sites-only files, where n_sample==0 leaves the fixed-header test
+    without its 24-bit discriminator (measured: a 2.5M-record
+    sites-only BCF produced a false 3-chain that the fixed checks
+    alone accepted, crashing the decode downstream). A misaligned
+    offset that forges a sane 32-byte header still has to produce a
+    legal typed-descriptor walk whose lengths sum to l_shared.
+    ``str_dict`` (when given) additionally pins FILTER/INFO keys to
+    real dictionary indices."""
+    try:
+        t, n, p = _read_typed_desc(buf, p)  # ID: char vector
+        if t not in (0, 7):
+            return False
+        p += n * _TYPE_WIDTH[t]
+        for _ in range(n_allele):
+            t, n, p = _read_typed_desc(buf, p)
+            if t not in (0, 7) or p + n > end:
+                return False
+            p += n
+        t, n, p = _read_typed_desc(buf, p)  # FILTER: int vector
+        if t not in (0, 1, 2, 3) or p + n * _TYPE_WIDTH[t] > end:
+            return False
+        if t:
+            vals, p = _read_vals(buf, p, t, n)
+            if str_dict is not None and any(v not in str_dict for v in vals):
+                return False
+        for _ in range(n_info):
+            k, p = _read_typed_scalar_int(buf, p)
+            if str_dict is not None and k not in str_dict:
+                return False
+            t, n, p = _read_typed_desc(buf, p)
+            if t not in _TYPE_WIDTH:
+                return False
+            p += n * _TYPE_WIDTH[t]
+            if p > end:
+                return False
+        return p == end
+    except (struct.error, IndexError, ValueError):
+        return False
+
+
 def _plausible_bcf_record(
-    buf, off: int, n_contigs: int, n_samples: int, chain: int = 3, extend=None
+    buf, off: int, n_contigs: int, n_samples: int, chain: int = 3,
+    extend=None, str_dict=None,
 ) -> bool:
     """BCF record-boundary check, the BAMSplitGuesser shape
     (bam._plausible_record): a chain of ``chain`` records must carry
@@ -344,6 +394,16 @@ def _plausible_bcf_record(
         if (n_allele_info >> 16) < 1 or n_sample != n_samples:
             return False
         if n_sample == 0 and (n_fmt or l_indiv):
+            return False
+        # the fixed header can be forged by chance (especially at
+        # n_samples==0 — no 24-bit discriminator); require the shared
+        # section's typed walk to land exactly on its end
+        if not need(off + 8 + l_shared):
+            return False
+        if not _shared_walk_ok(
+            buf, off + 32, off + 8 + l_shared,
+            n_allele_info >> 16, n_allele_info & 0xFFFF, str_dict,
+        ):
             return False
         off += 8 + l_shared + l_indiv
     return True
@@ -439,7 +499,8 @@ def _decode_bcf_byte_range(
                     o
                     for o in range(owned)
                     if _plausible_bcf_record(
-                        data, o, n_contigs, n_samples, extend=extend
+                        data, o, n_contigs, n_samples, extend=extend,
+                        str_dict=str_dict,
                     )
                 ),
                 None,
@@ -472,17 +533,32 @@ def _decode_bcf_byte_range(
 def _bcf_header_driver_side(path: str):
     """Driver-side header read, O(header bytes): (header_text, parsed
     header lines, refs, sample names) — the IDX= dictionary annotations
-    strip off the text header exactly as htsjdk does on read."""
+    strip off the text header exactly as htsjdk does on read.
+
+    STREAMS through ``gzip.GzipFile`` (lazy multi-member reader) and
+    reads exactly magic + l_text bytes. The earlier probe-then-
+    ``gzip.decompress``-the-whole-file fallback was QUADRATIC in BGZF
+    member count (``gzip.decompress`` re-slices the remaining buffer
+    once per member: ~14 MB/s measured on a 26 MB BCF, minutes on a
+    100 MB one) — a driver stall that grew with file size on any file
+    whose 1 MB probe raised."""
+    import gzip as _gzip
     import re
 
     from adam_spark.sources.vcf import _header_from_lines, mix_header_lines
 
     with open(path, "rb") as f:
-        head = f.read(1 << 20)  # header text is bounded; fixtures ~1 KB
-    try:
-        header_text = bcf_header_text(head)
-    except (ValueError, struct.error, EOFError):
-        header_text = bcf_header_text(open(path, "rb").read())
+        probe = f.read(2)
+        f.seek(0)
+        src = _gzip.GzipFile(fileobj=f) if probe == b"\x1f\x8b" else f
+        magic = src.read(5)
+        if magic != b"BCF\x02\x02":
+            raise ValueError(
+                f"not a BCFv2.2 stream (magic {magic!r}); BCFv2.1 and"
+                " plain VCF are handled by load_vcf"
+            )
+        (l_text,) = struct.unpack("<I", src.read(4))
+        header_text = src.read(l_text).rstrip(b"\x00").decode()
     header_lines_raw = [
         re.sub(r",IDX=\d+(?=[,>])", "", ln) for ln in header_text.splitlines()
     ]

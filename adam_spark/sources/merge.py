@@ -152,7 +152,14 @@ def concat_files_parallel(
     from adam_spark.sources.filesystem import get_fs
 
     fs, output_path = get_fs(output_path, fs)
-    threads = _merge_parallelism() if parallel is None else (8 if parallel else 0)
+    if parallel is None:
+        threads = _merge_parallelism()
+    elif parallel:
+        # sized by part count, not a magic constant; capped so the
+        # copy threads never out-number the machine
+        threads = max(2, min(len(parts), os.cpu_count() or 8))
+    else:
+        threads = 0
     sizes = [fs.size(p) for p in parts]
     offsets: list[int] = []
     pos = len(header_blob)

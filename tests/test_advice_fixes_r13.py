@@ -238,3 +238,51 @@ def test_idxstats_fallback_conserves_unlisted_contigs(spark, tmp_path, capsys):
     assert rows["chrUn"][:4] == ["chrUn", "0", "3", "0"]
     total = sum(int(r[2]) + int(r[3]) for r in rows.values())
     assert total == 9 and out[-1].startswith("*\t")
+
+
+def test_bcf_guesser_rejects_forged_fixed_header():
+    """A 2.5M-record sites-only BCF produced a resync false positive:
+    with n_sample==0 the fixed-header checks lose their 24-bit
+    discriminator, and a forged 32-byte header chained to a clean EOF
+    was accepted — decode then crashed on garbage typed values. The
+    guesser now walks the candidate's SHARED section (typed
+    descriptors, legal types, cursor landing exactly on l_shared) and
+    rejects it."""
+    import struct
+
+    from adam_spark.sources.bcf import _plausible_bcf_record
+
+    # passes every fixed-field check (l_shared>=24, rid in range, sane
+    # pos/rlen, n_allele>=1, n_sample==0, l_indiv==0) but the shared
+    # payload is garbage the typed walk cannot parse
+    rec = struct.pack("<II", 28, 0)
+    rec += struct.pack("<iii", 0, 100, 1)
+    rec += struct.pack("<f", 50.0)
+    rec += struct.pack("<II", 1 << 16, 0)  # n_allele=1, n_info=0, n_sample=0
+    rec += b"\xcc\xcc\xcc\xcc"
+    buf = rec + rec  # two forged records ending exactly at EOF
+    assert not _plausible_bcf_record(buf, 0, 1, 0)
+
+    # a REAL sites-only record stream is still accepted at its true
+    # boundary (and only there) — the walk must never cost recall
+    from adam_spark.sources.bcf import _bcf_header_blob, _encode_record
+
+    hdr = [
+        "##fileformat=VCFv4.3",
+        "##contig=<ID=c1,length=100000>",
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="D">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+    ]
+    _, str_ix, contig_ix, info_types, fmt_types, flag_keys = _bcf_header_blob(
+        hdr, None
+    )
+    data = b""
+    bounds = set()
+    for i in range(30):
+        bounds.add(len(data))
+        data += _encode_record(
+            f"c1\t{100 + i * 50}\t.\tA\tG\t50\tPASS\tDP={i}",
+            str_ix, contig_ix, info_types, fmt_types, flag_keys,
+        )
+    for off in range(len(data)):
+        assert _plausible_bcf_record(data, off, 1, 0) == (off in bounds), off
