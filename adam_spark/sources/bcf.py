@@ -17,15 +17,15 @@ descriptor byte (low nibble = type, high nibble = count, 15 = count in
 a following typed int). GT cells are ints encoding
 ``(allele + 1) << 1 | phased``.
 
-Scale shape: the scan is SPLITTABLE in every BGZF case. With a
-``.csi`` sidecar (written by :func:`save_bcf`) the index's merged
-chunk cover partitions the body into byte-range decode tasks, and
-:func:`load_indexed_bcf` reads only the chunks overlapping query
-regions. Without an index (any foreign BCF) the split is arithmetic
-over the compressed bytes — tasks resync to a BGZF block boundary and
-then to a record boundary with a BAMSplitGuesser-style chain check
-(:func:`_plausible_bcf_record`). Only a RAW (uncompressed) BCF decodes
-in one task. The header reads driver-side, O(header bytes).
+Scale shape: the scan is SPLITTABLE in every BGZF case — arithmetic
+ranges over the compressed bytes; tasks resync to a BGZF block
+boundary and then to a record boundary with a BAMSplitGuesser-style
+chain check (:func:`_plausible_bcf_record`). A ``.csi`` sidecar
+(written by :func:`save_bcf`) serves :func:`load_indexed_bcf`'s
+region queries only — full scans measured FASTER on the arithmetic
+split than on the index's chunk cover (MEASURED.md r13). Only a RAW
+(uncompressed) BCF decodes in one task. The header reads
+driver-side, O(header bytes).
 """
 
 from __future__ import annotations
@@ -566,47 +566,28 @@ def _bcf_header_driver_side(path: str):
     return header_text, mix_header_lines(header_lines), refs, sample_names
 
 
-def _csi_body_chunks(path: str) -> list[tuple[int, int]]:
-    """All record-bearing virtual-offset chunks of a BCF, merged, from
-    its .csi sidecar — adjacent records coalesce, so the result is a
-    small disjoint cover of the body that tasks can split on.
-
-    Bins past the scheme's maximum valid bin are htslib's METADATA
-    pseudo-bin (bcftools writes one per contig; its two pseudo-chunks
-    encode mapped/unmapped record COUNTS, not byte ranges — harvesting
-    them as ranges would decode garbage). Mere .csi existence triggers
-    this path, so foreign bcftools indexes must be handled."""
-    from adam_spark.sources.binned_index import merge_chunks, read_csi
-
-    idx = read_csi(path + ".csi")
-    bin_limit = ((1 << (3 * (idx.depth + 1))) - 1) // 7
-    return merge_chunks(
-        [
-            c
-            for r in idx.refs
-            for b, chunks in r.bins.items()
-            if b < bin_limit
-            for c in chunks
-        ]
-    )
-
-
 def load_bcf(
     spark: SparkSession, path: str, target_split_bytes: int = 16 << 20
 ) -> GenomicFrame:
     """BCFv2.2 → variant contexts, through the shared text parser.
 
-    The scan is SPLITTABLE in every BGZF case. With a ``.csi`` sidecar
-    (written by :func:`save_bcf`) the index's chunk cover partitions
-    the body into byte-range decode tasks — each task BGZF-seeks its
-    chunks and decodes only those records. Without an index the split
-    is ARITHMETIC over the compressed bytes (the load_bam shape):
-    tasks resync to a BGZF block boundary, then to the first plausible
-    record boundary (:func:`_plausible_bcf_record` — the
-    BAMSplitGuesser chain check over l_shared/l_indiv/rid/pos/n_sample)
-    and decode records starting inside their range, reading past the
-    range end for a trailing spanning record. Only a RAW (uncompressed)
-    BCF falls back to one decode task."""
+    The scan is SPLITTABLE in every BGZF case, indexed or not: the
+    split is ARITHMETIC over the compressed bytes (the load_bam
+    shape) — tasks resync to a BGZF block boundary, then to the first
+    plausible record boundary (:func:`_plausible_bcf_record` — the
+    BAMSplitGuesser chain check over l_shared/l_indiv/rid/pos/
+    n_sample plus a typed walk of the shared section) and decode
+    records starting inside their range, reading past the range end
+    for a trailing spanning record. A ``.csi`` sidecar is NOT
+    consulted for full scans (it serves :func:`load_indexed_bcf`'s
+    region queries): a position-sorted save's merged chunk cover is
+    ~one chunk per shard, capping an indexed full scan at shard-count
+    tasks, and the r13 interleaved A/B on a 105 MB / 10M-record file
+    measured the index-cover path 2.3-6× SLOWER than the arithmetic
+    split at equal task counts (full-chunk buffering vs streaming
+    block decode; MEASURED.md) — the same reason load_bam never
+    consults the .bai for full scans. Only a RAW (uncompressed) BCF
+    falls back to one decode task."""
     import os
 
     from adam_spark.sources.vcf import vcf_lines_to_contexts
@@ -615,77 +596,52 @@ def load_bcf(
     sc = spark.sparkContext
     apath = os.path.abspath(path)
 
-    if os.path.exists(apath + ".csi"):
-        str_dict, contig_dict = _dictionaries(header_text)
-        flags = _flag_keys(header_text)
-        chunks = _csi_body_chunks(apath)
-
-        def _lines(task_chunks):
-            from adam_spark.sources.binned_index import read_chunk_bytes
-
-            for vb, ve in task_chunks:
-                buf = read_chunk_bytes(apath, vb, ve)
-                yield from _records_from_buffer(
-                    buf, 0, len(buf), str_dict, contig_dict, flags
-                )
-
-        par = sc.defaultParallelism
-        # contiguous byte-balanced slices (not strides): partition-index
-        # order reproduces FILE order, matching the unindexed path and
-        # the reference loader (round-robin interleaved row order)
-        from adam_spark.sources.binned_index import split_chunks_contiguous
-
-        task_chunks = split_chunks_contiguous(
-            chunks, max(1, min(len(chunks), par * 2))
+    body_start = _bcf_body_start(apath)
+    str_dict, contig_dict = _dictionaries(header_text)
+    if body_start is None or not contig_dict:
+        # raw uncompressed BCF (or no contigs → no records): one task
+        rdd = sc.parallelize([apath], 1).flatMap(
+            lambda p: bcf_records_to_vcf_lines(open(p, "rb").read())
         )
-        rdd = sc.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(_lines)
     else:
-        body_start = _bcf_body_start(apath)
-        str_dict, contig_dict = _dictionaries(header_text)
-        if body_start is None or not contig_dict:
-            # raw uncompressed BCF (or no contigs → no records): one task
-            rdd = sc.parallelize([apath], 1).flatMap(
-                lambda p: bcf_records_to_vcf_lines(open(p, "rb").read())
-            )
-        else:
-            flags = _flag_keys(header_text)
-            n_contigs = max(contig_dict) + 1
-            n_samples = len(sample_names)
-            records_off, records_intra = body_start
-            fsize = os.path.getsize(apath)
-            body_bytes = fsize - records_off
-            tasks = []
-            if body_bytes > 0:
-                par = sc.defaultParallelism
-                n_ranges = max(1, par * 2, body_bytes // target_split_bytes)
-                # never more ranges than ~64 KiB each — a range smaller
-                # than one BGZF block would mostly resync to nothing
-                n_ranges = int(min(n_ranges, max(1, body_bytes // (64 << 10))))
-                bounds = [
-                    records_off + (body_bytes * i) // n_ranges
-                    for i in range(n_ranges + 1)
-                ]
-                bounds[-1] = fsize
-                for i in range(n_ranges):
-                    if bounds[i] >= bounds[i + 1]:
-                        continue
-                    tasks.append(
-                        dict(
-                            path=apath,
-                            start=bounds[i],
-                            end=bounds[i + 1],
-                            first_intra=records_intra if i == 0 else 0,
-                            resync=i > 0,
-                            n_contigs=n_contigs,
-                            n_samples=n_samples,
-                            str_dict=str_dict,
-                            contig_dict=contig_dict,
-                            flags=flags,
-                        )
+        flags = _flag_keys(header_text)
+        n_contigs = max(contig_dict) + 1
+        n_samples = len(sample_names)
+        records_off, records_intra = body_start
+        fsize = os.path.getsize(apath)
+        body_bytes = fsize - records_off
+        tasks = []
+        if body_bytes > 0:
+            par = sc.defaultParallelism
+            n_ranges = max(1, par * 2, body_bytes // target_split_bytes)
+            # never more ranges than ~64 KiB each — a range smaller
+            # than one BGZF block would mostly resync to nothing
+            n_ranges = int(min(n_ranges, max(1, body_bytes // (64 << 10))))
+            bounds = [
+                records_off + (body_bytes * i) // n_ranges
+                for i in range(n_ranges + 1)
+            ]
+            bounds[-1] = fsize
+            for i in range(n_ranges):
+                if bounds[i] >= bounds[i + 1]:
+                    continue
+                tasks.append(
+                    dict(
+                        path=apath,
+                        start=bounds[i],
+                        end=bounds[i + 1],
+                        first_intra=records_intra if i == 0 else 0,
+                        resync=i > 0,
+                        n_contigs=n_contigs,
+                        n_samples=n_samples,
+                        str_dict=str_dict,
+                        contig_dict=contig_dict,
+                        flags=flags,
                     )
-            rdd = sc.parallelize(tasks, max(1, len(tasks))).flatMap(
-                lambda t: _decode_bcf_byte_range(**t)
-            )
+                )
+        rdd = sc.parallelize(tasks, max(1, len(tasks))).flatMap(
+            lambda t: _decode_bcf_byte_range(**t)
+        )
     body = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
     return vcf_lines_to_contexts(body, header_lines, refs, sample_names)
 
