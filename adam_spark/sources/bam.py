@@ -48,10 +48,19 @@ _BGZF_EOF = bytes.fromhex(
 
 
 # --- BGZF ------------------------------------------------------------------
-def bgzf_decompress(path: str) -> bytes:
-    """Whole-file decompression (gzip handles concatenated members)."""
-    with gzip.open(path, "rb") as f:
-        return f.read()
+def bgzf_decompress(path: str, fs=None) -> bytes:
+    """Whole-file decompression (gzip handles concatenated members;
+    GzipFile streams them LINEARLY — never gzip.decompress, which is
+    quadratic in member count)."""
+    if fs is None:
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    raw = fs.open_read(path)
+    try:
+        with gzip.GzipFile(fileobj=raw) as f:
+            return f.read()
+    finally:
+        raw.close()
 
 
 #: uncompressed bytes per BGZF block. Must stay < 2^16 so intra-block
@@ -344,7 +353,7 @@ def _read_bam_header(path: str, blocks: list[tuple[int, int]]):
     raise ValueError("truncated BAM: header never completed")
 
 
-def _read_bam_header_lazy(path: str):
+def _read_bam_header_lazy(path: str, fs=None):
     """Driver-side header decode with O(header-blocks) I/O.
 
     Walks the BSIZE chain only until the header parses — never the whole
@@ -352,10 +361,14 @@ def _read_bam_header_lazy(path: str):
     records begin ``records_intra`` bytes into the decoded text of the
     block at compressed offset ``records_off``.
     """
+    if fs is None:
+        from adam_spark.sources.filesystem import LocalFileSystem
+
+        fs = LocalFileSystem()
     data = b""
     walked: list[tuple[int, int]] = []  # (compressed_off, decoded_len)
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
+    size = fs.size(path)
+    with fs.open_read(path) as f:
         pos = 0
         while pos < size:
             total, _ = _block_at(f, pos)
@@ -468,6 +481,7 @@ def _decode_byte_range(
     resync: bool,
     n_ref: int,
     ref_names: list[str],
+    fs=None,
 ):
     """Executor task: decode records STARTING inside byte range [start, end).
 
@@ -481,8 +495,12 @@ def _decode_byte_range(
     trailing record that spans into the next range — the Hadoop split
     contract.
     """
-    fsize = os.path.getsize(path)
-    with open(path, "rb") as f:
+    if fs is None:
+        from adam_spark.sources.filesystem import LocalFileSystem
+
+        fs = LocalFileSystem()
+    fsize = fs.size(path)
+    with fs.open_read(path) as f:
         if resync:
             first = _next_block_offset(f, start, fsize)
             if first is None or first >= end:
@@ -543,21 +561,23 @@ def _decode_byte_range(
             pos += 4 + bs
 
 
-def _expand_bam_paths(path: str) -> list[str] | None:
+def _expand_bam_paths(path: str, fs=None) -> list[str] | None:
     """Directory or glob → sorted .bam file list; None for a plain
     single-file path (the common case takes the direct branch)."""
-    import glob as _glob
+    if fs is None:
+        from adam_spark.sources.filesystem import LocalFileSystem
 
-    if os.path.isdir(path):
-        return sorted(_glob.glob(os.path.join(path, "*.bam")))
+        fs = LocalFileSystem()
+    if fs.isdir(path):
+        return fs.glob(fs.join(path, "*.bam"))
     if any(c in path for c in "*?["):
-        return sorted(p for p in _glob.glob(path) if p.lower().endswith(".bam"))
+        return [p for p in fs.glob(path) if p.lower().endswith(".bam")]
     return None
 
 
 def load_bam(
     spark: SparkSession, path: str, target_split_bytes: int = 16 << 20,
-    stringency: str = "SILENT",
+    stringency: str = "SILENT", fs=None,
 ) -> GenomicFrame:
     """BAM → alignments via a distributed BGZF block-range scan.
 
@@ -566,17 +586,24 @@ def load_bam(
     decode record ranges in parallel and feed the shared SAM line
     parser, so BAM and SAM share one column mapping.
     """
+    from adam_spark.sources.filesystem import LocalFileSystem, get_fs
     from adam_spark.sources.sam import _aligned_with_meta
 
+    # resolved ONCE; the handle rides the task closures so executors
+    # read directly from the store (HDFS/S3 via pyarrow.fs)
+    fs, path = get_fs(path, fs)
     # globs and directories (ADAMContext.loadBam glob support;
     # ADAMContextSuite "loadBam with a glob" / "with a directory" /
     # "bad glob should fail"): expand, load each file, union records
     # and merge headers
-    multi = _expand_bam_paths(path)
+    multi = _expand_bam_paths(path, fs)
     if multi is not None:
         if not multi:
             raise FileNotFoundError(f"no .bam files match {path}")
-        gfs = [load_bam(spark, p, target_split_bytes, stringency) for p in multi]
+        gfs = [
+            load_bam(spark, p, target_split_bytes, stringency, fs=fs)
+            for p in multi
+        ]
         df = gfs[0].df
         meta = gfs[0].meta
         for g in gfs[1:]:
@@ -584,14 +611,17 @@ def load_bam(
             meta = meta.merge(g.meta)
         return GenomicFrame(df, meta)
 
-    path = os.path.abspath(path)
+    if isinstance(fs, LocalFileSystem):
+        path = os.path.abspath(path)
     # driver I/O is O(header blocks) + O(splits): header decode walks the
     # BSIZE chain only until the header parses, and the split boundaries
     # are pure arithmetic over the file size — executors resync to block
     # and record boundaries themselves (the earlier full BSIZE walk was
     # ~5M serial driver seeks on a 300 GB BAM before any task launched)
-    header_lines, ref_names, records_off, records_intra = _read_bam_header_lazy(path)
-    fsize = os.path.getsize(path)
+    header_lines, ref_names, records_off, records_intra = _read_bam_header_lazy(
+        path, fs
+    )
+    fsize = fs.size(path)
     tasks = []
     body_bytes = fsize - records_off
     if body_bytes > 0:
@@ -614,6 +644,7 @@ def load_bam(
                     resync=i > 0,
                     n_ref=len(ref_names),
                     ref_names=ref_names,
+                    fs=fs,
                 )
             )
     sc = spark.sparkContext
@@ -626,12 +657,13 @@ def load_bam(
     )
 
 
-def _decode_chunk_range(path: str, chunks: list[tuple[int, int]], ref_names: list[str]):
+def _decode_chunk_range(path: str, chunks: list[tuple[int, int]],
+                        ref_names: list[str], fs=None):
     """Executor task: decode records from .bai-addressed chunks only."""
     from adam_spark.sources.binned_index import read_chunk_bytes
 
     for vb, ve in chunks:
-        data = read_chunk_bytes(path, vb, ve)
+        data = read_chunk_bytes(path, vb, ve, fs)
         pos = 0
         while pos + 4 <= len(data):
             bs = struct.unpack_from("<i", data, pos)[0]
@@ -643,7 +675,7 @@ def _decode_chunk_range(path: str, chunks: list[tuple[int, int]], ref_names: lis
 
 def load_indexed_bam(
     spark: SparkSession, path: str, regions: list[tuple[str, int, int]],
-    stringency: str = "SILENT",
+    stringency: str = "SILENT", fs=None,
 ) -> GenomicFrame:
     """Region-filtered BAM load (reference: ADAMContext.loadIndexedBam
     :2125-2308). With a ``.bai`` next to the file (``save_bam`` writes
@@ -652,21 +684,24 @@ def load_indexed_bam(
     overlap fraction, not the file. Without an index it falls back to
     the distributed full scan plus the overlap predicate."""
     from adam_spark.core.genomic_frame import GenomicFrame as GF
+    from adam_spark.sources.filesystem import LocalFileSystem, get_fs
     from adam_spark.sources.sam import _aligned_with_meta
 
-    path = os.path.abspath(path)
+    fs, path = get_fs(path, fs)
+    if isinstance(fs, LocalFileSystem):
+        path = os.path.abspath(path)
     bai = path + ".bai"
     csi = path + ".csi"
-    if not os.path.exists(bai) and not os.path.exists(csi):
+    if not fs.exists(bai) and not fs.exists(csi):
         return load_bam(
-            spark, path, stringency=stringency
+            spark, path, stringency=stringency, fs=fs
         ).filter_by_overlapping_regions(regions)
 
     from adam_spark.sources.binned_index import merge_chunks, read_bai, read_csi
 
     # .csi is the long-contig fallback save_bam writes past 2^29
-    idx = read_bai(bai) if os.path.exists(bai) else read_csi(csi)
-    header_lines, ref_names, _, _ = _read_bam_header_lazy(path)
+    idx = read_bai(bai, fs) if fs.exists(bai) else read_csi(csi, fs)
+    header_lines, ref_names, _, _ = _read_bam_header_lazy(path, fs)
     rid = {n: i for i, n in enumerate(ref_names)}
     chunks = merge_chunks(
         [
@@ -684,7 +719,7 @@ def load_indexed_bam(
 
     task_chunks = split_chunks_contiguous(chunks, max(1, min(len(chunks), par * 2)))
     rdd = spark.sparkContext.parallelize(task_chunks, max(1, len(task_chunks))).flatMap(
-        lambda t: _decode_chunk_range(path, t, ref_names)
+        lambda t: _decode_chunk_range(path, t, ref_names, fs)
     )
     raw = spark.createDataFrame(rdd.map(lambda ln: (ln,)), "value string")
     gf = GF(*_aligned_with_meta(raw, header_lines, stringency))

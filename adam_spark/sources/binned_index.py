@@ -431,10 +431,10 @@ def write_tbi(idx: BinnedIndex, path: str, fs=None) -> None:
     bgzf_compress_to(path, bytes(out), fs=fs)
 
 
-def read_tbi(path: str) -> BinnedIndex:
+def read_tbi(path: str, fs=None) -> BinnedIndex:
     from adam_spark.sources.bam import bgzf_decompress
 
-    data = bgzf_decompress(path)
+    data = bgzf_decompress(path, fs)
     if data[:4] != b"TBI\x01":
         raise ValueError(f"{path} is not a tabix index")
     n_ref, fmt, col_seq, col_beg, col_end, meta_char, skip, l_nm = struct.unpack_from(
@@ -549,7 +549,7 @@ def write_csi(idx: BinnedIndex, path: str, tabix_aux: bool = False, fs=None) -> 
     bgzf_compress_to(path, bytes(out), fs=fs)
 
 
-def read_csi(path: str) -> BinnedIndex:
+def read_csi(path: str, fs=None) -> BinnedIndex:
     """Read a CSIv1 index written by :func:`write_csi` (any
     min_shift/depth). A tabix aux block, when present, supplies the
     column config + contig names. The linear index stays empty (CSI's
@@ -557,7 +557,7 @@ def read_csi(path: str) -> BinnedIndex:
     starts with the htslib loffset walk instead."""
     from adam_spark.sources.bam import bgzf_decompress
 
-    data = bgzf_decompress(path)
+    data = bgzf_decompress(path, fs)
     if data[:4] != b"CSI\x01":
         raise ValueError(f"{path} is not a CSI index")
     min_shift, depth, l_aux = struct.unpack_from("<3i", data, 4)
@@ -630,8 +630,12 @@ def write_bai(idx: BinnedIndex, path: str, fs=None) -> None:
         f.close()
 
 
-def read_bai(path: str) -> BinnedIndex:
-    with open(path, "rb") as f:
+def read_bai(path: str, fs=None) -> BinnedIndex:
+    if fs is None:
+        from adam_spark.sources.filesystem import LocalFileSystem
+
+        fs = LocalFileSystem()
+    with fs.open_read(path) as f:
         data = f.read()
     if data[:4] != b"BAI\x01":
         raise ValueError(f"{path} is not a .bai index")
@@ -670,14 +674,18 @@ def split_chunks_contiguous(
 
 
 # --- chunk decode (shared by indexed BAM/VCF readers) ----------------------
-def read_chunk_bytes(path: str, vbeg: int, vend: int) -> bytes:
+def read_chunk_bytes(path: str, vbeg: int, vend: int, fs=None) -> bytes:
     """Decompressed bytes of one virtual-offset chunk [vbeg, vend)."""
     from adam_spark.sources.bam import _read_block_fully
 
+    if fs is None:
+        from adam_spark.sources.filesystem import LocalFileSystem
+
+        fs = LocalFileSystem()
     cbeg, ubeg = vsplit(vbeg)
     cend, uend = vsplit(vend)
     out = bytearray()
-    with open(path, "rb") as f:
+    with fs.open_read(path) as f:
         pos = cbeg
         while pos <= cend:
             if pos == cend and uend == 0:

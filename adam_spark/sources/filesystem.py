@@ -1,9 +1,9 @@
-"""Pluggable filesystem seam for the export family.
+"""Pluggable filesystem seam for the binary I/O family.
 
-The single-file exporters and shard writers historically used raw
-``open()``/``os`` calls, which is correct on local[*] and on a shared
-POSIX mount but NOT on a real cluster writing to HDFS or an object
-store. The reference routes every merge through the Hadoop FileSystem
+The single-file exporters, shard writers, and binary readers
+historically used raw ``open()``/``os`` calls, which is correct on
+local[*] and on a shared POSIX mount but NOT on a real cluster reading
+from / writing to HDFS or an object store. The reference routes every merge through the Hadoop FileSystem
 API (util/FileMerger.scala:35,75 — works on any ``hdfs://``/``s3a://``
 URI); this module is the equivalent seam for the PySpark rebuild:
 
@@ -19,6 +19,13 @@ URI); this module is the equivalent seam for the PySpark rebuild:
   driver. Object stores have no positioned write, so
   ``supports_positioned_writes`` is False and the concat stays a
   sequential stream regardless of the parallelism env var.
+
+Coverage: the whole EXPORT family (shard writers, concat, index/
+sidecar writes for SAM/BAM/VCF/BCF/CRAM/FASTA/feature formats) plus
+the BAM READ family (full scan, indexed region query, .bai/.csi/.tbi
+reads, chunk reads) — the read-side pattern proof; the remaining
+binary readers (BCF/CRAM/FASTA/2bit) still assume a shared mount and
+follow the same mechanical conversion.
 
 Resolution: :func:`get_fs` maps a path to ``(fs, stripped_path)`` —
 plain paths to the local default, ``scheme://`` URIs first through the
@@ -61,6 +68,9 @@ class LocalFileSystem:
 
     def exists(self, path) -> bool:
         return os.path.exists(path)
+
+    def isdir(self, path) -> bool:
+        return os.path.isdir(path)
 
     def glob(self, pattern) -> list[str]:
         return sorted(_glob.glob(pattern))
@@ -123,6 +133,11 @@ class ArrowFileSystem:
         from pyarrow.fs import FileType
 
         return self._fs.get_file_info(path).type != FileType.NotFound
+
+    def isdir(self, path) -> bool:
+        from pyarrow.fs import FileType
+
+        return self._fs.get_file_info(path).type == FileType.Directory
 
     def glob(self, pattern) -> list[str]:
         # arrow has no glob; list the parent prefix and fnmatch —

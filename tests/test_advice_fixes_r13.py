@@ -200,8 +200,8 @@ def test_cli_indexed_bam_path_threads_stringency(spark, tmp_path, monkeypatch):
     # at the header-parse seam the indexed loader actually uses
     real_hdr = bam_mod._read_bam_header_lazy
 
-    def bad_hdr(p):
-        h, names, off, intra = real_hdr(p)
+    def bad_hdr(p, *a, **kw):
+        h, names, off, intra = real_hdr(p, *a, **kw)
         return malformed, names, off, intra
 
     monkeypatch.setattr(bam_mod, "_read_bam_header_lazy", bad_hdr)

@@ -236,3 +236,47 @@ def test_save_fasta_remote_backend(spark, remote, tmp_path):
     assert _read_remote(root, "out.fa/part-00000.fai") == open(
         os.path.join(local, "part-00000.fai"), "rb"
     ).read()
+
+
+def test_load_bam_remote_backend(spark, remote, tmp_path):
+    """READ side of the seam (BAM is the pattern proof): a full BAM
+    scan and an indexed region query both work through a non-local
+    backend — header walk, split decode, .bai read, and chunk reads
+    all flow through the handle; results equal the local load."""
+    from adam_spark.core.genomic_frame import GenomicFrame
+    from adam_spark.sources.bam import load_bam, load_indexed_bam, save_bam
+    from adam_spark.sources.sam import load_sam
+
+    lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:100000"]
+    for i in range(400):
+        lines.append(
+            f"r{i:04d}\t0\tchr1\t{1 + i * 37}\t60\t10M\t*\t0\t0\t{'A'*10}\t{'I'*10}"
+        )
+    src = tmp_path / "a.sam"
+    src.write_text("\n".join(lines) + "\n")
+    gf = load_sam(spark, str(src))
+    gf = GenomicFrame(gf.df.repartition(3), gf.meta)
+    save_bam(gf, "testfs://reads/a.bam")  # write through the seam too
+
+    want = sorted(
+        (r["readName"], r["start"]) for r in gf.df.collect()
+    )
+    got = sorted(
+        (r["readName"], r["start"])
+        for r in load_bam(spark, "testfs://reads/a.bam").df.collect()
+    )
+    assert got == want and len(got) == 400
+
+    # indexed region query via the remote .bai
+    regions = [("chr1", 5_000, 6_000)]
+    got_r = sorted(
+        r["start"]
+        for r in load_indexed_bam(
+            spark, "testfs://reads/a.bam", regions
+        ).df.collect()
+    )
+    want_r = sorted(
+        r["start"]
+        for r in gf.filter_by_overlapping_regions(regions).df.collect()
+    )
+    assert got_r == want_r and len(got_r) > 0
