@@ -409,19 +409,21 @@ def _plausible_bcf_record(
     return True
 
 
-def _bcf_body_start(path: str) -> tuple[int, int] | None:
+def _bcf_body_start(path: str, fs=None) -> tuple[int, int] | None:
     """Driver-side, O(header blocks): (compressed block offset,
     intra-block offset) where the record stream begins in a
     BGZF-framed BCF — the split arithmetic's origin. ``None`` when the
     file is not BGZF (raw BCF stays a single decode task)."""
-    import os
-
     from adam_spark.sources.bam import _read_block_fully
 
-    with open(path, "rb") as f:
+    if fs is None:
+        from adam_spark.sources.filesystem import LocalFileSystem
+
+        fs = LocalFileSystem()
+    with fs.open_read(path) as f:
         if f.read(2) != b"\x1f\x8b":
             return None
-        fsize = os.path.getsize(path)
+        fsize = fs.size(path)
         buf = bytearray()
         off = cum = 0
         l_text = None
@@ -455,18 +457,21 @@ def _decode_bcf_byte_range(
     str_dict: dict[int, str],
     contig_dict: dict[int, str],
     flags: set[str],
+    fs=None,
 ):
     """Executor task: decode BCF records STARTING inside compressed
     byte range [start, end) — the bam._decode_byte_range contract:
     resync to the first BGZF block at/after ``start``, then to the
     first plausible record boundary; read forward past the range end to
     finish a trailing record that spans into the next range."""
-    import os
-
     from adam_spark.sources.bam import _block_at, _inflate_block, _next_block_offset
 
-    fsize = os.path.getsize(path)
-    with open(path, "rb") as f:
+    if fs is None:
+        from adam_spark.sources.filesystem import LocalFileSystem
+
+        fs = LocalFileSystem()
+    fsize = fs.size(path)
+    with fs.open_read(path) as f:
         if resync:
             first = _next_block_offset(f, start, fsize)
             if first is None or first >= end:
@@ -530,7 +535,7 @@ def _decode_bcf_byte_range(
             pos += rec_len
 
 
-def _bcf_header_driver_side(path: str):
+def _bcf_header_driver_side(path: str, fs=None):
     """Driver-side header read, O(header bytes): (header_text, parsed
     header lines, refs, sample names) — the IDX= dictionary annotations
     strip off the text header exactly as htsjdk does on read.
@@ -547,7 +552,11 @@ def _bcf_header_driver_side(path: str):
 
     from adam_spark.sources.vcf import _header_from_lines, mix_header_lines
 
-    with open(path, "rb") as f:
+    if fs is None:
+        from adam_spark.sources.filesystem import LocalFileSystem
+
+        fs = LocalFileSystem()
+    with fs.open_read(path) as f:
         probe = f.read(2)
         f.seek(0)
         src = _gzip.GzipFile(fileobj=f) if probe == b"\x1f\x8b" else f
@@ -567,7 +576,8 @@ def _bcf_header_driver_side(path: str):
 
 
 def load_bcf(
-    spark: SparkSession, path: str, target_split_bytes: int = 16 << 20
+    spark: SparkSession, path: str, target_split_bytes: int = 16 << 20,
+    fs=None,
 ) -> GenomicFrame:
     """BCFv2.2 → variant contexts, through the shared text parser.
 
@@ -590,25 +600,33 @@ def load_bcf(
     falls back to one decode task."""
     import os
 
+    from adam_spark.sources.filesystem import LocalFileSystem, get_fs
     from adam_spark.sources.vcf import vcf_lines_to_contexts
 
-    header_text, header_lines, refs, sample_names = _bcf_header_driver_side(path)
+    # resolved ONCE; the handle rides the task closures so executors
+    # read directly from the store (HDFS/S3 via pyarrow.fs)
+    fs, path = get_fs(path, fs)
+    header_text, header_lines, refs, sample_names = _bcf_header_driver_side(
+        path, fs
+    )
     sc = spark.sparkContext
-    apath = os.path.abspath(path)
+    apath = os.path.abspath(path) if isinstance(fs, LocalFileSystem) else path
 
-    body_start = _bcf_body_start(apath)
+    body_start = _bcf_body_start(apath, fs)
     str_dict, contig_dict = _dictionaries(header_text)
     if body_start is None or not contig_dict:
         # raw uncompressed BCF (or no contigs → no records): one task
-        rdd = sc.parallelize([apath], 1).flatMap(
-            lambda p: bcf_records_to_vcf_lines(open(p, "rb").read())
-        )
+        def _raw_lines(p):
+            with fs.open_read(p) as rf:
+                return bcf_records_to_vcf_lines(rf.read())
+
+        rdd = sc.parallelize([apath], 1).flatMap(_raw_lines)
     else:
         flags = _flag_keys(header_text)
         n_contigs = max(contig_dict) + 1
         n_samples = len(sample_names)
         records_off, records_intra = body_start
-        fsize = os.path.getsize(apath)
+        fsize = fs.size(apath)
         body_bytes = fsize - records_off
         tasks = []
         if body_bytes > 0:
@@ -637,6 +655,7 @@ def load_bcf(
                         str_dict=str_dict,
                         contig_dict=contig_dict,
                         flags=flags,
+                        fs=fs,
                     )
                 )
         rdd = sc.parallelize(tasks, max(1, len(tasks))).flatMap(
@@ -647,7 +666,8 @@ def load_bcf(
 
 
 def load_indexed_bcf(
-    spark: SparkSession, path: str, regions: list[tuple[str, int, int]]
+    spark: SparkSession, path: str, regions: list[tuple[str, int, int]],
+    fs=None,
 ) -> GenomicFrame:
     """Region-restricted BCF load via the .csi sidecar (the
     load_indexed_vcf shape over the binary records): only the
@@ -660,15 +680,19 @@ def load_indexed_bcf(
     from pyspark.sql import functions as F  # noqa: N812
 
     from adam_spark.sources.binned_index import merge_chunks, read_csi
+    from adam_spark.sources.filesystem import LocalFileSystem, get_fs
     from adam_spark.sources.vcf import vcf_lines_to_contexts
 
-    apath = os.path.abspath(path)
-    header_text, header_lines, refs, sample_names = _bcf_header_driver_side(apath)
+    fs, path = get_fs(path, fs)
+    apath = os.path.abspath(path) if isinstance(fs, LocalFileSystem) else path
+    header_text, header_lines, refs, sample_names = _bcf_header_driver_side(
+        apath, fs
+    )
     str_dict, contig_dict = _dictionaries(header_text)
     flags = _flag_keys(header_text)
     rid = {name: i for i, name in contig_dict.items()}
 
-    idx = read_csi(apath + ".csi")
+    idx = read_csi(apath + ".csi", fs)
     chunks = merge_chunks(
         [
             c
@@ -682,7 +706,7 @@ def load_indexed_bcf(
         from adam_spark.sources.binned_index import read_chunk_bytes
 
         for vb, ve in task_chunks:
-            buf = read_chunk_bytes(apath, vb, ve)
+            buf = read_chunk_bytes(apath, vb, ve, fs)
             yield from _records_from_buffer(
                 buf, 0, len(buf), str_dict, contig_dict, flags
             )

@@ -22,10 +22,10 @@ URI); this module is the equivalent seam for the PySpark rebuild:
 
 Coverage: the whole EXPORT family (shard writers, concat, index/
 sidecar writes for SAM/BAM/VCF/BCF/CRAM/FASTA/feature formats) plus
-the BAM READ family (full scan, indexed region query, .bai/.csi/.tbi
-reads, chunk reads) — the read-side pattern proof; the remaining
-binary readers (BCF/CRAM/FASTA/2bit) still assume a shared mount and
-follow the same mechanical conversion.
+the BAM and BCF READ families (full scans, indexed region queries,
+.bai/.csi/.tbi reads, chunk reads, header streams, split decodes);
+the remaining binary readers (CRAM/FASTA/2bit) still assume a shared
+mount and follow the same mechanical conversion.
 
 Resolution: :func:`get_fs` maps a path to ``(fs, stripped_path)`` —
 plain paths to the local default, ``scheme://`` URIs first through the

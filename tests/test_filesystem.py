@@ -280,3 +280,32 @@ def test_load_bam_remote_backend(spark, remote, tmp_path):
         for r in gf.filter_by_overlapping_regions(regions).df.collect()
     )
     assert got_r == want_r and len(got_r) > 0
+
+
+def test_load_bcf_remote_backend(spark, remote, tmp_path):
+    """READ side for BCF: the splittable full scan (header stream,
+    body-start walk, range decode with resync) and the .csi region
+    query both work through a non-local backend, equal to local."""
+    from adam_spark.sources.bcf import load_bcf, load_indexed_bcf, save_bcf
+
+    gf = _toy_variants(spark, tmp_path, n=600)
+    save_bcf(gf, "testfs://v/d.bcf")  # write through the seam
+
+    want = sorted(r["start"] for r in gf.df.collect())
+    got = sorted(
+        r["start"] for r in load_bcf(spark, "testfs://v/d.bcf").df.collect()
+    )
+    assert got == want and len(got) == 600
+
+    regions = [("chr1", 3_000, 9_000)]
+    got_r = sorted(
+        r["start"]
+        for r in load_indexed_bcf(
+            spark, "testfs://v/d.bcf", regions
+        ).df.collect()
+    )
+    want_r = sorted(
+        r["start"]
+        for r in gf.filter_by_overlapping_regions(regions).df.collect()
+    )
+    assert got_r == want_r and len(got_r) > 0
