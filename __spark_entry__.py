@@ -42,8 +42,11 @@ def _d(c: str):
 
 
 def _intervals_l(spark: SparkSession, sf: str) -> DataFrame:
+    # spread=True: the testdata parquet is ONE row group per table, so
+    # without it the explode→join probe pipeline runs on a single core
+    # (sources/tables.py note; measured 4.15→1.34 s on the flank join)
     return (
-        load_table(spark, sf, "orders")
+        load_table(spark, sf, "orders", spread=True)
         .where(F.expr("o_orderkey % 5 = 0"))
         .select(
             F.expr("'c' || cast(o_orderkey % 8 as string)").alias("referenceName"),
@@ -64,7 +67,8 @@ _L_SQL = """
 
 
 def _intervals_r(spark: SparkSession, sf: str) -> DataFrame:
-    return load_table(spark, sf, "lineitem").select(
+    # spread=True: see _intervals_l
+    return load_table(spark, sf, "lineitem", spread=True).select(
         F.expr("'c' || cast(l_orderkey % 8 as string)").alias("referenceName"),
         F.expr("(l_orderkey * 7 + l_linenumber * 13) % 10000").alias("start"),
         F.expr(

@@ -38,8 +38,58 @@ _NANOS_COLS = {
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+#: The driver's testdata files are written as ONE parquet row group per
+#: table. Parquet is only splittable at row-group boundaries, so however
+#: many byte-range splits Spark creates, exactly one task decodes rows
+#: and every scan-rooted stage runs single-threaded (measured: the
+#: interval-join probe stage put 3.47 s of CPU on one task while 31
+#: sat at ~8 ms — optimization guide §2.5 "input skew: one huge
+#: unsplittable file → repartition immediately after the read").
+#: ``load_table(..., spread=True)`` therefore hash-repartitions tables
+#: whose footer shows fewer row groups than the session's parallelism
+#: AND at least _SPLIT_MIN_ROWS rows. Catalyst pushes filters and
+#: column pruning THROUGH a Repartition node, so the added exchange
+#: carries only post-filter, post-prune bytes. On a real cluster the
+#: inputs are split-rich (many row groups / many files), the footer
+#: probe says no, and plans are unchanged — the knob is
+#: data-layout-adaptive, not local-tuned.
+#:
+#: ``spread`` is OPT-IN per call site because the exchange only pays
+#: for itself when the downstream amplifies rows (explode + join:
+#: interval joins went 4.15→1.34 s / 3.36→1.84 s at sf0.1). For plain
+#: scan→filter→aggregate pipelines the single-threaded decode is
+#: cheaper than shuffling the table (q1 0.43→0.64, top_parts
+#: 0.51→1.43 measured) — those call sites keep the default.
+#: ``ADAM_SPARK_SPLIT_SINGLE_ROWGROUP=0`` force-disables everywhere.
+_SPLIT_ENV = "ADAM_SPARK_SPLIT_SINGLE_ROWGROUP"
+_SPLIT_MIN_ROWS = 50_000
+#: footer metadata memo (path → (row_groups, rows)); file metadata, not
+#: query results — re-probing the same immutable footer every call
+#: would add a driver I/O per load_table
+_FOOTER_CACHE: dict[str, tuple[int, int]] = {}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _single_rowgroup_starved(path: str, parallelism: int) -> bool:
+    """True when ``path`` is a plain parquet file whose row-group count
+    can't feed ``parallelism`` scan tasks but whose row count merits
+    them (driver-side footer read, O(footer) bytes)."""
+    if path not in _FOOTER_CACHE:
+        try:
+            if not os.path.isfile(path):
+                return False  # directory tables: layout is writer-controlled
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            _FOOTER_CACHE[path] = (md.num_row_groups, md.num_rows)
+        except Exception:
+            _FOOTER_CACHE[path] = (0, 0)
+    groups, rows = _FOOTER_CACHE[path]
+    return 0 < groups < max(2, parallelism // 4) and rows >= _SPLIT_MIN_ROWS
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     # The driver's harness builds its own SparkSession, so the conf set in
     # adam_spark.session is absent there.  nanosAsLong is runtime-settable;
     # without it TIMESTAMP(NANOS) parquet reads raise PARQUET_TYPE_ILLEGAL
@@ -74,6 +124,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.from_utc_timestamp(F.col(c).cast("timestamp"), tz)
             )
+    if spread and os.environ.get(_SPLIT_ENV, "1") != "0":
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        par = spark.sparkContext.defaultParallelism
+        if _single_rowgroup_starved(path, par):
+            # hash repartition on a synthetic unique-ish key: unlike
+            # round-robin it needs no sort-before-repartition pass and
+            # stays retry-deterministic (guide §2.5)
+            df = df.repartition(par, F.xxhash64(*df.columns))
     return df
 
 

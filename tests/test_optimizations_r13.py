@@ -1,0 +1,62 @@
+"""Round-13 optimization pins.
+
+Each test pins an optimization's SEMANTIC invariant: the fast path must
+change plans/partitioning only, never values.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+class TestLoadTableSpread:
+    def test_spread_splits_single_rowgroup_scan(self, spark):
+        """spread=True on a single-row-group file must (a) leave every
+        row bit-identical and (b) actually distribute rows over more
+        than one non-empty partition — the whole point of the knob
+        (sources/tables.py: parquet splits only at row-group
+        boundaries, so the default scan decodes on ONE core)."""
+        from adam_spark.sources.tables import load_table
+
+        plain = load_table(spark, SF01, "lineitem")
+        spread = load_table(spark, SF01, "lineitem", spread=True)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, spread.collect())
+        )
+        nonempty = (
+            spread.groupBy(F.spark_partition_id().alias("p")).count().count()
+        )
+        assert nonempty > 1, "spread must break the single-row-group bottleneck"
+        # plain path keeps its plan: no exchange added
+        assert "Exchange" not in plain._jdf.queryExecution().executedPlan().toString()
+
+    def test_spread_noop_on_small_tables(self, spark):
+        """Tables under the row threshold skip the exchange entirely."""
+        from adam_spark.sources.tables import load_table
+
+        df = load_table(spark, SF001, "supplier", spread=True)
+        assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+    def test_spread_env_kill_switch(self, spark, monkeypatch):
+        from adam_spark.sources.tables import load_table
+
+        monkeypatch.setenv("ADAM_SPARK_SPLIT_SINGLE_ROWGROUP", "0")
+        df = load_table(spark, SF01, "lineitem", spread=True)
+        assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+    def test_spread_filter_still_pushes_to_scan(self, spark):
+        """Predicate pushdown must survive the Repartition node: the
+        scan, not the exchange, filters (guide §6 — PushedFilters)."""
+        from adam_spark.sources.tables import load_table
+
+        df = load_table(spark, SF01, "lineitem", spread=True).where(
+            F.col("l_orderkey") == 1
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:200]
