@@ -862,6 +862,96 @@ def _verify_pairs_gemm(
     )
 
 
+def _near_dup_gemm_fused(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    rows_per_band: int,
+    bands: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Dense-banding near-dup in one fused pass: broadcast matrix +
+    blocked numpy band-compare/GEMM, zero shuffles, zero joins.
+
+    When banding cannot prune (expected shared bands per RANDOM pair =
+    bands·2^-rows_per_band ≥ ~0.5, i.e. thresholds low enough that the
+    LSH parameters degenerate toward all-pairs), the band equi-join
+    materializes a near-N²/band-collision candidate stream, shuffles
+    it, and streams it row-by-row through the scoring UDF — measured
+    3.7M Arrow-crossing rows for N=2000 at threshold 0.4. This kernel
+    computes the IDENTICAL pair set ((share ≥1 band) ∧ (cos ≥
+    threshold), each pair once) directly: hashes and sims both come
+    from blocked matrix products against the broadcast corpus, and the
+    only Spark stage is one ``mapInPandas`` over contiguous row-index
+    ranges (``spark.range(n, numPartitions=P)`` — no shuffle at all).
+    Candidate detection is O(N²·bands/64) vectorized byte-compares —
+    the same asymptotics the degenerate band join already had, minus
+    the exchanges and the Python row boundary.
+
+    Semantics match the band-join path bit-for-bit: one hash
+    computation serves every pair (no executor/driver BLAS-order
+    mismatch is possible), ids sort ascending so (id_a < id_b) falls
+    out of the index order, sims round to 6 dp.
+    """
+    import pandas as pdlib
+
+    spark = corpus.sparkSession
+    out_schema = "id_a long, id_b long, sim double"
+    pdf = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    n = len(pdf)
+    if n < 2:
+        return spark.createDataFrame([], out_schema)
+    order = np.argsort(pdf["id"].to_numpy(np.int64), kind="stable")
+    ids = pdf["id"].to_numpy(np.int64)[order]
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])[order]
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
+    n_bits = rows_per_band * bands
+    proj = np.asarray(_srp_matrix(dim, n_bits, seed), dtype=np.float64)
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+    bh = ((mat @ proj.T >= 0).astype(np.int64).reshape(n, bands, rows_per_band) @ weights)
+    bc = spark.sparkContext.broadcast((ids, mat, norms, bh))
+
+    i_block, j_block = 512, 4096
+
+    def score(batches):
+        ids_, m, nrm, bh_ = bc.value
+        nn = len(ids_)
+        for b in batches:
+            rows = b["id"].to_numpy(np.int64)  # row indices, contiguous range
+            for s in range(0, len(rows), i_block):
+                iv = rows[s : s + i_block]
+                lo = int(iv.min()) + 1  # pairs (i, j) with j > i only
+                out_a, out_b, out_s = [], [], []
+                for j0 in range(lo, nn, j_block):
+                    jv = np.arange(j0, min(j0 + j_block, nn))
+                    share = (bh_[iv, None, :] == bh_[None, jv, :]).any(axis=2)
+                    share &= iv[:, None] < jv[None, :]
+                    if not share.any():
+                        continue
+                    sims = (m[iv] @ m[jv].T) / (nrm[iv, None] * nrm[None, jv])
+                    hit = share & (sims >= threshold)
+                    ii, jj = np.nonzero(hit)
+                    out_a.append(ids_[iv[ii]])
+                    out_b.append(ids_[jv[jj]])
+                    out_s.append(sims[ii, jj])
+                if out_a:
+                    yield pdlib.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                            "sim": np.concatenate(out_s),
+                        }
+                    )
+
+    par = max(1, min(spark.sparkContext.defaultParallelism, n))
+    idx = spark.range(0, n, 1, numPartitions=par)
+    return idx.mapInPandas(score, schema=out_schema).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -885,8 +975,17 @@ def embedding_near_duplicates(
     oracle replicates the identical banding, so recall behavior is part
     of the spec).
 
-    Two verify strategies, auto-selected on corpus size:
+    Three strategies, auto-selected on banding density and corpus size:
 
+    - DENSE banding (expected shared bands per random pair,
+      bands·2^-rows_per_band, ≥ 0.5 — i.e. the low-threshold regime
+      where LSH degenerates toward all-pairs) AND the matrix fits
+      :data:`GEMM_VERIFY_CAP_BYTES`: the fused kernel
+      (:func:`_near_dup_gemm_fused`) — broadcast matrix, blocked numpy
+      band-compare + GEMM, identical pair set, zero shuffles. The band
+      equi-join in this regime built a near-all-pairs candidate stream
+      (measured 3.7M Arrow rows for N=2000 at threshold 0.4) only to
+      re-derive what one blocked compare computes in place.
     - corpus matrix ≤ :data:`GEMM_VERIFY_CAP_BYTES` (N·dim·8): the
       vectors broadcast once as a dense numpy matrix and every RAW
       band-join candidate is scored by an Arrow-batched gather + row
@@ -908,6 +1007,21 @@ def embedding_near_duplicates(
         bands = bands or b_def
     from pyspark.storagelevel import StorageLevel
 
+    # dense-banding fast path (strategy 1 in the docstring): decided
+    # BEFORE the band-hash pipeline exists, from the LSH parameters and
+    # two O(1)-ish probes (first row's width + a metadata-served count)
+    if bands * (0.5 ** rows_per_band) >= 0.5:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        true_dim = int(first["d"]) if first and first["d"] is not None else dim
+        if corpus.count() * true_dim * 8 <= GEMM_VERIFY_CAP_BYTES:
+            out = _near_dup_gemm_fused(
+                corpus, threshold, id_col, vec_col, dim, rows_per_band, bands
+            )
+            if bounded_cache:
+                from adam_spark.llm.cache import eager_release
+
+                return eager_release(out)
+            return out
     # persisted in ARRAY form: feeds both self-join sides (Spark does
     # not reuse the exchange across differently-aliased sides, so the
     # projection UDF would otherwise run twice) AND, on the GEMM path,
