@@ -164,8 +164,13 @@ def minhash_signatures(
     id_col: str,
     shingles: Column,
     num_hashes: int = 128,
+    with_size: bool = False,
 ) -> DataFrame:
-    """(id, signature array<long>) via a universal hash family.
+    """(id[, n], signature array<long>) via a universal hash family.
+
+    ``with_size=True`` adds the document's shingle count ``n`` — free
+    here (the array is in hand), and it lets downstream verify stages
+    and broadcast-size estimates skip a re-tokenize pass.
 
     One base hash per shingle (md5 → 28-bit int, a Catalyst-side
     vectorized map), then the i-th hash is ``(a_i·h + b_i) mod P`` and
@@ -188,7 +193,12 @@ def minhash_signatures(
         F.col("__sh"), lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
     )
     sig = _sig_udf(num_hashes)(h0s)
-    return keyed.where(F.size("__sh") > 0).select("id", sig.alias("signature"))
+    out = keyed.where(F.size("__sh") > 0)
+    if with_size:
+        return out.select(
+            "id", F.size("__sh").alias("n"), sig.alias("signature")
+        )
+    return out.select("id", sig.alias("signature"))
 
 
 def lsh_bands(signatures: DataFrame, bands: int) -> DataFrame:
@@ -221,6 +231,21 @@ def lsh_bands(signatures: DataFrame, bands: int) -> DataFrame:
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays."""
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def _jaccard_length_ok(n_a: Column, n_b: Column, threshold: float) -> Column:
+    """Exact PPJoin-style length prefilter: J(A,B) ≥ t needs
+    |A∩B| ≥ t·(|A|+|B|)/(1+t) and |A∩B| ≤ min(|A|,|B|), so
+    min·(1+t) ≥ t·(|A|+|B|) is NECESSARY for any qualifying pair —
+    two comparisons evaluated before the O(|A|·|B|) array_intersect
+    prune the candidate stream without touching results (measured: cuts
+    most of the 1.67M sf0.1 intersect evaluations in the self-join
+    verify). +0.5 slack keeps boundary pairs (e.g. min=9, total=19,
+    t=0.9 → 17.1 vs 17.1) that double rounding could otherwise drop;
+    the final exact-Jaccard filter still decides them."""
+    return F.least(n_a, n_b) * F.lit(1.0 + threshold) + F.lit(0.5) >= F.lit(
+        threshold
+    ) * (n_a + n_b)
 
 
 #: max estimated shingle-table bytes we will pin as a broadcast for the
@@ -270,7 +295,7 @@ def minhash_lsh_pairs(
     # the tokenized corpus (measured: persisting buys ~0.2 s warm at
     # sf0.1 and nothing cold)
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-    sigs = minhash_signatures(base, "id", F.col("sh"), num_hashes)
+    sigs = minhash_signatures(base, "id", F.col("sh"), num_hashes, with_size=True)
     # per-doc band-hash ARRAY first (identical hash construction to
     # lsh_bands), then posexplode for the equi-join: the banded table
     # feeds BOTH sides of the self-join, and Spark does NOT reuse the
@@ -292,7 +317,7 @@ def minhash_lsh_pairs(
     )
     banded = rotate_persist(
         "dedup.minhash.banded",
-        sigs.select("id", bh_arr.alias("bh")),
+        sigs.select("id", "n", bh_arr.alias("bh")),
         StorageLevel.MEMORY_AND_DISK,
     )
     banded.count()  # eager: both self-join sides would race a lazy cache
@@ -312,8 +337,17 @@ def minhash_lsh_pairs(
     # VERIFY_BROADCAST_CAP_BYTES shuffles — a default that still works at
     # the 100 TB design point.
     if broadcast_verify is None:
-        broadcast_verify = _estimate_shingle_bytes(base) <= VERIFY_BROADCAST_CAP_BYTES
-    sized = base.withColumn("n", F.size("sh"))
+        # size the verify table from the already-persisted slim banded
+        # table instead of re-tokenizing the corpus
+        # (_estimate_shingle_bytes was a full extra pass per call).
+        # Sole difference: empty-shingle docs (absent from banded) no
+        # longer add their 48-byte row overhead to the estimate — a
+        # strategy heuristic only, both strategies are exact.
+        st = banded.select(
+            F.count(F.lit(1)).alias("docs"), F.sum("n").alias("toks")
+        ).first()
+        est = int(st["toks"] or 0) * 16 + int(st["docs"] or 0) * 48
+        broadcast_verify = est <= VERIFY_BROADCAST_CAP_BYTES
     if broadcast_verify:
         # verify is a pure map (both shingle sides broadcast). A pair
         # that matched in k bands would be verified k times and need a
@@ -322,14 +356,27 @@ def minhash_lsh_pairs(
         # arrays already shipped) and the map keeps a pair only at its
         # FIRST shared band: exactly one verify per pair, zero dedup
         # exchange. Same stateless first-bin trick as the region join.
-        sized = sized.join(banded, "id")
-        sh_a = sized.select(
-            F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-            F.col("n").alias("n_a"), F.col("bh").alias("bh_a"),
+        # Persisted: the table feeds BOTH broadcast builds, which run
+        # concurrently and do NOT share the exchange (aliased copies) —
+        # unpersisted, the tokenize+join lineage executed twice. The
+        # persist is bounded by construction: this branch only runs
+        # when the estimate fits VERIFY_BROADCAST_CAP_BYTES.
+        # TWO-PHASE attach (guide §2.3 "move keys and metadata, not
+        # payloads", applied to broadcast-join materialization): the
+        # old single join attached both documents' FULL token arrays to
+        # every raw candidate row before any filter ran — ~2-4 KB of
+        # array copy × 3.35M raw rows at sf0.1, the stage's dominant
+        # cost (42.7 core-s measured). Phase 1 joins only the slim
+        # (n, bh) columns (~100 B/doc) and applies the length +
+        # first-shared-band filters; phase 2 attaches the token arrays
+        # to the surviving unique pairs only, then runs the exact
+        # intersect.
+        slim = banded  # id, n, bh — already persisted and eager
+        slim_a = slim.select(
+            F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("bh").alias("bh_a")
         )
-        sh_b = sized.select(
-            F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-            F.col("n").alias("n_b"), F.col("bh").alias("bh_b"),
+        slim_b = slim.select(
+            F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("bh").alias("bh_b")
         )
         first_shared = F.element_at(
             F.filter(
@@ -339,11 +386,23 @@ def minhash_lsh_pairs(
             ),
             1,
         ) - F.lit(1)
+        filtered = (
+            raw.join(F.broadcast(slim_a), "id_a")
+            .join(F.broadcast(slim_b), "id_b")
+            .where(_jaccard_length_ok(F.col("n_a"), F.col("n_b"), threshold)
+                   & (F.col("band") == first_shared))
+            .select("id_a", "id_b", "n_a", "n_b")
+        )
+        # (an Arrow UDF doing Python-set intersection against a
+        # broadcast {id: frozenset} dict was measured here and REVERTED:
+        # the per-call driver collect + dict pickle/broadcast cost more
+        # than the executor-side win — 3.75 s vs 2.53 s at sf0.1)
+        sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
         out = (
-            raw.join(F.broadcast(sh_a), "id_a")
+            filtered.join(F.broadcast(sh_a), "id_a")
             .join(F.broadcast(sh_b), "id_b")
-            .where(F.col("band") == first_shared)
             .withColumn("jaccard", inter / (F.col("n_a") + F.col("n_b") - inter))
             .where(F.col("jaccard") >= F.lit(threshold))
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -359,12 +418,14 @@ def minhash_lsh_pairs(
         cand = raw.repartition(
             df.sparkSession.sparkContext.defaultParallelism, "id_a"
         ).dropDuplicates(["id_a", "id_b"])
+        sized = base.withColumn("n", F.size("sh"))
         sh_a = sized.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
         sh_b = sized.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
         inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
         out = (
             cand.join(sh_a, "id_a")
             .join(sh_b, "id_b")
+            .where(_jaccard_length_ok(F.col("n_a"), F.col("n_b"), threshold))
             .withColumn("jaccard", inter / (F.col("n_a") + F.col("n_b") - inter))
             .where(F.col("jaccard") >= F.lit(threshold))
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -774,8 +835,8 @@ def minhash_lsh_pairs_between(
         def _banded(base, tag):
             b = rotate_persist(
                 tag,
-                minhash_signatures(base, "id", F.col("sh"), num_hashes)
-                .select("id", bh_arr.alias("bh")),
+                minhash_signatures(base, "id", F.col("sh"), num_hashes, with_size=True)
+                .select("id", "n", bh_arr.alias("bh")),
                 StorageLevel.MEMORY_AND_DISK,
             )
             b.count()  # eager: two consumers would race a lazy cache
@@ -791,11 +852,13 @@ def minhash_lsh_pairs_between(
             )
             .select("id_new", "id_ref", "band")
         )
-        sh_n_bh = sh_n.join(
-            banded_n.select(F.col("id").alias("id_new"), F.col("bh").alias("bh_n")), "id_new"
+        # two-phase attach (see minhash_lsh_pairs: filter on slim
+        # (n, bh) metadata first; token arrays attach to survivors only)
+        slim_n = banded_n.select(
+            F.col("id").alias("id_new"), F.col("n").alias("n_n"), F.col("bh").alias("bh_n")
         )
-        sh_r_bh = sh_r.join(
-            banded_r.select(F.col("id").alias("id_ref"), F.col("bh").alias("bh_r")), "id_ref"
+        slim_r = banded_r.select(
+            F.col("id").alias("id_ref"), F.col("n").alias("n_r"), F.col("bh").alias("bh_r")
         )
         first_shared = F.element_at(
             F.filter(
@@ -805,10 +868,16 @@ def minhash_lsh_pairs_between(
             ),
             1,
         ) - F.lit(1)
+        filtered = (
+            raw.join(F.broadcast(slim_n), "id_new")
+            .join(F.broadcast(slim_r), "id_ref")
+            .where(_jaccard_length_ok(F.col("n_n"), F.col("n_r"), threshold)
+                   & (F.col("band") == first_shared))
+            .select("id_new", "id_ref", "n_n", "n_r")
+        )
         out = (
-            raw.join(F.broadcast(sh_n_bh), "id_new")
-            .join(F.broadcast(sh_r_bh), "id_ref")
-            .where(F.col("band") == first_shared)
+            filtered.join(F.broadcast(sh_n.drop("n_n")), "id_new")
+            .join(F.broadcast(sh_r.drop("n_r")), "id_ref")
             .withColumn("jaccard", inter / (F.col("n_n") + F.col("n_r") - inter))
             .where(F.col("jaccard") >= F.lit(threshold))
             .select("id_new", "id_ref", F.round("jaccard", 6).alias("jaccard"))
@@ -842,6 +911,7 @@ def minhash_lsh_pairs_between(
     out = (
         sh_r.join(maybe_bc(cand), "id_ref")
         .join(maybe_bc_new(sh_n), "id_new")
+        .where(_jaccard_length_ok(F.col("n_n"), F.col("n_r"), threshold))
         .withColumn("jaccard", inter / (F.col("n_n") + F.col("n_r") - inter))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_new", "id_ref", F.round("jaccard", 6).alias("jaccard"))
