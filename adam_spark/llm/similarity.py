@@ -198,23 +198,27 @@ def kmeans_centroids(
         partial_df = corpus.select(F.col(vec_col).alias("v")).mapInPandas(
             partials, schema="cid int, psum array<double>, n long"
         )
-        # slim shuffle: partitions·k rows exploded to dim-indexed scalars
-        sums = (
-            partial_df.select(
-                "cid", "n", F.posexplode("psum").alias("i", "s")
-            )
-            .groupBy("cid", "i")
-            .agg(F.sum("s").alias("s"), F.sum(F.when(F.col("i") == 0, F.col("n"))).alias("n"))
-            .collect()
-        )  # k·dim rows on the driver — same footprint as the centroids
+        # collect the per-partition partials DIRECTLY — at most
+        # partitions·k rows of (cid, dim doubles, n), the same driver
+        # footprint as the centroids — and reduce in numpy. The old
+        # posexplode→groupBy(cid, i) added a full shuffle + aggregate
+        # stage per iteration to sum what fits in one screen of rows
+        # (r13: measured pure job-latency at small k·partitions, and at
+        # ANY scale the collect is O(partitions·k·dim), corpus-size-
+        # independent, so nothing is lost asymptotically). Rows are
+        # sorted before summing so the float reduction order is
+        # deterministic for a fixed partitioning — the same guarantee
+        # the shuffle reduction gave.
+        prows = partial_df.collect()
+        prows.sort(key=lambda r: (r["cid"], r["n"], tuple(r["psum"])))
         new = cents.copy()  # empty clusters keep their previous centroid
-        counts = {}
-        for r in sums:
-            new[r["cid"], r["i"]] = r["s"]
-            if r["i"] == 0:
-                counts[r["cid"]] = r["n"]
-        for c, n in counts.items():
-            new[c] /= n
+        sums = np.zeros_like(cents)
+        counts = np.zeros(cents.shape[0], dtype=np.int64)
+        for r in prows:
+            sums[r["cid"]] += np.asarray(r["psum"], dtype=np.float64)
+            counts[r["cid"]] += r["n"]
+        live = counts > 0
+        new[live] = sums[live] / counts[live, None]
         cents = new
         bc.destroy()
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
