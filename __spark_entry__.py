@@ -389,6 +389,14 @@ def _ij(how: str, flank: int = 0, broadcast: str | None = None):
         # 1.90 s at sf0.1; group_right 1.06 vs 1.34). Results are
         # bin-size-invariant by construction (same pair set, oracle
         # re-checked).
+        # left_key: the L ids (o_orderkey, verified unique per SF) let
+        # left-sided outer/group variants use the declared-key fast
+        # path instead of localCheckpoint-pinning the (spread, hence
+        # shuffle-rooted) input. NO right_key: the R ids
+        # (l_orderkey*10+l_linenumber) are NOT unique in the testdata
+        # (~24% duplicated (orderkey, linenumber) pairs) — declaring
+        # them silently merges rows per the region_join contract
+        # (caught by the oracle during this round's tuning).
         return region_join(
             _intervals_l(spark, sf),
             _intervals_r(spark, sf),
@@ -396,6 +404,7 @@ def _ij(how: str, flank: int = 0, broadcast: str | None = None):
             flank=flank,
             bin_size=64,
             broadcast=broadcast,
+            left_key="id",
         )
 
     return run
@@ -411,7 +420,8 @@ FROM L {join} JOIN R ON {_OVERLAP.format(flank=flank)}
 
 def interval_join_group_left(spark: SparkSession, sf: str) -> DataFrame:
     j = region_join(
-        _intervals_l(spark, sf), _intervals_r(spark, sf), group="left", bin_size=64
+        _intervals_l(spark, sf), _intervals_r(spark, sf), group="left", bin_size=64,
+        left_key="id",  # unique; no right_key — R ids duplicate (see _ij)
     )
     return j.select(
         "referenceName",
@@ -2519,6 +2529,7 @@ def interval_join_group_right(spark: SparkSession, sf: str) -> DataFrame:
         how="right_outer",
         broadcast="left",
         bin_size=64,
+        left_key="id",  # unique; no right_key — R ids duplicate (see _ij)
     )
     return j.select(
         "referenceName",

@@ -233,6 +233,25 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
+def _first_shared_band(bh_a: Column, bh_b: Column, bands: int) -> Column:
+    """0-based index of the first band where the two hash arrays agree
+    (-1 when none — callers only evaluate it on band-join candidates,
+    which share at least one band).
+
+    Unrolled as a ``bands``-arm CASE over element_at comparisons rather
+    than ``filter(sequence(...), lambda ...)``: higher-order array
+    functions fall out of whole-stage codegen into interpreted
+    evaluation, measured ~0.4 s over the 3.35M-row sf0.1 candidate
+    stream; the CASE chain codegens.
+    """
+    fs: Column = F.lit(-1)
+    for j in range(bands, 0, -1):
+        fs = F.when(
+            F.element_at(bh_a, j) == F.element_at(bh_b, j), F.lit(j - 1)
+        ).otherwise(fs)
+    return fs
+
+
 def _jaccard_length_ok(n_a: Column, n_b: Column, threshold: float) -> Column:
     """Exact PPJoin-style length prefilter: J(A,B) ≥ t needs
     |A∩B| ≥ t·(|A|+|B|)/(1+t) and |A∩B| ≤ min(|A|,|B|), so
@@ -378,14 +397,7 @@ def minhash_lsh_pairs(
         slim_b = slim.select(
             F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("bh").alias("bh_b")
         )
-        first_shared = F.element_at(
-            F.filter(
-                F.sequence(F.lit(1), F.lit(bands)),
-                lambda j: F.element_at(F.col("bh_a"), j)
-                == F.element_at(F.col("bh_b"), j),
-            ),
-            1,
-        ) - F.lit(1)
+        first_shared = _first_shared_band(F.col("bh_a"), F.col("bh_b"), bands)
         filtered = (
             raw.join(F.broadcast(slim_a), "id_a")
             .join(F.broadcast(slim_b), "id_b")
@@ -805,45 +817,52 @@ def minhash_lsh_pairs_between(
         F.col("id").alias("id_ref"), F.col("sh").alias("sh_r"), F.size("sh").alias("n_r")
     )
     inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_r")))
-    est_n = _estimate_shingle_bytes(base_n) if broadcast_candidates is None else None
+    # Both strategies start from the slim per-side banded tables
+    # (id, n, band-hash array — one row per doc, built by one signature
+    # pass each, persisted): the broadcast-cap estimates read them
+    # (replacing what used to be two extra full tokenize passes via
+    # _estimate_shingle_bytes), the band equi-join explodes them, and
+    # the broadcast-verify filters join them back.
+    rpb = num_hashes // bands
+    bh_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("signature"), j * F.lit(rpb) + 1, F.lit(rpb)),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ),
+    )
+
+    def _banded(base, tag):
+        b = rotate_persist(
+            tag,
+            minhash_signatures(base, "id", F.col("sh"), num_hashes, with_size=True)
+            .select("id", "n", bh_arr.alias("bh")),
+            StorageLevel.MEMORY_AND_DISK,
+        )
+        b.count()  # eager: two consumers would race a lazy cache
+        return b
+
+    def _est(banded) -> int:
+        st = banded.select(
+            F.count(F.lit(1)).alias("docs"), F.sum("n").alias("toks")
+        ).first()
+        return int(st["toks"] or 0) * 16 + int(st["docs"] or 0) * 48
+
+    banded_n = _banded(base_n, "dedup.incremental.banded_new")
+    banded_r = _banded(base_r, "dedup.incremental.banded_ref")
+    est_n = _est(banded_n) if broadcast_candidates is None else None
     if broadcast_candidates is None and (
-        est_n + _estimate_shingle_bytes(base_r) <= VERIFY_BROADCAST_CAP_BYTES
+        est_n + _est(banded_r) <= VERIFY_BROADCAST_CAP_BYTES
     ):
         # both token tables broadcast: verify is a pure map over the raw
-        # candidate stream. Each side's slim per-doc band-hash ARRAY
-        # persists once (one row per doc) and serves BOTH the exploded
-        # equi-join side and the broadcast, so the signature UDF runs
-        # once per side and the verify map keeps a pair only at its
-        # FIRST shared band — one exact-Jaccard per pair, no dedup
-        # exchange (same trick as the self-join variant).
-        from pyspark.storagelevel import StorageLevel
-
-        rpb = num_hashes // bands
-        bh_arr = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda j: F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("signature"), j * F.lit(rpb) + 1, F.lit(rpb)),
-                        lambda v: v.cast("string"),
-                    ),
-                )
-            ),
-        )
-
-        def _banded(base, tag):
-            b = rotate_persist(
-                tag,
-                minhash_signatures(base, "id", F.col("sh"), num_hashes, with_size=True)
-                .select("id", "n", bh_arr.alias("bh")),
-                StorageLevel.MEMORY_AND_DISK,
-            )
-            b.count()  # eager: two consumers would race a lazy cache
-            return b
-
-        banded_n = _banded(base_n, "dedup.incremental.banded_new")
-        banded_r = _banded(base_r, "dedup.incremental.banded_ref")
+        # candidate stream, a pair kept only at its FIRST shared band —
+        # one exact-Jaccard per pair, no dedup exchange (same trick as
+        # the self-join variant).
         raw = (
             banded_n.select(F.col("id").alias("id_new"), F.posexplode("bh").alias("band", "band_hash"))
             .join(
@@ -860,14 +879,7 @@ def minhash_lsh_pairs_between(
         slim_r = banded_r.select(
             F.col("id").alias("id_ref"), F.col("n").alias("n_r"), F.col("bh").alias("bh_r")
         )
-        first_shared = F.element_at(
-            F.filter(
-                F.sequence(F.lit(1), F.lit(bands)),
-                lambda j: F.element_at(F.col("bh_n"), j)
-                == F.element_at(F.col("bh_r"), j),
-            ),
-            1,
-        ) - F.lit(1)
+        first_shared = _first_shared_band(F.col("bh_n"), F.col("bh_r"), bands)
         filtered = (
             raw.join(F.broadcast(slim_n), "id_new")
             .join(F.broadcast(slim_r), "id_ref")
@@ -887,12 +899,16 @@ def minhash_lsh_pairs_between(
 
             return eager_release(out, banded_n, banded_r)
         return out
-    bands_n = lsh_bands(minhash_signatures(base_n, "id", F.col("sh"), num_hashes), bands)
-    bands_r = lsh_bands(minhash_signatures(base_r, "id", F.col("sh"), num_hashes), bands)
-    raw = bands_n.select(F.col("id").alias("id_new"), "band", "band_hash").join(
-        bands_r.select(F.col("id").alias("id_ref"), "band", "band_hash"),
-        ["band", "band_hash"],
-    ).select("id_new", "id_ref")
+    # shuffle/fallback path: the band join reads the SAME persisted
+    # banded tables (the signature UDF never runs twice per side)
+    raw = (
+        banded_n.select(F.col("id").alias("id_new"), F.posexplode("bh").alias("band", "band_hash"))
+        .join(
+            banded_r.select(F.col("id").alias("id_ref"), F.posexplode("bh").alias("band", "band_hash")),
+            ["band", "band_hash"],
+        )
+        .select("id_new", "id_ref")
+    )
     cand = rotate_persist(
         "dedup.incremental.cand",
         raw.dropDuplicates(["id_new", "id_ref"]),
@@ -905,7 +921,7 @@ def minhash_lsh_pairs_between(
     # the new-side token table gets its own measured size decision —
     # an incremental batch is usually tiny, but nothing forces it to be
     if est_n is None:
-        est_n = _estimate_shingle_bytes(base_n)
+        est_n = _est(banded_n)
     bc_new = broadcast_candidates and est_n <= VERIFY_BROADCAST_CAP_BYTES
     maybe_bc_new = F.broadcast if bc_new else (lambda x: x)
     out = (
@@ -919,7 +935,7 @@ def minhash_lsh_pairs_between(
     if bounded_cache:
         from adam_spark.llm.cache import eager_release
 
-        return eager_release(out, cand)
+        return eager_release(out, cand, banded_n, banded_r)
     return out
 
 

@@ -72,6 +72,25 @@ class TestLoadTableSpread:
         out2 = embedding_near_duplicates(embs, threshold=0.95, dim=8)
         assert "Join" in out2._jdf.queryExecution().executedPlan().toString()
 
+    def test_interval_left_key_matches_pin_path(self, spark):
+        """The entry declares left_key='id' (orders keys, unique per SF)
+        for the outer/group interval joins. Pin (a) the key-path result
+        equals the localCheckpoint pin path, and (b) the R-side ids are
+        genuinely NOT unique — declaring right_key would silently merge
+        rows (caught by the oracle this round; this test keeps the trap
+        documented in-repo)."""
+        import __spark_entry__ as e
+        from adam_spark.operators.region_join import region_join
+
+        L, R = e._intervals_l(spark, SF001), e._intervals_r(spark, SF001)
+        keyed = region_join(L, R, how="left_outer", bin_size=64, left_key="id")
+        pinned = region_join(L, R, how="left_outer", bin_size=64)
+        assert sorted(map(tuple, keyed.collect())) == sorted(
+            map(tuple, pinned.collect())
+        )
+        dup = R.groupBy("id").count().where(F.col("count") > 1).count()
+        assert dup > 0, "R ids became unique — right_key may now be declarable"
+
     def test_spread_filter_still_pushes_to_scan(self, spark):
         """Predicate pushdown must survive the Repartition node: the
         scan, not the exchange, filters (guide §6 — PushedFilters)."""
