@@ -339,7 +339,12 @@ def minhash_lsh_pairs(
         sigs.select("id", "n", bh_arr.alias("bh")),
         StorageLevel.MEMORY_AND_DISK,
     )
-    banded.count()  # eager: both self-join sides would race a lazy cache
+    # one aggregate doubles as the eager materializer (both self-join
+    # sides would race a lazy cache) AND the broadcast-size probe —
+    # previously a count() job plus a separate stats job
+    _bst = banded.select(
+        F.count(F.lit(1)).alias("docs"), F.sum("n").alias("toks")
+    ).first()
     bandsdf = banded.select("id", F.posexplode("bh").alias("band", "band_hash"))
     a = bandsdf.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = bandsdf.select(F.col("id").alias("id_b"), "band", "band_hash")
@@ -356,16 +361,12 @@ def minhash_lsh_pairs(
     # VERIFY_BROADCAST_CAP_BYTES shuffles — a default that still works at
     # the 100 TB design point.
     if broadcast_verify is None:
-        # size the verify table from the already-persisted slim banded
-        # table instead of re-tokenizing the corpus
-        # (_estimate_shingle_bytes was a full extra pass per call).
-        # Sole difference: empty-shingle docs (absent from banded) no
-        # longer add their 48-byte row overhead to the estimate — a
-        # strategy heuristic only, both strategies are exact.
-        st = banded.select(
-            F.count(F.lit(1)).alias("docs"), F.sum("n").alias("toks")
-        ).first()
-        est = int(st["toks"] or 0) * 16 + int(st["docs"] or 0) * 48
+        # sized from the persisted banded stats rather than re-tokenizing
+        # the corpus (_estimate_shingle_bytes was a full extra pass per
+        # call). Sole difference: empty-shingle docs (absent from
+        # banded) no longer add their 48-byte row overhead — a strategy
+        # heuristic only, both strategies are exact.
+        est = int(_bst["toks"] or 0) * 16 + int(_bst["docs"] or 0) * 48
         broadcast_verify = est <= VERIFY_BROADCAST_CAP_BYTES
     if broadcast_verify:
         # verify is a pure map (both shingle sides broadcast). A pair
@@ -844,7 +845,9 @@ def minhash_lsh_pairs_between(
             .select("id", "n", bh_arr.alias("bh")),
             StorageLevel.MEMORY_AND_DISK,
         )
-        b.count()  # eager: two consumers would race a lazy cache
+        # the _est aggregate below doubles as the eager materializer
+        # (broadcast-branch consumers would race a lazy cache); the
+        # shuffle branch consumes each side once, so lazy is safe there
         return b
 
     def _est(banded) -> int:
