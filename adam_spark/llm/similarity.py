@@ -1011,13 +1011,24 @@ def embedding_near_duplicates(
         bands = bands or b_def
     from pyspark.storagelevel import StorageLevel
 
+    # ONE probe job serves every strategy decision below: corpus row
+    # count + observed vector width (first non-null size — equally
+    # valid for the cap heuristic as the old first-row probe, and both
+    # strategies are exact either way). Previously the dense branch ran
+    # a first() job then a count() job, and the join path re-ran the
+    # width probe — three sequential driver jobs for two scalars.
+    probe = corpus.select(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("d"),
+    ).first()
+    n_corpus = int(probe["n"] or 0)
+    true_dim = int(probe["d"]) if probe and probe["d"] is not None else dim
+
     # dense-banding fast path (strategy 1 in the docstring): decided
     # BEFORE the band-hash pipeline exists, from the LSH parameters and
-    # two O(1)-ish probes (first row's width + a metadata-served count)
+    # the probe above
     if bands * (0.5 ** rows_per_band) >= 0.5:
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        true_dim = int(first["d"]) if first and first["d"] is not None else dim
-        if corpus.count() * true_dim * 8 <= GEMM_VERIFY_CAP_BYTES:
+        if n_corpus * true_dim * 8 <= GEMM_VERIFY_CAP_BYTES:
             out = _near_dup_gemm_fused(
                 corpus, threshold, id_col, vec_col, dim, rows_per_band, bands
             )
@@ -1035,16 +1046,15 @@ def embedding_near_duplicates(
     hashed_arr = _srp_band_hash_arrays(
         corpus, id_col, vec_col, dim, rows_per_band, bands
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # eager (both self-join sides would race a lazy cache); the count
-    # doubles as the corpus-size estimate for strategy selection
-    n_vec = hashed_arr.count()
+    # eager (both self-join sides would race a lazy cache); the cap
+    # estimate reuses the probe's count (hashed_arr is a row-for-row
+    # select of corpus) and TRUE vector width — the `dim` argument only
+    # parameterizes the SRP projection; trusting it here would
+    # under-estimate the corpus matrix whenever a caller passes a dim
+    # smaller than the data's
+    hashed_arr.count()
+    n_vec = n_corpus
     hashed = hashed_arr.select("id", F.posexplode("__bhs").alias("band", "band_hash"))
-    # measure the TRUE vector width for the broadcast-cap estimate — the
-    # `dim` argument only parameterizes the SRP projection; trusting it
-    # here would under-estimate the corpus matrix (and overshoot the
-    # cap) whenever a caller passes a dim smaller than the data's
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    true_dim = int(first["d"]) if first and first["d"] is not None else dim
     a = hashed.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = hashed.select(F.col("id").alias("id_b"), "band", "band_hash")
     raw = (
