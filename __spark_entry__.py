@@ -1312,8 +1312,13 @@ FROM ext2 ORDER BY id
 
 
 def similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = load_table(spark, sf, "embeddings")
-    q = emb.where(F.col("vec_id") < 10)
+    # spread: the Q-way crossJoin amplifies per-row work Q×, so the
+    # single-row-group scan starves far below the default 50k floor
+    # (measured 0.75→0.45 s at sf0.1; footer-gated, cluster inputs
+    # unchanged). The query side reloads WITHOUT spread — it is 10 rows
+    # and broadcast anyway.
+    emb = load_table(spark, sf, "embeddings", spread=True, spread_min_rows=1000)
+    q = load_table(spark, sf, "embeddings").where(F.col("vec_id") < 10)
     return (
         cosine_topk(emb, q, k=5)
         .select("query_id", "neighbor_id", "rank")
@@ -1620,6 +1625,11 @@ ORDER BY id_a, id_b
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from adam_spark.llm.similarity import ivf_topk
 
+    # spread measured and NOT applied here (1.1 → 1.7 s at sf0.1): the
+    # default-centroid derivation (orderBy.limit(16).collect) is a
+    # separate job that would materialize the spread exchange once for
+    # itself and again for the main query — the doubled scan+exchange
+    # costs more than the parallelized bucket scan saves.
     emb = load_table(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
     return (

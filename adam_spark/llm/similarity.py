@@ -59,13 +59,29 @@ def cosine_topk(
 
     The QUERY set broadcasts (O(queries), small by assumption) and the
     corpus streams through executors — the side that grows with data
-    never broadcasts, so the plan survives a corpus 100× larger."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    never broadcasts, so the plan survives a corpus 100× larger.
+
+    Norms are hoisted to per-ROW projections before the join: the
+    higher-order-function folds (``aggregate``/``transform``) are
+    interpreted, not codegen'd, and evaluating each side's norm once
+    per row instead of once per PAIR cuts the interpreted work from
+    2·Q·N folds to Q+N (measured 1.14→0.84 s at sf0.1). Bit-identical:
+    the norm expression tree and the ``dot/(qn·cn)`` op order are
+    unchanged, only the evaluation site moves."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
     scored = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
+        (_dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -274,9 +290,14 @@ def ivf_topk(
         # unnecessary for the ranking
         return pd.Series(ids_[np.argmax(mat @ cn_.T, axis=1)])
 
+    # per-row norm hoist (same move as cosine_topk): the interpreted
+    # norm fold runs once per corpus row / probe row instead of once
+    # per (probe, bucket-row) pair in the scan join below; bit-identical
+    # (same expression tree, same dot/(qn·cn) op order)
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
         nearest_cent(F.col(vec_col)).alias("cent_id"),
     )
     # queries probe n_probe nearest centroids (queries × centroids is tiny —
@@ -293,11 +314,16 @@ def ivf_topk(
         q_scored.withColumn("r", F.row_number().over(wprobe))
         .where(F.col("r") <= n_probe)
         .drop("r", "csim")
+        .withColumn("__qn", _norm(F.col("qvec")))
     )
     scored = (
         probes.join(assigned, "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

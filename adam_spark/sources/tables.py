@@ -69,7 +69,9 @@ _SPLIT_MIN_ROWS = 50_000
 _FOOTER_CACHE: dict[str, tuple[int, int]] = {}
 
 
-def _single_rowgroup_starved(path: str, parallelism: int) -> bool:
+def _single_rowgroup_starved(
+    path: str, parallelism: int, min_rows: int = _SPLIT_MIN_ROWS
+) -> bool:
     """True when ``path`` is a plain parquet file whose row-group count
     can't feed ``parallelism`` scan tasks but whose row count merits
     them (driver-side footer read, O(footer) bytes)."""
@@ -84,11 +86,15 @@ def _single_rowgroup_starved(path: str, parallelism: int) -> bool:
         except Exception:
             _FOOTER_CACHE[path] = (0, 0)
     groups, rows = _FOOTER_CACHE[path]
-    return 0 < groups < max(2, parallelism // 4) and rows >= _SPLIT_MIN_ROWS
+    return 0 < groups < max(2, parallelism // 4) and rows >= min_rows
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread: bool = False,
+    spread_min_rows: int = _SPLIT_MIN_ROWS,
 ) -> DataFrame:
     # The driver's harness builds its own SparkSession, so the conf set in
     # adam_spark.session is absent there.  nanosAsLong is runtime-settable;
@@ -124,10 +130,17 @@ def load_table(
             df = df.withColumn(
                 c, F.from_utc_timestamp(F.col(c).cast("timestamp"), tz)
             )
+    # ``spread_min_rows`` lets a caller whose downstream AMPLIFIES work
+    # per row (crossJoin against a probe set, per-row GEMM batches)
+    # lower the default 50k-row floor: the floor models when the
+    # exchange pays for ~1× downstream work, but a Q-way crossJoin
+    # multiplies the per-row cost by Q, so far smaller tables still
+    # starve on a single row group. Still footer-gated — split-rich
+    # cluster inputs are never repartitioned.
     if spread and os.environ.get(_SPLIT_ENV, "1") != "0":
         path = os.path.join(sf_dir, f"{name}.parquet")
         par = spark.sparkContext.defaultParallelism
-        if _single_rowgroup_starved(path, par):
+        if _single_rowgroup_starved(path, par, spread_min_rows):
             # hash repartition on a synthetic unique-ish key: unlike
             # round-robin it needs no sort-before-repartition pass and
             # stays retry-deterministic (guide §2.5)

@@ -101,3 +101,45 @@ class TestLoadTableSpread:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:200]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+class TestCosineNormHoist:
+    def test_cosine_topk_hoist_bit_identical(self, spark):
+        """cosine_topk hoists each side's norm to a per-row projection
+        (interpreted higher-order folds run Q+N times, not 2·Q·N). The
+        hoist must be BIT-identical, not just close: the unrounded sim
+        from the hoisted pipeline must equal dot/(norm·norm) evaluated
+        per pair with the original expression trees."""
+        from adam_spark.llm.similarity import _dot, _norm, cosine, cosine_topk
+        from adam_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF001, "embeddings")
+        q = emb.where(F.col("vec_id") < 5)
+        got = {
+            (r["query_id"], r["neighbor_id"]): r["sim"]
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        c = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"))
+        ref = {
+            (r["qid"], r["nid"]): r["sim"]
+            for r in c.crossJoin(
+                q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+            )
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"))
+            .collect()
+        }
+        assert got and all(ref[k] == v for k, v in got.items())
+
+    def test_spread_min_rows_override(self, spark):
+        """spread_min_rows lets a row-amplifying caller lower the 50k
+        floor; the footer gate (row-group count) still applies."""
+        from adam_spark.sources.tables import load_table
+
+        small = load_table(spark, SF001, "embeddings", spread=True)
+        assert "Exchange" not in small._jdf.queryExecution().executedPlan().toString()
+        lowered = load_table(
+            spark, SF001, "embeddings", spread=True, spread_min_rows=10
+        )
+        assert "Exchange" in lowered._jdf.queryExecution().executedPlan().toString()
