@@ -419,18 +419,23 @@ FROM L {join} JOIN R ON {_OVERLAP.format(flank=flank)}
 
 
 def interval_join_group_left(spark: SparkSession, sf: str) -> DataFrame:
+    # group_aggs (r13 opt): the query only needs COUNT(*) and SUM(hit
+    # id) per left row, so the reduction is fused into the group join
+    # instead of materializing sorted hit-struct lists and folding them
+    # with an interpreted `aggregate()` lambda. Map-side partial
+    # aggregation collapses the ~9.3M sf0.1 matched pairs to O(left
+    # rows) before the exchange (collect_list ships every struct).
+    # size(hits) == count(1) and the long fold == sum(id) exactly
+    # (non-null ids, exact integer addition) — oracle re-verified.
     j = region_join(
         _intervals_l(spark, sf), _intervals_r(spark, sf), group="left", bin_size=64,
         left_key="id",  # unique; no right_key — R ids duplicate (see _ij)
+        group_aggs={
+            "n_hits": F.count(F.lit(1)).cast("long"),
+            "sum_hit_ids": F.sum("id").cast("long"),
+        },
     )
-    return j.select(
-        "referenceName",
-        "start",
-        "end",
-        "id",
-        F.size("hits").cast("long").alias("n_hits"),
-        F.expr("aggregate(hits, cast(0 as long), (a, h) -> a + h.id)").alias("sum_hit_ids"),
-    ).orderBy("referenceName", "start", "end", "id")
+    return j.orderBy("referenceName", "start", "end", "id")
 
 
 _IJ_GROUP_LEFT_SQL = f"""

@@ -118,6 +118,7 @@ def region_join(
     large_span_bins: int = 512,
     left_key: str | None = None,
     right_key: str | None = None,
+    group_aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """One builder for all 11 reference join variants.
 
@@ -151,6 +152,21 @@ def region_join(
     shuffle-rooted inputs that skips a full materialization of the
     side to executor storage. The caller owns the uniqueness claim:
     duplicate or null key values silently merge rows.
+
+    ``group_aggs`` (inner-flavored ``group='left'`` only) fuses a
+    per-group reduction into the join instead of materializing the
+    ``group_col`` hit-struct lists: ``{out_name: agg_column}`` where
+    each aggregate expression sees ONLY the grouped (right) side's
+    columns under their original names. Output schema becomes the left
+    columns followed by the aggregate columns. This is the guide-§2.3
+    "aggregate before you shuffle" form of the group join: hash-
+    aggregable reductions (count/sum/min/max over exact types) run
+    map-side partial aggregation, so the groupBy exchange carries
+    O(groups) rows instead of every matched hit struct, and the
+    ObjectHashAggregate + per-list sort of the collect_list path
+    disappears. The caller owns order-insensitivity of the
+    expressions (floating-point sums would otherwise flicker with
+    partitioning; exact types are safe).
     """
     if how not in _HOW:
         raise ValueError(f"how must be one of {_HOW}, got {how!r}")
@@ -169,6 +185,21 @@ def region_join(
         raise ValueError(
             f"group_col {group_col!r} collides with a right column; pass a different group_col"
         )
+    if group_aggs is not None:
+        # only the inner-flavored left-group path is fused; the outer
+        # flavors' unmatched channels have empty-list (not NULL / not
+        # single-hit) semantics that a plain groupBy cannot express —
+        # refuse loudly rather than silently diverge
+        if group != "left" or how != "inner":
+            raise ValueError(
+                "group_aggs requires group='left' with how='inner' "
+                f"(got group={group!r}, how={how!r})"
+            )
+        clash = set(group_aggs) & set(left.columns)
+        if clash:
+            raise ValueError(
+                f"group_aggs names collide with left columns: {sorted(clash)}"
+            )
     l_ref, l_start, l_end = left_region
     r_ref, r_start, r_end = right_region
 
@@ -311,6 +342,22 @@ def region_join(
     # join (matched probes only); outer flavors use a left join whose
     # null hit lists become empty arrays.
     if group == "left":
+        if group_aggs is not None:
+            # fused reduction: restore the grouped side's names so the
+            # caller's aggregate expressions bind, aggregate per left
+            # row id (map-side partials collapse the matched stream
+            # BEFORE the exchange), then attach the left columns by id
+            hits_restored = matched.select(
+                "__lrid", *[F.col(rmap[c]).alias(c) for c in rcols]
+            )
+            agg = hits_restored.groupBy("__lrid").agg(
+                *[col.alias(name) for name, col in group_aggs.items()]
+            )
+            out = ldf.join(agg, "__lrid", "inner")
+            return out.select(
+                *[F.col(lmap[c]).alias(c) for c in lcols],
+                *[F.col(name) for name in group_aggs],
+            )
         hit = F.struct(*[F.col(rmap[c]).alias(c) for c in rcols])
         agg = matched.groupBy("__lrid").agg(
             _collect_hits(hit, right.schema, rcols).alias(group_col)

@@ -143,3 +143,58 @@ class TestCosineNormHoist:
             spark, SF001, "embeddings", spread=True, spread_min_rows=10
         )
         assert "Exchange" in lowered._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+class TestGroupAggsPushdown:
+    def test_group_aggs_matches_collect_list_path(self, spark):
+        """group_aggs fuses the per-group reduction into the group join
+        (guide §2.3: aggregate before you shuffle). Pin that it returns
+        exactly what the collect_list path + a post-hoc fold returns on
+        the entry's own inputs, and that the fused plan hash-aggregates
+        (no ObjectHashAggregate — the collect_list aggregate cannot
+        partial-reduce and ships every matched hit struct)."""
+        import __spark_entry__ as e
+        from adam_spark.operators.region_join import region_join
+
+        L, R = e._intervals_l(spark, SF001), e._intervals_r(spark, SF001)
+        fused = region_join(
+            L, R, group="left", bin_size=64, left_key="id",
+            group_aggs={
+                "n_hits": F.count(F.lit(1)).cast("long"),
+                "sum_hit_ids": F.sum("id").cast("long"),
+            },
+        )
+        listed = region_join(L, R, group="left", bin_size=64, left_key="id")
+        folded = listed.select(
+            "referenceName", "start", "end", "id",
+            F.size("hits").cast("long").alias("n_hits"),
+            F.expr(
+                "aggregate(hits, cast(0 as long), (a, h) -> a + h.id)"
+            ).alias("sum_hit_ids"),
+        )
+        assert fused.columns == folded.columns
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, folded.collect())
+        )
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert "ObjectHashAggregate" not in plan
+        assert "HashAggregate" in plan
+
+    def test_group_aggs_guards(self, spark):
+        """group_aggs is only fused on the inner-flavored left-group
+        path; other shapes and name collisions refuse loudly."""
+        import __spark_entry__ as e
+        from adam_spark.operators.region_join import region_join
+
+        L, R = e._intervals_l(spark, SF001), e._intervals_r(spark, SF001)
+        aggs = {"n_hits": F.count(F.lit(1))}
+        with pytest.raises(ValueError, match="group_aggs"):
+            region_join(L, R, group="right", how="right_outer",
+                        group_aggs=aggs, left_key="id")
+        with pytest.raises(ValueError, match="group_aggs"):
+            region_join(L, R, group="left", how="left_outer",
+                        group_aggs=aggs, left_key="id")
+        with pytest.raises(ValueError, match="collide"):
+            region_join(L, R, group="left", left_key="id",
+                        group_aggs={"id": F.count(F.lit(1))})
