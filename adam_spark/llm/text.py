@@ -404,10 +404,12 @@ def unigram_lm_scores(
     the (token → count) table joins back onto the exploded token stream
     — broadcast below a measured size cap (natural-language vocabularies
     are tiny next to their corpora), shuffle fallback above it — and the
-    per-document mean is a second combined groupBy. Nothing is
-    collected on the driver; the two scalar model constants (total
-    token count, vocabulary size) travel as a broadcast 1-row cross
-    join, exactly as the SQL oracle expresses them.
+    per-document mean is a second combined groupBy. The driver
+    collects only three scalars (vocabulary size, size estimate, total
+    token count) in a single aggregate job over the persisted vocab;
+    the model constants are embedded as literals (exact — see the
+    inline note), so no per-call constant subtree or cross-join
+    broadcast remains in the plan.
 
     The vocabulary persist lives until session cache GC (the repo-wide
     convention for slim tables); ``bounded_cache=True`` instead
@@ -425,26 +427,33 @@ def unigram_lm_scores(
         .agg(F.count(F.lit(1)).alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    v = vocab.count()  # eager persist; vocabulary size |V|
+    # ONE aggregate doubles as the eager materializer and yields all
+    # three scalars the old shape took separate jobs for: |V| (was
+    # vocab.count()), the broadcast-size estimate (was a second
+    # .first()), and n_total (was a `consts` aggregate subtree re-read
+    # from the persist and shipped via a broadcast cross join). The
+    # model constants are exact integers at any corpus size that fits
+    # a long, so embedding them as literals is bit-identical to the
+    # in-query cast (float(n) is exact below 2^53); the crossJoin and
+    # its broadcast build disappear from the plan.
+    _st = vocab.select(
+        F.count(F.lit(1)).alias("v"),
+        (F.sum(F.length("tok")) + F.count(F.lit(1)) * 40).alias("b"),
+        F.sum("c").alias("n"),
+    ).first()
+    v = int(_st["v"] or 0)
     if broadcast_vocab is None:
-        est = vocab.select(
-            (F.sum(F.length("tok")) + F.count(F.lit(1)) * 40).alias("b")
-        ).first()["b"]
-        broadcast_vocab = int(est or 0) <= VOCAB_BROADCAST_CAP_BYTES
+        broadcast_vocab = int(_st["b"] or 0) <= VOCAB_BROADCAST_CAP_BYTES
     maybe_bc = F.broadcast if broadcast_vocab else (lambda x: x)
-    consts = vocab.select(
-        F.sum("c").cast("double").alias("n_total"), F.lit(float(v)).alias("v_size")
-    )
+    n_total, v_size = F.lit(float(_st["n"] or 0)), F.lit(float(v))
     scored = (
         toks.join(maybe_bc(vocab), "tok")
-        .crossJoin(F.broadcast(consts))
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.avg(
                 -F.log(
-                    (F.col("c") + F.lit(alpha))
-                    / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))
+                    (F.col("c") + F.lit(alpha)) / (n_total + F.lit(alpha) * v_size)
                 )
             ).alias("nll"),
         )
@@ -539,8 +548,9 @@ def bigram_lm_scores(
     slices — no lag window, so no per-document shuffle); unigram and
     bigram counting are map-side-combined groupBys; both count tables
     join back broadcast under a measured cap (shuffle fallback), the
-    model constants ride a broadcast 1-row cross join, and the final
-    per-document aggregate is one slim (id, sum) groupBy.
+    model constants are embedded as exact literals from one driver
+    aggregate (see unigram_lm_scores), and the final per-document
+    aggregate is one slim (id, sum) groupBy.
     ``bounded_cache=True`` eagerly materializes the result and releases
     the vocabulary persist (see :func:`adam_spark.llm.cache.eager_release`).
     """
@@ -556,17 +566,21 @@ def bigram_lm_scores(
         .agg(F.count(F.lit(1)).alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    v = uni.count()
+    # one aggregate = eager materializer + |V| + broadcast estimate +
+    # n_total, replacing three sequential driver jobs and the `consts`
+    # cross-join subtree (see unigram_lm_scores — exact-integer
+    # literals, bit-identical arithmetic)
+    _st = uni.select(
+        F.count(F.lit(1)).alias("v"),
+        (F.sum(F.length("tok")) + F.count(F.lit(1)) * 40).alias("b"),
+        F.sum("c").alias("n"),
+    ).first()
+    v = int(_st["v"] or 0)
     if broadcast_vocab is None:
-        est = uni.select(
-            (F.sum(F.length("tok")) + F.count(F.lit(1)) * 40).alias("b")
-        ).first()["b"]
-        broadcast_vocab = int(est or 0) <= VOCAB_BROADCAST_CAP_BYTES
+        broadcast_vocab = int(_st["b"] or 0) <= VOCAB_BROADCAST_CAP_BYTES
     maybe_bc = F.broadcast if broadcast_vocab else (lambda x: x)
-    consts = uni.select(
-        F.sum("c").cast("double").alias("n_total"), F.lit(float(v)).alias("v_size")
-    )
-    p_uni = lambda c: (c + F.lit(a)) / (F.col("n_total") + F.lit(a) * F.col("v_size"))
+    n_total, v_size = F.lit(float(_st["n"] or 0)), F.lit(float(v))
+    p_uni = lambda c: (c + F.lit(a)) / (n_total + F.lit(a) * v_size)
     first = (
         base.where(F.size("t") > 0)
         .select(
@@ -575,7 +589,6 @@ def bigram_lm_scores(
             F.size("t").cast("long").alias("n_tokens"),
         )
         .join(maybe_bc(uni), "tok")
-        .crossJoin(F.broadcast(consts))
         .select("id", "n_tokens", (-F.log(p_uni(F.col("c")))).alias("s_first"))
     )
     pairs = (
@@ -595,7 +608,6 @@ def bigram_lm_scores(
         pairs.join(maybe_bc(big), ["w1", "w2"])
         .join(maybe_bc(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))), "w1")
         .join(maybe_bc(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))), "w2")
-        .crossJoin(F.broadcast(consts))
         .select(
             "id",
             (

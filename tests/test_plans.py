@@ -29,10 +29,9 @@ SF = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {
     "similarity_topk",
     "ann_ivf_topk",
-    # 1-row broadcast constants (N, |V|) cross-joined onto the token
-    # stream — BNLJ of a single-row build side is the right plan
-    "doc_lm_score_docs",
-    "doc_bigram_lm_score_docs",
+    # (doc_lm_score_docs / doc_bigram_lm_score_docs left this list in
+    # r13: the model constants became exact literals from one driver
+    # aggregate, so the 1-row consts cross join no longer exists)
 }
 
 
