@@ -37,6 +37,27 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
 
 
+def token_count(text: Column) -> Column:
+    """``size(tokens(text))`` without building the array.
+
+    The non-empty fields of a split on a single space are exactly the
+    maximal runs of non-space characters, so the count is
+    ``regexp_count(text, '[^ ]+')`` — a codegen'd scalar instead of a
+    split allocation plus an interpreted higher-order ``filter``
+    (CodegenFallback). '' → 0 on both forms; NULL routes through
+    ``size(NULL)`` so the session's sizeOfNull semantics are preserved
+    exactly (-1 legacy / NULL ANSI — ``regexp_count`` alone would pin
+    NULL in both modes). Pinned exactly equal (edge cases +
+    whole-corpus sweep) in tests/test_optimizations_r13.py. Count-only
+    call sites (quota sampling, packing, profile counters, Gopher word
+    counts) use this; anything that consumes the tokens themselves
+    keeps :func:`tokens`.
+    """
+    return F.when(
+        text.isNull(), F.size(F.lit(None).cast("array<string>"))
+    ).otherwise(F.regexp_count(text, F.lit("[^ ]+")))
+
+
 def distinct_tokens(text: Column) -> Column:
     return F.array_distinct(tokens(text))
 

@@ -42,9 +42,9 @@ def pack_sequences(
     collapse to ``end_pack = start_pack``).
     """
     if n_tokens is None:
-        from .dedup import tokens
+        from .dedup import token_count
 
-        n_tokens = F.size(tokens(F.col(text_col)))
+        n_tokens = token_count(F.col(text_col))
     w = (
         Window.partitionBy("stratum")
         .orderBy(F.col("id").asc())

@@ -132,7 +132,7 @@ def sample_to_mixture(
     (O(sources) rows) broadcast-joined back onto the stream, then a
     narrow hash filter — no corpus-sized shuffle anywhere.
     """
-    from adam_spark.llm.dedup import tokens
+    from adam_spark.llm.dedup import token_count
 
     if not weights or token_budget <= 0:
         raise ValueError("need non-empty weights and a positive token_budget")
@@ -142,7 +142,10 @@ def sample_to_mixture(
         [(s, float(w) / wsum) for s, w in sorted(weights.items())],
         f"{source_col} string, __w double",
     )
-    ntok = F.size(tokens(F.col(text_col))).cast("long")
+    # count-only: the codegen'd regexp form (see dedup.token_count) —
+    # this operator tokenizes the corpus twice (avail aggregate + the
+    # per-row audit column), so the cheaper count pays double
+    ntok = token_count(F.col(text_col)).cast("long")
     avail = (
         df.select(F.col(source_col), ntok.alias("__nt"))
         .groupBy(source_col)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from adam_spark.llm.dedup import distinct_tokens, tokens
+from adam_spark.llm.dedup import distinct_tokens, token_count, tokens
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic
 STOPWORDS = {
@@ -23,17 +23,17 @@ STOPWORDS = {
 }
 
 
-def token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(text))
+# token_count now lives beside tokens() in dedup.py (count-only sites
+# take the codegen'd regexp_count form, r13 optimization) and is
+# re-exported here unchanged for existing importers.
 
 
-def bpe_ish_token_count(text: Column) -> Column:
+def bpe_ish_token_count(text: Column, ltoks: Column | None = None) -> Column:
     """BPE-ish token estimate: count of word-piece units matched by a
     simple regex (runs of letters ≤4 chars count 1, longer words count
     ceil(len/4)), plus punctuation/digit singles — a deterministic
     approximation of subword tokenizer output length."""
-    toks = tokens(F.lower(text))
+    toks = tokens(F.lower(text)) if ltoks is None else ltoks
     per_tok = F.transform(
         toks,
         lambda t: F.ceil(F.length(F.regexp_replace(t, "[^a-z0-9]", "")) / F.lit(4.0)).cast("long")
@@ -42,8 +42,8 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.aggregate(per_tok, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    toks = tokens(F.lower(text))
+def stopword_ratio(text: Column, lang: str = "en", ltoks: Column | None = None) -> Column:
+    toks = tokens(F.lower(text)) if ltoks is None else ltoks
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return hits / F.greatest(F.size(toks), F.lit(1))
@@ -54,8 +54,8 @@ def punctuation_ratio(text: Column) -> Column:
     return n_punct / F.greatest(F.length(text), F.lit(1))
 
 
-def mean_word_length(text: Column) -> Column:
-    toks = tokens(text)
+def mean_word_length(text: Column, toks: Column | None = None) -> Column:
+    toks = tokens(text) if toks is None else toks
     total = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("long")),
         F.lit(0).cast("long"),
@@ -64,11 +64,11 @@ def mean_word_length(text: Column) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite document-quality heuristic in [0, 1]: rewards texts
     with reasonable length, word diversity, and low punctuation noise —
     the shape of C4/Gopher-style quality filters, deterministic."""
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
     n = F.size(toks)
     diversity = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
     length_ok = F.least(n / F.lit(50.0), F.lit(1.0))
@@ -76,12 +76,12 @@ def quality_score(text: Column) -> Column:
     return F.round(length_ok * 0.4 + diversity * 0.4 + punct_penalty * 0.2, 6)
 
 
-def language_id(text: Column) -> Column:
+def language_id(text: Column, ltoks: Column | None = None) -> Column:
     """Stopword-vote language guess: the language whose stopword list
     hits the most tokens. Zero-hit documents → 'und'; ties keep the
     alphabetically-first tied language (the fold below uses strict >,
     so a later language never displaces an equal earlier one)."""
-    toks = tokens(F.lower(text))
+    toks = tokens(F.lower(text)) if ltoks is None else ltoks
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     for lang in sorted(STOPWORDS):
@@ -93,42 +93,43 @@ def language_id(text: Column) -> Column:
     return best_lang
 
 
-def doc_fingerprint(text: Column) -> Column:
+def doc_fingerprint(text: Column, ltoks: Column | None = None) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set — stable under token reordering (a rolling-hash
     analogue that is engine-portable)."""
-    return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(F.lower(text)))))
+    dt = distinct_tokens(F.lower(text)) if ltoks is None else F.array_distinct(ltoks)
+    return F.md5(F.concat_ws(" ", F.array_sort(dt)))
 
 
 def _lines(text: Column) -> Column:
     return F.filter(F.split(text, "\n"), lambda l: l != F.lit(""))
 
 
-def duplicate_line_fraction(text: Column) -> Column:
+def duplicate_line_fraction(text: Column, lines: Column | None = None) -> Column:
     """Gopher-style repetition signal: fraction of (non-empty) lines
     that are repeats of an earlier line."""
-    lines = _lines(text)
+    lines = _lines(text) if lines is None else lines
     n = F.size(lines)
     return F.when(
         n > 1, F.lit(1.0) - F.size(F.array_distinct(lines)) / n.cast("double")
     ).otherwise(F.lit(0.0))
 
 
-def bullet_line_fraction(text: Column) -> Column:
+def bullet_line_fraction(text: Column, lines: Column | None = None) -> Column:
     """Fraction of lines that start with a bullet marker."""
-    lines = _lines(text)
+    lines = _lines(text) if lines is None else lines
     hits = F.size(F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]")))
     return hits / F.greatest(F.size(lines), F.lit(1)).cast("double")
 
 
-def alpha_word_fraction(text: Column) -> Column:
+def alpha_word_fraction(text: Column, toks: Column | None = None) -> Column:
     """Fraction of tokens containing at least one alphabetic char."""
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
     hits = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
     return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def top_ngram_fraction(text: Column, n: int = 2) -> Column:
+def top_ngram_fraction(text: Column, n: int = 2, ltoks: Column | None = None) -> Column:
     """Fraction of tokens covered by the single most frequent word
     n-gram (Gopher's top-n-gram repetition filter; the paper applies
     it for n=2..4 — this is the token-fraction analogue of its
@@ -139,7 +140,7 @@ def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     ``aggregate`` fold with a (prev, run, best) struct accumulator, no
     explode/groupBy, so the signal stays a narrow map at corpus scale.
     """
-    toks = tokens(F.lower(text))
+    toks = tokens(F.lower(text)) if ltoks is None else ltoks
     nt = F.size(toks)
     grams = F.array_sort(
         F.transform(
@@ -168,32 +169,49 @@ def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     return F.when(nt >= n, fold * n / nt.cast("double")).otherwise(F.lit(0.0))
 
 
-def top_bigram_fraction(text: Column) -> Column:
+def top_bigram_fraction(text: Column, ltoks: Column | None = None) -> Column:
     """Gopher top-n-gram filter at n=2 (see :func:`top_ngram_fraction`)."""
-    return top_ngram_fraction(text, 2)
+    return top_ngram_fraction(text, 2, ltoks=ltoks)
 
 
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per document with the full stats battery."""
+    """One row per document with the full stats battery.
+
+    The three tokenizations every metric shares (whitespace tokens,
+    lower-cased tokens, non-empty lines) are hoisted into one lower
+    Project and referenced by the metric expressions — CollapseProject
+    keeps a non-cheap alias with >1 reference (SPARK-36718), so each
+    array is built once per row instead of once per metric (the
+    interpreted higher-order tokenize was ~⅔ of the materialization
+    cost; r13 A/B: noop sink 5.8-10.2 s → 2.0 s at sf0.1, values
+    bit-identical). Under count() the whole metric Project is pruned,
+    so the timed bench path is unchanged.
+    """
     t = F.col(text_col)
-    return df.select(
-        F.col(id_col).alias("id"),
-        # long, not Spark's int32 length/size: every count column in the
-        # contract is BIGINT on both engine and oracle sides
-        F.length(t).cast("long").alias("n_chars"),
-        token_count(t).cast("long").alias("n_tokens"),
-        F.size(distinct_tokens(t)).cast("long").alias("n_distinct_tokens"),
-        bpe_ish_token_count(t).alias("n_bpe_tokens"),
-        F.round(mean_word_length(t), 6).alias("mean_word_len"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(punctuation_ratio(t), 6).alias("punct_ratio"),
-        quality_score(t).alias("quality"),
-        language_id(t).alias("lang_guess"),
-        doc_fingerprint(t).alias("fingerprint"),
-        F.round(duplicate_line_fraction(t), 6).alias("dup_line_frac"),
-        F.round(bullet_line_fraction(t), 6).alias("bullet_line_frac"),
-        F.round(alpha_word_fraction(t), 6).alias("alpha_word_frac"),
-        F.round(top_bigram_fraction(t), 6).alias("top_bigram_frac"),
+    toks, ltoks, lines = F.col("__toks"), F.col("__ltoks"), F.col("__lines")
+    return (
+        df.withColumn("__toks", tokens(t))
+        .withColumn("__ltoks", tokens(F.lower(t)))
+        .withColumn("__lines", _lines(t))
+        .select(
+            F.col(id_col).alias("id"),
+            # long, not Spark's int32 length/size: every count column in the
+            # contract is BIGINT on both engine and oracle sides
+            F.length(t).cast("long").alias("n_chars"),
+            token_count(t).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+            bpe_ish_token_count(t, ltoks=ltoks).alias("n_bpe_tokens"),
+            F.round(mean_word_length(t, toks=toks), 6).alias("mean_word_len"),
+            F.round(stopword_ratio(t, ltoks=ltoks), 6).alias("stopword_ratio"),
+            F.round(punctuation_ratio(t), 6).alias("punct_ratio"),
+            quality_score(t, toks=toks).alias("quality"),
+            language_id(t, ltoks=ltoks).alias("lang_guess"),
+            doc_fingerprint(t, ltoks=ltoks).alias("fingerprint"),
+            F.round(duplicate_line_fraction(t, lines=lines), 6).alias("dup_line_frac"),
+            F.round(bullet_line_fraction(t, lines=lines), 6).alias("bullet_line_frac"),
+            F.round(alpha_word_fraction(t, toks=toks), 6).alias("alpha_word_frac"),
+            F.round(top_bigram_fraction(t, ltoks=ltoks), 6).alias("top_bigram_frac"),
+        )
     )
 
 
@@ -651,12 +669,12 @@ def symbol_word_ratio(text: Column) -> Column:
     n_sym = (
         F.length(ell) - F.length(F.translate(ell, "#…", ""))
     ).cast("double")
-    return n_sym / F.greatest(F.size(tokens(text)), F.lit(1)).cast("double")
+    return n_sym / F.greatest(token_count(text), F.lit(1)).cast("double")
 
 
-def ellipsis_line_fraction(text: Column) -> Column:
+def ellipsis_line_fraction(text: Column, lines: Column | None = None) -> Column:
     """Fraction of (non-empty) lines ending with an ellipsis."""
-    lines = _lines(text)
+    lines = _lines(text) if lines is None else lines
     hits = F.size(
         F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
     )
@@ -668,9 +686,9 @@ def ellipsis_line_fraction(text: Column) -> Column:
 GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def required_stopword_count(text: Column) -> Column:
+def required_stopword_count(text: Column, ltoks: Column | None = None) -> Column:
     """How many of the eight Gopher stop words appear as tokens."""
-    toks = distinct_tokens(F.lower(text))
+    toks = distinct_tokens(F.lower(text)) if ltoks is None else F.array_distinct(ltoks)
     return F.size(
         F.filter(
             F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
@@ -679,12 +697,14 @@ def required_stopword_count(text: Column) -> Column:
     )
 
 
-def duplicate_line_char_fraction(text: Column) -> Column:
+def duplicate_line_char_fraction(
+    text: Column, sorted_lines: Column | None = None
+) -> Column:
     """Fraction of line CHARACTERS sitting in repeats of an earlier
     line (Gopher's duplicate-line character fraction). Per-row fold
     over the sorted line array — chars of every instance beyond a
     line's first occurrence, over total line chars; no explode."""
-    lines = F.array_sort(_lines(text))
+    lines = F.array_sort(_lines(text)) if sorted_lines is None else sorted_lines
     total = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
@@ -734,18 +754,39 @@ def gopher_quality(
     the filter costs a single scan at any scale and is exactly
     reproducible in the SQL oracle."""
     t = F.col(text_col)
-    n_words = F.size(tokens(t)).cast("long")
+    # shared tokenizations hoisted into one lower Project (see
+    # text_profile — same CollapseProject-preserved pattern; the
+    # sorted-lines array additionally feeds the char-fraction fold's
+    # two aggregates). Values bit-identical; count() prunes it all.
+    toks, ltoks, lines = F.col("__toks"), F.col("__ltoks"), F.col("__lines")
+    slines = F.col("__slines")
+    hoisted = (
+        df.withColumn("__toks", tokens(t))
+        .withColumn("__ltoks", tokens(F.lower(t)))
+        .withColumn("__lines", _lines(t))
+        .withColumn("__slines", F.array_sort(F.col("__lines")))
+        # the one metric referenced twice (>= and <= bounds): hoist the
+        # fold itself so it runs once per row
+        .withColumn("__mwl", mean_word_length(t, toks=F.col("__toks")))
+    )
+    n_words = token_count(t).cast("long")
+    mwl = F.col("__mwl")
     checks = {
         "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
-        "ok_mean_word_len": (mean_word_length(t) >= min_mean_word_len)
-        & (mean_word_length(t) <= max_mean_word_len),
+        "ok_mean_word_len": (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len),
         "ok_symbol_ratio": symbol_word_ratio(t) <= max_symbol_word_ratio,
-        "ok_bullet_lines": bullet_line_fraction(t) <= max_bullet_line_frac,
-        "ok_ellipsis_lines": ellipsis_line_fraction(t) <= max_ellipsis_line_frac,
-        "ok_alpha_words": alpha_word_fraction(t) >= min_alpha_word_frac,
-        "ok_stop_words": required_stopword_count(t) >= min_stop_words,
-        "ok_dup_lines": duplicate_line_fraction(t) <= max_dup_line_frac,
-        "ok_dup_line_chars": duplicate_line_char_fraction(t)
+        "ok_bullet_lines": bullet_line_fraction(t, lines=lines)
+        <= max_bullet_line_frac,
+        "ok_ellipsis_lines": ellipsis_line_fraction(t, lines=lines)
+        <= max_ellipsis_line_frac,
+        "ok_alpha_words": alpha_word_fraction(t, toks=toks)
+        >= min_alpha_word_frac,
+        "ok_stop_words": required_stopword_count(t, ltoks=ltoks)
+        >= min_stop_words,
+        "ok_dup_lines": duplicate_line_fraction(t, lines=lines)
+        <= max_dup_line_frac,
+        "ok_dup_line_chars": duplicate_line_char_fraction(t, sorted_lines=slines)
         <= max_dup_line_char_frac,
     }
     # paper defaults for the top-n-gram repetition rules (token-fraction
@@ -753,11 +794,11 @@ def gopher_quality(
     if max_top_ngram_frac is None:
         max_top_ngram_frac = {2: 0.20, 3: 0.18, 4: 0.16}
     for ng, thr in sorted(max_top_ngram_frac.items()):
-        checks[f"ok_top_{ng}gram"] = top_ngram_fraction(t, ng) <= thr
+        checks[f"ok_top_{ng}gram"] = top_ngram_fraction(t, ng, ltoks=ltoks) <= thr
     keep = F.lit(True)
     for c in checks.values():
         keep = keep & c
-    return df.select(
+    return hoisted.select(
         F.col(id_col).alias("id"),
         n_words.alias("n_words"),
         *[v.alias(k) for k, v in checks.items()],

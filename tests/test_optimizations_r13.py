@@ -198,3 +198,129 @@ class TestGroupAggsPushdown:
         with pytest.raises(ValueError, match="collide"):
             region_join(L, R, group="left", left_key="id",
                         group_aggs={"id": F.count(F.lit(1))})
+
+
+class TestTokenCountRegexpForm:
+    def test_token_count_equals_size_filter_split(self, spark):
+        """token_count (regexp_count over non-space runs) must equal
+        size(filter(split(text,' '), t -> t != '')) on every edge the
+        split form distinguishes: NULL, empty, all-spaces, leading/
+        trailing/multiple spaces, and non-space whitespace (tabs and
+        newlines do NOT delimit — a single-space split keeps them
+        inside one token, and so does [^ ]+)."""
+        from adam_spark.llm.dedup import token_count
+
+        cases = [
+            None,
+            "",
+            " ",
+            "   ",
+            "a",
+            " a",
+            "a ",
+            "  a  b   c ",
+            "a\tb",          # one token: tab is not a space
+            "a\nb c",        # two tokens: "a\nb" and "c"
+            "héllo wörld ",  # multibyte
+            "a  b\t c\n",
+        ]
+        df = spark.createDataFrame([(t,) for t in cases], "text string")
+        old = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")))
+        rows = df.select(
+            old.alias("old"), token_count(F.col("text")).alias("new")
+        ).collect()
+        for case, r in zip(cases, rows):
+            assert r["old"] == r["new"], (case, r["old"], r["new"])
+
+    @pytest.mark.skipif(not os.path.isdir(SF01), reason="driver testdata absent")
+    def test_token_count_whole_corpus_sweep(self, spark):
+        """Zero rows differ between the two forms over the real corpus."""
+        from adam_spark.llm.dedup import token_count
+
+        df = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+        old = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit("")))
+        neq = df.select(
+            old.eqNullSafe(token_count(F.col("text"))).alias("e")
+        ).where(~F.col("e")).count()
+        assert neq == 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="driver testdata absent")
+class TestTokenizeHoist:
+    """text_profile / gopher_quality hoist the shared tokenizations into
+    one lower Project (CollapseProject keeps non-cheap aliases with >1
+    reference, SPARK-36718). The hoist must change HOW OFTEN the arrays
+    are built, never a value."""
+
+    def test_text_profile_values_match_unhoisted_helpers(self, spark):
+        from adam_spark.llm import text as T
+        from adam_spark.llm.text import text_profile
+
+        df = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+        t = F.col("text")
+        # the pre-hoist form: every helper tokenizes for itself
+        ref = df.select(
+            F.col("doc_id").alias("id"),
+            F.length(t).cast("long").alias("n_chars"),
+            F.size(F.filter(F.split(t, " "), lambda x: x != F.lit(""))).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(F.filter(F.split(t, " "), lambda x: x != F.lit("")))).cast("long").alias("n_distinct_tokens"),
+            T.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+            F.round(T.mean_word_length(t), 6).alias("mean_word_len"),
+            F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
+            F.round(T.punctuation_ratio(t), 6).alias("punct_ratio"),
+            T.quality_score(t).alias("quality"),
+            T.language_id(t).alias("lang_guess"),
+            T.doc_fingerprint(t).alias("fingerprint"),
+            F.round(T.duplicate_line_fraction(t), 6).alias("dup_line_frac"),
+            F.round(T.bullet_line_fraction(t), 6).alias("bullet_line_frac"),
+            F.round(T.alpha_word_fraction(t), 6).alias("alpha_word_frac"),
+            F.round(T.top_bigram_fraction(t), 6).alias("top_bigram_frac"),
+        )
+        got = text_profile(df)
+        assert got.columns == ref.columns
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    def test_gopher_values_match_unhoisted_helpers(self, spark):
+        from adam_spark.llm import text as T
+        from adam_spark.llm.text import gopher_quality
+
+        df = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+        t = F.col("text")
+        n_words = F.size(F.filter(F.split(t, " "), lambda x: x != F.lit(""))).cast("long")
+        checks = {
+            "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+            "ok_mean_word_len": (T.mean_word_length(t) >= 3.0) & (T.mean_word_length(t) <= 10.0),
+            "ok_symbol_ratio": T.symbol_word_ratio(t) <= 0.1,
+            "ok_bullet_lines": T.bullet_line_fraction(t) <= 0.9,
+            "ok_ellipsis_lines": T.ellipsis_line_fraction(t) <= 0.3,
+            "ok_alpha_words": T.alpha_word_fraction(t) >= 0.8,
+            "ok_stop_words": T.required_stopword_count(t) >= 2,
+            "ok_dup_lines": T.duplicate_line_fraction(t) <= 0.3,
+            "ok_dup_line_chars": T.duplicate_line_char_fraction(t) <= 0.2,
+            "ok_top_2gram": T.top_ngram_fraction(t, 2) <= 0.20,
+            "ok_top_3gram": T.top_ngram_fraction(t, 3) <= 0.18,
+            "ok_top_4gram": T.top_ngram_fraction(t, 4) <= 0.16,
+        }
+        keep = F.lit(True)
+        for c in checks.values():
+            keep = keep & c
+        ref = df.select(
+            F.col("doc_id").alias("id"),
+            n_words.alias("n_words"),
+            *[v.alias(k) for k, v in checks.items()],
+            keep.alias("keep"),
+        )
+        got = gopher_quality(df)
+        assert got.columns == ref.columns
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    def test_hoist_survives_collapse_project(self, spark):
+        """The optimized plan must build each shared array ONCE: at most
+        one split per hoisted array (toks/ltoks/lines) instead of one
+        per metric (~20 pre-hoist)."""
+        from adam_spark.llm.text import gopher_quality, text_profile
+
+        df = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+        for q in (text_profile(df), gopher_quality(df)):
+            plan = q._jdf.queryExecution().optimizedPlan().toString()
+            assert plan.count("split(") <= 3, plan.count("split(")
