@@ -275,15 +275,22 @@ def corpus_stats(
     """
     t = F.col(text_col)
     fp = F.coalesce(F.md5(F.lower(t)), F.lit("__NULL__"))
+    # quality_score consumes the token array twice (size + distinct) —
+    # hoist it below the aggregate so the partial-agg input Project
+    # tokenizes once per row (same pattern as text_profile; the
+    # aggregate itself is never pruned, so this is a count-path win)
+    hoisted = df.withColumn("__toks", tokens(t))
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_dup_docs"),
         F.sum(token_count(t).cast("long")).alias("total_tokens"),
-        F.sum(F.round(quality_score(t) * 1e6).cast("long")).alias("sum_quality_micro"),
+        F.sum(
+            F.round(quality_score(t, toks=F.col("__toks")) * 1e6).cast("long")
+        ).alias("sum_quality_micro"),
     ]
     if lang_col is not None:
         aggs.append(F.countDistinct(F.col(lang_col)).alias("n_langs"))
-    return df.groupBy(F.col(group_col).alias("source")).agg(*aggs)
+    return hoisted.groupBy(F.col(group_col).alias("source")).agg(*aggs)
 
 
 def tfidf_top_terms(
