@@ -1131,7 +1131,17 @@ def quality_classifier_docs(spark: SparkSession, sf: str) -> DataFrame:
     the corpus never shuffles beyond the per-doc sum."""
     from adam_spark.llm.text import hashed_classifier_score
 
-    docs = load_table(spark, sf, "documents")
+    # spread: the token explode amplifies per-row work ~380× before the
+    # md5/bucket map and the broadcast feature join, so the whole
+    # pre-aggregation pipeline serialized on the corpus' single row
+    # group (same rationale as similarity_topk; footer-gated, so
+    # split-rich cluster inputs never repartition). Measured at sf0.1:
+    # noop 3.38 → 1.87 s; count pays +0.12-0.15 (warm interleaved A/B
+    # spread 0.20-0.26 vs 0.08-0.11) because count() prunes the whole
+    # scored subtree and only the added id-column exchange stage
+    # remains — a bounded per-query latency constant, not a scaling
+    # term, accepted for the 1.8× materialization win.
+    docs = load_table(spark, sf, "documents", spread=True, spread_min_rows=1000)
     b = F.format_string("%03x", F.col("id"))
     raw = (
         F.ascii(F.substring(b, 1, 1)) * 7

@@ -563,16 +563,26 @@ def semantic_dedup(
 
     from pyspark.storagelevel import StorageLevel
 
+    # __n: each vector's norm hoisted to a per-ROW projection — the
+    # higher-order-function folds are interpreted (not codegen'd), so
+    # evaluating the norm once per row instead of once per within-
+    # cluster PAIR cuts the interpreted work from 2·Σc² folds to N
+    # (the cosine_topk hoist, same bit-identity argument: the norm
+    # expression tree and the dot/(na·nb) op order are unchanged, only
+    # the evaluation site moves).
     assigned = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("__n"),
         nearest_cent(F.col(vec_col)).alias("cent_id"),
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both self-join sides
     a = assigned.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "cent_id"
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("__n").alias("__na"), "cent_id",
     )
     b = assigned.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cent_id"
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("__n").alias("__nb"), "cent_id",
     )
     # Skew guard: one k-row aggregate (reads the cached assignment)
     # sizes the salt factor per cluster; only oversized clusters pay
@@ -682,7 +692,10 @@ def semantic_dedup(
     dup_ids = (
         a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .where(
+            (_dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")))
+            >= F.lit(float(threshold))
+        )
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("__dup", F.lit(True))

@@ -865,7 +865,14 @@ def hashed_classifier_score(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    feats = _grams(1)
+    # order 1 IS the token array — _grams(1)'s transform(sequence,
+    # array_join(slice(words, i, 1))) is an identity map, and
+    # higher-order lambdas evaluate interpreted (CodegenFallback), so
+    # it cost one interpreted pass over every token of the corpus for
+    # nothing. coalesce keeps _grams' NULL-text → [] semantics (words
+    # is NULL there; both explode to zero rows, but concat(NULL, x)
+    # would differ for word_ngrams > 1).
+    feats = F.coalesce(words, F.array().cast("array<string>"))
     for n in range(2, word_ngrams + 1):
         feats = F.concat(feats, _grams(n))
     toks = df.select(

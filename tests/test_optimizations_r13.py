@@ -405,3 +405,91 @@ class TestBloomProbeWorkerHash:
                 )
             got = list(r["grams"]) if r["grams"] is not None else []
             assert got == want, (txt, got, want)
+
+
+class TestClassifierOrderOneFeats:
+    """hashed_classifier_score's order-1 features are now the token
+    array itself (the old _grams(1) transform was an interpreted
+    identity map). The only semantic seam is NULL text: _grams mapped
+    it to [] while the raw token array is NULL — both explode to zero
+    rows, pinned here for word_ngrams 1 and 2 alongside the
+    empty/one-word edges."""
+
+    def test_null_and_edge_texts_zero_rows(self, spark):
+        from adam_spark.llm.text import hashed_classifier_score
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, ""), (3, " "), (4, "a"), (5, "a b")],
+            "doc_id long, text string",
+        )
+        weights = spark.createDataFrame([], "bucket string, weight long")
+        for ng in (1, 2):
+            rows = {
+                r["id"]: (r["n_tokens"], r["feat_hits"], r["score_sum"])
+                for r in hashed_classifier_score(
+                    docs, weights, word_ngrams=ng
+                ).collect()
+            }
+            # every doc keeps its row; NULL/empty text scores zeros
+            assert set(rows) == {1, 2, 3, 4, 5}
+            assert rows[1] == (0, 0, 0)
+            assert rows[2] == (0, 0, 0)
+            assert rows[3] == (0, 0, 0)
+            assert rows[4][0] == 1 and rows[5][0] == 2
+
+    def test_no_transform_at_order_one(self, spark):
+        """The optimized plan carries NO higher-order transform for
+        unigram features (the identity map is gone)."""
+        from adam_spark.llm.text import hashed_classifier_score
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        weights = spark.createDataFrame([("abc", 1)], "bucket string, weight long")
+        plan = (
+            hashed_classifier_score(docs, weights)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "transform(" not in plan, plan
+
+
+class TestClipParseNullifForm:
+    """five_prime_position/unclipped_start/unclipped_end now nullif the
+    regexp_extract's no-match '' BEFORE try_cast (try_cast('') throws
+    and catches an ANSI cast exception internally per row — measured
+    15µs/row, 4.4 s → 0.56 s over sf0.1 markdup input). Pin the clip
+    arithmetic over every edge the '' branch distinguishes."""
+
+    def test_clip_arithmetic_battery(self, spark):
+        from adam_spark.operators.mark_duplicates import (
+            five_prime_position,
+            unclipped_end,
+            unclipped_start,
+        )
+
+        rows = [
+            # cigar, start, end, neg, want_fp, want_ustart, want_uend
+            ("50M", 100, 150, False, 100, 100, 150),
+            ("50M", 100, 150, True, 150, 100, 150),
+            ("5S45M", 100, 145, False, 95, 95, 145),
+            ("5H10S20M", 100, 120, False, 85, 85, 120),
+            ("20M3S", 100, 120, True, 123, 100, 123),
+            ("20M2S3H", 100, 120, True, 125, 100, 125),
+            ("3H20M4H", 100, 120, False, 97, 97, 124),
+            (None, 100, 120, False, 100, 100, 120),
+        ]
+        df = spark.createDataFrame(
+            [(c, s, e, n) for c, s, e, n, *_ in rows],
+            "cigar string, start long, end long, neg boolean",
+        )
+        from pyspark.sql import functions as F
+
+        got = df.select(
+            five_prime_position(
+                F.col("start"), F.col("end"), F.col("cigar"), F.col("neg")
+            ).alias("fp"),
+            unclipped_start(F.col("start"), F.col("cigar")).alias("us"),
+            unclipped_end(F.col("end"), F.col("cigar")).alias("ue"),
+        ).collect()
+        for r, (c, s, e, n, fp, us, ue) in zip(got, rows):
+            assert (r["fp"], r["us"], r["ue"]) == (fp, us, ue), (c, n, r)
