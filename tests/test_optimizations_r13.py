@@ -493,3 +493,83 @@ class TestClipParseNullifForm:
         ).collect()
         for r, (c, s, e, n, fp, us, ue) in zip(got, rows):
             assert (r["fp"], r["us"], r["ue"]) == (fp, us, ue), (c, n, r)
+
+
+class TestLanguageIdFold:
+    """language_id now counts every language's stopword hits in ONE
+    fold (struct accumulator) instead of one interpreted filter pass
+    per language, and text_profile hoists the fold so the 10-reference
+    CASE chain evaluates it once. Values must be bit-identical to the
+    old per-language filter form."""
+
+    def _old_form(self, text):
+        from adam_spark.llm.text import STOPWORDS, tokens
+
+        toks = tokens(F.lower(text))
+        best_lang = F.lit("und")
+        best_hits = F.lit(0)
+        for lang in sorted(STOPWORDS):
+            sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            improved = hits > best_hits
+            best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+            best_hits = F.when(improved, hits).otherwise(best_hits)
+        return best_lang
+
+    def test_edge_battery(self, spark):
+        from adam_spark.llm.text import language_id
+
+        docs = spark.createDataFrame(
+            [
+                (1, None),  # NULL text -> 'und' (NULL counts never improve)
+                (2, ""),
+                (3, " "),
+                (4, "the"),
+                (5, "the the the el la de"),  # repeats count per occurrence
+                (6, "xthe they anthem"),  # substrings are not hits
+                (7, "the\nand"),  # newline is token-internal (space split)
+                (8, "  the  "),
+                (9, "de de de"),  # es/fr tie on 'de' -> es (sorted-first)
+                (10, "der die das und la le"),
+                (11, "THE AND OF"),  # vote is over lower(text)
+                (12, "le5 de5 shi4"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = docs.select(
+            self._old_form(F.col("text")).alias("old"),
+            language_id(F.col("text")).alias("new"),
+        ).collect()
+        for r in rows:
+            assert r["old"] == r["new"], (r["old"], r["new"])
+
+    @pytest.mark.skipif(not os.path.isdir(SF01), reason="driver testdata absent")
+    def test_whole_corpus_zero_diffs(self, spark):
+        from adam_spark.llm.text import language_id
+
+        df = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+        neq = df.select(
+            self._old_form(F.col("text"))
+            .eqNullSafe(language_id(F.col("text")))
+            .alias("e")
+        ).where(~F.col("e")).count()
+        assert neq == 0
+
+    def test_profile_hoist_single_fold(self, spark):
+        """text_profile's optimized plan carries exactly ONE language
+        fold (the hoisted __lc alias), not ten inlined copies."""
+        from adam_spark.llm.text import text_profile
+
+        docs = spark.createDataFrame(
+            [(1, "the a of and the")], "doc_id long, text string"
+        )
+        plan = (
+            text_profile(docs)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # the de stopword list appears ONLY inside the language fold
+        # (stopword_ratio reuses the en list), so its occurrence count
+        # is the number of fold copies in the plan
+        assert plan.count("[der,die,das,und,zu,den,von,ist]") == 1, plan
