@@ -1464,7 +1464,18 @@ def bloom_decontaminate_docs(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.explode(word_ngrams(F.col("text"), 4)).alias("gram"))
         .distinct()
     )
-    corp = docs.where(F.col("doc_id") % 50 != 0)
+    # spread the PROBE branch only: the Arrow worker does ~380 grams ×
+    # 5 md5 probes per row (row-amplifying, the classifier/similarity
+    # precedent), and the corpus' single row group would run all of it
+    # on one core. The bloom-build branch keeps the plain scan — its
+    # eager toPandas() jobs gain nothing from an extra exchange.
+    # Measured at sf0.1 (warm interleaved A/B ×4): noop 6.9-8.7 →
+    # 2.1-2.8 s; count neutral within noise (best-of-4 0.66 plain vs
+    # 0.59-0.67 spread — the pruned-column exchange ships ~4900 slim
+    # rows). See OPTIMIZATION_r13.md.
+    corp = load_table(spark, sf, "documents", spread=True, spread_min_rows=1000).where(
+        F.col("doc_id") % 50 != 0
+    )
     bloom = bloom_build(bench, "gram", num_bits=8192, num_hashes=5)
     # r7: the per-ROW probe (one narrow Arrow pass over each doc's gram
     # array) replaces explode→probe→groupBy — same md5 buckets, same
