@@ -1112,7 +1112,21 @@ FROM q GROUP BY source ORDER BY source
 
 
 def text_profile_docs(spark: SparkSession, sf: str) -> DataFrame:
-    return text_profile(load_table(spark, sf, "documents")).orderBy("id")
+    # spread: the ~15-metric battery is interpreted per-row work
+    # (~1 ms/doc after the r13 tokenize-once hoist) and the corpus'
+    # single row group ran it all on one task — the classifier/bloom
+    # precedent. spread_key=doc_id so the count path's exchange ships
+    # 8 B/row: a whole-row hash key forces the pruned scan to read and
+    # ship text (count 0.59-0.74 → 0.84-1.14 s measured), the id key
+    # keeps it in the plain band. Measured at sf0.1 (isolate REPS=3,
+    # interleaved ×3): noop 4.85-5.42 → 1.27-1.32 s; count 0.59-0.74 →
+    # 0.75-0.77. See OPTIMIZATION_r13.md fifth session.
+    return text_profile(
+        load_table(
+            spark, sf, "documents",
+            spread=True, spread_min_rows=1000, spread_key=("doc_id",),
+        )
+    ).orderBy("id")
 
 
 def quality_classifier_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1140,8 +1154,16 @@ def quality_classifier_docs(spark: SparkSession, sf: str) -> DataFrame:
     # spread 0.20-0.26 vs 0.08-0.11) because count() prunes the whole
     # scored subtree and only the added id-column exchange stage
     # remains — a bounded per-query latency constant, not a scaling
-    # term, accepted for the 1.8× materialization win.
-    docs = load_table(spark, sf, "documents", spread=True, spread_min_rows=1000)
+    # term, accepted for the 1.8× materialization win. spread_key:
+    # hashing doc_id alone lets the count path's pruned scan skip the
+    # text column; measured NEUTRAL here (fifth-session interleaved
+    # A/B: count 0.515 id-key vs 0.513 whole-row, noop 1.75 vs 1.55 —
+    # noise band), kept for idiom-consistency with the text batteries
+    # where the same narrowing measured +0.25-0.4 s on count.
+    docs = load_table(
+        spark, sf, "documents",
+        spread=True, spread_min_rows=1000, spread_key=("doc_id",),
+    )
     b = F.format_string("%03x", F.col("id"))
     raw = (
         F.ascii(F.substring(b, 1, 1)) * 7
@@ -1171,8 +1193,15 @@ def gopher_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     crafted-document pytest battery)."""
     from adam_spark.llm.text import gopher_quality
 
+    # spread: same single-task interpreted-battery shape as
+    # text_profile_docs above. Measured at sf0.1 (isolate REPS=3,
+    # interleaved ×3): noop 6.60-7.97 → 1.36-1.83 s; count 0.77-0.82 →
+    # 0.70-0.85 (neutral).
     return gopher_quality(
-        load_table(spark, sf, "documents"),
+        load_table(
+            spark, sf, "documents",
+            spread=True, spread_min_rows=1000, spread_key=("doc_id",),
+        ),
         min_words=50, min_mean_word_len=4.5, min_stop_words=1,
     ).orderBy("id")
 

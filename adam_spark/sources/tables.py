@@ -95,6 +95,7 @@ def load_table(
     name: str,
     spread: bool = False,
     spread_min_rows: int = _SPLIT_MIN_ROWS,
+    spread_key: tuple[str, ...] | None = None,
 ) -> DataFrame:
     # The driver's harness builds its own SparkSession, so the conf set in
     # adam_spark.session is absent there.  nanosAsLong is runtime-settable;
@@ -143,8 +144,18 @@ def load_table(
         if _single_rowgroup_starved(path, par, spread_min_rows):
             # hash repartition on a synthetic unique-ish key: unlike
             # round-robin it needs no sort-before-repartition pass and
-            # stays retry-deterministic (guide §2.5)
-            df = df.repartition(par, F.xxhash64(*df.columns))
+            # stays retry-deterministic (guide §2.5). ``spread_key``
+            # narrows the hash to named columns (callers pass a unique
+            # id): column pruning then trims the exchange's input to
+            # just those columns when nothing above it needs more —
+            # under the bench's count() a whole-row key forces the scan
+            # to read and ship every column (text_profile count
+            # 0.59-0.74 plain → 0.84-1.14 s whole-row key → 0.75-0.77
+            # id key, measured interleaved at sf0.1), while an id key
+            # ships 8 B/row. Materialization paths are unchanged: they
+            # reference every column anyway.
+            key = spread_key if spread_key else df.columns
+            df = df.repartition(par, F.xxhash64(*[F.col(c) for c in key]))
     return df
 
 
