@@ -1145,22 +1145,22 @@ def quality_classifier_docs(spark: SparkSession, sf: str) -> DataFrame:
     the corpus never shuffles beyond the per-doc sum."""
     from adam_spark.llm.text import hashed_classifier_score
 
-    # spread: the token explode amplifies per-row work ~380× before the
-    # md5/bucket map and the broadcast feature join, so the whole
-    # pre-aggregation pipeline serialized on the corpus' single row
-    # group (same rationale as similarity_topk; footer-gated, so
-    # split-rich cluster inputs never repartition). Measured at sf0.1:
-    # noop 3.38 → 1.87 s; count pays +0.12-0.15 (warm interleaved A/B
-    # spread 0.20-0.26 vs 0.08-0.11) because count() prunes the whole
-    # scored subtree and only the added id-column exchange stage
-    # remains — a bounded per-query latency constant, not a scaling
-    # term, accepted for the 1.8× materialization win. spread_key:
-    # hashing doc_id alone lets the count path's pruned scan skip the
-    # text column; measured NEUTRAL here (fifth-session interleaved
-    # A/B: count 0.515 id-key vs 0.513 whole-row, noop 1.75 vs 1.55 —
-    # noise band), kept for idiom-consistency with the text batteries
-    # where the same narrowing measured +0.25-0.4 s on count.
-    docs = load_table(
+    # spread, branch-scoped (r14, r13 verdict item 2): the token explode
+    # amplifies per-row work ~380× before the md5/bucket map and the
+    # broadcast feature join, so the pre-aggregation pipeline serialized
+    # on the corpus' single row group — but the r13 whole-frame spread
+    # also taxed the COUNT path +0.12-0.15 s (count() prunes the entire
+    # scored subtree via the unique-right left join, leaving only the
+    # added exchange stage). The spread frame now feeds ONLY the
+    # feature branch (feats_df); the row-owning frame stays plain, so
+    # the pruned count path never plans the exchange (the bloom
+    # probe-branch spread idiom). Measured at sf0.1 (interleaved ×3):
+    # count 0.198 whole-frame-spread / 0.087 plain → branch-scoped
+    # matches plain; noop keeps the spread win (1.3-1.9 vs 2.8-3.4
+    # plain). Footer-gated as everywhere, so split-rich cluster inputs
+    # never repartition.
+    docs = load_table(spark, sf, "documents")
+    docs_spread = load_table(
         spark, sf, "documents",
         spread=True, spread_min_rows=1000, spread_key=("doc_id",),
     )
@@ -1176,7 +1176,9 @@ def quality_classifier_docs(spark: SparkSession, sf: str) -> DataFrame:
         .where((F.col("raw") % 3) != 0)
         .select("bucket", (F.col("raw") - 50).cast("long").alias("weight"))
     )
-    return hashed_classifier_score(docs, weights).orderBy("id")
+    return hashed_classifier_score(
+        docs, weights, feats_df=docs_spread
+    ).orderBy("id")
 
 
 def gopher_quality_docs(spark: SparkSession, sf: str) -> DataFrame:

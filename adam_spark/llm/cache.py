@@ -87,6 +87,26 @@ def rotate_persist(tag: str, df: DataFrame, level) -> DataFrame:
         return df
 
 
+def clear_rotation(spark=None) -> None:
+    """Release every rotation-held intermediate (optionally only the
+    given session's). Measurement harnesses call this BETWEEN repeated
+    passes so a best-of-N measures cold-per-pass compute: without it,
+    pass 2+ of an identical query silently reuses pass 1's persisted
+    intermediates via :func:`rotate_persist`'s same-plan match, and the
+    best-of partially measures a warm cache instead of the optimization
+    under test (r13 verdict, What's-wrong #3). Correctness is never
+    affected — unpersist only forces recompute."""
+    with _LOCK:
+        for key in list(_LAST_PERSISTED):
+            if spark is not None and key[0] != id(spark):
+                continue
+            df = _LAST_PERSISTED.pop(key)
+            try:
+                df.unpersist(False)
+            except Exception:
+                pass  # session may be stopped
+
+
 def eager_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     """Materialize ``result`` eagerly (localCheckpoint), then unpersist
     every intermediate. Safe by construction: the checkpoint is a

@@ -867,6 +867,7 @@ def hashed_classifier_score(
     hash_prefix_len: int = 3,
     word_ngrams: int = 1,
     broadcast_weights: bool | None = None,
+    feats_df: DataFrame | None = None,
 ) -> DataFrame:
     """fastText-style hashed LINEAR classifier score per document — the
     CCNet/quality-filter shape: tokens map into a fixed feature table
@@ -895,7 +896,20 @@ def hashed_classifier_score(
     is), shuffle fallback above it — and the per-document sum is one
     map-side-combined groupBy. The corpus is never shuffled beyond that
     aggregation; nothing collects on the driver.
+
+    ``feats_df`` (optional) is an alternate reading of the SAME rows —
+    typically a repartitioned/spread copy of a single-row-group source —
+    used only for the feature-extraction branch (the ~tokens-per-doc-×
+    explode + md5 + join pipeline). The output's row set always comes
+    from ``df``: with the right side unique on id, Catalyst prunes the
+    whole scored subtree (feats_df included) under a bare ``count()``,
+    so a caller can parallelize the expensive branch without taxing the
+    pruned path with the spread exchange (the bloom probe-branch spread
+    idiom). Results are identical by construction — the branches agree
+    row-for-row whenever feats_df reads the same table.
     """
+    if feats_df is None:
+        feats_df = df
     words = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit("")
     )
@@ -921,7 +935,7 @@ def hashed_classifier_score(
     feats = F.coalesce(words, F.array().cast("array<string>"))
     for n in range(2, word_ngrams + 1):
         feats = F.concat(feats, _grams(n))
-    toks = df.select(
+    toks = feats_df.select(
         F.col(id_col).alias("id"),
         F.size(words).cast("long").alias("__n_tokens"),
         F.explode(feats).alias("tok"),

@@ -1,0 +1,185 @@
+"""Round-14 optimization pins.
+
+Each test pins an optimization's SEMANTIC invariant: the fast path must
+change plans/partitioning only, never values.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="driver testdata absent")
+class TestClassifierBranchScopedSpread:
+    """r14: the classifier's spread moved from the whole frame to the
+    feature branch only (feats_df), so the pruned count path no longer
+    plans the spread exchange while the materialization path keeps its
+    parallel explode pipeline (r13 verdict item 2: the whole-frame
+    spread taxed count() +0.12-0.15 s for a subtree count() prunes)."""
+
+    def _weights(self, spark):
+        b = F.format_string("%03x", F.col("id"))
+        raw = (
+            F.ascii(F.substring(b, 1, 1)) * 7
+            + F.ascii(F.substring(b, 2, 1)) * 3
+            + F.ascii(F.substring(b, 3, 1)) * 5
+        ) % 101
+        return (
+            spark.range(4096)
+            .select(b.alias("bucket"), raw.alias("raw"))
+            .where((F.col("raw") % 3) != 0)
+            .select("bucket", (F.col("raw") - 50).cast("long").alias("weight"))
+        )
+
+    def test_feats_df_bit_identical(self, spark):
+        """Scoring through a spread feats_df must equal the plain path
+        row-for-row — the branch reads the same table, only its
+        partitioning differs."""
+        from adam_spark.llm.text import hashed_classifier_score
+        from adam_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF01, "documents")
+        docs_spread = load_table(
+            spark, SF01, "documents",
+            spread=True, spread_min_rows=100, spread_key=("doc_id",),
+        )
+        w = self._weights(spark)
+        plain = hashed_classifier_score(docs, w).orderBy("id").collect()
+        branch = (
+            hashed_classifier_score(docs, w, feats_df=docs_spread)
+            .orderBy("id")
+            .collect()
+        )
+        assert [tuple(r) for r in plain] == [tuple(r) for r in branch]
+
+    def test_count_path_plans_no_spread_exchange(self, spark):
+        """The entry's count path (Catalyst prunes the scored subtree
+        through the unique-right left join) must contain NO
+        repartition; the full plan must keep the feature branch's
+        spread exchange. sf0.1: the footer gate needs ≥ spread_min_rows
+        (1000) docs to fire at all."""
+        import __spark_entry__ as entrymod
+
+        sf = "/root/testdata/sf0.1"
+        if not os.path.isdir(sf):
+            pytest.skip("sf0.1 testdata absent")
+        df = entrymod.queries()["quality_classifier_docs"](spark, sf)
+        cnt = df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+        full = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "RepartitionByExpression" not in cnt
+        assert "xxhash64" not in cnt
+        assert "RepartitionByExpression" in full
+
+
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="driver testdata absent")
+class TestKmeansProjectionCheckpoint:
+    """r14: kmeans_centroids materializes the (id, vec) projection once
+    (localCheckpoint) instead of re-scanning the source every Lloyd
+    iteration. The checkpoint's partitioning is the scan's, so the
+    per-partition partials — and the sorted driver reduction — are
+    unchanged; its blocks must be released before returning."""
+
+    def test_centroids_deterministic_and_storage_released(self, spark):
+        from adam_spark.llm.similarity import kmeans_centroids
+        from adam_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF01, "embeddings")
+        sc = spark.sparkContext
+        before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
+        c1 = kmeans_centroids(emb, k=4, iters=2).collect()
+        after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
+        leaked = after - before
+        assert not leaked, f"kmeans left checkpoint blocks pinned: {leaked}"
+        c2 = kmeans_centroids(emb, k=4, iters=2).collect()
+        assert [
+            (r["cent_id"], tuple(r["cent_vec"])) for r in sorted(c1, key=lambda r: r["cent_id"])
+        ] == [
+            (r["cent_id"], tuple(r["cent_vec"])) for r in sorted(c2, key=lambda r: r["cent_id"])
+        ]
+
+    def test_one_iteration_exact_means_via_checkpoint(self, spark):
+        """One Lloyd iteration from the first-k seeds must equal the
+        numpy reference computed from the SAME rows — the checkpoint
+        must not change which rows feed which assignment."""
+        import numpy as np
+
+        from adam_spark.llm.similarity import kmeans_centroids
+        from adam_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF01, "embeddings").limit(200)
+        rows = emb.orderBy("vec_id").collect()
+        vecs = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        k = 3
+        seeds = vecs[:k]
+        cn = seeds / np.maximum(np.linalg.norm(seeds, axis=1), 1e-12)[:, None]
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1), 1e-12)[:, None]
+        cid = np.argmax(vn @ cn.T, axis=1)
+        expect = np.stack(
+            [
+                vecs[cid == i].mean(axis=0) if (cid == i).any() else seeds[i]
+                for i in range(k)
+            ]
+        )
+        got = kmeans_centroids(emb, k=k, iters=1).orderBy("cent_id").collect()
+        got_m = np.asarray([r["cent_vec"] for r in got], dtype=np.float64)
+        assert np.allclose(got_m, expect, atol=1e-9)
+
+
+class TestBenchRotationClearing:
+    """r14: bench passes clear rotate_persist's same-plan reuse so
+    best-of-N measures cold-per-pass compute (r13 verdict
+    What's-wrong #3)."""
+
+    def test_clear_rotation_releases_and_forgets(self, spark):
+        from pyspark.storagelevel import StorageLevel
+
+        from adam_spark.llm.cache import (
+            _LAST_PERSISTED,
+            clear_rotation,
+            rotate_persist,
+        )
+
+        df = rotate_persist(
+            "r14.test.clear", spark.range(10), StorageLevel.MEMORY_AND_DISK
+        )
+        df.count()
+        key = (id(spark), "r14.test.clear")
+        assert key in _LAST_PERSISTED and df.is_cached
+        clear_rotation(spark)
+        assert key not in _LAST_PERSISTED
+        assert not df.is_cached
+        # rotation works again afterwards (fresh persist, not an error)
+        df2 = rotate_persist(
+            "r14.test.clear", spark.range(10), StorageLevel.MEMORY_AND_DISK
+        )
+        assert df2.is_cached
+        clear_rotation(spark)
+
+    def test_clear_rotation_scopes_by_session(self, spark):
+        """A session filter must leave other sessions' entries alone."""
+        from pyspark.storagelevel import StorageLevel
+
+        from adam_spark.llm.cache import (
+            _LAST_PERSISTED,
+            clear_rotation,
+            rotate_persist,
+        )
+
+        df = rotate_persist(
+            "r14.test.scope", spark.range(5), StorageLevel.MEMORY_AND_DISK
+        )
+        key = (id(spark), "r14.test.scope")
+        assert key in _LAST_PERSISTED
+
+        class _NotSpark:  # any other identity
+            pass
+
+        clear_rotation(_NotSpark())
+        assert key in _LAST_PERSISTED and df.is_cached
+        clear_rotation(spark)
+        assert key not in _LAST_PERSISTED
