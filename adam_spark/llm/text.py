@@ -278,26 +278,41 @@ def winnowing_fingerprints(
     the engine-portable rolling-hash stand-in), window minima via
     array_min over slices, distinct per document. One row per
     (id, fingerprint); no UDFs, no shuffle before the final distinct.
+
+    The normalized text and the k-gram hash array are HOISTED into a
+    lower Project (``__wn``/``__wh``, the SPARK-36718 CollapseProject
+    pattern proven on text_profile): referenced inline, the ``mins``
+    lambda re-evaluated the whole md5 transform PER WINDOW POSITION —
+    higher-order functions are CodegenFallback, so no subexpression
+    sharing — making the operator quadratic in document length
+    (O(len·len) md5 evaluations; measured 362 s for one sf0.001
+    collect). As columns, each array is computed once per row and the
+    lambdas only index it. Expressions are otherwise identical, so the
+    fingerprint set is unchanged.
     """
-    norm = F.lower(F.col(text_col))
-    n_grams = F.length(norm) - F.lit(k - 1)
+    n_grams = F.length("__wn") - F.lit(k - 1)
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
-        lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k)), 1, 7), 16, 10).cast(
-            "long"
-        ),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(F.col("__wn"), i, k)), 1, 7), 16, 10
+        ).cast("long"),
     )
+    wh = F.col("__wh")
     mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        F.sequence(F.lit(1), F.greatest(F.size(wh) - F.lit(window - 1), F.lit(0))),
+        lambda i: F.array_min(F.slice(wh, i, window)),
     )
     fps = F.when(n_grams >= window, F.array_distinct(mins)).otherwise(
-        F.when(n_grams >= 1, F.array(F.array_min(hashes))).otherwise(
+        F.when(n_grams >= 1, F.array(F.array_min(wh))).otherwise(
             F.array().cast("array<long>")
         )
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(fps).alias("fingerprint"))
+        df.select(
+            F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__wn")
+        )
+        .select("id", "__wn", hashes.alias("__wh"))
+        .select("id", F.explode(fps).alias("fingerprint"))
         .distinct()
     )
 
