@@ -1215,8 +1215,15 @@ def quantize_embeddings(
     between an in-memory ANN scan and a spilled one at corpus scale;
     :func:`cosine_topk_quantized` consumes this layout.
     """
-    v = F.col(vec_col)
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    # maxabs is HOISTED into a lower Project (the winnowing/text_profile
+    # CollapseProject pattern, r14): referenced inline inside the
+    # per-element quantization lambda, the array_max fold re-evaluated
+    # per element — O(dim²) abs/max work per row (interpreted, higher-
+    # order fns are CodegenFallback). As a column it is computed once
+    # per row; the expressions are otherwise identical, so the
+    # quantized values (and the exact SQL oracle) are unchanged.
+    v = F.col("__v")
+    maxabs = F.col("__maxabs")
     q = F.when(v.isNull(), F.lit(None).cast("array<int>")).otherwise(
         F.when(maxabs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
             F.transform(
@@ -1233,6 +1240,12 @@ def quantize_embeddings(
     )
     return df.select(
         F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        F.array_max(
+            F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+        ).alias("__maxabs"),
+    ).select(
+        "id",
         F.size(v).alias("dim"),
         F.when(v.isNull(), F.lit(None).cast("double"))
         .otherwise(maxabs / 127.0)

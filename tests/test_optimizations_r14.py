@@ -192,6 +192,38 @@ class TestWinnowingHoist:
         assert got == expect
 
 
+class TestQuantizeMaxabsHoist:
+    """r14: quantize_embeddings hoists max(abs(v)) into a lower
+    Project. Referenced inline inside the per-element lambda, the
+    array_max fold re-evaluated per element — O(dim²) per row."""
+
+    def test_plan_folds_maxabs_once(self, spark):
+        from adam_spark.llm.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -2.0, 0.5])], "vec_id long, embedding array<double>"
+        )
+        plan = quantize_embeddings(df)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("array_max(") == 1
+
+    def test_quantization_values_and_edges(self, spark):
+        from adam_spark.llm.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, -2.0, 0.5]),
+                (2, [0.0, 0.0]),       # all-zero → scale 0, q = 0
+                (3, None),             # null passthrough
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r["id"]: r for r in quantize_embeddings(df).collect()}
+        assert rows[1]["qvec"] == [64, -127, 32]
+        assert rows[1]["scale"] == 2.0 / 127.0
+        assert rows[2]["qvec"] == [0, 0] and rows[2]["scale"] == 0.0
+        assert rows[3]["qvec"] is None and rows[3]["scale"] is None
+
+
 class TestBenchRotationClearing:
     """r14: bench passes clear rotate_persist's same-plan reuse so
     best-of-N measures cold-per-pass compute (r13 verdict
