@@ -898,8 +898,19 @@ def remove_boilerplate_docs(spark: SparkSession, sf: str) -> DataFrame:
     SF); line granularity is pinned by pytest."""
     from adam_spark.llm.dedup import remove_repeated_spans
 
+    # spans_df spread, branch-scoped (r14): the token-granularity span
+    # explode amplifies per-row work ~380× (posexplode + md5(trim) per
+    # token) and ran on the corpus' single row group's ONE task — the
+    # classifier feats_df idiom keeps the row-owning frame plain so the
+    # pruned count path never plans the exchange. Footer-gated.
     return remove_repeated_spans(
-        load_table(spark, sf, "documents"), delimiter=" ", min_frac=0.5
+        load_table(spark, sf, "documents"),
+        delimiter=" ",
+        min_frac=0.5,
+        spans_df=load_table(
+            spark, sf, "documents",
+            spread=True, spread_min_rows=1000, spread_key=("doc_id",),
+        ),
     ).orderBy("doc_id")
 
 
@@ -935,8 +946,19 @@ def dedup_substrings_docs(spark: SparkSession, sf: str) -> DataFrame:
     semantics are stride-deterministic, so the oracle replicates it)."""
     from adam_spark.llm.dedup import remove_duplicate_substrings
 
+    # anchors_df spread, branch-scoped (r14): ~len/7 ≈ 280 anchor rows
+    # per doc, each a 30-char substr + xxhash64, evaluated TWICE (hot
+    # build + marks join) on the corpus' single row group's one task —
+    # the classifier feats_df idiom keeps the row-owning/text-rebuild
+    # frame plain. Footer-gated.
     return remove_duplicate_substrings(
-        load_table(spark, sf, "documents"), k=30, stride=7
+        load_table(spark, sf, "documents"),
+        k=30,
+        stride=7,
+        anchors_df=load_table(
+            spark, sf, "documents",
+            spread=True, spread_min_rows=1000, spread_key=("doc_id",),
+        ),
     ).orderBy("doc_id")
 
 

@@ -186,6 +186,7 @@ def minhash_signatures(
     shingles: Column,
     num_hashes: int = 128,
     with_size: bool = False,
+    repartition: bool = True,
 ) -> DataFrame:
     """(id[, n], signature array<long>) via a universal hash family.
 
@@ -205,11 +206,27 @@ def minhash_signatures(
     no groupBy, zero shuffle; at corpus scale it is embarrassingly
     parallel and the only shuffle in the LSH pipeline is the band
     equi-join. The initial repartition spreads documents across cores
-    when the source is a single file split; empty-shingle documents
+    when the source is a single file split — and it sits BELOW the
+    shingle projection (repartition df, THEN tokenize): projected
+    first, the interpreted split/array_distinct ran on the source's
+    task layout (ONE task for a single-row-group file) and the
+    exchange shipped token arrays; this way the exchange ships the
+    pruned raw columns and the tokenize runs on every core (r14).
+    Row-identical either way — the hash partitioning is on the same id
+    column with the same partition count. Empty-shingle documents
     produce no signature row (what the DuckDB oracle mirrors).
+    ``repartition=False`` is for callers whose ``df`` is ALREADY
+    id-partitioned below the shingle projection (minhash_lsh_pairs and
+    the between-variant pre-partition the raw frame so their broadcast
+    attach stages share the parallel tokenize) — a second exchange here
+    would ship the token arrays for nothing.
     """
-    keyed = df.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
-    keyed = keyed.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    src = df
+    if repartition:
+        src = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    keyed = src.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
     h0s = F.transform(
         F.col("__sh"), lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
     )
@@ -333,9 +350,18 @@ def minhash_lsh_pairs(
     # signature pipeline and the two verify broadcasts, but re-running a
     # narrow tokenize scan is cheaper at corpus scale than materializing
     # the tokenized corpus (measured: persisting buys ~0.2 s warm at
-    # sf0.1 and nothing cold)
-    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-    sigs = minhash_signatures(base, "id", F.col("sh"), num_hashes, with_size=True)
+    # sf0.1 and nothing cold). The raw frame is id-partitioned BELOW
+    # the shingle projection (r14): projected first, the interpreted
+    # tokenize ran on the source's task layout — one task for a
+    # single-row-group file — in the signature pass AND in each verify
+    # broadcast build; this way every consumer of `base` re-executes a
+    # cheap pruned-text exchange and tokenizes on all cores.
+    base = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(F.col(id_col).alias("id"), sh.alias("sh"))
+    sigs = minhash_signatures(
+        base, "id", F.col("sh"), num_hashes, with_size=True, repartition=False
+    )
     # per-doc band-hash ARRAY first (identical hash construction to
     # lsh_bands), then posexplode for the equi-join: the banded table
     # feeds BOTH sides of the self-join, and Spark does NOT reuse the
@@ -522,9 +548,14 @@ def simhash(
     # minhash_signatures): the accumulator carries the ``bits`` running
     # ±1 sums; the final fingerprint assembles sign bits. The
     # repartition spreads documents across cores when the source is a
-    # single file split.
-    keyed = df.select(F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("__t"))
-    keyed = keyed.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    # single file split, and sits BELOW the tokenize projection (r14,
+    # the minhash_signatures treatment): projected first, the
+    # interpreted split/array_distinct ran on the source's task layout
+    # and the exchange shipped token arrays; this way the exchange
+    # ships pruned raw columns and the tokenize parallelizes.
+    keyed = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("__t"))
 
     sums = F.aggregate(
         F.transform(F.col("__t"), lambda t: F.md5(t)),
@@ -696,6 +727,7 @@ def remove_repeated_spans(
     min_frac: float | None = None,
     broadcast_hot: bool | None = None,
     bounded_cache: bool = False,
+    spans_df: DataFrame | None = None,
 ) -> DataFrame:
     """C4-style cross-corpus boilerplate removal.
 
@@ -734,7 +766,12 @@ def remove_repeated_spans(
     if min_docs is None:
         total = df.where(F.col(text_col).isNotNull()).count()
         min_docs = int(math.ceil(min_frac * total))
-    spans = df.select(
+    # spans_df: alternate (typically spread) reading of the same rows
+    # for the heavy explode branch — the hashed_classifier_score
+    # feats_df idiom. The output row set (and the min_frac total) always
+    # comes from df; the per-doc regroup keys every span row back by id,
+    # so the branch's partitioning can't change results.
+    spans = (df if spans_df is None else spans_df).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), _re.escape(delimiter))).alias(
             "pos", "span"
@@ -830,8 +867,14 @@ def minhash_lsh_pairs_between(
     mk = word_ngrams(F.col(text_col), shingle_ngram) if shingle_ngram > 1 else (
         distinct_tokens(F.col(text_col))
     )
-    base_n = df_new.select(F.col(id_col).alias("id"), mk.alias("sh"))
-    base_r = df_ref.select(F.col(id_col).alias("id"), mk.alias("sh"))
+    # id-partition below the shingle projection: see minhash_lsh_pairs
+    _p = df_new.sparkSession.sparkContext.defaultParallelism
+    base_n = df_new.repartition(_p, F.col(id_col)).select(
+        F.col(id_col).alias("id"), mk.alias("sh")
+    )
+    base_r = df_ref.repartition(_p, F.col(id_col)).select(
+        F.col(id_col).alias("id"), mk.alias("sh")
+    )
     sh_n = base_n.select(
         F.col("id").alias("id_new"), F.col("sh").alias("sh_n"), F.size("sh").alias("n_n")
     )
@@ -862,8 +905,10 @@ def minhash_lsh_pairs_between(
     def _banded(base, tag):
         b = rotate_persist(
             tag,
-            minhash_signatures(base, "id", F.col("sh"), num_hashes, with_size=True)
-            .select("id", "n", bh_arr.alias("bh")),
+            minhash_signatures(
+                base, "id", F.col("sh"), num_hashes,
+                with_size=True, repartition=False,
+            ).select("id", "n", bh_arr.alias("bh")),
             StorageLevel.MEMORY_AND_DISK,
         )
         # the _est aggregate below doubles as the eager materializer
@@ -972,6 +1017,7 @@ def remove_duplicate_substrings(
     min_docs: int = 2,
     broadcast_hot: bool | None = None,
     bounded_cache: bool = False,
+    anchors_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicate-substring removal (the character-level
     complement of :func:`remove_repeated_spans`, after Lee et al. 2022,
@@ -996,8 +1042,17 @@ def remove_duplicate_substrings(
     duplicated regions >= k + stride - 1 chars).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # anchors_df: alternate (typically spread) reading of the same rows
+    # for the anchor-explode branch — the heavy O(chars/stride) pipeline
+    # that is both counted (hot-set build) and joined (marks). The text
+    # rebuild and the output row set stay on base; the span merge keys
+    # everything back by id, so the branch's partitioning can't change
+    # results (the hashed_classifier_score feats_df idiom).
+    a_src = base if anchors_df is None else anchors_df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
     npos = F.greatest(F.length("text") - F.lit(k - 1), F.lit(0))
-    anchors = base.select(
+    anchors = a_src.select(
         "id",
         "text",
         F.explode(

@@ -192,6 +192,85 @@ class TestWinnowingHoist:
         assert got == expect
 
 
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="driver testdata absent")
+class TestTokenizeBelowRepartition:
+    """r14: minhash/simhash id-partition the RAW frame below the
+    tokenize projection, so the interpreted split/array_distinct runs
+    post-exchange on every core and the exchange ships pruned raw
+    columns instead of token arrays. Row-identical — same hash key,
+    same partition count, only the projection site moves."""
+
+    def test_simhash_tokenize_above_exchange(self, spark):
+        from adam_spark.llm.dedup import simhash
+        from adam_spark.sources.tables import load_table
+
+        df = simhash(load_table(spark, SF01, "documents"), "doc_id")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # optimizedPlan prints top-down: the tokenize project must sit
+        # ABOVE (before) the repartition, i.e. evaluate after it
+        assert "RepartitionByExpression" in plan
+        assert plan.index("array_distinct(") < plan.index(
+            "RepartitionByExpression"
+        )
+
+    def test_minhash_base_partitioned_once(self, spark):
+        """minhash_signatures(repartition=False) must not stack a
+        second exchange over a pre-partitioned base."""
+        from adam_spark.llm.dedup import minhash_lsh_pairs
+        from adam_spark.sources.tables import load_table
+
+        pairs = minhash_lsh_pairs(
+            load_table(spark, SF01, "documents"), "doc_id",
+            bands=8, threshold=0.9,
+        )
+        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+        # one repartition per base consumer (sigs + 2 broadcast sides),
+        # never two stacked for the signature path alone
+        assert "RepartitionByExpression" in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="driver testdata absent")
+class TestBranchScopedHeavyFrames:
+    """r14: remove_repeated_spans(spans_df=...) and
+    remove_duplicate_substrings(anchors_df=...) accept an alternate
+    (spread) reading of the same rows for their heavy explode branches
+    — results must be bit-identical to the plain path."""
+
+    def test_spans_df_bit_identical(self, spark):
+        from adam_spark.llm.dedup import remove_repeated_spans
+        from adam_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF01, "documents")
+        spread = load_table(
+            spark, SF01, "documents",
+            spread=True, spread_min_rows=100, spread_key=("doc_id",),
+        )
+        plain = remove_repeated_spans(
+            docs, delimiter=" ", min_frac=0.5
+        ).orderBy("doc_id").collect()
+        branch = remove_repeated_spans(
+            docs, delimiter=" ", min_frac=0.5, spans_df=spread
+        ).orderBy("doc_id").collect()
+        assert [tuple(r) for r in plain] == [tuple(r) for r in branch]
+
+    def test_anchors_df_bit_identical(self, spark):
+        from adam_spark.llm.dedup import remove_duplicate_substrings
+        from adam_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF01, "documents")
+        spread = load_table(
+            spark, SF01, "documents",
+            spread=True, spread_min_rows=100, spread_key=("doc_id",),
+        )
+        plain = remove_duplicate_substrings(
+            docs, k=30, stride=7
+        ).orderBy("doc_id").collect()
+        branch = remove_duplicate_substrings(
+            docs, k=30, stride=7, anchors_df=spread
+        ).orderBy("doc_id").collect()
+        assert [tuple(r) for r in plain] == [tuple(r) for r in branch]
+
+
 class TestQuantizeMaxabsHoist:
     """r14: quantize_embeddings hoists max(abs(v)) into a lower
     Project. Referenced inline inside the per-element lambda, the
