@@ -173,27 +173,20 @@ def kmeans_centroids(
     Driver holds only k×dim floats. Returns (cent_id, cent_vec) for
     :func:`ivf_topk`.
     """
-    spark = corpus.sparkSession
-    sc = spark.sparkContext
-    # materialize the (id, vec) projection ONCE: every Lloyd iteration
-    # re-planned corpus.select(vec) from the source, paying a full scan
-    # + vector decode per iteration (iters+1 scans total with seeding).
-    # A localCheckpoint is within-query and bounded (the projection is
-    # the corpus' own width); its partitioning is the scan's, so the
-    # per-partition partials — and hence the sorted driver reduction —
-    # are unchanged. Blocks are explicitly released before returning
-    # (createDataFrame output carries no lineage into the checkpoint).
-    before_ids = {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
-    proj = corpus.select(
-        F.col(id_col).alias("__kid"), F.col(vec_col).alias("v")
-    ).localCheckpoint(eager=True)
-    ckpt_ids = {
-        int(i) for i in sc._jsc.getPersistentRDDs().keySet()
-    } - before_ids
+    # NOTE (r14, measured and NOT adopted): a one-time localCheckpoint
+    # of the (id, vec) projection feeding all iterations — the obvious
+    # "stop re-scanning the source every Lloyd pass" move — was
+    # implemented and interleave-A/B'd at sf0.1 (REPS=2 ×3 rounds):
+    # checkpoint 2.12/2.56/2.69 vs plain 2.00/2.25/2.26 s count. The
+    # eager materialization job costs more than iters re-scans of a
+    # 2000×64 corpus save; per-iteration cost here is driver job
+    # latency, not scan work. At real corpus scale a caller can pass an
+    # already-materialized frame; the operator stays scan-per-iteration.
     first = (
-        proj.orderBy("__kid").limit(k).select("v").collect()
+        corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     )  # deterministic seeding: first-k by id (k×dim driver bytes only)
-    cents = np.asarray([r["v"] for r in first], dtype=np.float64)
+    cents = np.asarray([r[vec_col] for r in first], dtype=np.float64)
+    spark = corpus.sparkSession
     dim = cents.shape[1]
     for _ in range(iters):
         c_norm = cents / np.maximum(np.linalg.norm(cents, axis=1), 1e-12)[:, None]
@@ -227,7 +220,7 @@ def kmeans_centroids(
                 }
             )
 
-        partial_df = proj.select("v").mapInPandas(
+        partial_df = corpus.select(F.col(vec_col).alias("v")).mapInPandas(
             partials, schema="cid int, psum array<double>, n long"
         )
         # collect the per-partition partials DIRECTLY — at most
@@ -253,15 +246,6 @@ def kmeans_centroids(
         new[live] = sums[live] / counts[live, None]
         cents = new
         bc.destroy()
-    # drop the projection checkpoint's blocks now that the driver holds
-    # the centroids (same explicit-release discipline as
-    # dedup.duplicate_clusters — executor storage stays bounded even in
-    # a long-lived session)
-    reg = sc._jsc.getPersistentRDDs()
-    for i in ckpt_ids:
-        rdd = reg.get(i)
-        if rdd is not None:
-            rdd.unpersist(False)
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     return spark.createDataFrame(rows, "cent_id int, cent_vec array<double>")
 

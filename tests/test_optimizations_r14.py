@@ -77,12 +77,13 @@ class TestClassifierBranchScopedSpread:
 
 
 @pytest.mark.skipif(not os.path.isdir(SF01), reason="driver testdata absent")
-class TestKmeansProjectionCheckpoint:
-    """r14: kmeans_centroids materializes the (id, vec) projection once
-    (localCheckpoint) instead of re-scanning the source every Lloyd
-    iteration. The checkpoint's partitioning is the scan's, so the
-    per-partition partials — and the sorted driver reduction — are
-    unchanged; its blocks must be released before returning."""
+class TestKmeansInvariants:
+    """r14: a localCheckpoint of the (id, vec) projection was measured
+    and REVERTED (slower at sf0.1 — the eager materialization job costs
+    more than the per-iteration re-scans it saves; numbers at the
+    kmeans_centroids call site). These pins hold for any future retry:
+    no persistent-RDD blocks may leak, and the centroids must be
+    deterministic and exactly the per-cluster means."""
 
     def test_centroids_deterministic_and_storage_released(self, spark):
         from adam_spark.llm.similarity import kmeans_centroids
