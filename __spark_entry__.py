@@ -380,15 +380,18 @@ FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
 # interval-join family (region_join on derived interval tables)
 # --------------------------------------------------------------------------
 
-def _ij(how: str, flank: int = 0, broadcast: str | None = None):
+def _ij(how: str, flank: int = 0, broadcast: str | None = None, bin_size: int = 32):
     def run(spark: SparkSession, sf: str) -> DataFrame:
-        # bin_size re-tuned r13: the old 16 was measured under
-        # single-threaded scans (the one-row-group bottleneck); with
-        # spread inputs the probe stage parallelizes and the explode
-        # factor dominates — 64 ≥ 32 > 16 (inner best-of-5: 1.61/1.55/
-        # 1.90 s at sf0.1; group_right 1.06 vs 1.34). Results are
-        # bin-size-invariant by construction (same pair set, oracle
-        # re-checked).
+        # bin_size re-tuned r14 PER CORE COUNT (r13 verdict item 8 — 64
+        # was tuned at 32 cores only). Quiet interleaved best-of-3 at
+        # sf0.1: plain inner 32 cores 0.86@32 vs 0.82@64 (noise), 8
+        # cores 1.21@32 vs 1.46@64 — 32 is the robust choice for the
+        # plain join shape across the driver's two bench core counts.
+        # The flank-broadcast variant measured the OTHER way (8 cores
+        # 1.17@32 vs 1.13@64; 32 cores r13 1.39@64 vs 1.59@32) and
+        # keeps 64, as do the group variants (group_left 8 cores
+        # 1.45@32 vs 1.32@64). Results are bin-size-invariant by
+        # construction (same pair set, oracle re-checked).
         # left_key: the L ids (o_orderkey, verified unique per SF) let
         # left-sided outer/group variants use the declared-key fast
         # path instead of localCheckpoint-pinning the (spread, hence
@@ -402,7 +405,7 @@ def _ij(how: str, flank: int = 0, broadcast: str | None = None):
             _intervals_r(spark, sf),
             how=how,
             flank=flank,
-            bin_size=64,
+            bin_size=bin_size,
             broadcast=broadcast,
             left_key="id",
         )
@@ -3396,7 +3399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in exchange for interval_join_right_outer and
         # coverage_downsample taking driver-recorded slots; both stay
         # in the bench headline group
-        "interval_join_flank_broadcast": _ij("inner", flank=5, broadcast="left"),
+        "interval_join_flank_broadcast": _ij(
+            "inner", flank=5, broadcast="left", bin_size=64
+        ),
         "coverage_from_reads": coverage_from_reads,
         # r11 rotation: interval_join_group_left and coverage_collapse
         # park here after 3+ rounds of driver-green history (r8-r10);
