@@ -187,6 +187,7 @@ def minhash_signatures(
     num_hashes: int = 128,
     with_size: bool = False,
     repartition: bool = True,
+    prefiltered: bool = False,
 ) -> DataFrame:
     """(id[, n], signature array<long>) via a universal hash family.
 
@@ -219,7 +220,13 @@ def minhash_signatures(
     id-partitioned below the shingle projection (minhash_lsh_pairs and
     the between-variant pre-partition the raw frame so their broadcast
     attach stages share the parallel tokenize) — a second exchange here
-    would ship the token arrays for nothing.
+    would ship the token arrays for nothing. ``prefiltered=True``
+    declares that ``df`` carries no empty-shingle rows, skipping the
+    ``size(shingles) > 0`` guard: left in place, predicate pushdown
+    moves that guard BELOW the exchange where it re-evaluates the whole
+    shingle expression on the pre-exchange (possibly single-task)
+    layout — callers substitute a cheap text-level equivalent
+    (``token_count(text) >= n``) instead.
     """
     src = df
     if repartition:
@@ -231,7 +238,7 @@ def minhash_signatures(
         F.col("__sh"), lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
     )
     sig = _sig_udf(num_hashes)(h0s)
-    out = keyed.where(F.size("__sh") > 0)
+    out = keyed if prefiltered else keyed.where(F.size("__sh") > 0)
     if with_size:
         return out.select(
             "id", F.size("__sh").alias("n"), sig.alias("signature")
@@ -355,12 +362,18 @@ def minhash_lsh_pairs(
     # tokenize ran on the source's task layout — one task for a
     # single-row-group file — in the signature pass AND in each verify
     # broadcast build; this way every consumer of `base` re-executes a
-    # cheap pruned-text exchange and tokenizes on all cores.
-    base = df.repartition(
+    # cheap pruned-text exchange and tokenizes on all cores. The
+    # empty-shingle guard is a TEXT-level predicate (token_count ≥ n ⟺
+    # the distinct shingle array is non-empty, incl. NULL text): the
+    # array-level `size(sh) > 0` pushes below the exchange and
+    # re-tokenizes every row on the pre-exchange layout.
+    nonempty = token_count(F.col(text_col)) >= F.lit(max(1, shingle_ngram))
+    base = df.where(nonempty).repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(F.col(id_col).alias("id"), sh.alias("sh"))
     sigs = minhash_signatures(
-        base, "id", F.col("sh"), num_hashes, with_size=True, repartition=False
+        base, "id", F.col("sh"), num_hashes,
+        with_size=True, repartition=False, prefiltered=True,
     )
     # per-doc band-hash ARRAY first (identical hash construction to
     # lsh_bands), then posexplode for the equi-join: the banded table
@@ -552,8 +565,12 @@ def simhash(
     # the minhash_signatures treatment): projected first, the
     # interpreted split/array_distinct ran on the source's task layout
     # and the exchange shipped token arrays; this way the exchange
-    # ships pruned raw columns and the tokenize parallelizes.
-    keyed = df.repartition(
+    # ships pruned raw columns and the tokenize parallelizes. The
+    # empty-token guard is the TEXT-level `token_count > 0` (⟺
+    # size(distinct_tokens) > 0, incl. NULL text): an array-level
+    # filter pushes below the exchange and re-tokenizes every row on
+    # the pre-exchange layout.
+    keyed = df.where(token_count(F.col(text_col)) > 0).repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("__t"))
 
@@ -584,7 +601,7 @@ def simhash(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    return keyed.where(F.size("__t") > 0).select("id", fp.alias("simhash"))
+    return keyed.select("id", fp.alias("simhash"))
 
 
 def simhash_duplicates(
@@ -867,12 +884,14 @@ def minhash_lsh_pairs_between(
     mk = word_ngrams(F.col(text_col), shingle_ngram) if shingle_ngram > 1 else (
         distinct_tokens(F.col(text_col))
     )
-    # id-partition below the shingle projection: see minhash_lsh_pairs
+    # id-partition below the shingle projection + text-level emptiness
+    # guard: see minhash_lsh_pairs
     _p = df_new.sparkSession.sparkContext.defaultParallelism
-    base_n = df_new.repartition(_p, F.col(id_col)).select(
+    _nonempty = token_count(F.col(text_col)) >= F.lit(max(1, shingle_ngram))
+    base_n = df_new.where(_nonempty).repartition(_p, F.col(id_col)).select(
         F.col(id_col).alias("id"), mk.alias("sh")
     )
-    base_r = df_ref.repartition(_p, F.col(id_col)).select(
+    base_r = df_ref.where(_nonempty).repartition(_p, F.col(id_col)).select(
         F.col(id_col).alias("id"), mk.alias("sh")
     )
     sh_n = base_n.select(
@@ -907,7 +926,7 @@ def minhash_lsh_pairs_between(
             tag,
             minhash_signatures(
                 base, "id", F.col("sh"), num_hashes,
-                with_size=True, repartition=False,
+                with_size=True, repartition=False, prefiltered=True,
             ).select("id", "n", bh_arr.alias("bh")),
             StorageLevel.MEMORY_AND_DISK,
         )

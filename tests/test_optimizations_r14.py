@@ -214,6 +214,46 @@ class TestTokenizeBelowRepartition:
             "RepartitionByExpression"
         )
 
+    def test_text_level_emptiness_guard_equivalence(self, spark):
+        """The r14 text-level guards (token_count(text) ≥ n replacing
+        size(shingles) > 0, which predicate-pushdown re-tokenized below
+        the exchange) must exclude exactly the same rows: NULL text,
+        empty text, whitespace-only text, and (for n-gram shingles)
+        documents with fewer than n tokens."""
+        from adam_spark.llm.dedup import (
+            minhash_lsh_pairs,
+            minhash_lsh_pairs_between,
+            simhash,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma delta"),
+                (3, None),
+                (4, ""),
+                (5, "   "),          # spaces only → zero tokens
+                (6, "solo"),         # one token: below any n ≥ 2
+                (7, "\talpha"),      # tab is part of a token (split on ' ')
+            ],
+            "doc_id long, text string",
+        )
+        fps = simhash(docs, "doc_id").collect()
+        assert sorted(r["id"] for r in fps) == [1, 2, 6, 7]
+        pairs = minhash_lsh_pairs(docs, "doc_id", bands=8, threshold=0.8).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+        # n-gram shingles: doc 6 (one token) has no 2-grams → excluded
+        pairs2 = minhash_lsh_pairs(
+            docs, "doc_id", shingle_ngram=2, bands=8, threshold=0.8
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs2} == {(1, 2)}
+        between = minhash_lsh_pairs_between(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0),
+            id_col="doc_id", bands=8, threshold=0.8,
+        ).collect()
+        assert {(r["id_new"], r["id_ref"]) for r in between} == {(1, 2)}
+
     def test_minhash_base_partitioned_once(self, spark):
         """minhash_signatures(repartition=False) must not stack a
         second exchange over a pre-partitioned base."""
