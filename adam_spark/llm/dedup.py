@@ -62,6 +62,21 @@ def distinct_tokens(text: Column) -> Column:
     return F.array_distinct(tokens(text))
 
 
+def has_min_tokens(text: Column, n: int) -> Column:
+    """Cheap text-level ``size(tokens(text)) >= n``: NULL text fails
+    (rlike/regexp propagate NULL, falsy in a filter), and a token is
+    exactly a maximal run of non-space characters. n == 1 uses an
+    early-exit ``rlike`` (stops at the first non-space char — O(1) for
+    ordinary text, where ``regexp_count`` would scan the whole string
+    counting every token); n > 1 needs the count. Used as the
+    emptiness guard below the dedup exchanges, where an array-level
+    ``size(shingles) > 0`` would re-tokenize on the pre-exchange
+    layout (pushed-down predicate)."""
+    if n <= 1:
+        return text.rlike("[^ ]")
+    return token_count(text) >= F.lit(n)
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-gram shingles, space-joined. Documents with
     fewer than ``n`` tokens yield an empty array (guard needed because
@@ -367,7 +382,7 @@ def minhash_lsh_pairs(
     # the distinct shingle array is non-empty, incl. NULL text): the
     # array-level `size(sh) > 0` pushes below the exchange and
     # re-tokenizes every row on the pre-exchange layout.
-    nonempty = token_count(F.col(text_col)) >= F.lit(max(1, shingle_ngram))
+    nonempty = has_min_tokens(F.col(text_col), max(1, shingle_ngram))
     base = df.where(nonempty).repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(F.col(id_col).alias("id"), sh.alias("sh"))
@@ -570,7 +585,7 @@ def simhash(
     # size(distinct_tokens) > 0, incl. NULL text): an array-level
     # filter pushes below the exchange and re-tokenizes every row on
     # the pre-exchange layout.
-    keyed = df.where(token_count(F.col(text_col)) > 0).repartition(
+    keyed = df.where(has_min_tokens(F.col(text_col), 1)).repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("__t"))
 
@@ -887,7 +902,7 @@ def minhash_lsh_pairs_between(
     # id-partition below the shingle projection + text-level emptiness
     # guard: see minhash_lsh_pairs
     _p = df_new.sparkSession.sparkContext.defaultParallelism
-    _nonempty = token_count(F.col(text_col)) >= F.lit(max(1, shingle_ngram))
+    _nonempty = has_min_tokens(F.col(text_col), max(1, shingle_ngram))
     base_n = df_new.where(_nonempty).repartition(_p, F.col(id_col)).select(
         F.col(id_col).alias("id"), mk.alias("sh")
     )
