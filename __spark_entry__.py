@@ -901,19 +901,15 @@ def remove_boilerplate_docs(spark: SparkSession, sf: str) -> DataFrame:
     SF); line granularity is pinned by pytest."""
     from adam_spark.llm.dedup import remove_repeated_spans
 
-    # spans_df spread, branch-scoped (r14): the token-granularity span
-    # explode amplifies per-row work ~380× (posexplode + md5(trim) per
-    # token) and ran on the corpus' single row group's ONE task — the
-    # classifier feats_df idiom keeps the row-owning frame plain so the
-    # pruned count path never plans the exchange. Footer-gated.
+    # spread on the span branch: tried via a branch-scoped frame (the
+    # classifier feats_df idiom) and REVERTED with numbers (r14
+    # interleaved ×3: count 0.48-0.62 spread vs 0.50-0.61 plain, noop
+    # mixed) — the span explode is codegen'd posexplode+md5, ~0.2 s
+    # single-task at sf0.1, which the added exchange just eats. Unlike
+    # the classifier's interpreted feature lambdas, there is nothing
+    # interpreted here to parallelize.
     return remove_repeated_spans(
-        load_table(spark, sf, "documents"),
-        delimiter=" ",
-        min_frac=0.5,
-        spans_df=load_table(
-            spark, sf, "documents",
-            spread=True, spread_min_rows=1000, spread_key=("doc_id",),
-        ),
+        load_table(spark, sf, "documents"), delimiter=" ", min_frac=0.5
     ).orderBy("doc_id")
 
 
@@ -949,19 +945,13 @@ def dedup_substrings_docs(spark: SparkSession, sf: str) -> DataFrame:
     semantics are stride-deterministic, so the oracle replicates it)."""
     from adam_spark.llm.dedup import remove_duplicate_substrings
 
-    # anchors_df spread, branch-scoped (r14): ~len/7 ≈ 280 anchor rows
-    # per doc, each a 30-char substr + xxhash64, evaluated TWICE (hot
-    # build + marks join) on the corpus' single row group's one task —
-    # the classifier feats_df idiom keeps the row-owning/text-rebuild
-    # frame plain. Footer-gated.
+    # spread on the anchor branch: tried via a branch-scoped frame and
+    # REVERTED with numbers (r14 interleaved ×3: count 0.54-0.73 spread
+    # vs 0.50-0.68 plain) — the anchor explode is codegen'd
+    # substr+xxhash64 (~0.15 s single-task at sf0.1); the exchange
+    # costs what the parallelization saves. See remove_boilerplate_docs.
     return remove_duplicate_substrings(
-        load_table(spark, sf, "documents"),
-        k=30,
-        stride=7,
-        anchors_df=load_table(
-            spark, sf, "documents",
-            spread=True, spread_min_rows=1000, spread_key=("doc_id",),
-        ),
+        load_table(spark, sf, "documents"), k=30, stride=7
     ).orderBy("doc_id")
 
 

@@ -759,7 +759,6 @@ def remove_repeated_spans(
     min_frac: float | None = None,
     broadcast_hot: bool | None = None,
     bounded_cache: bool = False,
-    spans_df: DataFrame | None = None,
 ) -> DataFrame:
     """C4-style cross-corpus boilerplate removal.
 
@@ -798,12 +797,7 @@ def remove_repeated_spans(
     if min_docs is None:
         total = df.where(F.col(text_col).isNotNull()).count()
         min_docs = int(math.ceil(min_frac * total))
-    # spans_df: alternate (typically spread) reading of the same rows
-    # for the heavy explode branch — the hashed_classifier_score
-    # feats_df idiom. The output row set (and the min_frac total) always
-    # comes from df; the per-doc regroup keys every span row back by id,
-    # so the branch's partitioning can't change results.
-    spans = (df if spans_df is None else spans_df).select(
+    spans = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), _re.escape(delimiter))).alias(
             "pos", "span"
@@ -1051,7 +1045,6 @@ def remove_duplicate_substrings(
     min_docs: int = 2,
     broadcast_hot: bool | None = None,
     bounded_cache: bool = False,
-    anchors_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicate-substring removal (the character-level
     complement of :func:`remove_repeated_spans`, after Lee et al. 2022,
@@ -1076,17 +1069,8 @@ def remove_duplicate_substrings(
     duplicated regions >= k + stride - 1 chars).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    # anchors_df: alternate (typically spread) reading of the same rows
-    # for the anchor-explode branch — the heavy O(chars/stride) pipeline
-    # that is both counted (hot-set build) and joined (marks). The text
-    # rebuild and the output row set stay on base; the span merge keys
-    # everything back by id, so the branch's partitioning can't change
-    # results (the hashed_classifier_score feats_df idiom).
-    a_src = base if anchors_df is None else anchors_df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    )
     npos = F.greatest(F.length("text") - F.lit(k - 1), F.lit(0))
-    anchors = a_src.select(
+    anchors = base.select(
         "id",
         "text",
         F.explode(

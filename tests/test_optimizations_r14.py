@@ -270,48 +270,6 @@ class TestTokenizeBelowRepartition:
         assert "RepartitionByExpression" in plan
 
 
-@pytest.mark.skipif(not os.path.isdir(SF01), reason="driver testdata absent")
-class TestBranchScopedHeavyFrames:
-    """r14: remove_repeated_spans(spans_df=...) and
-    remove_duplicate_substrings(anchors_df=...) accept an alternate
-    (spread) reading of the same rows for their heavy explode branches
-    — results must be bit-identical to the plain path."""
-
-    def test_spans_df_bit_identical(self, spark):
-        from adam_spark.llm.dedup import remove_repeated_spans
-        from adam_spark.sources.tables import load_table
-
-        docs = load_table(spark, SF01, "documents")
-        spread = load_table(
-            spark, SF01, "documents",
-            spread=True, spread_min_rows=100, spread_key=("doc_id",),
-        )
-        plain = remove_repeated_spans(
-            docs, delimiter=" ", min_frac=0.5
-        ).orderBy("doc_id").collect()
-        branch = remove_repeated_spans(
-            docs, delimiter=" ", min_frac=0.5, spans_df=spread
-        ).orderBy("doc_id").collect()
-        assert [tuple(r) for r in plain] == [tuple(r) for r in branch]
-
-    def test_anchors_df_bit_identical(self, spark):
-        from adam_spark.llm.dedup import remove_duplicate_substrings
-        from adam_spark.sources.tables import load_table
-
-        docs = load_table(spark, SF01, "documents")
-        spread = load_table(
-            spark, SF01, "documents",
-            spread=True, spread_min_rows=100, spread_key=("doc_id",),
-        )
-        plain = remove_duplicate_substrings(
-            docs, k=30, stride=7
-        ).orderBy("doc_id").collect()
-        branch = remove_duplicate_substrings(
-            docs, k=30, stride=7, anchors_df=spread
-        ).orderBy("doc_id").collect()
-        assert [tuple(r) for r in plain] == [tuple(r) for r in branch]
-
-
 class TestQuantizeMaxabsHoist:
     """r14: quantize_embeddings hoists max(abs(v)) into a lower
     Project. Referenced inline inside the per-element lambda, the
